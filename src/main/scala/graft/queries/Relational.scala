@@ -1,0 +1,407 @@
+package graft.queries
+
+import graft.{QuerySpec, Tables}
+import graft.functions.ExactNum._
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Relational operator inventory (SURVEY.md §2.2-§2.9) expressed over
+  * the driver test tables. Every query is paired with its DuckDB
+  * oracle. Numeric outputs use scaled-integer sums (see ExactNum) so
+  * hashes match bit-for-bit.
+  *
+  * Scale notes (100 TB design review):
+  *  - aggregations are partial+final (map-side combine) by construction;
+  *  - small dimension tables (region/nation/part/supplier) are joined
+  *    with explicit broadcast() hints — no shuffle of the fact table;
+  *  - fact-fact joins shuffle on their equi-keys and rely on AQE for
+  *    skew; nothing collects to the driver.
+  */
+object Relational {
+
+  /** A1/A8/F5 — grouped sums with derived per-row arithmetic
+    * (reference bin/CollapseContigCounts.R:29, pricing-summary shape). */
+  val q01 = QuerySpec.sql(
+    "q01_pricing_summary",
+    """SELECT l_returnflag, l_linestatus,
+      |       sum(CAST(l_quantity AS BIGINT)) AS sum_qty,
+      |       sum(CAST(round(l_extendedprice * 100, 0) AS BIGINT)) / 100.0 AS sum_base,
+      |       sum(CAST(round(l_extendedprice * (1 - l_discount) * 10000, 0) AS BIGINT)) / 10000.0 AS sum_disc,
+      |       count(*) AS n_rows
+      |FROM lineitem
+      |WHERE l_shipdate <= TIMESTAMP '1998-09-01 00:00:00'
+      |GROUP BY l_returnflag, l_linestatus""",
+    "grouped sum/count with per-row arithmetic (SURVEY A1,A8,F5)") { (s, d) =>
+    Tables.lineitem(s, d)
+      .filter(col("l_shipdate") <= lit("1998-09-01 00:00:00").cast("timestamp"))
+      .groupBy("l_returnflag", "l_linestatus")
+      .agg(
+        intSum(col("l_quantity")).as("sum_qty"),
+        exactSum(col("l_extendedprice"), 2).as("sum_base"),
+        exactSum(col("l_extendedprice") * (lit(1) - col("l_discount")), 4).as("sum_disc"),
+        count(lit(1)).as("n_rows"))
+  }
+
+  /** P1/P2/F7 — projection + predicate + cast; filters and the 3-column
+    * read schema must reach the parquet scan. */
+  val q02 = QuerySpec.sql(
+    "q02_filter_project",
+    """SELECT l_orderkey, l_partkey, CAST(l_quantity AS INT) AS qty
+      |FROM lineitem
+      |WHERE l_quantity > 45 AND l_returnflag = 'R'""",
+    "projection + value predicate + cast (SURVEY P1,P2,F7)") { (s, d) =>
+    Tables.lineitem(s, d)
+      .filter(col("l_quantity") > 45 && col("l_returnflag") === "R")
+      .select(col("l_orderkey"), col("l_partkey"),
+        col("l_quantity").cast("int").as("qty"))
+  }
+
+  /** J1/A1 — inner equi-join then aggregate (reference
+    * bin/MergeForInteractions.R:34). customer is the small side →
+    * broadcast; at 100 TB orders shuffles only if customer outgrows
+    * the broadcast threshold. */
+  val q03 = QuerySpec.sql(
+    "q03_join_agg",
+    """SELECT c_mktsegment,
+      |       count(*) AS n_orders,
+      |       sum(CAST(round(o_totalprice * 100, 0) AS BIGINT)) / 100.0 AS sum_price
+      |FROM orders JOIN customer ON o_custkey = c_custkey
+      |GROUP BY c_mktsegment""",
+    "inner equi-join + aggregate (SURVEY J1,A1)") { (s, d) =>
+    Tables.orders(s, d)
+      .join(broadcast(Tables.customer(s, d)),
+        col("o_custkey") === col("c_custkey"))
+      .groupBy("c_mktsegment")
+      .agg(count(lit(1)).as("n_orders"),
+        exactSum(col("o_totalprice"), 2).as("sum_price"))
+  }
+
+  /** J2 — the awk FNR==NR map-side lookup join (reference
+    * bin/ClusterContigScores.sh:29) = broadcast hash join. */
+  val q04 = QuerySpec.sql(
+    "q04_broadcast_lookup",
+    """SELECT p_brand, count(*) AS n_items,
+      |       sum(CAST(l_quantity AS BIGINT)) AS sum_qty
+      |FROM lineitem JOIN part ON l_partkey = p_partkey
+      |WHERE p_size < 10
+      |GROUP BY p_brand""",
+    "broadcast hash lookup join (SURVEY J2)") { (s, d) =>
+    Tables.lineitem(s, d)
+      .join(broadcast(Tables.part(s, d).filter(col("p_size") < 10)),
+        col("l_partkey") === col("p_partkey"))
+      .groupBy("p_brand")
+      .agg(count(lit(1)).as("n_items"), intSum(col("l_quantity")).as("sum_qty"))
+  }
+
+  /** J3/P6 — n-way full-outer evidence alignment with missing→0: the
+    * declarative replacement for the reference's per-row edge-property
+    * upsert (reference bin/BenchmarkDatabaseCreation.pl:161-175,
+    * bin/iteratePredictedRelationships.R:50-55). */
+  val q05 = QuerySpec.sql(
+    "q05_evidence_fullouter",
+    """WITH a AS (SELECT l_partkey AS k, sum(CAST(l_quantity AS BIGINT)) AS ev_qty
+      |           FROM lineitem WHERE l_returnflag = 'A' GROUP BY l_partkey),
+      |     b AS (SELECT l_partkey AS k, count(*) AS ev_cnt
+      |           FROM lineitem WHERE l_returnflag = 'R' GROUP BY l_partkey),
+      |     c AS (SELECT l_partkey AS k,
+      |                  min(CAST(round(l_extendedprice * 100, 0) AS BIGINT)) / 100.0 AS ev_min
+      |           FROM lineitem WHERE l_linestatus = 'O' GROUP BY l_partkey)
+      |SELECT COALESCE(a.k, b.k, c.k) AS part_id,
+      |       COALESCE(ev_qty, 0) AS ev_qty,
+      |       COALESCE(ev_cnt, 0) AS ev_cnt,
+      |       COALESCE(ev_min, 0) AS ev_min
+      |FROM a FULL JOIN b ON a.k = b.k
+      |       FULL JOIN c ON COALESCE(a.k, b.k) = c.k""",
+    "n-way full-outer evidence merge, nulls→0 (SURVEY J3,P6; §3.1)") { (s, d) =>
+    val li = Tables.lineitem(s, d)
+    val a = li.filter(col("l_returnflag") === "A").groupBy(col("l_partkey").as("part_id"))
+      .agg(intSum(col("l_quantity")).as("ev_qty"))
+    val b = li.filter(col("l_returnflag") === "R").groupBy(col("l_partkey").as("part_id"))
+      .agg(count(lit(1)).as("ev_cnt"))
+    val c = li.filter(col("l_linestatus") === "O").groupBy(col("l_partkey").as("part_id"))
+      .agg((min(scaled(col("l_extendedprice"), 100)) / 100.0).as("ev_min"))
+    a.join(b, Seq("part_id"), "full_outer")
+      .join(c, Seq("part_id"), "full_outer")
+      .na.fill(0)
+  }
+
+  /** P4/J6/E3 — blocklist anti-join (reference
+    * bin/interpersonaldiversity.R:49-53; Makefile:629-634). */
+  val q06 = QuerySpec.sql(
+    "q06_blocklist_anti",
+    """SELECT DISTINCT l_partkey
+      |FROM lineitem
+      |WHERE l_partkey NOT IN (SELECT p_partkey FROM part WHERE p_size > 45)""",
+    "broadcast anti-join against blocklist (SURVEY P4,J6,E3)") { (s, d) =>
+    Tables.lineitem(s, d).select("l_partkey").distinct()
+      .join(broadcast(Tables.part(s, d).filter(col("p_size") > 45)
+        .select(col("p_partkey").as("l_partkey"))),
+        Seq("l_partkey"), "left_anti")
+  }
+
+  /** P5/J6 — keep-list semi-join (reference bin/ApplySepAbund.R:38-39). */
+  val q07 = QuerySpec.sql(
+    "q07_keeplist_semi",
+    """SELECT c_custkey, c_name
+      |FROM customer
+      |WHERE c_custkey IN (SELECT o_custkey FROM orders WHERE o_totalprice > 300000)""",
+    "semi-join keep-list filter (SURVEY P5,J6)") { (s, d) =>
+    Tables.customer(s, d)
+      .join(Tables.orders(s, d).filter(col("o_totalprice") > 300000)
+        .select(col("o_custkey").as("c_custkey")),
+        Seq("c_custkey"), "left_semi")
+      .select("c_custkey", "c_name")
+  }
+
+  /** P7 — partial-row dedup (reference bin/TriadicClosures.R:23). */
+  val q08 = QuerySpec.sql(
+    "q08_dedup",
+    "SELECT DISTINCT l_orderkey, l_returnflag FROM lineitem",
+    "distinct on column subset (SURVEY P7)") { (s, d) =>
+    Tables.lineitem(s, d).select("l_orderkey", "l_returnflag").distinct()
+  }
+
+  /** A6/W2 — top-k per group with deterministic tiebreak (reference
+    * bin/GetLongestContig.R:46 longest-contig-per-cluster). */
+  val q09 = QuerySpec.sql(
+    "q09_topk_per_group",
+    """SELECT l_suppkey, l_orderkey, l_linenumber,
+      |       sum(CAST(round(l_extendedprice * 100, 0) AS BIGINT)) / 100.0 AS l_price
+      |FROM (SELECT *, row_number() OVER (
+      |        PARTITION BY l_suppkey
+      |        ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber) AS rn
+      |      FROM lineitem)
+      |WHERE rn <= 3
+      |GROUP BY l_suppkey, l_orderkey, l_linenumber""",
+    "rank/top-k per group via window (SURVEY A6,W2)") { (s, d) =>
+    val w = Window.partitionBy("l_suppkey")
+      .orderBy(col("l_extendedprice").desc, col("l_orderkey"), col("l_linenumber"))
+    Tables.lineitem(s, d)
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 3)
+      .groupBy("l_suppkey", "l_orderkey", "l_linenumber")
+      .agg((sum(scaled(col("l_extendedprice"), 100)) / 100.0).as("l_price"))
+  }
+
+  /** A5 — two-level aggregate: grouped sum → global extrema (reference
+    * rarefaction depth, bin/interpersonaldiversity.R:56-57). */
+  val q10 = QuerySpec.sql(
+    "q10_two_level_agg",
+    """SELECT min(s) AS min_qty, max(s) AS max_qty, count(*) AS n_groups
+      |FROM (SELECT sum(CAST(l_quantity AS BIGINT)) AS s
+      |      FROM lineitem GROUP BY l_orderkey)""",
+    "grouped sum then global min/max (SURVEY A5)") { (s, d) =>
+    Tables.lineitem(s, d)
+      .groupBy("l_orderkey").agg(intSum(col("l_quantity")).as("s"))
+      .agg(min(col("s")).as("min_qty"), max(col("s")).as("max_qty"),
+        count(lit(1)).as("n_groups"))
+  }
+
+  /** V1 — long→wide pivot with fill-0 (reference
+    * bin/ReshapeAlignedAbundance.R:36 contig×sample dcast). */
+  val q11 = QuerySpec.sql(
+    "q11_pivot",
+    """SELECT l_linestatus,
+      |       COALESCE(sum(CASE WHEN l_returnflag = 'A' THEN CAST(l_quantity AS BIGINT) END), 0) AS A,
+      |       COALESCE(sum(CASE WHEN l_returnflag = 'N' THEN CAST(l_quantity AS BIGINT) END), 0) AS N,
+      |       COALESCE(sum(CASE WHEN l_returnflag = 'R' THEN CAST(l_quantity AS BIGINT) END), 0) AS R
+      |FROM lineitem GROUP BY l_linestatus""",
+    "long→wide pivot, missing→0 (SURVEY V1)") { (s, d) =>
+    Tables.lineitem(s, d)
+      .groupBy("l_linestatus")
+      .pivot("l_returnflag", Seq("A", "N", "R"))
+      .agg(sum(col("l_quantity").cast("long")))
+      .na.fill(0)
+  }
+
+  /** V2 — wide→long melt (reference melt/gather,
+    * bin/CalculatePredModel.R:219). */
+  val q12 = QuerySpec.sql(
+    "q12_unpivot",
+    """SELECT p_partkey, 'size' AS feature, CAST(p_size AS DOUBLE) AS val FROM part
+      |UNION ALL
+      |SELECT p_partkey, 'retail' AS feature, p_retailprice AS val FROM part""",
+    "wide→long melt via stack (SURVEY V2)") { (s, d) =>
+    Tables.part(s, d).select(
+      col("p_partkey"),
+      expr("stack(2, 'size', CAST(p_size AS DOUBLE), 'retail', p_retailprice) AS (feature, val)"))
+  }
+
+  /** E1 — union-all with provenance tag (reference rbind,
+    * bin/CalculatePredModel.R:214). */
+  val q13 = QuerySpec.sql(
+    "q13_union_tagged",
+    """SELECT c_name AS name, CAST(c_nationkey AS INT) AS nationkey, 'customer' AS kind FROM customer
+      |UNION ALL
+      |SELECT s_name, CAST(s_nationkey AS INT), 'supplier' FROM supplier""",
+    "union-all with kind tag (SURVEY E1)") { (s, d) =>
+    Tables.customer(s, d)
+      .select(col("c_name").as("name"), col("c_nationkey").cast("int").as("nationkey"),
+        lit("customer").as("kind"))
+      .union(Tables.supplier(s, d)
+        .select(col("s_name"), col("s_nationkey").cast("int"), lit("supplier")))
+  }
+
+  /** E2 — set intersection (reference bin/get_trimmed_pairs.py:7-11). */
+  val q14 = QuerySpec.sql(
+    "q14_intersect",
+    """SELECT DISTINCT c_nationkey AS nationkey FROM customer
+      |INTERSECT
+      |SELECT DISTINCT s_nationkey FROM supplier""",
+    "set intersection (SURVEY E2)") { (s, d) =>
+    Tables.customer(s, d).select(col("c_nationkey").as("nationkey"))
+      .intersect(Tables.supplier(s, d).select(col("s_nationkey").as("nationkey")))
+  }
+
+  /** F1-F4/W5 — the name-sanitizer + string toolkit applied before
+    * every reference graph write (reference
+    * bin/BenchmarkDatabaseCreation.pl:99-101, bin/CompareSkin.R:92). */
+  val q15 = QuerySpec.sql(
+    "q15_string_sanitize",
+    """SELECT p_partkey,
+      |       regexp_replace(p_name, '[^A-Za-z0-9]+', '_', 'g') AS clean_name,
+      |       concat_ws('__', p_brand, p_type) AS combo_key,
+      |       lpad(CAST(p_size AS VARCHAR), 4, '0') AS padded_size,
+      |       upper(p_brand) AS brand_uc
+      |FROM part""",
+    "regex sanitize / concat / lpad (SURVEY F1-F4,W5)") { (s, d) =>
+    Tables.part(s, d).select(
+      col("p_partkey"),
+      regexp_replace(col("p_name"), "[^A-Za-z0-9]+", "_").as("clean_name"),
+      concat_ws("__", col("p_brand"), col("p_type")).as("combo_key"),
+      lpad(col("p_size").cast("string"), 4, "0").as("padded_size"),
+      upper(col("p_brand")).as("brand_uc"))
+  }
+
+  /** F6 — conditional bucketing (reference ifelse,
+    * bin/CalculatePredModel.R:40-43). */
+  val q16 = QuerySpec.sql(
+    "q16_conditional_bucket",
+    """SELECT CASE WHEN o_totalprice > 200000 THEN 'big'
+      |            WHEN o_totalprice > 100000 THEN 'mid'
+      |            ELSE 'small' END AS bucket,
+      |       count(*) AS n,
+      |       sum(CAST(round(o_totalprice * 100, 0) AS BIGINT)) / 100.0 AS total
+      |FROM orders GROUP BY 1""",
+    "when/otherwise bucketing (SURVEY F6)") { (s, d) =>
+    Tables.orders(s, d)
+      .withColumn("bucket",
+        when(col("o_totalprice") > 200000, "big")
+          .when(col("o_totalprice") > 100000, "mid")
+          .otherwise("small"))
+      .groupBy("bucket")
+      .agg(count(lit(1)).as("n"), exactSum(col("o_totalprice"), 2).as("total"))
+  }
+
+  /** A10/A4 — grouped distinct-count + frequency (reference
+    * bin/interpersonaldiversity.R:406). */
+  val q17 = QuerySpec.sql(
+    "q17_distinct_count",
+    """SELECT c_nationkey, count(DISTINCT c_mktsegment) AS n_segments,
+      |       count(*) AS n_customers
+      |FROM customer GROUP BY c_nationkey""",
+    "grouped count-distinct (SURVEY A10,A4)") { (s, d) =>
+    Tables.customer(s, d).groupBy("c_nationkey")
+      .agg(countDistinct(col("c_mktsegment")).as("n_segments"),
+        count(lit(1)).as("n_customers"))
+  }
+
+  /** A2/A3 — grouped mean + min, the evidence-score collapse (reference
+    * bin/CollapseGeneScores.R:38, bin/iteratePredictedRelationships.R:30-34). */
+  val q18 = QuerySpec.sql(
+    "q18_score_collapse",
+    """SELECT l_partkey, l_suppkey,
+      |       min(CAST(round(l_extendedprice * 100, 0) AS BIGINT)) / 100.0 AS min_score,
+      |       sum(CAST(l_quantity AS BIGINT)) / (1.0 * count(l_quantity)) AS mean_qty
+      |FROM lineitem
+      |GROUP BY l_partkey, l_suppkey""",
+    "grouped min + mean score collapse (SURVEY A2,A3)") { (s, d) =>
+    Tables.lineitem(s, d).groupBy("l_partkey", "l_suppkey")
+      .agg((min(scaled(col("l_extendedprice"), 100)) / 100.0).as("min_score"),
+        (sum(col("l_quantity").cast("long")) / (lit(1.0) * count(col("l_quantity"))))
+          .as("mean_qty"))
+  }
+
+  /** J8/G16 — triadic-closure theta self-join: entities co-targeting
+    * the same key (reference bin/TriadicClosures.R:89
+    * `MATCH (n)-->(m)<--(k) WHERE n <> k RETURN DISTINCT n,k`). */
+  val q19 = QuerySpec.sql(
+    "q19_triadic_closure",
+    """WITH e AS (SELECT DISTINCT l_suppkey, l_partkey FROM lineitem)
+      |SELECT DISTINCT a.l_suppkey AS s1, b.l_suppkey AS s2
+      |FROM e a JOIN e b ON a.l_partkey = b.l_partkey AND a.l_suppkey < b.l_suppkey""",
+    "2-hop co-targeting self-join (SURVEY J8,G16)") { (s, d) =>
+    val e = Tables.lineitem(s, d).select("l_suppkey", "l_partkey").distinct()
+    e.as("a").join(e.as("b"),
+        col("a.l_partkey") === col("b.l_partkey") &&
+          col("a.l_suppkey") < col("b.l_suppkey"))
+      .select(col("a.l_suppkey").as("s1"), col("b.l_suppkey").as("s2"))
+      .distinct()
+  }
+
+  /** W1/W3 — global sort + limit with full deterministic tiebreak
+    * (reference ORDER/LIMIT, bin/TriadicClosures.R:89). */
+  val q20 = QuerySpec.sql(
+    "q20_sort_limit",
+    """SELECT o_orderkey, o_totalprice
+      |FROM orders
+      |ORDER BY o_totalprice DESC, o_orderkey
+      |LIMIT 100""",
+    "ordered top-n with tiebreak (SURVEY W1,W3,W4)") { (s, d) =>
+    Tables.orders(s, d)
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      .limit(100)
+      .select("o_orderkey", "o_totalprice")
+  }
+
+  /** J7 — the multi-hop motif chain, the reference's workhorse query
+    * shape (§3.3: sample→phage→bacteria→sample joined to shared
+    * dimensions). Here: region→nation→customer→orders→lineitem with
+    * dimension predicates — each `-[r]->` hop is one equi-join. */
+  val q21 = QuerySpec.sql(
+    "q21_motif_chain",
+    """SELECT n_name,
+      |       count(*) AS n_li,
+      |       sum(CAST(round(l_extendedprice * (1 - l_discount) * 10000, 0) AS BIGINT)) / 10000.0 AS revenue
+      |FROM region
+      |JOIN nation   ON n_regionkey = r_regionkey
+      |JOIN customer ON c_nationkey = n_nationkey
+      |JOIN orders   ON o_custkey = c_custkey
+      |JOIN lineitem ON l_orderkey = o_orderkey
+      |WHERE r_name IN ('ASIA', 'EUROPE') AND o_orderstatus = 'F'
+      |GROUP BY n_name""",
+    "multi-hop motif join chain (SURVEY J7, §3.3)") { (s, d) =>
+    broadcast(Tables.region(s, d).filter(col("r_name").isin("ASIA", "EUROPE")))
+      .join(broadcast(Tables.nation(s, d)), col("n_regionkey") === col("r_regionkey"))
+      .join(broadcast(Tables.customer(s, d)), col("c_nationkey") === col("n_nationkey"))
+      .join(Tables.orders(s, d).filter(col("o_orderstatus") === "F"),
+        col("o_custkey") === col("c_custkey"))
+      .join(Tables.lineitem(s, d), col("l_orderkey") === col("o_orderkey"))
+      .groupBy("n_name")
+      .agg(count(lit(1)).as("n_li"),
+        exactSum(col("l_extendedprice") * (lit(1) - col("l_discount")), 4).as("revenue"))
+  }
+
+  /** A11/W — running cumulative sum in a deterministic frame (reference
+    * pan/core accumulation curve, bin/PanCoreViromeOpfs.R:22-33). */
+  val q22 = QuerySpec.sql(
+    "q22_running_sum",
+    """SELECT o_custkey, o_orderkey,
+      |       sum(CAST(round(o_totalprice * 100, 0) AS BIGINT))
+      |         OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+      |               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) / 100.0
+      |         AS running_total
+      |FROM orders""",
+    "cumulative windowed sum (SURVEY A11,W)") { (s, d) =>
+    val w = Window.partitionBy("o_custkey")
+      .orderBy(col("o_orderdate"), col("o_orderkey"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.orders(s, d).select(
+      col("o_custkey"), col("o_orderkey"),
+      (sum(scaled(col("o_totalprice"), 100)).over(w) / 100.0).as("running_total"))
+  }
+
+  val all: Seq[QuerySpec] = Seq(
+    q01, q02, q03, q04, q05, q06, q07, q08, q09, q10, q11,
+    q12, q13, q14, q15, q16, q17, q18, q19, q20, q21, q22)
+}
