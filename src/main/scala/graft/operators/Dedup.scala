@@ -1,0 +1,138 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators for web-scale corpora.
+  *
+  * Scale design: every path here is shuffle-bounded by the *candidate*
+  * set, never all-pairs. Exact dedup is one hash aggregation; MinHash
+  * and SimHash block candidates through LSH band buckets so the only
+  * join is bucket-equi (shuffle on band hash); the verify step runs
+  * per candidate pair only. No crossJoin anywhere — at 100 TB the
+  * all-pairs comparison is the operator that must not exist.
+  *
+  * Determinism: hash family is xxhash64 seeded by literal constants,
+  * so signatures are independent of partitioning and cluster layout.
+  * The reference's analog op is protein-cluster dedup (reference
+  * bin/OperationalProteinFamilies.sh:66-86, SURVEY M14).
+  */
+object Dedup {
+
+  /** Exact dedup: keep the smallest id per identical text. One
+    * hash-agg; the md5 groups long texts without shuffling them. */
+  def exactDuplicates(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs.groupBy(md5(col(textCol)).as("content_hash"))
+      .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_copies"))
+
+  /** Tokenize into word k-shingles (k=1 → unigram bag). */
+  private def shingles(text: org.apache.spark.sql.Column, k: Int) = {
+    val toks = TextOps.tokens(text)
+    if (k <= 1) array_distinct(toks)
+    else {
+      // sliding window via transform over indices
+      val n = size(toks)
+      array_distinct(
+        transform(sequence(lit(0), greatest(n - k, lit(0))),
+          i => concat_ws("_", slice(toks, i + 1, lit(k)))))
+    }
+  }
+
+  /** MinHash signatures: one row per doc with `numHashes` min-hash
+    * values as an array<long>. Single explode + hash-agg; partial
+    * aggregation makes the shuffle carry one signature per doc. */
+  def minhashSignatures(docs: DataFrame, idCol: String, textCol: String,
+      numHashes: Int = 16, shingleK: Int = 1): DataFrame = {
+    val tok = docs.select(col(idCol).as("doc_id"),
+      explode(shingles(col(textCol), shingleK)).as("tok"))
+    val mins = (0 until numHashes).map(i => min(xxhash64(lit(i), col("tok"))).as(s"mh_$i"))
+    tok.groupBy("doc_id")
+      .agg(mins.head, mins.tail: _*)
+      .select(col("doc_id"), array((0 until numHashes).map(i => col(s"mh_$i")): _*).as("signature"))
+  }
+
+  /** LSH candidate pairs from minhash signatures: band the signature,
+    * bucket-join on (band, bandHash), emit each unordered pair once
+    * with its signature-estimated Jaccard. Shuffles on band hash —
+    * skew-safe because identical-band groups are true near-dup
+    * clusters (AQE splits the rare megacluster). */
+  def lshCandidatePairs(sig: DataFrame, bands: Int, rowsPerBand: Int): DataFrame = {
+    val banded = sig.select(col("doc_id"), col("signature"),
+      posexplode(transform(sequence(lit(0), lit(bands - 1)),
+        b => xxhash64(b, concat_ws(",", slice(col("signature"), b * rowsPerBand + 1, lit(rowsPerBand))))))
+        .as(Seq("band", "band_hash")))
+    val a = banded.select(col("band"), col("band_hash"),
+      col("doc_id").as("d1"), col("signature").as("s1"))
+    val b = banded.select(col("band"), col("band_hash"),
+      col("doc_id").as("d2"), col("signature").as("s2"))
+    a.join(b, Seq("band", "band_hash"))
+      .where(col("d1") < col("d2"))
+      .select(col("d1"), col("d2"),
+        (size(filter(zip_with(col("s1"), col("s2"), (x, y) => x === y), m => m))
+          .cast("double") / size(col("s1")).cast("double")).as("est_jaccard"))
+      .groupBy("d1", "d2")
+      .agg(max(col("est_jaccard")).as("est_jaccard"))
+  }
+
+  /** 64-bit SimHash per doc: per-token xxhash64, each bit votes ±1,
+    * sign of the vote is the signature bit. One explode + 64 codegen'd
+    * conditional sums — no UDF. */
+  def simhash(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val tok = docs
+      .select(col(idCol).as("doc_id"),
+        explode(array_distinct(TextOps.tokens(col(textCol)))).as("tok"))
+      .select(col("doc_id"), xxhash64(lit(7), col("tok")).as("h"))
+    val votes = (0 until 64).map { j =>
+      sum(when(col("h").bitwiseAND(lit(1L << j)) =!= 0L, 1).otherwise(-1)).as(s"v_$j")
+    }
+    val agg = tok.groupBy("doc_id").agg(votes.head, votes.tail: _*)
+    val sh = (0 until 64).map { j =>
+      when(col(s"v_$j") > 0, lit(1L << j)).otherwise(lit(0L))
+    }.reduce((a, b) => a.bitwiseOR(b))
+    agg.select(col("doc_id"), sh.as("simhash"))
+  }
+
+  /** SimHash near-dup candidates: block on 4×16-bit bands (any doc
+    * pair within Hamming distance 3 shares ≥1 exact band), verify with
+    * bit_count(xor). Bucket-join, never all-pairs. */
+  def simhashNearDups(sh: DataFrame, maxHamming: Int = 3): DataFrame = {
+    val banded = sh.select(col("doc_id"), col("simhash"),
+      posexplode(array((0 until 4).map(b =>
+        shiftrightunsigned(col("simhash"), b * 16).bitwiseAND(lit(0xFFFFL))): _*))
+        .as(Seq("band", "band_bits")))
+    val a = banded.select(col("band"), col("band_bits"),
+      col("doc_id").as("d1"), col("simhash").as("h1"))
+    val b = banded.select(col("band"), col("band_bits"),
+      col("doc_id").as("d2"), col("simhash").as("h2"))
+    a.join(b, Seq("band", "band_bits"))
+      .where(col("d1") < col("d2"))
+      .select(col("d1"), col("d2"),
+        bit_count(col("h1").bitwiseXOR(col("h2"))).cast("long").as("hamming"))
+      .where(col("hamming") <= maxHamming)
+      .distinct()
+  }
+
+  /** Exact n-gram Jaccard similarity for doc pairs sharing a blocking
+    * key (e.g. source): explode tokens, count intersections via
+    * token-equi join within block, Jaccard from exact set sizes.
+    * The blocking key bounds the join; integer arithmetic keeps the
+    * output oracle-exact. */
+  def jaccardPairs(docs: DataFrame, idCol: String, textCol: String,
+      blockCol: String, minJaccard: Double): DataFrame = {
+    val tok = docs.select(col(idCol).as("doc_id"), col(blockCol).as("blk"),
+      explode(array_distinct(TextOps.tokens(col(textCol)))).as("tok"))
+    val sizes = tok.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    val inter = tok.as("a").join(tok.as("b"),
+        col("a.tok") === col("b.tok") && col("a.blk") === col("b.blk") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
+      .agg(count(lit(1)).as("n_inter"))
+    inter
+      .join(sizes.select(col("doc_id").as("d1"), col("n").as("n1")), "d1")
+      .join(sizes.select(col("doc_id").as("d2"), col("n").as("n2")), "d2")
+      .select(col("d1"), col("d2"),
+        (col("n_inter").cast("double") /
+          (col("n1") + col("n2") - col("n_inter")).cast("double")).as("jaccard"))
+      .where(col("jaccard") >= minJaccard)
+  }
+}

@@ -1,0 +1,95 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Approximate-nearest-neighbor search over an embedding column
+  * (array<float>).
+  *
+  * Baseline: brute-force cosine top-k with a *broadcast* query set —
+  * the corpus never shuffles, each partition scores its rows against
+  * the in-memory queries and a per-partition top-k folds into a global
+  * top-k (window over (query, score)). Scale path: random-hyperplane
+  * LSH buckets (deterministic seeded planes) so candidate generation
+  * is a bucket-equi join, then exact re-rank of candidates only.
+  *
+  * All vector math is `zip_with`/`aggregate` Column expressions over
+  * doubles — sequential fold order, so results are bit-deterministic
+  * regardless of partitioning.
+  */
+object Similarity {
+
+  /** Sequential-fold dot product of two array<double> columns. */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+
+  def norm(a: Column): Column = sqrt(dot(a, a))
+
+  def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+
+  private def asDouble(c: Column): Column = transform(c, x => x.cast("double"))
+
+  /** Brute-force exact cosine top-k.
+    * @param queries (idCol, vecCol) — small, broadcast.
+    * @param corpus  (idCol, vecCol) — arbitrarily large, never shuffled
+    *                until the final per-query top-k (k rows per query
+    *                per partition after partial window is negligible).
+    */
+  def bruteForceTopK(queries: DataFrame, corpus: DataFrame,
+      idCol: String, vecCol: String, k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val q = broadcast(queries.select(col(idCol).as("query_id"), asDouble(col(vecCol)).as("qv")))
+    val c = corpus.select(col(idCol).as("neighbor_id"), asDouble(col(vecCol)).as("cv"))
+    val scored = c.join(q, col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        cosine(col("qv"), col("cv")).as("cos_sim"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("cos_sim").desc, col("neighbor_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select(col("query_id"), col("rank").cast("long").as("rank"),
+        col("neighbor_id"), col("cos_sim"))
+  }
+
+  /** Deterministic random hyperplanes: `nPlanes` rows of `dim`
+    * components from a fixed-seed generator. */
+  private[graft] def hyperplanes(nPlanes: Int, dim: Int, seed: Long): Array[Array[Double]] = {
+    val rng = new scala.util.Random(seed)
+    Array.fill(nPlanes, dim)(rng.nextGaussian())
+  }
+
+  /** Sign-bit LSH bucket id for each vector: bit j = sign(v · plane_j).
+    * Pure literal-array arithmetic — codegen'd, partition-independent. */
+  def lshBucket(vec: Column, nPlanes: Int, dim: Int, seed: Long = 42L): Column = {
+    val planes = hyperplanes(nPlanes, dim, seed)
+    val v = asDouble(vec)
+    planes.zipWithIndex.map { case (p, j) =>
+      val proj = dot(v, array(p.map(lit(_)): _*))
+      when(proj >= 0, lit(1L << j)).otherwise(lit(0L))
+    }.reduce((a, b) => a.bitwiseOR(b))
+  }
+
+  /** LSH-bucketed ANN: candidates share a bucket (equi-join shuffle on
+    * bucket id), exact cosine re-rank inside the bucket, top-k per
+    * query. The scale path: shuffle volume is corpus-linear, compare
+    * count is per-bucket quadratic only. */
+  def lshTopK(corpus: DataFrame, idCol: String, vecCol: String,
+      nPlanes: Int, dim: Int, k: Int, seed: Long = 42L): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val bucketed = corpus.select(col(idCol).as("vid"), asDouble(col(vecCol)).as("v"),
+      lshBucket(col(vecCol), nPlanes, dim, seed).as("bucket"))
+    val a = bucketed.select(col("bucket"), col("vid").as("query_id"), col("v").as("qv"))
+    val b = bucketed.select(col("bucket"), col("vid").as("neighbor_id"), col("v").as("cv"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("cos_sim").desc, col("neighbor_id"))
+    a.join(b, Seq("bucket"))
+      .where(col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        cosine(col("qv"), col("cv")).as("cos_sim"))
+      .groupBy("query_id", "neighbor_id").agg(max("cos_sim").as("cos_sim"))
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select(col("query_id"), col("rank").cast("long").as("rank"),
+        col("neighbor_id"), col("cos_sim"))
+  }
+}

@@ -1,0 +1,62 @@
+package graft.operators
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for large-scale corpus pipelines: token
+  * counting, quality scoring, language-ID heuristics, fingerprinting.
+  *
+  * All pure `Column` compositions over built-in functions — fully
+  * codegen'd, no UDFs, so they stay inside WholeStageCodegen spans and
+  * push down through Catalyst untouched. Deterministic by
+  * construction (no rand, no time).
+  */
+object TextOps {
+
+  /** Distinct-preserving whitespace tokenizer; drops empty tokens that
+    * `split` produces on leading whitespace. */
+  def tokens(text: Column): Column =
+    filter(split(lower(text), "\\s+"), t => length(t) > 0)
+
+  /** Token count without materializing the array (regex scan only). */
+  def tokenCount(text: Column): Column =
+    regexp_count(text, lit("\\S+")).cast("long")
+
+  /** Count of ASCII punctuation characters. */
+  def punctCount(text: Column): Column =
+    regexp_count(text, lit("[.,!?;:]")).cast("long")
+
+  /** Ratio of tokens drawn from a stopword list — the classic cheap
+    * language/quality signal. */
+  def stopwordCount(text: Column, stopwords: Seq[String]): Column =
+    regexp_count(lower(text), lit(stopwords.mkString("\\b(", "|", ")\\b"))).cast("long")
+
+  val EnglishStopwords: Seq[String] =
+    Seq("the", "and", "of", "to", "in", "is", "a", "that", "it", "for")
+
+  /** Length/punctuation/stopword quality score in [0,1]-ish range:
+    * mean of three bounded signals (doc long enough, not
+    * punctuation-heavy, has stopwords). Mirrors the heuristic-filter
+    * stage of public LLM-data pipelines (C4-style). */
+  def qualityScore(text: Column, nChars: Column): Column = {
+    val toks = tokenCount(text)
+    val lenSignal   = least(nChars.cast("double") / 200.0, lit(1.0))
+    val punctSignal = lit(1.0) - least(punctCount(text).cast("double") /
+      greatest(toks, lit(1L)).cast("double"), lit(1.0))
+    val stopSignal  = least(stopwordCount(text, EnglishStopwords).cast("double") * 5.0 /
+      greatest(toks, lit(1L)).cast("double"), lit(1.0))
+    (lenSignal + punctSignal + stopSignal) / 3.0
+  }
+
+  /** Order-insensitive content fingerprint: md5 over the sorted
+    * distinct token set. Two docs with identical vocabulary collide —
+    * the cheap "bag-of-words duplicate" key. */
+  def vocabFingerprint(text: Column): Column =
+    md5(concat_ws(" ", array_sort(array_distinct(tokens(text)))))
+
+  /** Simple n-gram language scorer: fraction of tokens that are
+    * markers of `lang`. Callers pick argmax across languages. */
+  def stopwordRatio(text: Column, markers: Seq[String]): Column =
+    stopwordCount(text, markers).cast("double") /
+      greatest(tokenCount(text), lit(1L)).cast("double")
+}

@@ -1,0 +1,154 @@
+package graft.queries
+
+import graft.{QuerySpec, Tables}
+import graft.operators.{Dedup, Similarity, TextOps}
+import org.apache.spark.sql.functions._
+
+/** LLM-data-pipeline operators over the `documents` and `embeddings`
+  * tables: text analysis, dedup families, similarity search.
+  * SQL-expressible ops carry a DuckDB oracle; LSH/ANN ops are
+  * rows-only (deterministic, but not reasonably expressible in ANSI
+  * SQL).
+  */
+object Corpus {
+
+  /** Corpus stats per language — exact integer aggregates. */
+  val q30 = QuerySpec.sql(
+    "q30_corpus_stats",
+    """SELECT lang, count(*) AS n_docs, sum(n_chars) AS total_chars,
+      |       count(DISTINCT source) AS n_sources,
+      |       sum(n_chars) / (1.0 * count(*)) AS avg_chars
+      |FROM documents GROUP BY lang""",
+    "per-language corpus stats (text analysis)") { (s, d) =>
+    Tables.documents(s, d).groupBy("lang")
+      .agg(count(lit(1)).as("n_docs"), sum("n_chars").as("total_chars"),
+        countDistinct("source").as("n_sources"),
+        (sum("n_chars") / (lit(1.0) * count(lit(1)))).as("avg_chars"))
+  }
+
+  /** Token counting + punctuation + stopword quality signals per doc.
+    * regexp_count in Spark ≡ len(regexp_extract_all) in DuckDB. */
+  val q31 = QuerySpec.sql(
+    "q31_token_quality",
+    """SELECT doc_id,
+      |       CAST(len(regexp_extract_all(text, '\S+')) AS BIGINT) AS n_tokens,
+      |       CAST(len(regexp_extract_all(text, '[.,!?;:]')) AS BIGINT) AS n_punct,
+      |       CAST(len(regexp_extract_all(lower(text), '\b(the|and|of|to|in|is|a|that|it|for)\b')) AS BIGINT) AS n_stop
+      |FROM documents""",
+    "token / punctuation / stopword counting (text analysis)") { (s, d) =>
+    Tables.documents(s, d).select(
+      col("doc_id"),
+      TextOps.tokenCount(col("text")).as("n_tokens"),
+      TextOps.punctCount(col("text")).as("n_punct"),
+      TextOps.stopwordCount(col("text"), TextOps.EnglishStopwords).as("n_stop"))
+  }
+
+  /** Exact dedup by content hash (keep min id). */
+  val q32 = QuerySpec.sql(
+    "q32_exact_dedup",
+    """SELECT md5(text) AS content_hash, min(doc_id) AS keep_id,
+      |       count(*) AS n_copies
+      |FROM documents GROUP BY md5(text)""",
+    "exact dedup via hash-groupBy (dedup)") { (s, d) =>
+    Dedup.exactDuplicates(Tables.documents(s, d), "doc_id", "text")
+  }
+
+  /** Stopword-ratio language-ID heuristic with exact rational math. */
+  val q33 = QuerySpec.sql(
+    "q33_lang_id",
+    """SELECT doc_id, lang,
+      |       CAST(len(regexp_extract_all(lower(text), '\b(the|and|of|to|in|is|a|that|it|for)\b')) AS BIGINT) * 1.0
+      |         / greatest(CAST(len(regexp_extract_all(text, '\S+')) AS BIGINT), 1) AS en_score
+      |FROM documents""",
+    "language-ID stopword heuristic (text analysis)") { (s, d) =>
+    Tables.documents(s, d).select(col("doc_id"), col("lang"),
+      (TextOps.stopwordCount(col("text"), TextOps.EnglishStopwords) * lit(1.0) /
+        greatest(TextOps.tokenCount(col("text")), lit(1L))).as("en_score"))
+  }
+
+  /** Bag-of-words document fingerprint: md5 of sorted distinct vocab. */
+  val q34 = QuerySpec.sql(
+    "q34_doc_fingerprint",
+    """SELECT doc_id,
+      |       md5(array_to_string(list_sort(list_distinct(
+      |         regexp_extract_all(lower(text), '(\S+)', 1))), ' ')) AS fingerprint
+      |FROM documents""",
+    "vocab fingerprint for fuzzy dedup keys (text analysis)") { (s, d) =>
+    Tables.documents(s, d).select(col("doc_id"),
+      TextOps.vocabFingerprint(col("text")).as("fingerprint"))
+  }
+
+  /** Exact unigram Jaccard for same-source pairs — integer-exact. */
+  val q35 = QuerySpec.sql(
+    "q35_jaccard_pairs",
+    """WITH tok AS (
+      |  SELECT doc_id, source AS blk,
+      |         unnest(list_distinct(regexp_extract_all(lower(text), '(\S+)', 1))) AS tok
+      |  FROM documents),
+      |sizes AS (SELECT doc_id, count(*) AS n FROM tok GROUP BY doc_id),
+      |inter AS (
+      |  SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS n_inter
+      |  FROM tok a JOIN tok b ON a.tok = b.tok AND a.blk = b.blk AND a.doc_id < b.doc_id
+      |  GROUP BY 1, 2)
+      |SELECT d1, d2,
+      |       n_inter * 1.0 / (s1.n + s2.n - n_inter) AS jaccard
+      |FROM inter
+      |JOIN sizes s1 ON s1.doc_id = d1
+      |JOIN sizes s2 ON s2.doc_id = d2
+      |WHERE n_inter * 1.0 / (s1.n + s2.n - n_inter) >= 0.5""",
+    "exact n-gram Jaccard with blocking (dedup)") { (s, d) =>
+    Dedup.jaccardPairs(Tables.documents(s, d), "doc_id", "text", "source", 0.5)
+  }
+
+  /** MinHash signatures — deterministic xxhash64 family, not ANSI-SQL
+    * expressible (rows-only). */
+  val q36 = QuerySpec.rowsOnly(
+    "q36_minhash_signatures",
+    "MinHash signature per doc (dedup, LSH input)") { (s, d) =>
+    Dedup.minhashSignatures(Tables.documents(s, d), "doc_id", "text", numHashes = 16)
+  }
+
+  /** MinHash-LSH candidate near-dup pairs (band blocking). */
+  val q37 = QuerySpec.rowsOnly(
+    "q37_minhash_lsh_pairs",
+    "MinHash+LSH banded candidate pairs (dedup)") { (s, d) =>
+    val sig = Dedup.minhashSignatures(Tables.documents(s, d), "doc_id", "text",
+      numHashes = 16, shingleK = 2)
+    Dedup.lshCandidatePairs(sig, bands = 4, rowsPerBand = 4)
+  }
+
+  /** SimHash 64-bit signatures per doc. */
+  val q38 = QuerySpec.rowsOnly(
+    "q38_simhash",
+    "64-bit SimHash per doc (dedup)") { (s, d) =>
+    Dedup.simhash(Tables.documents(s, d), "doc_id", "text")
+  }
+
+  /** Brute-force cosine top-k — the exact ANN baseline. */
+  val q39 = QuerySpec.rowsOnly(
+    "q39_ann_bruteforce",
+    "brute-force cosine top-k over embeddings (similarity search)") { (s, d) =>
+    val emb = Tables.embeddings(s, d)
+    Similarity.bruteForceTopK(
+      emb.filter(col("vec_id") < 10), emb, "vec_id", "embedding", k = 5)
+  }
+
+  /** LSH-bucketed ANN — the 100 TB scale path. */
+  val q40 = QuerySpec.rowsOnly(
+    "q40_ann_lsh",
+    "random-hyperplane LSH ANN top-k (similarity search)") { (s, d) =>
+    Similarity.lshTopK(Tables.embeddings(s, d), "vec_id", "embedding",
+      nPlanes = 8, dim = 64, k = 5)
+  }
+
+  /** Embedding-cosine near-duplicate detection via LSH buckets. */
+  val q41 = QuerySpec.rowsOnly(
+    "q41_embedding_neardup",
+    "embedding-cosine near-dup pairs (dedup)") { (s, d) =>
+    Similarity.lshTopK(Tables.embeddings(s, d), "vec_id", "embedding",
+        nPlanes = 6, dim = 64, k = 3)
+      .where(col("cos_sim") >= 0.3)
+  }
+
+  val all: Seq[QuerySpec] = Seq(q30, q31, q32, q33, q34, q35, q36, q37, q38, q39, q40, q41)
+}

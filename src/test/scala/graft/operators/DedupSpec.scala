@@ -1,0 +1,68 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class DedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def docs = Seq(
+    (1L, "the quick brown fox jumps over the lazy dog", "a"),
+    (2L, "the quick brown fox jumps over the lazy dog", "a"),   // exact dup of 1
+    (3L, "the quick brown fox leaps over the lazy dog", "a"),   // near dup of 1
+    (4L, "completely different content about spark engines", "b"),
+    (5L, "completely different content about spark planes", "b"), // near dup of 4
+    (6L, "unrelated text with no overlap whatsoever here", "c")
+  ).toDF("doc_id", "text", "source")
+
+  test("exactDuplicates keeps min id and counts copies") {
+    val out = Dedup.exactDuplicates(docs, "doc_id", "text").collect()
+    assert(out.length == 5)
+    val dup = out.find(_.getLong(2) == 2L).get
+    assert(dup.getLong(1) == 1L) // keep_id is the min
+  }
+
+  test("minhash signatures are identical for identical docs and stable under repartitioning") {
+    val sig1 = Dedup.minhashSignatures(docs, "doc_id", "text", 16)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    assert(sig1(1L) == sig1(2L))
+    assert(sig1(1L) != sig1(6L))
+    val sig2 = Dedup.minhashSignatures(docs.repartition(7), "doc_id", "text", 16)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    assert(sig1 == sig2, "signatures must not depend on partitioning")
+  }
+
+  test("lsh candidate pairs surface near-dups with high estimated jaccard") {
+    val sig = Dedup.minhashSignatures(docs, "doc_id", "text", 16)
+    val pairs = Dedup.lshCandidatePairs(sig, bands = 8, rowsPerBand = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(pairs((1L, 2L)) == 1.0)          // exact dup → all hashes agree
+    assert(pairs.contains((1L, 3L)))         // near dup caught by some band
+    assert(pairs((1L, 3L)) > 0.3)
+    assert(!pairs.contains((1L, 6L)))        // unrelated not candidate
+  }
+
+  test("simhash: identical docs equal, near dups close, unrelated far") {
+    val sh = Dedup.simhash(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    def ham(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    assert(sh(1L) == sh(2L))
+    assert(ham(sh(1L), sh(3L)) < ham(sh(1L), sh(6L)))
+  }
+
+  test("simhashNearDups finds the exact pair via band blocking") {
+    val pairs = Dedup.simhashNearDups(Dedup.simhash(docs, "doc_id", "text"), maxHamming = 6)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((1L, 2L)))
+  }
+
+  test("jaccardPairs computes exact set jaccard within blocks only") {
+    val out = Dedup.jaccardPairs(docs, "doc_id", "text", "source", 0.0)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(out((1L, 2L)) == 1.0)
+    // doc1 vocab = {the,quick,brown,fox,jumps,over,lazy,dog} (8),
+    // doc3 swaps jumps→leaps: inter=7, union=9
+    assert(math.abs(out((1L, 3L)) - 7.0 / 9.0) < 1e-12)
+    assert(!out.contains((1L, 4L))) // different block
+  }
+}

@@ -1,0 +1,59 @@
+package graft.operators
+
+import graft.{SparkSpec, Tables}
+import org.apache.spark.sql.functions._
+
+class SimilaritySpec extends SparkSpec {
+  import spark.implicits._
+
+  test("cosine of identical vectors is 1, orthogonal is 0") {
+    val df = Seq(
+      (Array(1.0f, 0.0f), Array(1.0f, 0.0f)),
+      (Array(1.0f, 0.0f), Array(0.0f, 2.0f))
+    ).toDF("a", "b")
+    val got = df.select(Similarity.cosine(
+      transform(col("a"), _.cast("double")),
+      transform(col("b"), _.cast("double"))).as("c")).collect().map(_.getDouble(0))
+    assert(math.abs(got(0) - 1.0) < 1e-12)
+    assert(math.abs(got(1)) < 1e-12)
+  }
+
+  test("bruteForceTopK returns k ranked neighbors, no self-matches") {
+    val emb = Tables.embeddings(spark, sf)
+    val out = Similarity.bruteForceTopK(
+      emb.filter(col("vec_id") < 5), emb, "vec_id", "embedding", 3).cache()
+    assert(out.count() == 15)
+    assert(out.filter(col("query_id") === col("neighbor_id")).count() == 0)
+    // ranks are 1..k and scores non-increasing within each query
+    val byQ = out.collect().groupBy(_.getLong(0))
+    byQ.values.foreach { rows =>
+      val sorted = rows.sortBy(_.getLong(1))
+      assert(sorted.map(_.getLong(1)).toSeq == Seq(1L, 2L, 3L))
+      val scores = sorted.map(_.getDouble(3))
+      assert(scores.zip(scores.tail).forall { case (a, b) => a >= b })
+    }
+  }
+
+  test("lsh buckets are deterministic and bucket-mates share hyperplane side") {
+    val emb = Tables.embeddings(spark, sf)
+    val b1 = emb.select(col("vec_id"),
+      Similarity.lshBucket(col("embedding"), 8, 64).as("b")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val b2 = emb.repartition(13).select(col("vec_id"),
+      Similarity.lshBucket(col("embedding"), 8, 64).as("b")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(b1 == b2)
+    assert(b1.values.toSet.size > 1, "multiple buckets expected")
+  }
+
+  test("lshTopK neighbors are a subset of brute-force candidates in quality") {
+    val emb = Tables.embeddings(spark, sf).cache()
+    val bf = Similarity.bruteForceTopK(emb, emb, "vec_id", "embedding", 1)
+      .collect().map(r => r.getLong(0) -> r.getDouble(3)).toMap
+    val lsh = Similarity.lshTopK(emb, "vec_id", "embedding", 6, 64, 1)
+      .collect().map(r => r.getLong(0) -> r.getDouble(3)).toMap
+    // LSH can miss, but found scores can never beat exact top-1
+    lsh.foreach { case (q, s) => assert(s <= bf(q) + 1e-12) }
+    assert(lsh.nonEmpty)
+  }
+}
