@@ -1,0 +1,81 @@
+package graft.queries
+
+import graft.QuerySpec
+import graft.graph.GraphBuild
+import org.apache.spark.sql.functions._
+
+/** Graph-shaped queries in the driver correctness gate: the motif API
+  * (SURVEY J7/J8, §3.3) compiled over a property graph derived from
+  * the test tables, oracled by equivalent relational SQL — which is
+  * exactly the point: motif patterns ARE join plans.
+  */
+object GraphQueries {
+
+  /** The §3.3 workhorse shape: two entities linked through a shared
+    * neighbor with edge predicates — here customer—part—supplier. */
+  val q50 = QuerySpec.sql(
+    "q50_motif_find",
+    """WITH ordered AS (
+      |  SELECT o_custkey AS ck, l_partkey AS pk,
+      |         sum(CAST(l_quantity AS BIGINT)) AS w
+      |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      |  GROUP BY 1, 2),
+      |supplies AS (
+      |  SELECT l_suppkey AS sk, l_partkey AS pk,
+      |         sum(CAST(l_quantity AS BIGINT)) AS w
+      |  FROM lineitem GROUP BY 1, 2)
+      |SELECT s_name AS supplier_name, count(*) AS n_paths,
+      |       sum(ordered.w) AS total_ordered_qty
+      |FROM ordered
+      |JOIN supplies ON ordered.pk = supplies.pk
+      |JOIN supplier ON s_suppkey = supplies.sk
+      |WHERE ordered.w >= 80 AND supplies.w >= 60
+      |GROUP BY s_name""",
+    "motif pattern → join plan (SURVEY J7, §3.3)") { (s, d) =>
+    val g = GraphBuild.tpchGraph(s, d)
+    g.find("(c:Customer)-[o:ordered]->(p:Part); (v:Supplier)-[u:supplies]->(p)")
+      .where(col("o_weight") >= 80 && col("u_weight") >= 60)
+      .groupBy(col("v_name").as("supplier_name"))
+      .agg(count(lit(1)).as("n_paths"), sum("o_weight").as("total_ordered_qty"))
+  }
+
+  /** Triadic closure through the motif engine (SURVEY J8/G16;
+    * reference bin/TriadicClosures.R:89) — co-suppliers of a part. */
+  val q51 = QuerySpec.sql(
+    "q51_motif_triadic",
+    """WITH e AS (SELECT DISTINCT s_name, l_partkey
+      |           FROM lineitem JOIN supplier ON l_suppkey = s_suppkey)
+      |SELECT DISTINCT a.s_name AS name1, b.s_name AS name2
+      |FROM e a JOIN e b ON a.l_partkey = b.l_partkey AND a.s_name < b.s_name""",
+    "triadic closure via motif self-join (SURVEY J8,G16)") { (s, d) =>
+    val g = GraphBuild.tpchGraph(s, d)
+    g.find("(a:Supplier)-[s1:supplies]->(p:Part); (b:Supplier)-[s2:supplies]->(p)")
+      .where(col("a_name") < col("b_name"))
+      .select(col("a_name").as("name1"), col("b_name").as("name2"))
+      .distinct()
+  }
+
+  /** Degree family (SURVEY G3/G9) over the derived graph, oracled
+    * relationally: per-part in-degree by relationship type. */
+  val q52 = QuerySpec.sql(
+    "q52_graph_degrees",
+    """WITH ordered AS (
+      |  SELECT DISTINCT o_custkey AS src, l_partkey AS pk
+      |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+      |supplies AS (SELECT DISTINCT l_suppkey AS src, l_partkey AS pk FROM lineitem)
+      |SELECT p_name AS part_name,
+      |       (SELECT count(*) FROM ordered  WHERE pk = p_partkey) AS n_customers,
+      |       (SELECT count(*) FROM supplies WHERE pk = p_partkey) AS n_suppliers
+      |FROM part
+      |WHERE p_partkey IN (SELECT pk FROM ordered) OR p_partkey IN (SELECT pk FROM supplies)""",
+    "per-node typed in-degree (SURVEY G3,G9)") { (s, d) =>
+    val g = GraphBuild.tpchGraph(s, d)
+    val inDeg = g.edges.groupBy(col("dst").as("id"))
+      .agg(count(when(col("relType") === "ordered", 1)).as("n_customers"),
+        count(when(col("relType") === "supplies", 1)).as("n_suppliers"))
+    inDeg.join(g.nodes.filter(col("kind") === "Part"), Seq("id"))
+      .select(col("name").as("part_name"), col("n_customers"), col("n_suppliers"))
+  }
+
+  val all: Seq[QuerySpec] = Seq(q50, q51, q52)
+}
