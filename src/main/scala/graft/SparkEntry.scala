@@ -1,6 +1,6 @@
 package graft
 
-import graft.queries.{Corpus, GraphQueries, Relational}
+import graft.queries.{AnalyticsQueries, Corpus, GraphQueries, Relational}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -9,7 +9,8 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   */
 object SparkEntry {
 
-  def specs: Seq[QuerySpec] = Relational.all ++ Corpus.all ++ GraphQueries.all
+  def specs: Seq[QuerySpec] =
+    Relational.all ++ Corpus.all ++ GraphQueries.all ++ AnalyticsQueries.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -1,0 +1,173 @@
+package graft.graph
+
+import org.apache.spark.graphx.{Edge => GXEdge, Graph => GXGraph}
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Distributed graph analytics (SURVEY §2.10).
+  *
+  * Two execution tiers, mirroring the reference's split between
+  * whole-network igraph calls and per-sample subgraph loops:
+  *
+  *  - **Global graph** → GraphX (`pageRank`, `connectedComponents`,
+  *    `labelPropagation`, degrees): one distributed graph, Pregel
+  *    under the hood. Right tier when the graph itself is huge.
+  *  - **Per-group subgraphs** → `perGroupMetrics`/`perGroupEigen`:
+  *    `groupByKey(group).mapGroups` feeding [[LocalGraph]] kernels.
+  *    One shuffle on the group key, then thousands of small graphs
+  *    execute in parallel across executors — the 100 TB-scale path
+  *    for "compute centrality per sample" (reference
+  *    bin/interpersonaldiversity.R:82-115) where groups are small but
+  *    group count is massive.
+  *
+  * β-diversity ops (G17/G18) are pure relational plans — no graph
+  * materialization at all.
+  */
+object GraphAnalytics {
+
+  /** PropertyGraph → GraphX graph with a double edge weight. */
+  def toGraphX(g: PropertyGraph, weightCol: String): GXGraph[String, Double] = {
+    val vrdd = g.nodes.select("id", "name").rdd
+      .map(r => (r.getLong(0), r.getString(1)))
+    val erdd = g.edges.select(col("src"), col("dst"), col(weightCol).cast("double")).rdd
+      .map(r => GXEdge(r.getLong(0), r.getLong(1), r.getDouble(2)))
+    GXGraph(vrdd, erdd)
+  }
+
+  /** Weighted PageRank on the symmetrized graph (reference
+    * bin/compareTwins.R:93 page_rank(directed=F)); returns (id, pagerank). */
+  def pageRank(spark: SparkSession, g: PropertyGraph, weightCol: String,
+      tol: Double = 1e-6): DataFrame = {
+    val sym = PropertyGraph(g.nodes,
+      g.edges.unionByName(g.edges
+        .withColumn("tmp", col("src")).withColumn("src", col("dst"))
+        .withColumn("dst", col("tmp")).drop("tmp")))
+    val ranks = toGraphX(sym, weightCol).pageRank(tol).vertices
+    spark.createDataFrame(ranks.map(t => Row(t._1, t._2)),
+      new org.apache.spark.sql.types.StructType()
+        .add("id", "long").add("pagerank", "double"))
+  }
+
+  private def unitWeighted(g: PropertyGraph): PropertyGraph =
+    PropertyGraph(g.nodes, g.edges.withColumn("unit_w", lit(1.0)))
+
+  /** Weak connected components via GraphX; (id, component). */
+  def connectedComponents(spark: SparkSession, g: PropertyGraph): DataFrame = {
+    val cc = toGraphX(unitWeighted(g), "unit_w").connectedComponents().vertices
+    spark.createDataFrame(cc.map(t => Row(t._1, t._2)),
+      new org.apache.spark.sql.types.StructType()
+        .add("id", "long").add("component", "long"))
+  }
+
+  /** Label propagation communities (distributed analog of the
+    * reference's walktrap/fastgreedy — SURVEY G14 note). */
+  def labelPropagation(spark: SparkSession, g: PropertyGraph, iters: Int = 10): DataFrame = {
+    val lp = org.apache.spark.graphx.lib.LabelPropagation
+      .run(toGraphX(unitWeighted(g), "unit_w"), iters).vertices
+    spark.createDataFrame(lp.map(t => Row(t._1, t._2)),
+      new org.apache.spark.sql.types.StructType()
+        .add("id", "long").add("community", "long"))
+  }
+
+  /** Per-group whole-graph metrics: one row per group with the
+    * reference's network-stat battery (nestats shape —
+    * reference bin/GeneralNetworkProperties.R, bin/CompareSkin.R:175-181).
+    * Input: (group: String, src: Long, dst: Long, weight: Double). */
+  /** @param communityMaxNodes greedy-modularity communities are
+    *   quadratic in node count — computed only for groups at or below
+    *   this size (the reference's per-sample subgraphs are tens of
+    *   nodes); larger groups report nCommunities = -1, modularity NaN. */
+  def perGroupMetrics(edges: DataFrame, directed: Boolean = false,
+      communityMaxNodes: Int = 200): DataFrame = {
+    val spark = edges.sparkSession
+    import spark.implicits._
+    edges.select(col("group"), col("src"), col("dst"), col("weight").cast("double"))
+      .as[(String, Long, Long, Double)]
+      .groupByKey(_._1)
+      .mapGroups { (grp, it) =>
+        val g = LocalGraph.fromEdges(it.map(t => (t._2, t._3, t._4)).toSeq, directed)
+        val comm = if (g.n <= communityMaxNodes) g.greedyModularityCommunities
+                   else Array.empty[Int]
+        GroupGraphMetrics(
+          group = grp, nNodes = g.n, nEdges = g.edges.length,
+          diameter = g.diameter, radius = g.radius,
+          meanDistance = g.meanDistance, connected = g.isConnected,
+          degreeCentralization = g.degreeCentralization,
+          betweennessCentralization = g.betweennessCentralization,
+          closenessCentralization = g.closenessCentralization,
+          eigenCentralization = g.eigenCentralization,
+          nCommunities = if (comm.isEmpty) -1 else comm.distinct.length,
+          modularity = if (comm.isEmpty) Double.NaN else g.modularity(comm))
+      }.toDF()
+  }
+
+  /** Per-group per-vertex eigencentrality — the node×sample matrix
+    * feeding β-diversity (G18; reference bin/interpersonaldiversity.R:98-116).
+    * Output: (group, id, eigen). */
+  def perGroupEigen(edges: DataFrame, directed: Boolean = false): DataFrame = {
+    val spark = edges.sparkSession
+    import spark.implicits._
+    edges.select(col("group"), col("src"), col("dst"), col("weight").cast("double"))
+      .as[(String, Long, Long, Double)]
+      .groupByKey(_._1)
+      .flatMapGroups { (grp, it) =>
+        val g = LocalGraph.fromEdges(it.map(t => (t._2, t._3, t._4)).toSeq, directed)
+        val e = g.eigenCentrality()
+        g.vertexIds.indices.map(i => (grp, g.vertexIds(i), e(i)))
+      }.toDF("group", "id", "eigen")
+  }
+
+  /** G17 — graph β-diversity as edge-set Jaccard distance
+    * 1 − |E₁∩E₂|/|E₁∪E₂| for every group pair (reference
+    * bin/compareTwins.R:179-216). Pure relational: canonicalize,
+    * count, self-join on the edge key. */
+  def edgeJaccardDistance(edges: DataFrame): DataFrame = {
+    val canon = edges.select(col("group"),
+        least(col("src"), col("dst")).as("a"),
+        greatest(col("src"), col("dst")).as("b"))
+      .distinct()
+    val sizes = canon.groupBy("group").agg(count(lit(1)).as("n"))
+    val inter = canon.as("x").join(canon.as("y"),
+        col("x.a") === col("y.a") && col("x.b") === col("y.b") &&
+          col("x.group") < col("y.group"))
+      .groupBy(col("x.group").as("g1"), col("y.group").as("g2"))
+      .agg(count(lit(1)).as("n_inter"))
+    // include disjoint pairs (n_inter = 0) via cross of sizes
+    val pairs = sizes.select(col("group").as("g1"), col("n").as("n1"))
+      .join(sizes.select(col("group").as("g2"), col("n").as("n2")), col("g1") < col("g2"))
+    pairs.join(inter, Seq("g1", "g2"), "left_outer").na.fill(0, Seq("n_inter"))
+      .select(col("g1"), col("g2"),
+        (lit(1.0) - col("n_inter").cast("double") /
+          (col("n1") + col("n2") - col("n_inter")).cast("double")).as("jaccard_dist"))
+  }
+
+  /** M6/G18 — Bray-Curtis dissimilarity between groups over a long
+    * (group, item, value) table: BC = Σ|x−y| / Σ(x+y).
+    * Shared-item inner join + per-group totals — items missing from a
+    * group contribute their full value, without a full outer join:
+    * Σ|x−y| = Σ_shared|x−y| + (S1 − Σ_shared x) + (S2 − Σ_shared y). */
+  def brayCurtis(values: DataFrame): DataFrame = {
+    val v = values.select(col("group"), col("item"), col("value").cast("double"))
+    val totals = v.groupBy("group").agg(sum("value").as("total"))
+    val shared = v.as("x").join(v.as("y"),
+        col("x.item") === col("y.item") && col("x.group") < col("y.group"))
+      .groupBy(col("x.group").as("g1"), col("y.group").as("g2"))
+      .agg(sum(abs(col("x.value") - col("y.value"))).as("sum_absdiff"),
+        sum(col("x.value")).as("sum_x"), sum(col("y.value")).as("sum_y"))
+    val pairs = totals.select(col("group").as("g1"), col("total").as("t1"))
+      .join(totals.select(col("group").as("g2"), col("total").as("t2")), col("g1") < col("g2"))
+    pairs.join(shared, Seq("g1", "g2"), "left_outer")
+      .na.fill(0, Seq("sum_absdiff", "sum_x", "sum_y"))
+      .select(col("g1"), col("g2"),
+        ((col("sum_absdiff") + (col("t1") - col("sum_x")) + (col("t2") - col("sum_y"))) /
+          (col("t1") + col("t2"))).as("bray_curtis"))
+  }
+}
+
+/** Row type for perGroupMetrics. */
+case class GroupGraphMetrics(
+    group: String, nNodes: Int, nEdges: Int, diameter: Int, radius: Int,
+    meanDistance: Double, connected: Boolean,
+    degreeCentralization: Double, betweennessCentralization: Double,
+    closenessCentralization: Double, eigenCentralization: Double,
+    nCommunities: Int, modularity: Double)

@@ -1,0 +1,75 @@
+package graft.graph
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class GraphAnalyticsSpec extends SparkSpec {
+  import spark.implicits._
+
+  // two groups: g1 = star4 (0 center), g2 = path3
+  private def groupedEdges = Seq(
+    ("g1", 0L, 1L, 1.0), ("g1", 0L, 2L, 1.0), ("g1", 0L, 3L, 1.0),
+    ("g2", 10L, 11L, 1.0), ("g2", 11L, 12L, 1.0)
+  ).toDF("group", "src", "dst", "weight")
+
+  test("perGroupMetrics reproduces LocalGraph goldens per group") {
+    val m = GraphAnalytics.perGroupMetrics(groupedEdges)
+      .collect().map(r => r.getAs[String]("group") -> r).toMap
+    val s = m("g1")
+    assert(s.getAs[Int]("nNodes") == 4 && s.getAs[Int]("nEdges") == 3)
+    assert(s.getAs[Int]("diameter") == 2 && s.getAs[Int]("radius") == 1)
+    assert(math.abs(s.getAs[Double]("degreeCentralization") - 1.0) < 1e-12)
+    assert(s.getAs[Boolean]("connected"))
+    val p = m("g2")
+    assert(p.getAs[Int]("diameter") == 2)
+    assert(p.getAs[Int]("nNodes") == 3)
+  }
+
+  test("perGroupEigen yields scaled centrality per vertex per group") {
+    val e = GraphAnalytics.perGroupEigen(groupedEdges)
+      .collect().map(r => (r.getString(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(math.abs(e(("g1", 0L)) - 1.0) < 1e-9)
+    assert(math.abs(e(("g1", 1L)) - 1.0 / math.sqrt(3)) < 1e-6)
+    assert(math.abs(e(("g2", 11L)) - 1.0) < 1e-9)
+  }
+
+  test("edgeJaccardDistance matches hand computation incl. disjoint pairs") {
+    val edges = Seq(
+      ("s1", 1L, 2L, 1.0), ("s1", 2L, 3L, 1.0),
+      ("s2", 2L, 1L, 1.0), ("s2", 3L, 4L, 1.0),   // shares 1-2 (reversed dir)
+      ("s3", 9L, 8L, 1.0)
+    ).toDF("group", "src", "dst", "weight")
+    val d = GraphAnalytics.edgeJaccardDistance(edges)
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getDouble(2)).toMap
+    assert(math.abs(d(("s1", "s2")) - (1.0 - 1.0 / 3.0)) < 1e-12)
+    assert(d(("s1", "s3")) == 1.0) // disjoint pair present with distance 1
+    assert(d.size == 3)
+  }
+
+  test("brayCurtis matches vegan vegdist on a known pair") {
+    // vegan: BC([1,2,3],[2,0,3]) with items a,b,c = (1+2+0)/(3+2+6) = 3/11
+    val v = Seq(
+      ("A", "a", 1.0), ("A", "b", 2.0), ("A", "c", 3.0),
+      ("B", "a", 2.0), ("B", "c", 3.0)
+    ).toDF("group", "item", "value")
+    val d = GraphAnalytics.brayCurtis(v).collect()
+    assert(d.length == 1)
+    assert(math.abs(d.head.getDouble(2) - 3.0 / 11.0) < 1e-12)
+  }
+
+  test("GraphX pageRank and connectedComponents run on the evidence graph shape") {
+    val nodes = Seq((1L, "p1", "Phage"), (2L, "b1", "Bacterial_Host"),
+      (3L, "p2", "Phage"), (4L, "b2", "Bacterial_Host"))
+      .toDF("id", "name", "kind")
+    val edges = Seq((1L, 2L, "Infects", 2.0), (3L, 2L, "Infects", 1.0))
+      .toDF("src", "dst", "relType", "w")
+    val g = PropertyGraph(nodes, edges)
+    val pr = GraphAnalytics.pageRank(spark, g, "w")
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(pr(2L) > pr(1L)) // hub collects rank
+    val cc = GraphAnalytics.connectedComponents(spark, g)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(cc(1L) == cc(2L) && cc(2L) == cc(3L))
+    assert(cc(4L) != cc(1L)) // isolated node its own component
+  }
+}
