@@ -1,6 +1,6 @@
 package graft
 
-import graft.queries.{AnalyticsQueries, Corpus, GraphQueries, Relational}
+import graft.queries.{AnalyticsQueries, Corpus, EventQueries, GraphQueries, Relational, SamplingQueries}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -10,7 +10,8 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 object SparkEntry {
 
   def specs: Seq[QuerySpec] =
-    Relational.all ++ Corpus.all ++ GraphQueries.all ++ AnalyticsQueries.all
+    Relational.all ++ Corpus.all ++ GraphQueries.all ++ AnalyticsQueries.all ++
+      EventQueries.all ++ SamplingQueries.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

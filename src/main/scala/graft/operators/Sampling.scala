@@ -1,0 +1,131 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Stochastic operators (SURVEY §2.8 R1-R6) — all seeded and
+  * partition-independent. The reference seeds once globally
+  * (bin/ReshapeAlignedAbundance.R:8 set.seed(1234)) and its own
+  * Makefile warns results shift between runs (Makefile:189-190); here
+  * every draw is keyed by (seed, group/row identity) so results are
+  * identical across partitionings, cluster sizes, and reruns.
+  */
+object Sampling {
+
+  /** Uniform [0,1) deterministic per-row noise from hashed columns —
+    * the primitive under the samplers. xxhash64 → 53-bit mantissa. */
+  def hashUnit(seed: Long, cols: Column*): Column =
+    (shiftrightunsigned(xxhash64((lit(seed) +: cols): _*), 11).cast("double") /
+      lit((1L << 53).toDouble))
+
+  /** R2/R5 — stratified fraction sampling: keep ~`fraction` of rows per
+    * stratum, deterministic per row identity (reference
+    * group_by %>% sample_frac, bin/error_interpersonaldiversity.R:63-66;
+    * caret createDataPartition, bin/CalculatePredModel.R:72-77). */
+  def stratifiedSample(df: DataFrame, idCols: Seq[String], fraction: Double,
+      seed: Long): DataFrame =
+    df.where(hashUnit(seed, idCols.map(col): _*) < fraction)
+
+  /** R4 — seeded random permutation order (stable shuffle). */
+  def permuted(df: DataFrame, idCols: Seq[String], seed: Long): DataFrame =
+    df.orderBy(xxhash64((lit(seed) +: idCols.map(col)): _*))
+
+  /** R3 — seeded subsample of a column list (driver-side choice, as in
+    * the reference's 25%-of-samples workaround,
+    * bin/ReshapeAlignedAbundance.R:41-45). */
+  def sampleColumns(columns: Seq[String], fraction: Double, seed: Long): Seq[String] = {
+    val rng = new scala.util.Random(seed)
+    val k = math.max(1, math.round(columns.size * fraction).toInt)
+    rng.shuffle(columns).take(k).sorted
+  }
+
+  /** R6 — random genome fragmenter (reference
+    * bin/RandomContigGenerator.pl:30-60): deterministic substring of
+    * `fraction`·len starting at a hashed offset. */
+  def randomFragment(seq: Column, id: Column, fraction: Double, seed: Long): Column = {
+    val fragLen = greatest(floor(length(seq) * fraction), lit(1)).cast("int")
+    val maxStart = (length(seq) - fragLen + 1).cast("double")
+    val start = (floor(hashUnit(seed, id) * maxStart) + 1).cast("int")
+    seq.substr(start, fragLen)
+  }
+
+  /** R1 — **rarefaction** (vegan::rrarefy; reference
+    * bin/interpersonaldiversity.R:60-76): per group, draw exactly
+    * `depth` units without replacement from the count vector
+    * (multivariate hypergeometric), so every group has equal depth;
+    * items drawn to zero disappear.
+    *
+    * Groups whose total < depth are dropped (vegan warns and keeps —
+    * the reference pre-filters with min-depth, so dropping is the
+    * composed behavior).
+    *
+    * Distributed: one shuffle on the group key, then each group draws
+    * locally with an RNG seeded by (seed, groupKey) — deterministic
+    * under any partitioning. Per-item draws use the sequential
+    * conditional-hypergeometric decomposition, O(items) per group.
+    *
+    * Input (group, item, count) → output (group, item, count).
+    */
+  def rarefy(df: DataFrame, depth: Long, seed: Long): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col("group").cast("string"), col("item").cast("string"),
+        col("count").cast("long"))
+      .as[(String, String, Long)]
+      .groupByKey(_._1)
+      .flatMapGroups { (grp, it) =>
+        val items = it.map(t => (t._2, t._3)).toArray.sortBy(_._1)
+        val total = items.map(_._2).sum
+        if (total < depth) Iterator.empty
+        else {
+          val rng = new scala.util.Random(seed ^ scala.util.hashing.MurmurHash3
+            .stringHash(grp).toLong << 17)
+          var remainingTotal = total
+          var remainingDraw = depth
+          items.iterator.flatMap { case (item, c) =>
+            // X ~ Hypergeometric(remainingTotal, c, remainingDraw)
+            val x = hypergeometric(rng, remainingTotal, c, remainingDraw)
+            remainingTotal -= c
+            remainingDraw -= x
+            if (x > 0) Iterator((grp, item, x)) else Iterator.empty
+          }
+        }
+      }.toDF("group", "item", "count")
+  }
+
+  /** Sample from Hypergeometric(N, K, n): number of "successes" when
+    * drawing n without replacement from N units of which K are
+    * successes. Inverse-CDF walk in log space — exact, O(K). */
+  private[operators] def hypergeometric(rng: scala.util.Random, N: Long, K: Long,
+      n: Long): Long = {
+    if (n <= 0 || K <= 0) return 0L
+    if (n >= N) return K
+    val kMax = math.min(K, n)
+    val xMin = math.max(0L, n - (N - K)) // support lower bound
+    if (xMin == kMax) return xMin
+    // Work with masses relative to the mode (value 1 there) — immune
+    // to the tail underflow that kills a walk from x = xMin when the
+    // support is wide. Mass ratio P(x+1)/P(x) = (K-x)(n-x)/((x+1)(N-K-n+x+1)).
+    val mode = math.min(kMax, math.max(xMin, ((n + 1).toDouble * (K + 1) / (N + 2)).toLong))
+    def ratio(x: Long): Double = // P(x+1)/P(x)
+      (K - x).toDouble * (n - x) / ((x + 1).toDouble * (N - K - n + x + 1))
+    val eps = 1e-18
+    // extend left and right of the mode until masses are negligible
+    var lo = mode; var hi = mode
+    val masses = scala.collection.mutable.ArrayDeque(1.0)
+    var m = 1.0
+    while (lo > xMin && m > eps) { m /= ratio(lo - 1); masses.prepend(m); lo -= 1 }
+    m = 1.0
+    while (hi < kMax && m > eps) { m *= ratio(hi); masses.append(m); hi += 1 }
+    val total = masses.sum
+    var u = rng.nextDouble() * total
+    var x = lo
+    val it = masses.iterator
+    while (it.hasNext && x < hi) {
+      u -= it.next()
+      if (u <= 0) return x
+      x += 1
+    }
+    x
+  }
+}

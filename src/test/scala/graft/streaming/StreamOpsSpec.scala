@@ -1,0 +1,49 @@
+package graft.streaming
+
+import graft.{SparkSpec, Tables}
+import org.apache.spark.sql.functions._
+
+class StreamOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("streaming windowed agg equals batch windowed agg on bounded input") {
+    val batch = StreamOps.windowedCounts(Tables.events(spark, sf))
+      .collect().map(r => (r.getTimestamp(0), r.getString(1)) ->
+        (r.getLong(2), r.getDouble(3))).toMap
+    val streamed = StreamOps.runWindowedStream(spark, sf)
+      .collect().map(r => (r.getTimestamp(0), r.getString(1)) ->
+        (r.getLong(2), r.getDouble(3))).toMap
+    assert(batch == streamed)
+    assert(batch.nonEmpty)
+  }
+
+  test("stateful stream sessionization equals batch sessionization") {
+    val ev = Tables.events(spark, sf)
+    val batch = StreamOps.sessionizeBatch(ev, 30)
+      .select("user_id", "session_start", "session_end", "n_events")
+      .collect().map(r => (r.getLong(0), r.getTimestamp(1), r.getTimestamp(2), r.getLong(3)))
+      .toSet
+    val ds = ev.select(col("user_id"), col("ts"), col("value"))
+      .as[StreamOps.Event]
+    val stream = StreamOps.sessionizeStream(ds, 30)
+      .select("user_id", "session_start", "session_end", "n_events")
+      .collect().map(r => (r.getLong(0), r.getTimestamp(1), r.getTimestamp(2), r.getLong(3)))
+      .toSet
+    assert(stream == batch)
+  }
+
+  test("session boundaries: events exactly at the gap stay in one session") {
+    val t0 = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+    def ts(min: Int) = new java.sql.Timestamp(t0.getTime + min * 60000L)
+    val ev = Seq(
+      (1L, ts(0), 1L, "a", 1.0, ""),
+      (2L, ts(30), 1L, "a", 1.0, ""),   // exactly 30 min gap → same session
+      (3L, ts(61), 1L, "a", 1.0, ""),   // 31 min → new session
+      (4L, ts(0), 2L, "a", 1.0, "")
+    ).toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val out = StreamOps.sessionizeBatch(ev, 30)
+    val u1 = out.filter(col("user_id") === 1).collect()
+    assert(u1.length == 2)
+    assert(out.filter(col("user_id") === 2).count() == 1)
+  }
+}
