@@ -1,0 +1,330 @@
+package graft.stats
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Community-ecology statistics (SURVEY §2.11 M7-M12). The reference
+  * runs these on matrices of at most a few hundred rows
+  * (per-sample distances / centralities), so they are driver-local by
+  * design (SURVEY §7: "inherently iterative/local; keep them
+  * driver-side and bounded"). `wilcoxonRankSumDF` is the distributed
+  * variant for when the two samples are themselves large.
+  *
+  * Normal-approximation p-values with tie correction match R's
+  * wilcox.test(correct=FALSE, exact=FALSE) conventions.
+  */
+object EcoStats {
+
+  // ---- ranking helpers ----
+
+  /** Average ranks (1-based) with ties sharing the mean rank. */
+  def ranks(xs: Array[Double]): Array[Double] = {
+    val idx = xs.indices.sortBy(xs(_))
+    val r = new Array[Double](xs.length)
+    var i = 0
+    while (i < idx.length) {
+      var j = i
+      while (j + 1 < idx.length && xs(idx(j + 1)) == xs(idx(i))) j += 1
+      val avg = (i + j + 2) / 2.0 // mean of ranks i+1..j+1
+      (i to j).foreach(k => r(idx(k)) = avg)
+      i = j + 1
+    }
+    r
+  }
+
+  private def normalSf(z: Double): Double = { // 1 - Φ(z)
+    // Abramowitz-Stegun 7.1.26 erfc approximation
+    val t = 1.0 / (1.0 + 0.3275911 * math.abs(z) / math.sqrt(2.0))
+    val poly = t * (0.254829592 + t * (-0.284496736 + t * (1.421413741 +
+      t * (-1.453152027 + t * 1.061405429))))
+    val erfc = poly * math.exp(-z * z / 2.0)
+    if (z >= 0) 0.5 * erfc else 1.0 - 0.5 * erfc
+  }
+
+  // ---- M10: Wilcoxon tests ----
+
+  /** Two-sample Wilcoxon rank-sum (Mann-Whitney), two-sided. Exact
+    * distribution for small untied samples (R's default for n<50,
+    * no ties), tie-corrected normal approximation otherwise.
+    * Returns (U statistic of sample x, p-value). */
+  def wilcoxonRankSum(x: Array[Double], y: Array[Double]): (Double, Double) = {
+    val n1 = x.length.toDouble; val n2 = y.length.toDouble
+    val all = x ++ y
+    val hasTies = all.distinct.length != all.length
+    val r = ranks(all)
+    val r1 = r.take(x.length).sum
+    val u = r1 - n1 * (n1 + 1) / 2.0
+    val n = n1 + n2
+    if (!hasTies && n <= 30) return (u, exactMannWhitneyP(x.length, y.length, u))
+    val tieTerm = all.groupBy(identity).values
+      .map(g => g.length.toDouble).map(t => t * t * t - t).sum
+    (u, approxMannWhitneyP(n1, n2, u, tieTerm))
+  }
+
+  /** Tie-corrected, continuity-corrected normal approximation — R's
+    * wilcox.test default when exact is unavailable. */
+  private def approxMannWhitneyP(n1: Double, n2: Double, u: Double,
+      tieTerm: Double): Double = {
+    val n = n1 + n2
+    val mu = n1 * n2 / 2.0
+    val sigma = math.sqrt(n1 * n2 / 12.0 * ((n + 1) - tieTerm / (n * (n - 1))))
+    if (sigma == 0) return 1.0
+    val cc = if (u > mu) 0.5 else if (u < mu) -0.5 else 0.0
+    val z = (u - mu - cc) / sigma
+    math.min(1.0, 2.0 * normalSf(math.abs(z)))
+  }
+
+  /** Exact two-sided Mann-Whitney p via the U-count recurrence
+    * w(m,n,u) = w(m-1,n,u-n) + w(m,n-1,u). */
+  private def exactMannWhitneyP(m: Int, n: Int, uObs: Double): Double = {
+    val uMax = m * n
+    // counts(u) for current (i, j) built bottom-up over i=0..m
+    val table = Array.ofDim[Double](m + 1, n + 1, uMax + 1)
+    (0 to n).foreach(j => table(0)(j)(0) = 1.0)
+    (1 to m).foreach { i =>
+      (0 to n).foreach { j =>
+        (0 to uMax).foreach { u =>
+          val a = if (u - j >= 0) table(i - 1)(j)(u - j) else 0.0
+          val b = if (j >= 1) table(i)(j - 1)(u) else 0.0
+          table(i)(j)(u) = a + b
+        }
+      }
+    }
+    val counts = table(m)(n)
+    val total = counts.sum
+    val uInt = math.round(uObs).toInt
+    val pLower = counts.take(uInt + 1).sum / total
+    val pUpper = counts.drop(uInt).sum / total
+    math.min(1.0, 2.0 * math.min(pLower, pUpper))
+  }
+
+  /** Paired Wilcoxon signed-rank, two-sided normal approximation
+    * (reference bin/interpersonaldiversity.R:147 wilcox.test(paired=T)). */
+  def wilcoxonSignedRank(x: Array[Double], y: Array[Double]): (Double, Double) = {
+    require(x.length == y.length, "paired test needs equal lengths")
+    val d = x.zip(y).map { case (a, b) => a - b }.filter(_ != 0.0)
+    val n = d.length.toDouble
+    if (n == 0) return (0.0, 1.0)
+    val r = ranks(d.map(math.abs))
+    val wPlus = d.zip(r).collect { case (di, ri) if di > 0 => ri }.sum
+    val mu = n * (n + 1) / 4.0
+    val tieTerm = d.map(math.abs).groupBy(identity).values
+      .map(g => g.length.toDouble).map(t => t * t * t - t).sum
+    val sigma = math.sqrt(n * (n + 1) * (2 * n + 1) / 24.0 - tieTerm / 48.0)
+    if (sigma == 0) return (wPlus, 1.0)
+    val z = (wPlus - mu) / sigma
+    (wPlus, math.min(1.0, 2.0 * normalSf(math.abs(z))))
+  }
+
+  /** Holm-corrected pairwise rank-sum tests across groups (reference
+    * pairwise.wilcox.test, bin/CompareSkin.R:247). */
+  def pairwiseWilcoxonHolm(groups: Map[String, Array[Double]])
+      : Seq[(String, String, Double)] = {
+    val keys = groups.keys.toSeq.sorted
+    val raw = for {
+      i <- keys.indices; j <- (i + 1) until keys.length
+    } yield (keys(i), keys(j), wilcoxonRankSum(groups(keys(i)), groups(keys(j)))._2)
+    // Holm step-down
+    val m = raw.length
+    val sorted = raw.sortBy(_._3).zipWithIndex
+    var runningMax = 0.0
+    val adjusted = sorted.map { case ((a, b, p), k) =>
+      runningMax = math.max(runningMax, math.min(1.0, (m - k) * p))
+      (a, b, runningMax)
+    }
+    adjusted.sortBy(t => (t._1, t._2))
+  }
+
+  /** Distributed rank-sum: two samples as DataFrames of (value) —
+    * global sort-rank via window, tie-corrected normal p. For the
+    * rare case where a single test's samples are huge. */
+  def wilcoxonRankSumDF(x: DataFrame, y: DataFrame, valueCol: String)
+      : (Double, Double) = {
+    import org.apache.spark.sql.expressions.Window
+    val tagged = x.select(col(valueCol).cast("double").as("v"), lit(1).as("g"))
+      .unionAll(y.select(col(valueCol).cast("double").as("v"), lit(0).as("g")))
+    val ranked = tagged.withColumn("r", avg(row_number().over(
+        Window.orderBy("v"))).over(Window.partitionBy("v")))
+    val agg = ranked.agg(
+      sum(when(col("g") === 1, col("r"))).as("r1"),
+      sum(when(col("g") === 1, 1L)).as("n1"),
+      count(lit(1)).as("n")).head()
+    val (r1, n1, n) = (agg.getDouble(0), agg.getLong(1).toDouble, agg.getLong(2).toDouble)
+    val ties = ranked.groupBy("v").agg(count(lit(1)).cast("double").as("t"))
+      .agg(sum(col("t") * col("t") * col("t") - col("t"))).head().getDouble(0)
+    val n2 = n - n1
+    val u = r1 - n1 * (n1 + 1) / 2.0
+    (u, approxMannWhitneyP(n1, n2, u, ties))
+  }
+
+  // ---- M8: ANOSIM ----
+
+  /** ANOSIM R statistic + permutation p (vegan::anosim; reference
+    * bin/interpersonaldiversity.R:194). `dist(i)(j)` symmetric,
+    * `grouping` per index; seeded permutations. */
+  def anosim(dist: Array[Array[Double]], grouping: Array[Int],
+      permutations: Int = 999, seed: Long = 42L): (Double, Double) = {
+    val n = grouping.length
+    val pairs = for { i <- 0 until n; j <- (i + 1) until n } yield (i, j)
+    val dvals = pairs.map { case (i, j) => dist(i)(j) }.toArray
+    val r = ranks(dvals)
+    def rStat(g: Array[Int]): Double = {
+      var wSum = 0.0; var wCnt = 0; var bSum = 0.0; var bCnt = 0
+      pairs.indices.foreach { k =>
+        val (i, j) = pairs(k)
+        if (g(i) == g(j)) { wSum += r(k); wCnt += 1 }
+        else { bSum += r(k); bCnt += 1 }
+      }
+      val rw = if (wCnt == 0) 0.0 else wSum / wCnt
+      val rb = if (bCnt == 0) 0.0 else bSum / bCnt
+      (rb - rw) / (pairs.length / 2.0)
+    }
+    val obs = rStat(grouping)
+    val rng = new scala.util.Random(seed)
+    var ge = 1 // observed counts itself (vegan convention)
+    (1 to permutations).foreach { _ =>
+      val perm = rng.shuffle(grouping.toSeq).toArray
+      if (rStat(perm) >= obs) ge += 1
+    }
+    (obs, ge.toDouble / (permutations + 1))
+  }
+
+  // ---- M9: PERMDISP (betadisper + permutest, simplified) ----
+
+  /** Multivariate homogeneity of dispersions: distance of each point
+    * to its group's spatial median proxy (centroid in the distance
+    * space via PCoA is the full method; this uses the medoid — the
+    * point minimizing summed distance), F-statistic across groups,
+    * permutation p. */
+  def permdisp(dist: Array[Array[Double]], grouping: Array[Int],
+      permutations: Int = 999, seed: Long = 42L): (Double, Double) = {
+    val n = grouping.length
+    def dispersions(g: Array[Int]): Array[Double] = {
+      val byG = (0 until n).groupBy(g(_))
+      val medoid = byG.map { case (grp, idxs) =>
+        grp -> idxs.minBy(i => idxs.map(j => dist(i)(j)).sum)
+      }
+      (0 until n).map(i => dist(i)(medoid(g(i)))).toArray
+    }
+    def fStat(g: Array[Int]): Double = {
+      val d = dispersions(g)
+      val byG = (0 until n).groupBy(g(_)).values.toSeq
+      val grand = d.sum / n
+      val k = byG.size
+      if (k < 2 || n - k == 0) return 0.0
+      val ssb = byG.map { idxs =>
+        val m = idxs.map(d(_)).sum / idxs.size
+        idxs.size * (m - grand) * (m - grand)
+      }.sum
+      val ssw = byG.map { idxs =>
+        val m = idxs.map(d(_)).sum / idxs.size
+        idxs.map(i => (d(i) - m) * (d(i) - m)).sum
+      }.sum
+      if (ssw == 0) 0.0 else (ssb / (k - 1)) / (ssw / (n - k))
+    }
+    val obs = fStat(grouping)
+    val rng = new scala.util.Random(seed)
+    var ge = 1
+    (1 to permutations).foreach { _ =>
+      if (fStat(rng.shuffle(grouping.toSeq).toArray) >= obs) ge += 1
+    }
+    (obs, ge.toDouble / (permutations + 1))
+  }
+
+  // ---- M11: KDE-based empirical CDF below zero ----
+
+  /** P(X < 0) via Gaussian KDE with Silverman bandwidth (reference
+    * density→approxfun→integrate, bin/interpersonaldiversity.R:141-145). */
+  def kdeCdfBelowZero(xs: Array[Double]): Double = {
+    val n = xs.length
+    if (n == 0) return 0.0
+    val mean = xs.sum / n
+    val sd = math.sqrt(xs.map(x => (x - mean) * (x - mean)).sum / math.max(1, n - 1))
+    val sorted = xs.sorted
+    val iqr = sorted(((n - 1) * 3) / 4) - sorted((n - 1) / 4)
+    val h0 = 0.9 * math.min(sd, if (iqr > 0) iqr / 1.34 else sd) * math.pow(n, -0.2)
+    val h = if (h0 > 0) h0 else 1e-9
+    xs.map(x => 1.0 - normalSf(-x / h)).sum / n // Σ Φ((0 - x)/h) / n
+  }
+
+  // ---- M7: NMDS (PCoA start + Kruskal stress majorization) ----
+
+  /** Non-metric MDS to k dims: classical PCoA initialization then
+    * iterative monotone-regression stress minimization (vegan
+    * metaMDS analog; reference bin/interpersonaldiversity.R:177).
+    * Returns (coordinates[n][k], final stress). */
+  def nmds(dist: Array[Array[Double]], k: Int = 2, iters: Int = 100,
+      seed: Long = 42L): (Array[Array[Double]], Double) = {
+    val n = dist.length
+    if (n == 0) return (Array.empty, 0.0)
+    // --- PCoA init: double-center -0.5*D², top-k eigenvectors (power iteration)
+    val b = Array.tabulate(n, n) { (i, j) => -0.5 * dist(i)(j) * dist(i)(j) }
+    val rowMean = b.map(r => r.sum / n)
+    val grand = rowMean.sum / n
+    val g = Array.tabulate(n, n) { (i, j) => b(i)(j) - rowMean(i) - rowMean(j) + grand }
+    val rng = new scala.util.Random(seed)
+    val coords = Array.fill(n, k)(0.0)
+    val deflated = g.map(_.clone())
+    (0 until k).foreach { dim =>
+      var v = Array.fill(n)(rng.nextGaussian())
+      (0 until 100).foreach { _ =>
+        val w = Array.tabulate(n)(i => (0 until n).map(j => deflated(i)(j) * v(j)).sum)
+        val norm = math.sqrt(w.map(x => x * x).sum)
+        if (norm > 0) v = w.map(_ / norm)
+      }
+      val lambda = (0 until n).map(i => v(i) *
+        (0 until n).map(j => deflated(i)(j) * v(j)).sum).sum
+      val scale = math.sqrt(math.abs(lambda))
+      (0 until n).foreach(i => coords(i)(dim) = v(i) * scale)
+      (0 until n).foreach(i => (0 until n).foreach(j =>
+        deflated(i)(j) -= lambda * v(i) * v(j)))
+    }
+    // --- Kruskal iterations: isotonic fit of config distances to dissimilarity order
+    val pairs = (for { i <- 0 until n; j <- (i + 1) until n } yield (i, j)).toArray
+    val order = pairs.indices.sortBy(pi => dist(pairs(pi)._1)(pairs(pi)._2)).toArray
+    def cdist(a: Int, bI: Int) =
+      math.sqrt((0 until k).map(d => math.pow(coords(a)(d) - coords(bI)(d), 2)).sum)
+    var stress = Double.MaxValue
+    (0 until iters).foreach { _ =>
+      val dv = pairs.map { case (i, j) => cdist(i, j) }
+      // pool-adjacent-violators over dissimilarity order
+      val fitted = new Array[Double](pairs.length)
+      val vals = order.map(dv(_))
+      val blockSum = scala.collection.mutable.ArrayBuffer[(Double, Int)]()
+      vals.foreach { v =>
+        blockSum += ((v, 1))
+        while (blockSum.length > 1 && {
+          val (s2, c2) = blockSum(blockSum.length - 1)
+          val (s1, c1) = blockSum(blockSum.length - 2)
+          s1 / c1 > s2 / c2
+        }) {
+          val (s2, c2) = blockSum.remove(blockSum.length - 1)
+          val (s1, c1) = blockSum.remove(blockSum.length - 1)
+          blockSum += ((s1 + s2, c1 + c2))
+        }
+      }
+      var pos = 0
+      blockSum.foreach { case (s, c) =>
+        (0 until c).foreach { _ => fitted(order(pos)) = s / c; pos += 1 }
+      }
+      val num = pairs.indices.map(pi => math.pow(dv(pi) - fitted(pi), 2)).sum
+      val den = pairs.indices.map(pi => dv(pi) * dv(pi)).sum
+      stress = if (den == 0) 0.0 else math.sqrt(num / den)
+      // Guttman transform step toward fitted distances
+      val newCoords = Array.fill(n, k)(0.0)
+      pairs.indices.foreach { pi =>
+        val (i, j) = pairs(pi)
+        val d = dv(pi)
+        val ratio = if (d > 1e-12) fitted(pi) / d else 0.0
+        (0 until k).foreach { dim =>
+          val diff = coords(i)(dim) - coords(j)(dim)
+          newCoords(i)(dim) += coords(j)(dim) + ratio * diff
+          newCoords(j)(dim) += coords(i)(dim) - ratio * diff
+        }
+      }
+      (0 until n).foreach(i => (0 until k).foreach(d =>
+        coords(i)(d) = newCoords(i)(d) / (n - 1)))
+    }
+    (coords, stress)
+  }
+}

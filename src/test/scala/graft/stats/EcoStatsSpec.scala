@@ -1,0 +1,107 @@
+package graft.stats
+
+import graft.SparkSpec
+
+class EcoStatsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("ranks: ties share mean rank") {
+    assert(EcoStats.ranks(Array(10.0, 20.0, 20.0, 30.0)).toSeq == Seq(1.0, 2.5, 2.5, 4.0))
+  }
+
+  test("wilcoxon rank-sum: clearly separated samples → tiny p; identical → p=1") {
+    val (_, pSep) = EcoStats.wilcoxonRankSum(
+      Array(1.0, 2, 3, 4, 5, 6, 7, 8, 9, 10), Array(101.0, 102, 103, 104, 105, 106, 107, 108, 109, 110))
+    assert(pSep < 1e-3)
+    val (_, pSame) = EcoStats.wilcoxonRankSum(Array(5.0, 5, 5), Array(5.0, 5, 5))
+    assert(pSame == 1.0)
+  }
+
+  test("wilcoxon rank-sum matches R reference value (exact, small untied samples)") {
+    // R's wilcox.test example (permeability constants):
+    // wilcox.test(x, y) → W = 58, p-value = 0.1329 (exact)
+    val x = Array(1.83, 0.50, 1.62, 2.48, 1.68, 1.88, 1.55, 3.06, 1.30)
+    val y = Array(0.878, 0.647, 0.598, 2.05, 1.06, 1.29, 1.06, 3.14, 1.29)
+    val (w, p) = EcoStats.wilcoxonRankSum(x, y)
+    assert(w == 58.0)
+    assert(math.abs(p - 0.1329) < 0.001)
+  }
+
+  test("paired signed-rank detects a constant shift") {
+    val x = Array(1.0, 2, 3, 4, 5, 6, 7, 8, 9, 10)
+    val y = x.map(_ + 2.0)
+    val (_, p) = EcoStats.wilcoxonSignedRank(x, y)
+    assert(p < 0.01)
+    val (_, pNull) = EcoStats.wilcoxonSignedRank(x, x)
+    assert(pNull == 1.0)
+  }
+
+  test("pairwise Holm: adjusted ps are monotone and >= raw") {
+    val groups = Map(
+      "a" -> Array(1.0, 2, 3, 4, 5, 4, 3, 2),
+      "b" -> Array(11.0, 12, 13, 14, 15, 14, 13, 12),
+      "c" -> Array(1.5, 2.5, 3.5, 4.5, 5.5, 4.4, 3.3, 2.2))
+    val adj = EcoStats.pairwiseWilcoxonHolm(groups)
+    assert(adj.length == 3)
+    val m = adj.map(t => (t._1, t._2) -> t._3).toMap
+    assert(m(("a", "b")) < 0.05)
+    assert(m(("a", "c")) > 0.3)
+    adj.foreach { case (_, _, p) => assert(p >= 0 && p <= 1) }
+  }
+
+  test("distributed rank-sum equals local on the same data") {
+    // a cross-sample tie (7.0) forces the normal-approx path in both
+    val x = Array(1.0, 2, 3, 4, 5, 7, 20, 30)
+    val y = Array(7.0, 8, 9, 10, 11, 12, 13, 14)
+    val local = EcoStats.wilcoxonRankSum(x, y)
+    val dist = EcoStats.wilcoxonRankSumDF(
+      x.toSeq.toDF("v"), y.toSeq.toDF("v"), "v")
+    assert(math.abs(local._1 - dist._1) < 1e-9)
+    assert(math.abs(local._2 - dist._2) < 1e-9)
+  }
+
+  test("ANOSIM: strong group structure → R near 1, significant") {
+    // two tight clusters far apart; n=8 per group so the label-pattern
+    // space is large enough for p < 0.05 under permutation
+    val pts = (0 until 8).map(_ * 0.1).toArray ++ (0 until 8).map(10.0 + _ * 0.1)
+    val n = pts.length
+    val dist = Array.tabulate(n, n)((i, j) => math.abs(pts(i) - pts(j)))
+    val grouping = Array.fill(8)(0) ++ Array.fill(8)(1)
+    val (r, p) = EcoStats.anosim(dist, grouping, permutations = 199)
+    assert(r > 0.9)
+    assert(p < 0.05)
+    // alternating grouping → weaker R, not significant
+    val (r2, p2) = EcoStats.anosim(dist, Array.tabulate(n)(_ % 2), permutations = 199)
+    assert(r2 < r)
+    assert(p2 > 0.05)
+  }
+
+  test("PERMDISP: unequal dispersions detected") {
+    // group 0 tight around 0, group 1 spread
+    val pts = Array(0.0, 0.01, -0.01, 0.02, -5.0, 5.0, -8.0, 8.0)
+    val dist = Array.tabulate(8, 8)((i, j) => math.abs(pts(i) - pts(j)))
+    val grouping = Array(0, 0, 0, 0, 1, 1, 1, 1)
+    val (f, p) = EcoStats.permdisp(dist, grouping, permutations = 199)
+    assert(f > 1.0)
+    assert(p < 0.2)
+  }
+
+  test("KDE CDF below zero: symmetric data → ~0.5, positive data → ~0") {
+    val sym = Array(-2.0, -1, -0.5, 0.5, 1, 2)
+    assert(math.abs(EcoStats.kdeCdfBelowZero(sym) - 0.5) < 0.05)
+    assert(EcoStats.kdeCdfBelowZero(Array(5.0, 6, 7, 8)) < 0.01)
+  }
+
+  test("NMDS: recovers cluster separation in 2D with low stress") {
+    val pts = Array(0.0, 0.3, 0.6, 20.0, 20.3, 20.6)
+    val dist = Array.tabulate(6, 6)((i, j) => math.abs(pts(i) - pts(j)))
+    val (coords, stress) = EcoStats.nmds(dist, k = 2, iters = 50)
+    assert(stress < 0.1)
+    // cluster distances in the embedding: within << between
+    def d(a: Int, b: Int) = math.sqrt(
+      coords(a).zip(coords(b)).map { case (x, y) => (x - y) * (x - y) }.sum)
+    val within = Seq(d(0, 1), d(1, 2), d(3, 4), d(4, 5)).max
+    val between = Seq(d(0, 3), d(2, 5), d(1, 4)).min
+    assert(between > 3 * within)
+  }
+}
