@@ -1,6 +1,6 @@
 package graft
 
-import graft.queries.{AnalyticsQueries, Corpus, EventQueries, GraphQueries, Relational, SamplingQueries}
+import graft.queries.{AnalyticsQueries, Corpus, EventQueries, GraphQueries, PipelineQueries, Relational, SamplingQueries}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -11,7 +11,7 @@ object SparkEntry {
 
   def specs: Seq[QuerySpec] =
     Relational.all ++ Corpus.all ++ GraphQueries.all ++ AnalyticsQueries.all ++
-      EventQueries.all ++ SamplingQueries.all
+      EventQueries.all ++ SamplingQueries.all ++ PipelineQueries.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -1,0 +1,98 @@
+package graft.queries
+
+import graft.{QuerySpec, Tables}
+import graft.graph.GraphBuild
+import graft.ml.InteractionModel
+import graft.operators.Multimodal
+import org.apache.spark.sql.functions._
+
+/** End-to-end composites in the gate: the reference's full §3.1→§3.2
+  * lifecycle (evidence → graph → classify → write-back → motif query)
+  * run on evidence-shaped tables derived from the test data, plus the
+  * multimodal feature pipeline.
+  */
+object PipelineQueries {
+
+  /** The SURVEY §7 "minimum end-to-end slice", distributed: four
+    * evidence relations derived from lineitem (phage≡supplier,
+    * bacteria≡part), declarative graph build (full-outer upsert), RF
+    * trained on a derived truth label, score-and-write-back, then the
+    * §3.3-style summary: predicted interactions per prediction class. */
+  val q70 = QuerySpec.rowsOnly(
+    "q70_reference_pipeline",
+    "evidence→graph→RF→write-back→query lifecycle (SURVEY §3.1-§3.3)") { (s, d) =>
+    val li = Tables.lineitem(s, d)
+      .join(broadcast(Tables.supplier(s, d)), col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(Tables.part(s, d)), col("l_partkey") === col("p_partkey"))
+      .select(col("s_name").as("phage"), col("p_name").as("bacteria"),
+        col("l_quantity"), col("l_extendedprice"), col("l_discount"),
+        col("l_returnflag"))
+      .cache()
+    def evidence(flag: String, v: org.apache.spark.sql.Column) =
+      li.filter(col("l_returnflag") === flag)
+        .select(col("bacteria"), col("phage"), v.as("score"))
+    val crispr   = evidence("A", col("l_quantity") * 2)
+    val prophage = evidence("R", col("l_extendedprice") / 100)
+    val blastx   = evidence("N", col("l_quantity") * (lit(1) - col("l_discount")))
+    val pfam     = evidence("A", col("l_extendedprice") / 50)
+    // "ground truth": pairs with high total quantity interact
+    val truth = li.groupBy("phage", "bacteria")
+      .agg(sum("l_quantity").as("q"))
+      .select(col("phage"), col("bacteria"), (col("q") > 100).cast("double").as("score"))
+    val g = GraphBuild.fromEvidence(crispr, prophage, blastx, pfam, truth)
+    val model = InteractionModel.train(
+      InteractionModel.features(g.edges), numTrees = 20, seed = 42)
+    val scored = InteractionModel.scoreAndWriteBack(model, g.edges)
+    scored.groupBy("predictedInteraction")
+      .agg(count(lit(1)).as("n_edges"),
+        sum(col("interaction").cast("long")).as("n_true"))
+  }
+
+  /** Multimodal: binary payload + metadata → batched stub decode →
+    * per-kind feature aggregate (plumbing real, decode stubbed). */
+  val q71 = QuerySpec.rowsOnly(
+    "q71_multimodal_features",
+    "binary media columns → batched feature extraction") { (s, d) =>
+    val media = Multimodal.fromDocuments(Tables.documents(s, d))
+    val feats = Multimodal.extractFeatures(media)
+    feats.toDF().groupBy("kind")
+      .agg(count(lit(1)).as("n_media"),
+        sum("n_bytes").as("total_bytes"),
+        (sum(round(col("byte_entropy") * 10000, 0).cast("long")) / 10000.0)
+          .as("sum_entropy"))
+  }
+
+  /** Per-group eigencentrality → Bray-Curtis → Wilcoxon: the §3.3
+    * stage-4/5 analytic tail, producing the interstats-shaped answer
+    * (which groups differ). */
+  val q72 = QuerySpec.rowsOnly(
+    "q72_centrality_diversity",
+    "eigencentrality → Bray-Curtis → rank-sum significance (§3.3 tail)") { (s, d) =>
+    import graft.graph.GraphAnalytics
+    import graft.stats.EcoStats
+    val edges = Tables.lineitem(s, d).filter(col("l_quantity") >= 45)
+      .join(Tables.orders(s, d), col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("o_orderpriority").as("group"), col("l_suppkey").as("src"),
+        (col("l_partkey") + 1000000L).as("dst"))
+      .agg(sum(col("l_quantity").cast("long")).cast("double").as("weight"))
+    val eigen = GraphAnalytics.perGroupEigen(edges)
+      .select(col("group"), col("id").as("item"), col("eigen").as("value"))
+    val bc = GraphAnalytics.brayCurtis(eigen).cache()
+    // split distances into "adjacent priority" vs not, test difference
+    val withClass = bc.withColumn("same_class",
+      (substring(col("g1"), 1, 1) === substring(col("g2"), 1, 1)).cast("int"))
+    val a = withClass.filter(col("same_class") === 1)
+      .select("bray_curtis").collect().map(_.getDouble(0))
+    val b = withClass.filter(col("same_class") === 0)
+      .select("bray_curtis").collect().map(_.getDouble(0))
+    val (u, p) =
+      if (a.nonEmpty && b.nonEmpty) EcoStats.wilcoxonRankSum(a, b) else (0.0, 1.0)
+    val spark = s
+    import spark.implicits._
+    bc.unpersist()
+    Seq((a.length.toLong, b.length.toLong, u, p))
+      .toDF("n_same", "n_diff", "u_stat", "p_value")
+  }
+
+  val all: Seq[QuerySpec] = Seq(q70, q71, q72)
+}

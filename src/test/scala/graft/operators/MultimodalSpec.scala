@@ -1,0 +1,47 @@
+package graft.operators
+
+import graft.{SparkSpec, Tables}
+
+class MultimodalSpec extends SparkSpec {
+
+  private lazy val media = Multimodal.fromDocuments(Tables.documents(spark, sf))
+
+  test("media table carries binary payload + typed metadata") {
+    val m = media.head()
+    assert(m.bytes.nonEmpty)
+    assert(Set("image", "audio", "video").contains(m.kind))
+    assert(m.width >= 16 && m.height >= 16)
+  }
+
+  test("feature extraction is deterministic, batched, and schema-stable") {
+    val f1 = Multimodal.extractFeatures(media, batchSize = 7).collect()
+      .map(f => f.media_id -> f).toMap
+    val f2 = Multimodal.extractFeatures(media.repartition(5), batchSize = 64).collect()
+      .map(f => f.media_id -> f).toMap
+    assert(f1.keySet == f2.keySet)
+    f1.foreach { case (id, f) =>
+      assert(f.features.length == 16)
+      assert(f.features.toSeq == f2(id).features.toSeq) // batch/partition invariant
+      assert(f.byte_entropy > 0 && f.byte_entropy <= 8.0)
+      assert(f.n_bytes > 0)
+    }
+  }
+
+  test("frame sampling keeps every Nth fixed-size frame of video rows") {
+    val frames = Multimodal.sampleFrames(media, frameBytes = 32, everyN = 2).collect()
+    assert(frames.nonEmpty)
+    assert(frames.forall(_.frame_idx % 2 == 0))
+    assert(frames.filter(_.frame_idx > 0).forall(_.frame_bytes.length <= 32))
+    val vids = media.filter(_.kind == "video").count()
+    assert(frames.map(_.media_id).distinct.length.toLong == vids)
+  }
+
+  test("resize stub bounds payload size and is a no-op when small") {
+    val resized = Multimodal.resizeStub(media, targetBytes = 50).collect()
+    assert(resized.forall(_.bytes.length <= 50))
+    val tiny = Multimodal.resizeStub(media, targetBytes = 100000).collect()
+      .map(m => m.media_id -> m.bytes.length).toMap
+    val orig = media.collect().map(m => m.media_id -> m.bytes.length).toMap
+    assert(tiny == orig)
+  }
+}
