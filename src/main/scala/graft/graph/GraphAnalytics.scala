@@ -35,17 +35,38 @@ object GraphAnalytics {
   }
 
   /** Weighted PageRank on the symmetrized graph (reference
-    * bin/compareTwins.R:93 page_rank(directed=F)); returns (id, pagerank). */
+    * bin/compareTwins.R:93 page_rank(directed=F)); returns (id, pagerank).
+    * Fixed iteration count (staticPageRank): predictable cost at scale —
+    * tolerance-driven convergence on a big graph is an unbounded number
+    * of full-graph passes. */
   def pageRank(spark: SparkSession, g: PropertyGraph, weightCol: String,
-      tol: Double = 1e-6): DataFrame = {
+      iters: Int = 10): DataFrame = {
     val sym = PropertyGraph(g.nodes,
       g.edges.unionByName(g.edges
         .withColumn("tmp", col("src")).withColumn("src", col("dst"))
         .withColumn("dst", col("tmp")).drop("tmp")))
-    val ranks = toGraphX(sym, weightCol).pageRank(tol).vertices
+    val ranks = toGraphX(sym, weightCol).staticPageRank(iters).vertices
     spark.createDataFrame(ranks.map(t => Row(t._1, t._2)),
       new org.apache.spark.sql.types.StructType()
         .add("id", "long").add("pagerank", "double"))
+  }
+
+  /** PageRank + weak components off ONE cached GraphX graph — the two
+    * jobs share the materialized vertex/edge RDDs instead of
+    * rebuilding the graph per metric. Returns (id, pagerank, component). */
+  def pageRankAndComponents(spark: SparkSession, g: PropertyGraph,
+      weightCol: String, iters: Int = 10): DataFrame = {
+    val sym = PropertyGraph(g.nodes,
+      g.edges.unionByName(g.edges
+        .withColumn("tmp", col("src")).withColumn("src", col("dst"))
+        .withColumn("dst", col("tmp")).drop("tmp")))
+    val gx = toGraphX(sym, weightCol).cache()
+    val pr = gx.staticPageRank(iters).vertices
+    val cc = gx.connectedComponents().vertices
+    val joined = pr.join(cc).map { case (id, (rank, comp)) => Row(id, rank, comp) }
+    spark.createDataFrame(joined,
+      new org.apache.spark.sql.types.StructType()
+        .add("id", "long").add("pagerank", "double").add("component", "long"))
   }
 
   private def unitWeighted(g: PropertyGraph): PropertyGraph =

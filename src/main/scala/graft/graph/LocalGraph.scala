@@ -149,7 +149,7 @@ final case class LocalGraph(
 
   /** Weighted eigenvector centrality, power iteration, scaled max=1
     * (igraph eigen_centrality(scale=TRUE); undirected semantics). */
-  def eigenCentrality(iters: Int = 500, tol: Double = 1e-12): Array[Double] = {
+  def eigenCentrality(iters: Int = 200, tol: Double = 1e-10): Array[Double] = {
     if (n == 0) return Array.empty
     // positive diagonal shift: keeps the principal eigenvector but
     // breaks the ±λmax tie on bipartite graphs, where plain power

@@ -22,7 +22,7 @@ object AnalyticsQueries {
     * the subgraphs per-sample-sized, as in the reference). */
   private def groupEdges(s: org.apache.spark.sql.SparkSession, d: String) =
     Tables.lineitem(s, d)
-      .filter(col("l_quantity") >= 48)
+      .filter(col("l_quantity") >= 49)
       .join(Tables.orders(s, d), col("l_orderkey") === col("o_orderkey"))
       .join(Tables.customer(s, d), col("o_custkey") === col("c_custkey"))
       .join(broadcast(Tables.nation(s, d)), col("c_nationkey") === col("n_nationkey"))
@@ -97,9 +97,8 @@ object AnalyticsQueries {
     "q57_global_pagerank_cc",
     "GraphX weighted PageRank + components on the derived graph (SURVEY G5,G12)") { (s, d) =>
     val g = GraphBuild.tpchGraph(s, d)
-    val pr = GraphAnalytics.pageRank(s, g, "weight")
-    val cc = GraphAnalytics.connectedComponents(s, g)
-    pr.join(cc, "id").join(g.nodes, "id")
+    GraphAnalytics.pageRankAndComponents(s, g, "weight")
+      .join(g.nodes, "id")
       .select(col("name"), col("kind"), col("pagerank"), col("component"))
   }
 

@@ -40,9 +40,15 @@ object PipelineQueries {
       .agg(sum("l_quantity").as("q"))
       .select(col("phage"), col("bacteria"), (col("q") > 100).cast("double").as("score"))
     val g = GraphBuild.fromEvidence(crispr, prophage, blastx, pfam, truth)
-    val model = InteractionModel.train(
-      InteractionModel.features(g.edges), numTrees = 20, seed = 42)
-    val scored = InteractionModel.scoreAndWriteBack(model, g.edges)
+    val edges = g.edges.cache() // reused by train pass + scoring pass
+    // train on a deterministic 20% sample (the reference trains on its
+    // small validation set, then scores the full graph), score everything
+    val trainSet = graft.operators.Sampling.stratifiedSample(
+      InteractionModel.features(edges.withColumn("phage", col("src"))
+        .withColumn("bacteria", col("dst"))),
+      Seq("phage", "bacteria"), fraction = 0.2, seed = 42)
+    val model = InteractionModel.train(trainSet, numTrees = 20, seed = 42)
+    val scored = InteractionModel.scoreAndWriteBack(model, edges)
     scored.groupBy("predictedInteraction")
       .agg(count(lit(1)).as("n_edges"),
         sum(col("interaction").cast("long")).as("n_true"))
@@ -70,7 +76,7 @@ object PipelineQueries {
     "eigencentrality → Bray-Curtis → rank-sum significance (§3.3 tail)") { (s, d) =>
     import graft.graph.GraphAnalytics
     import graft.stats.EcoStats
-    val edges = Tables.lineitem(s, d).filter(col("l_quantity") >= 45)
+    val edges = Tables.lineitem(s, d).filter(col("l_quantity") >= 49)
       .join(Tables.orders(s, d), col("l_orderkey") === col("o_orderkey"))
       .groupBy(col("o_orderpriority").as("group"), col("l_suppkey").as("src"),
         (col("l_partkey") + 1000000L).as("dst"))
