@@ -187,24 +187,50 @@ final case class LocalGraph(
       m(di)(si) -= alpha * w                  // Aᵀ entry (d,s)
       if (!directed) m(si)(di) -= alpha * w
     }
-    val b = Array.fill(n)(e)
-    // partial-pivot gaussian elimination
-    for (p <- 0 until n) {
-      val piv = (p until n).maxBy(r => math.abs(m(r)(p)))
-      val (tp, tb) = (m(p), b(p)); m(p) = m(piv); b(p) = b(piv); m(piv) = tp; b(piv) = tb
-      require(math.abs(m(p)(p)) > 1e-14, "alpha centrality: singular system")
-      for (r <- p + 1 until n) {
-        val f = m(r)(p) / m(p)(p)
-        if (f != 0) { for (c <- p until n) m(r)(c) -= f * m(p)(c); b(r) -= f * b(p) }
-      }
+    LocalGraph.solve(m, Array.fill(n)(e))
+  }
+
+  /** Bonacich power centrality (igraph power_centrality; reference
+    * bin/CompareNetworkGroups.R:124): x = (I − βA)⁻¹ A·1, scaled to
+    * sqrt(n) norm as igraph does. Same dense-solve family as
+    * [[alphaCentrality]]. */
+  def powerCentrality(beta: Double = 0.1): Array[Double] = {
+    if (n == 0) return Array.empty
+    val a = Array.fill(n, n)(0.0)
+    edges.foreach { case (s, d, w) =>
+      val (si, di) = (idx(s), idx(d))
+      a(si)(di) += w
+      if (!directed && si != di) a(di)(si) += w
     }
-    val x = Array.fill(n)(0.0)
-    for (r <- (n - 1) to 0 by -1) {
-      var s = b(r)
-      for (c <- r + 1 until n) s -= m(r)(c) * x(c)
-      x(r) = s / m(r)(r)
+    // rhs = A·1 ; M = I − βA ; solve M x = rhs
+    val rhs = a.map(_.sum)
+    val m = Array.tabulate(n, n)((i, j) => (if (i == j) 1.0 else 0.0) - beta * a(i)(j))
+    val x = LocalGraph.solve(m, rhs)
+    val norm = math.sqrt(x.map(v => v * v).sum)
+    if (norm == 0) x else x.map(_ * math.sqrt(n.toDouble) / norm)
+  }
+
+  /** G19 — targeted-removal robustness (NetSwan-style, reference
+    * bin/alteredDiet.R:5): repeatedly delete the highest-degree vertex
+    * and report the largest-component fraction after each removal.
+    * Returns fractions for 0..steps removals. */
+  def robustnessCurve(steps: Int): Array[Double] = {
+    var g = this
+    val out = scala.collection.mutable.ArrayBuffer[Double]()
+    def largestFrac(lg: LocalGraph): Double =
+      if (lg.n == 0) 0.0
+      else lg.componentIds.groupBy(identity).values.map(_.length).max.toDouble / n
+    out += largestFrac(g)
+    (1 to math.min(steps, n - 1)).foreach { _ =>
+      val degs = g.adj.map(_.length)
+      val victimIdx = degs.indices.maxBy(i => (degs(i), -g.vertexIds(i)))
+      val victim = g.vertexIds(victimIdx)
+      val kept = g.vertexIds.filter(_ != victim)
+      g = LocalGraph(kept,
+        g.edges.filter(e => e._1 != victim && e._2 != victim), g.directed)
+      out += largestFrac(g)
     }
-    x
+    out.toArray
   }
 
   /** Weighted PageRank (damping d), undirected treated as two arcs.
@@ -319,5 +345,27 @@ object LocalGraph {
   def fromEdges(edges: Seq[(Long, Long, Double)], directed: Boolean = false): LocalGraph = {
     val vs = edges.flatMap(e => Seq(e._1, e._2)).distinct.sorted.toArray
     LocalGraph(vs, edges.toArray, directed)
+  }
+
+  /** Dense linear solve (partial-pivot Gaussian elimination) for the
+    * centrality families; mutates its arguments. */
+  private[graph] def solve(m: Array[Array[Double]], b: Array[Double]): Array[Double] = {
+    val n = b.length
+    for (p <- 0 until n) {
+      val piv = (p until n).maxBy(r => math.abs(m(r)(p)))
+      val (tp, tb) = (m(p), b(p)); m(p) = m(piv); b(p) = b(piv); m(piv) = tp; b(piv) = tb
+      require(math.abs(m(p)(p)) > 1e-14, "centrality solve: singular system")
+      for (r <- p + 1 until n) {
+        val f = m(r)(p) / m(p)(p)
+        if (f != 0) { for (c <- p until n) m(r)(c) -= f * m(p)(c); b(r) -= f * b(p) }
+      }
+    }
+    val x = Array.fill(n)(0.0)
+    for (r <- (n - 1) to 0 by -1) {
+      var s = b(r)
+      for (c <- r + 1 until n) s -= m(r)(c) * x(c)
+      x(r) = s / m(r)(r)
+    }
+    x
   }
 }

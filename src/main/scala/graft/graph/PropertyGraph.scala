@@ -40,6 +40,28 @@ final case class PropertyGraph(nodes: DataFrame, edges: DataFrame) {
       .withColumn("deg", col("inDeg") + col("outDeg"))
   }
 
+  /** G20 — schema introspection (reference
+    * bin/RenderGraphArchitecture.R:63-67 `RETURN n.type, m.type,
+    * keys(n)`): distinct (srcKind, relType, dstKind) triples with
+    * counts — the graph's architecture diagram as a table. */
+  def describe: DataFrame = {
+    val kinds = nodes.select(col("id"), col("kind"))
+    edges
+      .join(kinds.select(col("id").as("src"), col("kind").as("srcKind")), "src")
+      .join(kinds.select(col("id").as("dst"), col("kind").as("dstKind")), "dst")
+      .groupBy("srcKind", "relType", "dstKind")
+      .agg(count(lit(1)).as("n_edges"))
+  }
+
+  /** S9/S12 — persist the graph as parquet tables, edges partitioned
+    * by relType so per-relationship traversals prune at the file level
+    * (the scan for one hop type never touches the others). */
+  def save(basePath: String): Unit = {
+    nodes.write.mode("overwrite").parquet(s"$basePath/nodes")
+    edges.write.mode("overwrite").partitionBy("relType")
+      .parquet(s"$basePath/edges")
+  }
+
   /** Undirected, deduplicated edge view (G2 `simplify`: drop
     * self-loops + parallel edges; reference bin/TriadicClosures.R:45). */
   def simplifiedUndirected: DataFrame =
@@ -47,6 +69,13 @@ final case class PropertyGraph(nodes: DataFrame, edges: DataFrame) {
         greatest(col("src"), col("dst")).as("b"))
       .where(col("a") =!= col("b"))
       .distinct()
+}
+
+object PropertyGraph {
+  /** Load a graph persisted by [[PropertyGraph.save]]. */
+  def load(spark: org.apache.spark.sql.SparkSession, basePath: String): PropertyGraph =
+    PropertyGraph(spark.read.parquet(s"$basePath/nodes"),
+      spark.read.parquet(s"$basePath/edges"))
 }
 
 /** Pattern compiler. Grammar per chain (chains separated by `;`):

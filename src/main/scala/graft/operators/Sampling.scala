@@ -93,6 +93,17 @@ object Sampling {
       }.toDF("group", "item", "count")
   }
 
+  /** M12 — rarefaction curve (vegan::rarecurve; reference
+    * bin/OpfRarefaction.R:12-16): distinct-item richness per group at
+    * each depth. One rarefy pass per depth, union-all tagged by depth. */
+  def rarefactionCurve(df: DataFrame, depths: Seq[Long], seed: Long): DataFrame =
+    depths.map { dep =>
+      rarefy(df, dep, seed)
+        .groupBy("group")
+        .agg(count(lit(1)).as("richness"))
+        .withColumn("depth", lit(dep))
+    }.reduce(_ unionByName _)
+
   /** Sample from Hypergeometric(N, K, n): number of "successes" when
     * drawing n without replacement from N units of which K are
     * successes. Inverse-CDF walk in log space — exact, O(K). */

@@ -1,0 +1,35 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.types.StructType
+
+/** Tabular sources/sinks (SURVEY §2.1 S1/S2/S11/S12) with declared
+  * schemas — schema-on-read TSV/CSV like the reference's read.delim,
+  * but the schema travels with the reader call instead of being
+  * inferred per file (inference is a full extra pass at 100 TB).
+  */
+object Tabular {
+
+  /** S1 — TSV scan with declared schema (header optional). */
+  def tsv(spark: SparkSession, path: String, schema: StructType,
+      header: Boolean = false): DataFrame =
+    spark.read.option("sep", "\t").option("header", header.toString)
+      .schema(schema).csv(path)
+
+  /** S2 — CSV scan with declared schema. */
+  def csv(spark: SparkSession, path: String, schema: StructType,
+      header: Boolean = false): DataFrame =
+    spark.read.option("sep", ",").option("header", header.toString)
+      .schema(schema).csv(path)
+
+  /** S11 — TSV sink (reference write.table(quote=F, sep="\t")). */
+  def writeTsv(df: DataFrame, path: String, header: Boolean = true): Unit =
+    df.write.mode("overwrite").option("sep", "\t")
+      .option("header", header.toString).csv(path)
+
+  /** S12 — parquet checkpoint sink/source (replaces .Rdata blobs). */
+  def checkpoint(df: DataFrame, path: String): DataFrame = {
+    df.write.mode("overwrite").parquet(path)
+    df.sparkSession.read.parquet(path)
+  }
+}
