@@ -1,0 +1,14 @@
+package org.apache.spark.sql.graftbridge
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.classic.ExpressionUtils
+
+/** Bridge to Spark's `private[sql]` Column↔Expression converters —
+  * the supported technique for libraries that define native Catalyst
+  * expressions (the public API intentionally hides Expression behind
+  * ColumnNode in Spark 4). */
+object ColumnBridge {
+  def column(e: Expression): Column = ExpressionUtils.column(e)
+  def expression(c: Column): Expression = ExpressionUtils.expression(c)
+}
