@@ -112,6 +112,32 @@ object Dedup {
       .distinct()
   }
 
+  /** M14 — duplicate clustering: connected components over the
+    * candidate-pair graph (similarity-join edges → clusters), keeping
+    * the smallest doc id as each cluster's canonical representative.
+    * This is the reference's protein-family clustering shape
+    * (greedy CD-HIT → here: LSH candidates + CC), and the final step
+    * of corpus dedup: every doc maps to the representative it
+    * duplicates. Docs with no near-dup map to themselves.
+    *
+    * @param pairs (d1, d2) candidate duplicate pairs
+    * @param allIds one row per doc id (singleton clusters included)
+    */
+  def clusterDuplicates(pairs: DataFrame, allIds: DataFrame): DataFrame = {
+    import org.apache.spark.graphx.{Edge, Graph}
+    val spark = pairs.sparkSession
+    val edgeRdd = pairs.select(col("d1").cast("long"), col("d2").cast("long"))
+      .rdd.map(r => Edge(r.getLong(0), r.getLong(1), 1))
+    val vertRdd = allIds.select(allIds.columns.head).rdd.map(r => (r.getLong(0), 1))
+    val cc = Graph(vertRdd, edgeRdd).connectedComponents().vertices
+    val ccDf = spark.createDataFrame(
+      cc.map(t => org.apache.spark.sql.Row(t._1, t._2)),
+      new org.apache.spark.sql.types.StructType()
+        .add("doc_id", "long").add("cluster_rep", "long"))
+    // GraphX CC labels components with the min vertex id = smallest doc id
+    ccDf
+  }
+
   /** Exact n-gram Jaccard similarity for doc pairs sharing a blocking
     * key (e.g. source): explode tokens, count intersections via
     * token-equi join within block, Jaccard from exact set sizes.

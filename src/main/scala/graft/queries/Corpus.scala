@@ -150,5 +150,19 @@ object Corpus {
       .where(col("cos_sim") >= 0.3)
   }
 
-  val all: Seq[QuerySpec] = Seq(q30, q31, q32, q33, q34, q35, q36, q37, q38, q39, q40, q41)
+  /** Full dedup composition: MinHash → LSH candidates → connected-
+    * component clusters → cluster size histogram (SURVEY M14 shape). */
+  val q42 = QuerySpec.rowsOnly(
+    "q42_dedup_clusters",
+    "minhash→LSH→connected-component dedup clustering (dedup, M14)") { (s, d) =>
+    val docs = Tables.documents(s, d)
+    val sig = Dedup.minhashSignatures(docs, "doc_id", "text", numHashes = 16, shingleK = 2)
+    val pairs = Dedup.lshCandidatePairs(sig, bands = 4, rowsPerBand = 4)
+    Dedup.clusterDuplicates(pairs, docs.select("doc_id"))
+      .groupBy("cluster_rep").agg(count(lit(1)).as("cluster_size"))
+      .groupBy("cluster_size").agg(count(lit(1)).as("n_clusters"))
+  }
+
+  val all: Seq[QuerySpec] =
+    Seq(q30, q31, q32, q33, q34, q35, q36, q37, q38, q39, q40, q41, q42)
 }

@@ -401,7 +401,24 @@ object Relational {
       (sum(scaled(col("o_totalprice"), 100)).over(w) / 100.0).as("running_total"))
   }
 
+  /** A5 — exact percentiles (Spark `percentile` ≡ DuckDB
+    * `quantile_cont`, verified bit-identical) — the rarefaction-depth
+    * quantile shape (reference bin/CompareSkin.R:55,59). */
+  val q23 = QuerySpec.sql(
+    "q23_percentiles",
+    """SELECT l_returnflag,
+      |       quantile_cont(l_extendedprice, 0.5) AS median_price,
+      |       quantile_cont(l_extendedprice, 0.05) AS p05_price,
+      |       quantile_cont(l_extendedprice, 0.95) AS p95_price
+      |FROM lineitem GROUP BY l_returnflag""",
+    "exact grouped percentiles (SURVEY A5)") { (s, d) =>
+    Tables.lineitem(s, d).groupBy("l_returnflag")
+      .agg(expr("percentile(l_extendedprice, 0.5)").as("median_price"),
+        expr("percentile(l_extendedprice, 0.05)").as("p05_price"),
+        expr("percentile(l_extendedprice, 0.95)").as("p95_price"))
+  }
+
   val all: Seq[QuerySpec] = Seq(
     q01, q02, q03, q04, q05, q06, q07, q08, q09, q10, q11,
-    q12, q13, q14, q15, q16, q17, q18, q19, q20, q21, q22)
+    q12, q13, q14, q15, q16, q17, q18, q19, q20, q21, q22, q23)
 }
