@@ -117,13 +117,13 @@ object GraphBuild {
 
     val customers = Tables.customer(spark, dir).select(
       idOf("C", col("c_custkey")).as("id"), col("c_name").as("name"),
-      lit("Customer").as("kind"))
+      lit("Customer").as("kind"), col("c_custkey").cast("long").as("key"))
     val suppliers = Tables.supplier(spark, dir).select(
       idOf("S", col("s_suppkey")).as("id"), col("s_name").as("name"),
-      lit("Supplier").as("kind"))
+      lit("Supplier").as("kind"), col("s_suppkey").cast("long").as("key"))
     val parts = Tables.part(spark, dir).select(
       idOf("P", col("p_partkey")).as("id"), col("p_name").as("name"),
-      lit("Part").as("kind"))
+      lit("Part").as("kind"), col("p_partkey").cast("long").as("key"))
     val nodes = customers.unionByName(suppliers).unionByName(parts)
 
     val ordered = li.join(ord, col("l_orderkey") === col("o_orderkey"))

@@ -77,5 +77,38 @@ object GraphQueries {
       .select(col("name").as("part_name"), col("n_customers"), col("n_suppliers"))
   }
 
-  val all: Seq[QuerySpec] = Seq(q50, q51, q52)
+  /** Cyclic 4-constraint motif — the §3.3 workhorse topology
+    * ((x)-->(y)-->(z)-->(a)<--(b) with cross-links): customer and
+    * supplier connected through TWO different parts. Exercises
+    * cross-chain variable unification on a cycle. */
+  val q58 = QuerySpec.sql(
+    "q58_motif_cycle",
+    """WITH ordered AS (
+      |  SELECT o_custkey AS ck, l_partkey AS pk
+      |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      |  GROUP BY 1, 2 HAVING sum(CAST(l_quantity AS BIGINT)) >= 40),
+      |supplies AS (
+      |  SELECT l_suppkey AS sk, l_partkey AS pk FROM lineitem
+      |  GROUP BY 1, 2 HAVING sum(CAST(l_quantity AS BIGINT)) >= 40)
+      |SELECT o1.ck AS custkey, s1.sk AS suppkey, count(*) AS n_shared_part_pairs
+      |FROM ordered o1 JOIN supplies s1 ON o1.pk = s1.pk
+      |JOIN ordered o2 ON o2.ck = o1.ck
+      |JOIN supplies s2 ON s2.pk = o2.pk AND s2.sk = s1.sk
+      |WHERE o1.pk < o2.pk
+      |GROUP BY 1, 2
+      |HAVING count(*) >= 2""",
+    "cyclic multi-constraint motif (SURVEY J7 §3.3 topology)") { (s, d) =>
+    // edge-weight predicate pushed onto the graph BEFORE pattern
+    // compilation — selective hops keep the cyclic join bounded
+    val g0 = GraphBuild.tpchGraph(s, d)
+    val g = g0.copy(edges = g0.edges.filter(col("weight") >= 40))
+    g.find("(c:Customer)-[o1:ordered]->(p1:Part); (v:Supplier)-[s1:supplies]->(p1); " +
+        "(c)-[o2:ordered]->(p2:Part); (v)-[s2:supplies]->(p2)")
+      .where(col("p1_id") < col("p2_id"))
+      .groupBy(col("c_key").as("custkey"), col("v_key").as("suppkey"))
+      .agg(count(lit(1)).as("n_shared_part_pairs"))
+      .where(col("n_shared_part_pairs") >= 2)
+  }
+
+  val all: Seq[QuerySpec] = Seq(q50, q51, q52, q58)
 }
