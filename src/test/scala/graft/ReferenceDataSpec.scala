@@ -1,0 +1,110 @@
+package graft
+
+import graft.graph.GraphBuild
+import graft.ml.InteractionModel
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Integration test on the REFERENCE'S OWN benchmark data
+  * (/root/reference/data, read-only): build the evidence graph with
+  * our declarative pipeline and check (a) upsert merge semantics
+  * against values computed independently by plain-JVM file reading,
+  * and (b) the interaction classifier's quality against the
+  * published model numbers (reference rtables/genmodelper.tsv ROC
+  * 0.846±0.093; data/avgaucnested.tsv AUC 0.788) — our harness
+  * differs in RNG/CV mechanics, so the assertion is the published
+  * ballpark, not the exact decimal. */
+class ReferenceDataSpec extends SparkSpec {
+
+  private val bset = "/root/reference/data/BenchmarkingSet"
+  private val vset = "/root/reference/data/ValidationSet"
+  private def available = new java.io.File(bset).isDirectory
+
+  private val evSchema = new StructType()
+    .add("c0", StringType).add("c1", StringType).add("c2", DoubleType)
+
+  private def tsv(path: String) =
+    spark.read.option("sep", "\t").schema(evSchema).csv(path)
+
+  // (bacteria, phage, score) orientation for fromEvidence
+  private def bacteriaFirst(path: String) = tsv(path)
+    .select(col("c0").as("b"), col("c1").as("p"), col("c2").as("s"))
+  private def phageFirst(path: String) = tsv(path)
+    .select(col("c1").as("b"), col("c0").as("p"), col("c2").as("s"))
+
+  /** The reference's interaction formatting step (Makefile:83-92 →
+    * bin/MergeForInteractions.R): InteractionsRaw's abbreviated host
+    * ids join BacteriaID's (PhageHit → SpecificBacterialID) map to the
+    * full genome names the evidence tables use — one raw pair expands
+    * to every representative genome. Output: (phage, bacteria, flag). */
+  private lazy val interactions = {
+    val bacteriaId = spark.read.option("sep", "\t").option("header", "true")
+      .csv(s"$vset/BacteriaID.tsv")
+    val raw = tsv(s"$vset/InteractionsRaw.tsv")
+    bacteriaId.join(raw, col("PhageHit") === col("c1"))
+      .select(col("c0").as("p"), col("SpecificBacterialID").as("b"), col("c2").as("s"))
+  }
+
+  private lazy val graph = GraphBuild.fromEvidence(
+    crispr = bacteriaFirst(s"$bset/BenchmarkCrisprsFormat.tsv"),
+    prophage = phageFirst(s"$bset/BenchmarkProphagesFormat.tsv"),
+    blastx = bacteriaFirst(s"$bset/MatchesByBlastxFormatOrder.tsv"),
+    pfam = bacteriaFirst(s"$bset/PfamInteractionsFormatScoredFlip.tsv"),
+    interactions = interactions)
+
+  /** independent oracle: plain-JVM recompute of one pair's evidence */
+  private def rawScores(path: String, phageRaw: String, bactRaw: String): Seq[Double] =
+    scala.io.Source.fromFile(path).getLines().toSeq
+      .map(_.split("\t"))
+      .collect { case Array(c0, c1, s)
+        if Set(c0, c1) == Set(phageRaw, bactRaw) => s.toDouble }
+
+  test("evidence merge on real reference data matches independent recompute") {
+    assume(available)
+    val edges = graph.edges
+      .join(graph.nodes.select(col("id").as("src"), col("name").as("phage")), "src")
+      .join(graph.nodes.select(col("id").as("dst"), col("name").as("bacteria")), "dst")
+      .cache()
+    // prophage collapse = min bit score (reference iteratePredictedRelationships.R:30-34)
+    val d3rows = edges.filter(col("phage") === "Bacteriophage_D3" &&
+      col("bacteria") === "Pseudomonas_aeruginosa_strain_F30658").collect()
+    assert(d3rows.length == 1, s"expected 1 D3 edge, got ${d3rows.length}")
+    val d3raw = rawScores(s"$bset/BenchmarkProphagesFormat.tsv",
+      "Bacteriophage_D3", "Pseudomonas_aeruginosa_strain_F30658")
+    assert(d3raw.nonEmpty, "raw prophage rows not found")
+    assert(d3rows.head.getAs[Double]("blast") == d3raw.min)
+    // pfam collapse = mean of gene-level scores
+    // sanitizer collapses the "._" run to one underscore
+    val swu = edges.filter(col("phage") === "Mycobacterium_phage_SWU1" &&
+      col("bacteria") === "Serratia_marcescens_subsp_marcescens_Db11").head()
+    val swuRaw = rawScores(s"$bset/PfamInteractionsFormatScoredFlip.tsv",
+      "Mycobacterium_phage_SWU1", "Serratia_marcescens_subsp._marcescens_Db11")
+    assert(math.abs(swu.getAs[Double]("pfam") - swuRaw.sum / swuRaw.size) < 1e-9)
+    // every evidence pair appears exactly once (the upsert invariant)
+    assert(edges.groupBy("phage", "bacteria").count().filter(col("count") > 1).count() == 0)
+    // ground-truth flags present for the validation pairs
+    assert(edges.filter(col("interaction")).count() > 0)
+  }
+
+  test("interaction classifier reaches the published quality band on real data") {
+    assume(available)
+    // the reference trains on the lab-validated pairs only
+    // (bin/CalculatePredModel.R:181-209): restrict to validation pairs
+    val truthPairs = interactions.select(
+      GraphBuild.sanitizeName(col("p")).as("phage"),
+      GraphBuild.sanitizeName(col("b")).as("bacteria"))
+    val labeled = graph.edges.join(
+        graph.nodes.select(col("id").as("src"), col("name").as("phage")), "src")
+      .join(graph.nodes.select(col("id").as("dst"), col("name").as("bacteria")), "dst")
+      .join(truthPairs, Seq("phage", "bacteria"), "left_semi")
+    val results = InteractionModel.nestedCv(labeled, iterations = 11, numTrees = 500)
+    val aucs = results.map(_("auc")).sorted
+    val median = aucs(aucs.length / 2)
+    info(f"nested-CV AUCs on reference data: ${aucs.map(a => f"$a%.3f").mkString(", ")} " +
+      f"(median $median%.3f; published 0.788)")
+    // published: nested median AUC 0.788, inner ROC 0.846 ± 0.093 SD.
+    // Different CV harness + small n → assert the band, not the decimal.
+    assert(median > 0.6, s"median AUC $median far below published 0.788")
+    assert(median <= 1.0)
+  }
+}
