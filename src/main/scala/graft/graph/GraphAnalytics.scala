@@ -138,6 +138,34 @@ object GraphAnalytics {
       }.toDF("group", "id", "eigen")
   }
 
+  /** Per-group per-vertex centrality battery: eigencentrality,
+    * PageRank, betweenness, closeness, weight-entropy diversity, and
+    * alpha centrality in one kernel pass per group (SURVEY G6-G13).
+    * Output: (group, id, eigen, pagerank, betweenness, closeness,
+    * diversity, alpha). */
+  def perGroupVertexMetrics(edges: DataFrame, directed: Boolean = false,
+      alpha: Double = 0.1): DataFrame = {
+    val spark = edges.sparkSession
+    import spark.implicits._
+    edges.select(col("group"), col("src"), col("dst"), col("weight").cast("double"))
+      .as[(String, Long, Long, Double)]
+      .groupByKey(_._1)
+      .flatMapGroups { (grp, it) =>
+        val g = LocalGraph.fromEdges(it.map(t => (t._2, t._3, t._4)).toSeq, directed)
+        val eig = g.eigenCentrality()
+        val pr = g.pageRank()
+        val btw = g.betweenness
+        val clo = g.closeness
+        val div = g.diversity
+        val alp = try g.alphaCentrality(alpha) catch {
+          case _: IllegalArgumentException => Array.fill(g.n)(Double.NaN)
+        }
+        g.vertexIds.indices.map(i =>
+          (grp, g.vertexIds(i), eig(i), pr(i), btw(i), clo(i), div(i), alp(i)))
+      }.toDF("group", "id", "eigen", "pagerank", "betweenness",
+        "closeness", "diversity", "alpha")
+  }
+
   /** G17 — graph β-diversity as edge-set Jaccard distance
     * 1 − |E₁∩E₂|/|E₁∪E₂| for every group pair (reference
     * bin/compareTwins.R:179-216). Pure relational: canonicalize,

@@ -102,5 +102,12 @@ object AnalyticsQueries {
       .select(col("name"), col("kind"), col("pagerank"), col("component"))
   }
 
-  val all: Seq[QuerySpec] = Seq(q53, q54, q55, q56, q57)
+  /** G6-G13 — full per-vertex centrality battery per group. */
+  val q59 = QuerySpec.rowsOnly(
+    "q59_vertex_centralities",
+    "per-group eigen/pagerank/betweenness/closeness/diversity/alpha (SURVEY G6-G13)") { (s, d) =>
+    GraphAnalytics.perGroupVertexMetrics(groupEdges(s, d))
+  }
+
+  val all: Seq[QuerySpec] = Seq(q53, q54, q55, q56, q57, q59)
 }

@@ -45,6 +45,16 @@ object StreamOps {
     spark.table(name)
   }
 
+  /** Streaming exact dedup: emit the first arrival per key, dropping
+    * repeats that arrive within the watermark horizon — the streaming
+    * twin of Dedup.exactDuplicates for continuous corpus ingestion.
+    * Dedup state expires with the watermark, so memory is bounded by
+    * (horizon × arrival rate), not stream length. */
+  def dedupStream(events: DataFrame, keyCols: Seq[String],
+      watermarkCol: String, horizon: String): DataFrame =
+    events.withWatermark(watermarkCol, horizon)
+      .dropDuplicatesWithinWatermark(keyCols)
+
   final case class Event(user_id: Long, ts: java.time.Instant, value: Double)
   final case class SessionState(start: Long, end: Long, n: Int, sum: Double) // micros
   final case class Session(user_id: Long, session_start: java.time.Instant,
