@@ -29,6 +29,7 @@ object AnalyticsQueries {
       .groupBy(col("n_name").as("group"), col("l_suppkey").as("src"),
         (col("o_custkey") + 1000000L).as("dst"))
       .agg(sum(col("l_quantity").cast("long")).cast("double").as("weight"))
+      .cache() // q55 and q59 share this plan via the cache manager
 
   /** M6/G18 — Bray-Curtis dissimilarity between groups. */
   val q53 = QuerySpec.sql(
@@ -85,12 +86,8 @@ object AnalyticsQueries {
     GraphAnalytics.perGroupMetrics(groupEdges(s, d))
   }
 
-  /** G6/G18 — per-group eigencentrality vectors (node×group matrix). */
-  val q56 = QuerySpec.rowsOnly(
-    "q56_group_eigencentrality",
-    "per-group weighted eigencentrality (SURVEY G6)") { (s, d) =>
-    GraphAnalytics.perGroupEigen(groupEdges(s, d))
-  }
+  // (q56 per-group eigencentrality was superseded by q59's battery —
+  // perGroupEigen itself remains in use by q72 and the specs)
 
   /** G12/G5 — GraphX global PageRank + connected components. */
   val q57 = QuerySpec.rowsOnly(
@@ -109,5 +106,5 @@ object AnalyticsQueries {
     GraphAnalytics.perGroupVertexMetrics(groupEdges(s, d))
   }
 
-  val all: Seq[QuerySpec] = Seq(q53, q54, q55, q56, q57, q59)
+  val all: Seq[QuerySpec] = Seq(q53, q54, q55, q57, q59)
 }
