@@ -319,6 +319,85 @@ final case class LocalGraph(
     membership.map(renum)
   }
 
+  /** G14 — exact walktrap communities (Pons-Latapy 2005, igraph
+    * walktrap.community; reference bin/CompareNetworkGroups.R:67):
+    * t-step random-walk probability vectors define a community
+    * distance; Ward-style merges of *adjacent* communities proceed to
+    * a full dendrogram; the level with maximum modularity wins.
+    * O(n³)-ish dense implementation — sized for the per-sample
+    * subgraphs this engine computes communities on (tens of nodes;
+    * the distributed analog for big graphs is label propagation). */
+  def walktrapCommunities(steps: Int = 4): Array[Int] = {
+    if (n == 0) return Array.empty
+    // transition matrix P = D^-1 W (self-loop for isolated vertices)
+    val w = Array.fill(n, n)(0.0)
+    edges.foreach { case (s, d, wt) =>
+      val (si, di) = (idx(s), idx(d))
+      w(si)(di) += wt
+      if (!directed && si != di) w(di)(si) += wt
+    }
+    val deg = w.map(_.sum)
+    val p = Array.tabulate(n, n)((i, j) =>
+      if (deg(i) == 0) { if (i == j) 1.0 else 0.0 } else w(i)(j) / deg(i))
+    // P^t rows
+    var pt = p.map(_.clone())
+    (1 until steps).foreach { _ =>
+      val next = Array.fill(n, n)(0.0)
+      (0 until n).foreach { i =>
+        (0 until n).foreach { k =>
+          val pik = pt(i)(k)
+          if (pik != 0) (0 until n).foreach(j => next(i)(j) += pik * p(k)(j))
+        }
+      }
+      pt = next
+    }
+    val totalDeg = deg.sum
+    val invSqrtDeg = deg.map(d => if (d == 0) 0.0 else 1.0 / math.sqrt(d / totalDeg * 2))
+    // communities: prob vector, size, member mask
+    val commVec = scala.collection.mutable.Map[Int, Array[Double]]()
+    val commSize = scala.collection.mutable.Map[Int, Int]()
+    var membership = Array.tabulate(n)(identity)
+    (0 until n).foreach { i => commVec(i) = pt(i).clone(); commSize(i) = 1 }
+    def adjacentPairs: Seq[(Int, Int)] = {
+      val pairs = scala.collection.mutable.Set[(Int, Int)]()
+      edges.foreach { case (s, d, _) =>
+        val (a, b) = (membership(idx(s)), membership(idx(d)))
+        if (a != b) pairs += ((math.min(a, b), math.max(a, b)))
+      }
+      pairs.toSeq
+    }
+    def dist2(a: Int, b: Int): Double = {
+      val (va, vb) = (commVec(a), commVec(b))
+      var s = 0.0
+      (0 until n).foreach { k =>
+        val diff = (va(k) - vb(k)) * invSqrtDeg(k)
+        s += diff * diff
+      }
+      s * commSize(a) * commSize(b) / (n.toDouble * (commSize(a) + commSize(b)))
+    }
+    var best = membership.clone()
+    var bestQ = modularity(membership)
+    while (commSize.size > 1) {
+      val cand = adjacentPairs
+      if (cand.isEmpty) return renumber(best) // disconnected remainder
+      val (a, b) = cand.minBy { case (x, y) => dist2(x, y) }
+      val (sa, sb) = (commSize(a), commSize(b))
+      val merged = Array.tabulate(n)(k =>
+        (commVec(a)(k) * sa + commVec(b)(k) * sb) / (sa + sb))
+      commVec(a) = merged; commVec.remove(b)
+      commSize(a) = sa + sb; commSize.remove(b)
+      membership = membership.map(c => if (c == b) a else c)
+      val q = modularity(membership)
+      if (q > bestQ) { bestQ = q; best = membership.clone() }
+    }
+    renumber(best)
+  }
+
+  private def renumber(m: Array[Int]): Array[Int] = {
+    val map = m.distinct.sorted.zipWithIndex.toMap
+    m.map(map)
+  }
+
   // ---- centralization (igraph centr_* family) ----
 
   def centralization(scores: Array[Double], tmax: Double): Double =

@@ -92,4 +92,29 @@ class LocalGraphSpec extends org.scalatest.funsuite.AnyFunSuite {
     assert(!disc.isConnected)
     assert(disc.componentIds.distinct.length == 2)
   }
+
+  test("walktrap: two-triangle barbell splits at max modularity") {
+    val twoTri = LocalGraph.fromEdges(Seq(
+      (0L, 1L, 1.0), (1L, 2L, 1.0), (0L, 2L, 1.0),
+      (3L, 4L, 1.0), (4L, 5L, 1.0), (3L, 5L, 1.0),
+      (2L, 3L, 1.0))) // bridge
+    val comm = twoTri.walktrapCommunities()
+    assert(comm.distinct.length == 2)
+    assert(comm(0) == comm(1) && comm(1) == comm(2))
+    assert(comm(3) == comm(4) && comm(4) == comm(5))
+    assert(comm(0) != comm(3))
+    // agrees with greedy CNM on this clean structure
+    assert(twoTri.modularity(comm) == twoTri.modularity(twoTri.greedyModularityCommunities))
+  }
+
+  test("walktrap: clique stays one community; disconnected components never merge") {
+    val k4 = LocalGraph.fromEdges(for {
+      i <- 0 until 4; j <- (i + 1) until 4
+    } yield (i.toLong, j.toLong, 1.0))
+    assert(k4.walktrapCommunities().distinct.length == 1 ||
+      k4.modularity(k4.walktrapCommunities()) == 0.0)
+    val disc = LocalGraph.fromEdges(Seq((0L, 1L, 1.0), (2L, 3L, 1.0)))
+    val dc = disc.walktrapCommunities()
+    assert(dc(0) == dc(1) && dc(2) == dc(3) && dc(0) != dc(2))
+  }
 }
