@@ -81,4 +81,25 @@ class SamplingSpec extends SparkSpec {
     assert(Sampling.sampleColumns(cols, 0.25, 7) == Sampling.sampleColumns(cols, 0.25, 7))
     assert(Sampling.sampleColumns(cols, 0.25, 7).size == 5)
   }
+
+  test("RarefyAggregator matches the flatMapGroups rarefy exactly") {
+    val agg = new RarefyAggregator(depth = 40, seed = 42).toColumn
+    val viaAgg = counts.as[(String, String, Long)]
+      .groupByKey(_._1)
+      .agg(agg.name("drawn"))
+      .collect()
+      .flatMap { case (g, m) => m.map { case (item, c) => (g, item) -> c } }
+      .toMap
+    val viaGroups = Sampling.rarefy(counts, 40, 42).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(viaAgg == viaGroups)
+    // partial-merge path: many partitions must not change the draw
+    val viaAggPart = counts.repartition(13).as[(String, String, Long)]
+      .groupByKey(_._1)
+      .agg(agg.name("drawn"))
+      .collect()
+      .flatMap { case (g, m) => m.map { case (item, c) => (g, item) -> c } }
+      .toMap
+    assert(viaAggPart == viaGroups)
+  }
 }
