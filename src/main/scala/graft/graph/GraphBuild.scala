@@ -46,26 +46,30 @@ object GraphBuild {
       crispr: DataFrame, prophage: DataFrame, blastx: DataFrame,
       pfam: DataFrame, interactions: DataFrame): PropertyGraph = {
 
-    def norm(df: DataFrame, flip: Boolean): DataFrame = {
+    def norm(df: DataFrame, flip: Boolean, tag: String): DataFrame = {
       val Seq(c0, c1, c2) = df.columns.toSeq.take(3).map(col)
       val (phage, bact) = if (flip) (c0, c1) else (c1, c0)
       df.select(sanitizeName(phage).as("phage"), sanitizeName(bact).as("bacteria"),
-        c2.cast("double").as("score"))
+        c2.cast("double").as("score"), lit(tag).as("ev"))
     }
-    val key = Seq("phage", "bacteria")
-    val ev = Seq(
-      norm(crispr, flip = false).groupBy(key.head, key.tail: _*)
-        .agg(max("score").as("crispr")),
-      norm(prophage, flip = false).groupBy(key.head, key.tail: _*)
-        .agg(min("score").as("blast")),
-      norm(blastx, flip = false).groupBy(key.head, key.tail: _*)
-        .agg(avg("score").as("blastx")),
-      norm(pfam, flip = false).groupBy(key.head, key.tail: _*)
-        .agg(avg("score").as("pfam")),
-      norm(interactions, flip = true).groupBy(key.head, key.tail: _*)
-        .agg((max("score") > 0).as("interaction")))
-
-    val merged = ev.reduce((a, b) => a.join(b, key, "full_outer"))
+    // The conceptual op is a 5-way full-outer join on (phage, bacteria)
+    // (the reference's property-merge upsert); the physical strategy is
+    // a tagged union + ONE conditional aggregation — same result, one
+    // shuffle instead of five shuffles + four join exchanges.
+    def evOnly(tag: String) = when(col("ev") === tag, col("score"))
+    val tagged = Seq(
+      norm(crispr, flip = false, "crispr"),
+      norm(prophage, flip = false, "blast"),
+      norm(blastx, flip = false, "blastx"),
+      norm(pfam, flip = false, "pfam"),
+      norm(interactions, flip = true, "interaction"))
+      .reduce(_ unionByName _)
+    val merged = tagged.groupBy("phage", "bacteria").agg(
+        max(evOnly("crispr")).as("crispr"),
+        min(evOnly("blast")).as("blast"),
+        avg(evOnly("blastx")).as("blastx"),
+        avg(evOnly("pfam")).as("pfam"),
+        (max(evOnly("interaction")) > 0).as("interaction"))
       .na.fill(0.0, Seq("crispr", "blast", "blastx", "pfam"))
 
     val phages = merged.select(col("phage").as("name")).distinct()
