@@ -94,12 +94,15 @@ object GraphAnalytics {
     * reference's network-stat battery (nestats shape —
     * reference bin/GeneralNetworkProperties.R, bin/CompareSkin.R:175-181).
     * Input: (group: String, src: Long, dst: Long, weight: Double). */
-  /** @param communityMaxNodes greedy-modularity communities are
-    *   quadratic in node count — computed only for groups at or below
-    *   this size (the reference's per-sample subgraphs are tens of
-    *   nodes); larger groups report nCommunities = -1, modularity NaN. */
+  /** @param communityMaxNodes community detection is quadratic-plus in
+    *   node count — computed only for groups at or below this size
+    *   (the reference's per-sample subgraphs are tens of nodes);
+    *   larger groups report nCommunities = -1, modularity NaN.
+    * @param communityAlgorithm "greedy" (CNM, reference fastgreedy) or
+    *   "walktrap" (exact Pons-Latapy port, reference walktrap). */
   def perGroupMetrics(edges: DataFrame, directed: Boolean = false,
-      communityMaxNodes: Int = 200): DataFrame = {
+      communityMaxNodes: Int = 200,
+      communityAlgorithm: String = "greedy"): DataFrame = {
     val spark = edges.sparkSession
     import spark.implicits._
     edges.select(col("group"), col("src"), col("dst"), col("weight").cast("double"))
@@ -107,8 +110,10 @@ object GraphAnalytics {
       .groupByKey(_._1)
       .mapGroups { (grp, it) =>
         val g = LocalGraph.fromEdges(it.map(t => (t._2, t._3, t._4)).toSeq, directed)
-        val comm = if (g.n <= communityMaxNodes) g.greedyModularityCommunities
-                   else Array.empty[Int]
+        val comm =
+          if (g.n > communityMaxNodes) Array.empty[Int]
+          else if (communityAlgorithm == "walktrap") g.walktrapCommunities()
+          else g.greedyModularityCommunities
         GroupGraphMetrics(
           group = grp, nNodes = g.n, nEdges = g.edges.length,
           diameter = g.diameter, radius = g.radius,

@@ -72,4 +72,17 @@ class GraphAnalyticsSpec extends SparkSpec {
     assert(cc(1L) == cc(2L) && cc(2L) == cc(3L))
     assert(cc(4L) != cc(1L)) // isolated node its own component
   }
+
+  test("perGroupMetrics supports walktrap communities per group") {
+    val twoTri = Seq(
+      ("t", 0L, 1L, 1.0), ("t", 1L, 2L, 1.0), ("t", 0L, 2L, 1.0),
+      ("t", 3L, 4L, 1.0), ("t", 4L, 5L, 1.0), ("t", 3L, 5L, 1.0),
+      ("t", 2L, 3L, 1.0))
+    import spark.implicits._
+    val m = GraphAnalytics.perGroupMetrics(
+      twoTri.toDF("group", "src", "dst", "weight"),
+      communityAlgorithm = "walktrap").head()
+    assert(m.getAs[Int]("nCommunities") == 2)
+    assert(m.getAs[Double]("modularity") > 0.2)
+  }
 }
