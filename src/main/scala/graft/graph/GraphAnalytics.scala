@@ -90,6 +90,25 @@ object GraphAnalytics {
         .add("id", "long").add("community", "long"))
   }
 
+  /** Materialize one group's edges into task memory, failing fast past
+    * the cap: the per-group kernels are the many-small-groups tier, and
+    * a megagroup must error with an actionable message instead of
+    * OOMing the executor. */
+  private def boundedEdges(grp: String, it: Iterator[(String, Long, Long, Double)],
+      cap: Int): Seq[(Long, Long, Double)] = {
+    val buf = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Double)]
+    while (it.hasNext) {
+      if (buf.length >= cap)
+        throw new IllegalStateException(
+          s"group '$grp' has more than $cap edges — too large for a task-local " +
+            "graph kernel. Pre-aggregate the group, raise maxGroupEdges, or use " +
+            "the GraphX tier (pageRankAndComponents/connectedComponents).")
+      val t = it.next()
+      buf += ((t._2, t._3, t._4))
+    }
+    buf.toSeq
+  }
+
   /** Per-group whole-graph metrics: one row per group with the
     * reference's network-stat battery (nestats shape —
     * reference bin/GeneralNetworkProperties.R, bin/CompareSkin.R:175-181).
@@ -102,14 +121,15 @@ object GraphAnalytics {
     *   "walktrap" (exact Pons-Latapy port, reference walktrap). */
   def perGroupMetrics(edges: DataFrame, directed: Boolean = false,
       communityMaxNodes: Int = 200,
-      communityAlgorithm: String = "greedy"): DataFrame = {
+      communityAlgorithm: String = "greedy",
+      maxGroupEdges: Int = 2000000): DataFrame = {
     val spark = edges.sparkSession
     import spark.implicits._
     edges.select(col("group"), col("src"), col("dst"), col("weight").cast("double"))
       .as[(String, Long, Long, Double)]
       .groupByKey(_._1)
       .mapGroups { (grp, it) =>
-        val g = LocalGraph.fromEdges(it.map(t => (t._2, t._3, t._4)).toSeq, directed)
+        val g = LocalGraph.fromEdges(boundedEdges(grp, it, maxGroupEdges), directed)
         val comm =
           if (g.n > communityMaxNodes) Array.empty[Int]
           else if (communityAlgorithm == "walktrap") g.walktrapCommunities()
@@ -130,14 +150,15 @@ object GraphAnalytics {
   /** Per-group per-vertex eigencentrality — the node×sample matrix
     * feeding β-diversity (G18; reference bin/interpersonaldiversity.R:98-116).
     * Output: (group, id, eigen). */
-  def perGroupEigen(edges: DataFrame, directed: Boolean = false): DataFrame = {
+  def perGroupEigen(edges: DataFrame, directed: Boolean = false,
+      maxGroupEdges: Int = 2000000): DataFrame = {
     val spark = edges.sparkSession
     import spark.implicits._
     edges.select(col("group"), col("src"), col("dst"), col("weight").cast("double"))
       .as[(String, Long, Long, Double)]
       .groupByKey(_._1)
       .flatMapGroups { (grp, it) =>
-        val g = LocalGraph.fromEdges(it.map(t => (t._2, t._3, t._4)).toSeq, directed)
+        val g = LocalGraph.fromEdges(boundedEdges(grp, it, maxGroupEdges), directed)
         val e = g.eigenCentrality()
         g.vertexIds.indices.map(i => (grp, g.vertexIds(i), e(i)))
       }.toDF("group", "id", "eigen")
@@ -149,14 +170,14 @@ object GraphAnalytics {
     * Output: (group, id, eigen, pagerank, betweenness, closeness,
     * diversity, alpha). */
   def perGroupVertexMetrics(edges: DataFrame, directed: Boolean = false,
-      alpha: Double = 0.1): DataFrame = {
+      alpha: Double = 0.1, maxGroupEdges: Int = 2000000): DataFrame = {
     val spark = edges.sparkSession
     import spark.implicits._
     edges.select(col("group"), col("src"), col("dst"), col("weight").cast("double"))
       .as[(String, Long, Long, Double)]
       .groupByKey(_._1)
       .flatMapGroups { (grp, it) =>
-        val g = LocalGraph.fromEdges(it.map(t => (t._2, t._3, t._4)).toSeq, directed)
+        val g = LocalGraph.fromEdges(boundedEdges(grp, it, maxGroupEdges), directed)
         val eig = g.eigenCentrality()
         val pr = g.pageRank()
         val btw = g.betweenness

@@ -107,11 +107,26 @@ object GraphBuild {
     (sampled, samples)
   }
 
+  /** Memo for [[tpchGraph]]: five gate queries (q50/q51/q52/q57/q58)
+    * share the same derived graph; round-1 profiling showed each
+    * rebuilding the lineitem⋈orders + groupBy aggregates from parquet
+    * (q52 spent 9 s on a degree count). One build + persist per
+    * (session, dir) amortizes that to a single pair of shuffles. */
+  private val tpchGraphCache =
+    scala.collection.concurrent.TrieMap.empty[(String, String), PropertyGraph]
+
   /** Adapter: a property graph over the driver test tables, used by
     * the motif queries in the correctness gate. Kinds: Customer,
     * Supplier, Part; rels: ordered (customer→part via orders+lineitem,
-    * weight = total quantity) and supplies (supplier→part). */
-  def tpchGraph(spark: SparkSession, dir: String): PropertyGraph = {
+    * weight = total quantity) and supplies (supplier→part).
+    * Cached per (session, dir); nodes/edges are persisted on first use. */
+  def tpchGraph(spark: SparkSession, dir: String): PropertyGraph =
+    tpchGraphCache.getOrElseUpdate((System.identityHashCode(spark).toString, dir), {
+      val g = buildTpchGraph(spark, dir)
+      PropertyGraph(g.nodes.persist(), g.edges.persist())
+    })
+
+  private def buildTpchGraph(spark: SparkSession, dir: String): PropertyGraph = {
     import graft.Tables
     val li = Tables.lineitem(spark, dir)
     val ord = Tables.orders(spark, dir)

@@ -15,7 +15,7 @@ object Corpus {
   /** Corpus stats per language — exact integer aggregates. */
   val q30 = QuerySpec.sql(
     "q30_corpus_stats",
-    """SELECT lang, count(*) AS n_docs, sum(n_chars) AS total_chars,
+    """SELECT lang, count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS total_chars,
       |       count(DISTINCT source) AS n_sources,
       |       sum(n_chars) / (1.0 * count(*)) AS avg_chars
       |FROM documents GROUP BY lang""",
@@ -101,11 +101,15 @@ object Corpus {
   }
 
   /** MinHash signatures — deterministic xxhash64 family, not ANSI-SQL
-    * expressible (rows-only). */
+    * expressible (rows-only). The gate projection stringifies the
+    * signature: the driver's row canonicalizer sorts all columns and
+    * cannot sort array cells (round-1 q36 err). The array form stays
+    * internal for q37/q42. */
   val q36 = QuerySpec.rowsOnly(
     "q36_minhash_signatures",
     "MinHash signature per doc (dedup, LSH input)") { (s, d) =>
     Dedup.minhashSignatures(Tables.documents(s, d), "doc_id", "text", numHashes = 16)
+      .select(col("doc_id"), concat_ws(",", col("signature")).as("signature"))
   }
 
   /** MinHash-LSH candidate near-dup pairs (band blocking). */

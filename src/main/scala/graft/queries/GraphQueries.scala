@@ -17,15 +17,15 @@ object GraphQueries {
     "q50_motif_find",
     """WITH ordered AS (
       |  SELECT o_custkey AS ck, l_partkey AS pk,
-      |         sum(CAST(l_quantity AS BIGINT)) AS w
+      |         CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS w
       |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
       |  GROUP BY 1, 2),
       |supplies AS (
       |  SELECT l_suppkey AS sk, l_partkey AS pk,
-      |         sum(CAST(l_quantity AS BIGINT)) AS w
+      |         CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS w
       |  FROM lineitem GROUP BY 1, 2)
       |SELECT s_name AS supplier_name, count(*) AS n_paths,
-      |       sum(ordered.w) AS total_ordered_qty
+      |       CAST(sum(ordered.w) AS BIGINT) AS total_ordered_qty
       |FROM ordered
       |JOIN supplies ON ordered.pk = supplies.pk
       |JOIN supplier ON s_suppkey = supplies.sk

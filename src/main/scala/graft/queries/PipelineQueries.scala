@@ -84,6 +84,14 @@ object PipelineQueries {
     val eigen = GraphAnalytics.perGroupEigen(edges)
       .select(col("group"), col("id").as("item"), col("eigen").as("value"))
     val bc = GraphAnalytics.brayCurtis(eigen).cache()
+    // the rank-sum test below collects the pairwise distances to the
+    // driver (sanctioned: eco-stats run on the #groups² distance
+    // matrix, tiny by construction) — but guard the cardinality so a
+    // high-cardinality group column fails fast instead of OOMing
+    val nPairs = bc.count()
+    require(nPairs <= 250000,
+      s"q72 would collect $nPairs group-pair distances to the driver (cap 250000, " +
+        "~700 groups); reduce the cardinality of the group column")
     // split distances into "adjacent priority" vs not, test difference
     val withClass = bc.withColumn("same_class",
       (substring(col("g1"), 1, 1) === substring(col("g2"), 1, 1)).cast("int"))

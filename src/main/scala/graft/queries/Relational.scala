@@ -24,7 +24,7 @@ object Relational {
   val q01 = QuerySpec.sql(
     "q01_pricing_summary",
     """SELECT l_returnflag, l_linestatus,
-      |       sum(CAST(l_quantity AS BIGINT)) AS sum_qty,
+      |       CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
       |       sum(CAST(round(l_extendedprice * 100, 0) AS BIGINT)) / 100.0 AS sum_base,
       |       sum(CAST(round(l_extendedprice * (1 - l_discount) * 10000, 0) AS BIGINT)) / 10000.0 AS sum_disc,
       |       count(*) AS n_rows
@@ -81,7 +81,7 @@ object Relational {
   val q04 = QuerySpec.sql(
     "q04_broadcast_lookup",
     """SELECT p_brand, count(*) AS n_items,
-      |       sum(CAST(l_quantity AS BIGINT)) AS sum_qty
+      |       CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty
       |FROM lineitem JOIN part ON l_partkey = p_partkey
       |WHERE p_size < 10
       |GROUP BY p_brand""",
@@ -99,7 +99,7 @@ object Relational {
     * bin/iteratePredictedRelationships.R:50-55). */
   val q05 = QuerySpec.sql(
     "q05_evidence_fullouter",
-    """WITH a AS (SELECT l_partkey AS k, sum(CAST(l_quantity AS BIGINT)) AS ev_qty
+    """WITH a AS (SELECT l_partkey AS k, CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS ev_qty
       |           FROM lineitem WHERE l_returnflag = 'A' GROUP BY l_partkey),
       |     b AS (SELECT l_partkey AS k, count(*) AS ev_cnt
       |           FROM lineitem WHERE l_returnflag = 'R' GROUP BY l_partkey),
@@ -188,7 +188,7 @@ object Relational {
   val q10 = QuerySpec.sql(
     "q10_two_level_agg",
     """SELECT min(s) AS min_qty, max(s) AS max_qty, count(*) AS n_groups
-      |FROM (SELECT sum(CAST(l_quantity AS BIGINT)) AS s
+      |FROM (SELECT CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS s
       |      FROM lineitem GROUP BY l_orderkey)""",
     "grouped sum then global min/max (SURVEY A5)") { (s, d) =>
     Tables.lineitem(s, d)
@@ -202,9 +202,9 @@ object Relational {
   val q11 = QuerySpec.sql(
     "q11_pivot",
     """SELECT l_linestatus,
-      |       COALESCE(sum(CASE WHEN l_returnflag = 'A' THEN CAST(l_quantity AS BIGINT) END), 0) AS A,
-      |       COALESCE(sum(CASE WHEN l_returnflag = 'N' THEN CAST(l_quantity AS BIGINT) END), 0) AS N,
-      |       COALESCE(sum(CASE WHEN l_returnflag = 'R' THEN CAST(l_quantity AS BIGINT) END), 0) AS R
+      |       CAST(COALESCE(sum(CASE WHEN l_returnflag = 'A' THEN CAST(l_quantity AS BIGINT) END), 0) AS BIGINT) AS A,
+      |       CAST(COALESCE(sum(CASE WHEN l_returnflag = 'N' THEN CAST(l_quantity AS BIGINT) END), 0) AS BIGINT) AS N,
+      |       CAST(COALESCE(sum(CASE WHEN l_returnflag = 'R' THEN CAST(l_quantity AS BIGINT) END), 0) AS BIGINT) AS R
       |FROM lineitem GROUP BY l_linestatus""",
     "long→wide pivot, missing→0 (SURVEY V1)") { (s, d) =>
     Tables.lineitem(s, d)

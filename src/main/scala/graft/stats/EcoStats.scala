@@ -10,8 +10,10 @@ import org.apache.spark.sql.functions._
   * driver-side and bounded"). `wilcoxonRankSumDF` is the distributed
   * variant for when the two samples are themselves large.
   *
-  * Normal-approximation p-values with tie correction match R's
-  * wilcox.test(correct=FALSE, exact=FALSE) conventions.
+  * Normal-approximation p-values use tie AND continuity correction —
+  * R's wilcox.test(correct=TRUE, exact=FALSE) default (see the cc term
+  * in approxMannWhitneyP); small untied samples use the exact
+  * distribution, also R's default.
   */
 object EcoStats {
 
