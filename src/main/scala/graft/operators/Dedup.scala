@@ -138,6 +138,38 @@ object Dedup {
     ccDf
   }
 
+  /** Exact Jaccard verification of candidate pairs — the 100 TB form
+    * of [[jaccardPairs]]. The token join is bounded by
+    * |candidates| × tokens-per-doc instead of quadratic in block size:
+    * one dominant blocking-key value (the common case in web corpora)
+    * cannot blow it up, because candidates come from LSH banding
+    * ([[lshCandidatePairs]] / [[simhashNearDups]]), not from the block.
+    *
+    * @param candidates (d1, d2) pairs to verify exactly
+    * @param shingleK   shingle width — use the same k the signatures
+    *                   were built with so the verified measure matches
+    *                   the estimated one */
+  def jaccardVerifyCandidates(docs: DataFrame, idCol: String, textCol: String,
+      candidates: DataFrame, shingleK: Int = 1,
+      minJaccard: Double = 0.0): DataFrame = {
+    val tok = docs.select(col(idCol).as("doc_id"),
+      explode(shingles(col(textCol), shingleK)).as("tok"))
+    val sizes = tok.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    val cand = candidates.select(col("d1"), col("d2"))
+    // fan d1's tokens onto each candidate pair, then intersect with
+    // d2's tokens via one equi-join on (d2, tok)
+    val t1 = cand.join(tok.select(col("doc_id").as("d1"), col("tok")), Seq("d1"))
+    val inter = t1.join(tok.select(col("doc_id").as("d2"), col("tok")), Seq("d2", "tok"))
+      .groupBy("d1", "d2").agg(count(lit(1)).as("n_inter"))
+    cand.join(inter, Seq("d1", "d2"), "left_outer").na.fill(0L, Seq("n_inter"))
+      .join(sizes.select(col("doc_id").as("d1"), col("n").as("n1")), "d1")
+      .join(sizes.select(col("doc_id").as("d2"), col("n").as("n2")), "d2")
+      .select(col("d1"), col("d2"),
+        (col("n_inter").cast("double") /
+          (col("n1") + col("n2") - col("n_inter")).cast("double")).as("jaccard"))
+      .where(col("jaccard") >= minJaccard)
+  }
+
   /** Exact n-gram Jaccard similarity for doc pairs sharing a blocking
     * key (e.g. source): explode tokens, count intersections via
     * token-equi join within block, Jaccard from exact set sizes.

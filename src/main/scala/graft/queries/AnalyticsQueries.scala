@@ -79,15 +79,63 @@ object AnalyticsQueries {
     GraphAnalytics.edgeJaccardDistance(edges)
   }
 
-  /** G1-G9/G14 — per-group network-stat battery via mapGroups kernels. */
-  val q55 = QuerySpec.rowsOnly(
+  /** G3/G5/G9 — the SQL-expressible slice of the per-group network
+    * battery, driver-oracled: node/edge counts, connectivity
+    * (recursive-CTE reachability on the DuckDB side vs BFS in the
+    * kernel), and degree centralization. Degrees are integers, so
+    * Σ(max−deg)/((n−1)(n−2)) is one exact-integer sum and one IEEE
+    * division — hash-stable without rounding (verified bit-equal). */
+  val q55 = QuerySpec.sql(
     "q55_group_graph_metrics",
-    "per-group diameter/centralization battery (SURVEY G3-G9,G14)") { (s, d) =>
+    """WITH RECURSIVE e AS (
+      |  SELECT n_name AS grp, l_suppkey AS src, o_custkey + 1000000 AS dst
+      |  FROM lineitem
+      |  JOIN orders ON l_orderkey = o_orderkey
+      |  JOIN customer ON o_custkey = c_custkey
+      |  JOIN nation ON c_nationkey = n_nationkey
+      |  WHERE l_quantity >= 49
+      |  GROUP BY 1, 2, 3),
+      |deg AS (
+      |  SELECT grp, node, count(*) AS d FROM (
+      |    SELECT grp, src AS node FROM e UNION ALL SELECT grp, dst AS node FROM e)
+      |  GROUP BY grp, node),
+      |sym AS (SELECT grp, src AS a, dst AS b FROM e UNION ALL SELECT grp, dst AS a, src AS b FROM e),
+      |roots AS (SELECT grp, min(node) AS node FROM deg GROUP BY grp),
+      |r AS (
+      |  SELECT grp, node FROM roots
+      |  UNION
+      |  SELECT s.grp, s.b AS node FROM r JOIN sym s ON s.grp = r.grp AND s.a = r.node),
+      |reach AS (SELECT grp, count(*) AS n_reach FROM r GROUP BY grp),
+      |stats AS (
+      |  SELECT grp, count(*) AS n_nodes, CAST(sum(mx - d) AS DOUBLE) AS cent_num
+      |  FROM (SELECT grp, node, d, max(d) OVER (PARTITION BY grp) AS mx FROM deg)
+      |  GROUP BY grp),
+      |ecnt AS (SELECT grp, count(*) AS n_edges FROM e GROUP BY grp)
+      |SELECT s.grp,
+      |       CAST(s.n_nodes AS BIGINT) AS n_nodes,
+      |       CAST(ec.n_edges AS BIGINT) AS n_edges,
+      |       (r2.n_reach = s.n_nodes) AS connected,
+      |       CASE WHEN (s.n_nodes - 1.0) * (s.n_nodes - 2.0) = 0 THEN 0.0
+      |            ELSE s.cent_num / ((s.n_nodes - 1.0) * (s.n_nodes - 2.0)) END AS degree_centralization
+      |FROM stats s JOIN ecnt ec ON ec.grp = s.grp JOIN reach r2 ON r2.grp = s.grp""",
+    "per-group size/connectivity/degree-centralization, oracled (SURVEY G3,G5,G9)") { (s, d) =>
     GraphAnalytics.perGroupMetrics(groupEdges(s, d))
+      .select(col("group").as("grp"),
+        col("nNodes").cast("long").as("n_nodes"),
+        col("nEdges").cast("long").as("n_edges"),
+        col("connected"),
+        col("degreeCentralization").as("degree_centralization"))
   }
 
-  // (q56 per-group eigencentrality was superseded by q59's battery —
-  // perGroupEigen itself remains in use by q72 and the specs)
+  /** G1-G9/G14 — the full per-group network-stat battery (diameter,
+    * radius, mean distance, all four centralizations, communities +
+    * modularity) via mapGroups kernels; the non-SQL-expressible
+    * remainder of q55, rows-only (igraph-golden specs pin values). */
+  val q56 = QuerySpec.rowsOnly(
+    "q56_group_graph_battery",
+    "per-group diameter/centralization/community battery (SURVEY G3-G9,G14)") { (s, d) =>
+    GraphAnalytics.perGroupMetrics(groupEdges(s, d))
+  }
 
   /** G12/G5 — GraphX global PageRank + connected components. */
   val q57 = QuerySpec.rowsOnly(
@@ -106,5 +154,5 @@ object AnalyticsQueries {
     GraphAnalytics.perGroupVertexMetrics(groupEdges(s, d))
   }
 
-  val all: Seq[QuerySpec] = Seq(q53, q54, q55, q57, q59)
+  val all: Seq[QuerySpec] = Seq(q53, q54, q55, q56, q57, q59)
 }

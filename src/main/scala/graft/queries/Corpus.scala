@@ -167,6 +167,19 @@ object Corpus {
       .groupBy("cluster_size").agg(count(lit(1)).as("n_clusters"))
   }
 
+  /** The scale-safe exact-Jaccard path: LSH candidates → exact verify.
+    * q35's per-block self-join is the small-scale cross-check of this;
+    * at 100 TB THIS is the form that survives a skewed blocking key
+    * (join bounded by candidates, not block size). */
+  val q43 = QuerySpec.rowsOnly(
+    "q43_jaccard_verified_lsh",
+    "exact Jaccard verification of LSH candidate pairs (dedup, scale form)") { (s, d) =>
+    val docs = Tables.documents(s, d)
+    val sig = Dedup.minhashSignatures(docs, "doc_id", "text", numHashes = 16, shingleK = 2)
+    val cand = Dedup.lshCandidatePairs(sig, bands = 4, rowsPerBand = 4)
+    Dedup.jaccardVerifyCandidates(docs, "doc_id", "text", cand, shingleK = 2)
+  }
+
   val all: Seq[QuerySpec] =
-    Seq(q30, q31, q32, q33, q34, q35, q36, q37, q38, q39, q40, q41, q42)
+    Seq(q30, q31, q32, q33, q34, q35, q36, q37, q38, q39, q40, q41, q42, q43)
 }

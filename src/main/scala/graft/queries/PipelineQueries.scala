@@ -108,5 +108,52 @@ object PipelineQueries {
       .toDF("n_same", "n_diff", "u_stat", "p_value")
   }
 
-  val all: Seq[QuerySpec] = Seq(q70, q71, q72)
+  /** The reference's interstats tail (SURVEY M7-M9; reference
+    * bin/interpersonaldiversity.R:177,194 → rtables/interstats.tsv):
+    * Bray-Curtis distance matrix → NMDS stress + ANOSIM R/p +
+    * PERMDISP F/p, asking "do the classes separate". Here: per-nation
+    * part-abundance profiles, region as the class label. Distances are
+    * distributed; the eco-stats run on the #groups² matrix (25 nations
+    * → 300 pairs), driver-side and bounded as SURVEY §7 sanctions.
+    * Deterministic: seeded permutations, seeded NMDS init. */
+  val q73 = QuerySpec.rowsOnly(
+    "q73_interstats_tail",
+    "Bray-Curtis → NMDS + ANOSIM + PERMDISP class separation (SURVEY M7-M9)") { (s, d) =>
+    import graft.graph.GraphAnalytics
+    import graft.stats.EcoStats
+    val classOf = Tables.nation(s, d)
+      .join(broadcast(Tables.region(s, d)), col("n_regionkey") === col("r_regionkey"))
+      .select(col("n_name"), col("r_name"))
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    val v = Tables.lineitem(s, d)
+      .join(Tables.orders(s, d), col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(Tables.customer(s, d)), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(Tables.nation(s, d)), col("c_nationkey") === col("n_nationkey"))
+      .groupBy(col("n_name").as("group"), col("l_partkey").as("item"))
+      .agg(sum(col("l_quantity").cast("long")).cast("double").as("value"))
+    val bc = GraphAnalytics.brayCurtis(v)
+    val pairs = bc.collect()
+    val groups = pairs.flatMap(r => Seq(r.getString(0), r.getString(1))).distinct.sorted
+    require(groups.length <= 700,
+      s"q73 builds a ${groups.length}² distance matrix on the driver (cap 700 groups)")
+    val gi = groups.zipWithIndex.toMap
+    val n = groups.length
+    val dist = Array.fill(n, n)(0.0)
+    pairs.foreach { r =>
+      val (i, j, x) = (gi(r.getString(0)), gi(r.getString(1)), r.getDouble(2))
+      dist(i)(j) = x; dist(j)(i) = x
+    }
+    val classIdx = groups.map(classOf).distinct.sorted.zipWithIndex.toMap
+    val grouping = groups.map(g => classIdx(classOf(g))).toArray
+    val (_, stress) = EcoStats.nmds(dist, k = 2)
+    val (anosimR, anosimP) = EcoStats.anosim(dist, grouping)
+    val (permdispF, permdispP) = EcoStats.permdisp(dist, grouping)
+    val spark = s
+    import spark.implicits._
+    Seq((n.toLong, classIdx.size.toLong, stress, anosimR, anosimP, permdispF, permdispP))
+      .toDF("n_groups", "n_classes", "nmds_stress", "anosim_r", "anosim_p",
+        "permdisp_f", "permdisp_p")
+  }
+
+  val all: Seq[QuerySpec] = Seq(q70, q71, q72, q73)
 }
