@@ -35,12 +35,13 @@ object InteractionModel {
       .transform(filled)
   }
 
-  /** M1 — train the RF classifier (seeded). */
-  def train(train: DataFrame, numTrees: Int = 500, seed: Long = 42L)
-      : RandomForestClassificationModel =
+  /** M1 — train the RF classifier (seeded).
+    * @param mtry features sampled per split (caret's tuning axis) */
+  def train(train: DataFrame, numTrees: Int = 500, seed: Long = 42L,
+      mtry: Int = 3): RandomForestClassificationModel =
     new RandomForestClassifier()
       .setNumTrees(numTrees)
-      .setFeatureSubsetStrategy("3") // caret mtry=3 of 4 features
+      .setFeatureSubsetStrategy(mtry.toString)
       .setLabelCol("label").setFeaturesCol("features")
       .setSeed(seed)
       .fit(train)
@@ -65,19 +66,56 @@ object InteractionModel {
       "specificity" -> (if (tn + fp == 0) 0.0 else tn.toDouble / (tn + fp)))
   }
 
-  /** M2 — nested CV: outer stratified 80/20 splits × `iterations`,
-    * report per-iteration AUC/sens/spec (the reference reports their
-    * median — bin/CalculatePredModel.R:287, data/avgaucnested.tsv). */
+  /** M2 — nested CV: outer 80/20 splits × `iterations`, report
+    * per-iteration AUC/sens/spec (the reference reports their median —
+    * bin/CalculatePredModel.R:287, data/avgaucnested.tsv).
+    *
+    * Reference-parity mechanics (each opt-in so existing callers keep
+    * the plain harness):
+    *  - `stratified`: caret's createDataPartition splits 80/20 WITHIN
+    *    each class (CalculatePredModel.R:71-76). Implemented as
+    *    percent_rank over a per-row hash within the label partition —
+    *    exact class proportions, deterministic across partitionings.
+    *  - `trainEvidenceFilter`: caretmodel drops train rows with zero
+    *    blastx AND zero pfam (`x[rowSums(x[4:5])!=0,]`,
+    *    CalculatePredModel.R:47) — the TEST fold keeps them.
+    *  - `tuneMtry`: caret tunes mtry over {2,3,4} by inner resampling
+    *    ROC (trainControl repeatedcv 5×10). Approximated by one inner
+    *    stratified 80/20 holdout per outer iteration: argmax inner AUC
+    *    picks mtry for the final `numTrees`-tree fit. */
   def nestedCv(data: DataFrame, iterations: Int, numTrees: Int = 100,
-      seed: Long = 42L): Seq[Map[String, Double]] = {
+      seed: Long = 42L, stratified: Boolean = false,
+      trainEvidenceFilter: Boolean = false,
+      tuneMtry: Boolean = false): Seq[Map[String, Double]] = {
     import graft.operators.Sampling
+    import org.apache.spark.sql.expressions.Window
     val prepared = features(data).cache()
+    def split(df: DataFrame, salt: Long, frac: Double): (DataFrame, DataFrame) = {
+      val withU = df.withColumn("__u",
+        Sampling.hashUnit(salt, col("phage"), col("bacteria")))
+      val keyed =
+        if (stratified) withU.withColumn("__u",
+          percent_rank().over(Window.partitionBy("label").orderBy("__u")))
+        else withU
+      (keyed.where(col("__u") < frac).drop("__u"),
+        keyed.where(col("__u") >= frac).drop("__u"))
+    }
+    val evidenceFilter: DataFrame => DataFrame =
+      if (trainEvidenceFilter) _.filter(col("blastx") =!= 0 || col("pfam") =!= 0)
+      else identity
     (0 until iterations).map { i =>
-      val withU = prepared.withColumn("__u",
-        Sampling.hashUnit(seed + i, col("phage"), col("bacteria")))
-      val tr = withU.where(col("__u") < 0.8).drop("__u")
-      val te = withU.where(col("__u") >= 0.8).drop("__u")
-      val m = train(tr, numTrees, seed + i)
+      val (trAll, te) = split(prepared, seed + i, 0.8)
+      val tr = evidenceFilter(trAll).cache()
+      val mtry =
+        if (!tuneMtry) 3
+        else {
+          val (itr, ite) = split(tr, seed + 7919 * (i + 1), 0.8)
+          Seq(2, 3, 4).map { m =>
+            m -> evaluate(train(itr, math.min(numTrees, 100), seed + i, m), ite)("auc")
+          }.maxBy(_._2)._1
+        }
+      val m = train(tr, numTrees, seed + i, mtry)
+      tr.unpersist()
       evaluate(m, te)
     }
   }

@@ -88,23 +88,24 @@ class ReferenceDataSpec extends SparkSpec {
 
   test("interaction classifier reaches the published quality band on real data") {
     assume(available)
-    // the reference trains on the lab-validated pairs only
-    // (bin/CalculatePredModel.R:181-209): restrict to validation pairs
-    val truthPairs = interactions.select(
-      GraphBuild.sanitizeName(col("p")).as("phage"),
-      GraphBuild.sanitizeName(col("b")).as("bacteria"))
+    // the reference's two classes are BOTH drawn from the whole
+    // benchmark graph (bin/CalculatePredModel.R:181-206): positives =
+    // edges flagged Interaction='1', negatives = EVERY other edge
+    // (evidence pairs never validated included) — not just the
+    // validation pairs.
     val labeled = graph.edges.join(
         graph.nodes.select(col("id").as("src"), col("name").as("phage")), "src")
       .join(graph.nodes.select(col("id").as("dst"), col("name").as("bacteria")), "dst")
-      .join(truthPairs, Seq("phage", "bacteria"), "left_semi")
-    val results = InteractionModel.nestedCv(labeled, iterations = 11, numTrees = 500)
+    val results = InteractionModel.nestedCv(labeled, iterations = 9, numTrees = 500,
+      stratified = true, trainEvidenceFilter = true, tuneMtry = true)
     val aucs = results.map(_("auc")).sorted
     val median = aucs(aucs.length / 2)
     info(f"nested-CV AUCs on reference data: ${aucs.map(a => f"$a%.3f").mkString(", ")} " +
       f"(median $median%.3f; published 0.788)")
-    // published: nested median AUC 0.788, inner ROC 0.846 ± 0.093 SD.
-    // Different CV harness + small n → assert the band, not the decimal.
-    assert(median > 0.6, s"median AUC $median far below published 0.788")
+    // published: nested median AUC 0.788 ± 0.093 SD. Same split
+    // mechanics (stratified outer, blastx/pfam train filter, tuned
+    // mtry) but different RNG → assert within ~0.75 SD of published.
+    assert(median >= 0.72, s"median AUC $median below published band (0.788±0.093)")
     assert(median <= 1.0)
   }
 }
