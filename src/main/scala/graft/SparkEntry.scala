@@ -25,4 +25,15 @@ object SparkEntry {
     * the same parquet tables. Omitted for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
     specs.flatMap(q => q.oracle.map(q.name -> _)).toMap
+
+  /** Materialize every memoized shared intermediate (graft.Memo) so
+    * bench timings stay attributable: the first query to touch a
+    * shared cache must not be billed for building it. Also pays JVM /
+    * codegen / session-init cost. Used by [[Bench]]'s warm-up. */
+  def warmCaches(spark: SparkSession, dir: String): Unit = {
+    val g = graft.graph.GraphBuild.tpchGraph(spark, dir)
+    g.nodes.count(); g.edges.count()
+    queries.get("q55_group_graph_metrics").foreach(_(spark, dir).count())
+    queries.get("q37_minhash_lsh_pairs").foreach(_(spark, dir).count())
+  }
 }

@@ -118,11 +118,19 @@ object GraphAnalytics {
     *   (the reference's per-sample subgraphs are tens of nodes);
     *   larger groups report nCommunities = -1, modularity NaN.
     * @param communityAlgorithm "greedy" (CNM, reference fastgreedy) or
-    *   "walktrap" (exact Pons-Latapy port, reference walktrap). */
+    *   "walktrap" (exact Pons-Latapy port, reference walktrap).
+    * @param quadraticMaxNodes the all-pairs-BFS kernels (diameter,
+    *   radius, mean distance, betweenness, closeness) are O(V·E) — a
+    *   single 100k-node group under the edge cap would still burn hours
+    *   in one task. Groups past this node count report -1 / NaN for
+    *   those metrics and keep the linear ones (degree, eigen,
+    *   connectivity); the distributed tier (GraphX) is the right tool
+    *   for the megagroup. */
   def perGroupMetrics(edges: DataFrame, directed: Boolean = false,
       communityMaxNodes: Int = 200,
       communityAlgorithm: String = "greedy",
-      maxGroupEdges: Int = 2000000): DataFrame = {
+      maxGroupEdges: Int = 2000000,
+      quadraticMaxNodes: Int = 20000): DataFrame = {
     val spark = edges.sparkSession
     import spark.implicits._
     edges.select(col("group"), col("src"), col("dst"), col("weight").cast("double"))
@@ -130,17 +138,22 @@ object GraphAnalytics {
       .groupByKey(_._1)
       .mapGroups { (grp, it) =>
         val g = LocalGraph.fromEdges(boundedEdges(grp, it, maxGroupEdges), directed)
+        val quad = g.n <= quadraticMaxNodes
         val comm =
           if (g.n > communityMaxNodes) Array.empty[Int]
           else if (communityAlgorithm == "walktrap") g.walktrapCommunities()
           else g.greedyModularityCommunities
         GroupGraphMetrics(
           group = grp, nNodes = g.n, nEdges = g.edges.length,
-          diameter = g.diameter, radius = g.radius,
-          meanDistance = g.meanDistance, connected = g.isConnected,
+          diameter = if (quad) g.diameter else -1,
+          radius = if (quad) g.radius else -1,
+          meanDistance = if (quad) g.meanDistance else Double.NaN,
+          connected = g.isConnected,
           degreeCentralization = g.degreeCentralization,
-          betweennessCentralization = g.betweennessCentralization,
-          closenessCentralization = g.closenessCentralization,
+          betweennessCentralization =
+            if (quad) g.betweennessCentralization else Double.NaN,
+          closenessCentralization =
+            if (quad) g.closenessCentralization else Double.NaN,
           eigenCentralization = g.eigenCentralization,
           nCommunities = if (comm.isEmpty) -1 else comm.distinct.length,
           modularity = if (comm.isEmpty) Double.NaN else g.modularity(comm))
@@ -169,8 +182,13 @@ object GraphAnalytics {
     * alpha centrality in one kernel pass per group (SURVEY G6-G13).
     * Output: (group, id, eigen, pagerank, betweenness, closeness,
     * diversity, alpha). */
+  /** @param quadraticMaxNodes betweenness/closeness are O(V·E) per
+    *   group — NaN past this node count (see [[perGroupMetrics]]).
+    * @param denseMaxNodes alpha centrality solves a dense n×n system
+    *   (O(n²) memory, O(n³) time) — NaN past this node count. */
   def perGroupVertexMetrics(edges: DataFrame, directed: Boolean = false,
-      alpha: Double = 0.1, maxGroupEdges: Int = 2000000): DataFrame = {
+      alpha: Double = 0.1, maxGroupEdges: Int = 2000000,
+      quadraticMaxNodes: Int = 20000, denseMaxNodes: Int = 2000): DataFrame = {
     val spark = edges.sparkSession
     import spark.implicits._
     edges.select(col("group"), col("src"), col("dst"), col("weight").cast("double"))
@@ -178,14 +196,17 @@ object GraphAnalytics {
       .groupByKey(_._1)
       .flatMapGroups { (grp, it) =>
         val g = LocalGraph.fromEdges(boundedEdges(grp, it, maxGroupEdges), directed)
+        val nan = Array.fill(g.n)(Double.NaN)
         val eig = g.eigenCentrality()
         val pr = g.pageRank()
-        val btw = g.betweenness
-        val clo = g.closeness
+        val btw = if (g.n <= quadraticMaxNodes) g.betweenness else nan
+        val clo = if (g.n <= quadraticMaxNodes) g.closeness else nan
         val div = g.diversity
-        val alp = try g.alphaCentrality(alpha) catch {
-          case _: IllegalArgumentException => Array.fill(g.n)(Double.NaN)
-        }
+        val alp =
+          if (g.n > denseMaxNodes) nan
+          else try g.alphaCentrality(alpha) catch {
+            case _: IllegalArgumentException => nan
+          }
         g.vertexIds.indices.map(i =>
           (grp, g.vertexIds(i), eig(i), pr(i), btw(i), clo(i), div(i), alp(i)))
       }.toDF("group", "id", "eigen", "pagerank", "betweenness",

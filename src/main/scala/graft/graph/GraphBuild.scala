@@ -107,24 +107,23 @@ object GraphBuild {
     (sampled, samples)
   }
 
-  /** Memo for [[tpchGraph]]: five gate queries (q50/q51/q52/q57/q58)
-    * share the same derived graph; round-1 profiling showed each
-    * rebuilding the lineitem⋈orders + groupBy aggregates from parquet
-    * (q52 spent 9 s on a degree count). One build + persist per
-    * (session, dir) amortizes that to a single pair of shuffles. */
-  private val tpchGraphCache =
-    scala.collection.concurrent.TrieMap.empty[(String, String), PropertyGraph]
-
   /** Adapter: a property graph over the driver test tables, used by
     * the motif queries in the correctness gate. Kinds: Customer,
     * Supplier, Part; rels: ordered (customer→part via orders+lineitem,
     * weight = total quantity) and supplies (supplier→part).
-    * Cached per (session, dir); nodes/edges are persisted on first use. */
-  def tpchGraph(spark: SparkSession, dir: String): PropertyGraph =
-    tpchGraphCache.getOrElseUpdate((System.identityHashCode(spark).toString, dir), {
-      val g = buildTpchGraph(spark, dir)
-      PropertyGraph(g.nodes.persist(), g.edges.persist())
-    })
+    *
+    * Five gate queries (q50/q51/q52/q57/q58) share this derived graph;
+    * round-1 profiling showed each rebuilding the lineitem⋈orders +
+    * groupBy aggregates from parquet (q52 spent 9 s on a degree
+    * count). One build + persist per (session, dir) — via [[graft.Memo]],
+    * keyed on sessionUUID and evicted at application end — amortizes
+    * that to a single pair of shuffles. */
+  def tpchGraph(spark: SparkSession, dir: String): PropertyGraph = {
+    lazy val built = buildTpchGraph(spark, dir)
+    PropertyGraph(
+      graft.Memo.df(spark, "tpchGraph.nodes", dir)(built.nodes),
+      graft.Memo.df(spark, "tpchGraph.edges", dir)(built.edges))
+  }
 
   private def buildTpchGraph(spark: SparkSession, dir: String): PropertyGraph = {
     import graft.Tables

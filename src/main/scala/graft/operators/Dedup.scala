@@ -161,12 +161,17 @@ object Dedup {
     val t1 = cand.join(tok.select(col("doc_id").as("d1"), col("tok")), Seq("d1"))
     val inter = t1.join(tok.select(col("doc_id").as("d2"), col("tok")), Seq("d2", "tok"))
       .groupBy("d1", "d2").agg(count(lit(1)).as("n_inter"))
+    // left-join the size tables: an externally supplied candidate whose
+    // doc has no shingles (empty/whitespace text) reports jaccard 0
+    // instead of silently vanishing from the output
     cand.join(inter, Seq("d1", "d2"), "left_outer").na.fill(0L, Seq("n_inter"))
-      .join(sizes.select(col("doc_id").as("d1"), col("n").as("n1")), "d1")
-      .join(sizes.select(col("doc_id").as("d2"), col("n").as("n2")), "d2")
+      .join(sizes.select(col("doc_id").as("d1"), col("n").as("n1")), Seq("d1"), "left_outer")
+      .join(sizes.select(col("doc_id").as("d2"), col("n").as("n2")), Seq("d2"), "left_outer")
+      .na.fill(0L, Seq("n1", "n2"))
       .select(col("d1"), col("d2"),
-        (col("n_inter").cast("double") /
-          (col("n1") + col("n2") - col("n_inter")).cast("double")).as("jaccard"))
+        when(col("n1") + col("n2") - col("n_inter") === 0, lit(0.0))
+          .otherwise(col("n_inter").cast("double") /
+            (col("n1") + col("n2") - col("n_inter")).cast("double")).as("jaccard"))
       .where(col("jaccard") >= minJaccard)
   }
 

@@ -19,17 +19,27 @@ object AnalyticsQueries {
       .agg(sum(col("l_quantity").cast("long")).cast("double").as("value"))
 
   /** Per-group supplier→customer edges (high-quantity lineitems keep
-    * the subgraphs per-sample-sized, as in the reference). */
-  private def groupEdges(s: org.apache.spark.sql.SparkSession, d: String) =
-    Tables.lineitem(s, d)
-      .filter(col("l_quantity") >= 49)
-      .join(Tables.orders(s, d), col("l_orderkey") === col("o_orderkey"))
-      .join(Tables.customer(s, d), col("o_custkey") === col("c_custkey"))
-      .join(broadcast(Tables.nation(s, d)), col("c_nationkey") === col("n_nationkey"))
-      .groupBy(col("n_name").as("group"), col("l_suppkey").as("src"),
-        (col("o_custkey") + 1000000L).as("dst"))
-      .agg(sum(col("l_quantity").cast("long")).cast("double").as("weight"))
-      .cache() // q55 and q59 share this plan via the cache manager
+    * the subgraphs per-sample-sized, as in the reference).
+    * Memoized: q55/q56/q59 share one build + persist. */
+  private[graft] def groupEdges(s: org.apache.spark.sql.SparkSession, d: String) =
+    graft.Memo.df(s, "groupEdges", d) {
+      Tables.lineitem(s, d)
+        .filter(col("l_quantity") >= 49)
+        .join(Tables.orders(s, d), col("l_orderkey") === col("o_orderkey"))
+        .join(Tables.customer(s, d), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(Tables.nation(s, d)), col("c_nationkey") === col("n_nationkey"))
+        .groupBy(col("n_name").as("group"), col("l_suppkey").as("src"),
+          (col("o_custkey") + 1000000L).as("dst"))
+        .agg(sum(col("l_quantity").cast("long")).cast("double").as("weight"))
+    }
+
+  /** The full per-group kernel battery, memoized: q55 projects a
+    * SQL-checkable slice of it and q56 returns it whole — one
+    * mapGroups execution instead of two (round-2 verdict item 3). */
+  private[graft] def battery(s: org.apache.spark.sql.SparkSession, d: String) =
+    graft.Memo.df(s, "perGroupMetrics", d) {
+      GraphAnalytics.perGroupMetrics(groupEdges(s, d))
+    }
 
   /** M6/G18 — Bray-Curtis dissimilarity between groups. */
   val q53 = QuerySpec.sql(
@@ -119,7 +129,7 @@ object AnalyticsQueries {
       |            ELSE s.cent_num / ((s.n_nodes - 1.0) * (s.n_nodes - 2.0)) END AS degree_centralization
       |FROM stats s JOIN ecnt ec ON ec.grp = s.grp JOIN reach r2 ON r2.grp = s.grp""",
     "per-group size/connectivity/degree-centralization, oracled (SURVEY G3,G5,G9)") { (s, d) =>
-    GraphAnalytics.perGroupMetrics(groupEdges(s, d))
+    battery(s, d)
       .select(col("group").as("grp"),
         col("nNodes").cast("long").as("n_nodes"),
         col("nEdges").cast("long").as("n_edges"),
@@ -134,7 +144,7 @@ object AnalyticsQueries {
   val q56 = QuerySpec.rowsOnly(
     "q56_group_graph_battery",
     "per-group diameter/centralization/community battery (SURVEY G3-G9,G14)") { (s, d) =>
-    GraphAnalytics.perGroupMetrics(groupEdges(s, d))
+    battery(s, d)
   }
 
   /** G12/G5 — GraphX global PageRank + connected components. */

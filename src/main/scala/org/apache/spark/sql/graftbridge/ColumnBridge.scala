@@ -12,3 +12,12 @@ object ColumnBridge {
   def column(e: Expression): Column = ExpressionUtils.column(e)
   def expression(c: Column): Expression = ExpressionUtils.expression(c)
 }
+
+/** Bridge to `private[sql]` session internals: the per-session UUID is
+  * the correct identity key for session-scoped caches (stable, never
+  * reused — unlike System.identityHashCode, which can collide after
+  * GC). */
+object SessionBridge {
+  def sessionUUID(s: org.apache.spark.sql.SparkSession): String =
+    s.asInstanceOf[org.apache.spark.sql.classic.SparkSession].sessionUUID
+}
