@@ -1,6 +1,6 @@
 package graft
 
-import graft.queries.{AnalyticsQueries, Corpus, EventQueries, GraphQueries, PipelineQueries, Relational, SamplingQueries}
+import graft.queries.{AnalyticsQueries, Corpus, EventQueries, GraphQueries, PipelineQueries, Relational, SamplingQueries, SourceQueries}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -10,8 +10,9 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 object SparkEntry {
 
   def specs: Seq[QuerySpec] =
-    Relational.all ++ Corpus.all ++ GraphQueries.all ++ AnalyticsQueries.all ++
-      EventQueries.all ++ SamplingQueries.all ++ PipelineQueries.all
+    Relational.all ++ Corpus.all ++ SourceQueries.all ++ GraphQueries.all ++
+      AnalyticsQueries.all ++ EventQueries.all ++ SamplingQueries.all ++
+      PipelineQueries.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

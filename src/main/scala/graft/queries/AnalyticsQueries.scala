@@ -147,6 +147,51 @@ object AnalyticsQueries {
     battery(s, d)
   }
 
+  /** G4 — the BFS-distance slice of the battery, driver-oracled:
+    * diameter, radius, mean distance per group. The DuckDB side runs
+    * all-pairs BFS as a depth-capped recursive CTE (min depth per
+    * (root, node) — the UNION-dedup recursion must be bounded because
+    * cycle walks otherwise generate ever-longer rows; the cap of 64 is
+    * >2× the max sf0.01 diameter of 28, and sf0.01 is the only scale
+    * the driver oracles). Integer distances make sums exact; the one
+    * IEEE division (mean) matches the kernel's sum.toDouble/cnt
+    * bit-for-bit. */
+  val q74 = QuerySpec.sql(
+    "q74_group_bfs_metrics",
+    """WITH RECURSIVE e AS (
+      |  SELECT n_name AS grp, l_suppkey AS src, o_custkey + 1000000 AS dst
+      |  FROM lineitem
+      |  JOIN orders ON l_orderkey = o_orderkey
+      |  JOIN customer ON o_custkey = c_custkey
+      |  JOIN nation ON c_nationkey = n_nationkey
+      |  WHERE l_quantity >= 49
+      |  GROUP BY 1, 2, 3),
+      |sym AS (SELECT grp, src AS a, dst AS b FROM e
+      |        UNION SELECT grp, dst AS a, src AS b FROM e),
+      |nodes AS (SELECT DISTINCT grp, a AS node FROM sym),
+      |walk AS (
+      |  SELECT grp, node AS root, node, 0 AS d FROM nodes
+      |  UNION
+      |  SELECT w.grp, w.root, s.b AS node, w.d + 1 AS d
+      |  FROM walk w JOIN sym s ON s.grp = w.grp AND s.a = w.node
+      |  WHERE w.d < 64),
+      |dist AS (SELECT grp, root, node, min(d) AS d FROM walk GROUP BY 1, 2, 3),
+      |ecc AS (SELECT grp, root, max(d) AS ecc FROM dist GROUP BY 1, 2),
+      |md AS (SELECT grp, CAST(sum(d) AS DOUBLE) / count(*) AS mean_distance
+      |       FROM dist WHERE d > 0 GROUP BY grp)
+      |SELECT ec.grp,
+      |       CAST(max(ec.ecc) AS BIGINT) AS diameter,
+      |       CAST(min(ec.ecc) AS BIGINT) AS radius,
+      |       md.mean_distance
+      |FROM ecc ec JOIN md ON md.grp = ec.grp
+      |GROUP BY ec.grp, md.mean_distance""",
+    "per-group diameter/radius/mean-distance, recursive-CTE-oracled (SURVEY G4)") { (s, d) =>
+    battery(s, d).select(col("group").as("grp"),
+      col("diameter").cast("long").as("diameter"),
+      col("radius").cast("long").as("radius"),
+      col("meanDistance").as("mean_distance"))
+  }
+
   /** G12/G5 — GraphX global PageRank + connected components. */
   val q57 = QuerySpec.rowsOnly(
     "q57_global_pagerank_cc",
@@ -164,5 +209,5 @@ object AnalyticsQueries {
     GraphAnalytics.perGroupVertexMetrics(groupEdges(s, d))
   }
 
-  val all: Seq[QuerySpec] = Seq(q53, q54, q55, q56, q57, q59)
+  val all: Seq[QuerySpec] = Seq(q53, q54, q55, q56, q57, q59, q74)
 }

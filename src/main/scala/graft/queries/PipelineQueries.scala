@@ -54,18 +54,23 @@ object PipelineQueries {
         sum(col("interaction").cast("long")).as("n_true"))
   }
 
-  /** Multimodal: binary payload + metadata → batched stub decode →
-    * per-kind feature aggregate (plumbing real, decode stubbed). */
+  /** Multimodal: binary payload + metadata → batched decode →
+    * per-kind feature aggregate. Image rows decode REAL PNGs via
+    * javax.imageio (n_decoded counts them; audio/video stay stubbed
+    * with decoded_* = -1). */
   val q71 = QuerySpec.rowsOnly(
     "q71_multimodal_features",
-    "binary media columns → batched feature extraction") { (s, d) =>
+    "binary media columns → batched feature extraction (real image decode)") { (s, d) =>
     val media = Multimodal.fromDocuments(Tables.documents(s, d))
     val feats = Multimodal.extractFeatures(media)
     feats.toDF().groupBy("kind")
       .agg(count(lit(1)).as("n_media"),
         sum("n_bytes").as("total_bytes"),
         (sum(round(col("byte_entropy") * 10000, 0).cast("long")) / 10000.0)
-          .as("sum_entropy"))
+          .as("sum_entropy"),
+        sum((col("n_channels") > 0).cast("long")).as("n_decoded"),
+        sum(when(col("decoded_width") > 0, col("decoded_width"))
+          .otherwise(0)).as("sum_decoded_width"))
   }
 
   /** Per-group eigencentrality → Bray-Curtis → Wilcoxon: the §3.3

@@ -1,0 +1,192 @@
+package graft.queries
+
+import graft.QuerySpec
+import graft.sources.BioSources
+import org.apache.spark.sql.functions._
+
+/** Driver-gate coverage for the sequence-format sources (SURVEY §2.1
+  * S3-S8). The driver's data dir holds only parquet, so each query
+  * here writes a small deterministic fixture file (temp dir, driver
+  * side) at run time, round-trips it through the REAL distributed
+  * reader, and emits typed rows that a DuckDB `VALUES` oracle pins
+  * exactly — rows, schema, and hash. The fixtures are format samples
+  * (reference formats: bin/ContigLengthTable.pl FASTA,
+  * bin/calculate_abundance_from_sam.pl SAM, bin/get_trimmed_pairs.py
+  * FASTQ, bin/Genbank2phagehost.py GenBank,
+  * bin/LiteratureAssociationsNeo4j.pl EMBL, bin/ExtractSpacers.pl
+  * piler-cr), not data — the point is that the scan/parse path the
+  * cluster would run at scale is the path being verified.
+  */
+object SourceQueries {
+
+  /** Write (overwrite) a fixture under java.io.tmpdir; returns path.
+    * local[*] executors share the filesystem with the driver — on a
+    * real cluster fixtures would live on the shared FS instead. */
+  private def fixture(name: String, content: String): String = {
+    val dir = new java.io.File(System.getProperty("java.io.tmpdir"), "graft_fixtures")
+    dir.mkdirs()
+    val f = new java.io.File(dir, name)
+    val w = new java.io.PrintWriter(f, "UTF-8")
+    try w.write(content) finally w.close()
+    f.getAbsolutePath
+  }
+
+  /** S3 — block-FASTA round-trip: wrapped sequence lines are joined,
+    * id/length/GC computed by the engine. */
+  val q44 = QuerySpec.sql(
+    "q44_fasta_roundtrip",
+    """SELECT * FROM (VALUES
+      |  ('contig_1', CAST(16 AS BIGINT), CAST(8 AS BIGINT)),
+      |  ('contig_2', CAST(11 AS BIGINT), CAST(3 AS BIGINT)),
+      |  ('contig_3', CAST(4 AS BIGINT), CAST(2 AS BIGINT))
+      |) AS t(id, len, n_gc)""",
+    "FASTA scan round-trip incl. block format (SURVEY S3)") { (s, _) =>
+    val p = fixture("roundtrip.fasta",
+      """>contig_1 sample=A
+        |ACGTACGTAC
+        |GTACGT
+        |>contig_2 sample=B
+        |TTTTAAAACC
+        |C
+        |>contig_3
+        |ACGT
+        |""".stripMargin)
+    BioSources.fasta(s, p).select(
+      col("id"),
+      col("length").as("len"),
+      (length(col("seq")) - length(translate(col("seq"), "GC", "")))
+        .cast("long").as("n_gc"))
+  }
+
+  /** S5 — SAM → per-contig abundance (unmapped '*' dropped). */
+  val q45 = QuerySpec.sql(
+    "q45_sam_abundance",
+    """SELECT * FROM (VALUES
+      |  ('contig_1', CAST(2 AS BIGINT)),
+      |  ('contig_2', CAST(1 AS BIGINT))
+      |) AS t(contig, count)""",
+    "SAM scan → per-contig counts (SURVEY S5)") { (s, _) =>
+    val p = fixture("roundtrip.sam",
+      """@HD	VN:1.6
+        |@SQ	SN:contig_1	LN:1000
+        |r1	0	contig_1	100	60	*	*	0	0	ACGT	IIII
+        |r2	16	contig_1	150	60	*	*	0	0	GGGG	IIII
+        |r3	4	*	0	0	*	*	0	0	TTTT	IIII
+        |r4	0	contig_2	5	30	*	*	0	0	ACGTA	IIIII
+        |""".stripMargin)
+    BioSources.samAbundance(s, p)
+  }
+
+  /** S4 — FASTQ pair intersection: ids present in both mate files. */
+  val q46 = QuerySpec.sql(
+    "q46_fastq_pairs",
+    """SELECT * FROM (VALUES
+      |  ('read1', 'ACGT', 'TTAA'),
+      |  ('read3', 'TTTT', 'CCGG')
+      |) AS t(id, seq_1, seq_2)""",
+    "FASTQ scan + paired-read intersection (SURVEY S4)") { (s, _) =>
+    val r1 = fixture("roundtrip_r1.fastq",
+      """@read1/1
+        |ACGT
+        |+
+        |IIII
+        |@read2/1
+        |GGCC
+        |+
+        |IIII
+        |@read3/1
+        |TTTT
+        |+
+        |IIII
+        |""".stripMargin)
+    val r2 = fixture("roundtrip_r2.fastq",
+      """@read1/2
+        |TTAA
+        |+
+        |IIII
+        |@read3/2
+        |CCGG
+        |+
+        |IIII
+        |""".stripMargin)
+    BioSources.pairedReads(s, r1, r2).select("id", "seq_1", "seq_2")
+  }
+
+  /** S6 — GenBank scan: phage records with a /host qualifier. */
+  val q47 = QuerySpec.sql(
+    "q47_genbank_hosts",
+    """SELECT * FROM (VALUES
+      |  ('NC_001416', 'Enterobacteria phage lambda', 'Escherichia coli')
+      |) AS t(accession, organism, host)""",
+    "GenBank flatfile scan → phage-host pairs (SURVEY S6)") { (s, _) =>
+    val p = fixture("roundtrip.gbk",
+      """LOCUS       NC_001416              48502 bp    DNA     linear   PHG
+        |DEFINITION  Enterobacteria phage lambda, complete genome.
+        |SOURCE      Enterobacteria phage lambda
+        |  ORGANISM  Enterobacteria phage lambda
+        |FEATURES             Location/Qualifiers
+        |     source          1..48502
+        |                     /host="Escherichia coli"
+        |//
+        |LOCUS       NC_000913            4641652 bp    DNA     circular BCT
+        |  ORGANISM  Escherichia coli
+        |//
+        |""".stripMargin)
+    BioSources.genbankPhageHosts(s, p)
+  }
+
+  /** S7 — EMBL-ish .dat scan: phage records with a /host qualifier. */
+  val q48 = QuerySpec.sql(
+    "q48_embl_hosts",
+    """SELECT * FROM (VALUES
+      |  ('PH123', 'Pseudomonas phage phi6', 'Pseudomonas syringae')
+      |) AS t(id, organism, host)""",
+    "EMBL .dat scan → phage-host pairs (SURVEY S7)") { (s, _) =>
+    val p = fixture("roundtrip.dat",
+      """ID   PH123; SV 1; linear; DNA; STD; PHG; 13385 BP.
+        |OS   Pseudomonas phage phi6
+        |FT   source          1..13385
+        |FT                   /host="Pseudomonas syringae"
+        |//
+        |ID   BA001; SV 1; linear; DNA; STD; PRO; 4215606 BP.
+        |OS   Bacillus subtilis
+        |//
+        |""".stripMargin)
+    BioSources.emblPhageHosts(s, p)
+  }
+
+  /** S8 — piler-cr report scan: spacers with array id and ordinal. */
+  val q49 = QuerySpec.sql(
+    "q49_pilercr_spacers",
+    """SELECT * FROM (VALUES
+      |  ('1', 1, 'ACGTACGTACGTACGTACGTACGTACGTACGT'),
+      |  ('1', 2, 'TTTTCCCCGGGGAAAATTTTCCCCGGGGAAAAT'),
+      |  ('2', 1, 'GGGGTTTTAAAACCCCGGGGTTTTAAAACCCC')
+      |) AS t(array_id, ordinal, spacer)""",
+    "piler-cr report scan → CRISPR spacers (SURVEY S8)") { (s, _) =>
+    val p = fixture("roundtrip.pilercr",
+      """piler-cr v1.06
+        |
+        |Array 1
+        |>contig_1
+        |
+        |       Pos  Repeat     %id  Spacer  Left flank    Repeat                Spacer
+        |==========  ======  ======  ======  ==========    ===============       ======
+        |       462      37   100.0      32  CCTAAGAGA     GTTCACTGCCGTATAGG     ACGTACGTACGTACGTACGTACGTACGTACGT
+        |       531      37    97.3      33  GTCAAGAGA     GTTCACTGCCGTATAGG     TTTTCCCCGGGGAAAATTTTCCCCGGGGAAAAT
+        |==========  ======  ======  ======  ==========    ===============
+        |
+        |Array 2
+        |>contig_2
+        |
+        |       Pos  Repeat     %id  Spacer  Left flank    Repeat                Spacer
+        |==========  ======  ======  ======  ==========    ===============       ======
+        |       101      30   100.0      32  AAAATTTTC     GTTCACTGCCGTATAGG     GGGGTTTTAAAACCCCGGGGTTTTAAAACCCC
+        |==========  ======  ======  ======  ==========    ===============
+        |""".stripMargin)
+    BioSources.pilerCrSpacers(s, p)
+      .select(col("array").as("array_id"), col("ordinal"), col("spacer"))
+  }
+
+  val all: Seq[QuerySpec] = Seq(q44, q45, q46, q47, q48, q49)
+}

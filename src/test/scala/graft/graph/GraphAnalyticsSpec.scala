@@ -73,6 +73,36 @@ class GraphAnalyticsSpec extends SparkSpec {
     assert(cc(4L) != cc(1L)) // isolated node its own component
   }
 
+  test("quadratic kernels are gated by node count: megagroup completes fast with NaN") {
+    // one group over the quadratic gate (ring of 30k nodes — Brandes
+    // would be O(V·E) ≈ 9e8 steps) next to one small group: the run
+    // must complete quickly, the big group reporting -1/NaN for the
+    // all-pairs metrics and real values for the linear ones
+    val big = (0 until 30000).map(i => ("mega", i.toLong, ((i + 1) % 30000).toLong, 1.0))
+    val small = Seq(("tiny", 0L, 1L, 1.0), ("tiny", 1L, 2L, 1.0))
+    val df = (big ++ small).toDF("group", "src", "dst", "weight")
+    val t0 = System.nanoTime()
+    val m = GraphAnalytics.perGroupMetrics(df, quadraticMaxNodes = 20000)
+      .collect().map(r => r.getAs[String]("group") -> r).toMap
+    val secs = (System.nanoTime() - t0) / 1e9
+    assert(secs < 60, f"gated battery took $secs%.0f s — gate not effective")
+    val mega = m("mega")
+    assert(mega.getAs[Int]("nNodes") == 30000)
+    assert(mega.getAs[Int]("diameter") == -1 && mega.getAs[Int]("radius") == -1)
+    assert(mega.getAs[Double]("meanDistance").isNaN)
+    assert(mega.getAs[Double]("betweennessCentralization").isNaN)
+    assert(mega.getAs[Double]("closenessCentralization").isNaN)
+    assert(mega.getAs[Boolean]("connected"))                 // linear BFS still runs
+    assert(mega.getAs[Double]("degreeCentralization") == 0.0) // ring: all degree 2
+    val tiny = m("tiny")
+    assert(tiny.getAs[Int]("diameter") == 2)                 // small group unaffected
+    val vm = GraphAnalytics.perGroupVertexMetrics(df, quadraticMaxNodes = 20000)
+      .filter(col("group") === "mega").limit(5).collect()
+    assert(vm.forall(_.getAs[Double]("betweenness").isNaN))
+    assert(vm.forall(_.getAs[Double]("alpha").isNaN))        // dense solve gated too
+    assert(vm.forall(!_.getAs[Double]("pagerank").isNaN))
+  }
+
   test("perGroupMetrics supports walktrap communities per group") {
     val twoTri = Seq(
       ("t", 0L, 1L, 1.0), ("t", 1L, 2L, 1.0), ("t", 0L, 2L, 1.0),

@@ -27,6 +27,32 @@ class MultimodalSpec extends SparkSpec {
     }
   }
 
+  test("image rows decode through javax.imageio with true dimensions and channels") {
+    val imgs = media.filter(_.kind == "image").collect()
+    assert(imgs.nonEmpty)
+    // payload is a real PNG (magic bytes), not the raw text
+    assert(imgs.forall(m => (m.bytes(0) & 0xFF) == 0x89 && m.bytes(1) == 'P'))
+    val feats = Multimodal.extractFeatures(Multimodal.fromDocuments(
+        graft.Tables.documents(spark, sf)))
+      .collect().map(f => f.media_id -> f).toMap
+    imgs.foreach { m =>
+      val f = feats(m.media_id)
+      assert(f.decoded_width == m.width, s"decoded width ${f.decoded_width} != ${m.width}")
+      assert(f.decoded_height == m.height)
+      assert(f.n_channels == 3)
+      // channel means are real pixel statistics, inside (0,1)
+      assert(f.features.take(3).forall(v => v > 0f && v < 1f))
+    }
+    // non-image rows stay on the stub path
+    assert(media.filter(_.kind != "image").collect()
+      .forall(m => feats(m.media_id).n_channels == -1))
+  }
+
+  test("undecodable image bytes fall back to the byte featurizer") {
+    val f = Multimodal.decodeImage("not a png at all".getBytes)
+    assert(f.isEmpty)
+  }
+
   test("frame sampling keeps every Nth fixed-size frame of video rows") {
     val frames = Multimodal.sampleFrames(media, frameBytes = 32, everyN = 2).collect()
     assert(frames.nonEmpty)
