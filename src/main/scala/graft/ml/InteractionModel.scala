@@ -36,12 +36,17 @@ object InteractionModel {
   }
 
   /** M1 — train the RF classifier (seeded).
-    * @param mtry features sampled per split (caret's tuning axis) */
+    * @param mtry features sampled per split (caret's tuning axis)
+    * @param maxDepth tree depth cap. R's randomForest grows trees to
+    *   purity (no cap); 30 is Spark's ceiling and is effectively
+    *   unbounded at reference-data sizes. Spark's own default (5)
+    *   underfits the 4-feature evidence space. */
   def train(train: DataFrame, numTrees: Int = 500, seed: Long = 42L,
-      mtry: Int = 3): RandomForestClassificationModel =
+      mtry: Int = 3, maxDepth: Int = 12): RandomForestClassificationModel =
     new RandomForestClassifier()
       .setNumTrees(numTrees)
       .setFeatureSubsetStrategy(mtry.toString)
+      .setMaxDepth(maxDepth)
       .setLabelCol("label").setFeaturesCol("features")
       .setSeed(seed)
       .fit(train)
@@ -86,7 +91,7 @@ object InteractionModel {
   def nestedCv(data: DataFrame, iterations: Int, numTrees: Int = 100,
       seed: Long = 42L, stratified: Boolean = false,
       trainEvidenceFilter: Boolean = false,
-      tuneMtry: Boolean = false): Seq[Map[String, Double]] = {
+      tuneMtry: Boolean = false, maxDepth: Int = 12): Seq[Map[String, Double]] = {
     import graft.operators.Sampling
     import org.apache.spark.sql.expressions.Window
     val prepared = features(data).cache()
@@ -110,11 +115,16 @@ object InteractionModel {
         if (!tuneMtry) 3
         else {
           val (itr, ite) = split(tr, seed + 7919 * (i + 1), 0.8)
+          // a degenerate (single-class) inner test fold yields NaN AUC;
+          // drop those before the argmax, defaulting to mtry=3
           Seq(2, 3, 4).map { m =>
-            m -> evaluate(train(itr, math.min(numTrees, 100), seed + i, m), ite)("auc")
-          }.maxBy(_._2)._1
+            m -> evaluate(train(itr, math.min(numTrees, 100), seed + i, m, maxDepth), ite)("auc")
+          }.filterNot(_._2.isNaN) match {
+            case Seq() => 3
+            case inner => inner.maxBy(_._2)._1
+          }
         }
-      val m = train(tr, numTrees, seed + i, mtry)
+      val m = train(tr, numTrees, seed + i, mtry, maxDepth)
       tr.unpersist()
       evaluate(m, te)
     }
