@@ -38,13 +38,27 @@ object Dedup {
     }
   }
 
+  /** The (doc_id, tok) shingle table — the shared upstream of
+    * [[minhashSignaturesFromTokens]] and
+    * [[jaccardVerifyCandidatesTokens]]. Callers running several dedup
+    * stages should build (and cache) this once: tokenization is the
+    * dominant narrow cost, and Spark re-executes it per plan branch
+    * otherwise. */
+  def shingleTokens(docs: DataFrame, idCol: String, textCol: String,
+      shingleK: Int = 1): DataFrame =
+    docs.select(col(idCol).as("doc_id"),
+      explode(shingles(col(textCol), shingleK)).as("tok"))
+
   /** MinHash signatures: one row per doc with `numHashes` min-hash
     * values as an array<long>. Single explode + hash-agg; partial
     * aggregation makes the shuffle carry one signature per doc. */
   def minhashSignatures(docs: DataFrame, idCol: String, textCol: String,
-      numHashes: Int = 16, shingleK: Int = 1): DataFrame = {
-    val tok = docs.select(col(idCol).as("doc_id"),
-      explode(shingles(col(textCol), shingleK)).as("tok"))
+      numHashes: Int = 16, shingleK: Int = 1): DataFrame =
+    minhashSignaturesFromTokens(
+      shingleTokens(docs, idCol, textCol, shingleK), numHashes)
+
+  /** [[minhashSignatures]] over a pre-built (doc_id, tok) table. */
+  def minhashSignaturesFromTokens(tok: DataFrame, numHashes: Int = 16): DataFrame = {
     val mins = (0 until numHashes).map(i => min(xxhash64(lit(i), col("tok"))).as(s"mh_$i"))
     tok.groupBy("doc_id")
       .agg(mins.head, mins.tail: _*)
@@ -151,9 +165,16 @@ object Dedup {
     *                   the estimated one */
   def jaccardVerifyCandidates(docs: DataFrame, idCol: String, textCol: String,
       candidates: DataFrame, shingleK: Int = 1,
+      minJaccard: Double = 0.0): DataFrame =
+    jaccardVerifyCandidatesTokens(
+      shingleTokens(docs, idCol, textCol, shingleK), candidates, minJaccard)
+
+  /** [[jaccardVerifyCandidates]] over a pre-built (doc_id, tok) table
+    * — pass a cached one: this plan reads it three times (sizes, d1
+    * fan-out, d2 intersect), so an uncached token table is exploded
+    * three times. */
+  def jaccardVerifyCandidatesTokens(tok: DataFrame, candidates: DataFrame,
       minJaccard: Double = 0.0): DataFrame = {
-    val tok = docs.select(col(idCol).as("doc_id"),
-      explode(shingles(col(textCol), shingleK)).as("tok"))
     val sizes = tok.groupBy("doc_id").agg(count(lit(1)).as("n"))
     val cand = candidates.select(col("d1"), col("d2"))
     // fan d1's tokens onto each candidate pair, then intersect with

@@ -12,12 +12,19 @@ import org.apache.spark.sql.functions._
   */
 object Corpus {
 
+  /** The 2-shingle token table — memoized: the signature build (→q37/
+    * q42/q43) and q43's exact verify (which traverses it three times)
+    * all read it from cache instead of re-exploding the corpus. */
+  private def tok2(s: org.apache.spark.sql.SparkSession, d: String) =
+    graft.Memo.df(s, "shingleTok.2", d) {
+      Dedup.shingleTokens(Tables.documents(s, d), "doc_id", "text", shingleK = 2)
+    }
+
   /** MinHash signatures (16 hashes, 2-shingles) — memoized: q37, q42,
     * and q43 all start from this table (round-2 verdict item 4). */
   private def sig16k2(s: org.apache.spark.sql.SparkSession, d: String) =
     graft.Memo.df(s, "minhashSig.16.2", d) {
-      Dedup.minhashSignatures(Tables.documents(s, d), "doc_id", "text",
-        numHashes = 16, shingleK = 2)
+      Dedup.minhashSignaturesFromTokens(tok2(s, d), numHashes = 16)
     }
 
   /** LSH banded candidate pairs off [[sig16k2]] — memoized; also fixes
@@ -185,8 +192,7 @@ object Corpus {
   val q43 = QuerySpec.rowsOnly(
     "q43_jaccard_verified_lsh",
     "exact Jaccard verification of LSH candidate pairs (dedup, scale form)") { (s, d) =>
-    Dedup.jaccardVerifyCandidates(Tables.documents(s, d), "doc_id", "text",
-      cand44(s, d), shingleK = 2)
+    Dedup.jaccardVerifyCandidatesTokens(tok2(s, d), cand44(s, d))
   }
 
   val all: Seq[QuerySpec] =
