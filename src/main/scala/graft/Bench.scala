@@ -40,11 +40,15 @@ object Bench {
       try { q.run(spark, sfDir).count() } catch { case _: Throwable => -1L }
       q.name -> (System.nanoTime() - t0) / 1e9
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    // Millisecond precision keeps the JSON line under ~2 KB: the driver
+    // retains only the tail of stdout, and round 3's full-precision line
+    // (~3.5 KB) was front-truncated past its opening brace -> "parsed":null.
+    def ms(v: Double): String = f"$v%.3f"
+    val qs = results.map { case (k, v) => s"\"" + k + "\":" + ms(v) }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
     val load1 = loadAvg
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","warmup_sec":$warmupSec,"load_avg_pre":$load0,"load_avg_post":$load1}""")
+    println(s"""{"metric":"total","value":${ms(total)},"unit":"sec","queries":$qs,"sf":"$sfDir","warmup_sec":${ms(warmupSec)},"load_avg_pre":${ms(load0)},"load_avg_post":${ms(load1)}}""")
     spark.stop()
   }
 }

@@ -35,6 +35,7 @@ object SparkEntry {
     val g = graft.graph.GraphBuild.tpchGraph(spark, dir)
     g.nodes.count(); g.edges.count()
     queries.get("q55_group_graph_metrics").foreach(_(spark, dir).count())
+    queries.get("q59_vertex_centralities").foreach(_(spark, dir).count())
     queries.get("q37_minhash_lsh_pairs").foreach(_(spark, dir).count())
   }
 }

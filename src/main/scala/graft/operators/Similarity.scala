@@ -38,20 +38,36 @@ object Similarity {
 
   private def asDouble(c: Column): Column = transform(c, x => x.cast("double"))
 
+  /** Order-independent EXACT cosine: each per-element product is
+    * scaled to an integer (`round(x·y·10⁶)` as BIGINT) and summed
+    * exactly, so the score is bit-identical regardless of fold or
+    * partition order — the form a SQL engine reproduces exactly
+    * (driver oracle q77). The production scorer ([[cosine]]) keeps
+    * full double precision via a deterministic sequential fold. */
+  def cosineExactScaled(a: Column, b: Column): Column = {
+    def sdot(x: Column, y: Column): Column =
+      aggregate(zip_with(x, y, (u, v) => round(u * v * 1e6).cast("long")),
+        lit(0L), (acc, t) => acc + t)
+    sdot(a, b).cast("double") /
+      (sqrt(sdot(a, a).cast("double")) * sqrt(sdot(b, b).cast("double")))
+  }
+
   /** Brute-force exact cosine top-k.
     * @param queries (idCol, vecCol) — small, broadcast.
     * @param corpus  (idCol, vecCol) — arbitrarily large, never shuffled
     *                until the final per-query top-k (k rows per query
     *                per partition after partial window is negligible).
+    * @param scorer  similarity scorer (default: fused codegen cosine).
     */
   def bruteForceTopK(queries: DataFrame, corpus: DataFrame,
-      idCol: String, vecCol: String, k: Int): DataFrame = {
+      idCol: String, vecCol: String, k: Int,
+      scorer: (Column, Column) => Column = cosine): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val q = broadcast(queries.select(col(idCol).as("query_id"), asDouble(col(vecCol)).as("qv")))
     val c = corpus.select(col(idCol).as("neighbor_id"), asDouble(col(vecCol)).as("cv"))
     val scored = c.join(q, col("query_id") =!= col("neighbor_id"))
       .select(col("query_id"), col("neighbor_id"),
-        cosine(col("qv"), col("cv")).as("cos_sim"))
+        scorer(col("qv"), col("cv")).as("cos_sim"))
     val w = Window.partitionBy("query_id")
       .orderBy(col("cos_sim").desc, col("neighbor_id"))
     scored.withColumn("rank", row_number().over(w))
@@ -76,6 +92,85 @@ object Similarity {
       val proj = dot(v, array(p.map(lit(_)): _*))
       when(proj >= 0, lit(1L << j)).otherwise(lit(0L))
     }.reduce((a, b) => a.bitwiseOR(b))
+  }
+
+  /** Literal array<struct<cid,vec>> column from driver-side centroids
+    * — broadcast by value into codegen, no join needed. */
+  private def centroidsLit(cents: Array[(Int, Array[Double])]): Column =
+    array(cents.map { case (cid, v) =>
+      struct(lit(cid).as("cid"), array(v.map(lit(_)): _*).as("vec"))
+    }: _*)
+
+  /** Nearest-centroid id by cosine: `array_max` over
+    * struct(score, cid) — struct ordering picks max score, ties break
+    * to the larger cid. One codegen expression, no shuffle. */
+  private def nearestCentroid(v: Column, cents: Array[(Int, Array[Double])]): Column =
+    array_max(transform(centroidsLit(cents),
+      c => struct(cosine(v, c.getField("vec")).as("score"),
+        c.getField("cid").as("cid")))).getField("cid")
+
+  /** IVF (inverted-file) ANN — the classic coarse-quantizer scale
+    * path alongside LSH:
+    *
+    *  1. **Train**: nCentroids seed vectors are a deterministic
+    *     pseudo-random corpus sample (smallest `xxhash64(id)` — no
+    *     `rand()`, so the index is partition-independent), refined by
+    *     `refineIters` Lloyd steps where the per-dimension means are
+    *     exact scaled-integer sums (order-independent → the index is
+    *     bit-reproducible on any cluster layout).
+    *  2. **Assign**: every corpus vector gets its nearest-centroid
+    *     bucket via one codegen expression over broadcast-literal
+    *     centroids — a narrow map, no shuffle of the corpus.
+    *  3. **Probe**: each query expands to its `nProbe` nearest
+    *     centroids, candidates come from ONE bucket equi-join
+    *     (shuffle ∝ corpus, compare count ∝ corpus·nProbe/nCentroids),
+    *     exact cosine re-ranks, window keeps top-k.
+    *
+    * The driver holds nCentroids·dim doubles (a few MB even at
+    * 100 TB-scale centroid counts); the corpus never materializes
+    * off-plan. */
+  def ivfTopK(queries: DataFrame, corpus: DataFrame, idCol: String,
+      vecCol: String, nCentroids: Int, nProbe: Int, k: Int,
+      refineIters: Int = 1): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val c = corpus.select(col(idCol).as("vid"), asDouble(col(vecCol)).as("v"))
+    // 1. train: deterministic seed sample, then scaled-exact Lloyd steps
+    var cents: Array[(Int, Array[Double])] = c
+      .orderBy(xxhash64(col("vid")), col("vid")).limit(nCentroids)
+      .select(col("v")).collect()
+      .map(_.getSeq[Double](0).toArray).zipWithIndex.map(_.swap)
+    (0 until refineIters).foreach { _ =>
+      val refined = c.select(nearestCentroid(col("v"), cents).as("cid"),
+          posexplode(col("v")).as(Seq("pos", "x")))
+        .groupBy("cid", "pos")
+        .agg((sum(round(col("x") * 1e6).cast("long")) / (count(lit(1)) * 1e6)).as("m"))
+        .groupBy("cid")
+        .agg(transform(array_sort(collect_list(struct(col("pos"), col("m")))),
+          e => e.getField("m")).as("vec"))
+        .collect().map(r => r.getInt(0) -> r.getSeq[Double](1).toArray)
+      // a centroid that lost every vector keeps its previous position
+      val byId = refined.toMap
+      cents = cents.map { case (cid, old) => cid -> byId.getOrElse(cid, old) }
+    }
+    // 2. assign corpus to buckets (narrow), 3. probe + re-rank
+    val bucketed = c.select(col("vid").as("neighbor_id"), col("v").as("cv"),
+      nearestCentroid(col("v"), cents).as("cid"))
+    val probes = broadcast(
+      queries.select(col(idCol).as("query_id"), asDouble(col(vecCol)).as("qv"))
+        .select(col("query_id"), col("qv"),
+          explode(slice(array_sort(transform(centroidsLit(cents),
+            cc => struct((-cosine(col("qv"), cc.getField("vec"))).as("negScore"),
+              cc.getField("cid").as("cid")))), 1, nProbe).getField("cid")).as("cid")))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("cos_sim").desc, col("neighbor_id"))
+    bucketed.join(probes, Seq("cid"))
+      .where(col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        cosine(col("qv"), col("cv")).as("cos_sim"))
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select(col("query_id"), col("rank").cast("long").as("rank"),
+        col("neighbor_id"), col("cos_sim"))
   }
 
   /** LSH-bucketed ANN: candidates share a bucket (equi-join shuffle on

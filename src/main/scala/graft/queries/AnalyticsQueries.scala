@@ -41,6 +41,14 @@ object AnalyticsQueries {
       GraphAnalytics.perGroupMetrics(groupEdges(s, d))
     }
 
+  /** The per-VERTEX centrality battery, memoized the same way: q59
+    * returns it whole, q76 projects the closeness slice for its
+    * oracle — one flatMapGroups execution shared across both. */
+  private[graft] def vertexBattery(s: org.apache.spark.sql.SparkSession, d: String) =
+    graft.Memo.df(s, "perGroupVertexMetrics", d) {
+      GraphAnalytics.perGroupVertexMetrics(groupEdges(s, d))
+    }
+
   /** M6/G18 — Bray-Curtis dissimilarity between groups. */
   val q53 = QuerySpec.sql(
     "q53_bray_curtis",
@@ -206,8 +214,98 @@ object AnalyticsQueries {
   val q59 = QuerySpec.rowsOnly(
     "q59_vertex_centralities",
     "per-group eigen/pagerank/betweenness/closeness/diversity/alpha (SURVEY G6-G13)") { (s, d) =>
-    GraphAnalytics.perGroupVertexMetrics(groupEdges(s, d))
+    vertexBattery(s, d)
   }
 
-  val all: Seq[QuerySpec] = Seq(q53, q54, q55, q56, q57, q59, q74)
+  /** G5 — the REAL GraphX connectedComponents job, hash-oracled.
+    * Vertex ids encode (nation, node) as nationkey·10⁸ + node so one
+    * distributed CC run labels every per-group subgraph at once, and
+    * GraphX's component label (min vertex id in the component) decodes
+    * to min node id WITHIN the group — which a DuckDB recursive-CTE
+    * reachability computes exactly. Integers end to end → bit-safe.
+    * (The arithmetic encoding suits test scales; at 100 TB the same
+    * plan runs on one global graph with native long ids — q57.) */
+  val q75 = QuerySpec.sql(
+    "q75_graphx_components",
+    """WITH RECURSIVE e AS (
+      |  SELECT n_name AS grp, CAST(l_suppkey AS BIGINT) AS src,
+      |         CAST(o_custkey + 1000000 AS BIGINT) AS dst
+      |  FROM lineitem
+      |  JOIN orders ON l_orderkey = o_orderkey
+      |  JOIN customer ON o_custkey = c_custkey
+      |  JOIN nation ON c_nationkey = n_nationkey
+      |  WHERE l_quantity >= 49
+      |  GROUP BY 1, 2, 3),
+      |sym AS (SELECT grp, src AS a, dst AS b FROM e
+      |        UNION SELECT grp, dst AS a, src AS b FROM e),
+      |nodes AS (SELECT DISTINCT grp, a AS node FROM sym),
+      |r AS (
+      |  SELECT grp, node AS root, node FROM nodes
+      |  UNION
+      |  SELECT w.grp, w.root, s.b AS node
+      |  FROM r w JOIN sym s ON s.grp = w.grp AND s.a = w.node)
+      |SELECT grp, root AS node, CAST(min(node) AS BIGINT) AS component
+      |FROM r GROUP BY grp, root""",
+    "distributed GraphX connected components, recursive-CTE-oracled (SURVEY G5)") { (s, d) =>
+    import graft.graph.PropertyGraph
+    val enc = lit(100000000L)
+    val e = Tables.lineitem(s, d).filter(col("l_quantity") >= 49)
+      .join(Tables.orders(s, d), col("l_orderkey") === col("o_orderkey"))
+      .join(Tables.customer(s, d), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(Tables.nation(s, d)), col("c_nationkey") === col("n_nationkey"))
+      .select(col("n_name").as("grp"), col("n_nationkey").cast("long").as("nk"),
+        col("l_suppkey").cast("long").as("node_src"),
+        (col("o_custkey") + 1000000L).cast("long").as("node_dst"))
+      .distinct()
+    val edges = e.select((col("nk") * enc + col("node_src")).as("src"),
+      (col("nk") * enc + col("node_dst")).as("dst"))
+    val vtx = edges.select(col("src").as("id"))
+      .unionByName(edges.select(col("dst").as("id")))
+      .distinct().withColumn("name", col("id").cast("string"))
+    val cc = GraphAnalytics.connectedComponents(s, PropertyGraph(vtx, edges))
+    val grpNames = broadcast(Tables.nation(s, d)
+      .select(col("n_nationkey").cast("long").as("nk"), col("n_name").as("grp")))
+    cc.select((col("id") / enc).cast("long").as("nk"),
+        pmod(col("id"), enc).as("node"), pmod(col("component"), enc).as("component"))
+      .join(grpNames, "nk")
+      .select(col("grp"), col("node"), col("component"))
+  }
+
+  /** G8 — per-vertex closeness, hash-oracled. The kernel's value is
+    * reachableCount.toDouble / Σdist (LocalGraph.closeness): both
+    * terms are exact integers and the single IEEE division is
+    * bit-identical across engines, so the recursive-CTE BFS (q74's
+    * walk, depth-capped at 64 > 2× the sf0.01 diameter) reproduces it
+    * exactly — no rounding needed. Spark side is a projection of the
+    * memoized vertex battery shared with q59. */
+  val q76 = QuerySpec.sql(
+    "q76_vertex_closeness",
+    """WITH RECURSIVE e AS (
+      |  SELECT n_name AS grp, CAST(l_suppkey AS BIGINT) AS src,
+      |         CAST(o_custkey + 1000000 AS BIGINT) AS dst
+      |  FROM lineitem
+      |  JOIN orders ON l_orderkey = o_orderkey
+      |  JOIN customer ON o_custkey = c_custkey
+      |  JOIN nation ON c_nationkey = n_nationkey
+      |  WHERE l_quantity >= 49
+      |  GROUP BY 1, 2, 3),
+      |sym AS (SELECT grp, src AS a, dst AS b FROM e
+      |        UNION SELECT grp, dst AS a, src AS b FROM e),
+      |nodes AS (SELECT DISTINCT grp, a AS node FROM sym),
+      |walk AS (
+      |  SELECT grp, node AS root, node, 0 AS d FROM nodes
+      |  UNION
+      |  SELECT w.grp, w.root, s.b AS node, w.d + 1 AS d
+      |  FROM walk w JOIN sym s ON s.grp = w.grp AND s.a = w.node
+      |  WHERE w.d < 64),
+      |dist AS (SELECT grp, root, node, min(d) AS d FROM walk GROUP BY 1, 2, 3)
+      |SELECT grp, root AS node,
+      |       CAST(count(*) AS DOUBLE) / CAST(sum(d) AS DOUBLE) AS closeness
+      |FROM dist WHERE d > 0 GROUP BY grp, root""",
+    "per-vertex closeness, recursive-CTE-oracled (SURVEY G8)") { (s, d) =>
+    vertexBattery(s, d).select(col("group").as("grp"),
+      col("id").cast("long").as("node"), col("closeness"))
+  }
+
+  val all: Seq[QuerySpec] = Seq(q53, q54, q55, q56, q57, q59, q74, q75, q76)
 }

@@ -157,6 +157,58 @@ object Corpus {
       emb.filter(col("vec_id") < 10), emb, "vec_id", "embedding", k = 5)
   }
 
+  /** Brute-force ANN with the order-independent exact-scaled scorer,
+    * driver-oracled (J9 hash-green): per-element products round to
+    * scaled BIGINTs, so Spark's fold and DuckDB's unnest-join-sum
+    * agree bit-for-bit; the final sqrt/division is one IEEE op chain
+    * on exact integers. Same broadcast + window top-k plan as q39 —
+    * this verifies the operator's join/rank machinery exactly, while
+    * q39 keeps the full-precision production scorer. */
+  val q77 = QuerySpec.sql(
+    "q77_ann_bruteforce_exact",
+    """WITH base AS (
+      |  SELECT vec_id, unnest(embedding) AS v,
+      |         generate_subscripts(embedding, 1) AS i
+      |  FROM embeddings),
+      |sq AS (
+      |  SELECT vec_id,
+      |         CAST(sum(CAST(round(CAST(v AS DOUBLE)*CAST(v AS DOUBLE)*1000000, 0) AS BIGINT)) AS BIGINT) AS n2
+      |  FROM base GROUP BY vec_id),
+      |dots AS (
+      |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+      |         CAST(sum(CAST(round(CAST(q.v AS DOUBLE)*CAST(c.v AS DOUBLE)*1000000, 0) AS BIGINT)) AS BIGINT) AS dp
+      |  FROM base q JOIN base c ON q.i = c.i
+      |  WHERE q.vec_id < 10 AND c.vec_id <> q.vec_id
+      |  GROUP BY 1, 2),
+      |scored AS (
+      |  SELECT query_id, neighbor_id,
+      |         CAST(dp AS DOUBLE) / (sqrt(CAST(a.n2 AS DOUBLE)) * sqrt(CAST(b.n2 AS DOUBLE))) AS cos_sim
+      |  FROM dots
+      |  JOIN sq a ON a.vec_id = query_id
+      |  JOIN sq b ON b.vec_id = neighbor_id),
+      |ranked AS (
+      |  SELECT query_id, CAST(row_number() OVER (
+      |           PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id) AS BIGINT) AS rank,
+      |         neighbor_id, cos_sim
+      |  FROM scored)
+      |SELECT query_id, rank, neighbor_id, cos_sim FROM ranked WHERE rank <= 5""",
+    "exact-scaled brute-force ANN top-k, oracled (SURVEY J9, similarity)") { (s, d) =>
+    val emb = Tables.embeddings(s, d)
+    Similarity.bruteForceTopK(
+      emb.filter(col("vec_id") < 10), emb, "vec_id", "embedding", k = 5,
+      scorer = Similarity.cosineExactScaled)
+  }
+
+  /** IVF coarse-quantizer ANN — deterministic centroid train →
+    * bucket assign → nProbe probe → exact re-rank. */
+  val q78 = QuerySpec.rowsOnly(
+    "q78_ann_ivf",
+    "IVF centroid-bucketed ANN top-k (similarity search scale path)") { (s, d) =>
+    val emb = Tables.embeddings(s, d)
+    Similarity.ivfTopK(emb.filter(col("vec_id") < 10), emb,
+      "vec_id", "embedding", nCentroids = 16, nProbe = 4, k = 5)
+  }
+
   /** LSH-bucketed ANN — the 100 TB scale path. */
   val q40 = QuerySpec.rowsOnly(
     "q40_ann_lsh",
@@ -196,5 +248,6 @@ object Corpus {
   }
 
   val all: Seq[QuerySpec] =
-    Seq(q30, q31, q32, q33, q34, q35, q36, q37, q38, q39, q40, q41, q42, q43)
+    Seq(q30, q31, q32, q33, q34, q35, q36, q37, q38, q39, q40, q41, q42, q43,
+      q77, q78)
 }
