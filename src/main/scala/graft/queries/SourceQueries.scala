@@ -188,5 +188,57 @@ object SourceQueries {
       .select(col("array").as("array_id"), col("ordinal"), col("spacer"))
   }
 
-  val all: Seq[QuerySpec] = Seq(q44, q45, q46, q47, q48, q49)
+  /** S1 + S11 — TSV scan → TSV sink → re-scan round-trip with a
+    * declared schema (the reference's read.delim / write.table pair,
+    * bin/ContigLengthTable.pl:43-56 output shape). The sink writes
+    * through the REAL distributed writer (a directory of part files),
+    * and the re-scan proves schema-on-read fidelity for every base
+    * type the reference's TSVs carry (string/int/double/bool). */
+  val q79 = QuerySpec.sql(
+    "q79_tsv_roundtrip",
+    """SELECT * FROM (VALUES
+      |  ('contig_1', 1001, CAST(17.25 AS DOUBLE), TRUE),
+      |  ('contig_2', -7, CAST(0.5 AS DOUBLE), FALSE),
+      |  ('with space', 0, CAST(-3.125 AS DOUBLE), TRUE)
+      |) AS t(id, n, score, keep)""",
+    "TSV scan → sink → re-scan round-trip (SURVEY S1,S11)") { (s, _) =>
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(StructField("id", StringType),
+      StructField("n", IntegerType), StructField("score", DoubleType),
+      StructField("keep", BooleanType)))
+    val p = fixture("roundtrip.tsv",
+      "id\tn\tscore\tkeep\n" +
+        "contig_1\t1001\t17.25\ttrue\n" +
+        "contig_2\t-7\t0.5\tfalse\n" +
+        "with space\t0\t-3.125\ttrue\n")
+    val once = graft.sources.Tabular.tsv(s, p, schema, header = true)
+    val sinkDir = new java.io.File(
+      new java.io.File(System.getProperty("java.io.tmpdir"), "graft_fixtures"),
+      "tsv_sink").getAbsolutePath
+    graft.sources.Tabular.writeTsv(once, sinkDir)
+    graft.sources.Tabular.tsv(s, sinkDir, schema, header = true)
+  }
+
+  /** S2 + S12 — CSV scan → parquet checkpoint → read-back: the
+    * checkpointed plan must carry identical values and types (the
+    * reference's .Rdata save/load analog). */
+  val q80 = QuerySpec.sql(
+    "q80_csv_checkpoint",
+    """SELECT * FROM (VALUES
+      |  ('s1', 10, CAST(2.5 AS DOUBLE)),
+      |  ('s2', 20, CAST(-1.75 AS DOUBLE))
+      |) AS t(sample, reads, ratio)""",
+    "CSV scan → parquet checkpoint round-trip (SURVEY S2,S12)") { (s, _) =>
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(StructField("sample", StringType),
+      StructField("reads", IntegerType), StructField("ratio", DoubleType)))
+    val p = fixture("roundtrip.csv", "s1,10,2.5\ns2,20,-1.75\n")
+    val ckDir = new java.io.File(
+      new java.io.File(System.getProperty("java.io.tmpdir"), "graft_fixtures"),
+      "csv_ck").getAbsolutePath
+    graft.sources.Tabular.checkpoint(
+      graft.sources.Tabular.csv(s, p, schema), ckDir)
+  }
+
+  val all: Seq[QuerySpec] = Seq(q44, q45, q46, q47, q48, q49, q79, q80)
 }

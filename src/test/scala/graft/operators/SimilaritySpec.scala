@@ -46,6 +46,56 @@ class SimilaritySpec extends SparkSpec {
     assert(b1.values.toSet.size > 1, "multiple buckets expected")
   }
 
+  test("cosineExactScaled is partition-independent and tracks exact cosine") {
+    val emb = Tables.embeddings(spark, sf)
+    def run(df: org.apache.spark.sql.DataFrame) = Similarity.bruteForceTopK(
+      df.filter(col("vec_id") < 5), df, "vec_id", "embedding", 3,
+      scorer = Similarity.cosineExactScaled)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+      .sortBy(t => (t._1, t._2)).toSeq
+    val a = run(emb)
+    val b = run(emb.repartition(17))
+    assert(a == b, "scaled scorer must be bit-identical across partitionings")
+    // scaled score stays within quantization error of the exact scorer
+    val exact = Similarity.bruteForceTopK(
+      emb.filter(col("vec_id") < 5), emb, "vec_id", "embedding", 3)
+      .collect().map(r => ((r.getLong(0), r.getLong(2)), r.getDouble(3))).toMap
+    a.foreach { case (q, _, n, s) =>
+      exact.get((q, n)).foreach(e => assert(math.abs(s - e) < 1e-3)) }
+  }
+
+  test("ivfTopK probes buckets and never beats brute-force top-1") {
+    val emb = Tables.embeddings(spark, sf).cache()
+    val q = emb.filter(col("vec_id") < 5)
+    val ivf = Similarity.ivfTopK(q, emb, "vec_id", "embedding",
+      nCentroids = 8, nProbe = 3, k = 3).cache()
+    assert(ivf.count() > 0)
+    assert(ivf.filter(col("query_id") === col("neighbor_id")).count() == 0)
+    val bf = Similarity.bruteForceTopK(q, emb, "vec_id", "embedding", 1)
+      .collect().map(r => r.getLong(0) -> r.getDouble(3)).toMap
+    ivf.collect().foreach { r =>
+      assert(r.getDouble(3) <= bf(r.getLong(0)) + 1e-12,
+        "IVF can miss neighbors but can never invent a better score")
+    }
+    // probing ALL centroids must recover the exact brute-force top-k
+    val full = Similarity.ivfTopK(q, emb, "vec_id", "embedding",
+      nCentroids = 8, nProbe = 8, k = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val bf3 = Similarity.bruteForceTopK(q, emb, "vec_id", "embedding", 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(full == bf3, "nProbe = nCentroids degenerates to exact search")
+  }
+
+  test("ivfTopK centroid training is partition-independent") {
+    val emb = Tables.embeddings(spark, sf)
+    val q = emb.filter(col("vec_id") < 3)
+    def run(df: org.apache.spark.sql.DataFrame) =
+      Similarity.ivfTopK(q, df, "vec_id", "embedding", 8, 2, 3)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+        .sortBy(t => (t._1, t._2)).toSeq
+    assert(run(emb) == run(emb.repartition(13)))
+  }
+
   test("lshTopK neighbors are a subset of brute-force candidates in quality") {
     val emb = Tables.embeddings(spark, sf).cache()
     val bf = Similarity.bruteForceTopK(emb, emb, "vec_id", "embedding", 1)
