@@ -213,6 +213,23 @@ object GraphAnalytics {
         "closeness", "diversity", "alpha")
   }
 
+  /** G19 — per-group targeted-removal robustness curve (NetSwan
+    * shape): one row per (group, n_removed) with the largest-component
+    * fraction after deleting that many highest-degree vertices.
+    * Same many-small-groups tier as the other kernels. */
+  def perGroupRobustness(edges: DataFrame, steps: Int = 5,
+      maxGroupEdges: Int = 2000000): DataFrame = {
+    val spark = edges.sparkSession
+    import spark.implicits._
+    edges.select(col("group"), col("src"), col("dst"), col("weight").cast("double"))
+      .as[(String, Long, Long, Double)]
+      .groupByKey(_._1)
+      .flatMapGroups { (grp, it) =>
+        val g = LocalGraph.fromEdges(boundedEdges(grp, it, maxGroupEdges), directed = false)
+        g.robustnessCurve(steps).zipWithIndex.map { case (frac, i) => (grp, i, frac) }
+      }.toDF("group", "n_removed", "largest_frac")
+  }
+
   /** G17 — graph β-diversity as edge-set Jaccard distance
     * 1 − |E₁∩E₂|/|E₁∪E₂| for every group pair (reference
     * bin/compareTwins.R:179-216). Pure relational: canonicalize,

@@ -9,14 +9,15 @@ import org.apache.spark.sql.functions._
   * buffer of rows at a time, vectorizable inner loop, constant memory
   * per task).
   *
-  * IMAGE DECODE IS REAL: `decodeImage` uses `javax.imageio` (in the
-  * JDK — no external codec needed) and emits true width/height/
-  * channel-count plus pixel-derived features. Audio/video decode
-  * remains stubbed (`decodeStub`, a deterministic byte-histogram
-  * featurizer — this container has no audio/video codecs); swapping
-  * it for a codec call is a one-function change. The Spark-side
-  * plumbing — schema, batching, explode of frame samples, feature
-  * schema — is real and tested for all three kinds.
+  * IMAGE AND AUDIO DECODE ARE REAL: `decodeImage` uses `javax.imageio`
+  * and `decodeAudio` uses `javax.sound.sampled` (both in the JDK — no
+  * external codec needed), emitting true dimensions / sample-rate /
+  * channel counts plus payload-derived features. Video decode remains
+  * stubbed (`decodeStub`, a deterministic byte-histogram featurizer —
+  * this container has no video codecs); swapping it for a codec call
+  * is a one-function change. The Spark-side plumbing — schema,
+  * batching, explode of frame samples, feature schema — is real and
+  * tested for all three kinds.
   *
   * Scale: all ops are narrow (mapPartitions, no shuffle); bytes stay
   * off the driver; per-batch allocation is bounded by `batchSize`.
@@ -37,10 +38,11 @@ object Multimodal {
   final case class Frame(media_id: Long, frame_idx: Int, frame_bytes: Array[Byte])
 
   /** Adapter: derive a deterministic media table from the documents
-    * fixture. Image-kind rows carry a REAL PNG payload (generated
-    * pixel-deterministically from the id + declared dimensions, so the
-    * decode path is exercised end-to-end without external fixtures);
-    * audio/video rows carry the text bytes as an opaque payload. */
+    * fixture. Image-kind rows carry a REAL PNG payload and audio-kind
+    * rows a REAL RIFF/WAVE payload (both generated deterministically
+    * from the id, so the decode paths are exercised end-to-end without
+    * external fixtures); video rows carry the text bytes as an opaque
+    * payload. */
   def fromDocuments(docs: DataFrame): Dataset[Media] = {
     import docs.sparkSession.implicits._
     docs.select(
@@ -53,7 +55,11 @@ object Multimodal {
       lit(16000).as("sample_rate"),
       (col("n_chars") * 10).cast("int").as("duration_ms"))
       .as[Media]
-      .map(m => if (m.kind == "image") m.copy(bytes = syntheticPng(m)) else m)
+      .map { m =>
+        if (m.kind == "image") m.copy(bytes = syntheticPng(m))
+        else if (m.kind == "audio") m.copy(bytes = syntheticWav(m))
+        else m
+      }
   }
 
   /** Deterministic RGB PNG: pixel (x,y) is pure arithmetic on
@@ -77,6 +83,75 @@ object Multimodal {
     val out = new java.io.ByteArrayOutputStream()
     javax.imageio.ImageIO.write(img, "png", out)
     out.toByteArray
+  }
+
+  /** Deterministic 16-bit PCM mono WAV: sample i is pure arithmetic on
+    * (media_id, i). javax.sound.sampled's RIFF/WAVE writer is in-JDK. */
+  private[operators] def syntheticWav(m: Media): Array[Byte] = {
+    import javax.sound.sampled._
+    val nSamples = 320 + (m.media_id % 640).toInt
+    val pcm = new Array[Byte](nSamples * 2)
+    var i = 0
+    while (i < nSamples) {
+      val s = (((m.media_id * 31 + i.toLong * 7919) % 65536L) - 32768L).toShort
+      pcm(2 * i) = (s & 0xFF).toByte
+      pcm(2 * i + 1) = ((s >> 8) & 0xFF).toByte
+      i += 1
+    }
+    val fmt = new AudioFormat(m.sample_rate.toFloat, 16, 1, true, false)
+    val ais = new AudioInputStream(
+      new java.io.ByteArrayInputStream(pcm), fmt, nSamples.toLong)
+    val out = new java.io.ByteArrayOutputStream()
+    AudioSystem.write(ais, AudioFileFormat.Type.WAVE, out)
+    out.toByteArray
+  }
+
+  /** REAL audio decode via javax.sound.sampled: for WAV/AIFF/AU
+    * payloads emits the container's true sample rate (as
+    * `decoded_width`), frame count (as `decoded_height`) and channel
+    * count, features = mean |amplitude| ++ 15-window RMS profile
+    * (normalized to [0,1]). None when the bytes are not a decodable
+    * audio stream. */
+  private[operators] def decodeAudio(bytes: Array[Byte]): Option[MediaFeatures] = {
+    import javax.sound.sampled._
+    val ais =
+      try Some(AudioSystem.getAudioInputStream(new java.io.ByteArrayInputStream(bytes)))
+      catch {
+        case _: UnsupportedAudioFileException | _: java.io.IOException => None
+      }
+    ais.map { in =>
+      val fmt = in.getFormat
+      val pcm = in.readAllBytes()
+      val bytesPerSample = math.max(1, fmt.getSampleSizeInBits / 8)
+      val nSamples = pcm.length / bytesPerSample
+      val amp = new Array[Double](math.max(1, nSamples))
+      var i = 0
+      while (i < nSamples) {
+        val v =
+          if (bytesPerSample == 2) {
+            val lo = pcm(2 * i) & 0xFF
+            val hi = pcm(2 * i + 1)
+            ((hi << 8) | lo).toShort.toDouble / 32768.0
+          } else (pcm(i) & 0xFF).toDouble / 255.0
+        amp(i) = v
+        i += 1
+      }
+      val feats = new Array[Float](16)
+      feats(0) = (amp.map(math.abs).sum / amp.length).toFloat
+      val win = math.max(1, amp.length / 15)
+      (0 until 15).foreach { w =>
+        val slice = amp.slice(w * win, math.min(amp.length, (w + 1) * win))
+        if (slice.nonEmpty)
+          feats(1 + w) = math.sqrt(slice.map(x => x * x).sum / slice.length).toFloat
+      }
+      val frames =
+        if (in.getFrameLength >= 0) in.getFrameLength.toInt
+        else nSamples / math.max(1, fmt.getChannels)
+      MediaFeatures(0L, "", bytes.length.toLong,
+        mean_byte = feats(0).toDouble, byte_entropy = shannonEntropy(bytes),
+        decoded_width = fmt.getSampleRate.toInt, decoded_height = frames,
+        n_channels = fmt.getChannels, features = feats)
+    }
   }
 
   /** REAL image decode via javax.imageio: true dimensions + channel
@@ -150,16 +225,19 @@ object Multimodal {
 
   /** Feature extraction, batched per partition (mapInPandas-shaped:
     * iterator of row-buffers, not row-at-a-time). Image rows go
-    * through the real javax.imageio decoder (falling back to the byte
-    * featurizer for undecodable payloads); audio/video use the stub. */
+    * through the real javax.imageio decoder and audio rows through the
+    * real javax.sound.sampled decoder (each falling back to the byte
+    * featurizer for undecodable payloads); video uses the stub. */
   def extractFeatures(media: Dataset[Media], batchSize: Int = 64): Dataset[MediaFeatures] = {
     import media.sparkSession.implicits._
     media.mapPartitions { it =>
       it.grouped(batchSize).flatMap { batch =>
         batch.map { m =>
-          val f =
-            if (m.kind == "image") decodeImage(m.bytes).getOrElse(decodeStub(m.bytes))
-            else decodeStub(m.bytes)
+          val f = m.kind match {
+            case "image" => decodeImage(m.bytes).getOrElse(decodeStub(m.bytes))
+            case "audio" => decodeAudio(m.bytes).getOrElse(decodeStub(m.bytes))
+            case _ => decodeStub(m.bytes)
+          }
           f.copy(media_id = m.media_id, kind = m.kind)
         }
       }

@@ -307,5 +307,15 @@ object AnalyticsQueries {
       col("id").cast("long").as("node"), col("closeness"))
   }
 
-  val all: Seq[QuerySpec] = Seq(q53, q54, q55, q56, q57, q59, q74, q75, q76)
+  /** G19 — per-group robustness curve (deterministic victim order:
+    * max degree, ties to smaller id — but an iterated whole-graph
+    * recomputation has no SQL form, so rows-only; RobustnessSpec pins
+    * closed-form values). */
+  val q82 = QuerySpec.rowsOnly(
+    "q82_robustness_curve",
+    "per-group targeted-removal robustness curve (SURVEY G19)") { (s, d) =>
+    GraphAnalytics.perGroupRobustness(groupEdges(s, d), steps = 5)
+  }
+
+  val all: Seq[QuerySpec] = Seq(q53, q54, q55, q56, q57, q59, q74, q75, q76, q82)
 }

@@ -110,5 +110,25 @@ object GraphQueries {
       .where(col("n_shared_part_pairs") >= 2)
   }
 
-  val all: Seq[QuerySpec] = Seq(q50, q51, q52, q58)
+  /** G20 — schema introspection: the graph's architecture table
+    * (distinct srcKind—relType→dstKind triples with edge counts,
+    * reference bin/RenderGraphArchitecture.R:63-67), oracled by
+    * counting the distinct natural-key pairs each relationship
+    * aggregates over. */
+  val q81 = QuerySpec.sql(
+    "q81_graph_schema",
+    """WITH o AS (SELECT count(*) AS n FROM
+      |  (SELECT DISTINCT o_custkey, l_partkey
+      |   FROM lineitem JOIN orders ON l_orderkey = o_orderkey)),
+      |s AS (SELECT count(*) AS n FROM
+      |  (SELECT DISTINCT l_suppkey, l_partkey FROM lineitem))
+      |SELECT 'Customer' AS "srcKind", 'ordered' AS "relType",
+      |       'Part' AS "dstKind", CAST(o.n AS BIGINT) AS n_edges FROM o
+      |UNION ALL
+      |SELECT 'Supplier', 'supplies', 'Part', CAST(s.n AS BIGINT) FROM s""",
+    "graph schema introspection, oracled (SURVEY G20)") { (s, d) =>
+    GraphBuild.tpchGraph(s, d).describe
+  }
+
+  val all: Seq[QuerySpec] = Seq(q50, q51, q52, q58, q81)
 }

@@ -25,6 +25,17 @@ class GraphAnalyticsSpec extends SparkSpec {
     assert(p.getAs[Int]("nNodes") == 3)
   }
 
+  test("perGroupRobustness matches closed-form star/path curves") {
+    val r = GraphAnalytics.perGroupRobustness(groupedEdges, steps = 2)
+      .collect().map(x => (x.getString(0), x.getInt(1)) -> x.getDouble(2)).toMap
+    // star4: removing the hub (deg 3) shatters it into 3 isolated nodes
+    assert(math.abs(r(("g1", 0)) - 1.0) < 1e-12)
+    assert(math.abs(r(("g1", 1)) - 1.0 / 4) < 1e-12)
+    // path3: removing the middle (deg 2) leaves two singletons
+    assert(math.abs(r(("g2", 0)) - 1.0) < 1e-12)
+    assert(math.abs(r(("g2", 1)) - 1.0 / 3) < 1e-12)
+  }
+
   test("perGroupEigen yields scaled centrality per vertex per group") {
     val e = GraphAnalytics.perGroupEigen(groupedEdges)
       .collect().map(r => (r.getString(0), r.getLong(1)) -> r.getDouble(2)).toMap

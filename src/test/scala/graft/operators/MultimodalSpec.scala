@@ -43,14 +43,33 @@ class MultimodalSpec extends SparkSpec {
       // channel means are real pixel statistics, inside (0,1)
       assert(f.features.take(3).forall(v => v > 0f && v < 1f))
     }
-    // non-image rows stay on the stub path
-    assert(media.filter(_.kind != "image").collect()
+    // video rows stay on the stub path
+    assert(media.filter(_.kind == "video").collect()
       .forall(m => feats(m.media_id).n_channels == -1))
   }
 
-  test("undecodable image bytes fall back to the byte featurizer") {
-    val f = Multimodal.decodeImage("not a png at all".getBytes)
-    assert(f.isEmpty)
+  test("audio rows decode through javax.sound.sampled with true format metadata") {
+    val wavs = media.filter(_.kind == "audio").collect()
+    assert(wavs.nonEmpty)
+    // payload is a real RIFF/WAVE container, not the raw text
+    assert(wavs.forall(m => new String(m.bytes.take(4), "US-ASCII") == "RIFF"))
+    val feats = Multimodal.extractFeatures(media)
+      .collect().map(f => f.media_id -> f).toMap
+    wavs.foreach { m =>
+      val f = feats(m.media_id)
+      assert(f.decoded_width == 16000, s"sample rate ${f.decoded_width} != 16000")
+      assert(f.n_channels == 1)
+      val expectedFrames = 320 + (m.media_id % 640).toInt
+      assert(f.decoded_height == expectedFrames,
+        s"frame count ${f.decoded_height} != $expectedFrames")
+      // RMS profile of a full-range pseudo-random signal is strictly positive
+      assert(f.features.drop(1).take(15).forall(_ > 0f))
+    }
+  }
+
+  test("undecodable image or audio bytes fall back to the byte featurizer") {
+    assert(Multimodal.decodeImage("not a png at all".getBytes).isEmpty)
+    assert(Multimodal.decodeAudio("not a wav either".getBytes).isEmpty)
   }
 
   test("frame sampling keeps every Nth fixed-size frame of video rows") {
