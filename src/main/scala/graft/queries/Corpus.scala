@@ -209,6 +209,38 @@ object Corpus {
       "vec_id", "embedding", nCentroids = 16, nProbe = 4, k = 5)
   }
 
+  /** M13 — the k-mer composition features that feed genome binning,
+    * driver-oracled in long format. Spark counts overlapping 2-mers
+    * with one codegen'd lookahead `regexp_count` per k-mer; DuckDB's
+    * RE2 has no lookahead, so the oracle scans substring positions —
+    * same integer count, and freq = count / max(len−1, 1) is one IEEE
+    * division of exact ints. The KMeans step stays spec-pinned (its
+    * iteration order has no SQL form). */
+  val q83 = QuerySpec.sql(
+    "q83_kmer_features",
+    """WITH km(kmer) AS (VALUES
+      |  ('AA'),('AC'),('AG'),('AT'),('CA'),('CC'),('CG'),('CT'),
+      |  ('GA'),('GC'),('GG'),('GT'),('TA'),('TC'),('TG'),('TT')),
+      |idx AS (
+      |  SELECT doc_id, text,
+      |         unnest(generate_series(1, length(text) - 1)) AS i
+      |  FROM documents),
+      |pos AS (
+      |  SELECT doc_id, substr(text, CAST(i AS INTEGER), 2) AS bigram FROM idx),
+      |counts AS (SELECT doc_id, bigram, count(*) AS c FROM pos GROUP BY 1, 2),
+      |denoms AS (SELECT doc_id, greatest(length(text) - 1, 1) AS denom FROM documents)
+      |SELECT d.doc_id, km.kmer,
+      |       CAST(COALESCE(c.c, 0) AS DOUBLE) / d.denom AS freq
+      |FROM denoms d CROSS JOIN km
+      |LEFT JOIN counts c ON c.doc_id = d.doc_id AND c.bigram = km.kmer""",
+    "k-mer composition features, oracled (SURVEY M13)") { (s, d) =>
+    val feats = graft.ml.KmerBinning.kmerFeatures(Tables.documents(s, d), "text", k = 2)
+    val pairs = graft.ml.KmerBinning.kmers(2).map(km =>
+      struct(lit(km).as("kmer"), col(s"kmer_$km").as("freq")))
+    feats.select(col("doc_id"), explode(array(pairs: _*)).as("e"))
+      .select(col("doc_id"), col("e.kmer").as("kmer"), col("e.freq").as("freq"))
+  }
+
   /** LSH-bucketed ANN — the 100 TB scale path. */
   val q40 = QuerySpec.rowsOnly(
     "q40_ann_lsh",
@@ -249,5 +281,5 @@ object Corpus {
 
   val all: Seq[QuerySpec] =
     Seq(q30, q31, q32, q33, q34, q35, q36, q37, q38, q39, q40, q41, q42, q43,
-      q77, q78)
+      q77, q78, q83)
 }

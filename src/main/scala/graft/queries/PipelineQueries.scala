@@ -18,29 +18,35 @@ object PipelineQueries {
     * bacteria≡part), declarative graph build (full-outer upsert), RF
     * trained on a derived truth label, score-and-write-back, then the
     * §3.3-style summary: predicted interactions per prediction class. */
+  /** Evidence-shaped edge table derived from lineitem (phage≡supplier,
+    * bacteria≡part) through the declarative full-outer graph build —
+    * shared by the q70 lifecycle and the q84 model-metrics gate. */
+  private def evidenceEdges(s: org.apache.spark.sql.SparkSession, d: String) =
+    graft.Memo.df(s, "evidenceEdges", d) {
+      val li = Tables.lineitem(s, d)
+        .join(broadcast(Tables.supplier(s, d)), col("l_suppkey") === col("s_suppkey"))
+        .join(broadcast(Tables.part(s, d)), col("l_partkey") === col("p_partkey"))
+        .select(col("s_name").as("phage"), col("p_name").as("bacteria"),
+          col("l_quantity"), col("l_extendedprice"), col("l_discount"),
+          col("l_returnflag"))
+      def evidence(flag: String, v: org.apache.spark.sql.Column) =
+        li.filter(col("l_returnflag") === flag)
+          .select(col("bacteria"), col("phage"), v.as("score"))
+      val crispr   = evidence("A", col("l_quantity") * 2)
+      val prophage = evidence("R", col("l_extendedprice") / 100)
+      val blastx   = evidence("N", col("l_quantity") * (lit(1) - col("l_discount")))
+      val pfam     = evidence("A", col("l_extendedprice") / 50)
+      // "ground truth": pairs with high total quantity interact
+      val truth = li.groupBy("phage", "bacteria")
+        .agg(sum("l_quantity").as("q"))
+        .select(col("phage"), col("bacteria"), (col("q") > 100).cast("double").as("score"))
+      GraphBuild.fromEvidence(crispr, prophage, blastx, pfam, truth).edges
+    }
+
   val q70 = QuerySpec.rowsOnly(
     "q70_reference_pipeline",
     "evidence→graph→RF→write-back→query lifecycle (SURVEY §3.1-§3.3)") { (s, d) =>
-    val li = Tables.lineitem(s, d)
-      .join(broadcast(Tables.supplier(s, d)), col("l_suppkey") === col("s_suppkey"))
-      .join(broadcast(Tables.part(s, d)), col("l_partkey") === col("p_partkey"))
-      .select(col("s_name").as("phage"), col("p_name").as("bacteria"),
-        col("l_quantity"), col("l_extendedprice"), col("l_discount"),
-        col("l_returnflag"))
-      .cache()
-    def evidence(flag: String, v: org.apache.spark.sql.Column) =
-      li.filter(col("l_returnflag") === flag)
-        .select(col("bacteria"), col("phage"), v.as("score"))
-    val crispr   = evidence("A", col("l_quantity") * 2)
-    val prophage = evidence("R", col("l_extendedprice") / 100)
-    val blastx   = evidence("N", col("l_quantity") * (lit(1) - col("l_discount")))
-    val pfam     = evidence("A", col("l_extendedprice") / 50)
-    // "ground truth": pairs with high total quantity interact
-    val truth = li.groupBy("phage", "bacteria")
-      .agg(sum("l_quantity").as("q"))
-      .select(col("phage"), col("bacteria"), (col("q") > 100).cast("double").as("score"))
-    val g = GraphBuild.fromEvidence(crispr, prophage, blastx, pfam, truth)
-    val edges = g.edges.cache() // reused by train pass + scoring pass
+    val edges = evidenceEdges(s, d) // memoized: shared with q84
     // train on a deterministic 20% sample (the reference trains on its
     // small validation set, then scores the full graph), score everything
     val trainSet = graft.operators.Sampling.stratifiedSample(
@@ -52,6 +58,27 @@ object PipelineQueries {
     scored.groupBy("predictedInteraction")
       .agg(count(lit(1)).as("n_edges"),
         sum(col("interaction").cast("long")).as("n_true"))
+  }
+
+  /** M4/M5 — model diagnostics through the driver gate: a small
+    * seeded RF on a 5% evidence sample, emitting feature importances
+    * and AUC/sensitivity/specificity as (metric, value) rows. RF
+    * internals have no SQL form → rows-only; ReferenceDataSpec pins
+    * the same metrics against the study's published numbers. */
+  val q84 = QuerySpec.rowsOnly(
+    "q84_rf_model_metrics",
+    "RF feature importances + AUC/sens/spec (SURVEY M4,M5)") { (s, d) =>
+    val feats = InteractionModel.features(
+      evidenceEdges(s, d).withColumn("phage", col("src"))
+        .withColumn("bacteria", col("dst")))
+    val sample = graft.operators.Sampling.stratifiedSample(
+      feats, Seq("phage", "bacteria"), fraction = 0.05, seed = 7)
+    val model = InteractionModel.train(sample, numTrees = 10, seed = 7)
+    val metrics = InteractionModel.evaluate(model, sample).toSeq.sortBy(_._1) ++
+      InteractionModel.importances(model).map { case (f, v) => s"importance_$f" -> v }
+    val spark = s
+    import spark.implicits._
+    metrics.toDF("metric", "value")
   }
 
   /** Multimodal: binary payload + metadata → batched decode →
@@ -160,5 +187,5 @@ object PipelineQueries {
         "permdisp_f", "permdisp_p")
   }
 
-  val all: Seq[QuerySpec] = Seq(q70, q71, q72, q73)
+  val all: Seq[QuerySpec] = Seq(q70, q71, q72, q73, q84)
 }
