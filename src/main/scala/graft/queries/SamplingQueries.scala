@@ -37,5 +37,52 @@ object SamplingQueries {
       Sampling.randomFragment(col("text"), col("doc_id"), 0.5, 42).as("fragment"))
   }
 
-  val all: Seq[QuerySpec] = Seq(q63, q64, q65)
+  /** R4 — seeded permutation, hash-oracled: the permuted order of the
+    * fixed 25-row nation table under seed 11 is a constant (xxhash64
+    * is partition-independent), so a VALUES literal pins the exact
+    * shuffle order the way igraph's set.seed pins the reference's.
+    * DuckDB cannot recompute xxhash64, but it doesn't need to — the
+    * oracle asserts the OUTPUT, which is what determinism promises. */
+  val q85 = QuerySpec.sql(
+    "q85_permutation",
+    """SELECT * FROM (VALUES
+      |  (CAST(1 AS BIGINT),'NATION_17'),(CAST(2 AS BIGINT),'NATION_12'),
+      |  (CAST(3 AS BIGINT),'NATION_16'),(CAST(4 AS BIGINT),'NATION_6'),
+      |  (CAST(5 AS BIGINT),'NATION_22'),(CAST(6 AS BIGINT),'NATION_18'),
+      |  (CAST(7 AS BIGINT),'NATION_9'),(CAST(8 AS BIGINT),'NATION_19'),
+      |  (CAST(9 AS BIGINT),'NATION_10'),(CAST(10 AS BIGINT),'NATION_5'),
+      |  (CAST(11 AS BIGINT),'NATION_2'),(CAST(12 AS BIGINT),'NATION_3'),
+      |  (CAST(13 AS BIGINT),'NATION_21'),(CAST(14 AS BIGINT),'NATION_1'),
+      |  (CAST(15 AS BIGINT),'NATION_11'),(CAST(16 AS BIGINT),'NATION_14'),
+      |  (CAST(17 AS BIGINT),'NATION_0'),(CAST(18 AS BIGINT),'NATION_15'),
+      |  (CAST(19 AS BIGINT),'NATION_7'),(CAST(20 AS BIGINT),'NATION_20'),
+      |  (CAST(21 AS BIGINT),'NATION_24'),(CAST(22 AS BIGINT),'NATION_23'),
+      |  (CAST(23 AS BIGINT),'NATION_13'),(CAST(24 AS BIGINT),'NATION_4'),
+      |  (CAST(25 AS BIGINT),'NATION_8')
+      |) AS t(position, n_name)""",
+    "seeded permutation pinned by output (SURVEY R4)") { (s, d) =>
+    import org.apache.spark.sql.expressions.Window
+    Sampling.permuted(Tables.nation(s, d).select("n_name"), Seq("n_name"), seed = 11L)
+      .withColumn("position", row_number().over(
+        Window.orderBy(xxhash64(lit(11L), col("n_name")))).cast("long"))
+      .select(col("position"), col("n_name"))
+  }
+
+  /** R3 — seeded column subsample, hash-oracled the same way: the
+    * chosen half of lineitem's 16 columns under seed 11 is a
+    * constant; the gate emits the choice as rows. */
+  val q86 = QuerySpec.sql(
+    "q86_column_subsample",
+    """SELECT * FROM (VALUES
+      |  ('l_discount'),('l_extendedprice'),('l_orderkey'),
+      |  ('l_shipdate'),('l_suppkey'),('l_tax')
+      |) AS t(column_name)""",
+    "seeded column subsample pinned by output (SURVEY R3)") { (s, d) =>
+    val spark = s
+    import spark.implicits._
+    Sampling.sampleColumns(Tables.lineitem(s, d).columns.toSeq, 0.5, 11L)
+      .toDF("column_name")
+  }
+
+  val all: Seq[QuerySpec] = Seq(q63, q64, q65, q85, q86)
 }
