@@ -82,12 +82,13 @@ object PipelineQueries {
   }
 
   /** Multimodal: binary payload + metadata → batched decode →
-    * per-kind feature aggregate. Image rows decode REAL PNGs via
-    * javax.imageio (n_decoded counts them; audio/video stay stubbed
-    * with decoded_* = -1). */
+    * per-kind feature aggregate. All three kinds decode REAL payloads
+    * (PNG via javax.imageio, WAV via javax.sound.sampled, animated GIF
+    * via the imageio sequence reader); n_decoded counts rows whose
+    * payload the codec actually opened. */
   val q71 = QuerySpec.rowsOnly(
     "q71_multimodal_features",
-    "binary media columns → batched feature extraction (real image decode)") { (s, d) =>
+    "binary media columns → batched feature extraction (real decode, all kinds)") { (s, d) =>
     val media = Multimodal.fromDocuments(Tables.documents(s, d))
     val feats = Multimodal.extractFeatures(media)
     feats.toDF().groupBy("kind")
@@ -98,6 +99,40 @@ object PipelineQueries {
         sum((col("n_channels") > 0).cast("long")).as("n_decoded"),
         sum(when(col("decoded_width") > 0, col("decoded_width"))
           .otherwise(0)).as("sum_decoded_width"))
+  }
+
+  /** Multimodal decode, hash-oracled: a literal 6-row media table (two
+    * per kind) goes through the REAL codecs — PNG via javax.imageio,
+    * WAV via javax.sound.sampled, animated GIF via the imageio
+    * sequence reader — and the codec-semantic outputs (dimensions,
+    * sample rate, channel count, frame count) are pinned by a VALUES
+    * oracle. Same fixture discipline as q44-q49: payload bytes are
+    * generated, but the decode path being verified is the one the
+    * cluster runs at scale. Columns: for image/video decoded_w/h are
+    * pixel dims; for audio they are sample rate / frame count. */
+  val q87 = QuerySpec.sql(
+    "q87_multimodal_decode",
+    """SELECT * FROM (VALUES
+      |  (CAST(0 AS BIGINT),'image',16,16,3,1),
+      |  (CAST(1 AS BIGINT),'audio',16000,321,1,1),
+      |  (CAST(2 AS BIGINT),'video',18,18,3,5),
+      |  (CAST(3 AS BIGINT),'image',19,19,3,1),
+      |  (CAST(4 AS BIGINT),'audio',16000,324,1,1),
+      |  (CAST(5 AS BIGINT),'video',21,21,3,4)
+      |) AS t(media_id, kind, decoded_width, decoded_height, n_channels, n_frames)""",
+    "real codec decode of literal media fixtures, output-pinned") { (s, _) =>
+    val spark = s
+    import spark.implicits._
+    val docs = Seq(
+      (0L, "the first image payload", 23L), (1L, "an audio payload", 16L),
+      (2L, "a video payload", 15L), (3L, "another image", 13L),
+      (4L, "more audio", 10L), (5L, "more video", 10L))
+      .toDF("doc_id", "text", "n_chars")
+    Multimodal.extractFeatures(Multimodal.fromDocuments(docs)).toDF()
+      .select(col("media_id"), col("kind"),
+        col("decoded_width"), col("decoded_height"), col("n_channels"),
+        when(col("kind") === "video", element_at(col("features"), 1).cast("int"))
+          .otherwise(lit(1)).as("n_frames"))
   }
 
   /** Per-group eigencentrality → Bray-Curtis → Wilcoxon: the §3.3
@@ -187,5 +222,5 @@ object PipelineQueries {
         "permdisp_f", "permdisp_p")
   }
 
-  val all: Seq[QuerySpec] = Seq(q70, q71, q72, q73, q84)
+  val all: Seq[QuerySpec] = Seq(q70, q71, q87, q72, q73, q84)
 }

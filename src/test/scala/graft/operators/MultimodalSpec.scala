@@ -43,9 +43,26 @@ class MultimodalSpec extends SparkSpec {
       // channel means are real pixel statistics, inside (0,1)
       assert(f.features.take(3).forall(v => v > 0f && v < 1f))
     }
-    // video rows stay on the stub path
-    assert(media.filter(_.kind == "video").collect()
-      .forall(m => feats(m.media_id).n_channels == -1))
+  }
+
+  test("video rows decode through the imageio sequence reader with true frame counts") {
+    val vids = media.filter(_.kind == "video").collect()
+    assert(vids.nonEmpty)
+    // payload is a real animated GIF container, not the raw text
+    assert(vids.forall(m => new String(m.bytes.take(3), "US-ASCII") == "GIF"))
+    val feats = Multimodal.extractFeatures(media)
+      .collect().map(f => f.media_id -> f).toMap
+    vids.foreach { m =>
+      val f = feats(m.media_id)
+      assert(f.decoded_width == m.width, s"decoded width ${f.decoded_width} != ${m.width}")
+      assert(f.decoded_height == m.height)
+      assert(f.n_channels > 0)
+      val expectedFrames = Multimodal.syntheticGifFrames(m.media_id)
+      assert(f.features(0) == expectedFrames.toFloat,
+        s"frame count ${f.features(0)} != $expectedFrames")
+      // per-frame mean luminance of a dense pseudo-random frame is interior
+      assert(f.features(1) > 0f && f.features(1) < 1f)
+    }
   }
 
   test("audio rows decode through javax.sound.sampled with true format metadata") {
@@ -67,18 +84,36 @@ class MultimodalSpec extends SparkSpec {
     }
   }
 
-  test("undecodable image or audio bytes fall back to the byte featurizer") {
+  test("undecodable image, audio, or video bytes fall back to the byte featurizer") {
     assert(Multimodal.decodeImage("not a png at all".getBytes).isEmpty)
     assert(Multimodal.decodeAudio("not a wav either".getBytes).isEmpty)
+    assert(Multimodal.decodeVideo("and certainly not a gif".getBytes).isEmpty)
   }
 
-  test("frame sampling keeps every Nth fixed-size frame of video rows") {
+  test("raw frame sampling keeps every Nth fixed-size byte window of video rows") {
     val frames = Multimodal.sampleFrames(media, frameBytes = 32, everyN = 2).collect()
     assert(frames.nonEmpty)
     assert(frames.forall(_.frame_idx % 2 == 0))
     assert(frames.filter(_.frame_idx > 0).forall(_.frame_bytes.length <= 32))
     val vids = media.filter(_.kind == "video").count()
     assert(frames.map(_.media_id).distinct.length.toLong == vids)
+  }
+
+  test("decoded frame sampling emits every Nth true GIF frame as PNG") {
+    val byId = Multimodal.sampleDecodedFrames(media, everyN = 2).collect()
+      .groupBy(_.media_id)
+    val vids = media.filter(_.kind == "video").collect()
+    assert(byId.keySet == vids.map(_.media_id).toSet)
+    vids.foreach { m =>
+      val frames = byId(m.media_id).sortBy(_.frame_idx)
+      val n = Multimodal.syntheticGifFrames(m.media_id)
+      assert(frames.map(_.frame_idx).toSeq == (0 until n by 2).toSeq)
+      // each sampled frame round-trips as a real PNG with the source dims
+      frames.foreach { fr =>
+        val im = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(fr.frame_bytes))
+        assert(im.getWidth == m.width && im.getHeight == m.height)
+      }
+    }
   }
 
   test("resize stub bounds payload size and is a no-op when small") {
