@@ -56,5 +56,21 @@ object EventQueries {
     StreamOps.runWindowedStream(s, d, "1 hour")
   }
 
-  val all: Seq[QuerySpec] = Seq(q60, q61, q62)
+  /** Runs a REAL stream-stream interval join (two watermarked
+    * unbounded sources, equi-key + event-time range) to completion;
+    * oracle = the equivalent relational interval join, proving the
+    * streaming plan computes the batch answer. */
+  val q88 = QuerySpec.sql(
+    "q88_stream_stream_join",
+    """SELECT c.event_id AS from_id, c.user_id, c.ts AS from_ts,
+      |       p.event_id AS to_id, p.ts AS to_ts
+      |FROM events c JOIN events p
+      |  ON p.user_id = c.user_id
+      | AND c.event_type = 'click' AND p.event_type = 'purchase'
+      | AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 30 MINUTE""",
+    "stream-stream watermarked interval join == batch oracle") { (s, d) =>
+    StreamOps.attributionJoinStream(s, d, "click", "purchase", horizonMinutes = 30)
+  }
+
+  val all: Seq[QuerySpec] = Seq(q60, q61, q62, q88)
 }

@@ -45,6 +45,57 @@ object StreamOps {
     spark.table(name)
   }
 
+  /** Event-time attribution join, batch twin: `to`-type events that
+    * happen within `horizonMinutes` AFTER a `from`-type event by the
+    * same user. One equi-key (user) + a time-range theta — the
+    * canonical stream-stream join shape. */
+  def attributionJoinBatch(events: DataFrame, fromType: String, toType: String,
+      horizonMinutes: Int): DataFrame = {
+    val a = events.filter(col("event_type") === fromType)
+      .select(col("event_id").as("from_id"), col("user_id"), col("ts").as("from_ts"))
+    val b = events.filter(col("event_type") === toType)
+      .select(col("event_id").as("to_id"), col("user_id").as("to_user"),
+        col("ts").as("to_ts"))
+    a.join(b, col("user_id") === col("to_user") &&
+        col("to_ts") >= col("from_ts") &&
+        col("to_ts") <= col("from_ts") + expr(s"INTERVAL $horizonMinutes MINUTES"))
+      .select(col("from_id"), col("user_id"), col("from_ts"), col("to_id"), col("to_ts"))
+  }
+
+  /** STREAM-STREAM interval join on the real streaming engine: both
+    * sides are unbounded sources, both watermarked, joined on the
+    * user key with an event-time range predicate — exactly the plan a
+    * 100 TB/day attribution pipeline runs. The watermark + range bound
+    * lets the state store evict `from`-side rows once the `to`-side
+    * watermark passes from_ts + horizon, so state is bounded by
+    * (horizon × arrival rate). Driven to completion over bounded input
+    * via a memory sink; parity with [[attributionJoinBatch]] is the
+    * gate's oracle. */
+  def attributionJoinStream(spark: SparkSession, dir: String,
+      fromType: String, toType: String, horizonMinutes: Int): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val schema = spark.read.parquet(s"$dir/events.parquet").schema
+    def source = spark.readStream.schema(schema)
+      .option("pathGlobFilter", "events.parquet").parquet(dir)
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val a = source.filter(col("event_type") === fromType)
+      .select(col("event_id").as("from_id"), col("user_id"), col("ts").as("from_ts"))
+      .withWatermark("from_ts", "1 hour")
+    val b = source.filter(col("event_type") === toType)
+      .select(col("event_id").as("to_id"), col("user_id").as("to_user"),
+        col("ts").as("to_ts"))
+      .withWatermark("to_ts", "1 hour")
+    val joined = a.join(b, col("user_id") === col("to_user") &&
+        col("to_ts") >= col("from_ts") &&
+        col("to_ts") <= col("from_ts") + expr(s"INTERVAL $horizonMinutes MINUTES"))
+      .select(col("from_id"), col("user_id"), col("from_ts"), col("to_id"), col("to_ts"))
+    val name = s"attrib_${System.identityHashCode(schema)}"
+    val q = joined.writeStream.outputMode(OutputMode.Append())
+      .format("memory").queryName(name).start()
+    try q.processAllAvailable() finally q.stop()
+    spark.table(name)
+  }
+
   /** Streaming exact dedup: emit the first arrival per key, dropping
     * repeats that arrive within the watermark horizon — the streaming
     * twin of Dedup.exactDuplicates for continuous corpus ingestion.

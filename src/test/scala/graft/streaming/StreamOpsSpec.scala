@@ -32,6 +32,19 @@ class StreamOpsSpec extends SparkSpec {
     assert(stream == batch)
   }
 
+  test("stream-stream interval join equals the batch interval join on bounded input") {
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getLong(0), r.getLong(1), r.getTimestamp(2), r.getLong(3), r.getTimestamp(4))
+    val batch = StreamOps.attributionJoinBatch(
+        Tables.events(spark, sf), "click", "purchase", horizonMinutes = 240)
+      .collect().map(key).toSet
+    val streamed = StreamOps.attributionJoinStream(
+        spark, sf, "click", "purchase", horizonMinutes = 240)
+      .collect().map(key).toSet
+    assert(batch.nonEmpty, "fixture horizon produced no pairs")
+    assert(streamed == batch)
+  }
+
   test("session boundaries: events exactly at the gap stay in one session") {
     val t0 = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
     def ts(min: Int) = new java.sql.Timestamp(t0.getTime + min * 60000L)
