@@ -22,6 +22,23 @@ object TextOps {
   def tokenCount(text: Column): Column =
     regexp_count(text, lit("\\S+")).cast("long")
 
+  /** GPT-2-style pre-tokenizer piece pattern: contractions, letter
+    * runs, digit runs, punctuation runs (each with an optional leading
+    * space). The upstream pattern's trailing-whitespace lookahead is
+    * dropped so the regex runs identically on java.util.regex and RE2
+    * (DuckDB) — whitespace never forms a piece here, which only
+    * changes counts for multi-space runs. The branches are otherwise
+    * disjoint at any start position, so leftmost-first and
+    * leftmost-longest engines agree. */
+  val BpePiecePattern: String =
+    "'(?:s|t|re|ve|m|ll|d)| ?\\p{L}+| ?\\p{N}+| ?[^\\s\\p{L}\\p{N}]+"
+
+  /** BPE-ish token-piece count — the cheap proxy for "how many tokens
+    * will the tokenizer bill for this doc" used when sizing training
+    * shards; pure regex scan, codegen'd, no vocabulary needed. */
+  def bpePieceCount(text: Column): Column =
+    regexp_count(lower(text), lit(BpePiecePattern)).cast("long")
+
   /** Count of ASCII punctuation characters. */
   def punctCount(text: Column): Column =
     regexp_count(text, lit("[.,!?;:]")).cast("long")

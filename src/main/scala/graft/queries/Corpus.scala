@@ -65,6 +65,25 @@ object Corpus {
       TextOps.stopwordCount(col("text"), TextOps.EnglishStopwords).as("n_stop"))
   }
 
+  /** BPE-ish token-piece counting (GPT-2 pre-tokenizer regex, minus
+    * the RE2-incompatible lookahead) next to the whitespace count —
+    * the shard-sizing signal of a training-data pipeline. Oracle runs
+    * the SAME pattern through DuckDB's RE2. */
+  val q89 = QuerySpec.sql(
+    "q89_bpe_token_count",
+    """SELECT doc_id,
+      |       CAST(len(regexp_extract_all(text, '\S+')) AS BIGINT) AS n_ws_tokens,
+      |       CAST(len(regexp_extract_all(lower(text),
+      |         '''(?:s|t|re|ve|m|ll|d)| ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}]+')) AS BIGINT)
+      |         AS n_bpe_pieces
+      |FROM documents""",
+    "BPE-ish pre-tokenizer piece count (text analysis)") { (s, d) =>
+    Tables.documents(s, d).select(
+      col("doc_id"),
+      TextOps.tokenCount(col("text")).as("n_ws_tokens"),
+      TextOps.bpePieceCount(col("text")).as("n_bpe_pieces"))
+  }
+
   /** Exact dedup by content hash (keep min id). */
   val q32 = QuerySpec.sql(
     "q32_exact_dedup",
@@ -280,6 +299,6 @@ object Corpus {
   }
 
   val all: Seq[QuerySpec] =
-    Seq(q30, q31, q32, q33, q34, q35, q36, q37, q38, q39, q40, q41, q42, q43,
-      q77, q78, q83)
+    Seq(q30, q31, q89, q32, q33, q34, q35, q36, q37, q38, q39, q40, q41, q42,
+      q43, q77, q78, q83)
 }

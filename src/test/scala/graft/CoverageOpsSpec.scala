@@ -89,6 +89,18 @@ class CoverageOpsSpec extends SparkSpec {
     assert(byBin.size == 2)
     assert(byBin.values.toSet == Set((1L to 10L).toSet, (11L to 20L).toSet))
   }
+  test("BPE-ish piece count: contractions, digit runs, punctuation runs") {
+    val rows = Seq(
+      (1L, "don't stop"),        // don | 't | _stop -> 3
+      (2L, "hello world 123"),   // hello | _world | _123 -> 3
+      (3L, "a,b!!c"),            // a | , | b | !! | c -> 5
+      (4L, "x2026 tokens"))      // x | 2026 | _tokens -> 3
+      .toDF("id", "t")
+    val got = rows.select(col("id"),
+        graft.operators.TextOps.bpePieceCount(col("t")).as("n"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(1L -> 3L, 2L -> 3L, 3L -> 5L, 4L -> 3L), s"got $got")
+  }
 }
 
 object Files {
