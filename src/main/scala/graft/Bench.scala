@@ -40,15 +40,27 @@ object Bench {
       try { q.run(spark, sfDir).count() } catch { case _: Throwable => -1L }
       q.name -> (System.nanoTime() - t0) / 1e9
     }
-    // Millisecond precision keeps the JSON line under ~2 KB: the driver
-    // retains only the tail of stdout, and round 3's full-precision line
-    // (~3.5 KB) was front-truncated past its opening brace -> "parsed":null.
     def ms(v: Double): String = f"$v%.3f"
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + ms(v) }
-      .mkString("{", ",", "}")
+    def json(kvs: Seq[(String, Double)]): String =
+      kvs.map { case (k, v) => "\"" + k + "\":" + ms(v) }.mkString("{", ",", "}")
     val total = results.map(_._2).sum
     val load1 = loadAvg
-    println(s"""{"metric":"total","value":${ms(total)},"unit":"sec","queries":$qs,"sf":"$sfDir","warmup_sec":${ms(warmupSec)},"load_avg_pre":${ms(load0)},"load_avg_post":${ms(load1)}}""")
+    // The driver keeps only the TAIL of stdout: rounds 3 and 4 both
+    // produced "parsed":null because the one-line JSON (~2.5 KB over
+    // 70 queries) was front-truncated past its opening brace. The
+    // stdout line therefore carries only the slowest queries (capped
+    // so the line stays well under 1.5 KB); the full per-query map
+    // goes to bench_detail.json next to the build.
+    val topN = 18
+    val slow = results.sortBy(-_._2).take(topN).map(_._1).toSet
+    val top = results.filter { case (k, _) => slow(k) } // declared order
+    val otherSec = total - top.map(_._2).sum
+    val detailPath = java.nio.file.Paths.get("bench_detail.json").toAbsolutePath
+    val detail =
+      s"""{"metric":"total","value":${ms(total)},"unit":"sec","sf":"$sfDir","n_queries":${results.size},"queries":${json(results)},"warmup_sec":${ms(warmupSec)},"load_avg_pre":${ms(load0)},"load_avg_post":${ms(load1)}}"""
+    java.nio.file.Files.write(detailPath, (detail + "\n").getBytes("UTF-8"))
     spark.stop()
+    // printed AFTER spark.stop() so no shutdown logging can land below it
+    println(s"""{"metric":"total","value":${ms(total)},"unit":"sec","queries":${json(top)},"n_queries":${results.size},"other_sec":${ms(otherSec)},"sf":"$sfDir","warmup_sec":${ms(warmupSec)},"load_avg_pre":${ms(load0)},"load_avg_post":${ms(load1)},"detail":"$detailPath"}""")
   }
 }

@@ -196,11 +196,61 @@ object Dedup {
       .where(col("jaccard") >= minJaccard)
   }
 
+  /** Prefix-filtered exact Jaccard (AllPairs/PPJoin-style) — same
+    * output as [[jaccardPairs]], built for scale. Instead of the
+    * quadratic-in-token-frequency self-join, each doc contributes only
+    * its RAREST tokens (global canonical order = ascending document
+    * frequency, ties by token) to the candidate join: for threshold t
+    * a doc of n tokens keeps a prefix of n − ⌈t·n⌉ + 1 tokens, and the
+    * prefix-filter lemma guarantees every pair with Jaccard ≥ t shares
+    * at least one prefix token. Stop-word-like tokens (the blowup in
+    * the naive join: a token in g docs generates g² join rows) land at
+    * the END of the order and never enter the join. Candidates then
+    * pass a length-ratio filter (J ≥ t ⇒ min(n1,n2) ≥ t·max(n1,n2))
+    * and exact verification, so the result is identical — candidates
+    * are a provable superset, verification is exact.
+    *
+    * The ceil is computed with a 1e−9 slack so a floating t·n that
+    * lands epsilon ABOVE an integer cannot shorten the prefix below
+    * the safe length (a longer prefix only adds candidates). */
+  def jaccardPairsPrefix(docs: DataFrame, idCol: String, textCol: String,
+      blockCol: String, minJaccard: Double): DataFrame =
+    jaccardPairsPrefixTokens(
+      docs.select(col(idCol).as("doc_id"), col(blockCol).as("blk"),
+        explode(array_distinct(TextOps.tokens(col(textCol)))).as("tok")),
+      minJaccard)
+
+  /** [[jaccardPairsPrefix]] over a pre-built (doc_id, blk, tok) table
+    * — pass a cached one: the plan reads it for document frequencies,
+    * prefixes, and the three verification branches. */
+  def jaccardPairsPrefixTokens(tok: DataFrame, minJaccard: Double): DataFrame = {
+    require(minJaccard > 0.0, "prefix filtering needs a positive threshold")
+    import org.apache.spark.sql.expressions.Window
+    val dfreq = tok.groupBy("blk", "tok").agg(count(lit(1)).as("df"))
+    val byDoc = Window.partitionBy("doc_id")
+    val ranked = tok.join(dfreq, Seq("blk", "tok"))
+      .select(col("blk"), col("tok"), col("doc_id"),
+        row_number().over(byDoc.orderBy(col("df"), col("tok"))).as("pos"),
+        count(lit(1)).over(byDoc).as("n"))
+    val prefix = ranked.filter(
+      col("pos") <= col("n") - ceil(lit(minJaccard) * col("n") - lit(1e-9)) + 1)
+    val a = prefix.select(col("blk"), col("tok"), col("doc_id").as("d1"), col("n").as("n1"))
+    val b = prefix.select(col("blk"), col("tok"), col("doc_id").as("d2"), col("n").as("n2"))
+    val cand = a.join(b, Seq("blk", "tok"))
+      .where(col("d1") < col("d2") &&
+        least(col("n1"), col("n2")).cast("double") >=
+          lit(minJaccard) * greatest(col("n1"), col("n2")).cast("double") - lit(1e-9))
+      .select(col("d1"), col("d2")).distinct()
+    jaccardVerifyCandidatesTokens(tok.select(col("doc_id"), col("tok")), cand, minJaccard)
+  }
+
   /** Exact n-gram Jaccard similarity for doc pairs sharing a blocking
     * key (e.g. source): explode tokens, count intersections via
     * token-equi join within block, Jaccard from exact set sizes.
     * The blocking key bounds the join; integer arithmetic keeps the
-    * output oracle-exact. */
+    * output oracle-exact. Quadratic in per-token frequency — kept as
+    * the small-scale cross-check of [[jaccardPairsPrefix]], which is
+    * the form the gate runs. */
   def jaccardPairs(docs: DataFrame, idCol: String, textCol: String,
       blockCol: String, minJaccard: Double): DataFrame = {
     val tok = docs.select(col(idCol).as("doc_id"), col(blockCol).as("blk"),

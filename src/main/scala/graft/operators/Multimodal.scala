@@ -85,6 +85,7 @@ object Multimodal {
     while (f < nFrames) {
       val img = new java.awt.image.BufferedImage(
         m.width, m.height, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      val px = new Array[Int](m.width * m.height)
       var y = 0
       while (y < m.height) {
         var x = 0
@@ -92,11 +93,12 @@ object Multimodal {
           val r = ((m.media_id * 31 + f * 41 + x * 7 + y * 13) % 256).toInt
           val g = ((m.media_id * 17 + f * 29 + x * 3 + y * 5) % 256).toInt
           val b = ((x * y + m.media_id + f * 11) % 256).toInt
-          img.setRGB(x, y, (r << 16) | (g << 8) | b)
+          px(y * m.width + x) = (r << 16) | (g << 8) | b
           x += 1
         }
         y += 1
       }
+      img.setRGB(0, 0, m.width, m.height, px, 0, m.width)
       writer.writeToSequence(new IIOImage(img, null, null), null)
       f += 1
     }
@@ -112,6 +114,7 @@ object Multimodal {
   private[operators] def syntheticPng(m: Media): Array[Byte] = {
     val img = new java.awt.image.BufferedImage(
       m.width, m.height, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    val px = new Array[Int](m.width * m.height)
     var y = 0
     while (y < m.height) {
       var x = 0
@@ -119,11 +122,12 @@ object Multimodal {
         val r = ((m.media_id * 31 + x * 7 + y * 13) % 256).toInt
         val g = ((m.media_id * 17 + x * 3 + y * 5) % 256).toInt
         val b = ((x * y + m.media_id) % 256).toInt
-        img.setRGB(x, y, (r << 16) | (g << 8) | b)
+        px(y * m.width + x) = (r << 16) | (g << 8) | b
         x += 1
       }
       y += 1
     }
+    img.setRGB(0, 0, m.width, m.height, px, 0, m.width)
     val out = new java.io.ByteArrayOutputStream()
     javax.imageio.ImageIO.write(img, "png", out)
     out.toByteArray
@@ -211,21 +215,20 @@ object Multimodal {
       val nCh = im.getColorModel.getNumComponents
       val chSum = new Array[Double](4)
       val lumHist = new Array[Long](12)
-      var y = 0
-      while (y < h) {
-        var x = 0
-        while (x < w) {
-          val argb = im.getRGB(x, y)
-          val a = (argb >>> 24) & 0xFF
-          val r = (argb >>> 16) & 0xFF
-          val g = (argb >>> 8) & 0xFF
-          val b = argb & 0xFF
-          chSum(0) += r; chSum(1) += g; chSum(2) += b; chSum(3) += a
-          val lum = (r * 299 + g * 587 + b * 114) / 1000
-          lumHist(math.min(11, lum * 12 / 256)) += 1
-          x += 1
-        }
-        y += 1
+      // one bulk ARGB fetch: per-pixel getRGB pays a color-model
+      // conversion call per pixel and dominated the decode profile
+      val px = im.getRGB(0, 0, w, h, null, 0, w)
+      var i = 0
+      while (i < px.length) {
+        val argb = px(i)
+        val a = (argb >>> 24) & 0xFF
+        val r = (argb >>> 16) & 0xFF
+        val g = (argb >>> 8) & 0xFF
+        val b = argb & 0xFF
+        chSum(0) += r; chSum(1) += g; chSum(2) += b; chSum(3) += a
+        val lum = (r * 299 + g * 587 + b * 114) / 1000
+        lumHist(math.min(11, lum * 12 / 256)) += 1
+        i += 1
       }
       val n = (w.toLong * h).toDouble
       val feats = new Array[Float](16)
@@ -264,17 +267,14 @@ object Multimodal {
       (0 until take).foreach { i =>
         val idx = if (take == 1) 0 else i * (n - 1) / (take - 1)
         val im = reader.read(idx)
+        val px = im.getRGB(0, 0, im.getWidth, im.getHeight, null, 0, im.getWidth)
         var lum = 0.0
-        var y = 0
-        while (y < im.getHeight) {
-          var x = 0
-          while (x < im.getWidth) {
-            val argb = im.getRGB(x, y)
-            lum += (((argb >>> 16) & 0xFF) * 299 + ((argb >>> 8) & 0xFF) * 587 +
-              (argb & 0xFF) * 114) / 1000.0
-            x += 1
-          }
-          y += 1
+        var j = 0
+        while (j < px.length) {
+          val argb = px(j)
+          lum += (((argb >>> 16) & 0xFF) * 299 + ((argb >>> 8) & 0xFF) * 587 +
+            (argb & 0xFF) * 114) / 1000.0
+          j += 1
         }
         feats(1 + i) = (lum / (im.getWidth.toLong * im.getHeight) / 255.0).toFloat
       }

@@ -20,6 +20,15 @@ object Corpus {
       Dedup.shingleTokens(Tables.documents(s, d), "doc_id", "text", shingleK = 2)
     }
 
+  /** The unigram (doc_id, blk=source, tok) table — memoized: q35's
+    * prefix-filter plan reads it for document frequencies, prefixes,
+    * and the three exact-verification branches. */
+  private def tokBlk1(s: org.apache.spark.sql.SparkSession, d: String) =
+    graft.Memo.df(s, "blkTok.1", d) {
+      Tables.documents(s, d).select(col("doc_id"), col("source").as("blk"),
+        explode(array_distinct(TextOps.tokens(col("text")))).as("tok"))
+    }
+
   /** MinHash signatures (16 hashes, 2-shingles) — memoized: q37, q42,
     * and q43 all start from this table (round-2 verdict item 4). */
   private def sig16k2(s: org.apache.spark.sql.SparkSession, d: String) =
@@ -138,7 +147,7 @@ object Corpus {
       |JOIN sizes s2 ON s2.doc_id = d2
       |WHERE n_inter * 1.0 / (s1.n + s2.n - n_inter) >= 0.5""",
     "exact n-gram Jaccard with blocking (dedup)") { (s, d) =>
-    Dedup.jaccardPairs(Tables.documents(s, d), "doc_id", "text", "source", 0.5)
+    Dedup.jaccardPairsPrefixTokens(tokBlk1(s, d), 0.5)
   }
 
   /** MinHash signatures — deterministic xxhash64 family, not ANSI-SQL

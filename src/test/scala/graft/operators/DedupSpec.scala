@@ -65,4 +65,27 @@ class DedupSpec extends SparkSpec {
     assert(math.abs(out((1L, 3L)) - 7.0 / 9.0) < 1e-12)
     assert(!out.contains((1L, 4L))) // different block
   }
+
+  test("jaccardPairsPrefix returns bit-identical results to the naive join") {
+    // wide-vocab corpus with shared stop words (the naive join's blowup
+    // case) plus planted near-dup families, across two blocks
+    val rnd = new scala.util.Random(13)
+    val stop = Seq("the", "a", "of", "and", "to")
+    val vocab = (0 until 120).map(i => s"w$i")
+    val synth = (1L to 90L).map { id =>
+      val fam = id % 9 // nine families of near-identical docs
+      val famRnd = new scala.util.Random(fam)
+      val base = famRnd.shuffle(vocab).take(14 + famRnd.nextInt(6))
+      val mut = base.map(w => if (rnd.nextDouble() < 0.12) vocab(rnd.nextInt(vocab.size)) else w)
+      (id, (stop ++ mut).mkString(" "), if (id % 2 == 0) "x" else "y")
+    }.toDF("doc_id", "text", "source")
+    for (t <- Seq(0.3, 0.5, 0.8)) {
+      val naive = Dedup.jaccardPairs(synth, "doc_id", "text", "source", t)
+        .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+      val pref = Dedup.jaccardPairsPrefix(synth, "doc_id", "text", "source", t)
+        .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+      assert(pref == naive, s"threshold $t: prefix-filtered != naive")
+      assert(naive.nonEmpty, s"threshold $t: degenerate test corpus")
+    }
+  }
 }
