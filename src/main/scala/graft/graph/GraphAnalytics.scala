@@ -69,6 +69,36 @@ object GraphAnalytics {
         .add("id", "long").add("pagerank", "double").add("component", "long"))
   }
 
+  /** Exact-scaled static PageRank as pure DataFrame iterations — the
+    * driver-oracle-able form of [[pageRank]] (G12). Ranks live in
+    * scaled-BIGINT units (1e6 = rank 1.0); each per-edge contribution
+    * `round(0.85 · pr / outdeg)` rounds to an integer BEFORE the sum,
+    * so the aggregation is order-independent and any engine reproduces
+    * it bit-for-bit (the ExactNum idiom). Dangling-node mass is
+    * dropped (documented semantics, matching the oracle). One
+    * shuffle join + one aggregation per iteration — the same
+    * per-superstep cost shape as Pregel, with Catalyst/AQE planning
+    * each step; edges should be pre-persisted (each iteration reads
+    * them once for the join). */
+  def pageRankExactScaled(edges: DataFrame, iters: Int): DataFrame = {
+    val e = edges.select(col("src").cast("long").as("src"),
+      col("dst").cast("long").as("dst")).distinct()
+    val v = e.select(col("src").as("id"))
+      .unionByName(e.select(col("dst").as("id"))).distinct()
+    val outdeg = e.groupBy(col("src").as("id")).agg(count(lit(1)).as("outdeg"))
+    var r = v.select(col("id"), lit(1000000L).as("pr"))
+    (0 until iters).foreach { _ =>
+      val msgs = e
+        .join(r.select(col("id").as("src"), col("pr")), Seq("src"))
+        .join(outdeg.select(col("id").as("src"), col("outdeg")), Seq("src"))
+        .groupBy(col("dst").as("id"))
+        .agg(sum(round(lit(0.85) * col("pr") / col("outdeg")).cast("long")).as("m"))
+      r = v.join(msgs, Seq("id"), "left_outer")
+        .select(col("id"), (lit(150000L) + coalesce(col("m"), lit(0L))).as("pr"))
+    }
+    r.select(col("id"), col("pr").as("pr_scaled"))
+  }
+
   private def unitWeighted(g: PropertyGraph): PropertyGraph =
     PropertyGraph(g.nodes, g.edges.withColumn("unit_w", lit(1.0)))
 

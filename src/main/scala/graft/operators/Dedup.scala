@@ -212,7 +212,17 @@ object Dedup {
     *
     * The ceil is computed with a 1e−9 slack so a floating t·n that
     * lands epsilon ABOVE an integer cannot shorten the prefix below
-    * the safe length (a longer prefix only adds candidates). */
+    * the safe length (a longer prefix only adds candidates).
+    *
+    * WHEN TO USE WHICH: candidate-generation + verify wins when
+    * qualifying pairs are SPARSE relative to the block cross-product —
+    * the web-corpus norm, and the only shape that survives 100 TB.
+    * When matches are dense (the sf test corpus qualifies ~445k of
+    * ~1.25M possible pairs), output size dominates any algorithm and
+    * the direct join [[jaccardPairs]] is faster by skipping the
+    * candidate/verify round trip — so the gate runs that form, while
+    * this one carries the scale story. The two are asserted
+    * bit-identical in DedupSpec. */
   def jaccardPairsPrefix(docs: DataFrame, idCol: String, textCol: String,
       blockCol: String, minJaccard: Double): DataFrame =
     jaccardPairsPrefixTokens(
@@ -252,9 +262,16 @@ object Dedup {
     * the small-scale cross-check of [[jaccardPairsPrefix]], which is
     * the form the gate runs. */
   def jaccardPairs(docs: DataFrame, idCol: String, textCol: String,
-      blockCol: String, minJaccard: Double): DataFrame = {
-    val tok = docs.select(col(idCol).as("doc_id"), col(blockCol).as("blk"),
-      explode(array_distinct(TextOps.tokens(col(textCol)))).as("tok"))
+      blockCol: String, minJaccard: Double): DataFrame =
+    jaccardPairsTokens(
+      docs.select(col(idCol).as("doc_id"), col(blockCol).as("blk"),
+        explode(array_distinct(TextOps.tokens(col(textCol)))).as("tok")),
+      minJaccard)
+
+  /** [[jaccardPairs]] over a pre-built (doc_id, blk, tok) table — pass
+    * a cached one: the plan reads it three times (sizes + both join
+    * sides). */
+  def jaccardPairsTokens(tok: DataFrame, minJaccard: Double): DataFrame = {
     val sizes = tok.groupBy("doc_id").agg(count(lit(1)).as("n"))
     val inter = tok.as("a").join(tok.as("b"),
         col("a.tok") === col("b.tok") && col("a.blk") === col("b.blk") &&

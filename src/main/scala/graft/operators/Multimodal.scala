@@ -25,6 +25,12 @@ import org.apache.spark.sql.functions._
   */
 object Multimodal {
 
+  // ImageIO defaults to a DISK-backed stream cache: every encode/decode
+  // creates and deletes a temp file, which serializes the 32-thread
+  // codec path behind the filesystem. Memory-cached streams are pure
+  // CPU. Runs once per JVM (driver and each executor) on first use.
+  javax.imageio.ImageIO.setUseCache(false)
+
   final case class Media(media_id: Long, kind: String, bytes: Array[Byte],
       width: Int, height: Int, sample_rate: Int, duration_ms: Int)
 
@@ -46,7 +52,11 @@ object Multimodal {
     * external fixtures). */
   def fromDocuments(docs: DataFrame): Dataset[Media] = {
     import docs.sparkSession.implicits._
-    docs.select(
+    // the fixture corpus is one small parquet file = one input split;
+    // spread the (CPU-bound) codec work across the executor cores the
+    // way a real multi-file media lake would arrive already split
+    docs.repartition(docs.sparkSession.sparkContext.defaultParallelism)
+      .select(
       col("doc_id").as("media_id"),
       element_at(array(lit("image"), lit("audio"), lit("video")),
         (pmod(col("doc_id"), lit(3)) + 1).cast("int")).as("kind"),

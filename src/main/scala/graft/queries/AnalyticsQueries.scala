@@ -307,6 +307,49 @@ object AnalyticsQueries {
       col("id").cast("long").as("node"), col("closeness"))
   }
 
+  /** Chained-CTE DuckDB mirror of [[GraphAnalytics.pageRankExactScaled]]:
+    * SQL recursion cannot aggregate over the recursive table, so the
+    * fixed iteration count unrolls as one (messages, ranks) CTE pair
+    * per superstep — generated, not hand-maintained. */
+  private def pageRankOracle(iters: Int): String = {
+    val steps = (1 to iters).map { k =>
+      s"""m$k AS (
+         |  SELECT e.dst AS id,
+         |         CAST(sum(CAST(round(0.85 * p.pr / d.outdeg) AS BIGINT)) AS BIGINT) AS m
+         |  FROM e JOIN r${k - 1} p ON p.id = e.src JOIN outdeg d ON d.id = e.src
+         |  GROUP BY e.dst),
+         |r$k AS (
+         |  SELECT v.id, CAST(150000 + COALESCE(m.m, 0) AS BIGINT) AS pr
+         |  FROM v LEFT JOIN m$k m ON m.id = v.id)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH e AS (
+       |  SELECT DISTINCT CAST(l_suppkey AS BIGINT) AS src,
+       |         CAST(o_custkey + 1000000 AS BIGINT) AS dst
+       |  FROM lineitem
+       |  JOIN orders ON l_orderkey = o_orderkey
+       |  WHERE l_quantity >= 49),
+       |v AS (SELECT src AS id FROM e UNION SELECT dst AS id FROM e),
+       |outdeg AS (SELECT src AS id, count(*) AS outdeg FROM e GROUP BY src),
+       |r0 AS (SELECT id, CAST(1000000 AS BIGINT) AS pr FROM v),
+       |$steps
+       |SELECT id, pr AS pr_scaled FROM r$iters""".stripMargin
+  }
+
+  /** G12 — static PageRank, hash-oracled: the exact-scaled DataFrame
+    * iteration (per-edge contributions round to scaled BIGINTs before
+    * the sum, so the result is order-independent and bit-reproducible
+    * in any engine). q57 stays the production GraphX form; this
+    * verifies the rank arithmetic end-to-end against DuckDB. The edge
+    * set reuses the memoized groupEdges table (customer joins already
+    * paid), projected to the global (src, dst) graph. */
+  val q90 = QuerySpec.sql(
+    "q90_pagerank_exact",
+    pageRankOracle(iters = 5),
+    "exact-scaled static PageRank, chained-CTE-oracled (SURVEY G12)") { (s, d) =>
+    GraphAnalytics.pageRankExactScaled(
+      groupEdges(s, d).select(col("src"), col("dst")), iters = 5)
+  }
+
   /** G19 — per-group robustness curve (deterministic victim order:
     * max degree, ties to smaller id — but an iterated whole-graph
     * recomputation has no SQL form, so rows-only; RobustnessSpec pins
@@ -317,5 +360,5 @@ object AnalyticsQueries {
     GraphAnalytics.perGroupRobustness(groupEdges(s, d), steps = 5)
   }
 
-  val all: Seq[QuerySpec] = Seq(q53, q54, q55, q56, q57, q59, q74, q75, q76, q82)
+  val all: Seq[QuerySpec] = Seq(q53, q54, q55, q56, q57, q59, q74, q75, q76, q82, q90)
 }

@@ -147,7 +147,11 @@ object Corpus {
       |JOIN sizes s2 ON s2.doc_id = d2
       |WHERE n_inter * 1.0 / (s1.n + s2.n - n_inter) >= 0.5""",
     "exact n-gram Jaccard with blocking (dedup)") { (s, d) =>
-    Dedup.jaccardPairsPrefixTokens(tokBlk1(s, d), 0.5)
+    // direct join, not the prefix-filtered form: this corpus qualifies
+    // ~36% of all in-block pairs, so output size dominates and the
+    // candidate/verify round trip only adds shuffles (see
+    // Dedup.jaccardPairsPrefix scaladoc for the sparse/scale form)
+    Dedup.jaccardPairsTokens(tokBlk1(s, d), 0.5)
   }
 
   /** MinHash signatures — deterministic xxhash64 family, not ANSI-SQL

@@ -114,6 +114,28 @@ class GraphAnalyticsSpec extends SparkSpec {
     assert(vm.forall(!_.getAs[Double]("pagerank").isNaN))
   }
 
+  test("pageRankExactScaled: 2-cycle fixed point, star asymmetry, repartition-stable") {
+    import spark.implicits._
+    // 2-cycle a<->b: contrib = round(0.85*1e6/1) = 850000, so
+    // r = 150000 + 850000 = 1000000 is a fixed point
+    val cyc = Seq((1L, 2L), (2L, 1L)).toDF("src", "dst")
+    val prCyc = GraphAnalytics.pageRankExactScaled(cyc, iters = 5)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(prCyc == Map(1L -> 1000000L, 2L -> 1000000L))
+    // star 1->{2,3,4}: leaves get 150000 + round(0.85*r1/3); hub gets
+    // no in-edges so r1 = 150000 after the first iteration
+    val star = Seq((1L, 2L), (1L, 3L), (1L, 4L)).toDF("src", "dst")
+    val prStar = GraphAnalytics.pageRankExactScaled(star, iters = 5)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(prStar(1L) == 150000L)
+    assert(prStar(2L) == 150000L + math.round(0.85 * 150000.0 / 3))
+    assert(prStar(2L) == prStar(3L) && prStar(3L) == prStar(4L))
+    // partitioning must not change a single bit
+    val shuffled = GraphAnalytics.pageRankExactScaled(star.repartition(7), iters = 5)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(shuffled == prStar)
+  }
+
   test("perGroupMetrics supports walktrap communities per group") {
     val twoTri = Seq(
       ("t", 0L, 1L, 1.0), ("t", 1L, 2L, 1.0), ("t", 0L, 2L, 1.0),
