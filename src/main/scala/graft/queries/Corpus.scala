@@ -93,6 +93,91 @@ object Corpus {
       TextOps.bpePieceCount(col("text")).as("n_bpe_pieces"))
   }
 
+  /** Shard packing — assign docs to fixed-token-budget training
+    * shards. The running total windows PER SOURCE (the corpus's
+    * natural crawl/file grouping), never globally: a global ordered
+    * cumsum funnels 100 TB through one task, per-source windows
+    * parallelize. Integer cumsums → hash-exact. */
+  val q91 = QuerySpec.sql(
+    "q91_shard_pack",
+    """WITH t AS (
+      |  SELECT doc_id, source,
+      |         CAST(len(regexp_extract_all(text, '\S+')) AS BIGINT) AS n_tokens
+      |  FROM documents),
+      |c AS (
+      |  SELECT doc_id, source, n_tokens,
+      |         CAST(sum(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+      |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_tokens
+      |  FROM t)
+      |SELECT doc_id, source, n_tokens, cum_tokens,
+      |       CAST(floor((cum_tokens - n_tokens) / 500.0) AS BIGINT) AS shard
+      |FROM c""",
+    "token-budget shard packing per source (training-data pipeline)") { (s, d) =>
+    import graft.operators.Sharding
+    val t = Tables.documents(s, d).select(col("doc_id"), col("source"),
+      TextOps.tokenCount(col("text")).as("n_tokens"))
+    Sharding.packShards(t, "doc_id", "source", "n_tokens", budget = 500L)
+  }
+
+  /** C4-style composite quality filter: every doc is scored and
+    * flagged, filters downstream read `keep`. Ratios are single IEEE
+    * divisions of exact integer counts — bit-stable. */
+  val q92 = QuerySpec.sql(
+    "q92_quality_filter",
+    """WITH m AS (
+      |  SELECT doc_id, lang,
+      |         CAST(len(regexp_extract_all(text, '\S+')) AS BIGINT) AS n_tokens,
+      |         CAST(len(regexp_extract_all(text, '[.,!?;:]')) AS BIGINT) AS n_punct,
+      |         CAST(len(regexp_extract_all(lower(text),
+      |           '\b(the|and|of|to|in|is|a|that|it|for)\b')) AS BIGINT) AS n_stop
+      |  FROM documents)
+      |SELECT doc_id, lang, n_tokens,
+      |       n_punct * 1.0 / greatest(n_tokens, 1) AS punct_ratio,
+      |       n_stop * 1.0 / greatest(n_tokens, 1) AS stop_ratio,
+      |       (lang = 'en' AND n_tokens >= 20
+      |        AND n_punct * 1.0 / greatest(n_tokens, 1) <= 0.15
+      |        AND n_stop >= 1) AS keep
+      |FROM m""",
+    "composite quality scoring + keep flag (training-data pipeline)") { (s, d) =>
+    val nTok = TextOps.tokenCount(col("text"))
+    val nPunct = TextOps.punctCount(col("text"))
+    val nStop = TextOps.stopwordCount(col("text"), TextOps.EnglishStopwords)
+    val punctRatio = nPunct * lit(1.0) / greatest(nTok, lit(1L))
+    Tables.documents(s, d).select(
+      col("doc_id"), col("lang"), nTok.as("n_tokens"),
+      punctRatio.as("punct_ratio"),
+      (nStop * lit(1.0) / greatest(nTok, lit(1L))).as("stop_ratio"),
+      (col("lang") === "en" && nTok >= 20 && punctRatio <= 0.15 && nStop >= 1)
+        .as("keep"))
+  }
+
+  /** Eval-set decontamination: count distinct 5-gram shingles each
+    * training doc shares with the held-out set (doc_id ≡ 0 mod 10
+    * stands in for the eval corpus). The join is bounded by |eval
+    * shingles| × collision rate — at 100 TB the eval side is tiny and
+    * the shingle join shuffles only matching grams; no cross-product.
+    * DuckDB mirrors the shingle transform with list slicing (clamped,
+    * so sub-5-token docs yield one short shingle on both sides). */
+  val q93 = QuerySpec.sql(
+    "q93_decontaminate",
+    """WITH toks AS (
+      |  SELECT doc_id, regexp_extract_all(lower(text), '\S+') AS l FROM documents),
+      |g AS (
+      |  SELECT DISTINCT doc_id, array_to_string(l[i:i+4], '_') AS tok
+      |  FROM toks, unnest(generate_series(1, greatest(len(l) - 4, least(len(l), 1)))) AS u(i)),
+      |ev AS (SELECT DISTINCT tok FROM g WHERE doc_id % 10 = 0)
+      |SELECT g.doc_id, count(*) AS n_shared_ngrams
+      |FROM g JOIN ev ON g.tok = ev.tok
+      |WHERE g.doc_id % 10 <> 0
+      |GROUP BY g.doc_id""",
+    "eval-set n-gram contamination scan (training-data pipeline)") { (s, d) =>
+    val sh = Dedup.shingleTokens(Tables.documents(s, d), "doc_id", "text", shingleK = 5)
+    val ev = sh.filter(pmod(col("doc_id"), lit(10)) === 0).select("tok").distinct()
+    sh.filter(pmod(col("doc_id"), lit(10)) =!= 0)
+      .join(ev, "tok")
+      .groupBy("doc_id").agg(count(lit(1)).as("n_shared_ngrams"))
+  }
+
   /** Exact dedup by content hash (keep min id). */
   val q32 = QuerySpec.sql(
     "q32_exact_dedup",
@@ -313,5 +398,5 @@ object Corpus {
 
   val all: Seq[QuerySpec] =
     Seq(q30, q31, q89, q32, q33, q34, q35, q36, q37, q38, q39, q40, q41, q42,
-      q43, q77, q78, q83)
+      q43, q77, q78, q83, q91, q92, q93)
 }
