@@ -171,7 +171,11 @@ object Corpus {
       |WHERE g.doc_id % 10 <> 0
       |GROUP BY g.doc_id""",
     "eval-set n-gram contamination scan (training-data pipeline)") { (s, d) =>
-    val sh = Dedup.shingleTokens(Tables.documents(s, d), "doc_id", "text", shingleK = 5)
+    // memoized: both the eval and training branches read the one
+    // persisted shingle table instead of re-exploding the corpus
+    val sh = graft.Memo.df(s, "shingleTok.5", d) {
+      Dedup.shingleTokens(Tables.documents(s, d), "doc_id", "text", shingleK = 5)
+    }
     val ev = sh.filter(pmod(col("doc_id"), lit(10)) === 0).select("tok").distinct()
     sh.filter(pmod(col("doc_id"), lit(10)) =!= 0)
       .join(ev, "tok")
