@@ -21,6 +21,12 @@ object PipelineQueries {
   /** Evidence-shaped edge table derived from lineitem (phage≡supplier,
     * bacteria≡part) through the declarative full-outer graph build —
     * shared by the q70 lifecycle and the q84 model-metrics gate. */
+  /** Materialize the memoized shared intermediates of this module —
+    * called from [[graft.SparkEntry.warmCaches]] for bench
+    * attribution. */
+  private[graft] def warmShared(s: org.apache.spark.sql.SparkSession, d: String): Unit =
+    evidenceEdges(s, d).count(): Unit
+
   private def evidenceEdges(s: org.apache.spark.sql.SparkSession, d: String) =
     graft.Memo.df(s, "evidenceEdges", d) {
       val li = Tables.lineitem(s, d)
