@@ -1,0 +1,52 @@
+package graft
+
+/** Plan-SHAPE regression tests: the scale properties the engine is
+  * designed around (predicate pushdown to the parquet scan, broadcast
+  * joins for small dims, no cartesian products in the dedup path,
+  * partial aggregation before the shuffle) must survive refactors.
+  * These assert on the optimized/executed plan text, not on results —
+  * the oracle gate owns result correctness.
+  */
+class PlanAuditSpec extends SparkSpec {
+
+  private def planOf(name: String): String = {
+    val df = SparkEntry.queries(name)(spark, sf)
+    df.queryExecution.executedPlan.toString()
+  }
+
+  test("q02: filter and projection reach the parquet scan") {
+    val p = planOf("q02_filter_project")
+    assert(p.contains("PushedFilters: ["), "no pushed filters in scan:\n" + p.take(2000))
+    assert(p.contains("l_quantity"), "pushed filter should mention l_quantity")
+    // column pruning: the scan must not read all 16 lineitem columns
+    assert(!p.contains("l_comment"), "scan reads unprojected column l_comment")
+  }
+
+  test("q04: the dimension lookup is a broadcast hash join") {
+    val p = planOf("q04_broadcast_lookup")
+    assert(p.contains("BroadcastHashJoin"), "expected BroadcastHashJoin:\n" + p.take(2000))
+  }
+
+  test("q03: aggregation is partial before the shuffle (map-side combine)") {
+    val p = planOf("q03_join_agg")
+    assert(p.contains("partial_"), "no partial aggregation in plan:\n" + p.take(2000))
+  }
+
+  test("dedup and similarity paths contain no cartesian product") {
+    for (q <- Seq("q35_jaccard_pairs", "q37_minhash_lsh_pairs", "q38_simhash",
+        "q40_ann_lsh", "q43_jaccard_verified_lsh", "q93_decontaminate")) {
+      val p = planOf(q)
+      assert(!p.contains("CartesianProduct"), s"$q plans a cartesian product")
+      assert(!p.contains("BroadcastNestedLoopJoin"), s"$q plans a nested-loop join")
+    }
+  }
+
+  test("q91: shard packing shuffles once, by the partition key") {
+    val p = planOf("q91_shard_pack")
+    // one exchange for the window partition; no global sort/exchange
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(p).length
+    assert(exchanges == 1, s"expected exactly one hash exchange, got $exchanges:\n" + p.take(2000))
+    assert(!p.contains("Exchange rangepartitioning"),
+      "global range partition would single-task a 100 TB cumsum")
+  }
+}
