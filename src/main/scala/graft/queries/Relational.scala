@@ -418,7 +418,43 @@ object Relational {
         expr("percentile(l_extendedprice, 0.95)").as("p95_price"))
   }
 
+  /** Hot-key mitigation gated for SEMANTICS: salting must be invisible
+    * in the result. The oracle is the plain GROUP BY — integer sums
+    * are order-independent, so the salted two-phase plan hashes
+    * identically. (AQE handles storage skew; this is the algorithmic
+    * hot-key path — operators.Skew scaladoc.) */
+  val q94 = QuerySpec.sql(
+    "q94_salted_agg",
+    """SELECT l_partkey,
+      |       CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS salted_sum
+      |FROM lineitem GROUP BY l_partkey""",
+    "salted two-phase aggregation ≡ plain group-by (skew mitigation)") { (s, d) =>
+    graft.operators.Skew.saltedSum(
+      Tables.lineitem(s, d), Seq("l_partkey"), col("l_quantity").cast("long"),
+      buckets = 16, saltFrom = Seq(col("l_orderkey"), col("l_linenumber")))
+  }
+
+  /** Salt-replicated dim join gated the same way: identical output to
+    * the plain join + aggregate. */
+  val q95 = QuerySpec.sql(
+    "q95_salted_join",
+    """SELECT p_brand, CAST(count(*) AS BIGINT) AS n_items,
+      |       CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty
+      |FROM lineitem JOIN part ON l_partkey = p_partkey
+      |GROUP BY p_brand""",
+    "salt-replicated hot-key join ≡ plain join (skew mitigation)") { (s, d) =>
+    val fact = Tables.lineitem(s, d)
+      .select(col("l_partkey").as("partkey"), col("l_orderkey"),
+        col("l_linenumber"), col("l_quantity"))
+    val dim = Tables.part(s, d).select(col("p_partkey").as("partkey"), col("p_brand"))
+    graft.operators.Skew.saltedJoin(fact, dim, "partkey", buckets = 8,
+      saltFrom = Seq(col("l_orderkey"), col("l_linenumber")))
+      .groupBy("p_brand")
+      .agg(count(lit(1)).as("n_items"),
+        intSum(col("l_quantity")).as("sum_qty"))
+  }
+
   val all: Seq[QuerySpec] = Seq(
     q01, q02, q03, q04, q05, q06, q07, q08, q09, q10, q11,
-    q12, q13, q14, q15, q16, q17, q18, q19, q20, q21, q22, q23)
+    q12, q13, q14, q15, q16, q17, q18, q19, q20, q21, q22, q23, q94, q95)
 }
