@@ -99,6 +99,35 @@ object GraphAnalytics {
     r.select(col("id"), col("pr").as("pr_scaled"))
   }
 
+  /** Exact-scaled power iteration for per-group eigencentrality — the
+    * driver-oracle-able companion of the LocalGraph eigen kernel (G6).
+    * Works on the symmetrized unweighted group graphs: v₀ = 1e6 for
+    * every node; each step sums neighbor scores (exact BIGINTs) and
+    * max-normalizes with one rounded scaled division per node,
+    * `round(s·1e6 / max(s))` — both the sum and the max are
+    * order-independent integers, so every engine reproduces the
+    * trajectory bit-for-bit. Fixed step count: predictable cost at
+    * scale, same rationale as static PageRank. One shuffle join + two
+    * aggregations per step, all keyed by (group, node). */
+  def eigenExactScaled(edges: DataFrame, iters: Int): DataFrame = {
+    val e = edges.select(col("group").as("grp"),
+      col("src").cast("long").as("a"), col("dst").cast("long").as("b"))
+    val sym = e.unionByName(e.select(col("grp"), col("b").as("a"), col("a").as("b")))
+      .distinct()
+    var v = sym.select(col("grp"), col("a").as("node")).distinct()
+      .select(col("grp"), col("node"), lit(1000000L).as("v"))
+    (0 until iters).foreach { _ =>
+      val s = sym.join(v.select(col("grp"), col("node").as("b"), col("v")), Seq("grp", "b"))
+        .groupBy(col("grp"), col("a").as("node"))
+        .agg(sum(col("v")).as("s"))
+      val mx = s.groupBy("grp").agg(max(col("s")).as("mx"))
+      v = s.join(mx, Seq("grp"))
+        .select(col("grp"), col("node"),
+          round(col("s") * lit(1000000.0) / col("mx")).cast("long").as("v"))
+    }
+    v.select(col("grp"), col("node"), col("v").as("eigen_scaled"))
+  }
+
   private def unitWeighted(g: PropertyGraph): PropertyGraph =
     PropertyGraph(g.nodes, g.edges.withColumn("unit_w", lit(1.0)))
 

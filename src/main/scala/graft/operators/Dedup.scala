@@ -26,17 +26,8 @@ object Dedup {
       .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_copies"))
 
   /** Tokenize into word k-shingles (k=1 → unigram bag). */
-  private def shingles(text: org.apache.spark.sql.Column, k: Int) = {
-    val toks = TextOps.tokens(text)
-    if (k <= 1) array_distinct(toks)
-    else {
-      // sliding window via transform over indices
-      val n = size(toks)
-      array_distinct(
-        transform(sequence(lit(0), greatest(n - k, lit(0))),
-          i => concat_ws("_", slice(toks, i + 1, lit(k)))))
-    }
-  }
+  private def shingles(text: org.apache.spark.sql.Column, k: Int) =
+    TextOps.wordShingles(text, k)
 
   /** The (doc_id, tok) shingle table — the shared upstream of
     * [[minhashSignaturesFromTokens]] and

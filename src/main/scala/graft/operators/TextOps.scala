@@ -39,6 +39,31 @@ object TextOps {
   def bpePieceCount(text: Column): Column =
     regexp_count(lower(text), lit(BpePiecePattern)).cast("long")
 
+  /** Distinct word k-shingles of the lowercased text ("_"-joined).
+    * Sub-k-token texts yield one clamped short shingle (the slice
+    * stops at the array end) — mirrorable in SQL via clamped list
+    * slicing. Shared by the dedup family and the repetition signal. */
+  def wordShingles(text: Column, k: Int): Column = {
+    val toks = tokens(text)
+    if (k <= 1) array_distinct(toks)
+    else {
+      val n = size(toks)
+      array_distinct(
+        transform(sequence(lit(0), greatest(n - k, lit(0))),
+          i => concat_ws("_", slice(toks, i + 1, lit(k)))))
+    }
+  }
+
+  /** Gopher-style repetition signal: the fraction of k-gram positions
+    * occupied by repeats, 1 − distinct/total. Total positions =
+    * max(n−k+1, 1 if n>0) to match the clamped shingle. */
+  def repetitionRatio(text: Column, k: Int): Column = {
+    val n = tokenCount(text)
+    val total = greatest(n - (k - 1), least(n, lit(1L)))
+    val distinctK = size(wordShingles(text, k)).cast("long")
+    lit(1.0) - distinctK.cast("double") / total
+  }
+
   /** Count of ASCII punctuation characters. */
   def punctCount(text: Column): Column =
     regexp_count(text, lit("[.,!?;:]")).cast("long")

@@ -350,6 +350,51 @@ object AnalyticsQueries {
       groupEdges(s, d).select(col("src"), col("dst")), iters = 5)
   }
 
+  /** Chained-CTE mirror of [[GraphAnalytics.eigenExactScaled]]: per
+    * step, one neighbor-sum CTE and one max-normalized rescale CTE,
+    * all grouped by (grp, node) — generated like the PageRank oracle. */
+  private def eigenOracle(iters: Int): String = {
+    val steps = (1 to iters).map { k =>
+      s"""s$k AS (
+         |  SELECT y.grp, y.a AS node, CAST(sum(p.v) AS BIGINT) AS s
+         |  FROM sym y JOIN r${k - 1} p ON p.grp = y.grp AND p.node = y.b
+         |  GROUP BY y.grp, y.a),
+         |r$k AS (
+         |  SELECT s.grp, s.node,
+         |         CAST(round(s.s * 1000000.0 / m.mx) AS BIGINT) AS v
+         |  FROM s$k s JOIN (SELECT grp, max(s) AS mx FROM s$k GROUP BY grp) m
+         |    ON m.grp = s.grp)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH e AS (
+       |  SELECT n_name AS grp, CAST(l_suppkey AS BIGINT) AS src,
+       |         CAST(o_custkey + 1000000 AS BIGINT) AS dst
+       |  FROM lineitem
+       |  JOIN orders ON l_orderkey = o_orderkey
+       |  JOIN customer ON o_custkey = c_custkey
+       |  JOIN nation ON c_nationkey = n_nationkey
+       |  WHERE l_quantity >= 49
+       |  GROUP BY 1, 2, 3),
+       |sym AS (SELECT grp, src AS a, dst AS b FROM e
+       |        UNION SELECT grp, dst AS a, src AS b FROM e),
+       |r0 AS (SELECT DISTINCT grp, a AS node, CAST(1000000 AS BIGINT) AS v FROM sym),
+       |$steps
+       |SELECT grp, node, v AS eigen_scaled FROM r$iters""".stripMargin
+  }
+
+  /** G6 — eigencentrality, hash-oracled: exact-scaled power iteration
+    * (integer neighbor sums, max-normalized with one rounded scaled
+    * division per node per step — order-independent, so DuckDB
+    * reproduces the trajectory exactly). The LocalGraph kernel stays
+    * the production form (q59, igraph-golden specs); this gates the
+    * iteration arithmetic end-to-end. */
+  val q96 = QuerySpec.sql(
+    "q96_eigen_exact",
+    eigenOracle(iters = 5),
+    "exact-scaled per-group eigencentrality power iteration (SURVEY G6)") { (s, d) =>
+    GraphAnalytics.eigenExactScaled(
+      groupEdges(s, d).select(col("group"), col("src"), col("dst")), iters = 5)
+  }
+
   /** G19 — per-group robustness curve (deterministic victim order:
     * max degree, ties to smaller id — but an iterated whole-graph
     * recomputation has no SQL form, so rows-only; RobustnessSpec pins
@@ -360,5 +405,6 @@ object AnalyticsQueries {
     GraphAnalytics.perGroupRobustness(groupEdges(s, d), steps = 5)
   }
 
-  val all: Seq[QuerySpec] = Seq(q53, q54, q55, q56, q57, q59, q74, q75, q76, q82, q90)
+  val all: Seq[QuerySpec] =
+    Seq(q53, q54, q55, q56, q57, q59, q74, q75, q76, q82, q90, q96)
 }

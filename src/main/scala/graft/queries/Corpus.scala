@@ -182,6 +182,37 @@ object Corpus {
       .groupBy("doc_id").agg(count(lit(1)).as("n_shared_ngrams"))
   }
 
+  /** Gopher-style repetition signal: fraction of 3-gram positions
+    * occupied by repeats. DuckDB mirrors the shingle transform with
+    * clamped list slicing (as q93); the ratio is one IEEE division of
+    * exact integer counts. */
+  val q97 = QuerySpec.sql(
+    "q97_repetition_ratio",
+    """WITH toks AS (
+      |  SELECT doc_id, regexp_extract_all(lower(text), '\S+') AS l FROM documents),
+      |g AS (
+      |  SELECT doc_id, count(DISTINCT array_to_string(l[i:i+2], '_')) AS n_distinct
+      |  FROM toks, unnest(generate_series(1, greatest(len(l) - 2, least(len(l), 1)))) AS u(i)
+      |  GROUP BY doc_id),
+      |t AS (
+      |  SELECT doc_id,
+      |         greatest(CAST(len(l) AS BIGINT) - 2,
+      |                  least(CAST(len(l) AS BIGINT), 1)) AS n_total
+      |  FROM toks)
+      |SELECT t.doc_id, t.n_total, g.n_distinct,
+      |       1.0 - CAST(g.n_distinct AS DOUBLE) / t.n_total AS rep_ratio
+      |FROM t JOIN g ON g.doc_id = t.doc_id""",
+    "3-gram repetition ratio, Gopher-style quality rule (text analysis)") { (s, d) =>
+    val n = TextOps.tokenCount(col("text"))
+    val total = greatest(n - 2, least(n, lit(1L)))
+    Tables.documents(s, d).select(
+      col("doc_id"),
+      total.as("n_total"),
+      size(TextOps.wordShingles(col("text"), 3)).cast("long").as("n_distinct"),
+      (lit(1.0) - size(TextOps.wordShingles(col("text"), 3)).cast("double") / total)
+        .as("rep_ratio"))
+  }
+
   /** Exact dedup by content hash (keep min id). */
   val q32 = QuerySpec.sql(
     "q32_exact_dedup",
@@ -402,5 +433,5 @@ object Corpus {
 
   val all: Seq[QuerySpec] =
     Seq(q30, q31, q89, q32, q33, q34, q35, q36, q37, q38, q39, q40, q41, q42,
-      q43, q77, q78, q83, q91, q92, q93)
+      q43, q77, q78, q83, q91, q92, q93, q97)
 }

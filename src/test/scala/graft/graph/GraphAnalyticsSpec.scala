@@ -136,6 +136,28 @@ class GraphAnalyticsSpec extends SparkSpec {
     assert(shuffled == prStar)
   }
 
+  test("eigenExactScaled: symmetric fixed points, group isolation, repartition-stable") {
+    import spark.implicits._
+    // triangle: every node sees the same neighbor sum -> all stay at
+    // the 1e6 fixed point; second group checks per-group isolation
+    val edges = Seq(
+      ("t", 1L, 2L), ("t", 2L, 3L), ("t", 1L, 3L),
+      ("p", 7L, 8L) // 2-path: both nodes mirror each other -> 1e6 too
+    ).toDF("group", "src", "dst")
+    val out = GraphAnalytics.eigenExactScaled(edges, iters = 5)
+      .collect().map(r => (r.getString(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(out(("t", 1L)) == 1000000L && out(("t", 2L)) == 1000000L && out(("t", 3L)) == 1000000L)
+    assert(out(("p", 7L)) == 1000000L && out(("p", 8L)) == 1000000L)
+    // star: hub dominates; leaves settle below the hub
+    val star = Seq(("s", 1L, 2L), ("s", 1L, 3L), ("s", 1L, 4L)).toDF("group", "src", "dst")
+    val so = GraphAnalytics.eigenExactScaled(star, iters = 4)
+      .collect().map(r => r.getLong(1) -> r.getLong(2)).toMap
+    assert(so(2L) == so(3L) && so(3L) == so(4L), "leaves must be symmetric")
+    val shuffled = GraphAnalytics.eigenExactScaled(star.repartition(5), iters = 4)
+      .collect().map(r => r.getLong(1) -> r.getLong(2)).toMap
+    assert(shuffled == so)
+  }
+
   test("perGroupMetrics supports walktrap communities per group") {
     val twoTri = Seq(
       ("t", 0L, 1L, 1.0), ("t", 1L, 2L, 1.0), ("t", 0L, 2L, 1.0),
