@@ -98,5 +98,10 @@ class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Un
       new FunctionIdentifier("cosine_sim"),
       new ExpressionInfo(classOf[CosineSim].getName, "cosine_sim"),
       (children: Seq[Expression]) => CosineSim(children(0), children(1))))
+    ext.injectFunction((
+      new FunctionIdentifier("minhash_sig"),
+      new ExpressionInfo(classOf[MinHashSig].getName, "minhash_sig"),
+      (children: Seq[Expression]) =>
+        MinHashSig(children(0), children(1).eval().asInstanceOf[Number].intValue())))
   }
 }

@@ -48,6 +48,21 @@ object Dedup {
     minhashSignaturesFromTokens(
       shingleTokens(docs, idCol, textCol, shingleK), numHashes)
 
+  /** MinHash signatures with NO shuffle: the native `minhash_sig`
+    * expression computes the whole signature from each doc's token
+    * array inside the scan's codegen span — bit-identical to the
+    * aggregate form (DedupSpec asserts it), which shuffles the entire
+    * exploded token stream just to regroup tokens that were already
+    * grouped. The scale default; the aggregate form remains for
+    * inputs that genuinely arrive exploded. Token-less docs are
+    * dropped (the aggregate form emits no row for them either). */
+  def minhashSignaturesNarrow(docs: DataFrame, idCol: String, textCol: String,
+      numHashes: Int = 16, shingleK: Int = 1): DataFrame =
+    docs.select(col(idCol).as("doc_id"),
+      graft.functions.MinHashSig(
+        shingles(col(textCol), shingleK), numHashes).as("signature"))
+      .where(col("signature").isNotNull)
+
   /** [[minhashSignatures]] over a pre-built (doc_id, tok) table. */
   def minhashSignaturesFromTokens(tok: DataFrame, numHashes: Int = 16): DataFrame = {
     val mins = (0 until numHashes).map(i => min(xxhash64(lit(i), col("tok"))).as(s"mh_$i"))

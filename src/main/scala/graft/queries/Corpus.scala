@@ -30,10 +30,13 @@ object Corpus {
     }
 
   /** MinHash signatures (16 hashes, 2-shingles) — memoized: q37, q42,
-    * and q43 all start from this table (round-2 verdict item 4). */
+    * and q43 all start from this table (round-2 verdict item 4).
+    * Built with the NARROW native expression (no shuffle; bit-equal to
+    * the aggregate form, DedupSpec) — tok2 stays for q43's verify. */
   private def sig16k2(s: org.apache.spark.sql.SparkSession, d: String) =
     graft.Memo.df(s, "minhashSig.16.2", d) {
-      Dedup.minhashSignaturesFromTokens(tok2(s, d), numHashes = 16)
+      Dedup.minhashSignaturesNarrow(Tables.documents(s, d), "doc_id", "text",
+        numHashes = 16, shingleK = 2)
     }
 
   /** LSH banded candidate pairs off [[sig16k2]] — memoized; also fixes
@@ -282,7 +285,7 @@ object Corpus {
   val q36 = QuerySpec.rowsOnly(
     "q36_minhash_signatures",
     "MinHash signature per doc (dedup, LSH input)") { (s, d) =>
-    Dedup.minhashSignatures(Tables.documents(s, d), "doc_id", "text", numHashes = 16)
+    Dedup.minhashSignaturesNarrow(Tables.documents(s, d), "doc_id", "text", numHashes = 16)
       .select(col("doc_id"), concat_ws(",", col("signature")).as("signature"))
   }
 

@@ -48,6 +48,26 @@ class CosineSimSpec extends SparkSpec {
     assert(math.abs(r - 1.0) < 1e-12)
   }
 
+  test("minhash_sig callable from SQL once registered") {
+    import org.apache.spark.sql.catalyst.FunctionIdentifier
+    spark.sessionState.functionRegistry.registerFunction(
+      new FunctionIdentifier("minhash_sig"),
+      (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        MinHashSig(children(0),
+          children(1).eval().asInstanceOf[Number].intValue()), "built-in")
+    val r = spark.sql(
+      "SELECT minhash_sig(array('a', 'b'), 4) AS s").head.getSeq[Long](0)
+    assert(r.length == 4)
+    // equals the builtin xxhash64 fold min over the two tokens
+    val expect = spark.sql(
+      """SELECT array(least(xxhash64(0, 'a'), xxhash64(0, 'b')),
+        |             least(xxhash64(1, 'a'), xxhash64(1, 'b')),
+        |             least(xxhash64(2, 'a'), xxhash64(2, 'b')),
+        |             least(xxhash64(3, 'a'), xxhash64(3, 'b'))) AS s""".stripMargin)
+      .head.getSeq[Long](0)
+    assert(r == expect)
+  }
+
   test("type check rejects non-array inputs") {
     import spark.implicits._
     val bad = Seq((1, 2)).toDF("a", "b")

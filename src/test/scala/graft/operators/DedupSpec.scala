@@ -32,6 +32,19 @@ class DedupSpec extends SparkSpec {
     assert(sig1 == sig2, "signatures must not depend on partitioning")
   }
 
+  test("minhash_sig native expression matches the aggregate form bit-for-bit") {
+    for (k <- Seq(1, 2); n <- Seq(4, 16)) {
+      val agg = Dedup.minhashSignatures(docs, "doc_id", "text", n, k)
+        .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+      val narrow = Dedup.minhashSignaturesNarrow(docs, "doc_id", "text", n, k)
+        .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+      assert(narrow == agg, s"k=$k n=$n: narrow != aggregate")
+    }
+    // token-less docs are dropped by both forms
+    val empty = Seq((1L, "   ", "a"), (2L, "real text", "a")).toDF("doc_id", "text", "source")
+    assert(Dedup.minhashSignaturesNarrow(empty, "doc_id", "text", 8).count() == 1)
+  }
+
   test("lsh candidate pairs surface near-dups with high estimated jaccard") {
     val sig = Dedup.minhashSignatures(docs, "doc_id", "text", 16)
     val pairs = Dedup.lshCandidatePairs(sig, bands = 8, rowsPerBand = 2)
