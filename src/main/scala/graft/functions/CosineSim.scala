@@ -103,5 +103,9 @@ class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Un
       new ExpressionInfo(classOf[MinHashSig].getName, "minhash_sig"),
       (children: Seq[Expression]) =>
         MinHashSig(children(0), children(1).eval().asInstanceOf[Number].intValue())))
+    ext.injectFunction((
+      new FunctionIdentifier("simhash64"),
+      new ExpressionInfo(classOf[SimHash64].getName, "simhash64"),
+      (children: Seq[Expression]) => SimHash64(children(0))))
   }
 }

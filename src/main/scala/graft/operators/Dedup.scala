@@ -112,6 +112,16 @@ object Dedup {
     agg.select(col("doc_id"), sh.as("simhash"))
   }
 
+  /** SimHash with NO shuffle — the native `simhash64` expression
+    * (same narrow-pass rationale and bit-identity argument as
+    * [[minhashSignaturesNarrow]]; DedupSpec asserts equality).
+    * Token-less docs are dropped, as in the aggregate form. */
+  def simhashNarrow(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs.select(col(idCol).as("doc_id"),
+      graft.functions.SimHash64(array_distinct(TextOps.tokens(col(textCol))))
+        .as("simhash"))
+      .where(col("simhash").isNotNull)
+
   /** SimHash near-dup candidates: block on 4×16-bit bands (any doc
     * pair within Hamming distance 3 shares ≥1 exact band), verify with
     * bit_count(xor). Bucket-join, never all-pairs. */

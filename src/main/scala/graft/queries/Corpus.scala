@@ -300,7 +300,7 @@ object Corpus {
   val q38 = QuerySpec.rowsOnly(
     "q38_simhash",
     "64-bit SimHash per doc (dedup)") { (s, d) =>
-    Dedup.simhash(Tables.documents(s, d), "doc_id", "text")
+    Dedup.simhashNarrow(Tables.documents(s, d), "doc_id", "text")
   }
 
   /** Brute-force cosine top-k — the exact ANN baseline. */

@@ -55,6 +55,16 @@ class DedupSpec extends SparkSpec {
     assert(!pairs.contains((1L, 6L)))        // unrelated not candidate
   }
 
+  test("simhash64 native expression matches the aggregate form bit-for-bit") {
+    val agg = Dedup.simhash(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val narrow = Dedup.simhashNarrow(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(narrow == agg)
+    val empty = Seq((1L, " ", "a"), (2L, "real text", "a")).toDF("doc_id", "text", "source")
+    assert(Dedup.simhashNarrow(empty, "doc_id", "text").count() == 1)
+  }
+
   test("simhash: identical docs equal, near dups close, unrelated far") {
     val sh = Dedup.simhash(docs, "doc_id", "text")
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
