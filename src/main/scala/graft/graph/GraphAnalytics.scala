@@ -72,7 +72,10 @@ object GraphAnalytics {
   /** Exact-scaled static PageRank as pure DataFrame iterations — the
     * driver-oracle-able form of [[pageRank]] (G12). Ranks live in
     * scaled-BIGINT units (1e6 = rank 1.0); each per-edge contribution
-    * `round(0.85 · pr / outdeg)` rounds to an integer BEFORE the sum,
+    * `⌊0.85 · pr / outdeg + 0.5⌋` rounds to an integer BEFORE the sum
+    * (floor(x+0.5), pure IEEE ops — `round` on doubles differs between
+    * engines: Spark goes through decimal-string HALF_UP, DuckDB uses C
+    * round, and they disagree on epsilon-below-half doubles),
     * so the aggregation is order-independent and any engine reproduces
     * it bit-for-bit (the ExactNum idiom). Dangling-node mass is
     * dropped (documented semantics, matching the oracle). One
@@ -92,7 +95,36 @@ object GraphAnalytics {
         .join(r.select(col("id").as("src"), col("pr")), Seq("src"))
         .join(outdeg.select(col("id").as("src"), col("outdeg")), Seq("src"))
         .groupBy(col("dst").as("id"))
-        .agg(sum(round(lit(0.85) * col("pr") / col("outdeg")).cast("long")).as("m"))
+        .agg(sum(floor(lit(0.85) * col("pr") / col("outdeg") + lit(0.5))).as("m"))
+      r = v.join(msgs, Seq("id"), "left_outer")
+        .select(col("id"), (lit(150000L) + coalesce(col("m"), lit(0L))).as("pr"))
+    }
+    r.select(col("id"), col("pr").as("pr_scaled"))
+  }
+
+  /** Weighted exact-scaled static PageRank on the SYMMETRIZED graph —
+    * the reference's `page_rank(directed=F)` semantic
+    * (bin/compareTwins.R:93) in driver-oracle-able form. Same
+    * contract as [[pageRankExactScaled]] (scaled-BIGINT ranks,
+    * per-edge `⌊0.85·r·w / strength + 0.5⌋` before the sum ⇒
+    * order-independent ⇒ engine-independent), with integer edge
+    * weights and out-strength normalization. */
+  def pageRankWeightedExactScaled(edges: DataFrame, iters: Int): DataFrame = {
+    val e0 = edges.select(col("src").cast("long").as("src"),
+        col("dst").cast("long").as("dst"), col("weight").cast("long").as("w"))
+      .groupBy("src", "dst").agg(sum(col("w")).as("w"))
+    val sym = e0.unionByName(
+        e0.select(col("dst").as("src"), col("src").as("dst"), col("w")))
+      .groupBy("src", "dst").agg(sum(col("w")).as("w"))
+    val v = sym.select(col("src").as("id")).distinct()
+    val strength = sym.groupBy(col("src").as("id")).agg(sum(col("w")).as("s"))
+    var r = v.select(col("id"), lit(1000000L).as("pr"))
+    (0 until iters).foreach { _ =>
+      val msgs = sym
+        .join(r.select(col("id").as("src"), col("pr")), Seq("src"))
+        .join(strength.select(col("id").as("src"), col("s")), Seq("src"))
+        .groupBy(col("dst").as("id"))
+        .agg(sum(floor(lit(0.85) * col("pr") * col("w") / col("s") + lit(0.5))).as("m"))
       r = v.join(msgs, Seq("id"), "left_outer")
         .select(col("id"), (lit(150000L) + coalesce(col("m"), lit(0L))).as("pr"))
     }
@@ -104,7 +136,7 @@ object GraphAnalytics {
     * Works on the symmetrized unweighted group graphs: v₀ = 1e6 for
     * every node; each step sums neighbor scores (exact BIGINTs) and
     * max-normalizes with one rounded scaled division per node,
-    * `round(s·1e6 / max(s))` — both the sum and the max are
+    * `⌊s·1e6 / max(s) + 0.5⌋` — both the sum and the max are
     * order-independent integers, so every engine reproduces the
     * trajectory bit-for-bit. Fixed step count: predictable cost at
     * scale, same rationale as static PageRank. One shuffle join + two
@@ -127,7 +159,7 @@ object GraphAnalytics {
         .agg(sum(col("v")).as("s"))
         .withColumn("mx", max(col("s")).over(byGroup))
         .select(col("grp"), col("node"),
-          round(col("s") * lit(1000000.0) / col("mx")).cast("long").as("v"))
+          floor(col("s") * lit(1000000.0) / col("mx") + lit(0.5)).as("v"))
     }
     v.select(col("grp"), col("node"), col("v").as("eigen_scaled"))
   }

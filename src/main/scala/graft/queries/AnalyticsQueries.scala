@@ -315,7 +315,7 @@ object AnalyticsQueries {
     val steps = (1 to iters).map { k =>
       s"""m$k AS (
          |  SELECT e.dst AS id,
-         |         CAST(sum(CAST(round(0.85 * p.pr / d.outdeg) AS BIGINT)) AS BIGINT) AS m
+         |         CAST(sum(CAST(floor(CAST(0.85 AS DOUBLE) * p.pr / d.outdeg + 0.5) AS BIGINT)) AS BIGINT) AS m
          |  FROM e JOIN r${k - 1} p ON p.id = e.src JOIN outdeg d ON d.id = e.src
          |  GROUP BY e.dst),
          |r$k AS (
@@ -350,6 +350,53 @@ object AnalyticsQueries {
       groupEdges(s, d).select(col("src"), col("dst")), iters = 5)
   }
 
+  /** Chained-CTE mirror of
+    * [[GraphAnalytics.pageRankWeightedExactScaled]] — weighted,
+    * symmetrized, strength-normalized supersteps. */
+  private def weightedPrOracle(iters: Int): String = {
+    val steps = (1 to iters).map { k =>
+      s"""m$k AS (
+         |  SELECT y.dst AS id,
+         |         CAST(sum(CAST(floor(CAST(0.85 AS DOUBLE) * p.pr * y.w / d.s + 0.5) AS BIGINT)) AS BIGINT) AS m
+         |  FROM sym y JOIN r${k - 1} p ON p.id = y.src JOIN st d ON d.id = y.src
+         |  GROUP BY y.dst),
+         |r$k AS (
+         |  SELECT v.id, CAST(150000 + COALESCE(m.m, 0) AS BIGINT) AS pr
+         |  FROM v LEFT JOIN m$k m ON m.id = v.id)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH e0 AS (
+       |  SELECT CAST(l_suppkey AS BIGINT) AS src,
+       |         CAST(o_custkey + 1000000 AS BIGINT) AS dst,
+       |         CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS w
+       |  FROM lineitem
+       |  JOIN orders ON l_orderkey = o_orderkey
+       |  WHERE l_quantity >= 49
+       |  GROUP BY 1, 2),
+       |sym AS (
+       |  SELECT src, dst, CAST(sum(w) AS BIGINT) AS w FROM (
+       |    SELECT src, dst, w FROM e0
+       |    UNION ALL SELECT dst AS src, src AS dst, w FROM e0)
+       |  GROUP BY src, dst),
+       |v AS (SELECT DISTINCT src AS id FROM sym),
+       |st AS (SELECT src AS id, CAST(sum(w) AS BIGINT) AS s FROM sym GROUP BY src),
+       |r0 AS (SELECT id, CAST(1000000 AS BIGINT) AS pr FROM v),
+       |$steps
+       |SELECT id, pr AS pr_scaled FROM r$iters""".stripMargin
+  }
+
+  /** G12 (weighted form) — the reference's `page_rank(directed=F)`
+    * weighted-symmetrized semantic, hash-oracled the same way as q90.
+    * q57 remains the GraphX production run; between q90 (unweighted,
+    * directed) and this (weighted, symmetrized) the full rank
+    * arithmetic the engine ships is driver-verified. */
+  val q98 = QuerySpec.sql(
+    "q98_pagerank_weighted_exact",
+    weightedPrOracle(iters = 5),
+    "weighted symmetrized exact-scaled PageRank (SURVEY G12)") { (s, d) =>
+    GraphAnalytics.pageRankWeightedExactScaled(
+      groupEdges(s, d).select(col("src"), col("dst"), col("weight")), iters = 5)
+  }
+
   /** Chained-CTE mirror of [[GraphAnalytics.eigenExactScaled]]: per
     * step, one neighbor-sum CTE and one max-normalized rescale CTE,
     * all grouped by (grp, node) — generated like the PageRank oracle. */
@@ -361,7 +408,7 @@ object AnalyticsQueries {
          |  GROUP BY y.grp, y.a),
          |r$k AS (
          |  SELECT s.grp, s.node,
-         |         CAST(round(s.s * 1000000.0 / m.mx) AS BIGINT) AS v
+         |         CAST(floor(s.s * CAST(1000000.0 AS DOUBLE) / m.mx + 0.5) AS BIGINT) AS v
          |  FROM s$k s JOIN (SELECT grp, max(s) AS mx FROM s$k GROUP BY grp) m
          |    ON m.grp = s.grp)""".stripMargin
     }.mkString(",\n")
@@ -406,5 +453,5 @@ object AnalyticsQueries {
   }
 
   val all: Seq[QuerySpec] =
-    Seq(q53, q54, q55, q56, q57, q59, q74, q75, q76, q82, q90, q96)
+    Seq(q53, q54, q55, q56, q57, q59, q74, q75, q76, q82, q90, q96, q98)
 }

@@ -41,6 +41,15 @@ class PlanAuditSpec extends SparkSpec {
     }
   }
 
+  test("q36/q38: native signature expressions plan ZERO exchanges") {
+    // the whole point of minhash_sig/simhash64: signature building is
+    // a narrow map over the scan, not an explode + groupBy shuffle
+    for (q <- Seq("q36_minhash_signatures", "q38_simhash")) {
+      val p = planOf(q)
+      assert(!p.contains("Exchange"), s"$q shuffles — the narrow signature path regressed")
+    }
+  }
+
   test("q91: shard packing shuffles once, by the partition key") {
     val p = planOf("q91_shard_pack")
     // one exchange for the window partition; no global sort/exchange

@@ -136,6 +136,24 @@ class GraphAnalyticsSpec extends SparkSpec {
     assert(shuffled == prStar)
   }
 
+  test("pageRankWeightedExactScaled: symmetrized fixed point, weight sensitivity") {
+    import spark.implicits._
+    // single weighted pair: symmetrized both nodes send their whole
+    // strength -> fixed point at 1e6 regardless of the weight value
+    val pair = Seq((1L, 2L, 7.0)).toDF("src", "dst", "weight")
+    val pr = GraphAnalytics.pageRankWeightedExactScaled(pair, iters = 5)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(pr == Map(1L -> 1000000L, 2L -> 1000000L))
+    // weighted star: node 2 holds 9/10 of the hub's strength
+    val star = Seq((1L, 2L, 9.0), (1L, 3L, 1.0)).toDF("src", "dst", "weight")
+    val sp = GraphAnalytics.pageRankWeightedExactScaled(star, iters = 5)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(sp(2L) > sp(3L), "heavier edge must carry more rank")
+    val shuffled = GraphAnalytics.pageRankWeightedExactScaled(star.repartition(5), iters = 5)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(shuffled == sp)
+  }
+
   test("eigenExactScaled: symmetric fixed points, group isolation, repartition-stable") {
     import spark.implicits._
     // triangle: every node sees the same neighbor sum -> all stay at
