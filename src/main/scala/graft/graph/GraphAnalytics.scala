@@ -164,6 +164,84 @@ object GraphAnalytics {
     v.select(col("grp"), col("node"), col("v").as("eigen_scaled"))
   }
 
+  /** Exact-scaled Brandes betweenness per group — the
+    * driver-oracle-able form of the "no SQL form" kernel (G7).
+    *
+    * Standard Brandes accumulates δ(v) = Σ_w σ(v)/σ(w)·(1+δ(w)) in
+    * floating point, whose summation order makes it engine-specific.
+    * Here δ lives in scaled-BIGINT units (1e6 = 1.0) and every
+    * per-successor contribution rounds to an integer FIRST —
+    * `⌊σ(v)·(1e6+δ(w))/σ(w) + 0.5⌋` — so both sweeps are integer
+    * arithmetic with one IEEE multiply/divide chain per edge, and any
+    * engine reproduces the result bit-for-bit. The DuckDB mirror
+    * unrolls the BFS-layered forward (σ) and backward (δ) sweeps as
+    * generated per-depth CTEs.
+    *
+    * Output `btw_scaled2` = Σ_roots δ_root(v) (scaled; each unordered
+    * pair counted from both endpoints — halve and unscale for the
+    * textbook undirected value). BFS is depth-capped at `maxDepth`
+    * (mirrored by the oracle's recursion bound); σ must stay within
+    * Long — true for sparse per-sample graphs, the tier this kernel
+    * serves (the dense-megagraph path is GraphX). One shuffle on the
+    * group key, then groups run independently — same scale shape as
+    * [[perGroupVertexMetrics]]. */
+  def betweennessExactScaled(edges: DataFrame, maxDepth: Int = 32): DataFrame = {
+    val spark = edges.sparkSession
+    import spark.implicits._
+    val Scale = 1000000L
+    edges.select(col("group"), col("src").cast("long"), col("dst").cast("long"))
+      .as[(String, Long, Long)]
+      .groupByKey(_._1)
+      .flatMapGroups { (grp, it) =>
+        // symmetrized distinct adjacency
+        val pairs = it.flatMap { case (_, a, b) => Seq((a, b), (b, a)) }.toSet
+        val adj = pairs.groupBy(_._1).map { case (a, ps) => a -> ps.map(_._2).toArray.sorted }
+        val nodes = adj.keys.toArray.sorted
+        val btw = scala.collection.mutable.HashMap.empty[Long, Long]
+        nodes.foreach(n => btw(n) = 0L)
+        nodes.foreach { root =>
+          val dist = scala.collection.mutable.HashMap.empty[Long, Int]
+          val sigma = scala.collection.mutable.HashMap.empty[Long, Long]
+          val layers = scala.collection.mutable.ArrayBuffer(
+            scala.collection.mutable.ArrayBuffer(root))
+          dist(root) = 0; sigma(root) = 1L
+          var d = 0
+          while (d < layers.length && d < maxDepth) {
+            val next = scala.collection.mutable.ArrayBuffer.empty[Long]
+            layers(d).foreach { v =>
+              adj(v).foreach { w =>
+                if (!dist.contains(w)) { dist(w) = d + 1; sigma(w) = 0L; next += w }
+                if (dist(w) == d + 1) sigma(w) += sigma(v)
+              }
+            }
+            if (next.nonEmpty) layers += next
+            d += 1
+          }
+          val delta = scala.collection.mutable.HashMap.empty[Long, Long]
+          var k = layers.length - 2
+          while (k >= 0) {
+            layers(k).foreach { v =>
+              var acc = 0L
+              adj(v).foreach { w =>
+                if (dist.getOrElse(w, -1) == k + 1) {
+                  val dw = delta.getOrElse(w, 0L)
+                  acc += math.floor(
+                    sigma(v).toDouble * (Scale + dw) / sigma(w) + 0.5).toLong
+                }
+              }
+              delta(v) = acc
+            }
+            k -= 1
+          }
+          dist.foreach { case (v, dv) =>
+            if (dv >= 1) btw(v) += delta.getOrElse(v, 0L)
+          }
+        }
+        nodes.iterator.map(n => (grp, n, btw(n)))
+      }
+      .toDF("grp", "node", "btw_scaled2")
+  }
+
   private def unitWeighted(g: PropertyGraph): PropertyGraph =
     PropertyGraph(g.nodes, g.edges.withColumn("unit_w", lit(1.0)))
 

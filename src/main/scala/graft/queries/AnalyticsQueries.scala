@@ -442,6 +442,89 @@ object AnalyticsQueries {
       groupEdges(s, d).select(col("group"), col("src"), col("dst")), iters = 5)
   }
 
+  /** Generated mirror of [[GraphAnalytics.betweennessExactScaled]]:
+    * the BFS-layered Brandes sweeps unroll as per-depth CTEs —
+    * forward σ layers s1..sD (shortest-path counts, exact BIGINTs),
+    * then backward dependency layers dD..d1 where each per-successor
+    * contribution floors to a scaled BIGINT before the sum. ~2·D
+    * generated CTEs; the recursion bound D mirrors the kernel's
+    * depth cap. */
+  private def betweennessOracle(maxDepth: Int): String = {
+    val fwd = (1 to maxDepth).map { k =>
+      s"""s$k AS MATERIALIZED (
+         |  SELECT dd.grp, dd.root, dd.node, CAST(sum(p.sigma) AS BIGINT) AS sigma
+         |  FROM s${k - 1} p
+         |  JOIN sym y ON y.grp = p.grp AND y.a = p.node
+         |  JOIN dist dd ON dd.grp = p.grp AND dd.root = p.root
+         |    AND dd.node = y.b AND dd.d = $k
+         |  GROUP BY dd.grp, dd.root, dd.node)""".stripMargin
+    }.mkString(",\n")
+    val bwdHead =
+      s"""d$maxDepth AS MATERIALIZED (
+         |  SELECT grp, root, node, CAST(0 AS BIGINT) AS delta FROM s$maxDepth)""".stripMargin
+    val bwd = (maxDepth - 1 to 1 by -1).map { k =>
+      s"""d$k AS MATERIALIZED (
+         |  SELECT v.grp, v.root, v.node, CAST(COALESCE(c.s, 0) AS BIGINT) AS delta
+         |  FROM s$k v LEFT JOIN (
+         |    SELECT v2.grp, v2.root, v2.node,
+         |           sum(CAST(floor(CAST(v2.sigma AS DOUBLE) * (1000000 + dn.delta)
+         |             / sw.sigma + 0.5) AS BIGINT)) AS s
+         |    FROM s$k v2
+         |    JOIN sym y ON y.grp = v2.grp AND y.a = v2.node
+         |    JOIN s${k + 1} sw ON sw.grp = v2.grp AND sw.root = v2.root AND sw.node = y.b
+         |    JOIN d${k + 1} dn ON dn.grp = sw.grp AND dn.root = sw.root AND dn.node = sw.node
+         |    GROUP BY v2.grp, v2.root, v2.node) c
+         |  ON c.grp = v.grp AND c.root = v.root AND c.node = v.node)""".stripMargin
+    }.mkString(",\n")
+    val deltas = (1 to maxDepth).map(k => s"SELECT grp, node, delta FROM d$k")
+      .mkString("\n    UNION ALL ")
+    s"""WITH RECURSIVE e AS MATERIALIZED (
+       |  SELECT n_name AS grp, CAST(l_suppkey AS BIGINT) AS src,
+       |         CAST(o_custkey + 1000000 AS BIGINT) AS dst
+       |  FROM lineitem
+       |  JOIN orders ON l_orderkey = o_orderkey
+       |  JOIN customer ON o_custkey = c_custkey
+       |  JOIN nation ON c_nationkey = n_nationkey
+       |  WHERE l_quantity >= 49
+       |  GROUP BY 1, 2, 3),
+       |sym AS MATERIALIZED (SELECT grp, src AS a, dst AS b FROM e
+       |        UNION SELECT grp, dst AS a, src AS b FROM e),
+       |nodes AS MATERIALIZED (SELECT DISTINCT grp, a AS node FROM sym),
+       |walk AS (
+       |  SELECT grp, node AS root, node, 0 AS d FROM nodes
+       |  UNION
+       |  SELECT w.grp, w.root, s.b AS node, w.d + 1 AS d
+       |  FROM walk w JOIN sym s ON s.grp = w.grp AND s.a = w.node
+       |  WHERE w.d < $maxDepth),
+       |dist AS MATERIALIZED (SELECT grp, root, node, CAST(min(d) AS INTEGER) AS d
+       |         FROM walk GROUP BY 1, 2, 3),
+       |s0 AS MATERIALIZED (SELECT DISTINCT grp, root, root AS node, CAST(1 AS BIGINT) AS sigma
+       |       FROM dist),
+       |$fwd,
+       |$bwdHead,
+       |$bwd,
+       |btw AS (
+       |  SELECT grp, node, CAST(sum(delta) AS BIGINT) AS btw FROM (
+       |    $deltas)
+       |  GROUP BY grp, node)
+       |SELECT n.grp, n.node, CAST(COALESCE(b.btw, 0) AS BIGINT) AS btw_scaled2
+       |FROM nodes n LEFT JOIN btw b ON b.grp = n.grp AND b.node = n.node""".stripMargin
+  }
+
+  /** G7 — Brandes betweenness, hash-oracled: the exact-scaled kernel
+    * (scaled-BIGINT dependencies, per-successor contributions floored
+    * before the sum) makes the classically float-accumulated metric
+    * engine-independent, and the layered sweeps are SQL after all.
+    * The LocalGraph kernel stays the production battery member; this
+    * verifies the sweep arithmetic end-to-end. */
+  val q99 = QuerySpec.sql(
+    "q99_betweenness_exact",
+    betweennessOracle(maxDepth = 32),
+    "exact-scaled per-group Brandes betweenness (SURVEY G7)") { (s, d) =>
+    GraphAnalytics.betweennessExactScaled(
+      groupEdges(s, d).select(col("group"), col("src"), col("dst")), maxDepth = 32)
+  }
+
   /** G19 — per-group robustness curve (deterministic victim order:
     * max degree, ties to smaller id — but an iterated whole-graph
     * recomputation has no SQL form, so rows-only; RobustnessSpec pins
@@ -453,5 +536,5 @@ object AnalyticsQueries {
   }
 
   val all: Seq[QuerySpec] =
-    Seq(q53, q54, q55, q56, q57, q59, q74, q75, q76, q82, q90, q96, q98)
+    Seq(q53, q54, q55, q56, q57, q59, q74, q75, q76, q82, q90, q96, q98, q99)
 }

@@ -176,6 +176,37 @@ class GraphAnalyticsSpec extends SparkSpec {
     assert(shuffled == so)
   }
 
+  test("betweennessExactScaled: closed forms, agrees with the float kernel, stable") {
+    import spark.implicits._
+    // path a-b-c: classic btw(b)=1 -> scaled2 = 2e6 (counted from both
+    // endpoints); star of 4: center = 3 -> 6e6, leaves 0
+    val g = Seq(
+      ("path", 1L, 2L), ("path", 2L, 3L),
+      ("star", 10L, 11L), ("star", 10L, 12L), ("star", 10L, 13L)
+    ).toDF("group", "src", "dst")
+    val out = GraphAnalytics.betweennessExactScaled(g)
+      .collect().map(r => (r.getString(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(out(("path", 2L)) == 2000000L)
+    assert(out(("path", 1L)) == 0L && out(("path", 3L)) == 0L)
+    assert(out(("star", 10L)) == 6000000L)
+    assert(out(("star", 11L)) == 0L)
+    // agrees with the production float Brandes kernel within rounding
+    val edges = Seq(
+      ("x", 1L, 2L, 1.0), ("x", 2L, 3L, 1.0), ("x", 3L, 4L, 1.0),
+      ("x", 4L, 1L, 1.0), ("x", 1L, 5L, 1.0)).toDF("group", "src", "dst", "weight")
+    val fl = GraphAnalytics.perGroupVertexMetrics(edges)
+      .select(col("id"), col("betweenness"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val ex = GraphAnalytics.betweennessExactScaled(edges.select("group", "src", "dst"))
+      .collect().map(r => r.getLong(1) -> r.getLong(2) / 2000000.0).toMap
+    fl.foreach { case (id, v) =>
+      assert(math.abs(ex(id) - v) < 1e-4, s"node $id: exact ${ex(id)} vs float $v")
+    }
+    val shuffled = GraphAnalytics.betweennessExactScaled(g.repartition(7))
+      .collect().map(r => (r.getString(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(shuffled == out)
+  }
+
   test("perGroupMetrics supports walktrap communities per group") {
     val twoTri = Seq(
       ("t", 0L, 1L, 1.0), ("t", 1L, 2L, 1.0), ("t", 0L, 2L, 1.0),
