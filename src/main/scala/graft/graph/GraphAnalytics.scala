@@ -193,51 +193,60 @@ object GraphAnalytics {
       .as[(String, Long, Long)]
       .groupByKey(_._1)
       .flatMapGroups { (grp, it) =>
-        // symmetrized distinct adjacency
+        // symmetrized distinct adjacency, index-compressed to 0..n-1
+        // (per-root state lives in flat arrays: the kernel runs
+        // n × O(V+E) sweeps, and HashMap probes dominated the profile)
         val pairs = it.flatMap { case (_, a, b) => Seq((a, b), (b, a)) }.toSet
-        val adj = pairs.groupBy(_._1).map { case (a, ps) => a -> ps.map(_._2).toArray.sorted }
-        val nodes = adj.keys.toArray.sorted
-        val btw = scala.collection.mutable.HashMap.empty[Long, Long]
-        nodes.foreach(n => btw(n) = 0L)
-        nodes.foreach { root =>
-          val dist = scala.collection.mutable.HashMap.empty[Long, Int]
-          val sigma = scala.collection.mutable.HashMap.empty[Long, Long]
-          val layers = scala.collection.mutable.ArrayBuffer(
-            scala.collection.mutable.ArrayBuffer(root))
-          dist(root) = 0; sigma(root) = 1L
-          var d = 0
-          while (d < layers.length && d < maxDepth) {
-            val next = scala.collection.mutable.ArrayBuffer.empty[Long]
-            layers(d).foreach { v =>
-              adj(v).foreach { w =>
-                if (!dist.contains(w)) { dist(w) = d + 1; sigma(w) = 0L; next += w }
-                if (dist(w) == d + 1) sigma(w) += sigma(v)
-              }
-            }
-            if (next.nonEmpty) layers += next
-            d += 1
-          }
-          val delta = scala.collection.mutable.HashMap.empty[Long, Long]
-          var k = layers.length - 2
-          while (k >= 0) {
-            layers(k).foreach { v =>
-              var acc = 0L
-              adj(v).foreach { w =>
-                if (dist.getOrElse(w, -1) == k + 1) {
-                  val dw = delta.getOrElse(w, 0L)
-                  acc += math.floor(
-                    sigma(v).toDouble * (Scale + dw) / sigma(w) + 0.5).toLong
-                }
-              }
-              delta(v) = acc
-            }
-            k -= 1
-          }
-          dist.foreach { case (v, dv) =>
-            if (dv >= 1) btw(v) += delta.getOrElse(v, 0L)
-          }
+        val nodes = pairs.map(_._1).toArray.sorted
+        val idx = nodes.zipWithIndex.toMap
+        val n = nodes.length
+        val adj = Array.fill(n)(Array.empty[Int])
+        pairs.groupBy(_._1).foreach { case (a, ps) =>
+          adj(idx(a)) = ps.map(p => idx(p._2)).toArray.sorted
         }
-        nodes.iterator.map(n => (grp, n, btw(n)))
+        val btw = new Array[Long](n)
+        val dist = new Array[Int](n)
+        val sigma = new Array[Long](n)
+        val delta = new Array[Long](n)
+        val order = new Array[Int](n) // BFS visit order (root first)
+        var root = 0
+        while (root < n) {
+          java.util.Arrays.fill(dist, -1)
+          java.util.Arrays.fill(sigma, 0L)
+          java.util.Arrays.fill(delta, 0L)
+          dist(root) = 0; sigma(root) = 1L; order(0) = root
+          var head = 0
+          var tail = 1
+          while (head < tail) {
+            val v = order(head); head += 1
+            val dv = dist(v)
+            if (dv < maxDepth) {
+              adj(v).foreach { w =>
+                if (dist(w) < 0) { dist(w) = dv + 1; order(tail) = w; tail += 1 }
+                if (dist(w) == dv + 1) sigma(w) += sigma(v)
+              }
+            }
+          }
+          // reverse BFS order = non-increasing depth: delta of deeper
+          // nodes is final before shallower nodes consume it
+          var i = tail - 1
+          while (i >= 1) {
+            val v = order(i)
+            val dv = dist(v)
+            var acc = 0L
+            adj(v).foreach { w =>
+              if (dist(w) == dv + 1)
+                acc += math.floor(
+                  sigma(v).toDouble * (Scale + delta(w)) / sigma(w) + 0.5).toLong
+            }
+            delta(v) = acc
+            btw(v) += acc
+            i -= 1
+          }
+          // root itself (order(0)) is excluded from accumulation
+          root += 1
+        }
+        nodes.iterator.zipWithIndex.map { case (node, i2) => (grp, node, btw(i2)) }
       }
       .toDF("grp", "node", "btw_scaled2")
   }
