@@ -251,6 +251,56 @@ object GraphAnalytics {
       .toDF("grp", "node", "btw_scaled2")
   }
 
+  /** Per-vertex eccentricity + harmonic centrality per group, both in
+    * exact arithmetic: ecc is an integer BFS depth, harmonic is
+    * Σ_u ⌊1e6/d(v,u) + 0.5⌋ over reachable u ≠ v — per-distance terms
+    * round to scaled BIGINTs before the (order-independent) sum, so
+    * the oracle reproduces both bit-for-bit from the recursive-CTE
+    * distance table. Harmonic centrality is the disconnected-robust
+    * closeness variant (a beyond-the-reference G-family extension);
+    * one flatMapGroups pass, same tier as the battery. */
+  def harmonicEccExact(edges: DataFrame, maxDepth: Int = 64): DataFrame = {
+    val spark = edges.sparkSession
+    import spark.implicits._
+    edges.select(col("group"), col("src").cast("long"), col("dst").cast("long"))
+      .as[(String, Long, Long)]
+      .groupByKey(_._1)
+      .flatMapGroups { (grp, it) =>
+        val pairs = it.flatMap { case (_, a, b) => Seq((a, b), (b, a)) }.toSet
+        val nodes = pairs.map(_._1).toArray.sorted
+        val idx = nodes.zipWithIndex.toMap
+        val n = nodes.length
+        val adj = Array.fill(n)(Array.empty[Int])
+        pairs.groupBy(_._1).foreach { case (a, ps) =>
+          adj(idx(a)) = ps.map(p => idx(p._2)).toArray.sorted
+        }
+        val dist = new Array[Int](n)
+        val order = new Array[Int](n)
+        (0 until n).iterator.map { root =>
+          java.util.Arrays.fill(dist, -1)
+          dist(root) = 0; order(0) = root
+          var head = 0; var tail = 1
+          var ecc = 0L
+          var harmonic = 0L
+          while (head < tail) {
+            val v = order(head); head += 1
+            val dv = dist(v)
+            if (dv > 0) {
+              if (dv > ecc) ecc = dv
+              harmonic += math.floor(1000000.0 / dv + 0.5).toLong
+            }
+            if (dv < maxDepth) {
+              adj(v).foreach { w =>
+                if (dist(w) < 0) { dist(w) = dv + 1; order(tail) = w; tail += 1 }
+              }
+            }
+          }
+          (grp, nodes(root), ecc, harmonic)
+        }
+      }
+      .toDF("grp", "node", "ecc", "harmonic_scaled")
+  }
+
   private def unitWeighted(g: PropertyGraph): PropertyGraph =
     PropertyGraph(g.nodes, g.edges.withColumn("unit_w", lit(1.0)))
 

@@ -525,6 +525,43 @@ object AnalyticsQueries {
       groupEdges(s, d).select(col("group"), col("src"), col("dst")), maxDepth = 32)
   }
 
+  /** G4 (per-vertex slice) + harmonic centrality — both exact off the
+    * same depth-capped recursive-CTE distance table as q74/q76:
+    * eccentricity is an integer max, harmonic sums per-distance
+    * ⌊1e6/d + 0.5⌋ scaled BIGINTs (order-independent). Harmonic is
+    * the disconnected-robust closeness variant, a
+    * beyond-the-reference G-family extension. */
+  val q100 = QuerySpec.sql(
+    "q100_harmonic_ecc",
+    """WITH RECURSIVE e AS (
+      |  SELECT n_name AS grp, CAST(l_suppkey AS BIGINT) AS src,
+      |         CAST(o_custkey + 1000000 AS BIGINT) AS dst
+      |  FROM lineitem
+      |  JOIN orders ON l_orderkey = o_orderkey
+      |  JOIN customer ON o_custkey = c_custkey
+      |  JOIN nation ON c_nationkey = n_nationkey
+      |  WHERE l_quantity >= 49
+      |  GROUP BY 1, 2, 3),
+      |sym AS (SELECT grp, src AS a, dst AS b FROM e
+      |        UNION SELECT grp, dst AS a, src AS b FROM e),
+      |nodes AS (SELECT DISTINCT grp, a AS node FROM sym),
+      |walk AS (
+      |  SELECT grp, node AS root, node, 0 AS d FROM nodes
+      |  UNION
+      |  SELECT w.grp, w.root, s.b AS node, w.d + 1 AS d
+      |  FROM walk w JOIN sym s ON s.grp = w.grp AND s.a = w.node
+      |  WHERE w.d < 64),
+      |dist AS (SELECT grp, root, node, min(d) AS d FROM walk GROUP BY 1, 2, 3)
+      |SELECT grp, root AS node,
+      |       CAST(max(d) AS BIGINT) AS ecc,
+      |       CAST(sum(CAST(floor(CAST(1000000 AS DOUBLE) / d + 0.5) AS BIGINT)) AS BIGINT)
+      |         AS harmonic_scaled
+      |FROM dist WHERE d > 0 GROUP BY grp, root""",
+    "per-vertex eccentricity + exact harmonic centrality (SURVEY G4+)") { (s, d) =>
+    GraphAnalytics.harmonicEccExact(
+      groupEdges(s, d).select(col("group"), col("src"), col("dst")), maxDepth = 64)
+  }
+
   /** G19 — per-group robustness curve (deterministic victim order:
     * max degree, ties to smaller id — but an iterated whole-graph
     * recomputation has no SQL form, so rows-only; RobustnessSpec pins
@@ -536,5 +573,5 @@ object AnalyticsQueries {
   }
 
   val all: Seq[QuerySpec] =
-    Seq(q53, q54, q55, q56, q57, q59, q74, q75, q76, q82, q90, q96, q98, q99)
+    Seq(q53, q54, q55, q56, q57, q59, q74, q75, q76, q82, q90, q96, q98, q99, q100)
 }

@@ -207,6 +207,20 @@ class GraphAnalyticsSpec extends SparkSpec {
     assert(shuffled == out)
   }
 
+  test("harmonicEccExact: path closed forms, repartition-stable") {
+    import spark.implicits._
+    // path 1-2-3: ecc(2)=1, ecc(1)=2; harmonic(1)=1e6/1+1e6/2=1.5e6
+    val g = Seq(("p", 1L, 2L), ("p", 2L, 3L)).toDF("group", "src", "dst")
+    val out = GraphAnalytics.harmonicEccExact(g)
+      .collect().map(r => r.getLong(1) -> (r.getLong(2), r.getLong(3))).toMap
+    assert(out(2L) == (1L, 2000000L))
+    assert(out(1L) == (2L, 1500000L))
+    assert(out(3L) == (2L, 1500000L))
+    val shuffled = GraphAnalytics.harmonicEccExact(g.repartition(5))
+      .collect().map(r => r.getLong(1) -> (r.getLong(2), r.getLong(3))).toMap
+    assert(shuffled == out)
+  }
+
   test("perGroupMetrics supports walktrap communities per group") {
     val twoTri = Seq(
       ("t", 0L, 1L, 1.0), ("t", 1L, 2L, 1.0), ("t", 0L, 2L, 1.0),
