@@ -164,6 +164,37 @@ object GraphAnalytics {
     v.select(col("grp"), col("node"), col("v").as("eigen_scaled"))
   }
 
+  /** Exact-scaled alpha/Katz centrality (G10) — the driver-oracle-able
+    * companion of the LocalGraph dense solve (reference
+    * `alpha_centrality`, bin/interpersonaldiversity.R). The solve's
+    * Neumann series x = Σ αᵏ(Aᵀ)ᵏe runs as supersteps
+    * x_{k+1} = α·Aᵀx_k + e from x₀ = e (scaled 1e6): each step sums
+    * neighbor scores (exact BIGINTs) and applies ONE rounded op per
+    * node, ⌊α·s + 0.5⌋ + 1e6 — both order-independent, so any engine
+    * reproduces the trajectory bit-for-bit. Convergence needs
+    * α < 1/λ₁ (the dense solve's contract); a fixed small step count
+    * bounds cost and magnitude either way. Same scale shape as
+    * [[eigenExactScaled]]: one shuffle join + one agg per step, all
+    * keyed by (group, node). */
+  def alphaExactScaled(edges: DataFrame, alpha: Double, iters: Int): DataFrame = {
+    val e = edges.select(col("group").as("grp"),
+      col("src").cast("long").as("a"), col("dst").cast("long").as("b"))
+    val sym = e.unionByName(e.select(col("grp"), col("b").as("a"), col("a").as("b")))
+      .distinct()
+    var v = sym.select(col("grp"), col("a").as("node")).distinct()
+      .select(col("grp"), col("node"), lit(1000000L).as("v"))
+    (0 until iters).foreach { _ =>
+      // every node of the symmetrized graph appears as `a`, so the
+      // inner join drops no vertex (no left-join/coalesce needed)
+      v = sym.join(v.select(col("grp"), col("node").as("b"), col("v")), Seq("grp", "b"))
+        .groupBy(col("grp"), col("a").as("node"))
+        .agg(sum(col("v")).as("s"))
+        .select(col("grp"), col("node"),
+          (floor(lit(alpha) * col("s") + lit(0.5)) + lit(1000000L)).as("v"))
+    }
+    v.select(col("grp"), col("node"), col("v").as("alpha_scaled"))
+  }
+
   /** Exact-scaled Brandes betweenness per group — the
     * driver-oracle-able form of the "no SQL form" kernel (G7).
     *

@@ -30,6 +30,37 @@ object Sampling {
   def permuted(df: DataFrame, idCols: Seq[String], seed: Long): DataFrame =
     df.orderBy(xxhash64((lit(seed) +: idCols.map(col)): _*))
 
+  /** Engine-portable 32-bit uniform from md5 — the cross-engine twin
+    * of [[hashUnit]]. xxhash64 is Spark-private, so decisions derived
+    * from it can only be output-pinned by an external oracle (q85/q86
+    * style); md5 hex is identical in every engine, so an oracle can
+    * RECOMPUTE the decision. Spark `conv(hex,16,10)` ≡ DuckDB
+    * `('0x'||hex)::BIGINT`. md5 costs ~4× xxhash64 — keep [[hashUnit]]
+    * for hot paths with no cross-engine replay requirement. */
+  def md5Bits32(seed: Long, cols: Column*): Column =
+    conv(substring(md5(concat_ws("|",
+      (lit(seed.toString) +: cols.map(_.cast("string"))): _*)), 1, 8), 16, 10)
+      .cast("long")
+
+  /** R2/R5, portable form: same stratified-fraction semantics as
+    * [[stratifiedSample]] but the keep decision replays in any engine
+    * with md5. Exact integer threshold: keep iff bits32 < ⌊f·2³²⌋. */
+  def stratifiedSamplePortable(df: DataFrame, idCols: Seq[String],
+      fraction: Double, seed: Long): DataFrame =
+    df.where(md5Bits32(seed, idCols.map(col): _*) <
+      lit(math.floor(fraction * 4294967296.0).toLong))
+
+  /** R6, portable form of [[randomFragment]]: offset from the md5
+    * uniform via exact integer mod, so the substring replays in any
+    * engine. */
+  def randomFragmentPortable(seq: Column, id: Column, fraction: Double,
+      seed: Long): Column = {
+    val fragLen = greatest(floor(length(seq) * fraction), lit(1)).cast("int")
+    val maxStart = greatest((length(seq) - fragLen + 1).cast("long"), lit(1L))
+    val start = (md5Bits32(seed, id) % maxStart + 1).cast("int")
+    seq.substr(start, fragLen)
+  }
+
   /** R3 — seeded subsample of a column list (driver-side choice, as in
     * the reference's 25%-of-samples workaround,
     * bin/ReshapeAlignedAbundance.R:41-45). */

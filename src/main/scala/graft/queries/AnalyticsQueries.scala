@@ -572,6 +572,51 @@ object AnalyticsQueries {
     GraphAnalytics.perGroupRobustness(groupEdges(s, d), steps = 5)
   }
 
+  /** Chained-CTE mirror of [[GraphAnalytics.alphaExactScaled]]: per
+    * step one neighbor-sum CTE and one affine rescale CTE — the same
+    * generation scheme as the eigen/PageRank oracles. */
+  private def alphaOracle(alpha: Double, iters: Int): String = {
+    val steps = (1 to iters).map { k =>
+      s"""m$k AS (
+         |  SELECT y.grp, y.a AS node, CAST(sum(p.v) AS BIGINT) AS s
+         |  FROM sym y JOIN r${k - 1} p ON p.grp = y.grp AND p.node = y.b
+         |  GROUP BY y.grp, y.a),
+         |r$k AS (
+         |  SELECT grp, node,
+         |         CAST(floor(CAST($alpha AS DOUBLE) * s + 0.5) AS BIGINT) + 1000000 AS v
+         |  FROM m$k)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH e AS (
+       |  SELECT n_name AS grp, CAST(l_suppkey AS BIGINT) AS src,
+       |         CAST(o_custkey + 1000000 AS BIGINT) AS dst
+       |  FROM lineitem
+       |  JOIN orders ON l_orderkey = o_orderkey
+       |  JOIN customer ON o_custkey = c_custkey
+       |  JOIN nation ON c_nationkey = n_nationkey
+       |  WHERE l_quantity >= 49
+       |  GROUP BY 1, 2, 3),
+       |sym AS (SELECT grp, src AS a, dst AS b FROM e
+       |        UNION SELECT grp, dst AS a, src AS b FROM e),
+       |r0 AS (SELECT DISTINCT grp, a AS node, CAST(1000000 AS BIGINT) AS v FROM sym),
+       |$steps
+       |SELECT grp, node, v AS alpha_scaled FROM r$iters""".stripMargin
+  }
+
+  /** G10 — alpha/Katz centrality, hash-oracled: exact-scaled Neumann
+    * supersteps (x_{k+1} = α·Aᵀx_k + e with integer neighbor sums and
+    * one rounded op per node per step). The LocalGraph dense solve
+    * stays the production form (igraph-golden specs, q59); this gates
+    * the recurrence arithmetic end-to-end in the driver. */
+  val q104 = QuerySpec.sql(
+    "q104_alpha_exact",
+    alphaOracle(alpha = 0.1, iters = 4),
+    "exact-scaled per-group alpha centrality supersteps (SURVEY G10)") { (s, d) =>
+    GraphAnalytics.alphaExactScaled(
+      groupEdges(s, d).select(col("group"), col("src"), col("dst")),
+      alpha = 0.1, iters = 4)
+  }
+
   val all: Seq[QuerySpec] =
-    Seq(q53, q54, q55, q56, q57, q59, q74, q75, q76, q82, q90, q96, q98, q99, q100)
+    Seq(q53, q54, q55, q56, q57, q59, q74, q75, q76, q82, q90, q96, q98, q99,
+      q100, q104)
 }

@@ -434,7 +434,44 @@ object Corpus {
     Dedup.jaccardVerifyCandidatesTokens(tok2(s, d), cand44(s, d))
   }
 
+  /** M14, hash-oracled: the dedup-clustering machinery (pair edges →
+    * connected components → min-id representative) gated end-to-end.
+    * Candidate edges come from the EXACT Jaccard form (q35's join at a
+    * tighter threshold) so the oracle derives the identical edge set
+    * in SQL, then labels components with a recursive-CTE reachability
+    * closure; the Spark side runs the production GraphX CC path
+    * ([[Dedup.clusterDuplicates]]). q42 stays the production
+    * composition (LSH candidates), whose edge set is xxhash64-derived
+    * and thus rows-only — this query proves the clustering stage
+    * itself is exact. */
+  val q103 = QuerySpec.sql(
+    "q103_cluster_exact",
+    """WITH RECURSIVE tok AS (
+      |  SELECT doc_id, source AS blk,
+      |         unnest(list_distinct(regexp_extract_all(lower(text), '(\S+)', 1))) AS tok
+      |  FROM documents),
+      |sizes AS (SELECT doc_id, count(*) AS n FROM tok GROUP BY doc_id),
+      |inter AS (
+      |  SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS n_inter
+      |  FROM tok a JOIN tok b ON a.tok = b.tok AND a.blk = b.blk AND a.doc_id < b.doc_id
+      |  GROUP BY 1, 2),
+      |pairs AS (
+      |  SELECT d1, d2 FROM inter
+      |  JOIN sizes s1 ON s1.doc_id = d1
+      |  JOIN sizes s2 ON s2.doc_id = d2
+      |  WHERE n_inter * 1.0 / (s1.n + s2.n - n_inter) >= 0.8),
+      |sym AS (SELECT d1 AS a, d2 AS b FROM pairs UNION ALL SELECT d2, d1 FROM pairs),
+      |r AS (
+      |  SELECT doc_id AS node, doc_id AS reach FROM documents
+      |  UNION
+      |  SELECT r.node, s.b AS reach FROM r JOIN sym s ON s.a = r.reach)
+      |SELECT node AS doc_id, min(reach) AS cluster_rep FROM r GROUP BY node""",
+    "exact-edge dedup clustering, GraphX CC vs recursive-CTE oracle (M14)") { (s, d) =>
+    val pairs = Dedup.jaccardPairsTokens(tokBlk1(s, d), 0.8).select("d1", "d2")
+    Dedup.clusterDuplicates(pairs, Tables.documents(s, d).select("doc_id"))
+  }
+
   val all: Seq[QuerySpec] =
     Seq(q30, q31, q89, q32, q33, q34, q35, q36, q37, q38, q39, q40, q41, q42,
-      q43, q77, q78, q83, q91, q92, q93, q97)
+      q43, q77, q78, q83, q91, q92, q93, q97, q103)
 }

@@ -72,5 +72,17 @@ object EventQueries {
     StreamOps.attributionJoinStream(s, d, "click", "purchase", horizonMinutes = 30)
   }
 
-  val all: Seq[QuerySpec] = Seq(q60, q61, q62, q88)
+  /** Runs the REAL streaming dedup operator
+    * (dropDuplicatesWithinWatermark) to completion over the bounded
+    * events table; with the horizon past the table's time range the
+    * emitted key set is exactly DISTINCT, so the relational oracle
+    * hash-gates the streaming state machinery. */
+  val q105 = QuerySpec.sql(
+    "q105_stream_dedup",
+    "SELECT DISTINCT user_id, event_type FROM events",
+    "streaming watermarked dedup == batch DISTINCT oracle") { (s, d) =>
+    StreamOps.runDedupStream(s, d, Seq("user_id", "event_type"))
+  }
+
+  val all: Seq[QuerySpec] = Seq(q60, q61, q62, q88, q105)
 }

@@ -84,5 +84,43 @@ object SamplingQueries {
       .toDF("column_name")
   }
 
-  val all: Seq[QuerySpec] = Seq(q63, q64, q65, q85, q86)
+  /** R2/R5, hash-oracled: the portable stratified sampler's keep
+    * decision derives from md5 (identical hex in every engine), so the
+    * DuckDB oracle RECOMPUTES the per-row decision rather than
+    * pinning outputs — a strictly stronger gate than q85/q86's VALUES
+    * pinning, and it scales with SF instead of fixing one table.
+    * fraction 0.1 ⇒ keep iff first-8-hex-of-md5 < ⌊0.1·2³²⌋. */
+  val q101 = QuerySpec.sql(
+    "q101_stratified_portable",
+    """SELECT l_returnflag, count(*) AS n_sampled
+      |FROM lineitem
+      |WHERE ('0x' || substr(md5('42|' || CAST(l_orderkey AS VARCHAR) || '|' ||
+      |                           CAST(l_linenumber AS VARCHAR)), 1, 8))::BIGINT
+      |      < 429496729
+      |GROUP BY l_returnflag""",
+    "portable stratified sample, oracle recomputes decision (SURVEY R2,R5)") { (s, d) =>
+    Sampling.stratifiedSamplePortable(Tables.lineitem(s, d),
+        Seq("l_orderkey", "l_linenumber"), fraction = 0.1, seed = 42)
+      .groupBy("l_returnflag").agg(count(lit(1)).as("n_sampled"))
+  }
+
+  /** R6, hash-oracled: fragment offsets replay from md5 via exact
+    * integer mod, so DuckDB recomputes every substring. */
+  val q102 = QuerySpec.sql(
+    "q102_fragment_portable",
+    """SELECT doc_id,
+      |  substring(text,
+      |    CAST(('0x' || substr(md5('42|' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+      |         % greatest(length(text)
+      |                    - greatest(CAST(floor(length(text) * CAST(0.5 AS DOUBLE)) AS INT), 1)
+      |                    + 1, 1) + 1 AS INT),
+      |    greatest(CAST(floor(length(text) * CAST(0.5 AS DOUBLE)) AS INT), 1)) AS fragment
+      |FROM documents""",
+    "portable random fragment, oracle recomputes offsets (SURVEY R6)") { (s, d) =>
+    Tables.documents(s, d).select(col("doc_id"),
+      Sampling.randomFragmentPortable(col("text"), col("doc_id"), 0.5, 42)
+        .as("fragment"))
+  }
+
+  val all: Seq[QuerySpec] = Seq(q63, q64, q65, q85, q86, q101, q102)
 }

@@ -106,6 +106,29 @@ object StreamOps {
     events.withWatermark(watermarkCol, horizon)
       .dropDuplicatesWithinWatermark(keyCols)
 
+  /** Drives [[dedupStream]] on the real streaming engine to completion
+    * over the bounded events table. The horizon exceeds the table's
+    * whole time range, so dedup state never expires mid-run and the
+    * emitted key set is exactly DISTINCT(keys) — a hash-checkable
+    * relational oracle for the streaming dedup operator. Keys-only
+    * projection: WHICH physical row is retained depends on arrival
+    * order; the retained key set does not. */
+  def runDedupStream(spark: SparkSession, dir: String,
+      keyCols: Seq[String], horizon: String = "3650 days"): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val schema = spark.read.parquet(s"$dir/events.parquet").schema
+    val stream = spark.readStream.schema(schema)
+      .option("pathGlobFilter", "events.parquet").parquet(dir)
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val dd = dedupStream(stream, keyCols, "ts", horizon)
+      .select(keyCols.map(col): _*)
+    val name = s"dedup_${System.identityHashCode(schema)}"
+    val q = dd.writeStream.outputMode(OutputMode.Append())
+      .format("memory").queryName(name).start()
+    try q.processAllAvailable() finally q.stop()
+    spark.table(name)
+  }
+
   final case class Event(user_id: Long, ts: java.time.Instant, value: Double)
   final case class SessionState(start: Long, end: Long, n: Int, sum: Double) // micros
   final case class Session(user_id: Long, session_start: java.time.Instant,

@@ -1,0 +1,83 @@
+package graft.operators
+
+import graft.{SparkSpec, Tables}
+import org.apache.spark.sql.functions._
+
+/** The md5-derived portable samplers (q101/q102) and the exact-scaled
+  * alpha kernel (q104): decisions must replay bit-for-bit in any
+  * engine, so these pin the primitive's value and the operators'
+  * invariants under repartitioning.
+  */
+class PortableSamplingSpec extends SparkSpec {
+
+  test("md5Bits32 pins the documented cross-engine value") {
+    import spark.implicits._
+    // DuckDB: SELECT ('0x'||substr(md5('42|1|2'),1,8))::BIGINT → 1966208817
+    val v = Seq((1L, 2L)).toDF("a", "b")
+      .select(Sampling.md5Bits32(42L, col("a"), col("b")).as("v"))
+      .head().getLong(0)
+    assert(v == 1966208817L)
+  }
+
+  test("portable stratified sample: fraction honored, partition-invariant") {
+    val li = Tables.lineitem(spark, sf)
+    val total = li.count()
+    val keep = Sampling.stratifiedSamplePortable(
+      li, Seq("l_orderkey", "l_linenumber"), 0.1, 42)
+    val n1 = keep.count()
+    assert(n1 > total * 0.06 && n1 < total * 0.14,
+      s"sampled $n1 of $total, expected ~10%")
+    val n2 = Sampling.stratifiedSamplePortable(
+      li.repartition(13), Seq("l_orderkey", "l_linenumber"), 0.1, 42).count()
+    assert(n1 == n2)
+    // different seed selects a different subset
+    val n3 = Sampling.stratifiedSamplePortable(
+      li, Seq("l_orderkey", "l_linenumber"), 0.1, 7).count()
+    assert(n3 > total * 0.06 && n3 < total * 0.14)
+  }
+
+  test("portable fragment: length law, containment, determinism") {
+    val docs = Tables.documents(spark, sf).limit(50).cache()
+    val frag = docs.select(col("doc_id"), col("text"),
+      Sampling.randomFragmentPortable(col("text"), col("doc_id"), 0.5, 42)
+        .as("fragment"))
+    frag.collect().foreach { r =>
+      val text = r.getString(1); val f = r.getString(2)
+      assert(f.length == math.max(text.length / 2, 1))
+      assert(text.contains(f))
+    }
+    val again = docs.select(
+      Sampling.randomFragmentPortable(col("text"), col("doc_id"), 0.5, 42)
+        .as("fragment"))
+    assert(frag.select("fragment").except(again).count() == 0)
+  }
+
+  test("alphaExactScaled matches hand-unrolled integer recurrence on a path") {
+    import spark.implicits._
+    // path 1-2-3, alpha 0.1: v0 = 1e6 everywhere;
+    // step: v(n) = floor(0.1 * sum_neighbors + 0.5) + 1e6
+    val edges = Seq(("g", 1L, 2L), ("g", 2L, 3L)).toDF("group", "src", "dst")
+    val out = graft.graph.GraphAnalytics.alphaExactScaled(edges, 0.1, iters = 2)
+      .collect().map(r => r.getLong(1) -> r.getLong(2)).toMap
+    def step(v: Map[Long, Long]): Map[Long, Long] = {
+      val nb = Map(1L -> Seq(2L), 2L -> Seq(1L, 3L), 3L -> Seq(2L))
+      nb.map { case (n, ns) =>
+        n -> (math.floor(0.1 * ns.map(v).sum + 0.5).toLong + 1000000L)
+      }
+    }
+    val expect = step(step(Map(1L -> 1000000L, 2L -> 1000000L, 3L -> 1000000L)))
+    assert(out == expect)
+  }
+
+  test("clusterDuplicates over exact-Jaccard pairs: min-id reps") {
+    import spark.implicits._
+    val docs = Seq((1L, "a b c", "s"), (2L, "a b c", "s"), (3L, "x y", "s"))
+      .toDF("doc_id", "text", "source")
+    val tok = docs.select(col("doc_id"), col("source").as("blk"),
+      explode(array_distinct(TextOps.tokens(col("text")))).as("tok"))
+    val pairs = Dedup.jaccardPairsTokens(tok, 0.8).select("d1", "d2")
+    val cc = Dedup.clusterDuplicates(pairs, docs.select("doc_id"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(cc == Map(1L -> 1L, 2L -> 1L, 3L -> 3L))
+  }
+}
