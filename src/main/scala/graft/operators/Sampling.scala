@@ -61,6 +61,24 @@ object Sampling {
     seq.substr(start, fragLen)
   }
 
+  /** Mixture / temperature sampling (beyond-reference, training-data
+    * pipelines): keep each row with a per-stratum rate — the
+    * source-weighting step of a pretraining data mixture ("web at
+    * 0.5×, books at 1×, …"). Rates map stratum value → fraction;
+    * unlisted strata fall back to `default`. The keep decision uses
+    * the portable md5 uniform, so an external oracle recomputes it
+    * per row; a stateless codegen'd filter, no shuffle, pushdown-
+    * friendly — rebalancing a 100 TB corpus is scan-bound. */
+  def mixtureSamplePortable(df: DataFrame, stratumCol: String,
+      idCols: Seq[String], rates: Map[String, Double], default: Double,
+      seed: Long): DataFrame = {
+    def thresh(f: Double) = lit(math.floor(f * 4294967296.0).toLong)
+    val cutoff = rates.toSeq.sortBy(_._1).foldLeft(thresh(default)) {
+      case (acc, (k, f)) => when(col(stratumCol) === k, thresh(f)).otherwise(acc)
+    }
+    df.where(md5Bits32(seed, idCols.map(col): _*) < cutoff)
+  }
+
   /** R3 — seeded subsample of a column list (driver-side choice, as in
     * the reference's 25%-of-samples workaround,
     * bin/ReshapeAlignedAbundance.R:41-45). */

@@ -46,6 +46,15 @@ object Corpus {
       Dedup.lshCandidatePairs(sig16k2(s, d), bands = 4, rowsPerBand = 4)
     }
 
+  /** Exact all-pairs Jaccard at the gate's base threshold — memoized:
+    * q35 returns it whole, q103 filters it to the tighter clustering
+    * threshold. The block-bounded token self-join is the expensive
+    * part; both consumers pay it once. */
+  private def jacPairs05(s: org.apache.spark.sql.SparkSession, d: String) =
+    graft.Memo.df(s, "jaccardPairs.0.5", d) {
+      Dedup.jaccardPairsTokens(tokBlk1(s, d), 0.5)
+    }
+
   /** Corpus stats per language — exact integer aggregates. */
   val q30 = QuerySpec.sql(
     "q30_corpus_stats",
@@ -274,7 +283,7 @@ object Corpus {
     // ~36% of all in-block pairs, so output size dominates and the
     // candidate/verify round trip only adds shuffles (see
     // Dedup.jaccardPairsPrefix scaladoc for the sparse/scale form)
-    Dedup.jaccardPairsTokens(tokBlk1(s, d), 0.5)
+    jacPairs05(s, d)
   }
 
   /** MinHash signatures — deterministic xxhash64 family, not ANSI-SQL
@@ -467,7 +476,9 @@ object Corpus {
       |  SELECT r.node, s.b AS reach FROM r JOIN sym s ON s.a = r.reach)
       |SELECT node AS doc_id, min(reach) AS cluster_rep FROM r GROUP BY node""",
     "exact-edge dedup clustering, GraphX CC vs recursive-CTE oracle (M14)") { (s, d) =>
-    val pairs = Dedup.jaccardPairsTokens(tokBlk1(s, d), 0.8).select("d1", "d2")
+    // the 0.8 edge set is a filter of the memoized 0.5 pair table —
+    // the quadratic-in-block token join is paid once, shared with q35
+    val pairs = jacPairs05(s, d).where(col("jaccard") >= 0.8).select("d1", "d2")
     Dedup.clusterDuplicates(pairs, Tables.documents(s, d).select("doc_id"))
   }
 

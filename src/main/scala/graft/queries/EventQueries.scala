@@ -84,5 +84,36 @@ object EventQueries {
     StreamOps.runDedupStream(s, d, Seq("user_id", "event_type"))
   }
 
-  val all: Seq[QuerySpec] = Seq(q60, q61, q62, q88, q105)
+  /** As-of join (point-in-time correctness): each click is attributed
+    * the LATEST purchase at-or-before its timestamp per user — the
+    * union+window form (one shuffle, |left| output rows), not a range
+    * join. The ANSI window oracle replays the identical total order
+    * (ts, side, event_id), hash-gating the operator end-to-end. */
+  val q106 = QuerySpec.sql(
+    "q106_asof_join",
+    """WITH u AS (
+      |  SELECT user_id, ts, event_id, 1 AS is_l, CAST(NULL AS BIGINT) AS p
+      |  FROM events WHERE event_type = 'click'
+      |  UNION ALL
+      |  SELECT user_id, ts, event_id, 0 AS is_l, event_id AS p
+      |  FROM events WHERE event_type = 'purchase'),
+      |w AS (
+      |  SELECT user_id, ts, event_id, is_l,
+      |         last_value(p IGNORE NULLS) OVER (
+      |           PARTITION BY user_id ORDER BY ts, is_l, event_id
+      |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS prior_purchase_id
+      |  FROM u)
+      |SELECT event_id, user_id, ts, prior_purchase_id FROM w WHERE is_l = 1""",
+    "as-of join: latest purchase at-or-before each click (beyond-reference)") { (s, d) =>
+    val ev = Tables.events(s, d)
+    val clicks = ev.filter(col("event_type") === "click")
+      .select("event_id", "user_id", "ts")
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select("event_id", "user_id", "ts")
+    graft.operators.AsofJoin.asofJoin(clicks, purchases,
+      key = "user_id", ts = "ts", ord = "event_id", payload = "event_id",
+      outCol = "prior_purchase_id")
+  }
+
+  val all: Seq[QuerySpec] = Seq(q60, q61, q62, q88, q105, q106)
 }

@@ -122,5 +122,27 @@ object SamplingQueries {
         .as("fragment"))
   }
 
-  val all: Seq[QuerySpec] = Seq(q63, q64, q65, q85, q86, q101, q102)
+  /** Beyond-reference — pretraining mixture weighting: per-source keep
+    * rates (the "web 0.25×, books 1×" rebalance), md5-portable so the
+    * oracle recomputes each decision. Emits per-source survivor
+    * counts; sources outside the rate map use the default rate. */
+  val q107 = QuerySpec.sql(
+    "q107_mixture_sample",
+    """SELECT source, count(*) AS n_sampled
+      |FROM documents
+      |WHERE ('0x' || substr(md5('42|' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+      |      < CASE source WHEN 'src0' THEN 1073741824
+      |                    WHEN 'src1' THEN 4294967296
+      |                    WHEN 'src2' THEN 0
+      |                    ELSE 2147483648 END
+      |GROUP BY source""",
+    "per-source mixture sampling, oracle recomputes decisions (beyond-reference)") { (s, d) =>
+    Sampling.mixtureSamplePortable(Tables.documents(s, d), "source",
+        Seq("doc_id"),
+        rates = Map("src0" -> 0.25, "src1" -> 1.0, "src2" -> 0.0),
+        default = 0.5, seed = 42)
+      .groupBy("source").agg(count(lit(1)).as("n_sampled"))
+  }
+
+  val all: Seq[QuerySpec] = Seq(q63, q64, q65, q85, q86, q101, q102, q107)
 }
