@@ -115,5 +115,30 @@ object EventQueries {
       outCol = "prior_purchase_id")
   }
 
-  val all: Seq[QuerySpec] = Seq(q60, q61, q62, q88, q105, q106)
+  /** Runs the REAL stateful sessionizer (flatMapGroupsWithState) to
+    * completion; the oracle is q61's window SQL projected to the
+    * exact columns (session boundaries + counts — `sum_value` is
+    * arrival-order float accumulation, not oracle-replayable). */
+  val q108 = QuerySpec.sql(
+    "q108_stream_sessionize",
+    """WITH flagged AS (
+      |  SELECT user_id, ts,
+      |         CASE WHEN lag(ts) OVER w IS NULL
+      |                OR epoch_ms(ts) - epoch_ms(lag(ts) OVER w) > 1800000
+      |              THEN 1 ELSE 0 END AS new_session
+      |  FROM events
+      |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+      |sessions AS (
+      |  SELECT user_id, ts,
+      |         sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
+      |                                ROWS UNBOUNDED PRECEDING) AS session_seq
+      |  FROM flagged)
+      |SELECT user_id, min(ts) AS session_start, max(ts) AS session_end,
+      |       count(*) AS n_events
+      |FROM sessions GROUP BY user_id, session_seq""",
+    "stateful streaming sessionization == batch window oracle") { (s, d) =>
+    StreamOps.runSessionizeStream(s, d, gapMinutes = 30)
+  }
+
+  val all: Seq[QuerySpec] = Seq(q60, q61, q62, q88, q105, q106, q108)
 }

