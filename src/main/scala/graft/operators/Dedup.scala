@@ -156,9 +156,13 @@ object Dedup {
   def clusterDuplicates(pairs: DataFrame, allIds: DataFrame): DataFrame = {
     import org.apache.spark.graphx.{Edge, Graph}
     val spark = pairs.sparkSession
+    // candidate-pair graphs are small by the no-all-pairs invariant;
+    // GraphX's iterative CC over-fragments at SQL-side partition
+    // counts (same rationale as GraphAnalytics.gxPartitions)
     val edgeRdd = pairs.select(col("d1").cast("long"), col("d2").cast("long"))
-      .rdd.map(r => Edge(r.getLong(0), r.getLong(1), 1))
-    val vertRdd = allIds.select(allIds.columns.head).rdd.map(r => (r.getLong(0), 1))
+      .rdd.map(r => Edge(r.getLong(0), r.getLong(1), 1)).coalesce(8)
+    val vertRdd = allIds.select(allIds.columns.head).rdd
+      .map(r => (r.getLong(0), 1)).coalesce(8)
     val cc = Graph(vertRdd, edgeRdd).connectedComponents().vertices
     val ccDf = spark.createDataFrame(
       cc.map(t => org.apache.spark.sql.Row(t._1, t._2)),
