@@ -79,6 +79,23 @@ object Sampling {
     df.where(md5Bits32(seed, idCols.map(col): _*) < cutoff)
   }
 
+  /** Fixed-size per-stratum sample (beyond-reference, training-data
+    * pipelines): exactly `k` rows per stratum — the "carve a 1000-doc
+    * eval set from every source" op, where a fraction-based sampler
+    * can't bound the size. Keeps the k rows with the smallest
+    * (md5-uniform, id) per stratum: deterministic under any
+    * partitioning, portable (an external oracle replays the same
+    * ranking), and one shuffle on the stratum key — rank-k within
+    * group, no global sort. */
+  def fixedSizeSamplePortable(df: DataFrame, stratumCol: String,
+      idCols: Seq[String], k: Int, seed: Long): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(stratumCol)
+      .orderBy((md5Bits32(seed, idCols.map(col): _*) +: idCols.map(col)): _*)
+    df.withColumn("__rk", row_number().over(w))
+      .where(col("__rk") <= k).drop("__rk")
+  }
+
   /** R3 — seeded subsample of a column list (driver-side choice, as in
     * the reference's 25%-of-samples workaround,
     * bin/ReshapeAlignedAbundance.R:41-45). */

@@ -144,5 +144,25 @@ object SamplingQueries {
       .groupBy("source").agg(count(lit(1)).as("n_sampled"))
   }
 
-  val all: Seq[QuerySpec] = Seq(q63, q64, q65, q85, q86, q101, q102, q107)
+  /** Beyond-reference — fixed-size per-stratum sampling: exactly k
+    * docs per source (eval-set carving, where fraction samplers can't
+    * bound the size), ranked by the portable md5 uniform so the
+    * oracle replays the selection. */
+  val q109 = QuerySpec.sql(
+    "q109_fixed_size_sample",
+    """WITH ranked AS (
+      |  SELECT source, doc_id,
+      |         row_number() OVER (PARTITION BY source
+      |           ORDER BY ('0x' || substr(md5('42|' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT,
+      |                    doc_id) AS rk
+      |  FROM documents)
+      |SELECT source, doc_id FROM ranked WHERE rk <= 5""",
+    "exactly-k-per-source portable sample (beyond-reference)") { (s, d) =>
+    Sampling.fixedSizeSamplePortable(Tables.documents(s, d), "source",
+        Seq("doc_id"), k = 5, seed = 42)
+      .select("source", "doc_id")
+  }
+
+  val all: Seq[QuerySpec] =
+    Seq(q63, q64, q65, q85, q86, q101, q102, q107, q109)
 }

@@ -58,4 +58,26 @@ class PlanAuditSpec extends SparkSpec {
     assert(!p.contains("Exchange rangepartitioning"),
       "global range partition would single-task a 100 TB cumsum")
   }
+
+  test("q106: as-of join is union+window — one key exchange, no range join") {
+    val p = planOf("q106_asof_join")
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(p).length
+    assert(exchanges == 1,
+      s"as-of should shuffle once on the key, got $exchanges:\n" + p.take(2000))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin") &&
+      !p.contains("SortMergeJoin"),
+      "as-of must not plan a join at all — history depth would explode it:\n" + p.take(2000))
+  }
+
+  test("q101/q107: portable samplers are stateless scan-side filters") {
+    for (q <- Seq("q101_stratified_portable", "q107_mixture_sample")) {
+      val p = planOf(q)
+      // the md5 keep-decision runs inside the scan stage; the only
+      // exchange is the final aggregation's — rebalancing a 100 TB
+      // corpus must stay scan-bound
+      val exchanges = "Exchange".r.findAllIn(p).length
+      assert(exchanges <= 1, s"$q: sampler filter should not shuffle:\n" + p.take(2000))
+      assert(!p.contains("Sort "), s"$q: sampler must not sort")
+    }
+  }
 }

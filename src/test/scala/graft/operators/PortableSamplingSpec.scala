@@ -69,6 +69,18 @@ class PortableSamplingSpec extends SparkSpec {
     assert(out == expect)
   }
 
+  test("fixed-size sample: exactly k per stratum, partition-invariant") {
+    val docs = Tables.documents(spark, sf)
+    val k = 3
+    val out = Sampling.fixedSizeSamplePortable(docs, "source", Seq("doc_id"), k, 42)
+    val sizes = out.groupBy("source").count().collect().map(_.getLong(1))
+    assert(sizes.nonEmpty && sizes.forall(_ == k))
+    val ids1 = out.select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
+    val ids2 = Sampling.fixedSizeSamplePortable(docs.repartition(13), "source",
+      Seq("doc_id"), k, 42).select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
+    assert(ids1 == ids2)
+  }
+
   test("clusterDuplicates over exact-Jaccard pairs: min-id reps") {
     import spark.implicits._
     val docs = Seq((1L, "a b c", "s"), (2L, "a b c", "s"), (3L, "x y", "s"))
