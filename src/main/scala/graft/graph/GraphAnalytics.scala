@@ -213,6 +213,33 @@ object GraphAnalytics {
     v.select(col("grp"), col("node"), col("v").as("alpha_scaled"))
   }
 
+  /** Exact-scaled Bonacich power centrality (G11) — the oracle-able
+    * companion of the LocalGraph dense solve. The solve's target
+    * x = (I − βA)⁻¹·A·1 expands as the Neumann series
+    * x = Σ βᵏAᵏ·(A·1), run as supersteps x_{k+1} = A·1 + β·A·x_k from
+    * x₀ = A·1: on the unweighted symmetrized graph A·1 is the integer
+    * degree, neighbor sums are exact BIGINTs, and the single rounded
+    * op per node per step (⌊β·s + 0.5⌋) keeps the trajectory
+    * engine-independent. Same cost shape as [[alphaExactScaled]]. */
+  def powerExactScaled(edges: DataFrame, beta: Double, iters: Int): DataFrame = {
+    val e = edges.select(col("group").as("grp"),
+      col("src").cast("long").as("a"), col("dst").cast("long").as("b"))
+    val sym = e.unionByName(e.select(col("grp"), col("b").as("a"), col("a").as("b")))
+      .distinct()
+    val deg = sym.groupBy(col("grp"), col("a").as("node")).agg(count(lit(1)).as("deg"))
+    var v = deg.select(col("grp"), col("node"), (col("deg") * lit(1000000L)).as("v"))
+    (0 until iters).foreach { _ =>
+      v = sym.join(v.select(col("grp"), col("node").as("b"), col("v")), Seq("grp", "b"))
+        .groupBy(col("grp"), col("a").as("node"))
+        .agg(sum(col("v")).as("s"))
+        .join(deg, Seq("grp", "node"))
+        .select(col("grp"), col("node"),
+          (col("deg") * lit(1000000L) +
+            floor(lit(beta) * col("s") + lit(0.5))).as("v"))
+    }
+    v.select(col("grp"), col("node"), col("v").as("power_scaled"))
+  }
+
   /** Exact-scaled Brandes betweenness per group — the
     * driver-oracle-able form of the "no SQL form" kernel (G7).
     *

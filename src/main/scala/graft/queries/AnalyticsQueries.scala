@@ -616,7 +616,53 @@ object AnalyticsQueries {
       alpha = 0.1, iters = 4)
   }
 
+  /** Chained-CTE mirror of [[GraphAnalytics.powerExactScaled]]: base
+    * vector = integer degree, then per step one neighbor-sum CTE and
+    * one affine rescale joined back to the degree table. */
+  private def powerOracle(beta: Double, iters: Int): String = {
+    val steps = (1 to iters).map { k =>
+      s"""m$k AS (
+         |  SELECT y.grp, y.a AS node, CAST(sum(p.v) AS BIGINT) AS s
+         |  FROM sym y JOIN r${k - 1} p ON p.grp = y.grp AND p.node = y.b
+         |  GROUP BY y.grp, y.a),
+         |r$k AS (
+         |  SELECT m.grp, m.node,
+         |         CAST(d.deg * 1000000 AS BIGINT)
+         |           + CAST(floor(CAST($beta AS DOUBLE) * m.s + 0.5) AS BIGINT) AS v
+         |  FROM m$k m JOIN deg d ON d.grp = m.grp AND d.node = m.node)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH e AS (
+       |  SELECT n_name AS grp, CAST(l_suppkey AS BIGINT) AS src,
+       |         CAST(o_custkey + 1000000 AS BIGINT) AS dst
+       |  FROM lineitem
+       |  JOIN orders ON l_orderkey = o_orderkey
+       |  JOIN customer ON o_custkey = c_custkey
+       |  JOIN nation ON c_nationkey = n_nationkey
+       |  WHERE l_quantity >= 49
+       |  GROUP BY 1, 2, 3),
+       |sym AS (SELECT grp, src AS a, dst AS b FROM e
+       |        UNION SELECT grp, dst AS a, src AS b FROM e),
+       |deg AS (SELECT grp, a AS node, count(*) AS deg FROM sym GROUP BY grp, a),
+       |r0 AS (SELECT grp, node, CAST(deg * 1000000 AS BIGINT) AS v FROM deg),
+       |$steps
+       |SELECT grp, node, v AS power_scaled FROM r$iters""".stripMargin
+  }
+
+  /** G11 — Bonacich power centrality, hash-oracled: the dense solve's
+    * Neumann series as exact-scaled supersteps (x_{k+1} = deg + β·A·x_k,
+    * integer sums, one rounded op per node per step). The LocalGraph
+    * solve stays the production form (CoverageOpsSpec); this gates the
+    * recurrence arithmetic in the driver. */
+  val q110 = QuerySpec.sql(
+    "q110_power_exact",
+    powerOracle(beta = 0.1, iters = 4),
+    "exact-scaled per-group Bonacich power supersteps (SURVEY G11)") { (s, d) =>
+    GraphAnalytics.powerExactScaled(
+      groupEdges(s, d).select(col("group"), col("src"), col("dst")),
+      beta = 0.1, iters = 4)
+  }
+
   val all: Seq[QuerySpec] =
     Seq(q53, q54, q55, q56, q57, q59, q74, q75, q76, q82, q90, q96, q98, q99,
-      q100, q104)
+      q100, q104, q110)
 }

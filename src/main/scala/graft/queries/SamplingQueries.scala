@@ -4,9 +4,11 @@ import graft.{QuerySpec, Tables}
 import graft.operators.Sampling
 import org.apache.spark.sql.functions._
 
-/** Stochastic operators in the gate — deterministic (seeded, hash
-  * keyed) but not oracle-expressible in DuckDB (different hash
-  * function), so rows-only.
+/** Stochastic operators in the gate. Three evidence tiers: xxhash64-
+  * keyed forms are deterministic but Spark-private, so rows-only
+  * (q63-q65) or output-pinned (q85/q86); the md5-portable forms
+  * (q101/q102/q107/q109) let the DuckDB oracle RECOMPUTE every
+  * sampling decision per row.
   */
 object SamplingQueries {
 

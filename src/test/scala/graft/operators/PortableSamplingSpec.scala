@@ -81,6 +81,22 @@ class PortableSamplingSpec extends SparkSpec {
     assert(ids1 == ids2)
   }
 
+  test("powerExactScaled matches hand-unrolled Neumann recurrence on a path") {
+    import spark.implicits._
+    // path 1-2-3, beta 0.1: v0 = deg·1e6; step: v(n) = deg·1e6 + floor(0.1·Σ_nb v + 0.5)
+    val edges = Seq(("g", 1L, 2L), ("g", 2L, 3L)).toDF("group", "src", "dst")
+    val out = graft.graph.GraphAnalytics.powerExactScaled(edges, 0.1, iters = 2)
+      .collect().map(r => r.getLong(1) -> r.getLong(2)).toMap
+    val nb = Map(1L -> Seq(2L), 2L -> Seq(1L, 3L), 3L -> Seq(2L))
+    val deg = nb.view.mapValues(_.size.toLong).toMap
+    def step(v: Map[Long, Long]): Map[Long, Long] =
+      nb.map { case (n, ns) =>
+        n -> (deg(n) * 1000000L + math.floor(0.1 * ns.map(v).sum + 0.5).toLong)
+      }
+    val v0 = deg.view.mapValues(_ * 1000000L).toMap
+    assert(out == step(step(v0)))
+  }
+
   test("clusterDuplicates over exact-Jaccard pairs: min-id reps") {
     import spark.implicits._
     val docs = Seq((1L, "a b c", "s"), (2L, "a b c", "s"), (3L, "x y", "s"))
