@@ -159,6 +159,36 @@ object Sampling {
       }.toDF("group", "item", "count")
   }
 
+  /** R1, deterministic twin: **proportional rarefaction** by largest-
+    * remainder (Hamilton) apportionment — the expected-value form of
+    * [[rarefy]]. Each group's counts scale to exactly `depth` units:
+    * base = ⌊depth·count/total⌋, then the leftover units go to the
+    * largest scaled remainders (ties by item id). Use when equal-depth
+    * normalization must be reproducible across engines — pure integer
+    * arithmetic, no RNG, so an external oracle replays it exactly;
+    * [[rarefy]] remains the statistically faithful (hypergeometric)
+    * form. Same scale shape: one shuffle on the group key, window math
+    * within groups. Groups with total < depth are dropped, matching
+    * [[rarefy]]. */
+  def rarefyProportional(df: DataFrame, depth: Long): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val byGroup = Window.partitionBy("group")
+    val ranked = df.select(col("group").cast("string").as("group"),
+        col("item").cast("string").as("item"), col("count").cast("long").as("count"))
+      .withColumn("total", sum(col("count")).over(byGroup))
+      .where(col("total") >= depth)
+      .withColumn("base", expr(s"($depth * count) div total"))
+      .withColumn("rem", lit(depth) * col("count") - col("base") * col("total"))
+      .withColumn("leftover", lit(depth) - sum(col("base")).over(byGroup))
+      .withColumn("rk", row_number().over(
+        byGroup.orderBy(col("rem").desc, col("item"))))
+    ranked
+      .select(col("group"), col("item"),
+        (col("base") + when(col("rk") <= col("leftover"), 1L).otherwise(0L))
+          .as("count"))
+      .where(col("count") > 0)
+  }
+
   /** M12 — rarefaction curve (vegan::rarecurve; reference
     * bin/OpfRarefaction.R:12-16): distinct-item richness per group at
     * each depth. One rarefy pass per depth, union-all tagged by depth. */

@@ -165,6 +165,42 @@ object SamplingQueries {
       .select("source", "doc_id")
   }
 
+  /** R1, hash-oracled twin: proportional (largest-remainder)
+    * rarefaction — the deterministic expected-value form of q63's
+    * hypergeometric draw, pure integer arithmetic so DuckDB replays
+    * every apportionment decision. Same abundance input as q63. */
+  val q111 = QuerySpec.sql(
+    "q111_rarefy_proportional",
+    """WITH ab AS (
+      |  SELECT CAST(l_returnflag AS VARCHAR) AS grp,
+      |         CAST(l_partkey AS VARCHAR) AS item,
+      |         CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS cnt
+      |  FROM lineitem GROUP BY 1, 2),
+      |t AS (
+      |  SELECT grp, item, cnt,
+      |         sum(cnt) OVER (PARTITION BY grp) AS total
+      |  FROM ab),
+      |f AS (
+      |  SELECT grp, item, cnt, total,
+      |         (1000 * cnt) // total AS base,
+      |         1000 * cnt - ((1000 * cnt) // total) * total AS rem
+      |  FROM t WHERE total >= 1000),
+      |r AS (
+      |  SELECT grp, item, base, rem,
+      |         1000 - sum(base) OVER (PARTITION BY grp) AS leftover,
+      |         row_number() OVER (PARTITION BY grp ORDER BY rem DESC, item) AS rk
+      |  FROM f)
+      |SELECT grp AS "group", item,
+      |       CAST(base + CASE WHEN rk <= leftover THEN 1 ELSE 0 END AS BIGINT) AS count
+      |FROM r
+      |WHERE base + CASE WHEN rk <= leftover THEN 1 ELSE 0 END > 0""",
+    "largest-remainder proportional rarefaction, oracle replays apportionment (SURVEY R1)") { (s, d) =>
+    val ab = Tables.lineitem(s, d)
+      .groupBy(col("l_returnflag").as("group"), col("l_partkey").as("item"))
+      .agg(sum(col("l_quantity").cast("long")).as("count"))
+    Sampling.rarefyProportional(ab, depth = 1000)
+  }
+
   val all: Seq[QuerySpec] =
-    Seq(q63, q64, q65, q85, q86, q101, q102, q107, q109)
+    Seq(q63, q64, q65, q85, q86, q101, q102, q107, q109, q111)
 }

@@ -97,6 +97,19 @@ class PortableSamplingSpec extends SparkSpec {
     assert(out == step(step(v0)))
   }
 
+  test("proportional rarefaction: exact depth per group, partition-invariant") {
+    val ab = Tables.lineitem(spark, sf)
+      .groupBy(col("l_returnflag").as("group"), col("l_partkey").as("item"))
+      .agg(sum(col("l_quantity").cast("long")).as("count"))
+    val out = Sampling.rarefyProportional(ab, depth = 500)
+    val totals = out.groupBy("group").agg(sum("count").as("t"))
+      .collect().map(_.getLong(1))
+    assert(totals.nonEmpty && totals.forall(_ == 500L),
+      s"every surviving group must hold exactly depth units, got ${totals.toSeq}")
+    val again = Sampling.rarefyProportional(ab.repartition(13), depth = 500)
+    assert(out.except(again).count() == 0 && again.except(out).count() == 0)
+  }
+
   test("clusterDuplicates over exact-Jaccard pairs: min-id reps") {
     import spark.implicits._
     val docs = Seq((1L, "a b c", "s"), (2L, "a b c", "s"), (3L, "x y", "s"))
