@@ -101,4 +101,19 @@ object TextOps {
   def stopwordRatio(text: Column, markers: Seq[String]): Column =
     stopwordCount(text, markers).cast("double") /
       greatest(tokenCount(text), lit(1L)).cast("double")
+
+  /** PII redaction (beyond-reference, training-data pipelines): mask
+    * email addresses and long digit runs (phone/account/SSN shapes)
+    * before a corpus ships to training. Patterns deliberately use only
+    * the regex subset with identical semantics in Java regex and RE2
+    * (character classes, bounded repetition — no backrefs, no
+    * lookaround), so the scrub replays in any engine. Codegen'd
+    * projection over a pruned scan — scrubbing 100 TB is scan-bound. */
+  val EmailPattern = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val LongDigitPattern = "[0-9][0-9 ()+.-]{7,}[0-9]"
+
+  def redactPii(text: Column): Column =
+    regexp_replace(
+      regexp_replace(text, EmailPattern, "<EMAIL>"),
+      LongDigitPattern, "<NUMBER>")
 }

@@ -482,7 +482,25 @@ object Corpus {
     Dedup.clusterDuplicates(pairs, Tables.documents(s, d).select("doc_id"))
   }
 
+  /** Beyond-reference — PII scrub before training: emails and long
+    * digit runs masked with patterns confined to the Java-regex ∩ RE2
+    * subset, so DuckDB replays the redaction byte-for-byte. The
+    * synthetic corpus has no planted PII, so the gate also counts
+    * redactions to prove the plumbing is exercised end-to-end (a doc
+    * with none passes through byte-identical — also verified). */
+  val q112 = QuerySpec.sql(
+    "q112_pii_redact",
+    """SELECT doc_id,
+      |       regexp_replace(
+      |         regexp_replace(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+      |         '[0-9][0-9 ()+.-]{7,}[0-9]', '<NUMBER>', 'g') AS clean_text
+      |FROM documents""",
+    "portable PII redaction, oracle replays the scrub (beyond-reference)") { (s, d) =>
+    Tables.documents(s, d).select(col("doc_id"),
+      TextOps.redactPii(col("text")).as("clean_text"))
+  }
+
   val all: Seq[QuerySpec] =
     Seq(q30, q31, q89, q32, q33, q34, q35, q36, q37, q38, q39, q40, q41, q42,
-      q43, q77, q78, q83, q91, q92, q93, q97, q103)
+      q43, q77, q78, q83, q91, q92, q93, q97, q103, q112)
 }
