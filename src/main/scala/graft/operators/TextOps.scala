@@ -109,6 +109,25 @@ object TextOps {
     * (character classes, bounded repetition — no backrefs, no
     * lookaround), so the scrub replays in any engine. Codegen'd
     * projection over a pruned scan — scrubbing 100 TB is scan-bound. */
+  /** Context-window chunking (beyond-reference, training-data
+    * pipelines): split a document into fixed-size character windows
+    * with overlap (`stride` < `size` overlaps adjacent chunks) — the
+    * pre-tokenization step that fits documents to a model's context
+    * length. One `posexplode(sequence(...))` per doc: narrow, no
+    * shuffle, chunk count ∝ doc length. Returns (chunk_id, chunk). */
+  def chunk(text: Column, size: Int, stride: Int): Column = {
+    require(stride > 0 && stride <= size, "need 0 < stride <= size")
+    // windows start at 0, stride, 2·stride, …; last window begins at
+    // or before len-1 (short tail chunks are kept — truncation would
+    // silently drop corpus)
+    val nChunks = greatest(
+      ceil((length(text).cast("double") - lit(size)) / lit(stride)).cast("long") + 1L,
+      lit(1L))
+    transform(sequence(lit(0L), nChunks - 1),
+      i => struct(i.as("chunk_id"),
+        text.substr((i * stride + 1).cast("int"), lit(size)).as("chunk")))
+  }
+
   val EmailPattern = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
   val LongDigitPattern = "[0-9][0-9 ()+.-]{7,}[0-9]"
 

@@ -500,7 +500,45 @@ object Corpus {
       TextOps.redactPii(col("text")).as("clean_text"))
   }
 
+  /** Beyond-reference — context-window chunking: fixed-size character
+    * windows with overlap (stride < size), the fit-to-context-length
+    * step. Narrow explode, chunk count ∝ doc length; the oracle
+    * replays the window arithmetic with generate_series. */
+  val q113 = QuerySpec.sql(
+    "q113_chunk_windows",
+    """WITH w AS (
+      |  SELECT doc_id, text,
+      |         unnest(generate_series(0,
+      |           greatest(CAST(ceil((length(text) - 200) / 150.0) AS BIGINT), 0))) AS i
+      |  FROM documents)
+      |SELECT doc_id, i AS chunk_id,
+      |       substring(text, CAST(i * 150 + 1 AS INT), 200) AS chunk
+      |FROM w""",
+    "overlapping context-window chunking (beyond-reference)") { (s, d) =>
+    Tables.documents(s, d)
+      .select(col("doc_id"),
+        explode(TextOps.chunk(col("text"), size = 200, stride = 150)).as("c"))
+      .select(col("doc_id"), col("c.chunk_id").as("chunk_id"),
+        col("c.chunk").as("chunk"))
+  }
+
+  /** Beyond-reference — vocabulary build: document frequency per
+    * token with a min-df floor, the tokenizer-vocab step. Reuses the
+    * memoized unigram table; one hash aggregation. */
+  val q114 = QuerySpec.sql(
+    "q114_vocab_build",
+    """SELECT tok, count(DISTINCT doc_id) AS df
+      |FROM (SELECT doc_id,
+      |             unnest(list_distinct(regexp_extract_all(lower(text), '(\S+)', 1))) AS tok
+      |      FROM documents)
+      |GROUP BY tok HAVING count(DISTINCT doc_id) >= 5""",
+    "min-df vocabulary build over the corpus (beyond-reference)") { (s, d) =>
+    tokBlk1(s, d)
+      .groupBy("tok").agg(countDistinct(col("doc_id")).as("df"))
+      .where(col("df") >= 5)
+  }
+
   val all: Seq[QuerySpec] =
     Seq(q30, q31, q89, q32, q33, q34, q35, q36, q37, q38, q39, q40, q41, q42,
-      q43, q77, q78, q83, q91, q92, q93, q97, q103, q112)
+      q43, q77, q78, q83, q91, q92, q93, q97, q103, q112, q113, q114)
 }
