@@ -226,13 +226,16 @@ object GraphAnalytics {
       col("src").cast("long").as("a"), col("dst").cast("long").as("b"))
     val sym = e.unionByName(e.select(col("grp"), col("b").as("a"), col("a").as("b")))
       .distinct()
-    val deg = sym.groupBy(col("grp"), col("a").as("node")).agg(count(lit(1)).as("deg"))
-    var v = deg.select(col("grp"), col("node"), (col("deg") * lit(1000000L)).as("v"))
+    var v = sym.groupBy(col("grp"), col("a").as("node"))
+      .agg((count(lit(1)) * lit(1000000L)).as("v"))
     (0 until iters).foreach { _ =>
+      // every node carries a score each step, so the join fans exactly
+      // deg(i) rows per node — deg falls out of the same aggregation
+      // as the neighbor sum (a separate deg table would re-evaluate
+      // its lineage every superstep)
       v = sym.join(v.select(col("grp"), col("node").as("b"), col("v")), Seq("grp", "b"))
         .groupBy(col("grp"), col("a").as("node"))
-        .agg(sum(col("v")).as("s"))
-        .join(deg, Seq("grp", "node"))
+        .agg(sum(col("v")).as("s"), count(lit(1)).as("deg"))
         .select(col("grp"), col("node"),
           (col("deg") * lit(1000000L) +
             floor(lit(beta) * col("s") + lit(0.5))).as("v"))

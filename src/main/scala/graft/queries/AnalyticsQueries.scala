@@ -622,14 +622,15 @@ object AnalyticsQueries {
   private def powerOracle(beta: Double, iters: Int): String = {
     val steps = (1 to iters).map { k =>
       s"""m$k AS (
-         |  SELECT y.grp, y.a AS node, CAST(sum(p.v) AS BIGINT) AS s
+         |  SELECT y.grp, y.a AS node, CAST(sum(p.v) AS BIGINT) AS s,
+         |         count(*) AS deg
          |  FROM sym y JOIN r${k - 1} p ON p.grp = y.grp AND p.node = y.b
          |  GROUP BY y.grp, y.a),
          |r$k AS (
-         |  SELECT m.grp, m.node,
-         |         CAST(d.deg * 1000000 AS BIGINT)
-         |           + CAST(floor(CAST($beta AS DOUBLE) * m.s + 0.5) AS BIGINT) AS v
-         |  FROM m$k m JOIN deg d ON d.grp = m.grp AND d.node = m.node)""".stripMargin
+         |  SELECT grp, node,
+         |         CAST(deg * 1000000 AS BIGINT)
+         |           + CAST(floor(CAST($beta AS DOUBLE) * s + 0.5) AS BIGINT) AS v
+         |  FROM m$k)""".stripMargin
     }.mkString(",\n")
     s"""WITH e AS (
        |  SELECT n_name AS grp, CAST(l_suppkey AS BIGINT) AS src,
@@ -642,8 +643,8 @@ object AnalyticsQueries {
        |  GROUP BY 1, 2, 3),
        |sym AS (SELECT grp, src AS a, dst AS b FROM e
        |        UNION SELECT grp, dst AS a, src AS b FROM e),
-       |deg AS (SELECT grp, a AS node, count(*) AS deg FROM sym GROUP BY grp, a),
-       |r0 AS (SELECT grp, node, CAST(deg * 1000000 AS BIGINT) AS v FROM deg),
+       |r0 AS (SELECT grp, a AS node, CAST(count(*) * 1000000 AS BIGINT) AS v
+       |       FROM sym GROUP BY grp, a),
        |$steps
        |SELECT grp, node, v AS power_scaled FROM r$iters""".stripMargin
   }
