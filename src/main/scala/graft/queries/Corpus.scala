@@ -189,8 +189,10 @@ object Corpus {
       Dedup.shingleTokens(Tables.documents(s, d), "doc_id", "text", shingleK = 5)
     }
     val ev = sh.filter(pmod(col("doc_id"), lit(10)) === 0).select("tok").distinct()
+    // the eval shingle set is small by construction — broadcast it so
+    // the (100 TB) training side never shuffles for this join
     sh.filter(pmod(col("doc_id"), lit(10)) =!= 0)
-      .join(ev, "tok")
+      .join(broadcast(ev), "tok")
       .groupBy("doc_id").agg(count(lit(1)).as("n_shared_ngrams"))
   }
 
