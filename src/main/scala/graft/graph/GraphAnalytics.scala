@@ -189,6 +189,34 @@ object GraphAnalytics {
     v.select(col("grp"), col("node"), col("v").as("eigen_scaled"))
   }
 
+  /** WEIGHTED [[eigenExactScaled]] — the production per-group eigen
+    * kernel ([[perGroupEigen]], reference eigen_centrality with edge
+    * weights) iterates weighted neighbor sums; this is its
+    * oracle-able form. Integer edge weights keep Σ w·v exact; the
+    * max-normalization stays one rounded scaled division per node per
+    * step. Weights symmetrize by summing both directions, matching
+    * igraph's undirected view of a weighted multigraph. */
+  def eigenWeightedExactScaled(edges: DataFrame, iters: Int): DataFrame = {
+    val e0 = edges.select(col("group").as("grp"),
+      col("src").cast("long").as("a"), col("dst").cast("long").as("b"),
+      col("weight").cast("long").as("w"))
+    val sym = e0.unionByName(
+        e0.select(col("grp"), col("b").as("a"), col("a").as("b"), col("w")))
+      .groupBy("grp", "a", "b").agg(sum(col("w")).as("w"))
+    var v = sym.select(col("grp"), col("a").as("node")).distinct()
+      .select(col("grp"), col("node"), lit(1000000L).as("v"))
+    val byGroup = org.apache.spark.sql.expressions.Window.partitionBy("grp")
+    (0 until iters).foreach { _ =>
+      v = sym.join(v.select(col("grp"), col("node").as("b"), col("v")), Seq("grp", "b"))
+        .groupBy(col("grp"), col("a").as("node"))
+        .agg(sum(col("w") * col("v")).as("s"))
+        .withColumn("mx", max(col("s")).over(byGroup))
+        .select(col("grp"), col("node"),
+          floor(col("s") * lit(1000000.0) / col("mx") + lit(0.5)).as("v"))
+    }
+    v.select(col("grp"), col("node"), col("v").as("eigen_scaled"))
+  }
+
   /** Exact-scaled alpha/Katz centrality (G10) — the driver-oracle-able
     * companion of the LocalGraph dense solve (reference
     * `alpha_centrality`, bin/interpersonaldiversity.R). The solve's

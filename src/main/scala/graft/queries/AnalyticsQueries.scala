@@ -663,7 +663,54 @@ object AnalyticsQueries {
       beta = 0.1, iters = 4)
   }
 
+  /** Chained-CTE mirror of
+    * [[GraphAnalytics.eigenWeightedExactScaled]] — weighted neighbor
+    * sums, same max-normalized rescale as the q96 oracle. */
+  private def eigenWeightedOracle(iters: Int): String = {
+    val steps = (1 to iters).map { k =>
+      s"""s$k AS (
+         |  SELECT y.grp, y.a AS node, CAST(sum(y.w * p.v) AS BIGINT) AS s
+         |  FROM sym y JOIN r${k - 1} p ON p.grp = y.grp AND p.node = y.b
+         |  GROUP BY y.grp, y.a),
+         |r$k AS (
+         |  SELECT s.grp, s.node,
+         |         CAST(floor(s.s * CAST(1000000.0 AS DOUBLE) / m.mx + 0.5) AS BIGINT) AS v
+         |  FROM s$k s JOIN (SELECT grp, max(s) AS mx FROM s$k GROUP BY grp) m
+         |    ON m.grp = s.grp)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH e AS (
+       |  SELECT n_name AS grp, CAST(l_suppkey AS BIGINT) AS src,
+       |         CAST(o_custkey + 1000000 AS BIGINT) AS dst,
+       |         CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS w
+       |  FROM lineitem
+       |  JOIN orders ON l_orderkey = o_orderkey
+       |  JOIN customer ON o_custkey = c_custkey
+       |  JOIN nation ON c_nationkey = n_nationkey
+       |  WHERE l_quantity >= 49
+       |  GROUP BY 1, 2, 3),
+       |sym AS (
+       |  SELECT grp, a, b, CAST(sum(w) AS BIGINT) AS w FROM (
+       |    SELECT grp, src AS a, dst AS b, w FROM e
+       |    UNION ALL SELECT grp, dst AS a, src AS b, w FROM e)
+       |  GROUP BY grp, a, b),
+       |r0 AS (SELECT DISTINCT grp, a AS node, CAST(1000000 AS BIGINT) AS v FROM sym),
+       |$steps
+       |SELECT grp, node, v AS eigen_scaled FROM r$iters""".stripMargin
+  }
+
+  /** G6 (weighted form) — the production per-group eigen kernel uses
+    * edge weights (q72's diversity tail); this gates the weighted
+    * iteration arithmetic the way q96 gates the unweighted one. */
+  val q115 = QuerySpec.sql(
+    "q115_eigen_weighted_exact",
+    eigenWeightedOracle(iters = 5),
+    "weighted exact-scaled per-group eigencentrality (SURVEY G6)") { (s, d) =>
+    GraphAnalytics.eigenWeightedExactScaled(
+      groupEdges(s, d).select(col("group"), col("src"), col("dst"),
+        col("weight")), iters = 5)
+  }
+
   val all: Seq[QuerySpec] =
     Seq(q53, q54, q55, q56, q57, q59, q74, q75, q76, q82, q90, q96, q98, q99,
-      q100, q104, q110)
+      q100, q104, q110, q115)
 }
