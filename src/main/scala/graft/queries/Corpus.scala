@@ -540,7 +540,39 @@ object Corpus {
       .where(col("df") >= 5)
   }
 
+  /** Beyond-reference — per-source keyword extraction: top-k tokens
+    * per source by document frequency (integer-only ranking with a
+    * deterministic token tie-break, so the oracle replays the exact
+    * selection — a tf-idf float score would not hash-gate). Reuses
+    * the memoized unigram table; rank-k within group, no global
+    * sort. */
+  val q116 = QuerySpec.sql(
+    "q116_top_tokens",
+    """WITH df AS (
+      |  SELECT blk AS source, tok, count(DISTINCT doc_id) AS df
+      |  FROM (SELECT doc_id, source AS blk,
+      |               unnest(list_distinct(regexp_extract_all(lower(text), '(\S+)', 1))) AS tok
+      |        FROM documents)
+      |  GROUP BY 1, 2),
+      |ranked AS (
+      |  SELECT source, tok, df,
+      |         row_number() OVER (PARTITION BY source ORDER BY df DESC, tok) AS rk
+      |  FROM df)
+      |SELECT source, tok, CAST(df AS BIGINT) AS df
+      |FROM ranked WHERE rk <= 5""",
+    "top-k tokens per source by document frequency (beyond-reference)") { (s, d) =>
+    import org.apache.spark.sql.expressions.Window
+    val byDf = Window.partitionBy("source")
+      .orderBy(col("df").desc, col("tok"))
+    tokBlk1(s, d)
+      .groupBy(col("blk").as("source"), col("tok"))
+      .agg(countDistinct(col("doc_id")).as("df"))
+      .withColumn("rk", row_number().over(byDf))
+      .where(col("rk") <= 5)
+      .select(col("source"), col("tok"), col("df"))
+  }
+
   val all: Seq[QuerySpec] =
     Seq(q30, q31, q89, q32, q33, q34, q35, q36, q37, q38, q39, q40, q41, q42,
-      q43, q77, q78, q83, q91, q92, q93, q97, q103, q112, q113, q114)
+      q43, q77, q78, q83, q91, q92, q93, q97, q103, q112, q113, q114, q116)
 }
