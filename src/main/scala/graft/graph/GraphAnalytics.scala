@@ -217,6 +217,38 @@ object GraphAnalytics {
     v.select(col("grp"), col("node"), col("v").as("eigen_scaled"))
   }
 
+  /** Distributed single-source shortest paths per group — Bellman-Ford
+    * min-plus supersteps on the symmetrized weighted graph (source =
+    * each group's min node id). The Pregel SSSP shape: each step joins
+    * the frontier with the edge list and takes a min — integer
+    * weights keep every distance exact, and min is order-independent,
+    * so an external oracle replays the trajectory. `iters` bounds the
+    * hop count (paths longer than `iters` hops stay at their best
+    * bound — callers size it to the expected diameter); unreached
+    * nodes are absent from the output. This is the whole-graph-scale
+    * companion of the task-local Dijkstra kernel (G4 weighted): one
+    * shuffle join + one min-agg per step. */
+  def ssspExactScaled(edges: DataFrame, iters: Int): DataFrame = {
+    val e0 = edges.select(col("group").as("grp"),
+      col("src").cast("long").as("a"), col("dst").cast("long").as("b"),
+      col("weight").cast("long").as("w"))
+    val sym = e0.unionByName(
+        e0.select(col("grp"), col("b").as("a"), col("a").as("b"), col("w")))
+      .groupBy("grp", "a", "b").agg(min(col("w")).as("w"))
+    var dist = sym.groupBy(col("grp")).agg(min(col("a")).as("node"))
+      .select(col("grp"), col("node"), lit(0L).as("dist"))
+    (0 until iters).foreach { _ =>
+      dist = dist.select(col("grp"), col("node"), col("dist"))
+        .unionByName(
+          sym.join(dist.select(col("grp"), col("node").as("a"), col("dist")),
+              Seq("grp", "a"))
+            .select(col("grp"), col("b").as("node"),
+              (col("dist") + col("w")).as("dist")))
+        .groupBy("grp", "node").agg(min(col("dist")).as("dist"))
+    }
+    dist.select(col("grp"), col("node"), col("dist"))
+  }
+
   /** Exact-scaled alpha/Katz centrality (G10) — the driver-oracle-able
     * companion of the LocalGraph dense solve (reference
     * `alpha_centrality`, bin/interpersonaldiversity.R). The solve's

@@ -710,7 +710,54 @@ object AnalyticsQueries {
         col("weight")), iters = 5)
   }
 
+  /** Chained-CTE mirror of [[GraphAnalytics.ssspExactScaled]]: per
+    * step one frontier-relax UNION and one min aggregation. */
+  private def ssspOracle(iters: Int): String = {
+    val steps = (1 to iters).map { k =>
+      s"""d$k AS (
+         |  SELECT grp, node, CAST(min(dist) AS BIGINT) AS dist FROM (
+         |    SELECT grp, node, dist FROM d${k - 1}
+         |    UNION ALL
+         |    SELECT y.grp, y.b AS node, p.dist + y.w AS dist
+         |    FROM sym y JOIN d${k - 1} p ON p.grp = y.grp AND p.node = y.a)
+         |  GROUP BY grp, node)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH e AS (
+       |  SELECT n_name AS grp, CAST(l_suppkey AS BIGINT) AS src,
+       |         CAST(o_custkey + 1000000 AS BIGINT) AS dst,
+       |         CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS w
+       |  FROM lineitem
+       |  JOIN orders ON l_orderkey = o_orderkey
+       |  JOIN customer ON o_custkey = c_custkey
+       |  JOIN nation ON c_nationkey = n_nationkey
+       |  WHERE l_quantity >= 49
+       |  GROUP BY 1, 2, 3),
+       |sym AS (
+       |  SELECT grp, a, b, CAST(min(w) AS BIGINT) AS w FROM (
+       |    SELECT grp, src AS a, dst AS b, w FROM e
+       |    UNION ALL SELECT grp, dst AS a, src AS b, w FROM e)
+       |  GROUP BY grp, a, b),
+       |d0 AS (SELECT grp, min(a) AS node, CAST(0 AS BIGINT) AS dist
+       |       FROM sym GROUP BY grp),
+       |$steps
+       |SELECT grp, node, dist FROM d$iters""".stripMargin
+  }
+
+  /** G4 (weighted-distance slice, whole-graph tier) — distributed
+    * Bellman-Ford SSSP, hash-oracled: integer min-plus supersteps are
+    * engine-independent, so the driver verifies the distributed
+    * weighted-shortest-path machinery that the task-local Dijkstra
+    * kernel (golden-pinned) uses at the per-sample tier. */
+  val q117 = QuerySpec.sql(
+    "q117_sssp_exact",
+    ssspOracle(iters = 8),
+    "distributed weighted SSSP via min-plus supersteps (SURVEY G4)") { (s, d) =>
+    GraphAnalytics.ssspExactScaled(
+      groupEdges(s, d).select(col("group"), col("src"), col("dst"),
+        col("weight")), iters = 8)
+  }
+
   val all: Seq[QuerySpec] =
     Seq(q53, q54, q55, q56, q57, q59, q74, q75, q76, q82, q90, q96, q98, q99,
-      q100, q104, q110, q115)
+      q100, q104, q110, q115, q117)
 }

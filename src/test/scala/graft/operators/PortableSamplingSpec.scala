@@ -110,6 +110,16 @@ class PortableSamplingSpec extends SparkSpec {
     assert(out.except(again).count() == 0 && again.except(out).count() == 0)
   }
 
+  test("ssspExactScaled: min-plus distances on a weighted path with a shortcut") {
+    import spark.implicits._
+    // 1 -2- 2 -3- 3, shortcut 1 -4- 3: dist(3) = min(2+3, 4) = 4; root = min node = 1
+    val edges = Seq(("g", 1L, 2L, 2L), ("g", 2L, 3L, 3L), ("g", 1L, 3L, 4L))
+      .toDF("group", "src", "dst", "weight")
+    val out = graft.graph.GraphAnalytics.ssspExactScaled(edges, iters = 4)
+      .collect().map(r => r.getLong(1) -> r.getLong(2)).toMap
+    assert(out == Map(1L -> 0L, 2L -> 2L, 3L -> 4L))
+  }
+
   test("clusterDuplicates over exact-Jaccard pairs: min-id reps") {
     import spark.implicits._
     val docs = Seq((1L, "a b c", "s"), (2L, "a b c", "s"), (3L, "x y", "s"))
