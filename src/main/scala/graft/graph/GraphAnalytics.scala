@@ -249,6 +249,35 @@ object GraphAnalytics {
     dist.select(col("grp"), col("node"), col("dist"))
   }
 
+  /** K-core peeling per group (beyond-reference): nodes surviving
+    * `iters` rounds of "drop every node with fewer than k neighbors
+    * still standing", with their within-core degree. Pure integer
+    * set/degree arithmetic — both engines run the same fixed peel
+    * count, so the oracle replays it exactly (a fixpoint loop would
+    * need data-dependent iteration; fixed rounds bound cost at scale
+    * the same way the static supersteps do). Each round recomputes
+    * degrees from the ORIGINAL edge list restricted to survivors: two
+    * semi-joins + one agg — membership is consumed twice per round,
+    * so keep `iters` small (plan size grows 2^iters; 4 rounds
+    * suffices for per-sample graphs). */
+  def kcore(edges: DataFrame, k: Int, iters: Int): DataFrame = {
+    val e = edges.select(col("group").as("grp"),
+      col("src").cast("long").as("a"), col("dst").cast("long").as("b"))
+    val sym = e.unionByName(e.select(col("grp"), col("b").as("a"), col("a").as("b")))
+      .distinct()
+    var keep = sym.select(col("grp"), col("a").as("node")).distinct()
+    var deg: DataFrame = null
+    (0 until iters).foreach { _ =>
+      deg = sym
+        .join(keep.select(col("grp"), col("node").as("a")), Seq("grp", "a"))
+        .join(keep.select(col("grp"), col("node").as("b")), Seq("grp", "b"))
+        .groupBy(col("grp"), col("a").as("node"))
+        .agg(count(lit(1)).as("deg"))
+      keep = deg.where(col("deg") >= k).select("grp", "node")
+    }
+    deg.where(col("deg") >= k).select(col("grp"), col("node"), col("deg"))
+  }
+
   /** Exact-scaled alpha/Katz centrality (G10) — the driver-oracle-able
     * companion of the LocalGraph dense solve (reference
     * `alpha_centrality`, bin/interpersonaldiversity.R). The solve's

@@ -757,7 +757,48 @@ object AnalyticsQueries {
         col("weight")), iters = 8)
   }
 
+  /** Chained-CTE mirror of [[GraphAnalytics.kcore]]: per round one
+    * survivor-restricted degree CTE and one threshold filter. */
+  private def kcoreOracle(k: Int, iters: Int): String = {
+    val steps = (1 to iters).map { t =>
+      s"""d$t AS (
+         |  SELECT y.grp, y.a AS node, count(*) AS deg
+         |  FROM sym y
+         |  JOIN k${t - 1} p ON p.grp = y.grp AND p.node = y.a
+         |  JOIN k${t - 1} q ON q.grp = y.grp AND q.node = y.b
+         |  GROUP BY y.grp, y.a),
+         |k$t AS (SELECT grp, node FROM d$t WHERE deg >= $k)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH e AS (
+       |  SELECT n_name AS grp, CAST(l_suppkey AS BIGINT) AS src,
+       |         CAST(o_custkey + 1000000 AS BIGINT) AS dst
+       |  FROM lineitem
+       |  JOIN orders ON l_orderkey = o_orderkey
+       |  JOIN customer ON o_custkey = c_custkey
+       |  JOIN nation ON c_nationkey = n_nationkey
+       |  WHERE l_quantity >= 49
+       |  GROUP BY 1, 2, 3),
+       |sym AS (SELECT grp, src AS a, dst AS b FROM e
+       |        UNION SELECT grp, dst AS a, src AS b FROM e),
+       |k0 AS (SELECT DISTINCT grp, a AS node FROM sym),
+       |$steps
+       |SELECT grp, node, CAST(deg AS BIGINT) AS deg
+       |FROM d$iters WHERE deg >= $k""".stripMargin
+  }
+
+  /** Beyond-reference — k-core decomposition: the degeneracy-structure
+    * peel (core membership + within-core degree), hash-oracled with a
+    * fixed round count on both engines. */
+  val q118 = QuerySpec.sql(
+    "q118_kcore",
+    kcoreOracle(k = 2, iters = 4),
+    "k-core peeling with within-core degrees (beyond-reference)") { (s, d) =>
+    GraphAnalytics.kcore(
+      groupEdges(s, d).select(col("group"), col("src"), col("dst")),
+      k = 2, iters = 4)
+  }
+
   val all: Seq[QuerySpec] =
     Seq(q53, q54, q55, q56, q57, q59, q74, q75, q76, q82, q90, q96, q98, q99,
-      q100, q104, q110, q115, q117)
+      q100, q104, q110, q115, q117, q118)
 }

@@ -120,6 +120,17 @@ class PortableSamplingSpec extends SparkSpec {
     assert(out == Map(1L -> 0L, 2L -> 2L, 3L -> 4L))
   }
 
+  test("kcore: peeling removes the tail, keeps the triangle") {
+    import spark.implicits._
+    // triangle 1-2-3 plus pendant path 3-4-5: 2-core = the triangle
+    val edges = Seq(("g", 1L, 2L), ("g", 2L, 3L), ("g", 1L, 3L),
+        ("g", 3L, 4L), ("g", 4L, 5L))
+      .toDF("group", "src", "dst")
+    val out = graft.graph.GraphAnalytics.kcore(edges, k = 2, iters = 4)
+      .collect().map(r => r.getLong(1) -> r.getLong(2)).toMap
+    assert(out == Map(1L -> 2L, 2L -> 2L, 3L -> 2L))
+  }
+
   test("clusterDuplicates over exact-Jaccard pairs: min-id reps") {
     import spark.implicits._
     val docs = Seq((1L, "a b c", "s"), (2L, "a b c", "s"), (3L, "x y", "s"))
