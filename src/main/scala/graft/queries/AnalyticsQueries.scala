@@ -798,7 +798,56 @@ object AnalyticsQueries {
       k = 2, iters = 4)
   }
 
+  /** G16 (per-vertex form) — the REAL GraphX TriangleCount job,
+    * hash-oracled. The supplier→customer evidence graph is bipartite
+    * (zero triangles by construction), so this runs on the
+    * CO-SUPPLIER projection: suppliers connected when they ship the
+    * same order — the standard bipartite→unipartite projection
+    * ecology tooling applies to co-occurrence data. The oracle
+    * enumerates each triangle once as an ordered triple (x<y<z) over
+    * the canonical edge list and credits all three corners;
+    * zero-triangle vertices emit 0 on both sides. Integers end to
+    * end. */
+  val q119 = QuerySpec.sql(
+    "q119_graphx_triangles",
+    """WITH co AS (
+      |  SELECT DISTINCT l1.l_suppkey AS a, l2.l_suppkey AS b
+      |  FROM lineitem l1
+      |  JOIN lineitem l2 ON l1.l_orderkey = l2.l_orderkey
+      |    AND l1.l_suppkey < l2.l_suppkey
+      |  WHERE l1.l_quantity >= 40 AND l2.l_quantity >= 40),
+      |tri AS (
+      |  SELECT e1.a AS x, e1.b AS y, e2.b AS z
+      |  FROM co e1
+      |  JOIN co e2 ON e2.a = e1.b
+      |  JOIN co e3 ON e3.a = e1.a AND e3.b = e2.b),
+      |corner AS (
+      |  SELECT x AS node FROM tri
+      |  UNION ALL SELECT y FROM tri
+      |  UNION ALL SELECT z FROM tri),
+      |cnt AS (SELECT node, count(*) AS n FROM corner GROUP BY node),
+      |nodes AS (SELECT a AS node FROM co UNION SELECT b FROM co)
+      |SELECT CAST(n.node AS BIGINT) AS node,
+      |       CAST(COALESCE(c.n, 0) AS BIGINT) AS n_triangles
+      |FROM nodes n LEFT JOIN cnt c ON c.node = n.node""",
+    "distributed GraphX triangle counting on the co-supplier projection (SURVEY G16)") { (s, d) =>
+    import org.apache.spark.graphx.{Edge, Graph, PartitionStrategy}
+    val li = Tables.lineitem(s, d).filter(col("l_quantity") >= 40)
+      .select(col("l_orderkey").as("ok"), col("l_suppkey").cast("long").as("sk"))
+    val co = li.as("x").join(li.as("y"),
+        col("x.ok") === col("y.ok") && col("x.sk") < col("y.sk"))
+      .select(col("x.sk").as("a"), col("y.sk").as("b")).distinct()
+    val edgeRdd = co.rdd.map(r => Edge(r.getLong(0), r.getLong(1), 1)).coalesce(8)
+    val tc = Graph.fromEdges(edgeRdd, 1)
+      .partitionBy(PartitionStrategy.RandomVertexCut)
+      .triangleCount().vertices
+    s.createDataFrame(
+      tc.map(t => org.apache.spark.sql.Row(t._1, t._2.toLong)),
+      new org.apache.spark.sql.types.StructType()
+        .add("node", "long").add("n_triangles", "long"))
+  }
+
   val all: Seq[QuerySpec] =
     Seq(q53, q54, q55, q56, q57, q59, q74, q75, q76, q82, q90, q96, q98, q99,
-      q100, q104, q110, q115, q117, q118)
+      q100, q104, q110, q115, q117, q118, q119)
 }
