@@ -847,7 +847,66 @@ object AnalyticsQueries {
         .add("node", "long").add("n_triangles", "long"))
   }
 
+  /** Degree assortativity per group (beyond-reference network stat,
+    * igraph `assortativity_degree` semantics on the symmetrized
+    * graph): Pearson correlation of endpoint degrees over directed
+    * edge instances. Every accumulated term (M, Σx, Σy, Σxy, Σx²,
+    * Σy²) is an exact integer; the final correlation is ONE float
+    * expression written token-identically on both engines, so the
+    * hash gate holds without scaling. Degenerate groups (zero
+    * variance) emit NULL on both sides. */
+  val q120 = QuerySpec.sql(
+    "q120_assortativity",
+    """WITH e AS (
+      |  SELECT n_name AS grp, CAST(l_suppkey AS BIGINT) AS src,
+      |         CAST(o_custkey + 1000000 AS BIGINT) AS dst
+      |  FROM lineitem
+      |  JOIN orders ON l_orderkey = o_orderkey
+      |  JOIN customer ON o_custkey = c_custkey
+      |  JOIN nation ON c_nationkey = n_nationkey
+      |  WHERE l_quantity >= 49
+      |  GROUP BY 1, 2, 3),
+      |sym AS (SELECT grp, src AS a, dst AS b FROM e
+      |        UNION SELECT grp, dst AS a, src AS b FROM e),
+      |deg AS (SELECT grp, a AS node, count(*) AS d FROM sym GROUP BY grp, a),
+      |pairs AS (
+      |  SELECT y.grp, da.d AS x, db.d AS y
+      |  FROM sym y
+      |  JOIN deg da ON da.grp = y.grp AND da.node = y.a
+      |  JOIN deg db ON db.grp = y.grp AND db.node = y.b),
+      |sums AS (
+      |  SELECT grp, CAST(count(*) AS BIGINT) AS m,
+      |         CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+      |         CAST(sum(x * y) AS BIGINT) AS sxy,
+      |         CAST(sum(x * x) AS BIGINT) AS sxx,
+      |         CAST(sum(y * y) AS BIGINT) AS syy
+      |  FROM pairs GROUP BY grp)
+      |SELECT grp,
+      |       (CAST(m AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy) /
+      |         (sqrt(CAST(m AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx) *
+      |          sqrt(CAST(m AS DOUBLE) * syy - CAST(sy AS DOUBLE) * sy)) AS assortativity
+      |FROM sums""",
+    "per-group degree assortativity, exact-integer sums (beyond-reference)") { (s, d) =>
+    val e = groupEdges(s, d).select(col("group").as("grp"),
+      col("src").cast("long").as("a"), col("dst").cast("long").as("b"))
+    val sym = e.unionByName(e.select(col("grp"), col("b").as("a"), col("a").as("b")))
+      .distinct()
+    val deg = sym.groupBy(col("grp"), col("a").as("node")).agg(count(lit(1)).as("d"))
+    val pairs = sym
+      .join(deg.select(col("grp"), col("node").as("a"), col("d").as("x")), Seq("grp", "a"))
+      .join(deg.select(col("grp"), col("node").as("b"), col("d").as("y")), Seq("grp", "b"))
+    pairs.groupBy("grp")
+      .agg(count(lit(1)).as("m"), sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+        sum(col("x") * col("y")).as("sxy"), sum(col("x") * col("x")).as("sxx"),
+        sum(col("y") * col("y")).as("syy"))
+      .select(col("grp"),
+        ((col("m").cast("double") * col("sxy") - col("sx").cast("double") * col("sy")) /
+          (sqrt(col("m").cast("double") * col("sxx") - col("sx").cast("double") * col("sx")) *
+            sqrt(col("m").cast("double") * col("syy") - col("sy").cast("double") * col("sy"))))
+          .as("assortativity"))
+  }
+
   val all: Seq[QuerySpec] =
     Seq(q53, q54, q55, q56, q57, q59, q74, q75, q76, q82, q90, q96, q98, q99,
-      q100, q104, q110, q115, q117, q118, q119)
+      q100, q104, q110, q115, q117, q118, q119, q120)
 }
