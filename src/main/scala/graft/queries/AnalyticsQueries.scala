@@ -715,12 +715,9 @@ object AnalyticsQueries {
   private def ssspOracle(iters: Int): String = {
     val steps = (1 to iters).map { k =>
       s"""d$k AS (
-         |  SELECT grp, node, CAST(min(dist) AS BIGINT) AS dist FROM (
-         |    SELECT grp, node, dist FROM d${k - 1}
-         |    UNION ALL
-         |    SELECT y.grp, y.b AS node, p.dist + y.w AS dist
-         |    FROM sym y JOIN d${k - 1} p ON p.grp = y.grp AND p.node = y.a)
-         |  GROUP BY grp, node)""".stripMargin
+         |  SELECT y.grp, y.b AS node, CAST(min(p.dist + y.w) AS BIGINT) AS dist
+         |  FROM hop y JOIN d${k - 1} p ON p.grp = y.grp AND p.node = y.a
+         |  GROUP BY y.grp, y.b)""".stripMargin
     }.mkString(",\n")
     s"""WITH e AS (
        |  SELECT n_name AS grp, CAST(l_suppkey AS BIGINT) AS src,
@@ -732,11 +729,15 @@ object AnalyticsQueries {
        |  JOIN nation ON c_nationkey = n_nationkey
        |  WHERE l_quantity >= 49
        |  GROUP BY 1, 2, 3),
-       |sym AS (
+       |sym AS MATERIALIZED (
        |  SELECT grp, a, b, CAST(min(w) AS BIGINT) AS w FROM (
        |    SELECT grp, src AS a, dst AS b, w FROM e
        |    UNION ALL SELECT grp, dst AS a, src AS b, w FROM e)
        |  GROUP BY grp, a, b),
+       |hop AS MATERIALIZED (
+       |  SELECT grp, a, b, w FROM sym
+       |  UNION ALL
+       |  SELECT DISTINCT grp, a, a AS b, CAST(0 AS BIGINT) AS w FROM sym),
        |d0 AS (SELECT grp, min(a) AS node, CAST(0 AS BIGINT) AS dist
        |       FROM sym GROUP BY grp),
        |$steps
