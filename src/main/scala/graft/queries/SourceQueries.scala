@@ -240,5 +240,33 @@ object SourceQueries {
       graft.sources.Tabular.csv(s, p, schema), ckDir)
   }
 
-  val all: Seq[QuerySpec] = Seq(q44, q45, q46, q47, q48, q49, q79, q80)
+  /** Beyond-reference — JSONL scan → sink → re-scan round-trip: the
+    * de-facto training-data interchange format, written through the
+    * real distributed writer and re-read with a declared schema
+    * (nulls, unicode, and embedded quotes survive the trip). */
+  val q121 = QuerySpec.sql(
+    "q121_jsonl_roundtrip",
+    """SELECT * FROM (VALUES
+      |  (CAST(1 AS BIGINT), 'plain text', CAST(0.5 AS DOUBLE)),
+      |  (CAST(2 AS BIGINT), 'quote " and tab	here', CAST(-2.25 AS DOUBLE)),
+      |  (CAST(3 AS BIGINT), NULL, CAST(0.0 AS DOUBLE))
+      |) AS t(doc_id, text, score)""",
+    "JSONL scan → sink → re-scan round-trip (beyond-reference)") { (s, _) =>
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(StructField("doc_id", LongType),
+      StructField("text", StringType), StructField("score", DoubleType)))
+    val p = fixture("roundtrip.jsonl",
+      """{"doc_id": 1, "text": "plain text", "score": 0.5}
+        |{"doc_id": 2, "text": "quote \" and tab\there", "score": -2.25}
+        |{"doc_id": 3, "text": null, "score": 0.0}
+        |""".stripMargin)
+    val once = graft.sources.Tabular.jsonl(s, p, schema)
+    val sinkDir = new java.io.File(
+      new java.io.File(System.getProperty("java.io.tmpdir"), "graft_fixtures"),
+      "jsonl_sink").getAbsolutePath
+    graft.sources.Tabular.writeJsonl(once, sinkDir)
+    graft.sources.Tabular.jsonl(s, sinkDir, schema)
+  }
+
+  val all: Seq[QuerySpec] = Seq(q44, q45, q46, q47, q48, q49, q79, q80, q121)
 }

@@ -32,4 +32,14 @@ object Tabular {
     df.write.mode("overwrite").parquet(path)
     df.sparkSession.read.parquet(path)
   }
+
+  /** JSONL scan with declared schema (beyond-reference: the de-facto
+    * training-data interchange format). Schema declared, not
+    * inferred — inference is a full extra pass at corpus scale. */
+  def jsonl(spark: SparkSession, path: String, schema: StructType): DataFrame =
+    spark.read.schema(schema).json(path)
+
+  /** JSONL sink — one JSON object per line, splittable downstream. */
+  def writeJsonl(df: DataFrame, path: String): Unit =
+    df.write.mode("overwrite").json(path)
 }
