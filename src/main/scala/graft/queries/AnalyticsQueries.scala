@@ -907,7 +907,66 @@ object AnalyticsQueries {
           .as("assortativity"))
   }
 
+  /** Local clustering coefficient (igraph `transitivity(type="local")`
+    * semantics) on the co-supplier projection: c(v) = 2·T(v)/(d·(d−1))
+    * with T from the REAL GraphX TriangleCount and d from the
+    * canonical degree — both exact integers, one identical float
+    * expression per node. Degree-<2 nodes emit NULL on both sides
+    * (igraph's NaN analog). */
+  val q122 = QuerySpec.sql(
+    "q122_clustering_coeff",
+    """WITH co AS (
+      |  SELECT DISTINCT l1.l_suppkey AS a, l2.l_suppkey AS b
+      |  FROM lineitem l1
+      |  JOIN lineitem l2 ON l1.l_orderkey = l2.l_orderkey
+      |    AND l1.l_suppkey < l2.l_suppkey
+      |  WHERE l1.l_quantity >= 40 AND l2.l_quantity >= 40),
+      |tri AS (
+      |  SELECT e1.a AS x, e1.b AS y, e2.b AS z
+      |  FROM co e1
+      |  JOIN co e2 ON e2.a = e1.b
+      |  JOIN co e3 ON e3.a = e1.a AND e3.b = e2.b),
+      |corner AS (
+      |  SELECT x AS node FROM tri
+      |  UNION ALL SELECT y FROM tri
+      |  UNION ALL SELECT z FROM tri),
+      |cnt AS (SELECT node, count(*) AS n FROM corner GROUP BY node),
+      |deg AS (
+      |  SELECT node, count(*) AS d FROM (
+      |    SELECT a AS node FROM co UNION ALL SELECT b FROM co)
+      |  GROUP BY node)
+      |SELECT CAST(deg.node AS BIGINT) AS node,
+      |       CASE WHEN deg.d < 2 THEN NULL
+      |            ELSE CAST(2 AS DOUBLE) * COALESCE(cnt.n, 0)
+      |                 / (CAST(deg.d AS DOUBLE) * (deg.d - 1)) END AS clustering
+      |FROM deg LEFT JOIN cnt ON cnt.node = deg.node""",
+    "local clustering coefficient via GraphX triangles (beyond-reference)") { (s, d) =>
+    import org.apache.spark.graphx.{Edge, Graph, PartitionStrategy}
+    val li = Tables.lineitem(s, d).filter(col("l_quantity") >= 40)
+      .select(col("l_orderkey").as("ok"), col("l_suppkey").cast("long").as("sk"))
+    val co = li.as("x").join(li.as("y"),
+        col("x.ok") === col("y.ok") && col("x.sk") < col("y.sk"))
+      .select(col("x.sk").as("a"), col("y.sk").as("b")).distinct()
+    val edgeRdd = co.rdd.map(r => Edge(r.getLong(0), r.getLong(1), 1)).coalesce(8)
+    val tc = Graph.fromEdges(edgeRdd, 1)
+      .partitionBy(PartitionStrategy.RandomVertexCut)
+      .triangleCount().vertices
+    val tcDf = s.createDataFrame(
+      tc.map(t => org.apache.spark.sql.Row(t._1, t._2.toLong)),
+      new org.apache.spark.sql.types.StructType()
+        .add("node", "long").add("n_tri", "long"))
+    val deg = co.select(col("a").as("node"))
+      .unionByName(co.select(col("b").as("node")))
+      .groupBy("node").agg(count(lit(1)).as("d"))
+    deg.join(tcDf, Seq("node"), "left_outer")
+      .select(col("node"),
+        when(col("d") < 2, lit(null).cast("double"))
+          .otherwise(lit(2.0) * coalesce(col("n_tri"), lit(0L)) /
+            (col("d").cast("double") * (col("d") - 1)))
+          .as("clustering"))
+  }
+
   val all: Seq[QuerySpec] =
     Seq(q53, q54, q55, q56, q57, q59, q74, q75, q76, q82, q90, q96, q98, q99,
-      q100, q104, q110, q115, q117, q118, q119, q120)
+      q100, q104, q110, q115, q117, q118, q119, q120, q122)
 }
