@@ -49,6 +49,34 @@ object AnalyticsQueries {
       GraphAnalytics.perGroupVertexMetrics(groupEdges(s, d))
     }
 
+  /** Per-node triangle counts on the co-supplier projection via the
+    * REAL GraphX TriangleCount — memoized: q119 (raw counts) and q122
+    * (clustering coefficient) share one distributed run. */
+  private def coTriangles(s: org.apache.spark.sql.SparkSession, d: String) =
+    graft.Memo.df(s, "coTriangles", d) {
+      import org.apache.spark.graphx.{Edge, Graph, PartitionStrategy}
+      val tc = Graph.fromEdges(
+          coSupplier(s, d).rdd.map(r => Edge(r.getLong(0), r.getLong(1), 1))
+            .coalesce(8), 1)
+        .partitionBy(PartitionStrategy.RandomVertexCut)
+        .triangleCount().vertices
+      s.createDataFrame(
+        tc.map(t => org.apache.spark.sql.Row(t._1, t._2.toLong)),
+        new org.apache.spark.sql.types.StructType()
+          .add("node", "long").add("n_tri", "long"))
+    }
+
+  /** The co-supplier projection (suppliers sharing an order) —
+    * memoized input of [[coTriangles]]. */
+  private def coSupplier(s: org.apache.spark.sql.SparkSession, d: String) =
+    graft.Memo.df(s, "coSupplier", d) {
+      val li = Tables.lineitem(s, d).filter(col("l_quantity") >= 40)
+        .select(col("l_orderkey").as("ok"), col("l_suppkey").cast("long").as("sk"))
+      li.as("x").join(li.as("y"),
+          col("x.ok") === col("y.ok") && col("x.sk") < col("y.sk"))
+        .select(col("x.sk").as("a"), col("y.sk").as("b")).distinct()
+    }
+
   /** M6/G18 — Bray-Curtis dissimilarity between groups. */
   val q53 = QuerySpec.sql(
     "q53_bray_curtis",
@@ -832,20 +860,7 @@ object AnalyticsQueries {
       |       CAST(COALESCE(c.n, 0) AS BIGINT) AS n_triangles
       |FROM nodes n LEFT JOIN cnt c ON c.node = n.node""",
     "distributed GraphX triangle counting on the co-supplier projection (SURVEY G16)") { (s, d) =>
-    import org.apache.spark.graphx.{Edge, Graph, PartitionStrategy}
-    val li = Tables.lineitem(s, d).filter(col("l_quantity") >= 40)
-      .select(col("l_orderkey").as("ok"), col("l_suppkey").cast("long").as("sk"))
-    val co = li.as("x").join(li.as("y"),
-        col("x.ok") === col("y.ok") && col("x.sk") < col("y.sk"))
-      .select(col("x.sk").as("a"), col("y.sk").as("b")).distinct()
-    val edgeRdd = co.rdd.map(r => Edge(r.getLong(0), r.getLong(1), 1)).coalesce(8)
-    val tc = Graph.fromEdges(edgeRdd, 1)
-      .partitionBy(PartitionStrategy.RandomVertexCut)
-      .triangleCount().vertices
-    s.createDataFrame(
-      tc.map(t => org.apache.spark.sql.Row(t._1, t._2.toLong)),
-      new org.apache.spark.sql.types.StructType()
-        .add("node", "long").add("n_triangles", "long"))
+    coTriangles(s, d).select(col("node"), col("n_tri").as("n_triangles"))
   }
 
   /** Degree assortativity per group (beyond-reference network stat,
@@ -941,24 +956,11 @@ object AnalyticsQueries {
       |                 / (CAST(deg.d AS DOUBLE) * (deg.d - 1)) END AS clustering
       |FROM deg LEFT JOIN cnt ON cnt.node = deg.node""",
     "local clustering coefficient via GraphX triangles (beyond-reference)") { (s, d) =>
-    import org.apache.spark.graphx.{Edge, Graph, PartitionStrategy}
-    val li = Tables.lineitem(s, d).filter(col("l_quantity") >= 40)
-      .select(col("l_orderkey").as("ok"), col("l_suppkey").cast("long").as("sk"))
-    val co = li.as("x").join(li.as("y"),
-        col("x.ok") === col("y.ok") && col("x.sk") < col("y.sk"))
-      .select(col("x.sk").as("a"), col("y.sk").as("b")).distinct()
-    val edgeRdd = co.rdd.map(r => Edge(r.getLong(0), r.getLong(1), 1)).coalesce(8)
-    val tc = Graph.fromEdges(edgeRdd, 1)
-      .partitionBy(PartitionStrategy.RandomVertexCut)
-      .triangleCount().vertices
-    val tcDf = s.createDataFrame(
-      tc.map(t => org.apache.spark.sql.Row(t._1, t._2.toLong)),
-      new org.apache.spark.sql.types.StructType()
-        .add("node", "long").add("n_tri", "long"))
+    val co = coSupplier(s, d)
     val deg = co.select(col("a").as("node"))
       .unionByName(co.select(col("b").as("node")))
       .groupBy("node").agg(count(lit(1)).as("d"))
-    deg.join(tcDf, Seq("node"), "left_outer")
+    deg.join(coTriangles(s, d), Seq("node"), "left_outer")
       .select(col("node"),
         when(col("d") < 2, lit(null).cast("double"))
           .otherwise(lit(2.0) * coalesce(col("n_tri"), lit(0L)) /
