@@ -423,6 +423,31 @@ object Relational {
     * are order-independent, so the salted two-phase plan hashes
     * identically. (AQE handles storage skew; this is the algorithmic
     * hot-key path — operators.Skew scaladoc.) */
+  /** Multi-level aggregate (A-family extension): ROLLUP over
+    * (returnflag, linestatus) with the grouping bitmask — subtotals
+    * and the grand total in one pass (Catalyst expands grouping sets
+    * into a single shuffle with replicated rows; no per-level
+    * re-scan). Spark's grouping_id() and DuckDB's GROUPING(a, b) use
+    * the same leftmost-high bitmask, and rolled-up keys are NULL in
+    * both. */
+  val q123 = QuerySpec.sql(
+    "q123_rollup",
+    """SELECT l_returnflag, l_linestatus,
+      |       CAST(GROUPING(l_returnflag, l_linestatus) AS BIGINT) AS gid,
+      |       CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
+      |       count(*) AS n_rows
+      |FROM lineitem
+      |GROUP BY ROLLUP (l_returnflag, l_linestatus)""",
+    "rollup subtotals + grand total with grouping id (SURVEY A-family)") { (s, d) =>
+    Tables.lineitem(s, d)
+      .rollup(col("l_returnflag"), col("l_linestatus"))
+      .agg(grouping_id().cast("long").as("gid"),
+        sum(col("l_quantity").cast("long")).as("sum_qty"),
+        count(lit(1)).as("n_rows"))
+      .select(col("l_returnflag"), col("l_linestatus"), col("gid"),
+        col("sum_qty"), col("n_rows"))
+  }
+
   val q94 = QuerySpec.sql(
     "q94_salted_agg",
     """SELECT l_partkey,
@@ -456,5 +481,6 @@ object Relational {
 
   val all: Seq[QuerySpec] = Seq(
     q01, q02, q03, q04, q05, q06, q07, q08, q09, q10, q11,
-    q12, q13, q14, q15, q16, q17, q18, q19, q20, q21, q22, q23, q94, q95)
+    q12, q13, q14, q15, q16, q17, q18, q19, q20, q21, q22, q23, q94, q95,
+    q123)
 }
