@@ -140,5 +140,28 @@ object EventQueries {
     StreamOps.runSessionizeStream(s, d, gapMinutes = 30)
   }
 
-  val all: Seq[QuerySpec] = Seq(q60, q61, q62, q88, q105, q106, q108)
+  /** Datetime scalar family (F-extension): component extraction,
+    * truncation, and interval arithmetic — the portable subset (no
+    * day-of-week: Spark counts 1=Sunday, DuckDB 0=Sunday). */
+  val q124 = QuerySpec.sql(
+    "q124_datetime_functions",
+    """SELECT event_id,
+      |       CAST(year(ts) AS INT) AS y,
+      |       CAST(month(ts) AS INT) AS mo,
+      |       CAST(day(ts) AS INT) AS dom,
+      |       CAST(hour(ts) AS INT) AS h,
+      |       date_trunc('day', ts) AS day_start,
+      |       ts + INTERVAL 90 MINUTE AS ts_plus
+      |FROM events WHERE event_id % 100 = 0""",
+    "datetime extraction/trunc/interval arithmetic (scalar family)") { (s, d) =>
+    Tables.events(s, d)
+      .where(pmod(col("event_id"), lit(100)) === 0)
+      .select(col("event_id"),
+        year(col("ts")).as("y"), month(col("ts")).as("mo"),
+        dayofmonth(col("ts")).as("dom"), hour(col("ts")).as("h"),
+        date_trunc("day", col("ts")).as("day_start"),
+        (col("ts") + expr("INTERVAL 90 MINUTES")).as("ts_plus"))
+  }
+
+  val all: Seq[QuerySpec] = Seq(q60, q61, q62, q88, q105, q106, q108, q124)
 }
