@@ -163,5 +163,24 @@ object EventQueries {
         (col("ts") + expr("INTERVAL 90 MINUTES")).as("ts_plus"))
   }
 
-  val all: Seq[QuerySpec] = Seq(q60, q61, q62, q88, q105, q106, q108, q124)
+  /** Semi-structured column handling: the events table carries a JSON
+    * `props` string — extract a typed field and aggregate it, the
+    * schema-on-read path every log pipeline needs. Spark
+    * get_json_object and DuckDB json_extract_string agree on the
+    * string value; the integer cast and sums are exact. */
+  val q127 = QuerySpec.sql(
+    "q127_json_extract",
+    """SELECT event_type,
+      |       CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+      |       count(*) AS n
+      |FROM events GROUP BY event_type""",
+    "JSON field extraction + typed aggregate (semi-structured)") { (s, d) =>
+    Tables.events(s, d)
+      .groupBy("event_type")
+      .agg(sum(get_json_object(col("props"), "$.k").cast("long")).as("sum_k"),
+        count(lit(1)).as("n"))
+  }
+
+  val all: Seq[QuerySpec] =
+    Seq(q60, q61, q62, q88, q105, q106, q108, q124, q127)
 }

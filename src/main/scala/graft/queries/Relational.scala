@@ -448,6 +448,43 @@ object Relational {
         col("sum_qty"), col("n_rows"))
   }
 
+  /** W-family extension — ntile quartiles + percent_rank over a
+    * unique total order (tie-free ordering keeps both engines'
+    * bucketing identical; percent_rank is (rank−1)/(n−1), integers in,
+    * one identical division out). */
+  val q125 = QuerySpec.sql(
+    "q125_window_ranks",
+    """SELECT l_orderkey, l_linenumber,
+      |       CAST(ntile(4) OVER w AS INT) AS quartile,
+      |       percent_rank() OVER w AS prank
+      |FROM lineitem
+      |WHERE l_quantity = 50 AND l_returnflag = 'R'
+      |WINDOW w AS (ORDER BY l_orderkey, l_linenumber)""",
+    "ntile + percent_rank over a unique order (SURVEY W-family)") { (s, d) =>
+    val w = Window.orderBy(col("l_orderkey"), col("l_linenumber"))
+    Tables.lineitem(s, d)
+      .where(col("l_quantity") === 50 && col("l_returnflag") === "R")
+      .select(col("l_orderkey"), col("l_linenumber"),
+        ntile(4).over(w).as("quartile"),
+        percent_rank().over(w).as("prank"))
+  }
+
+  /** A-family extension — sorted string aggregation (LISTAGG): the
+    * order clause makes the concatenation deterministic, so Spark's
+    * sort-then-join equals DuckDB's ORDER BY string_agg. */
+  val q126 = QuerySpec.sql(
+    "q126_string_agg",
+    """SELECT n_regionkey,
+      |       string_agg(n_name, ',' ORDER BY n_name) AS members,
+      |       count(*) AS n_members
+      |FROM nation GROUP BY n_regionkey""",
+    "sorted string aggregation per group (SURVEY A-family)") { (s, d) =>
+    Tables.nation(s, d)
+      .groupBy("n_regionkey")
+      .agg(array_join(array_sort(collect_list(col("n_name"))), ",").as("members"),
+        count(lit(1)).as("n_members"))
+  }
+
   val q94 = QuerySpec.sql(
     "q94_salted_agg",
     """SELECT l_partkey,
@@ -482,5 +519,5 @@ object Relational {
   val all: Seq[QuerySpec] = Seq(
     q01, q02, q03, q04, q05, q06, q07, q08, q09, q10, q11,
     q12, q13, q14, q15, q16, q17, q18, q19, q20, q21, q22, q23, q94, q95,
-    q123)
+    q123, q125, q126)
 }
