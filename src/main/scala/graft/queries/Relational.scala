@@ -469,6 +469,43 @@ object Relational {
         percent_rank().over(w).as("prank"))
   }
 
+  /** A-family extension — CUBE: all 2ⁿ grouping sets in one pass
+    * (rollup's lattice-complete sibling; q123 notes apply). */
+  val q128 = QuerySpec.sql(
+    "q128_cube",
+    """SELECT l_returnflag, l_linestatus,
+      |       CAST(GROUPING(l_returnflag, l_linestatus) AS BIGINT) AS gid,
+      |       count(*) AS n_rows
+      |FROM lineitem
+      |GROUP BY CUBE (l_returnflag, l_linestatus)""",
+    "cube over two keys with grouping id (SURVEY A-family)") { (s, d) =>
+    Tables.lineitem(s, d)
+      .cube(col("l_returnflag"), col("l_linestatus"))
+      .agg(grouping_id().cast("long").as("gid"), count(lit(1)).as("n_rows"))
+      .select(col("l_returnflag"), col("l_linestatus"), col("gid"), col("n_rows"))
+  }
+
+  /** A-family extension — conditional aggregation (the FILTER-clause
+    * pattern): several predicated aggregates in ONE scan instead of
+    * one scan per condition — at 100 TB the difference between one
+    * pass and N. Integer counts/sums keep it exact. */
+  val q129 = QuerySpec.sql(
+    "q129_conditional_agg",
+    """SELECT l_returnflag,
+      |       count(*) FILTER (WHERE l_quantity >= 25) AS n_high,
+      |       count(*) FILTER (WHERE l_quantity < 25) AS n_low,
+      |       CAST(COALESCE(sum(CAST(l_quantity AS BIGINT))
+      |         FILTER (WHERE l_linestatus = 'O'), 0) AS BIGINT) AS qty_open
+      |FROM lineitem GROUP BY l_returnflag""",
+    "multiple predicated aggregates in one scan (SURVEY A-family)") { (s, d) =>
+    Tables.lineitem(s, d)
+      .groupBy("l_returnflag")
+      .agg(count(when(col("l_quantity") >= 25, 1)).as("n_high"),
+        count(when(col("l_quantity") < 25, 1)).as("n_low"),
+        coalesce(sum(when(col("l_linestatus") === "O",
+          col("l_quantity").cast("long"))), lit(0L)).as("qty_open"))
+  }
+
   /** A-family extension — sorted string aggregation (LISTAGG): the
     * order clause makes the concatenation deterministic, so Spark's
     * sort-then-join equals DuckDB's ORDER BY string_agg. */
@@ -519,5 +556,5 @@ object Relational {
   val all: Seq[QuerySpec] = Seq(
     q01, q02, q03, q04, q05, q06, q07, q08, q09, q10, q11,
     q12, q13, q14, q15, q16, q17, q18, q19, q20, q21, q22, q23, q94, q95,
-    q123, q125, q126)
+    q123, q125, q126, q128, q129)
 }
