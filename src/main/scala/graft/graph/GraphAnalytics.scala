@@ -46,7 +46,7 @@ object GraphAnalytics {
     * 9.0 s at 32 partitions → 4.8 s at 8). The edge-count scaling
     * restores full spread on real volumes — the same size-to-data
     * rule as the streaming state stores. */
-  private def gxPartitions(spark: SparkSession, nEdges: Long): Int =
+  private[graft] def gxPartitions(spark: SparkSession, nEdges: Long): Int =
     math.max(4, math.min(spark.sparkContext.defaultParallelism,
       (nEdges / 100000L).toInt))
 

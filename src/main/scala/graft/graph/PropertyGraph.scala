@@ -28,8 +28,11 @@ final case class PropertyGraph(nodes: DataFrame, edges: DataFrame) {
   /** GraphFrames-style motif finder: compiles a Cypher-ish pattern
     * like `(s:SampleID)-[d:Sampled]->(p:Phage); (p)-[r:Infects]->(b)`
     * into the §3.3 join plan. Returned columns are `<var>_<attr>` for
-    * every named element. */
-  def find(pattern: String): DataFrame = Motif.compile(this, pattern)
+    * every named element. Chains that share no variable would compile
+    * to a cartesian product — at 100 TB a typo'd variable name must
+    * fail loudly, so that is an error unless `allowCross = true`. */
+  def find(pattern: String, allowCross: Boolean = false): DataFrame =
+    Motif.compile(this, pattern, allowCross)
 
   /** Degree table: (id, inDeg, outDeg, deg) via a single agg each —
     * no GraphX materialization needed for degree-family metrics. */
@@ -112,7 +115,8 @@ object Motif {
     }
   }
 
-  def compile(g: PropertyGraph, pattern: String): DataFrame = {
+  def compile(g: PropertyGraph, pattern: String,
+      allowCross: Boolean = false): DataFrame = {
     val hops = parse(pattern)
     require(hops.nonEmpty, s"empty motif pattern: '$pattern'")
 
@@ -124,11 +128,20 @@ object Motif {
       base.select(Seq(col("src").as(s"${h.src.v}_id"), col("dst").as(s"${h.dst.v}_id")) ++ props: _*)
     }
 
-    // join hops left-to-right on shared node-id columns (cartesian if
-    // a chain is disconnected — caller's responsibility, as in Cypher)
+    // join hops left-to-right on shared node-id columns; a hop that
+    // shares no variable with what came before is a cartesian product
+    // — refused by default (a typo'd variable at 100 TB must fail at
+    // compile, not at runtime), opt-in via allowCross as in Cypher
+    def vars(df: DataFrame): Seq[String] =
+      df.columns.filter(_.endsWith("_id")).map(_.stripSuffix("_id")).toSeq
     val joined = hops.map(hopDF).reduce { (acc, next) =>
       val shared = acc.columns.toSet.intersect(next.columns.toSet).toSeq
-      if (shared.nonEmpty) acc.join(next, shared) else acc.crossJoin(next)
+      if (shared.nonEmpty) acc.join(next, shared)
+      else if (allowCross) acc.crossJoin(next)
+      else throw new IllegalArgumentException(
+        s"disconnected motif chains: variables ${vars(acc).sorted.mkString("{", ", ", "}")} " +
+          s"and ${vars(next).sorted.mkString("{", ", ", "}")} share none — " +
+          "this compiles to a cartesian product; pass allowCross=true if intentional")
     }
 
     // attach node attributes + kind predicates for every named node var

@@ -156,13 +156,18 @@ object Dedup {
   def clusterDuplicates(pairs: DataFrame, allIds: DataFrame): DataFrame = {
     import org.apache.spark.graphx.{Edge, Graph}
     val spark = pairs.sparkSession
-    // candidate-pair graphs are small by the no-all-pairs invariant;
     // GraphX's iterative CC over-fragments at SQL-side partition
-    // counts (same rationale as GraphAnalytics.gxPartitions)
-    val edgeRdd = pairs.select(col("d1").cast("long"), col("d2").cast("long"))
-      .rdd.map(r => Edge(r.getLong(0), r.getLong(1), 1)).coalesce(8)
+    // counts on gate-sized graphs, but a CONSTANT would cap the job
+    // at scale (candidate pairs are candidate-linear in corpus size):
+    // size one task per ~100k edges, clamped to [4, parallelism] —
+    // the same edge-volume rule as GraphAnalytics.gxPartitions. The
+    // count() is cheap: callers pass memoized/persisted pair tables.
+    val edgeDf = pairs.select(col("d1").cast("long"), col("d2").cast("long"))
+    val parts = graft.graph.GraphAnalytics.gxPartitions(spark, edgeDf.count())
+    val edgeRdd = edgeDf.rdd.map(r => Edge(r.getLong(0), r.getLong(1), 1))
+      .coalesce(parts)
     val vertRdd = allIds.select(allIds.columns.head).rdd
-      .map(r => (r.getLong(0), 1)).coalesce(8)
+      .map(r => (r.getLong(0), 1)).coalesce(parts)
     val cc = Graph(vertRdd, edgeRdd).connectedComponents().vertices
     val ccDf = spark.createDataFrame(
       cc.map(t => org.apache.spark.sql.Row(t._1, t._2)),

@@ -36,11 +36,17 @@ object Sampling {
     * style); md5 hex is identical in every engine, so an oracle can
     * RECOMPUTE the decision. Spark `conv(hex,16,10)` ≡ DuckDB
     * `('0x'||hex)::BIGINT`. md5 costs ~4× xxhash64 — keep [[hashUnit]]
-    * for hot paths with no cross-engine replay requirement. */
-  def md5Bits32(seed: Long, cols: Column*): Column =
-    conv(substring(md5(concat_ws("|",
-      (lit(seed.toString) +: cols.map(_.cast("string"))): _*)), 1, 8), 16, 10)
-      .cast("long")
+    * for hot paths with no cross-engine replay requirement.
+    * Null keys: `concat` (not `concat_ws`, which silently SKIPS null
+    * columns) — a NULL id nulls the whole hash, the `<` comparison is
+    * NULL, and the WHERE drops the row, exactly matching the `||`
+    * concatenation the oracles use. */
+  def md5Bits32(seed: Long, cols: Column*): Column = {
+    val key = cols.foldLeft(lit(seed.toString)) { (acc, c) =>
+      concat(acc, lit("|"), c.cast("string"))
+    }
+    conv(substring(md5(key), 1, 8), 16, 10).cast("long")
+  }
 
   /** R2/R5, portable form: same stratified-fraction semantics as
     * [[stratifiedSample]] but the keep decision replays in any engine

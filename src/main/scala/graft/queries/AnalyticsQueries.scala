@@ -55,9 +55,13 @@ object AnalyticsQueries {
   private def coTriangles(s: org.apache.spark.sql.SparkSession, d: String) =
     graft.Memo.df(s, "coTriangles", d) {
       import org.apache.spark.graphx.{Edge, Graph, PartitionStrategy}
+      // edge-volume partition sizing (not a constant): coSupplier is
+      // persisted, so the count is a cache read
+      val co = coSupplier(s, d)
+      val parts = graft.graph.GraphAnalytics.gxPartitions(s, co.count())
       val tc = Graph.fromEdges(
-          coSupplier(s, d).rdd.map(r => Edge(r.getLong(0), r.getLong(1), 1))
-            .coalesce(8), 1)
+          co.rdd.map(r => Edge(r.getLong(0), r.getLong(1), 1))
+            .coalesce(parts), 1)
         .partitionBy(PartitionStrategy.RandomVertexCut)
         .triangleCount().vertices
       s.createDataFrame(
@@ -898,9 +902,11 @@ object AnalyticsQueries {
       |         CAST(sum(y * y) AS BIGINT) AS syy
       |  FROM pairs GROUP BY grp)
       |SELECT grp,
-      |       (CAST(m AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy) /
-      |         (sqrt(CAST(m AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx) *
-      |          sqrt(CAST(m AS DOUBLE) * syy - CAST(sy AS DOUBLE) * sy)) AS assortativity
+      |       CASE WHEN m * sxx - sx * sx = 0 OR m * syy - sy * sy = 0 THEN NULL
+      |            ELSE (CAST(m AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy) /
+      |                 (sqrt(CAST(m AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx) *
+      |                  sqrt(CAST(m AS DOUBLE) * syy - CAST(sy AS DOUBLE) * sy))
+      |       END AS assortativity
       |FROM sums""",
     "per-group degree assortativity, exact-integer sums (beyond-reference)") { (s, d) =>
     val e = groupEdges(s, d).select(col("group").as("grp"),
@@ -916,9 +922,15 @@ object AnalyticsQueries {
         sum(col("x") * col("y")).as("sxy"), sum(col("x") * col("x")).as("sxx"),
         sum(col("y") * col("y")).as("syy"))
       .select(col("grp"),
-        ((col("m").cast("double") * col("sxy") - col("sx").cast("double") * col("sy")) /
-          (sqrt(col("m").cast("double") * col("sxx") - col("sx").cast("double") * col("sx")) *
-            sqrt(col("m").cast("double") * col("syy") - col("sy").cast("double") * col("sy"))))
+        // explicit zero-variance guard on BOTH engines: IEEE 0.0/0.0
+        // is NaN in Spark but version-dependent in DuckDB, so the
+        // degenerate case must short-circuit to NULL before the division
+        when(col("m") * col("sxx") - col("sx") * col("sx") === 0 ||
+             col("m") * col("syy") - col("sy") * col("sy") === 0, lit(null))
+          .otherwise(
+            (col("m").cast("double") * col("sxy") - col("sx").cast("double") * col("sy")) /
+              (sqrt(col("m").cast("double") * col("sxx") - col("sx").cast("double") * col("sx")) *
+                sqrt(col("m").cast("double") * col("syy") - col("sy").cast("double") * col("sy"))))
           .as("assortativity"))
   }
 

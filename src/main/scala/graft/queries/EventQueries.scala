@@ -24,7 +24,7 @@ object EventQueries {
   val q61 = QuerySpec.sql(
     "q61_sessionize",
     """WITH flagged AS (
-      |  SELECT user_id, ts, value,
+      |  SELECT user_id, ts, event_id, value,
       |         CASE WHEN lag(ts) OVER w IS NULL
       |                OR epoch_ms(ts) - epoch_ms(lag(ts) OVER w) > 1800000
       |              THEN 1 ELSE 0 END AS new_session
@@ -32,7 +32,7 @@ object EventQueries {
       |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
       |sessions AS (
       |  SELECT user_id, ts, value,
-      |         sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
+      |         sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
       |                                ROWS UNBOUNDED PRECEDING) AS session_seq
       |  FROM flagged)
       |SELECT user_id, min(ts) AS session_start, max(ts) AS session_end,
@@ -122,7 +122,7 @@ object EventQueries {
   val q108 = QuerySpec.sql(
     "q108_stream_sessionize",
     """WITH flagged AS (
-      |  SELECT user_id, ts,
+      |  SELECT user_id, ts, event_id,
       |         CASE WHEN lag(ts) OVER w IS NULL
       |                OR epoch_ms(ts) - epoch_ms(lag(ts) OVER w) > 1800000
       |              THEN 1 ELSE 0 END AS new_session
@@ -130,7 +130,7 @@ object EventQueries {
       |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
       |sessions AS (
       |  SELECT user_id, ts,
-      |         sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
+      |         sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
       |                                ROWS UNBOUNDED PRECEDING) AS session_seq
       |  FROM flagged)
       |SELECT user_id, min(ts) AS session_start, max(ts) AS session_end,

@@ -12,6 +12,19 @@ class GraphAnalyticsSpec extends SparkSpec {
     ("g2", 10L, 11L, 1.0), ("g2", 11L, 12L, 1.0)
   ).toDF("group", "src", "dst", "weight")
 
+  test("gxPartitions scales with edge volume, clamped to [4, parallelism]") {
+    // gate-sized graphs → floor of 4 tasks (no over-fragmentation)
+    assert(GraphAnalytics.gxPartitions(spark, 0L) == 4)
+    assert(GraphAnalytics.gxPartitions(spark, 100000L) == 4)
+    // large candidate sets → one task per ~100k edges up to parallelism:
+    // the dedup-clustering CC path must NOT cap at a constant (round-5
+    // advice: a hardcoded 8 caps a 100 TB candidate graph at 8 tasks)
+    val par = spark.sparkContext.defaultParallelism
+    assert(GraphAnalytics.gxPartitions(spark, 100000L * (par + 10)) == par)
+    val mid = math.max(5, math.min(par, 6))
+    assert(GraphAnalytics.gxPartitions(spark, 100000L * mid) == math.min(mid, par))
+  }
+
   test("perGroupMetrics reproduces LocalGraph goldens per group") {
     val m = GraphAnalytics.perGroupMetrics(groupedEdges)
       .collect().map(r => r.getAs[String]("group") -> r).toMap

@@ -93,6 +93,20 @@ class GraphSpec extends SparkSpec {
     intercept[IllegalArgumentException] { g.find("(a)-[r]->") }
   }
 
+  test("motif refuses disconnected chains (accidental cartesian) unless allowCross") {
+    val err = intercept[IllegalArgumentException] {
+      g.find("(p:Phage)-[e:Infects]->(b); (x)-[e2:Infects]->(y)")
+    }
+    // the error names the variables on each side of the missing link
+    assert(err.getMessage.contains("disconnected motif chains"))
+    assert(err.getMessage.contains("x") && err.getMessage.contains("y"))
+    assert(err.getMessage.contains("allowCross"))
+    // explicit opt-in compiles to the cartesian: 3 edges × 3 edges
+    val n = g.find("(p:Phage)-[e:Infects]->(b); (x)-[e2:Infects]->(y)",
+      allowCross = true).count()
+    assert(n == 9)
+  }
+
   test("degrees and simplify") {
     val deg = g.degrees.collect().map(r => r.getLong(0) -> r).toMap
     assert(deg.values.map(_.getAs[Long]("deg")).sum == 6) // 3 edges × 2 endpoints
