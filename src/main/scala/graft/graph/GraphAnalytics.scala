@@ -579,6 +579,32 @@ object GraphAnalytics {
       }.toDF()
   }
 
+  /** G14/G15 — per-group per-vertex community assignment from BOTH
+    * local kernels (walktrap, reference bin/CompareNetworkGroups.R:67;
+    * CNM fastgreedy, reference bin/TriadicClosures.R:59) in one kernel
+    * pass. Communities are labeled CANONICALLY by their minimum member
+    * vertex id, so the output is independent of the kernels' internal
+    * community numbering and pins cleanly against an external oracle.
+    * Output: (group, id, walktrap_rep, cnm_rep). */
+  def perGroupCommunities(edges: DataFrame, directed: Boolean = false,
+      steps: Int = 4, maxGroupEdges: Int = 2000000): DataFrame = {
+    val spark = edges.sparkSession
+    import spark.implicits._
+    edges.select(col("group"), col("src"), col("dst"), col("weight").cast("double"))
+      .as[(String, Long, Long, Double)]
+      .groupByKey(_._1)
+      .flatMapGroups { (grp, it) =>
+        val g = LocalGraph.fromEdges(boundedEdges(grp, it, maxGroupEdges), directed)
+        val wt = g.walktrapCommunities(steps)
+        val cnm = g.greedyModularityCommunities
+        def minIdRep(m: Array[Int]): Map[Int, Long] =
+          m.zipWithIndex.groupBy(_._1)
+            .map { case (c, xs) => c -> xs.map(x => g.vertexIds(x._2)).min }
+        val (rw, rc) = (minIdRep(wt), minIdRep(cnm))
+        g.vertexIds.indices.map(i => (grp, g.vertexIds(i), rw(wt(i)), rc(cnm(i))))
+      }.toDF("group", "id", "walktrap_rep", "cnm_rep")
+  }
+
   /** Per-group per-vertex eigencentrality — the node×sample matrix
     * feeding β-diversity (G18; reference bin/interpersonaldiversity.R:98-116).
     * Output: (group, id, eigen). */

@@ -980,7 +980,110 @@ object AnalyticsQueries {
           .as("clustering"))
   }
 
+  /** G14/G15 — the community kernels, output-pinned: walktrap
+    * (exact Pons-Latapy port) and CNM fastgreedy assignments for the
+    * two smallest sf0.01 nation subgraphs, canonically labeled by the
+    * minimum member vertex id (perGroupCommunities), pinned as a
+    * VALUES oracle the same way q85/q86 pin seeded sampling decisions:
+    * both kernels are deterministic, so the assignment IS a constant
+    * of the data. Oracle literals are sf0.01-specific (the driver's
+    * correctness SF), like every output-pinned gate.
+    * Reference: bin/CompareNetworkGroups.R:67-68, bin/TriadicClosures.R:59-60. */
+  val q130 = QuerySpec.sql(
+    "q130_communities",
+    """SELECT * FROM (VALUES
+      |  ('NATION_5',CAST(0 AS BIGINT),CAST(0 AS BIGINT),CAST(0 AS BIGINT)),('NATION_5',CAST(2 AS BIGINT),CAST(2 AS BIGINT),CAST(2 AS BIGINT)),
+      |  ('NATION_5',CAST(3 AS BIGINT),CAST(3 AS BIGINT),CAST(3 AS BIGINT)),('NATION_5',CAST(5 AS BIGINT),CAST(5 AS BIGINT),CAST(5 AS BIGINT)),
+      |  ('NATION_5',CAST(6 AS BIGINT),CAST(5 AS BIGINT),CAST(5 AS BIGINT)),('NATION_5',CAST(7 AS BIGINT),CAST(7 AS BIGINT),CAST(7 AS BIGINT)),
+      |  ('NATION_5',CAST(8 AS BIGINT),CAST(0 AS BIGINT),CAST(0 AS BIGINT)),('NATION_5',CAST(9 AS BIGINT),CAST(2 AS BIGINT),CAST(2 AS BIGINT)),
+      |  ('NATION_5',CAST(13 AS BIGINT),CAST(2 AS BIGINT),CAST(13 AS BIGINT)),('NATION_5',CAST(16 AS BIGINT),CAST(2 AS BIGINT),CAST(16 AS BIGINT)),
+      |  ('NATION_5',CAST(17 AS BIGINT),CAST(2 AS BIGINT),CAST(13 AS BIGINT)),('NATION_5',CAST(18 AS BIGINT),CAST(18 AS BIGINT),CAST(18 AS BIGINT)),
+      |  ('NATION_5',CAST(20 AS BIGINT),CAST(2 AS BIGINT),CAST(20 AS BIGINT)),('NATION_5',CAST(21 AS BIGINT),CAST(21 AS BIGINT),CAST(21 AS BIGINT)),
+      |  ('NATION_5',CAST(22 AS BIGINT),CAST(5 AS BIGINT),CAST(5 AS BIGINT)),('NATION_5',CAST(28 AS BIGINT),CAST(7 AS BIGINT),CAST(7 AS BIGINT)),
+      |  ('NATION_5',CAST(34 AS BIGINT),CAST(34 AS BIGINT),CAST(34 AS BIGINT)),('NATION_5',CAST(35 AS BIGINT),CAST(5 AS BIGINT),CAST(5 AS BIGINT)),
+      |  ('NATION_5',CAST(37 AS BIGINT),CAST(0 AS BIGINT),CAST(0 AS BIGINT)),('NATION_5',CAST(38 AS BIGINT),CAST(2 AS BIGINT),CAST(2 AS BIGINT)),
+      |  ('NATION_5',CAST(39 AS BIGINT),CAST(2 AS BIGINT),CAST(13 AS BIGINT)),('NATION_5',CAST(40 AS BIGINT),CAST(2 AS BIGINT),CAST(13 AS BIGINT)),
+      |  ('NATION_5',CAST(46 AS BIGINT),CAST(2 AS BIGINT),CAST(2 AS BIGINT)),('NATION_5',CAST(49 AS BIGINT),CAST(7 AS BIGINT),CAST(7 AS BIGINT)),
+      |  ('NATION_5',CAST(52 AS BIGINT),CAST(52 AS BIGINT),CAST(52 AS BIGINT)),('NATION_5',CAST(53 AS BIGINT),CAST(2 AS BIGINT),CAST(2 AS BIGINT)),
+      |  ('NATION_5',CAST(55 AS BIGINT),CAST(55 AS BIGINT),CAST(55 AS BIGINT)),('NATION_5',CAST(56 AS BIGINT),CAST(2 AS BIGINT),CAST(13 AS BIGINT)),
+      |  ('NATION_5',CAST(57 AS BIGINT),CAST(2 AS BIGINT),CAST(2 AS BIGINT)),('NATION_5',CAST(58 AS BIGINT),CAST(58 AS BIGINT),CAST(58 AS BIGINT)),
+      |  ('NATION_5',CAST(60 AS BIGINT),CAST(2 AS BIGINT),CAST(20 AS BIGINT)),('NATION_5',CAST(61 AS BIGINT),CAST(2 AS BIGINT),CAST(16 AS BIGINT)),
+      |  ('NATION_5',CAST(63 AS BIGINT),CAST(63 AS BIGINT),CAST(63 AS BIGINT)),('NATION_5',CAST(65 AS BIGINT),CAST(2 AS BIGINT),CAST(13 AS BIGINT)),
+      |  ('NATION_5',CAST(67 AS BIGINT),CAST(7 AS BIGINT),CAST(7 AS BIGINT)),('NATION_5',CAST(68 AS BIGINT),CAST(2 AS BIGINT),CAST(2 AS BIGINT)),
+      |  ('NATION_5',CAST(69 AS BIGINT),CAST(0 AS BIGINT),CAST(0 AS BIGINT)),('NATION_5',CAST(70 AS BIGINT),CAST(2 AS BIGINT),CAST(2 AS BIGINT)),
+      |  ('NATION_5',CAST(71 AS BIGINT),CAST(52 AS BIGINT),CAST(52 AS BIGINT)),('NATION_5',CAST(72 AS BIGINT),CAST(5 AS BIGINT),CAST(5 AS BIGINT)),
+      |  ('NATION_5',CAST(74 AS BIGINT),CAST(0 AS BIGINT),CAST(0 AS BIGINT)),('NATION_5',CAST(83 AS BIGINT),CAST(2 AS BIGINT),CAST(16 AS BIGINT)),
+      |  ('NATION_5',CAST(88 AS BIGINT),CAST(88 AS BIGINT),CAST(88 AS BIGINT)),('NATION_5',CAST(91 AS BIGINT),CAST(34 AS BIGINT),CAST(34 AS BIGINT)),
+      |  ('NATION_5',CAST(93 AS BIGINT),CAST(5 AS BIGINT),CAST(5 AS BIGINT)),('NATION_5',CAST(94 AS BIGINT),CAST(5 AS BIGINT),CAST(5 AS BIGINT)),
+      |  ('NATION_5',CAST(95 AS BIGINT),CAST(2 AS BIGINT),CAST(20 AS BIGINT)),('NATION_5',CAST(96 AS BIGINT),CAST(0 AS BIGINT),CAST(0 AS BIGINT)),
+      |  ('NATION_5',CAST(98 AS BIGINT),CAST(5 AS BIGINT),CAST(5 AS BIGINT)),('NATION_5',CAST(99 AS BIGINT),CAST(7 AS BIGINT),CAST(7 AS BIGINT)),
+      |  ('NATION_5',CAST(1000031 AS BIGINT),CAST(63 AS BIGINT),CAST(63 AS BIGINT)),('NATION_5',CAST(1000077 AS BIGINT),CAST(2 AS BIGINT),CAST(2 AS BIGINT)),
+      |  ('NATION_5',CAST(1000096 AS BIGINT),CAST(18 AS BIGINT),CAST(18 AS BIGINT)),('NATION_5',CAST(1000141 AS BIGINT),CAST(2 AS BIGINT),CAST(2 AS BIGINT)),
+      |  ('NATION_5',CAST(1000147 AS BIGINT),CAST(2 AS BIGINT),CAST(13 AS BIGINT)),('NATION_5',CAST(1000188 AS BIGINT),CAST(2 AS BIGINT),CAST(20 AS BIGINT)),
+      |  ('NATION_5',CAST(1000325 AS BIGINT),CAST(34 AS BIGINT),CAST(34 AS BIGINT)),('NATION_5',CAST(1000326 AS BIGINT),CAST(5 AS BIGINT),CAST(5 AS BIGINT)),
+      |  ('NATION_5',CAST(1000338 AS BIGINT),CAST(2 AS BIGINT),CAST(13 AS BIGINT)),('NATION_5',CAST(1000411 AS BIGINT),CAST(2 AS BIGINT),CAST(13 AS BIGINT)),
+      |  ('NATION_5',CAST(1000485 AS BIGINT),CAST(2 AS BIGINT),CAST(16 AS BIGINT)),('NATION_5',CAST(1000565 AS BIGINT),CAST(5 AS BIGINT),CAST(5 AS BIGINT)),
+      |  ('NATION_5',CAST(1000566 AS BIGINT),CAST(34 AS BIGINT),CAST(34 AS BIGINT)),('NATION_5',CAST(1000592 AS BIGINT),CAST(88 AS BIGINT),CAST(88 AS BIGINT)),
+      |  ('NATION_5',CAST(1000652 AS BIGINT),CAST(0 AS BIGINT),CAST(0 AS BIGINT)),('NATION_5',CAST(1000718 AS BIGINT),CAST(5 AS BIGINT),CAST(5 AS BIGINT)),
+      |  ('NATION_5',CAST(1000734 AS BIGINT),CAST(3 AS BIGINT),CAST(3 AS BIGINT)),('NATION_5',CAST(1000871 AS BIGINT),CAST(2 AS BIGINT),CAST(20 AS BIGINT)),
+      |  ('NATION_5',CAST(1000902 AS BIGINT),CAST(7 AS BIGINT),CAST(7 AS BIGINT)),('NATION_5',CAST(1000963 AS BIGINT),CAST(2 AS BIGINT),CAST(2 AS BIGINT)),
+      |  ('NATION_5',CAST(1000975 AS BIGINT),CAST(2 AS BIGINT),CAST(16 AS BIGINT)),('NATION_5',CAST(1001071 AS BIGINT),CAST(0 AS BIGINT),CAST(0 AS BIGINT)),
+      |  ('NATION_5',CAST(1001084 AS BIGINT),CAST(2 AS BIGINT),CAST(13 AS BIGINT)),('NATION_5',CAST(1001111 AS BIGINT),CAST(52 AS BIGINT),CAST(52 AS BIGINT)),
+      |  ('NATION_5',CAST(1001256 AS BIGINT),CAST(7 AS BIGINT),CAST(7 AS BIGINT)),('NATION_5',CAST(1001264 AS BIGINT),CAST(34 AS BIGINT),CAST(34 AS BIGINT)),
+      |  ('NATION_5',CAST(1001287 AS BIGINT),CAST(58 AS BIGINT),CAST(58 AS BIGINT)),('NATION_5',CAST(1001290 AS BIGINT),CAST(21 AS BIGINT),CAST(21 AS BIGINT)),
+      |  ('NATION_5',CAST(1001307 AS BIGINT),CAST(55 AS BIGINT),CAST(55 AS BIGINT)),('NATION_5',CAST(1001354 AS BIGINT),CAST(0 AS BIGINT),CAST(0 AS BIGINT)),
+      |  ('NATION_5',CAST(1001363 AS BIGINT),CAST(0 AS BIGINT),CAST(0 AS BIGINT)),('NATION_5',CAST(1001394 AS BIGINT),CAST(5 AS BIGINT),CAST(5 AS BIGINT)),
+      |  ('NATION_5',CAST(1001478 AS BIGINT),CAST(2 AS BIGINT),CAST(13 AS BIGINT)),('NATION_8',CAST(1 AS BIGINT),CAST(1 AS BIGINT),CAST(1 AS BIGINT)),
+      |  ('NATION_8',CAST(3 AS BIGINT),CAST(3 AS BIGINT),CAST(3 AS BIGINT)),('NATION_8',CAST(5 AS BIGINT),CAST(5 AS BIGINT),CAST(5 AS BIGINT)),
+      |  ('NATION_8',CAST(6 AS BIGINT),CAST(6 AS BIGINT),CAST(6 AS BIGINT)),('NATION_8',CAST(9 AS BIGINT),CAST(1 AS BIGINT),CAST(1 AS BIGINT)),
+      |  ('NATION_8',CAST(11 AS BIGINT),CAST(1 AS BIGINT),CAST(1 AS BIGINT)),('NATION_8',CAST(12 AS BIGINT),CAST(12 AS BIGINT),CAST(12 AS BIGINT)),
+      |  ('NATION_8',CAST(13 AS BIGINT),CAST(13 AS BIGINT),CAST(13 AS BIGINT)),('NATION_8',CAST(14 AS BIGINT),CAST(14 AS BIGINT),CAST(14 AS BIGINT)),
+      |  ('NATION_8',CAST(18 AS BIGINT),CAST(18 AS BIGINT),CAST(18 AS BIGINT)),('NATION_8',CAST(19 AS BIGINT),CAST(19 AS BIGINT),CAST(19 AS BIGINT)),
+      |  ('NATION_8',CAST(20 AS BIGINT),CAST(20 AS BIGINT),CAST(20 AS BIGINT)),('NATION_8',CAST(24 AS BIGINT),CAST(24 AS BIGINT),CAST(24 AS BIGINT)),
+      |  ('NATION_8',CAST(26 AS BIGINT),CAST(24 AS BIGINT),CAST(24 AS BIGINT)),('NATION_8',CAST(28 AS BIGINT),CAST(5 AS BIGINT),CAST(5 AS BIGINT)),
+      |  ('NATION_8',CAST(32 AS BIGINT),CAST(1 AS BIGINT),CAST(32 AS BIGINT)),('NATION_8',CAST(33 AS BIGINT),CAST(1 AS BIGINT),CAST(32 AS BIGINT)),
+      |  ('NATION_8',CAST(34 AS BIGINT),CAST(18 AS BIGINT),CAST(18 AS BIGINT)),('NATION_8',CAST(36 AS BIGINT),CAST(24 AS BIGINT),CAST(24 AS BIGINT)),
+      |  ('NATION_8',CAST(39 AS BIGINT),CAST(39 AS BIGINT),CAST(39 AS BIGINT)),('NATION_8',CAST(42 AS BIGINT),CAST(42 AS BIGINT),CAST(42 AS BIGINT)),
+      |  ('NATION_8',CAST(44 AS BIGINT),CAST(24 AS BIGINT),CAST(24 AS BIGINT)),('NATION_8',CAST(45 AS BIGINT),CAST(5 AS BIGINT),CAST(5 AS BIGINT)),
+      |  ('NATION_8',CAST(48 AS BIGINT),CAST(48 AS BIGINT),CAST(48 AS BIGINT)),('NATION_8',CAST(49 AS BIGINT),CAST(1 AS BIGINT),CAST(32 AS BIGINT)),
+      |  ('NATION_8',CAST(52 AS BIGINT),CAST(52 AS BIGINT),CAST(52 AS BIGINT)),('NATION_8',CAST(53 AS BIGINT),CAST(53 AS BIGINT),CAST(53 AS BIGINT)),
+      |  ('NATION_8',CAST(54 AS BIGINT),CAST(54 AS BIGINT),CAST(54 AS BIGINT)),('NATION_8',CAST(55 AS BIGINT),CAST(1 AS BIGINT),CAST(1 AS BIGINT)),
+      |  ('NATION_8',CAST(62 AS BIGINT),CAST(62 AS BIGINT),CAST(62 AS BIGINT)),('NATION_8',CAST(63 AS BIGINT),CAST(24 AS BIGINT),CAST(24 AS BIGINT)),
+      |  ('NATION_8',CAST(65 AS BIGINT),CAST(52 AS BIGINT),CAST(52 AS BIGINT)),('NATION_8',CAST(67 AS BIGINT),CAST(14 AS BIGINT),CAST(14 AS BIGINT)),
+      |  ('NATION_8',CAST(69 AS BIGINT),CAST(69 AS BIGINT),CAST(69 AS BIGINT)),('NATION_8',CAST(72 AS BIGINT),CAST(42 AS BIGINT),CAST(42 AS BIGINT)),
+      |  ('NATION_8',CAST(73 AS BIGINT),CAST(73 AS BIGINT),CAST(73 AS BIGINT)),('NATION_8',CAST(81 AS BIGINT),CAST(3 AS BIGINT),CAST(3 AS BIGINT)),
+      |  ('NATION_8',CAST(82 AS BIGINT),CAST(1 AS BIGINT),CAST(32 AS BIGINT)),('NATION_8',CAST(83 AS BIGINT),CAST(83 AS BIGINT),CAST(83 AS BIGINT)),
+      |  ('NATION_8',CAST(84 AS BIGINT),CAST(84 AS BIGINT),CAST(84 AS BIGINT)),('NATION_8',CAST(85 AS BIGINT),CAST(85 AS BIGINT),CAST(85 AS BIGINT)),
+      |  ('NATION_8',CAST(86 AS BIGINT),CAST(52 AS BIGINT),CAST(52 AS BIGINT)),('NATION_8',CAST(88 AS BIGINT),CAST(54 AS BIGINT),CAST(54 AS BIGINT)),
+      |  ('NATION_8',CAST(89 AS BIGINT),CAST(20 AS BIGINT),CAST(20 AS BIGINT)),('NATION_8',CAST(92 AS BIGINT),CAST(1 AS BIGINT),CAST(1 AS BIGINT)),
+      |  ('NATION_8',CAST(93 AS BIGINT),CAST(93 AS BIGINT),CAST(93 AS BIGINT)),('NATION_8',CAST(95 AS BIGINT),CAST(20 AS BIGINT),CAST(20 AS BIGINT)),
+      |  ('NATION_8',CAST(96 AS BIGINT),CAST(24 AS BIGINT),CAST(24 AS BIGINT)),('NATION_8',CAST(97 AS BIGINT),CAST(5 AS BIGINT),CAST(5 AS BIGINT)),
+      |  ('NATION_8',CAST(98 AS BIGINT),CAST(1 AS BIGINT),CAST(1 AS BIGINT)),('NATION_8',CAST(1000043 AS BIGINT),CAST(93 AS BIGINT),CAST(93 AS BIGINT)),
+      |  ('NATION_8',CAST(1000065 AS BIGINT),CAST(54 AS BIGINT),CAST(54 AS BIGINT)),('NATION_8',CAST(1000076 AS BIGINT),CAST(42 AS BIGINT),CAST(42 AS BIGINT)),
+      |  ('NATION_8',CAST(1000166 AS BIGINT),CAST(42 AS BIGINT),CAST(42 AS BIGINT)),('NATION_8',CAST(1000168 AS BIGINT),CAST(3 AS BIGINT),CAST(3 AS BIGINT)),
+      |  ('NATION_8',CAST(1000196 AS BIGINT),CAST(6 AS BIGINT),CAST(6 AS BIGINT)),('NATION_8',CAST(1000198 AS BIGINT),CAST(48 AS BIGINT),CAST(48 AS BIGINT)),
+      |  ('NATION_8',CAST(1000253 AS BIGINT),CAST(84 AS BIGINT),CAST(84 AS BIGINT)),('NATION_8',CAST(1000267 AS BIGINT),CAST(83 AS BIGINT),CAST(83 AS BIGINT)),
+      |  ('NATION_8',CAST(1000293 AS BIGINT),CAST(85 AS BIGINT),CAST(85 AS BIGINT)),('NATION_8',CAST(1000370 AS BIGINT),CAST(5 AS BIGINT),CAST(5 AS BIGINT)),
+      |  ('NATION_8',CAST(1000486 AS BIGINT),CAST(13 AS BIGINT),CAST(13 AS BIGINT)),('NATION_8',CAST(1000520 AS BIGINT),CAST(62 AS BIGINT),CAST(62 AS BIGINT)),
+      |  ('NATION_8',CAST(1000594 AS BIGINT),CAST(69 AS BIGINT),CAST(69 AS BIGINT)),('NATION_8',CAST(1000606 AS BIGINT),CAST(24 AS BIGINT),CAST(24 AS BIGINT)),
+      |  ('NATION_8',CAST(1000626 AS BIGINT),CAST(14 AS BIGINT),CAST(14 AS BIGINT)),('NATION_8',CAST(1000631 AS BIGINT),CAST(1 AS BIGINT),CAST(32 AS BIGINT)),
+      |  ('NATION_8',CAST(1000645 AS BIGINT),CAST(24 AS BIGINT),CAST(24 AS BIGINT)),('NATION_8',CAST(1000737 AS BIGINT),CAST(1 AS BIGINT),CAST(32 AS BIGINT)),
+      |  ('NATION_8',CAST(1000978 AS BIGINT),CAST(1 AS BIGINT),CAST(1 AS BIGINT)),('NATION_8',CAST(1001029 AS BIGINT),CAST(1 AS BIGINT),CAST(1 AS BIGINT)),
+      |  ('NATION_8',CAST(1001068 AS BIGINT),CAST(12 AS BIGINT),CAST(12 AS BIGINT)),('NATION_8',CAST(1001094 AS BIGINT),CAST(84 AS BIGINT),CAST(84 AS BIGINT)),
+      |  ('NATION_8',CAST(1001141 AS BIGINT),CAST(39 AS BIGINT),CAST(39 AS BIGINT)),('NATION_8',CAST(1001159 AS BIGINT),CAST(52 AS BIGINT),CAST(52 AS BIGINT)),
+      |  ('NATION_8',CAST(1001175 AS BIGINT),CAST(20 AS BIGINT),CAST(20 AS BIGINT)),('NATION_8',CAST(1001235 AS BIGINT),CAST(19 AS BIGINT),CAST(19 AS BIGINT)),
+      |  ('NATION_8',CAST(1001248 AS BIGINT),CAST(1 AS BIGINT),CAST(1 AS BIGINT)),('NATION_8',CAST(1001311 AS BIGINT),CAST(73 AS BIGINT),CAST(73 AS BIGINT)),
+      |  ('NATION_8',CAST(1001356 AS BIGINT),CAST(18 AS BIGINT),CAST(18 AS BIGINT)),('NATION_8',CAST(1001362 AS BIGINT),CAST(53 AS BIGINT),CAST(53 AS BIGINT)),
+      |  ('NATION_8',CAST(1001387 AS BIGINT),CAST(18 AS BIGINT),CAST(18 AS BIGINT)),('NATION_8',CAST(1001403 AS BIGINT),CAST(20 AS BIGINT),CAST(20 AS BIGINT)),
+      |  ('NATION_8',CAST(1001406 AS BIGINT),CAST(3 AS BIGINT),CAST(3 AS BIGINT)),('NATION_8',CAST(1001493 AS BIGINT),CAST(24 AS BIGINT),CAST(24 AS BIGINT))
+      |) AS t(grp, id, walktrap_rep, cnm_rep)""",
+    "walktrap + CNM community assignments, output-pinned (SURVEY G14,G15)") { (s, d) =>
+    GraphAnalytics.perGroupCommunities(
+        groupEdges(s, d).filter(col("group").isin("NATION_5", "NATION_8")))
+      .select(col("group").as("grp"), col("id"), col("walktrap_rep"), col("cnm_rep"))
+  }
+
   val all: Seq[QuerySpec] =
     Seq(q53, q54, q55, q56, q57, q59, q74, q75, q76, q82, q90, q96, q98, q99,
-      q100, q104, q110, q115, q117, q118, q119, q120, q122)
+      q100, q104, q110, q115, q117, q118, q119, q120, q122, q130)
 }

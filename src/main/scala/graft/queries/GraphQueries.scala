@@ -130,5 +130,34 @@ object GraphQueries {
     GraphBuild.tpchGraph(s, d).describe
   }
 
-  val all: Seq[QuerySpec] = Seq(q50, q51, q52, q58, q81)
+  /** G2 — simplify (drop self-loops + parallel edges; reference
+    * bin/TriadicClosures.R:45), oracled end-to-end: the edge list is
+    * built RAW from lineitem (one edge per row → real parallel edges)
+    * plus planted supplier self-loops, on natural long ids so DuckDB
+    * replays the exact least/greatest-DISTINCT canonicalization. */
+  val q132 = QuerySpec.sql(
+    "q132_simplify",
+    """SELECT DISTINCT
+      |  least(CAST(l_suppkey AS BIGINT), CAST(l_partkey + 1000000 AS BIGINT)) AS a,
+      |  greatest(CAST(l_suppkey AS BIGINT), CAST(l_partkey + 1000000 AS BIGINT)) AS b
+      |FROM lineitem""",
+    "simplify: self-loop + parallel-edge dedup, oracled (SURVEY G2)") { (s, d) =>
+    import graft.Tables
+    val li = Tables.lineitem(s, d)
+    // one edge PER lineitem row (parallel when a supplier ships the
+    // same part repeatedly) + a planted self-loop per 50th order
+    val real = li.select(col("l_suppkey").cast("long").as("src"),
+      (col("l_partkey") + 1000000L).cast("long").as("dst"),
+      lit("ships").as("relType"))
+    val loops = li.filter(pmod(col("l_orderkey"), lit(50)) === 0)
+      .select(col("l_suppkey").cast("long").as("src"),
+        col("l_suppkey").cast("long").as("dst"), lit("self").as("relType"))
+    val nodes = li.select(col("l_suppkey").cast("long").as("id")).distinct()
+      .select(col("id"), col("id").cast("string").as("name"), lit("S").as("kind"))
+    graft.graph.PropertyGraph(nodes, real.unionByName(loops))
+      .simplifiedUndirected
+      .select(col("a"), col("b"))
+  }
+
+  val all: Seq[QuerySpec] = Seq(q50, q51, q52, q58, q81, q132)
 }

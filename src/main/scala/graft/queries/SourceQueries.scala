@@ -268,5 +268,29 @@ object SourceQueries {
     graft.sources.Tabular.jsonl(s, sinkDir, schema)
   }
 
-  val all: Seq[QuerySpec] = Seq(q44, q45, q46, q47, q48, q49, q79, q80, q121)
+  /** P8 — CRISPR-spacer length-range filter (reference
+    * bin/LengthFilterSeqs.pl:44-58): sequences kept iff length in
+    * [20, 65], both bounds inclusive — pinned by fixture lengths
+    * 10/20/40/65/70 where only the middle three survive (40 wrapped
+    * over two lines to exercise the block join under the filter). */
+  val q131 = QuerySpec.sql(
+    "q131_length_filter",
+    """SELECT * FROM (VALUES
+      |  ('s2', CAST(20 AS BIGINT)),
+      |  ('s3', CAST(40 AS BIGINT)),
+      |  ('s4', CAST(65 AS BIGINT))
+      |) AS t(id, len)""",
+    "length-range sequence filter over FASTA (SURVEY P8)") { (s, _) =>
+    val p = fixture("lenfilter.fasta",
+      ">s1\n" + "A" * 10 + "\n" +
+        ">s2\n" + "AC" * 10 + "\n" +
+        ">s3\n" + "ACGT" * 5 + "\n" + "TGCA" * 5 + "\n" +
+        ">s4\n" + "G" * 65 + "\n" +
+        ">s5\n" + "T" * 70 + "\n")
+    BioSources.lengthFilter(BioSources.fasta(s, p), "seq", 20, 65)
+      .select(col("id"), col("length").as("len"))
+  }
+
+  val all: Seq[QuerySpec] =
+    Seq(q44, q45, q46, q47, q48, q49, q79, q80, q121, q131)
 }

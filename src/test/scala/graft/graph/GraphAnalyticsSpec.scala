@@ -25,6 +25,22 @@ class GraphAnalyticsSpec extends SparkSpec {
     assert(GraphAnalytics.gxPartitions(spark, 100000L * mid) == math.min(mid, par))
   }
 
+  test("perGroupCommunities emits canonical min-id labels per vertex") {
+    val out = GraphAnalytics.perGroupCommunities(groupedEdges).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(out.length == 7) // 4 star vertices + 3 path vertices
+    // labels are min member id: each rep must itself be a member with that rep
+    Seq[((String, Long, Long, Long)) => Long](_._3, _._4).foreach { rep =>
+      out.groupBy(r => (r._1, rep(r))).foreach { case ((_, r), members) =>
+        assert(members.map(_._2).min == r)
+      }
+    }
+    // star4 and path3 each resolve to a single community (modularity 0
+    // beats every split) labeled by the smallest vertex id
+    assert(out.filter(_._1 == "g1").forall(r => r._3 == 0L && r._4 == 0L))
+    assert(out.filter(_._1 == "g2").forall(r => r._3 == 10L && r._4 == 10L))
+  }
+
   test("perGroupMetrics reproduces LocalGraph goldens per group") {
     val m = GraphAnalytics.perGroupMetrics(groupedEdges)
       .collect().map(r => r.getAs[String]("group") -> r).toMap
