@@ -1083,7 +1083,83 @@ object AnalyticsQueries {
       .select(col("group").as("grp"), col("id"), col("walktrap_rep"), col("cnm_rep"))
   }
 
+  /** M8, hash-oracled: the FULL ANOSIM (Bray-Curtis distances →
+    * midranks → R statistic → 99-permutation test) replayed by DuckDB
+    * end-to-end. Samples are nations (supplier side), groups are
+    * regions, abundance is part quantity over a bounded item space;
+    * permutations come from the md5-portable uniform so the oracle
+    * recomputes every shuffle — the same idiom that oracled the
+    * samplers (q101/q102). Midranks make all intermediate sums exact
+    * (multiples of 0.5), so the two float outputs are each ONE
+    * token-identical IEEE expression. q73 keeps the driver-local
+    * vegan-shaped implementation; THIS gates the statistic's
+    * arithmetic distributively. */
+  val q133 = QuerySpec.sql(
+    "q133_anosim_portable",
+    """WITH ab AS (
+      |  SELECT n_name AS s, n_regionkey AS g, l_partkey AS item,
+      |         CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS v
+      |  FROM lineitem
+      |  JOIN supplier ON l_suppkey = s_suppkey
+      |  JOIN nation ON s_nationkey = n_nationkey
+      |  WHERE l_partkey % 50 = 0
+      |  GROUP BY 1, 2, 3),
+      |samples AS (SELECT s, g, CAST(sum(v) AS BIGINT) AS tot FROM ab GROUP BY s, g),
+      |minsum AS (
+      |  SELECT a.s AS sa, b.s AS sb, CAST(sum(least(a.v, b.v)) AS BIGINT) AS m
+      |  FROM ab a JOIN ab b ON a.item = b.item AND a.s < b.s
+      |  GROUP BY 1, 2),
+      |pairs AS (
+      |  SELECT x.s AS sa, y.s AS sb,
+      |         1.0 - 2.0 * CAST(COALESCE(m.m, 0) AS DOUBLE)
+      |               / CAST(x.tot + y.tot AS DOUBLE) AS d
+      |  FROM samples x JOIN samples y ON x.s < y.s
+      |  LEFT JOIN minsum m ON m.sa = x.s AND m.sb = y.s),
+      |ranked AS (
+      |  SELECT sa, sb, avg(rn) OVER (PARTITION BY d) AS r
+      |  FROM (SELECT sa, sb, d, row_number() OVER (ORDER BY d, sa, sb) AS rn
+      |        FROM pairs)),
+      |base AS (SELECT s, g, row_number() OVER (ORDER BY s) AS k FROM samples),
+      |ps AS (SELECT unnest(generate_series(0, 99)) AS p),
+      |wh AS (
+      |  SELECT p, s, g, k,
+      |         ('0x' || substr(md5('7|' || CAST(p AS VARCHAR) || '|' || s), 1, 8))::BIGINT AS h
+      |  FROM ps CROSS JOIN base),
+      |hr AS (
+      |  SELECT p, s, k,
+      |         row_number() OVER (PARTITION BY p ORDER BY h, s) AS hr
+      |  FROM wh),
+      |assign AS (
+      |  SELECT w.p, w.s, d.g AS gp
+      |  FROM (SELECT p, s, CASE WHEN p = 0 THEN k ELSE hr END AS pos FROM hr) w
+      |  JOIN (SELECT k AS pos, g FROM base) d ON d.pos = w.pos),
+      |rs AS (
+      |  SELECT ga.p,
+      |         (avg(CASE WHEN ga.gp <> gb.gp THEN r END)
+      |          - avg(CASE WHEN ga.gp = gb.gp THEN r END))
+      |         / (CAST(count(*) AS DOUBLE) / 2) AS rstat
+      |  FROM ranked
+      |  JOIN assign ga ON ga.s = ranked.sa
+      |  JOIN assign gb ON gb.p = ga.p AND gb.s = ranked.sb
+      |  GROUP BY ga.p),
+      |obs AS (SELECT rstat AS r_obs FROM rs WHERE p = 0)
+      |SELECT max(r_obs) AS r_statistic,
+      |       CAST(sum(CASE WHEN rstat >= r_obs THEN 1 ELSE 0 END) AS BIGINT) AS n_ge,
+      |       CAST(sum(CASE WHEN rstat >= r_obs THEN 1 ELSE 0 END) + 1 AS DOUBLE) / 100 AS p_value
+      |FROM rs CROSS JOIN obs WHERE p > 0""",
+    "distributed ANOSIM with md5-portable permutation test (SURVEY M8)") { (s, d) =>
+    val ab = Tables.lineitem(s, d)
+      .filter(pmod(col("l_partkey"), lit(50)) === 0)
+      .join(Tables.supplier(s, d), col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(Tables.nation(s, d)), col("s_nationkey") === col("n_nationkey"))
+      .groupBy(col("n_name").as("s"), col("n_regionkey").as("g"),
+        col("l_partkey").as("item"))
+      .agg(sum(col("l_quantity").cast("long")).as("v"))
+    graft.stats.EcoStats.anosimPortable(ab, "s", "g", "item", "v",
+      permutations = 99, seed = 7L)
+  }
+
   val all: Seq[QuerySpec] =
     Seq(q53, q54, q55, q56, q57, q59, q74, q75, q76, q82, q90, q96, q98, q99,
-      q100, q104, q110, q115, q117, q118, q119, q120, q122, q130)
+      q100, q104, q110, q115, q117, q118, q119, q120, q122, q130, q133)
 }

@@ -191,6 +191,79 @@ object EcoStats {
     (obs, ge.toDouble / (permutations + 1))
   }
 
+  /** M8, distributed + engine-portable form: the whole ANOSIM — Bray-
+    * Curtis distances from an abundance table, midranks, the R
+    * statistic, and the permutation test — as ONE relational plan, with
+    * permutations drawn from the md5-portable uniform
+    * ([[graft.operators.Sampling.md5Bits32]] idiom) so an external
+    * engine REPLAYS the statistic and p-value exactly:
+    *  - distances are one IEEE expression over exact integer sums
+    *    (the q53 Bray-Curtis idiom), used only through their RANKS;
+    *  - midranks are avg(row_number) per tie-class — multiples of 0.5,
+    *    so every downstream sum is exact in binary regardless of
+    *    accumulation order;
+    *  - permutation p assigns the grouping of the sample at canonical
+    *    position row_number(ORDER BY md5(seed|p|sample), sample);
+    *    p = 0 is the identity (the observed labeling).
+    * Output: one row (r_statistic, n_ge, p_value) with the vegan
+    * convention p = (n_ge + 1) / (permutations + 1) (reference
+    * bin/interpersonaldiversity.R:194). Scale: pair count is
+    * quadratic in SAMPLES (inherent to ANOSIM — bounded input by
+    * design), items only pass through one equi-join + aggregation. */
+  def anosimPortable(ab: DataFrame, sampleCol: String, groupCol: String,
+      itemCol: String, valueCol: String, permutations: Int = 99,
+      seed: Long = 7L): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val spark = ab.sparkSession
+    val samples = ab.groupBy(col(sampleCol).as("s"), col(groupCol).as("g"))
+      .agg(sum(col(valueCol).cast("long")).as("tot"))
+    // shared-item Σmin per pair (a < b); pairs sharing nothing get 0
+    val a = ab.select(col(sampleCol).as("sa"), col(itemCol).as("item"),
+      col(valueCol).cast("long").as("va"))
+    val b = ab.select(col(sampleCol).as("sb"), col(itemCol).as("item"),
+      col(valueCol).cast("long").as("vb"))
+    val minsum = a.join(b, Seq("item")).where(col("sa") < col("sb"))
+      .groupBy("sa", "sb").agg(sum(least(col("va"), col("vb"))).as("m"))
+    val pairs = samples.select(col("s").as("sa"), col("tot").as("ta"))
+      .crossJoin(samples.select(col("s").as("sb"), col("tot").as("tb")))
+      .where(col("sa") < col("sb"))
+      .join(minsum, Seq("sa", "sb"), "left_outer")
+      .select(col("sa"), col("sb"),
+        (lit(1.0) - lit(2.0) * coalesce(col("m"), lit(0L)).cast("double") /
+          (col("ta") + col("tb")).cast("double")).as("d"))
+    val ranked = pairs
+      .withColumn("rn", row_number().over(Window.orderBy("d", "sa", "sb")))
+      .withColumn("r", avg(col("rn")).over(Window.partitionBy("d")))
+      .select("sa", "sb", "r")
+    // portable permutations: p=0 identity, p>=1 the md5 shuffle
+    val base = samples.select(col("s"), col("g"))
+      .withColumn("k", row_number().over(Window.orderBy("s")))
+    val ps = spark.range(0, permutations + 1).select(col("id").cast("int").as("p"))
+    val wh = ps.crossJoin(base).withColumn("h",
+      conv(substring(md5(concat(lit(seed.toString), lit("|"),
+        col("p").cast("string"), lit("|"), col("s"))), 1, 8), 16, 10)
+        .cast("long"))
+      .withColumn("hr", row_number().over(Window.partitionBy("p").orderBy("h", "s")))
+    val assign = wh
+      .select(col("p"), col("s"),
+        when(col("p") === 0, col("k")).otherwise(col("hr")).as("pos"))
+      .join(base.select(col("k").as("pos"), col("g").as("gp")), Seq("pos"))
+    val rs = ranked
+      .join(assign.select(col("p"), col("s").as("sa"), col("gp").as("ga")), Seq("sa"))
+      .join(assign.select(col("p"), col("s").as("sb"), col("gp").as("gb")), Seq("p", "sb"))
+      .groupBy("p")
+      .agg(((avg(when(col("ga") =!= col("gb"), col("r"))) -
+        avg(when(col("ga") === col("gb"), col("r")))) /
+        (count(lit(1)).cast("double") / lit(2))).as("rstat"))
+    val obs = rs.where(col("p") === 0).select(col("rstat").as("r_obs"))
+    rs.where(col("p") > 0).crossJoin(broadcast(obs))
+      .agg(max(col("r_obs")).as("r_statistic"),
+        sum(when(col("rstat") >= col("r_obs"), 1L).otherwise(0L)).as("n_ge"))
+      .select(col("r_statistic"), col("n_ge"),
+        ((col("n_ge") + lit(1)).cast("double") / lit(permutations + 1))
+          .as("p_value"))
+  }
+
   // ---- M9: PERMDISP (betadisper + permutest, simplified) ----
 
   /** Multivariate homogeneity of dispersions: distance of each point
