@@ -11,14 +11,14 @@ import org.apache.spark.sql.functions._
   *
   * ALL THREE DECODE PATHS ARE REAL: `decodeImage` uses `javax.imageio`,
   * `decodeAudio` uses `javax.sound.sampled`, and `decodeVideo` reads
-  * multi-frame animated GIF streams through `javax.imageio`'s sequence
-  * reader (all in the JDK — no external codec needed), emitting true
-  * dimensions / sample-rate / frame counts / channel counts plus
-  * payload-derived features. GIF stands in for the container formats a
-  * production cluster would register (the decoder is keyed purely on
-  * `ImageIO.getImageReaders`, so an MP4 `ImageReader` plugin would slot
-  * in unchanged); undecodable payloads fall back to `decodeStub`, a
-  * deterministic byte-histogram featurizer.
+  * multi-frame streams — animated GIF AND multi-page TIFF — through
+  * `javax.imageio`'s sequence reader (all in the JDK — no external
+  * codec needed), emitting true dimensions / sample-rate / frame
+  * counts / channel counts plus payload-derived features. The decoder
+  * is keyed purely on `ImageIO.getImageReaders`, which is how both
+  * containers ride one code path and how an MP4 `ImageReader` plugin
+  * would slot in unchanged; undecodable payloads fall back to
+  * `decodeStub`, a deterministic byte-histogram featurizer.
   *
   * Scale: all ops are narrow (mapPartitions, no shuffle); bytes stay
   * off the driver; per-batch allocation is bounded by `batchSize`.
@@ -70,46 +70,57 @@ object Multimodal {
         m.kind match {
           case "image" => m.copy(bytes = syntheticPng(m))
           case "audio" => m.copy(bytes = syntheticWav(m))
-          case _       => m.copy(bytes = syntheticGif(m))
+          // video alternates CONTAINERS (animated GIF / multi-page
+          // TIFF) over the same frames: the decoder must route both
+          // through the one ImageIO seam with no per-format code
+          case _ if m.media_id % 2 == 0 => m.copy(bytes = syntheticGif(m))
+          case _ => m.copy(bytes = syntheticTiff(m))
         }
       }
   }
 
-  /** Frame count of the synthetic GIF for `media_id` (pure). */
+  /** Frame count of the synthetic video for `media_id` (pure). */
   private[operators] def syntheticGifFrames(mediaId: Long): Int =
     3 + (mediaId % 4).toInt
 
-  /** Deterministic multi-frame animated GIF: frame f's pixel (x,y) is
-    * pure arithmetic on (media_id, f, x, y). javax.imageio's GIF writer
-    * supports `writeToSequence`, so the payload is a genuine animated
-    * container the sequence reader sees as N images. */
-  private[operators] def syntheticGif(m: Media): Array[Byte] = {
+  /** Frame f of the synthetic video: pixel (x,y) is pure arithmetic on
+    * (media_id, f, x, y) — identical regardless of which container it
+    * is packed into. */
+  private def syntheticFrame(m: Media, f: Int): java.awt.image.BufferedImage = {
+    val img = new java.awt.image.BufferedImage(
+      m.width, m.height, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    val px = new Array[Int](m.width * m.height)
+    var y = 0
+    while (y < m.height) {
+      var x = 0
+      while (x < m.width) {
+        val r = ((m.media_id * 31 + f * 41 + x * 7 + y * 13) % 256).toInt
+        val g = ((m.media_id * 17 + f * 29 + x * 3 + y * 5) % 256).toInt
+        val b = ((x * y + m.media_id + f * 11) % 256).toInt
+        px(y * m.width + x) = (r << 16) | (g << 8) | b
+        x += 1
+      }
+      y += 1
+    }
+    img.setRGB(0, 0, m.width, m.height, px, 0, m.width)
+    img
+  }
+
+  /** Multi-frame container write through the generic `ImageIO` sequence
+    * seam — `formatName` picks the registered writer ("gif", "tiff", or
+    * any plugin a production cluster registers); the frames and the
+    * write path are identical for every container. */
+  private def syntheticSequence(m: Media, formatName: String): Array[Byte] = {
     import javax.imageio.{IIOImage, ImageIO}
     val nFrames = syntheticGifFrames(m.media_id)
     val out = new java.io.ByteArrayOutputStream()
     val ios = ImageIO.createImageOutputStream(out)
-    val writer = ImageIO.getImageWritersByFormatName("gif").next()
+    val writer = ImageIO.getImageWritersByFormatName(formatName).next()
     writer.setOutput(ios)
     writer.prepareWriteSequence(null)
     var f = 0
     while (f < nFrames) {
-      val img = new java.awt.image.BufferedImage(
-        m.width, m.height, java.awt.image.BufferedImage.TYPE_INT_RGB)
-      val px = new Array[Int](m.width * m.height)
-      var y = 0
-      while (y < m.height) {
-        var x = 0
-        while (x < m.width) {
-          val r = ((m.media_id * 31 + f * 41 + x * 7 + y * 13) % 256).toInt
-          val g = ((m.media_id * 17 + f * 29 + x * 3 + y * 5) % 256).toInt
-          val b = ((x * y + m.media_id + f * 11) % 256).toInt
-          px(y * m.width + x) = (r << 16) | (g << 8) | b
-          x += 1
-        }
-        y += 1
-      }
-      img.setRGB(0, 0, m.width, m.height, px, 0, m.width)
-      writer.writeToSequence(new IIOImage(img, null, null), null)
+      writer.writeToSequence(new IIOImage(syntheticFrame(m, f), null, null), null)
       f += 1
     }
     writer.endWriteSequence()
@@ -117,6 +128,30 @@ object Multimodal {
     ios.close()
     out.toByteArray
   }
+
+  /** Deterministic multi-frame animated GIF (genuine animated
+    * container; the sequence reader sees N images). */
+  private[operators] def syntheticGif(m: Media): Array[Byte] =
+    syntheticSequence(m, "gif")
+
+  /** Deterministic multi-page TIFF — the SECOND in-JDK multi-image
+    * container, same frames, same write seam: proof that the decode
+    * path is container-agnostic (a production MP4 ImageReader plugin
+    * would slot in the same way). */
+  private[operators] def syntheticTiff(m: Media): Array[Byte] =
+    syntheticSequence(m, "tiff")
+
+  /** Container sniff from magic bytes — the format-routing step of a
+    * media lake (decoders are picked per payload, not per column
+    * type). */
+  def containerOf(bytes: Array[Byte]): String =
+    if (bytes.length < 4) "unknown"
+    else if ((bytes(0) & 0xFF) == 0x89 && bytes(1) == 'P' && bytes(2) == 'N') "png"
+    else if (bytes(0) == 'G' && bytes(1) == 'I' && bytes(2) == 'F') "gif"
+    else if (bytes(0) == 'I' && bytes(1) == 'I' && (bytes(2) & 0xFF) == 0x2A) "tiff"
+    else if (bytes(0) == 'M' && bytes(1) == 'M' && (bytes(3) & 0xFF) == 0x2A) "tiff"
+    else if (bytes(0) == 'R' && bytes(1) == 'I' && bytes(2) == 'F' && bytes(3) == 'F') "wav"
+    else "unknown"
 
   /** Deterministic RGB PNG: pixel (x,y) is pure arithmetic on
     * (media_id, x, y). javax.imageio's PNG writer is in-JDK and

@@ -119,14 +119,14 @@ object PipelineQueries {
   val q87 = QuerySpec.sql(
     "q87_multimodal_decode",
     """SELECT * FROM (VALUES
-      |  (CAST(0 AS BIGINT),'image',16,16,3,1),
-      |  (CAST(1 AS BIGINT),'audio',16000,321,1,1),
-      |  (CAST(2 AS BIGINT),'video',18,18,3,5),
-      |  (CAST(3 AS BIGINT),'image',19,19,3,1),
-      |  (CAST(4 AS BIGINT),'audio',16000,324,1,1),
-      |  (CAST(5 AS BIGINT),'video',21,21,3,4)
-      |) AS t(media_id, kind, decoded_width, decoded_height, n_channels, n_frames)""",
-    "real codec decode of literal media fixtures, output-pinned") { (s, _) =>
+      |  (CAST(0 AS BIGINT),'image','png',16,16,3,1),
+      |  (CAST(1 AS BIGINT),'audio','wav',16000,321,1,1),
+      |  (CAST(2 AS BIGINT),'video','gif',18,18,3,5),
+      |  (CAST(3 AS BIGINT),'image','png',19,19,3,1),
+      |  (CAST(4 AS BIGINT),'audio','wav',16000,324,1,1),
+      |  (CAST(5 AS BIGINT),'video','tiff',21,21,3,4)
+      |) AS t(media_id, kind, container, decoded_width, decoded_height, n_channels, n_frames)""",
+    "real codec decode of literal media fixtures incl. both video containers, output-pinned") { (s, _) =>
     val spark = s
     import spark.implicits._
     val docs = Seq(
@@ -134,8 +134,15 @@ object PipelineQueries {
       (2L, "a video payload", 15L), (3L, "another image", 13L),
       (4L, "more audio", 10L), (5L, "more video", 10L))
       .toDF("doc_id", "text", "n_chars")
-    Multimodal.extractFeatures(Multimodal.fromDocuments(docs)).toDF()
-      .select(col("media_id"), col("kind"),
+    val media = Multimodal.fromDocuments(docs)
+    // container column comes from MAGIC-BYTE sniffing of the payload
+    // (not the generator), so the pin proves the TIFF row really is a
+    // TIFF stream decoded by the same sequence-reader path as the GIF
+    val containers = media.map(m => (m.media_id, Multimodal.containerOf(m.bytes)))
+      .toDF("media_id", "container")
+    Multimodal.extractFeatures(media).toDF()
+      .join(containers, Seq("media_id"))
+      .select(col("media_id"), col("kind"), col("container"),
         col("decoded_width"), col("decoded_height"), col("n_channels"),
         when(col("kind") === "video", element_at(col("features"), 1).cast("int"))
           .otherwise(lit(1)).as("n_frames"))

@@ -104,12 +104,15 @@ class ReferenceDataSpec extends SparkSpec {
         graph.nodes.select(col("id").as("src"), col("name").as("phage")), "src")
       .join(graph.nodes.select(col("id").as("dst"), col("name").as("bacteria")), "dst")
       .join(truthPairs, Seq("phage", "bacteria"), "left_semi")
-    // 25 outer iterations = the reference's own count
-    // (CalculatePredModel.R:287 nestedcv(dfbind, iterations = 25)) —
-    // with 175 labeled pairs the per-iteration AUC spread is ±0.1, so
-    // the median needs the full 25 to stabilize. maxDepth 30 ≈ R
+    // The reference runs 25 outer iterations
+    // (CalculatePredModel.R:287 nestedcv(dfbind, iterations = 25));
+    // with 175 labeled pairs the per-iteration AUC spread is ±0.1, and
+    // at 25 the MEDIAN itself still wobbles near the assertion line
+    // (round-5 margin: 0.007). 51 iterations keep the same mechanics
+    // but make the median robust — a wider sample of the same
+    // distribution, not a different test. maxDepth 30 ≈ R
     // randomForest's grow-to-purity (Spark's ceiling).
-    val results = InteractionModel.nestedCv(labeled, iterations = 25, numTrees = 500,
+    val results = InteractionModel.nestedCv(labeled, iterations = 51, numTrees = 500,
       stratified = true, trainEvidenceFilter = true, tuneMtry = true, maxDepth = 30)
     val aucs = results.map(_("auc")).sorted
     val median = aucs(aucs.length / 2)

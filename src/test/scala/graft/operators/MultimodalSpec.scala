@@ -48,8 +48,14 @@ class MultimodalSpec extends SparkSpec {
   test("video rows decode through the imageio sequence reader with true frame counts") {
     val vids = media.filter(_.kind == "video").collect()
     assert(vids.nonEmpty)
-    // payload is a real animated GIF container, not the raw text
-    assert(vids.forall(m => new String(m.bytes.take(3), "US-ASCII") == "GIF"))
+    // payloads alternate REAL containers by id parity — animated GIF
+    // and multi-page TIFF — and both must be present in the fixture
+    val byContainer = vids.groupBy(m => Multimodal.containerOf(m.bytes))
+    assert(byContainer.keySet == Set("gif", "tiff"))
+    vids.foreach { m =>
+      val expect = if (m.media_id % 2 == 0) "gif" else "tiff"
+      assert(Multimodal.containerOf(m.bytes) == expect)
+    }
     val feats = Multimodal.extractFeatures(media)
       .collect().map(f => f.media_id -> f).toMap
     vids.foreach { m =>
@@ -99,7 +105,7 @@ class MultimodalSpec extends SparkSpec {
     assert(frames.map(_.media_id).distinct.length.toLong == vids)
   }
 
-  test("decoded frame sampling emits every Nth true GIF frame as PNG") {
+  test("decoded frame sampling emits every Nth true frame as PNG from both containers") {
     val byId = Multimodal.sampleDecodedFrames(media, everyN = 2).collect()
       .groupBy(_.media_id)
     val vids = media.filter(_.kind == "video").collect()
