@@ -585,9 +585,15 @@ object GraphAnalytics {
     * pass. Communities are labeled CANONICALLY by their minimum member
     * vertex id, so the output is independent of the kernels' internal
     * community numbering and pins cleanly against an external oracle.
-    * Output: (group, id, walktrap_rep, cnm_rep). */
+    * Output: (group, id, walktrap_rep, cnm_rep). Groups larger than
+    * `communityMaxNodes` emit (-1, -1) labels instead of running the
+    * quadratic-plus kernels — same cap + rationale as
+    * [[perGroupMetrics]] (the reference's per-sample subgraphs are
+    * tens of nodes; a megagroup belongs on the distributed LPA
+    * tier). */
   def perGroupCommunities(edges: DataFrame, directed: Boolean = false,
-      steps: Int = 4, maxGroupEdges: Int = 2000000): DataFrame = {
+      steps: Int = 4, communityMaxNodes: Int = 200,
+      maxGroupEdges: Int = 2000000): DataFrame = {
     val spark = edges.sparkSession
     import spark.implicits._
     edges.select(col("group"), col("src"), col("dst"), col("weight").cast("double"))
@@ -595,13 +601,17 @@ object GraphAnalytics {
       .groupByKey(_._1)
       .flatMapGroups { (grp, it) =>
         val g = LocalGraph.fromEdges(boundedEdges(grp, it, maxGroupEdges), directed)
-        val wt = g.walktrapCommunities(steps)
-        val cnm = g.greedyModularityCommunities
-        def minIdRep(m: Array[Int]): Map[Int, Long] =
-          m.zipWithIndex.groupBy(_._1)
-            .map { case (c, xs) => c -> xs.map(x => g.vertexIds(x._2)).min }
-        val (rw, rc) = (minIdRep(wt), minIdRep(cnm))
-        g.vertexIds.indices.map(i => (grp, g.vertexIds(i), rw(wt(i)), rc(cnm(i))))
+        if (g.n > communityMaxNodes) {
+          g.vertexIds.indices.map(i => (grp, g.vertexIds(i), -1L, -1L))
+        } else {
+          val wt = g.walktrapCommunities(steps)
+          val cnm = g.greedyModularityCommunities
+          def minIdRep(m: Array[Int]): Map[Int, Long] =
+            m.zipWithIndex.groupBy(_._1)
+              .map { case (c, xs) => c -> xs.map(x => g.vertexIds(x._2)).min }
+          val (rw, rc) = (minIdRep(wt), minIdRep(cnm))
+          g.vertexIds.indices.map(i => (grp, g.vertexIds(i), rw(wt(i)), rc(cnm(i))))
+        }
       }.toDF("group", "id", "walktrap_rep", "cnm_rep")
   }
 

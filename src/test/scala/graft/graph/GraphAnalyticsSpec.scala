@@ -39,6 +39,12 @@ class GraphAnalyticsSpec extends SparkSpec {
     // beats every split) labeled by the smallest vertex id
     assert(out.filter(_._1 == "g1").forall(r => r._3 == 0L && r._4 == 0L))
     assert(out.filter(_._1 == "g2").forall(r => r._3 == 10L && r._4 == 10L))
+    // groups over the node cap skip the quadratic kernels: -1 labels
+    val big = Seq.tabulate(250)(i => ("big", i.toLong, (i + 1).toLong, 1.0))
+      .toDF("group", "src", "dst", "weight")
+    val capped = GraphAnalytics.perGroupCommunities(big).collect()
+    assert(capped.length == 251)
+    assert(capped.forall(r => r.getLong(2) == -1L && r.getLong(3) == -1L))
   }
 
   test("perGroupMetrics reproduces LocalGraph goldens per group") {
