@@ -43,16 +43,12 @@ object TextOps {
     * Sub-k-token texts yield one clamped short shingle (the slice
     * stops at the array end) — mirrorable in SQL via clamped list
     * slicing. Shared by the dedup family and the repetition signal. */
-  def wordShingles(text: Column, k: Int): Column = {
-    val toks = tokens(text)
-    if (k <= 1) array_distinct(toks)
-    else {
-      val n = size(toks)
-      array_distinct(
-        transform(sequence(lit(0), greatest(n - k, lit(0))),
-          i => concat_ws("_", slice(toks, i + 1, lit(k)))))
-    }
-  }
+  def wordShingles(text: Column, k: Int): Column =
+    // native one-pass expression — the built-in chain
+    // (array_distinct ∘ transform ∘ slice ∘ filter) is three
+    // interpreted higher-order functions and dominated every shingle
+    // consumer; value-identical (WordShingles scaladoc + DedupSpec)
+    graft.functions.WordShingles(text, k)
 
   /** Gopher-style repetition signal: the fraction of k-gram positions
     * occupied by repeats, 1 − distinct/total. Total positions =

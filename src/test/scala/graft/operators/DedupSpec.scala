@@ -22,6 +22,38 @@ class DedupSpec extends SparkSpec {
     assert(dup.getLong(1) == 1L) // keep_id is the min
   }
 
+  test("word_shingles native expression matches the built-in HOF chain value-for-value") {
+    // the chain word_shingles replaced (see WordShingles scaladoc)
+    def builtin(text: org.apache.spark.sql.Column, k: Int) = {
+      val toks = filter(split(lower(text), "\\s+"), t => length(t) > 0)
+      if (k <= 1) array_distinct(toks)
+      else {
+        val n = size(toks)
+        array_distinct(
+          transform(sequence(lit(0), greatest(n - k, lit(0))),
+            i => concat_ws("_", slice(toks, i + 1, lit(k)))))
+      }
+    }
+    val tricky = (Seq(
+      "", "   ", "one", "one two", "a  b\tc\nd", "UPPER Case MiXeD",
+      "x x x x x x", "Ünïcodé tökens ünïcodé tökens straße",
+      "short doc", "a b c d e f g h i j k l m") ++
+      docs.collect().map(_.getString(1))).zipWithIndex
+      .map { case (t, i) => (i.toLong, t) }
+    val df = tricky.toDF("id", "text")
+    Seq(1, 2, 3, 5).foreach { k =>
+      val got = df.select(col("id"), TextOps.wordShingles(col("text"), k).as("s"))
+        .collect().map(r => r.getLong(0) -> r.getSeq[String](1)).toMap
+      val want = df.select(col("id"), builtin(col("text"), k).as("s"))
+        .collect().map(r => r.getLong(0) -> r.getSeq[String](1)).toMap
+      assert(got == want, s"k=$k mismatch")
+    }
+    // null text → null, as split(null) propagates
+    val nullRow = Seq((0L, null: String)).toDF("id", "text")
+      .select(TextOps.wordShingles(col("text"), 5)).head()
+    assert(nullRow.isNullAt(0))
+  }
+
   test("minhash signatures are identical for identical docs and stable under repartitioning") {
     val sig1 = Dedup.minhashSignatures(docs, "doc_id", "text", 16)
       .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
