@@ -1159,7 +1159,102 @@ object AnalyticsQueries {
       permutations = 99, seed = 7L)
   }
 
+  /** M9, hash-oracled: the FULL PERMDISP (Bray-Curtis distances →
+    * group medoids → dispersions → F statistic → 99-permutation test)
+    * replayed by DuckDB end-to-end. Distances are exact-scaled to
+    * BIGINTs (round(d·10⁶), the q77 idiom) BEFORE any comparison or
+    * sum, so medoid argmins and dispersion sums are integer-exact;
+    * with the equal-size groups this input guarantees (5 nations per
+    * region), the F statistic collapses to one token-identical IEEE
+    * expression over exact BIGINTs; permutations shuffle dispersion
+    * labels via the md5-portable uniform (q101 idiom). q73 keeps the
+    * driver-local vegan-shaped implementation; THIS gates M9's
+    * arithmetic distributively. Reference:
+    * bin/interpersonaldiversity.R:196-198 (betadisper + permutest). */
+  val q134 = QuerySpec.sql(
+    "q134_permdisp_portable",
+    """WITH ab AS (
+      |  SELECT n_name AS s, n_regionkey AS g, l_partkey AS item,
+      |         CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS v
+      |  FROM lineitem
+      |  JOIN supplier ON l_suppkey = s_suppkey
+      |  JOIN nation ON s_nationkey = n_nationkey
+      |  WHERE l_partkey % 50 = 0
+      |  GROUP BY 1, 2, 3),
+      |samples AS (SELECT s, g, CAST(sum(v) AS BIGINT) AS tot FROM ab GROUP BY s, g),
+      |minsum AS (
+      |  SELECT a.s AS sa, b.s AS sb, CAST(sum(least(a.v, b.v)) AS BIGINT) AS m
+      |  FROM ab a JOIN ab b ON a.item = b.item AND a.s < b.s
+      |  GROUP BY 1, 2),
+      |half AS (
+      |  SELECT x.s AS sa, y.s AS sb,
+      |         CAST(round((1.0 - 2.0 * CAST(COALESCE(m.m, 0) AS DOUBLE)
+      |               / CAST(x.tot + y.tot AS DOUBLE)) * 1000000, 0) AS BIGINT) AS di
+      |  FROM samples x JOIN samples y ON x.s < y.s
+      |  LEFT JOIN minsum m ON m.sa = x.s AND m.sb = y.s),
+      |sym AS (SELECT sa AS x, sb AS y, di FROM half
+      |        UNION ALL SELECT sb AS x, sa AS y, di FROM half),
+      |gof AS (SELECT s, g FROM samples),
+      |wsum AS (
+      |  SELECT gx.g, sym.x, CAST(sum(sym.di) AS BIGINT) AS sd
+      |  FROM sym JOIN gof gx ON gx.s = sym.x JOIN gof gy ON gy.s = sym.y
+      |  WHERE gx.g = gy.g GROUP BY 1, 2),
+      |medoid AS (
+      |  SELECT g, x AS medoid FROM (
+      |    SELECT g, x, row_number() OVER (PARTITION BY g ORDER BY sd, x) AS rk
+      |    FROM wsum) WHERE rk = 1),
+      |disp AS (
+      |  SELECT b.s, b.g, COALESCE(sym.di, 0) AS dsp
+      |  FROM gof b JOIN medoid md ON md.g = b.g
+      |  LEFT JOIN sym ON sym.x = b.s AND sym.y = md.medoid),
+      |base AS (SELECT s, g, dsp, row_number() OVER (ORDER BY s) AS k FROM disp),
+      |ps AS (SELECT unnest(generate_series(0, 99)) AS p),
+      |wh AS (
+      |  SELECT p, s, k, dsp,
+      |         ('0x' || substr(md5('11|' || CAST(p AS VARCHAR) || '|' || s), 1, 8))::BIGINT AS h
+      |  FROM ps CROSS JOIN base),
+      |hr AS (
+      |  SELECT p, dsp,
+      |         CASE WHEN p = 0 THEN k
+      |              ELSE row_number() OVER (PARTITION BY p ORDER BY h, s) END AS pos
+      |  FROM wh),
+      |assign AS (
+      |  SELECT w.p, w.dsp, d.gp
+      |  FROM hr w JOIN (SELECT k AS pos, g AS gp FROM base) d ON d.pos = w.pos),
+      |pg AS (
+      |  SELECT p, gp, count(*) AS m, CAST(sum(dsp) AS BIGINT) AS sg,
+      |         CAST(sum(dsp * dsp) AS BIGINT) AS qg
+      |  FROM assign GROUP BY p, gp),
+      |fs AS (
+      |  SELECT p, count(*) AS k, CAST(sum(m) AS BIGINT) AS n,
+      |         max(m) AS mx, min(m) AS mn, CAST(sum(sg) AS BIGINT) AS s,
+      |         CAST(sum(sg * sg) AS BIGINT) AS ssq, CAST(sum(qg) AS BIGINT) AS q
+      |  FROM pg GROUP BY p),
+      |f AS (
+      |  SELECT p,
+      |         CASE WHEN mx * q - ssq = 0 OR mx <> mn THEN NULL
+      |              ELSE CAST(n * n * ssq - 2 * n * mx * s * s + k * mx * mx * s * s AS DOUBLE)
+      |                   * (n - k)
+      |                   / (CAST(n AS DOUBLE) * n * (k - 1) * (mx * q - ssq)) END AS fstat
+      |  FROM fs),
+      |obs AS (SELECT fstat AS f_obs FROM f WHERE p = 0)
+      |SELECT max(f_obs) AS f_statistic,
+      |       CAST(sum(CASE WHEN fstat >= f_obs THEN 1 ELSE 0 END) AS BIGINT) AS n_ge,
+      |       CAST(sum(CASE WHEN fstat >= f_obs THEN 1 ELSE 0 END) + 1 AS DOUBLE) / 100 AS p_value
+      |FROM f CROSS JOIN obs WHERE p > 0""",
+    "distributed PERMDISP with md5-portable permutation test (SURVEY M9)") { (s, d) =>
+    val ab = Tables.lineitem(s, d)
+      .filter(pmod(col("l_partkey"), lit(50)) === 0)
+      .join(Tables.supplier(s, d), col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(Tables.nation(s, d)), col("s_nationkey") === col("n_nationkey"))
+      .groupBy(col("n_name").as("s"), col("n_regionkey").as("g"),
+        col("l_partkey").as("item"))
+      .agg(sum(col("l_quantity").cast("long")).as("v"))
+    graft.stats.EcoStats.permdispPortable(ab, "s", "g", "item", "v",
+      permutations = 99, seed = 11L)
+  }
+
   val all: Seq[QuerySpec] =
     Seq(q53, q54, q55, q56, q57, q59, q74, q75, q76, q82, q90, q96, q98, q99,
-      q100, q104, q110, q115, q117, q118, q119, q120, q122, q130, q133)
+      q100, q104, q110, q115, q117, q118, q119, q120, q122, q130, q133, q134)
 }

@@ -264,6 +264,113 @@ object EcoStats {
           .as("p_value"))
   }
 
+  /** M9, distributed + engine-portable form: PERMDISP (betadisper +
+    * permutest) as ONE relational plan with every decision integer-
+    * exact, so an external engine replays F and the permutation p:
+    *  - Bray-Curtis distances are one IEEE expression over exact
+    *    integer sums, then SCALED to BIGINTs (round(d·10⁶), the q77
+    *    idiom) before anything is compared or summed;
+    *  - the group medoid is the argmin of exact integer distance sums
+    *    (tie → smallest sample), so medoid selection replays exactly;
+    *  - dispersions are the scaled integer distances to the medoid;
+    *  - permutations shuffle DISPERSION group labels (vegan's
+    *    permutest permutes residuals, not distances — medoids are not
+    *    recomputed) via the md5-portable uniform;
+    *  - with equal group sizes m (k groups, n = k·m), the F statistic
+    *    reduces to ONE float expression of exact BIGINTs:
+    *    F = ISSB·(n−k) / (n²·(k−1)·ISSW) where
+    *    ISSB = Σ_g (n·S_g − m·S)² and ISSW = m·ΣQ_g − ΣS_g².
+    * Requires equal-size groups (the reduction above); the general
+    * unequal-size form stays on the driver-local [[permdisp]].
+    * Output: one row (f_statistic, n_ge, p_value), vegan convention
+    * p = (n_ge + 1)/(permutations + 1). */
+  def permdispPortable(ab: DataFrame, sampleCol: String, groupCol: String,
+      itemCol: String, valueCol: String, permutations: Int = 99,
+      seed: Long = 11L): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val spark = ab.sparkSession
+    val samples = ab.groupBy(col(sampleCol).as("s"), col(groupCol).as("g"))
+      .agg(sum(col(valueCol).cast("long")).as("tot"))
+    val a = ab.select(col(sampleCol).as("sa"), col(itemCol).as("item"),
+      col(valueCol).cast("long").as("va"))
+    val b = ab.select(col(sampleCol).as("sb"), col(itemCol).as("item"),
+      col(valueCol).cast("long").as("vb"))
+    val minsum = a.join(b, Seq("item")).where(col("sa") < col("sb"))
+      .groupBy("sa", "sb").agg(sum(least(col("va"), col("vb"))).as("m"))
+    val half = samples.select(col("s").as("sa"), col("tot").as("ta"))
+      .crossJoin(samples.select(col("s").as("sb"), col("tot").as("tb")))
+      .where(col("sa") < col("sb"))
+      .join(minsum, Seq("sa", "sb"), "left_outer")
+      .select(col("sa"), col("sb"),
+        round((lit(1.0) - lit(2.0) * coalesce(col("m"), lit(0L)).cast("double") /
+          (col("ta") + col("tb")).cast("double")) * 1000000, 0)
+          .cast("long").as("di"))
+    // symmetric view: distance FROM x TO y, both directions
+    val sym = half.select(col("sa").as("x"), col("sb").as("y"), col("di"))
+      .unionByName(half.select(col("sb").as("x"), col("sa").as("y"), col("di")))
+    val gOf = samples.select(col("s"), col("g"))
+    // within-group distance sums → medoid = argmin (sum, sample)
+    val within = sym
+      .join(gOf.select(col("s").as("x"), col("g")), Seq("x"))
+      .join(gOf.select(col("s").as("y"), col("g").as("gy")), Seq("y"))
+      .where(col("g") === col("gy"))
+    val medoid = within.groupBy(col("g"), col("x"))
+      .agg(sum(col("di")).as("sd"))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy("g").orderBy(col("sd"), col("x"))))
+      .where(col("rk") === 1)
+      .select(col("g"), col("x").as("medoid"))
+    // dispersion of each sample: scaled distance to its group medoid
+    // (the medoid itself: 0)
+    val disp = gOf.join(medoid, Seq("g"))
+      .join(sym.select(col("x").as("s"), col("y").as("medoid"), col("di")),
+        Seq("s", "medoid"), "left_outer")
+      .select(col("s"), col("g"), coalesce(col("di"), lit(0L)).as("dsp"))
+    // portable permutations of the GROUP LABELS over dispersions
+    val base = disp.withColumn("k", row_number().over(Window.orderBy("s")))
+    val ps = spark.range(0, permutations + 1).select(col("id").cast("int").as("p"))
+    val assign = ps.crossJoin(base.select(col("s"), col("k"), col("dsp")))
+      .withColumn("h",
+        conv(substring(md5(concat(lit(seed.toString), lit("|"),
+          col("p").cast("string"), lit("|"), col("s"))), 1, 8), 16, 10)
+          .cast("long"))
+      .withColumn("hr", row_number().over(Window.partitionBy("p").orderBy("h", "s")))
+      .select(col("p"), col("dsp"),
+        when(col("p") === 0, col("k")).otherwise(col("hr")).as("pos"))
+      .join(base.select(col("k").as("pos"), col("g").as("gp")), Seq("pos"))
+    // per-perm per-group exact sums → the integer F reduction
+    val perGroup = assign.groupBy(col("p"), col("gp"))
+      .agg(count(lit(1)).as("m"), sum(col("dsp")).as("sg"),
+        sum(col("dsp") * col("dsp")).as("qg"))
+    val fs = perGroup.groupBy("p").agg(
+      count(lit(1)).as("k"), sum(col("m")).as("n"), max(col("m")).as("mx"),
+      min(col("m")).as("mn"), sum(col("sg")).as("s"),
+      sum((lit(0L) + col("sg")) * col("sg")).as("ssq"), sum(col("qg")).as("q"))
+      .select(col("p"),
+        // ISSB needs Σ(n·S_g − m·S)²: expand to n²·ΣS_g² − 2nmS·ΣS_g + k·m²S²
+        // = n²·ssq − 2·n·m·s·s + k·m²·s² (ΣS_g = S); all BIGINT-exact
+        (col("n") * col("n") * col("ssq") - lit(2L) * col("n") * col("mx") * col("s") * col("s")
+          + col("k") * col("mx") * col("mx") * col("s") * col("s")).as("issb"),
+        (col("mx") * col("q") - col("ssq")).as("issw"),
+        col("k"), col("n"), col("mx"), col("mn"))
+    // Guard (the q120 lesson): 0/0 is NaN in Spark but engine-dependent
+    // elsewhere, and the integer reduction is only valid for equal group
+    // sizes — emit NULL on both violations so every engine agrees (a NULL
+    // fstat contributes 0 to n_ge under both when() and CASE WHEN).
+    val f = fs.select(col("p"),
+      when(col("issw") === 0L || col("mx") =!= col("mn"), lit(null).cast("double"))
+        .otherwise(col("issb").cast("double") * (col("n") - col("k")) /
+          (col("n").cast("double") * col("n") * (col("k") - 1) * col("issw")))
+        .as("fstat"))
+    val obs = f.where(col("p") === 0).select(col("fstat").as("f_obs"))
+    f.where(col("p") > 0).crossJoin(broadcast(obs))
+      .agg(max(col("f_obs")).as("f_statistic"),
+        sum(when(col("fstat") >= col("f_obs"), 1L).otherwise(0L)).as("n_ge"))
+      .select(col("f_statistic"), col("n_ge"),
+        ((col("n_ge") + lit(1)).cast("double") / lit(permutations + 1))
+          .as("p_value"))
+  }
+
   // ---- M9: PERMDISP (betadisper + permutest, simplified) ----
 
   /** Multivariate homogeneity of dispersions: distance of each point

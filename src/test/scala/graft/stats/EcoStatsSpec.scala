@@ -83,6 +83,43 @@ class EcoStatsSpec extends SparkSpec {
     assert(p > 0 && p <= 1 && math.abs(p * 50 - math.round(p * 50)) < 1e-9)
   }
 
+  test("permdispPortable observed F equals the driver-local kernel on scaled distances") {
+    // same 6-sample / 2-equal-group abundance as the ANOSIM twin test
+    val ab = Seq(
+      ("s1", 0, "i1", 10L), ("s1", 0, "i2", 5L),
+      ("s2", 0, "i1", 9L), ("s2", 0, "i2", 6L),
+      ("s3", 0, "i1", 11L), ("s3", 0, "i3", 1L),
+      ("s4", 1, "i3", 10L), ("s4", 1, "i4", 5L),
+      ("s5", 1, "i3", 8L), ("s5", 1, "i4", 7L),
+      ("s6", 1, "i4", 12L), ("s6", 1, "i1", 1L)
+    ).toDF("s", "g", "item", "v")
+    val row = EcoStats.permdispPortable(ab, "s", "g", "item", "v",
+      permutations = 49, seed = 3L).head()
+    // driver-local F on the SAME exact-scaled integer distances (F is
+    // scale-invariant, so feeding round(d*1e6) reproduces the portable
+    // arithmetic up to float-summation order)
+    val names = Seq("s1", "s2", "s3", "s4", "s5", "s6")
+    val vecs: Map[String, Map[String, Long]] = ab.collect()
+      .groupBy(_.getString(0))
+      .map { case (s, rs) =>
+        s -> rs.map(r => r.getString(2) -> r.getLong(3)).toMap
+      }
+    def bc(a: String, b: String): Double = {
+      if (a == b) return 0.0
+      val (va, vb) = (vecs(a), vecs(b))
+      val shared = va.keySet.intersect(vb.keySet)
+        .toSeq.map(k => math.min(va(k), vb(k))).sum
+      math.round((1.0 - 2.0 * shared / (va.values.sum + vb.values.sum)) * 1e6).toDouble
+    }
+    val dist = Array.tabulate(6, 6)((i, j) => bc(names(i), names(j)))
+    val (fLocal, _) = EcoStats.permdisp(dist, Array(0, 0, 0, 1, 1, 1))
+    val fPortable = row.getDouble(0)
+    assert(math.abs(fPortable - fLocal) / fLocal < 1e-9,
+      s"portable F $fPortable vs local $fLocal")
+    val p = row.getDouble(2)
+    assert(p > 0 && p <= 1 && math.abs(p * 50 - math.round(p * 50)) < 1e-9)
+  }
+
   test("distributed rank-sum equals local on the same data") {
     // a cross-sample tie (7.0) forces the normal-approx path in both
     val x = Array(1.0, 2, 3, 4, 5, 7, 20, 30)
