@@ -685,6 +685,91 @@ object GraphAnalytics {
       }.toDF("group", "n_removed", "largest_frac")
   }
 
+  /** G13 exact twin — per-vertex inverse-Simpson (Hill number of
+    * order 2) diversity of incident edge weights: D = (Σw)²/Σw².
+    * The reference's diversity kernel is Shannon entropy over
+    * log(degree) (igraph diversity, bin/interpersonaldiversity.R:104;
+    * driver-local in LocalGraph.diversity / q59) — transcendental, so
+    * not hash-replayable across engines. The Simpson form measures the
+    * same effective-partner concentration but stays RATIONAL: both
+    * sums are exact BIGINTs and the output is one IEEE expression, so
+    * an external engine replays it bit-for-bit. One shuffle (the
+    * groupBy); symmetrization is a union of two narrow projections.
+    * Input: (group, src, dst, w: long). Output: (grp, id, s, q,
+    * simpson). */
+  def vertexSimpsonDiversity(edges: DataFrame): DataFrame = {
+    val sym = edges.select(col("group").as("grp"), col("src").as("id"), col("w"))
+      .unionByName(edges.select(col("group").as("grp"), col("dst").as("id"), col("w")))
+    sym.groupBy("grp", "id")
+      .agg(sum(col("w")).as("s"), sum(col("w") * col("w")).as("q"))
+      .select(col("grp"), col("id"), col("s"), col("q"),
+        (col("s").cast("double") * col("s") / col("q")).as("simpson"))
+  }
+
+  /** G19 exact twin — targeted-removal robustness with every decision
+    * integer-exact, mirroring LocalGraph.robustnessCurve (NetSwan
+    * shape, reference bin/alteredDiet.R:5) distributively: at each
+    * step delete the highest-degree remaining vertex (tie → smallest
+    * id, the kernel's maxBy((deg, -id)) rule), recompute connected
+    * components, and report largest-component size / ORIGINAL vertex
+    * count. Adaptive removal is inherently sequential — k steps are k
+    * (degree-agg → argmax → CC) rounds; each round is a full
+    * distributed job, so the plan survives scale even though the
+    * driver holds only the k removed ids and the k curve points.
+    * Component sizes are algorithm-independent, so GraphX CC here and
+    * a recursive-CTE closure in an external engine agree exactly; the
+    * only float is the final size/n division. Input: (src, dst).
+    * Output: (n_removed, largest, largest_frac). */
+  def robustnessExact(edges: DataFrame, steps: Int): DataFrame = {
+    val spark = edges.sparkSession
+    import spark.implicits._
+    val canon = edges.select(least(col("src"), col("dst")).as("a"),
+        greatest(col("src"), col("dst")).as("b"))
+      .where(col("a") =!= col("b")).distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val verts = canon.select(col("a").as("v"))
+      .unionByName(canon.select(col("b").as("v"))).distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val n0 = verts.count()
+    val removed = scala.collection.mutable.ArrayBuffer.empty[Long]
+    val curve = scala.collection.mutable.ArrayBuffer.empty[(Int, Long, Double)]
+    def remaining = {
+      val r = removed.toSeq
+      (verts.where(!col("v").isin(r: _*)),
+        canon.where(!col("a").isin(r: _*) && !col("b").isin(r: _*)))
+    }
+    (0 to steps).foreach { t =>
+      val (vt, et) = remaining
+      val nLeft = n0 - removed.length
+      val ccMax: Long =
+        if (et.isEmpty) 0L
+        else {
+          val vtx = et.select(col("a").as("id"))
+            .unionByName(et.select(col("b").as("id"))).distinct()
+            .withColumn("name", col("id").cast("string"))
+          connectedComponents(spark,
+              graft.graph.PropertyGraph(vtx, et.select(col("a").as("src"), col("b").as("dst"))))
+            .groupBy("component").count()
+            .agg(max(col("count"))).as[Long].head()
+        }
+      // isolated survivors are singleton components
+      val largest = math.max(ccMax, math.min(1L, nLeft))
+      curve += ((t, largest, largest.toDouble / n0))
+      if (t < steps && nLeft > 1) {
+        val sym = et.select(col("a").as("v")).unionByName(et.select(col("b").as("v")))
+        val victim = vt.join(sym.groupBy("v").agg(count(lit(1)).as("d")), Seq("v"), "left_outer")
+          .select(col("v"), coalesce(col("d"), lit(0L)).as("d"))
+          .orderBy(col("d").desc, col("v").asc).limit(1)
+          .select(col("v")).as[Long].head()
+        removed += victim
+      }
+    }
+    canon.unpersist(); verts.unpersist()
+    curve.toSeq.toDF("n_removed", "largest", "largest_frac")
+      .select(col("n_removed").cast("long").as("n_removed"), col("largest"),
+        col("largest_frac"))
+  }
+
   /** G17 — graph β-diversity as edge-set Jaccard distance
     * 1 − |E₁∩E₂|/|E₁∪E₂| for every group pair (reference
     * bin/compareTwins.R:179-216). Pure relational: canonicalize,

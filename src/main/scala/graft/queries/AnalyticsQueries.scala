@@ -1254,7 +1254,100 @@ object AnalyticsQueries {
       permutations = 99, seed = 11L)
   }
 
+  /** G13 exact twin, hash-oracled: per-vertex inverse-Simpson (Hill
+    * order-2) diversity of incident edge weights — the rational
+    * counterpart of q59's Shannon-entropy diversity (igraph diversity,
+    * bin/interpersonaldiversity.R:104), chosen because (Σw)²/Σw² stays
+    * on exact BIGINTs until one final IEEE division while entropy's
+    * log never replays bit-identically across engines. Spark side
+    * reuses the memoized groupEdges build shared with q55/q56/q59. */
+  val q135 = QuerySpec.sql(
+    "q135_simpson_diversity",
+    """WITH e AS (
+      |  SELECT n_name AS grp, CAST(l_suppkey AS BIGINT) AS src,
+      |         CAST(o_custkey + 1000000 AS BIGINT) AS dst,
+      |         CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS w
+      |  FROM lineitem
+      |  JOIN orders ON l_orderkey = o_orderkey
+      |  JOIN customer ON o_custkey = c_custkey
+      |  JOIN nation ON c_nationkey = n_nationkey
+      |  WHERE l_quantity >= 49
+      |  GROUP BY 1, 2, 3),
+      |sym AS (SELECT grp, src AS id, w FROM e
+      |        UNION ALL SELECT grp, dst AS id, w FROM e),
+      |agg AS (SELECT grp, id, CAST(sum(w) AS BIGINT) AS s,
+      |               CAST(sum(w * w) AS BIGINT) AS q
+      |        FROM sym GROUP BY grp, id)
+      |SELECT grp, id, s, q, CAST(s AS DOUBLE) * s / q AS simpson FROM agg""",
+    "per-vertex inverse-Simpson diversity, exact-rational (SURVEY G13)") { (s, d) =>
+    GraphAnalytics.vertexSimpsonDiversity(
+      groupEdges(s, d).select(col("group"), col("src"), col("dst"),
+        col("weight").cast("long").as("w")))
+  }
+
+  private def robustnessStepSql(t: Int): String = s"""
+    |s$t AS MATERIALIZED (SELECT a, b FROM e$t UNION ALL SELECT b AS a, a AS b FROM e$t),
+    |r$t AS (
+    |  SELECT v AS root, v AS node FROM v$t
+    |  UNION
+    |  SELECT r.root, s.b AS node FROM r$t r JOIN s$t s ON s.a = r.node),
+    |c$t AS MATERIALIZED (SELECT root, min(node) AS c FROM r$t GROUP BY root),
+    |m$t AS MATERIALIZED (SELECT max(cnt) AS m FROM (SELECT c, count(*) AS cnt FROM c$t GROUP BY c)),
+    |d$t AS MATERIALIZED (SELECT v$t.v AS v, count(s$t.b) AS d FROM v$t LEFT JOIN s$t ON s$t.a = v$t.v GROUP BY v$t.v),
+    |x$t AS MATERIALIZED (SELECT v FROM d$t ORDER BY d DESC, v LIMIT 1),
+    |e${t + 1} AS MATERIALIZED (SELECT a, b FROM e$t WHERE a NOT IN (SELECT v FROM x$t) AND b NOT IN (SELECT v FROM x$t)),
+    |v${t + 1} AS MATERIALIZED (SELECT v FROM v$t WHERE v NOT IN (SELECT v FROM x$t))""".stripMargin
+
+  /** G19 exact twin, hash-oracled: the adaptive targeted-removal
+    * robustness curve (LocalGraph.robustnessCurve's exact rule —
+    * delete the highest-degree vertex, tie → smallest id, report
+    * largest-component size over ORIGINAL n) on one nation's graph,
+    * replayed step-by-step in DuckDB as an unrolled chain of degree
+    * argmax + recursive-CTE closure blocks (MATERIALIZED, or the
+    * optimizer re-inlines each step's chain exponentially — measured
+    * 168 s → 0.07 s at sf0.01). DuckDB 1.0 quirk: inside WITH
+    * RECURSIVE, a bare UNION in a NON-recursive CTE body skips its
+    * dedup (140 vs 83 vertices here), so v0 spells the dedup as
+    * SELECT DISTINCT over UNION ALL. Component sizes are
+    * algorithm-independent, so the Spark side runs the REAL GraphX CC
+    * job per step; everything is integers until the final size/n
+    * division. q82 keeps the per-group driver-local curve; THIS gates
+    * the removal rule and component arithmetic distributively. */
+  val q136 = QuerySpec.sql(
+    "q136_robustness_exact",
+    """WITH RECURSIVE
+      |e0 AS MATERIALIZED (
+      |  SELECT DISTINCT CAST(l_suppkey AS BIGINT) AS a,
+      |         CAST(o_custkey + 1000000 AS BIGINT) AS b
+      |  FROM lineitem
+      |  JOIN orders ON l_orderkey = o_orderkey
+      |  JOIN customer ON o_custkey = c_custkey
+      |  JOIN nation ON c_nationkey = n_nationkey
+      |  WHERE l_quantity >= 49 AND n_name = 'NATION_5'),
+      |v0 AS MATERIALIZED (SELECT DISTINCT v FROM
+      |  (SELECT a AS v FROM e0 UNION ALL SELECT b AS v FROM e0)),
+      |n0 AS MATERIALIZED (SELECT count(*) AS n FROM v0),""".stripMargin +
+      (0 until 4).map(robustnessStepSql).mkString(",") + """,
+      |s4 AS MATERIALIZED (SELECT a, b FROM e4 UNION ALL SELECT b AS a, a AS b FROM e4),
+      |r4 AS (
+      |  SELECT v AS root, v AS node FROM v4
+      |  UNION
+      |  SELECT r.root, s.b AS node FROM r4 r JOIN s4 s ON s.a = r.node),
+      |c4 AS MATERIALIZED (SELECT root, min(node) AS c FROM r4 GROUP BY root),
+      |m4 AS MATERIALIZED (SELECT max(cnt) AS m FROM (SELECT c, count(*) AS cnt FROM c4 GROUP BY c))
+      |""".stripMargin +
+      (0 to 4).map(t =>
+        s"SELECT CAST($t AS BIGINT) AS n_removed, CAST(m AS BIGINT) AS largest, " +
+          s"CAST(m AS DOUBLE) / (SELECT n FROM n0) AS largest_frac FROM m$t")
+        .mkString("\nUNION ALL\n"),
+    "adaptive targeted-removal robustness via per-step GraphX CC (SURVEY G19)") { (s, d) =>
+    GraphAnalytics.robustnessExact(
+      groupEdges(s, d).where(col("group") === "NATION_5")
+        .select(col("src"), col("dst")), steps = 4)
+  }
+
   val all: Seq[QuerySpec] =
     Seq(q53, q54, q55, q56, q57, q59, q74, q75, q76, q82, q90, q96, q98, q99,
-      q100, q104, q110, q115, q117, q118, q119, q120, q122, q130, q133, q134)
+      q100, q104, q110, q115, q117, q118, q119, q120, q122, q130, q133, q134,
+      q135, q136)
 }

@@ -71,6 +71,37 @@ class GraphAnalyticsSpec extends SparkSpec {
     assert(math.abs(r(("g2", 1)) - 1.0 / 3) < 1e-12)
   }
 
+  test("robustnessExact matches LocalGraph.robustnessCurve on a mixed graph") {
+    // two components: a 5-star (hub 0) plus a triangle — adaptive
+    // removal must hit the hub first, then triangle vertices by id
+    val es = Seq((0L, 1L), (0L, 2L), (0L, 3L), (0L, 4L), (0L, 5L),
+      (20L, 21L), (21L, 22L), (20L, 22L))
+    val df = es.toDF("src", "dst")
+    val got = GraphAnalytics.robustnessExact(df, steps = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).sortBy(_._1)
+    val local = LocalGraph.fromEdges(
+      es.map { case (a, b) => (a, b, 1.0) }, directed = false).robustnessCurve(3)
+    assert(got.length == 4)
+    got.foreach { case (t, largest, frac) =>
+      assert(math.abs(frac - local(t.toInt)) < 1e-12,
+        s"step $t: $frac vs local ${local(t.toInt)}")
+      assert(math.abs(frac - largest.toDouble / 9) < 1e-15)
+    }
+    // step 0: triangle+star intact, largest = star (6 of 9)
+    assert(got(0)._2 == 6L)
+    // step 1: hub removed → largest = triangle (3)
+    assert(got(1)._2 == 3L)
+  }
+
+  test("vertexSimpsonDiversity: D = (sum w)^2 / sum w^2 per vertex") {
+    val e = Seq(("g", 1L, 2L, 3L), ("g", 1L, 3L, 1L)).toDF("group", "src", "dst", "w")
+    val m = GraphAnalytics.vertexSimpsonDiversity(e)
+      .collect().map(r => r.getLong(1) -> (r.getLong(2), r.getLong(3), r.getDouble(4))).toMap
+    assert(m(1L) == ((4L, 10L, 16.0 / 10)))  // weights {3,1}
+    assert(m(2L) == ((3L, 9L, 1.0)))         // single partner → D = 1
+    assert(m(3L) == ((1L, 1L, 1.0)))
+  }
+
   test("perGroupEigen yields scaled centrality per vertex per group") {
     val e = GraphAnalytics.perGroupEigen(groupedEdges)
       .collect().map(r => (r.getString(0), r.getLong(1)) -> r.getDouble(2)).toMap
