@@ -196,11 +196,13 @@ object PipelineQueries {
     * distributed; the eco-stats run on the #groups² matrix (25 nations
     * → 300 pairs), driver-side and bounded as SURVEY §7 sanctions.
     * Deterministic: seeded permutations, seeded NMDS init. */
-  val q73 = QuerySpec.rowsOnly(
-    "q73_interstats_tail",
-    "Bray-Curtis → NMDS + ANOSIM + PERMDISP class separation (SURVEY M7-M9)") { (s, d) =>
+  /** Shared by q73/q138: the distributed Bray-Curtis matrix over
+    * per-nation part-abundance profiles, collected to the driver
+    * (#groups² bounded — SURVEY §7 sanctions this tail), plus the
+    * region class grouping. */
+  private def interDistMatrix(s: org.apache.spark.sql.SparkSession,
+      d: String): (Array[Array[Double]], Array[Int], Int) = {
     import graft.graph.GraphAnalytics
-    import graft.stats.EcoStats
     val classOf = Tables.nation(s, d)
       .join(broadcast(Tables.region(s, d)), col("n_regionkey") === col("r_regionkey"))
       .select(col("n_name"), col("r_name"))
@@ -225,15 +227,53 @@ object PipelineQueries {
     }
     val classIdx = groups.map(classOf).distinct.sorted.zipWithIndex.toMap
     val grouping = groups.map(g => classIdx(classOf(g))).toArray
+    (dist, grouping, classIdx.size)
+  }
+
+  val q73 = QuerySpec.rowsOnly(
+    "q73_interstats_tail",
+    "Bray-Curtis → NMDS + ANOSIM + PERMDISP class separation (SURVEY M7-M9)") { (s, d) =>
+    import graft.stats.EcoStats
+    val (dist, grouping, nClasses) = interDistMatrix(s, d)
+    val n = dist.length
     val (_, stress) = EcoStats.nmds(dist, k = 2)
     val (anosimR, anosimP) = EcoStats.anosim(dist, grouping)
     val (permdispF, permdispP) = EcoStats.permdisp(dist, grouping)
     val spark = s
     import spark.implicits._
-    Seq((n.toLong, classIdx.size.toLong, stress, anosimR, anosimP, permdispF, permdispP))
+    Seq((n.toLong, nClasses.toLong, stress, anosimR, anosimP, permdispF, permdispP))
       .toDF("n_groups", "n_classes", "nmds_stress", "anosim_r", "anosim_p",
         "permdisp_f", "permdisp_p")
   }
 
-  val all: Seq[QuerySpec] = Seq(q70, q71, q87, q72, q73, q84)
+  /** M7/M11 output-pinned (q85/q130 idiom): NMDS stress and the KDE
+    * CDF-below-zero are iterative/transcendental float kernels — no
+    * ANSI-SQL replay exists (unlike ANOSIM/PERMDISP, oracled exactly
+    * in q133/q134) — but both are DETERMINISTIC (seeded PCoA init,
+    * closed-form Silverman bandwidth) on the sorted driver-side
+    * matrix, so their sf0.01 values rounded to 6 dp pin as a VALUES
+    * oracle. KDE input follows the reference's shape
+    * (bin/interpersonaldiversity.R:141-145: P(diff < 0) over a
+    * difference distribution): centered off-diagonal Bray-Curtis
+    * distances. */
+  val q138 = QuerySpec.sql(
+    "q138_ecostat_pinned",
+    """SELECT CAST(0.165786 AS DOUBLE) AS nmds_stress_6dp,
+      |       CAST(0.557583 AS DOUBLE) AS kde_below_6dp""",
+    "output-pinned NMDS stress + KDE CDF below zero (SURVEY M7,M11)") { (s, d) =>
+    import graft.stats.EcoStats
+    val (dist, _, _) = interDistMatrix(s, d)
+    val n = dist.length
+    val (_, stress) = EcoStats.nmds(dist, k = 2)
+    val offDiag = for { i <- 0 until n; j <- i + 1 until n } yield dist(i)(j)
+    val grand = offDiag.sum / offDiag.length
+    val kde = EcoStats.kdeCdfBelowZero(offDiag.map(_ - grand).toArray)
+    def r6(x: Double): Double =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val spark = s
+    import spark.implicits._
+    Seq((r6(stress), r6(kde))).toDF("nmds_stress_6dp", "kde_below_6dp")
+  }
+
+  val all: Seq[QuerySpec] = Seq(q70, q71, q87, q72, q73, q84, q138)
 }

@@ -201,6 +201,32 @@ object SamplingQueries {
     Sampling.rarefyProportional(ab, depth = 1000)
   }
 
+  /** M12 output-pinned (q85 idiom): the rarefaction curve's richness
+    * values are seeded, sort-canonicalized, partition-independent
+    * INTEGERS (one multivariate-hypergeometric draw per group×depth),
+    * so the sf0.01 curve pins as a VALUES oracle — regression evidence
+    * for the whole curve path, complementing q111's expected-value
+    * twin. Reference bin/OpfRarefaction.R:12-16. */
+  val q137 = QuerySpec.sql(
+    "q137_rarefaction_curve",
+    """SELECT * FROM (VALUES
+      |  ('N', CAST(772 AS BIGINT), CAST(1000 AS BIGINT)),
+      |  ('R', CAST(758 AS BIGINT), CAST(1000 AS BIGINT)),
+      |  ('A', CAST(787 AS BIGINT), CAST(1000 AS BIGINT)),
+      |  ('N', CAST(1770 AS BIGINT), CAST(5000 AS BIGINT)),
+      |  ('R', CAST(1757 AS BIGINT), CAST(5000 AS BIGINT)),
+      |  ('A', CAST(1756 AS BIGINT), CAST(5000 AS BIGINT)),
+      |  ('N', CAST(1995 AS BIGINT), CAST(20000 AS BIGINT)),
+      |  ('R', CAST(1991 AS BIGINT), CAST(20000 AS BIGINT)),
+      |  ('A', CAST(1988 AS BIGINT), CAST(20000 AS BIGINT))
+      |) AS t("group", richness, depth)""",
+    "output-pinned seeded rarefaction curve (SURVEY M12)") { (s, d) =>
+    val ab = Tables.lineitem(s, d)
+      .groupBy(col("l_returnflag").as("group"), col("l_partkey").as("item"))
+      .agg(sum(col("l_quantity").cast("long")).as("count"))
+    Sampling.rarefactionCurve(ab, depths = Seq(1000L, 5000L, 20000L), seed = 42)
+  }
+
   val all: Seq[QuerySpec] =
-    Seq(q63, q64, q65, q85, q86, q101, q102, q107, q109, q111)
+    Seq(q63, q64, q65, q85, q86, q101, q102, q107, q109, q111, q137)
 }
