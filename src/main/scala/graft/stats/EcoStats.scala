@@ -225,7 +225,7 @@ object EcoStats {
     val minsum = a.join(b, Seq("item")).where(col("sa") < col("sb"))
       .groupBy("sa", "sb").agg(sum(least(col("va"), col("vb"))).as("m"))
     val pairs = samples.select(col("s").as("sa"), col("tot").as("ta"))
-      .crossJoin(samples.select(col("s").as("sb"), col("tot").as("tb")))
+      .crossJoin(broadcast(samples.select(col("s").as("sb"), col("tot").as("tb"))))
       .where(col("sa") < col("sb"))
       .join(minsum, Seq("sa", "sb"), "left_outer")
       .select(col("sa"), col("sb"),
@@ -239,7 +239,7 @@ object EcoStats {
     val base = samples.select(col("s"), col("g"))
       .withColumn("k", row_number().over(Window.orderBy("s")))
     val ps = spark.range(0, permutations + 1).select(col("id").cast("int").as("p"))
-    val wh = ps.crossJoin(base).withColumn("h",
+    val wh = base.crossJoin(broadcast(ps)).withColumn("h",
       conv(substring(md5(concat(lit(seed.toString), lit("|"),
         col("p").cast("string"), lit("|"), col("s"))), 1, 8), 16, 10)
         .cast("long"))
@@ -298,7 +298,7 @@ object EcoStats {
     val minsum = a.join(b, Seq("item")).where(col("sa") < col("sb"))
       .groupBy("sa", "sb").agg(sum(least(col("va"), col("vb"))).as("m"))
     val half = samples.select(col("s").as("sa"), col("tot").as("ta"))
-      .crossJoin(samples.select(col("s").as("sb"), col("tot").as("tb")))
+      .crossJoin(broadcast(samples.select(col("s").as("sb"), col("tot").as("tb"))))
       .where(col("sa") < col("sb"))
       .join(minsum, Seq("sa", "sb"), "left_outer")
       .select(col("sa"), col("sb"),
@@ -329,7 +329,7 @@ object EcoStats {
     // portable permutations of the GROUP LABELS over dispersions
     val base = disp.withColumn("k", row_number().over(Window.orderBy("s")))
     val ps = spark.range(0, permutations + 1).select(col("id").cast("int").as("p"))
-    val assign = ps.crossJoin(base.select(col("s"), col("k"), col("dsp")))
+    val assign = base.select(col("s"), col("k"), col("dsp")).crossJoin(broadcast(ps))
       .withColumn("h",
         conv(substring(md5(concat(lit(seed.toString), lit("|"),
           col("p").cast("string"), lit("|"), col("s"))), 1, 8), 16, 10)

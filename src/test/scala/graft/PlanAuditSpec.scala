@@ -80,4 +80,23 @@ class PlanAuditSpec extends SparkSpec {
       assert(!p.contains("Sort "), s"$q: sampler must not sort")
     }
   }
+
+  test("q135: Simpson diversity aggregates with map-side combine, no sort") {
+    val p = planOf("q135_simpson_diversity")
+    // symmetrize (union of two projections) then ONE grouped agg:
+    // partial before the shuffle, no sort, no join anywhere
+    assert(p.contains("partial_"), "diversity agg lost map-side combine:\n" + p.take(2000))
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"),
+      "diversity must not plan a join:\n" + p.take(2000))
+  }
+
+  test("q133/q134: portable permutation tests never plan a real cartesian") {
+    // the perm-id × sample crossJoins are broadcast of a tiny range —
+    // anything else (BNLJ over data-sized inputs) would explode at scale
+    for (q <- Seq("q133_anosim_portable", "q134_permdisp_portable")) {
+      val p = planOf(q)
+      assert(!p.contains("CartesianProduct"),
+        s"$q plans a non-broadcast cartesian:\n" + p.take(2000))
+    }
+  }
 }
