@@ -594,7 +594,35 @@ object Corpus {
       .select(col("source"), col("tok"), col("df"))
   }
 
+  /** Z-order data layout — the multi-dimensional clustering key that
+    * makes parquet min-max stats selective on EVERY sort dimension at
+    * once (the write-side twin of q91's shard packing; at 100 TB,
+    * `sortWithinPartitions(zkey)` before the sink is what turns
+    * point/range filters on either key into row-group skips). The
+    * native [[graft.functions.ZOrderKey]] expression is one fused
+    * codegen pass; the oracle replays every interleaved bit, and the
+    * per-cell min/max proves keys cluster: cells partition the key
+    * space into disjoint ranges. */
+  val q139 = QuerySpec.sql(
+    "q139_zorder_layout",
+    s"""WITH d AS (
+      |  SELECT CAST(l_partkey AS BIGINT) AS x, CAST(l_suppkey AS BIGINT) AS y
+      |  FROM lineitem),
+      |z AS (SELECT ${graft.functions.ZOrderKey.sqlTwin(21, Seq("x", "y"))} AS zkey FROM d)
+      |SELECT CAST(zkey >> 14 AS BIGINT) AS cell, count(*) AS n,
+      |       CAST(min(zkey) AS BIGINT) AS zmin, CAST(max(zkey) AS BIGINT) AS zmax
+      |FROM z GROUP BY 1""".stripMargin,
+    "Z-order clustering key layout cells (training-data pipeline)") { (s, d) =>
+    Tables.lineitem(s, d)
+      .select(graft.functions.ZOrderKey(21,
+        col("l_partkey").cast("long"), col("l_suppkey").cast("long")).as("zkey"))
+      .groupBy(shiftright(col("zkey"), 14).as("cell"))
+      .agg(count(lit(1)).as("n"), min(col("zkey")).as("zmin"),
+        max(col("zkey")).as("zmax"))
+  }
+
   val all: Seq[QuerySpec] =
     Seq(q30, q31, q89, q32, q33, q34, q35, q36, q37, q38, q39, q40, q41, q42,
-      q43, q77, q78, q83, q91, q92, q93, q97, q103, q112, q113, q114, q116)
+      q43, q77, q78, q83, q91, q92, q93, q97, q103, q112, q113, q114, q116,
+      q139)
 }
