@@ -28,6 +28,22 @@ object Bench {
     spark.sparkContext.setLogLevel("WARN")
     def loadAvg: Double =
       java.lang.management.ManagementFactory.getOperatingSystemMXBean.getSystemLoadAverage
+    // Fixed-work single-thread calibration (Mops): load_avg only sees
+    // THIS guest's runnable threads — co-tenant/host noise shows up
+    // instead as a drop in attainable single-core throughput. A >20%
+    // pre/post spread marks the run contaminated regardless of load.
+    def calib(): Double = {
+      var best = 0.0
+      (1 to 2).foreach { _ => // second pass is JIT-warm
+        val t0 = System.nanoTime()
+        var x = 1.0; var i = 0
+        while (i < 100000000) { x = x * 1.0000001 + 1e-9; i += 1 }
+        if (x == 42.0) print("") // defeat DCE
+        best = math.max(best, 100.0 / ((System.nanoTime() - t0) / 1e9))
+      }
+      best
+    }
+    val calib0 = calib()
     val load0 = loadAvg
     if (load0 > 4.0)
       System.err.println(f"WARNING: system load average $load0%.1f before bench — " +
@@ -45,6 +61,7 @@ object Bench {
       kvs.map { case (k, v) => "\"" + k + "\":" + ms(v) }.mkString("{", ",", "}")
     val total = results.map(_._2).sum
     val load1 = loadAvg
+    val calib1 = calib()
     // The driver keeps only the TAIL of stdout: rounds 3 and 4 both
     // produced "parsed":null because the one-line JSON (~2.5 KB over
     // 70 queries) was front-truncated past its opening brace. The
@@ -57,10 +74,10 @@ object Bench {
     val otherSec = total - top.map(_._2).sum
     val detailPath = java.nio.file.Paths.get("bench_detail.json").toAbsolutePath
     val detail =
-      s"""{"metric":"total","value":${ms(total)},"unit":"sec","sf":"$sfDir","n_queries":${results.size},"queries":${json(results)},"warmup_sec":${ms(warmupSec)},"load_avg_pre":${ms(load0)},"load_avg_post":${ms(load1)}}"""
+      s"""{"metric":"total","value":${ms(total)},"unit":"sec","sf":"$sfDir","n_queries":${results.size},"queries":${json(results)},"warmup_sec":${ms(warmupSec)},"load_avg_pre":${ms(load0)},"load_avg_post":${ms(load1)},"calib_mops_pre":${ms(calib0)},"calib_mops_post":${ms(calib1)}}"""
     java.nio.file.Files.write(detailPath, (detail + "\n").getBytes("UTF-8"))
     spark.stop()
     // printed AFTER spark.stop() so no shutdown logging can land below it
-    println(s"""{"metric":"total","value":${ms(total)},"unit":"sec","queries":${json(top)},"n_queries":${results.size},"other_sec":${ms(otherSec)},"sf":"$sfDir","warmup_sec":${ms(warmupSec)},"load_avg_pre":${ms(load0)},"load_avg_post":${ms(load1)},"detail":"$detailPath"}""")
+    println(s"""{"metric":"total","value":${ms(total)},"unit":"sec","queries":${json(top)},"n_queries":${results.size},"other_sec":${ms(otherSec)},"sf":"$sfDir","warmup_sec":${ms(warmupSec)},"load_avg_pre":${ms(load0)},"load_avg_post":${ms(load1)},"calib_mops_pre":${ms(calib0)},"calib_mops_post":${ms(calib1)},"detail":"$detailPath"}""")
   }
 }
