@@ -26,5 +26,11 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // local[32] holds every memoized table + GraphX MEMORY_ONLY RDDs in
+  // ONE heap: at 8g the 129-query bench thrashed storage eviction
+  // (GraphX recompute inflated q57/q75 ~2x and randomly re-billed
+  // evicted memo tables; measured 243-272 s vs 165 s at 48g on an
+  // otherwise idle 125 GB machine). Size the default to the workload,
+  // keep the env knob for constrained hosts.
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "48g")}",
 )
