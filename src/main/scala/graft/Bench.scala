@@ -44,6 +44,7 @@ object Bench {
       best
     }
     val calib0 = calib()
+    val heapGb = Runtime.getRuntime.maxMemory / 1e9
     val load0 = loadAvg
     if (load0 > 4.0)
       System.err.println(f"WARNING: system load average $load0%.1f before bench — " +
@@ -74,10 +75,10 @@ object Bench {
     val otherSec = total - top.map(_._2).sum
     val detailPath = java.nio.file.Paths.get("bench_detail.json").toAbsolutePath
     val detail =
-      s"""{"metric":"total","value":${ms(total)},"unit":"sec","sf":"$sfDir","n_queries":${results.size},"queries":${json(results)},"warmup_sec":${ms(warmupSec)},"load_avg_pre":${ms(load0)},"load_avg_post":${ms(load1)},"calib_mops_pre":${ms(calib0)},"calib_mops_post":${ms(calib1)}}"""
+      s"""{"metric":"total","value":${ms(total)},"unit":"sec","sf":"$sfDir","n_queries":${results.size},"queries":${json(results)},"warmup_sec":${ms(warmupSec)},"load_avg_pre":${ms(load0)},"load_avg_post":${ms(load1)},"calib_mops_pre":${ms(calib0)},"calib_mops_post":${ms(calib1)},"heap_gb":${ms(heapGb)}}"""
     java.nio.file.Files.write(detailPath, (detail + "\n").getBytes("UTF-8"))
     spark.stop()
     // printed AFTER spark.stop() so no shutdown logging can land below it
-    println(s"""{"metric":"total","value":${ms(total)},"unit":"sec","queries":${json(top)},"n_queries":${results.size},"other_sec":${ms(otherSec)},"sf":"$sfDir","warmup_sec":${ms(warmupSec)},"load_avg_pre":${ms(load0)},"load_avg_post":${ms(load1)},"calib_mops_pre":${ms(calib0)},"calib_mops_post":${ms(calib1)},"detail":"$detailPath"}""")
+    println(s"""{"metric":"total","value":${ms(total)},"unit":"sec","queries":${json(top)},"n_queries":${results.size},"other_sec":${ms(otherSec)},"sf":"$sfDir","warmup_sec":${ms(warmupSec)},"load_avg_pre":${ms(load0)},"load_avg_post":${ms(load1)},"calib_mops_pre":${ms(calib0)},"calib_mops_post":${ms(calib1)},"heap_gb":${ms(heapGb)},"detail":"$detailPath"}""")
   }
 }
