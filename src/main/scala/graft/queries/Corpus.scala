@@ -621,8 +621,35 @@ object Corpus {
         max(col("zkey")).as("zmax"))
   }
 
+  /** Sketch tier: HyperLogLog++ distinct-token counts per source next
+    * to the exact count. At 100 TB the sketch is the only shape whose
+    * shuffle volume is O(sources × 2^p) instead of O(distinct tokens);
+    * the exact column is the oracle-checkable twin. Spark's HLL++ is
+    * deterministic (fixed xxhash, order-independent register max), so
+    * the sf0.01 estimates pin as VALUES joined to the live exact
+    * replay — the hybrid of the q114 live oracle and the q85 pin. */
+  val q140 = QuerySpec.sql(
+    "q140_hll_distinct",
+    """WITH ex AS (
+      |  SELECT l_returnflag AS grp,
+      |         count(DISTINCT CAST(l_partkey AS BIGINT) * 100000 + l_suppkey) AS n_exact
+      |  FROM lineitem GROUP BY 1),
+      |ap AS (SELECT * FROM (VALUES
+      |  ('A', CAST(18572 AS BIGINT)),
+      |  ('N', CAST(18550 AS BIGINT)),
+      |  ('R', CAST(18809 AS BIGINT))) AS t(grp, n_approx))
+      |SELECT ex.grp, n_exact, n_approx FROM ex JOIN ap USING (grp)""",
+    "HLL++ sketch vs exact distinct keys per group (sketch tier)") { (s, d) =>
+    Tables.lineitem(s, d)
+      .select(col("l_returnflag").as("grp"),
+        (col("l_partkey").cast("long") * 100000L + col("l_suppkey")).as("key"))
+      .groupBy("grp")
+      .agg(countDistinct(col("key")).as("n_exact"),
+        approx_count_distinct(col("key"), 0.02).as("n_approx"))
+  }
+
   val all: Seq[QuerySpec] =
     Seq(q30, q31, q89, q32, q33, q34, q35, q36, q37, q38, q39, q40, q41, q42,
       q43, q77, q78, q83, q91, q92, q93, q97, q103, q112, q113, q114, q116,
-      q139)
+      q139, q140)
 }
