@@ -740,11 +740,15 @@ object GraphAnalytics {
       val r = removed.toSeq
       val et = canon.where(!col("a").isin(r: _*) && !col("b").isin(r: _*))
       val sym = et.select(col("a").as("v")).unionByName(et.select(col("b").as("v")))
-      val victim = verts.where(!col("v").isin(r: _*))
-        .join(sym.groupBy("v").agg(count(lit(1)).as("d")), Seq("v"), "left_outer")
-        .select(col("v"), coalesce(col("d"), lit(0L)).as("d"))
+      // a 0-degree vertex can only win the (deg desc, id asc) argmax
+      // when NO edges remain — skip the vertex join on the hot path
+      val top = sym.groupBy("v").agg(count(lit(1)).as("d"))
         .orderBy(col("d").desc, col("v").asc).limit(1)
-        .select(col("v")).as[Long].head()
+        .select(col("v")).as[Long].collect()
+      val victim =
+        if (top.nonEmpty) top(0)
+        else verts.where(!col("v").isin(r: _*))
+          .agg(min(col("v"))).as[Long].head()
       removed += victim
     }
     // Phase 2 — ONE GraphX CC over the layered union (q75's encoding
