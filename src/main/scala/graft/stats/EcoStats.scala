@@ -215,8 +215,11 @@ object EcoStats {
       seed: Long = 7L): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val spark = ab.sparkSession
+    // sample-level from here on: #samples rows by contract, so the
+    // tiny downstream stages run single-task (the data-scale work is
+    // the abundance agg above this call and the item self-join below)
     val samples = ab.groupBy(col(sampleCol).as("s"), col(groupCol).as("g"))
-      .agg(sum(col(valueCol).cast("long")).as("tot"))
+      .agg(sum(col(valueCol).cast("long")).as("tot")).coalesce(1)
     // shared-item Σmin per pair (a < b); pairs sharing nothing get 0
     val a = ab.select(col(sampleCol).as("sa"), col(itemCol).as("item"),
       col(valueCol).cast("long").as("va"))
@@ -224,6 +227,7 @@ object EcoStats {
       col(valueCol).cast("long").as("vb"))
     val minsum = a.join(b, Seq("item")).where(col("sa") < col("sb"))
       .groupBy("sa", "sb").agg(sum(least(col("va"), col("vb"))).as("m"))
+      .coalesce(1)
     val pairs = samples.select(col("s").as("sa"), col("tot").as("ta"))
       .crossJoin(broadcast(samples.select(col("s").as("sb"), col("tot").as("tb"))))
       .where(col("sa") < col("sb"))
@@ -289,14 +293,18 @@ object EcoStats {
       seed: Long = 11L): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val spark = ab.sparkSession
+    // sample-level from here on: #samples rows by contract, so the
+    // tiny downstream stages run single-task (the data-scale work is
+    // the abundance agg above this call and the item self-join below)
     val samples = ab.groupBy(col(sampleCol).as("s"), col(groupCol).as("g"))
-      .agg(sum(col(valueCol).cast("long")).as("tot"))
+      .agg(sum(col(valueCol).cast("long")).as("tot")).coalesce(1)
     val a = ab.select(col(sampleCol).as("sa"), col(itemCol).as("item"),
       col(valueCol).cast("long").as("va"))
     val b = ab.select(col(sampleCol).as("sb"), col(itemCol).as("item"),
       col(valueCol).cast("long").as("vb"))
     val minsum = a.join(b, Seq("item")).where(col("sa") < col("sb"))
       .groupBy("sa", "sb").agg(sum(least(col("va"), col("vb"))).as("m"))
+      .coalesce(1)
     val half = samples.select(col("s").as("sa"), col("tot").as("ta"))
       .crossJoin(broadcast(samples.select(col("s").as("sb"), col("tot").as("tb"))))
       .where(col("sa") < col("sb"))
