@@ -14,6 +14,20 @@ import org.apache.spark.sql.types._
 class CoverageOpsSpec extends SparkSpec {
   import spark.implicits._
 
+  test("HLL++ estimates are partition-independent (register max is commutative)") {
+    // the q140 pin is only sound if the sketch result cannot depend on
+    // how rows are distributed or ordered across tasks
+    val keys = (0 until 20000).map(i => (i % 3).toString -> (i.toLong * 2654435761L % 1000000))
+    val base = keys.toDF("grp", "key")
+    val a = base.repartition(3).groupBy("grp")
+      .agg(approx_count_distinct(col("key"), 0.02).as("n")).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val b = base.repartition(29, col("key")).groupBy("grp")
+      .agg(approx_count_distinct(col("key"), 0.02).as("n")).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(a == b, s"HLL estimate depends on partitioning: $a vs $b")
+  }
+
   test("power centrality: star center dominates; beta=0 reduces to degree") {
     val star = LocalGraph.fromEdges(Seq((0L, 1L, 1.0), (0L, 2L, 1.0), (0L, 3L, 1.0)))
     val p = star.powerCentrality(beta = 0.0)
