@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.{QuerySpec, Tables}
-import graft.operators.{Dedup, Similarity, TextOps}
+import graft.operators.{Dedup, Similarity, Sketches, TextOps}
 import org.apache.spark.sql.functions._
 
 /** LLM-data-pipeline operators over the `documents` and `embeddings`
@@ -648,8 +648,44 @@ object Corpus {
         approx_count_distinct(col("key"), 0.02).as("n_approx"))
   }
 
+  /** Sketch tier, frequency side: Count-Min point estimates next to
+    * the exact counts ([[graft.operators.Sketches]]). Unlike q140's
+    * pinned HLL registers, BOTH columns here replay live in the
+    * oracle — the md5 hash rows are engine-portable, so DuckDB
+    * rebuilds the identical 4×512 sketch and takes the same mins.
+    * The CM guarantee (n_cm ≥ n_exact, equality when a key's 4 cells
+    * are collision-free) is asserted per-key in SketchesSpec. */
+  val q141 = QuerySpec.sql(
+    "q141_countmin_freq",
+    s"""WITH keyed AS (SELECT CAST(l_partkey AS BIGINT) AS key FROM lineitem),
+      |hr AS (SELECT * FROM (VALUES (0),(1),(2),(3)) AS t(r)),
+      |cells AS (
+      |  SELECT r, ${Sketches.bucketSqlTwin(42, 512, "r", "key")} AS b,
+      |         count(*) AS cnt
+      |  FROM keyed CROSS JOIN hr GROUP BY 1, 2),
+      |qk AS (SELECT DISTINCT key FROM keyed WHERE key <= 20),
+      |est AS (
+      |  SELECT key, min(cnt) AS n_cm
+      |  FROM qk CROSS JOIN hr
+      |  JOIN cells ON cells.r = hr.r
+      |   AND cells.b = ${Sketches.bucketSqlTwin(42, 512, "hr.r", "key")}
+      |  GROUP BY key),
+      |ex AS (SELECT key, count(*) AS n_exact FROM keyed
+      |       WHERE key <= 20 GROUP BY 1)
+      |SELECT key, n_exact, n_cm FROM ex JOIN est USING (key)""".stripMargin,
+    "Count-Min frequency sketch vs exact counts (sketch tier)") { (s, d) =>
+    val keyed = Tables.lineitem(s, d)
+      .select(col("l_partkey").cast("long").as("key"))
+    val cells = Sketches.countMinCells(keyed, col("key"), d = 4, w = 512, seed = 42)
+    val qk = keyed.where(col("key") <= 20).distinct()
+    val est = Sketches.countMinEstimate(cells, qk, d = 4, w = 512, seed = 42)
+    keyed.where(col("key") <= 20)
+      .groupBy("key").agg(count(lit(1)).as("n_exact"))
+      .join(est, "key")
+  }
+
   val all: Seq[QuerySpec] =
     Seq(q30, q31, q89, q32, q33, q34, q35, q36, q37, q38, q39, q40, q41, q42,
       q43, q77, q78, q83, q91, q92, q93, q97, q103, q112, q113, q114, q116,
-      q139, q140)
+      q139, q140, q141)
 }
