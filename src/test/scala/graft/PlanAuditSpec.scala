@@ -99,4 +99,44 @@ class PlanAuditSpec extends SparkSpec {
         s"$q plans a non-broadcast cartesian:\n" + p.take(2000))
     }
   }
+
+  test("dynamic partition pruning: a dim filter prunes fact partitions") {
+    // the 100 TB layout contract: facts partitioned on the join key
+    // (PropertyGraph.save partitions edges by relType the same way)
+    // must let Catalyst skip whole partitions from a dimension filter
+    // at RUNTIME — reading all partitions and filtering after the
+    // join would scan the full corpus for a one-nation query.
+    import org.apache.spark.sql.functions.col
+    val s = spark.newSession()
+    Tables.customer(s, sf).write.mode("overwrite")
+      .partitionBy("c_nationkey").format("parquet")
+      .saveAsTable("cust_by_nation")
+    val dim = Tables.nation(s, sf).where(col("n_name") === "NATION_3")
+    val j = s.table("cust_by_nation")
+      .join(dim, col("c_nationkey") === col("n_nationkey"))
+    val p = j.queryExecution.executedPlan.toString()
+    assert(p.toLowerCase.contains("dynamicpruning"),
+      "no dynamic partition pruning on the partitioned fact scan:\n" + p.take(2000))
+    assert(j.count() > 0)
+  }
+
+  test("runtime bloom filter: a selective dim prunes the fact shuffle") {
+    // when the dim is too big to broadcast, a runtime bloom filter
+    // built from the filtered dim keys must reach the fact side
+    // BEFORE its shuffle — at 100 TB this is the difference between
+    // shuffling the whole fact table and shuffling the matching slice.
+    import org.apache.spark.sql.functions.col
+    val s = spark.newSession()
+    s.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    s.conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
+    s.conf.set("spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold", "0")
+    val ord = Tables.orders(s, sf).where(col("o_orderstatus") === "P")
+    val j = Tables.lineitem(s, sf)
+      .join(ord, col("l_orderkey") === col("o_orderkey"))
+      .groupBy("o_orderstatus").count()
+    val p = j.queryExecution.optimizedPlan.toString()
+    assert(p.contains("might_contain"),
+      "no runtime bloom filter injected on the fact side:\n" + p.take(2000))
+    assert(j.count() == 1)
+  }
 }
