@@ -181,6 +181,24 @@ object EventQueries {
         count(lit(1)).as("n"))
   }
 
+  /** Runs a REAL stream-static broadcast enrichment join (unbounded
+    * events × bounded customer dim — stateless, no state store) to
+    * completion, then aggregates per segment; oracle = the equivalent
+    * relational join+agg, proving the streaming enrichment computes
+    * the batch answer. */
+  val q142 = QuerySpec.sql(
+    "q142_stream_enrich",
+    """SELECT c_mktsegment, count(*) AS n_events,
+      |       sum(CAST(round(value * 100, 0) AS BIGINT)) / 100.0 AS sum_value
+      |FROM events JOIN customer ON user_id = c_custkey
+      |GROUP BY 1""",
+    "stream-static broadcast enrichment == batch join oracle") { (s, d) =>
+    StreamOps.enrichStream(s, d)
+      .groupBy("c_mktsegment")
+      .agg(count(lit(1)).as("n_events"),
+        (sum(round(col("value") * 100, 0).cast("long")) / 100.0).as("sum_value"))
+  }
+
   val all: Seq[QuerySpec] =
-    Seq(q60, q61, q62, q88, q105, q106, q108, q124, q127)
+    Seq(q60, q61, q62, q88, q105, q106, q108, q124, q127, q142)
 }

@@ -115,6 +115,30 @@ object StreamOps {
     spark.table(name)
   }
 
+  /** STREAM-STATIC enrichment join: the unbounded event stream joined
+    * to a bounded dimension (here: events → customer segment). The
+    * canonical ingestion-enrichment shape, and the cheapest join in
+    * the streaming engine: STATELESS — no watermark, no state store,
+    * nothing to evict. The static side is broadcast and re-resolved
+    * per micro-batch, so at 100 TB/day the stream side never
+    * shuffles; cost per batch = batch rows × broadcast probe. Driven
+    * to completion over bounded input via a memory sink. */
+  def enrichStream(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val schema = spark.read.parquet(s"$dir/events.parquet").schema
+    val stream = spark.readStream.schema(schema)
+      .option("pathGlobFilter", "events.parquet").parquet(dir)
+    val dim = broadcast(spark.read.parquet(s"$dir/customer.parquet")
+      .select(col("c_custkey"), col("c_mktsegment")))
+    val joined = stream.join(dim, col("user_id") === col("c_custkey"))
+      .select(col("event_id"), col("user_id"), col("c_mktsegment"), col("value"))
+    val name = s"enrich_${System.identityHashCode(schema)}"
+    val q = joined.writeStream.outputMode(OutputMode.Append())
+      .format("memory").queryName(name).start()
+    try q.processAllAvailable() finally q.stop()
+    spark.table(name)
+  }
+
   /** Streaming exact dedup: emit the first arrival per key, dropping
     * repeats that arrive within the watermark horizon — the streaming
     * twin of Dedup.exactDuplicates for continuous corpus ingestion.

@@ -45,6 +45,30 @@ class StreamOpsSpec extends SparkSpec {
     assert(streamed == batch)
   }
 
+  test("stream-static enrichment equals the batch join and plans stateless") {
+    val streamed = StreamOps.enrichStream(spark, sf)
+    val got = streamed.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getDouble(3))).toSet
+    val want = Tables.events(spark, sf)
+      .join(Tables.customer(spark, sf), col("user_id") === col("c_custkey"))
+      .select(col("event_id"), col("user_id"), col("c_mktsegment"), col("value"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getDouble(3))).toSet
+    assert(want.nonEmpty)
+    assert(got == want)
+    // the micro-batch compiles this same plan shape: dim broadcast,
+    // stream side un-shuffled — assert it on the batch twin
+    val twin = Tables.events(spark, sf)
+      .join(broadcast(Tables.customer(spark, sf)
+        .select(col("c_custkey"), col("c_mktsegment"))),
+        col("user_id") === col("c_custkey"))
+      .select(col("event_id"), col("c_mktsegment"))
+    val plan = twin.queryExecution.executedPlan.toString()
+    assert(plan.contains("BroadcastHashJoin"), plan.take(1500))
+    assert(!plan.contains("Exchange hashpartitioning"),
+      "enrichment must not shuffle the stream side:\n" + plan.take(1500))
+  }
+
   test("session boundaries: events exactly at the gap stay in one session") {
     val t0 = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
     def ts(min: Int) = new java.sql.Timestamp(t0.getTime + min * 60000L)
