@@ -54,4 +54,29 @@ class SkewDedupSpec extends SparkSpec {
     assert(clusters(1L) == 1L && clusters(2L) == 1L && clusters(3L) == 1L)
     assert(clusters(4L) == 4L)
   }
+
+  test("AQE splits a skewed shuffle join at runtime (the no-salt path)") {
+    // manual salting (saltedSum/saltedJoin) is the deliberate fix for
+    // KNOWN hot keys; for unanticipated skew the engine's own runtime
+    // re-plan must kick in. This pins that posture: a 99%-one-key join
+    // replans as SortMergeJoin(skew=true) with the hot partition split
+    // across tasks — no code change, no salt. Thresholds are lowered
+    // only to make toy-scale partitions eligible; the rule is the
+    // same one that fires at the default 256 MB thresholds at scale.
+    val s = spark.newSession()
+    s.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    s.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "2")
+    s.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "32KB")
+    s.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "16KB")
+    s.conf.set("spark.sql.adaptive.coalescePartitions.minPartitionSize", "4KB")
+    val skewed = s.range(200000).select(
+      when(col("id") % 100 =!= 0, lit(7L)).otherwise(col("id")).as("k"),
+      col("id").as("payload"))
+    val dim = s.range(1000).select(col("id").as("k"), (col("id") * 2).as("v"))
+    val j = skewed.join(dim, "k")
+    assert(j.collect().length == 198010) // executes THIS queryExecution
+    val p = j.queryExecution.executedPlan.toString()
+    assert(p.contains("skew=true"),
+      "AQE did not split the skewed join:\n" + p.take(2000))
+  }
 }
