@@ -96,6 +96,22 @@ class SimilaritySpec extends SparkSpec {
     assert(run(emb) == run(emb.repartition(13)))
   }
 
+  test("ivfTopK recall@10 vs brute-force stays high at partial probe") {
+    // measured 1.000 on the fixture at nProbe=2..4 of 8; the 0.95
+    // floor pins centroid assignment + bucket routing — a routing bug
+    // (probing the wrong inverted lists) craters recall long before
+    // it breaks the never-beats-exact ordering law above
+    val emb = Tables.embeddings(spark, sf).cache()
+    val q = emb.filter(col("vec_id") < 50)
+    val ivf = Similarity.ivfTopK(q, emb, "vec_id", "embedding",
+        nCentroids = 8, nProbe = 2, k = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val bf = Similarity.bruteForceTopK(q, emb, "vec_id", "embedding", 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = ivf.intersect(bf).size.toDouble / bf.size
+    assert(recall >= 0.95, f"IVF recall@10 degraded: $recall%.3f")
+  }
+
   test("lshTopK neighbors are a subset of brute-force candidates in quality") {
     val emb = Tables.embeddings(spark, sf).cache()
     val bf = Similarity.bruteForceTopK(emb, emb, "vec_id", "embedding", 1)
