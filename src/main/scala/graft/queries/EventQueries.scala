@@ -199,6 +199,25 @@ object EventQueries {
         (sum(round(col("value") * 100, 0).cast("long")) / 100.0).as("sum_value"))
   }
 
+  /** Runs the checkpointed parquet FILE-sink ingestion (the
+    * production landing path — exactly-once via source-offset WAL +
+    * sink metadata log) to completion, re-reads what landed, and
+    * aggregates it; oracle = the same aggregate over the original
+    * events, proving the landed files carry exactly the input rows. */
+  val q143 = QuerySpec.sql(
+    "q143_stream_file_sink",
+    """SELECT event_type, count(*) AS n_events,
+      |       sum(CAST(round(value * 100, 0) AS BIGINT)) / 100.0 AS sum_value
+      |FROM events GROUP BY 1""",
+    "checkpointed file-sink ingestion lands exactly the input") { (s, d) =>
+    val tmp = java.nio.file.Files.createTempDirectory("graft-q143")
+    StreamOps.runIngestToParquet(s, d, s"$tmp/out", s"$tmp/ckpt")
+    s.read.parquet(s"$tmp/out")
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n_events"),
+        (sum(round(col("value") * 100, 0).cast("long")) / 100.0).as("sum_value"))
+  }
+
   val all: Seq[QuerySpec] =
-    Seq(q60, q61, q62, q88, q105, q106, q108, q124, q127, q142)
+    Seq(q60, q61, q62, q88, q105, q106, q108, q124, q127, q142, q143)
 }

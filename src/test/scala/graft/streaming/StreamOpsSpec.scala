@@ -69,6 +69,24 @@ class StreamOpsSpec extends SparkSpec {
       "enrichment must not shuffle the stream side:\n" + plan.take(1500))
   }
 
+  test("checkpointed file-sink ingestion is exactly-once across restarts") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft-ingest")
+    val out = s"$tmp/out"; val ckpt = s"$tmp/ckpt"
+    val first = StreamOps.runIngestToParquet(spark, sf, out, ckpt)
+    val expected = Tables.events(spark, sf).count()
+    assert(first == expected, s"first run landed $first of $expected rows")
+    // restart over the same input: offsets are committed, so the run
+    // drains nothing and the sink log shows no new files
+    val second = StreamOps.runIngestToParquet(spark, sf, out, ckpt)
+    assert(second == 0, s"restart re-emitted $second rows — not exactly-once")
+    // landed data parity (same rows, not just same count)
+    val got = spark.read.parquet(out).select("event_id").collect()
+      .map(_.getLong(0)).sorted.toSeq
+    val want = Tables.events(spark, sf).select("event_id").collect()
+      .map(_.getLong(0)).sorted.toSeq
+    assert(got == want)
+  }
+
   test("session boundaries: events exactly at the gap stay in one session") {
     val t0 = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
     def ts(min: Int) = new java.sql.Timestamp(t0.getTime + min * 60000L)
