@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.{QuerySpec, Tables}
-import graft.operators.{Dedup, Similarity, Sketches, TextOps}
+import graft.operators.{Dedup, Sampling, Similarity, Sketches, TextOps}
 import org.apache.spark.sql.functions._
 
 /** LLM-data-pipeline operators over the `documents` and `embeddings`
@@ -684,8 +684,55 @@ object Corpus {
       .join(est, "key")
   }
 
+  /** Leakage-safe train/heldout split: the assignment unit is the
+    * NEAR-DUP CLUSTER, not the document — a doc-level split lets a
+    * near-duplicate of an eval doc land in train (memorization leaks
+    * straight into the benchmark). Composition of two oracled stages:
+    * q103's exact-edge clustering, then the md5-portable sampler on
+    * the cluster REPRESENTATIVE, so membership is a pure function of
+    * the cluster and no cluster can span splits (asserted per-pair in
+    * DedupSpec). Scale: clustering is the q103 plan; the split adds
+    * one codegen projection + one 2-row aggregate. */
+  val q144 = QuerySpec.sql(
+    "q144_leakage_safe_split",
+    """WITH RECURSIVE tok AS (
+      |  SELECT doc_id, source AS blk,
+      |         unnest(list_distinct(regexp_extract_all(lower(text), '(\S+)', 1))) AS tok
+      |  FROM documents),
+      |sizes AS (SELECT doc_id, count(*) AS n FROM tok GROUP BY doc_id),
+      |inter AS (
+      |  SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS n_inter
+      |  FROM tok a JOIN tok b ON a.tok = b.tok AND a.blk = b.blk AND a.doc_id < b.doc_id
+      |  GROUP BY 1, 2),
+      |pairs AS (
+      |  SELECT d1, d2 FROM inter
+      |  JOIN sizes s1 ON s1.doc_id = d1
+      |  JOIN sizes s2 ON s2.doc_id = d2
+      |  WHERE n_inter * 1.0 / (s1.n + s2.n - n_inter) >= 0.8),
+      |sym AS (SELECT d1 AS a, d2 AS b FROM pairs UNION ALL SELECT d2, d1 FROM pairs),
+      |r AS (
+      |  SELECT doc_id AS node, doc_id AS reach FROM documents
+      |  UNION
+      |  SELECT r.node, s.b AS reach FROM r JOIN sym s ON s.a = r.reach),
+      |cl AS (SELECT node AS doc_id, min(reach) AS cluster_rep FROM r GROUP BY node)
+      |SELECT CASE WHEN ('0x' || substr(md5('7|' || CAST(cluster_rep AS VARCHAR)), 1, 8))::BIGINT
+      |            < 3435973836 THEN 'train' ELSE 'heldout' END AS split,
+      |       count(*) AS n_docs, count(DISTINCT cluster_rep) AS n_clusters
+      |FROM cl GROUP BY 1""",
+    "cluster-level leakage-safe corpus split (training-data pipeline)") { (s, d) =>
+    val pairs = jacPairs05(s, d).where(col("jaccard") >= 0.8).select("d1", "d2")
+    val clusters = Dedup.clusterDuplicates(pairs, Tables.documents(s, d).select("doc_id"))
+    clusters
+      .select(col("cluster_rep"),
+        when(Sampling.md5Bits32(7, col("cluster_rep")) < 3435973836L, "train")
+          .otherwise("heldout").as("split"))
+      .groupBy("split")
+      .agg(count(lit(1)).as("n_docs"),
+        countDistinct(col("cluster_rep")).as("n_clusters"))
+  }
+
   val all: Seq[QuerySpec] =
     Seq(q30, q31, q89, q32, q33, q34, q35, q36, q37, q38, q39, q40, q41, q42,
       q43, q77, q78, q83, q91, q92, q93, q97, q103, q112, q113, q114, q116,
-      q139, q140, q141)
+      q139, q140, q141, q144)
 }

@@ -121,6 +121,31 @@ class DedupSpec extends SparkSpec {
     assert(!out.contains((1L, 4L))) // different block
   }
 
+  test("cluster-level split never separates near-duplicates (q144's law)") {
+    val real = graft.Tables.documents(spark, sf)
+    val pairs = Dedup.jaccardPairs(real, "doc_id", "text", "source", 0.8)
+      .select("d1", "d2").cache()
+    assert(pairs.count() > 0, "fixture has no near-dup pairs at 0.8")
+    val clusters = Dedup.clusterDuplicates(pairs, real.select("doc_id"))
+    val split = clusters.select(col("doc_id"),
+      when(Sampling.md5Bits32(7, col("cluster_rep")) < 3435973836L, "train")
+        .otherwise("heldout").as("split"))
+    // every near-dup pair lands whole on one side
+    val leaked = pairs
+      .join(split.withColumnRenamed("doc_id", "d1")
+        .withColumnRenamed("split", "s1"), "d1")
+      .join(split.withColumnRenamed("doc_id", "d2")
+        .withColumnRenamed("split", "s2"), "d2")
+      .where(col("s1") =!= col("s2")).count()
+    assert(leaked == 0, s"$leaked near-dup pairs straddle the split")
+    // and the invariant is non-vacuous: a DOC-level split of the same
+    // rate DOES separate at least one near-dup pair on this fixture
+    val docLeaked = pairs
+      .where((Sampling.md5Bits32(7, col("d1")) < 3435973836L) =!=
+        (Sampling.md5Bits32(7, col("d2")) < 3435973836L)).count()
+    assert(docLeaked > 0, "fixture cannot demonstrate doc-level leakage")
+  }
+
   test("jaccardPairsPrefix returns bit-identical results to the naive join") {
     // wide-vocab corpus with shared stop words (the naive join's blowup
     // case) plus planted near-dup families, across two blocks
