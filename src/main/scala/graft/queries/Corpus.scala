@@ -25,8 +25,10 @@ object Corpus {
   /** Materialize the memoized corpus intermediates whose first
     * consumer would otherwise be billed for the build (called from
     * [[graft.SparkEntry.warmCaches]]). */
-  def warmShared(s: org.apache.spark.sql.SparkSession, d: String): Unit =
-    tok2(s, d).count(): Unit
+  def warmShared(s: org.apache.spark.sql.SparkSession, d: String): Unit = {
+    tok2(s, d).count()
+    clusters08(s, d).count(): Unit
+  }
 
   /** The unigram (doc_id, blk=source, tok) table — memoized: q35's
     * prefix-filter plan reads it for document frequencies, prefixes,
@@ -61,6 +63,17 @@ object Corpus {
   private def jacPairs05(s: org.apache.spark.sql.SparkSession, d: String) =
     graft.Memo.df(s, "jaccardPairs.0.5", d) {
       Dedup.jaccardPairsTokens(tokBlk1(s, d), 0.5)
+    }
+
+  /** The 0.8-edge dedup cluster map — memoized: q103 gates the
+    * clustering stage itself, q144 derives the leakage-safe split
+    * from the same table ([[warmShared]] materializes it so neither
+    * query is billed the other's GraphX CC build). */
+  private def clusters08(s: org.apache.spark.sql.SparkSession, d: String) =
+    graft.Memo.df(s, "clusters.0.8", d) {
+      Dedup.clusterDuplicates(
+        jacPairs05(s, d).where(col("jaccard") >= 0.8).select("d1", "d2"),
+        Tables.documents(s, d).select("doc_id"))
     }
 
   /** Corpus stats per language — exact integer aggregates. */
@@ -492,8 +505,7 @@ object Corpus {
     "exact-edge dedup clustering, GraphX CC vs recursive-CTE oracle (M14)") { (s, d) =>
     // the 0.8 edge set is a filter of the memoized 0.5 pair table —
     // the quadratic-in-block token join is paid once, shared with q35
-    val pairs = jacPairs05(s, d).where(col("jaccard") >= 0.8).select("d1", "d2")
-    Dedup.clusterDuplicates(pairs, Tables.documents(s, d).select("doc_id"))
+    clusters08(s, d)
   }
 
   /** Beyond-reference — PII scrub before training: emails and long
@@ -720,9 +732,7 @@ object Corpus {
       |       count(*) AS n_docs, count(DISTINCT cluster_rep) AS n_clusters
       |FROM cl GROUP BY 1""",
     "cluster-level leakage-safe corpus split (training-data pipeline)") { (s, d) =>
-    val pairs = jacPairs05(s, d).where(col("jaccard") >= 0.8).select("d1", "d2")
-    val clusters = Dedup.clusterDuplicates(pairs, Tables.documents(s, d).select("doc_id"))
-    clusters
+    clusters08(s, d)
       .select(col("cluster_rep"),
         when(Sampling.md5Bits32(7, col("cluster_rep")) < 3435973836L, "train")
           .otherwise("heldout").as("split"))
