@@ -218,6 +218,20 @@ object EventQueries {
         (sum(round(col("value") * 100, 0).cast("long")) / 100.0).as("sum_value"))
   }
 
+  /** Count-Min cells maintained by the streaming engine (Complete-
+    * mode agg, state = the d·w cells); oracle rebuilds the identical
+    * sketch relationally via the md5-slice twin — stream, batch, and
+    * external engine all agree cell-for-cell. */
+  val q145 = QuerySpec.sql(
+    "q145_stream_sketch",
+    s"""WITH hr AS (SELECT * FROM (VALUES (0),(1),(2),(3)) AS t(r))
+      |SELECT r, ${graft.operators.Sketches.bucketSqlTwin(42, 64, "r", "user_id")} AS b,
+      |       count(*) AS cnt
+      |FROM events CROSS JOIN hr GROUP BY 1, 2""".stripMargin,
+    "streaming-maintained Count-Min sketch == relational rebuild") { (s, d) =>
+    StreamOps.runSketchStream(s, d, 4, 64, seed = 42)
+  }
+
   val all: Seq[QuerySpec] =
-    Seq(q60, q61, q62, q88, q105, q106, q108, q124, q127, q142, q143)
+    Seq(q60, q61, q62, q88, q105, q106, q108, q124, q127, q142, q143, q145)
 }

@@ -145,6 +145,32 @@ object StreamOps {
     landed() - before
   }
 
+  /** Count-Min sketch MAINTAINED BY THE STREAMING ENGINE: the cell
+    * table is a streaming aggregation in Complete mode, so state is
+    * exactly the d·w cells — constant, never watermark-dependent —
+    * and every micro-batch folds its rows in via partial aggregation.
+    * This is the live approximate-analytics shape (top-talker /
+    * hot-key monitoring on an unbounded stream with O(d·w) memory).
+    * Driven to completion over bounded input; the cells then equal
+    * the batch build ([[graft.operators.Sketches.countMinCells]]) and
+    * replay exactly in an external engine via the md5-slice twin. */
+  def runSketchStream(spark: SparkSession, dir: String, d: Int, w: Int,
+      seed: Long): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val schema = spark.read.parquet(s"$dir/events.parquet").schema
+    val stream = spark.readStream.schema(schema)
+      .option("pathGlobFilter", "events.parquet").parquet(dir)
+    val cells = graft.operators.Sketches.countMinCells(
+      stream.select(col("user_id")), col("user_id"), d, w, seed)
+    val name = s"sketch_${System.identityHashCode(schema)}"
+    withStatePartitions(spark, 8) {
+      val q = cells.writeStream.outputMode(OutputMode.Complete())
+        .format("memory").queryName(name).start()
+      try q.processAllAvailable() finally q.stop()
+    }
+    spark.table(name)
+  }
+
   /** STREAM-STATIC enrichment join: the unbounded event stream joined
     * to a bounded dimension (here: events → customer segment). The
     * canonical ingestion-enrichment shape, and the cheapest join in

@@ -69,6 +69,17 @@ class StreamOpsSpec extends SparkSpec {
       "enrichment must not shuffle the stream side:\n" + plan.take(1500))
   }
 
+  test("streaming-maintained Count-Min cells equal the batch build") {
+    val streamed = StreamOps.runSketchStream(spark, sf, 4, 64, seed = 42)
+      .collect().map(r => (r.getInt(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val batch = graft.operators.Sketches.countMinCells(
+        Tables.events(spark, sf).select(col("user_id")), col("user_id"),
+        d = 4, w = 64, seed = 42)
+      .collect().map(r => (r.getInt(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(batch.nonEmpty)
+    assert(streamed == batch)
+  }
+
   test("checkpointed file-sink ingestion is exactly-once across restarts") {
     val tmp = java.nio.file.Files.createTempDirectory("graft-ingest")
     val out = s"$tmp/out"; val ckpt = s"$tmp/ckpt"
