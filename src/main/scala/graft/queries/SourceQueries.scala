@@ -1,6 +1,6 @@
 package graft.queries
 
-import graft.QuerySpec
+import graft.{QuerySpec, Tables}
 import graft.sources.BioSources
 import org.apache.spark.sql.functions._
 
@@ -291,6 +291,30 @@ object SourceQueries {
       .select(col("id"), col("length").as("len"))
   }
 
+  /** Z-order-clustered parquet sink round-trip: the layout writer
+    * ([[graft.sources.Tabular.writeClusteredParquet]]) must be a pure
+    * permutation — every value survives the range exchange + local
+    * sort + file split byte-for-byte. The per-file z-range
+    * disjointness (what the layout BUYS) is pinned in LayoutSpec;
+    * this gate pins fidelity against the original table's oracle. */
+  val q146 = QuerySpec.sql(
+    "q146_clustered_roundtrip",
+    """SELECT l_returnflag,
+      |       count(*) AS n,
+      |       CAST(sum(CAST(l_partkey AS BIGINT) * 7 + l_suppkey) AS BIGINT) AS keysum,
+      |       CAST(sum(CAST(round(l_extendedprice * 100, 0) AS BIGINT)) AS BIGINT) AS price_cents
+      |FROM lineitem GROUP BY 1""",
+    "clustered layout write → re-scan fidelity (beyond-reference)") { (s, d) =>
+    val li = Tables.lineitem(s, d)
+    val out = java.nio.file.Files.createTempDirectory("graft-q146").toString + "/li"
+    graft.sources.Tabular.writeClusteredParquet(li, out,
+      Seq("l_partkey", "l_suppkey"), nFiles = 8)
+    s.read.parquet(out).groupBy("l_returnflag")
+      .agg(count(lit(1)).as("n"),
+        sum(col("l_partkey").cast("long") * 7 + col("l_suppkey")).as("keysum"),
+        sum(graft.functions.ExactNum.scaled(col("l_extendedprice"), 100)).as("price_cents"))
+  }
+
   val all: Seq[QuerySpec] =
-    Seq(q44, q45, q46, q47, q48, q49, q79, q80, q121, q131)
+    Seq(q44, q45, q46, q47, q48, q49, q79, q80, q121, q131, q146)
 }

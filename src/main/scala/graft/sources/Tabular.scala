@@ -33,6 +33,28 @@ object Tabular {
     df.sparkSession.read.parquet(path)
   }
 
+  /** Z-order-clustered parquet sink (beyond-reference, the write-side
+    * layout op behind q139's key): range-partition on the Morton key
+    * so each output task owns a contiguous z-range, sort within, and
+    * cap file size. Result: every FILE covers a disjoint key range on
+    * every clustered dimension at once, so parquet min-max stats turn
+    * point/range predicates on ANY dim into file/row-group skips —
+    * the read-amplification lever for a 100 TB corpus (the writer
+    * pays one range exchange + local sort; reads prune forever).
+    * The z-key is a sort expression only — the written schema is
+    * unchanged. */
+  def writeClusteredParquet(df: DataFrame, path: String, zDims: Seq[String],
+      bits: Int = 21, nFiles: Int = 0, maxRecordsPerFile: Long = 0L): Unit = {
+    import org.apache.spark.sql.functions.col
+    val zkey = graft.functions.ZOrderKey(bits, zDims.map(c => col(c).cast("long")): _*)
+    val parts = if (nFiles > 0) nFiles
+      else df.sparkSession.sparkContext.defaultParallelism
+    val w = df.repartitionByRange(parts, zkey).sortWithinPartitions(zkey)
+      .write.mode("overwrite")
+    (if (maxRecordsPerFile > 0L)
+      w.option("maxRecordsPerFile", maxRecordsPerFile) else w).parquet(path)
+  }
+
   /** JSONL scan with declared schema (beyond-reference: the de-facto
     * training-data interchange format). Schema declared, not
     * inferred — inference is a full extra pass at corpus scale. */
