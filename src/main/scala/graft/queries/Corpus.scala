@@ -741,8 +741,59 @@ object Corpus {
         countDistinct(col("cluster_rep")).as("n_clusters"))
   }
 
+  /** Per-source duplication profile: how internally near-duplicated
+    * each source is — n_pairs, docs touched by ≥1 near-dup, and the
+    * dup-rate that deflates the source's EFFECTIVE size. This is the
+    * diagnostic a data-mixture owner reads before weighting sources:
+    * a 2×-duplicated source contributes half the unique text its row
+    * count claims. Pairs come from the blocked exact-Jaccard table
+    * (within-source by the blocking contract, so each pair has ONE
+    * source); joins against the (doc_id, source) projection are
+    * broadcast, no new quadratic stage. */
+  val q147 = QuerySpec.sql(
+    "q147_source_dup_profile",
+    """WITH tok AS (
+      |  SELECT doc_id, source AS blk,
+      |         unnest(list_distinct(regexp_extract_all(lower(text), '(\S+)', 1))) AS tok
+      |  FROM documents),
+      |sizes AS (SELECT doc_id, count(*) AS n FROM tok GROUP BY doc_id),
+      |inter AS (
+      |  SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS n_inter
+      |  FROM tok a JOIN tok b ON a.tok = b.tok AND a.blk = b.blk AND a.doc_id < b.doc_id
+      |  GROUP BY 1, 2),
+      |pairs AS (
+      |  SELECT d1, d2 FROM inter
+      |  JOIN sizes s1 ON s1.doc_id = d1
+      |  JOIN sizes s2 ON s2.doc_id = d2
+      |  WHERE n_inter * 1.0 / (s1.n + s2.n - n_inter) >= 0.8),
+      |ann AS (SELECT d1, d2, da.source AS source
+      |        FROM pairs JOIN documents da ON da.doc_id = d1),
+      |dup AS (SELECT DISTINCT source, doc_id FROM (
+      |          SELECT source, d1 AS doc_id FROM ann
+      |          UNION ALL SELECT source, d2 FROM ann)),
+      |np AS (SELECT source, count(*) AS n_pairs FROM ann GROUP BY 1),
+      |nd AS (SELECT source, count(*) AS n_dup_docs FROM dup GROUP BY 1),
+      |tot AS (SELECT source, count(*) AS n_docs FROM documents GROUP BY 1)
+      |SELECT tot.source, n_pairs, n_dup_docs, n_docs,
+      |       n_dup_docs * 1.0 / n_docs AS dup_rate
+      |FROM tot JOIN np USING (source) JOIN nd USING (source)""",
+    "per-source near-dup profile, effective-size deflation (training-data pipeline)") { (s, d) =>
+    val src = Tables.documents(s, d).select(col("doc_id"), col("source"))
+    val ann = jacPairs05(s, d).where(col("jaccard") >= 0.8).select("d1", "d2")
+      .join(broadcast(src.withColumnRenamed("doc_id", "d1")), "d1")
+    val np = ann.groupBy("source").agg(count(lit(1)).as("n_pairs"))
+    val nd = ann.select(col("source"), col("d1").as("doc_id"))
+      .unionAll(ann.select(col("source"), col("d2").as("doc_id")))
+      .distinct()
+      .groupBy("source").agg(count(lit(1)).as("n_dup_docs"))
+    val tot = src.groupBy("source").agg(count(lit(1)).as("n_docs"))
+    tot.join(np, "source").join(nd, "source")
+      .select(col("source"), col("n_pairs"), col("n_dup_docs"), col("n_docs"),
+        (col("n_dup_docs") * lit(1.0) / col("n_docs")).as("dup_rate"))
+  }
+
   val all: Seq[QuerySpec] =
     Seq(q30, q31, q89, q32, q33, q34, q35, q36, q37, q38, q39, q40, q41, q42,
       q43, q77, q78, q83, q91, q92, q93, q97, q103, q112, q113, q114, q116,
-      q139, q140, q141, q144)
+      q139, q140, q141, q144, q147)
 }
