@@ -792,8 +792,48 @@ object Corpus {
         (col("n_dup_docs") * lit(1.0) / col("n_docs")).as("dup_rate"))
   }
 
+  /** Exact duplicated-passage detection (substring-level dedup, the
+    * Lee-et-al. "deduplicating training data" modality): a doc's
+    * 8-token windows that appear verbatim in ANY other doc, reported
+    * as a per-doc contamination ratio. Distinct from q32 (whole-doc
+    * exact), q35/q103 (set-similarity near-dup) and q93 (overlap vs an
+    * external eval set): this finds boilerplate/quotation passages
+    * shared across otherwise-different documents — the signal behind
+    * span-level dedup decisions. Scale: windows are hashed to md5
+    * before the shuffle so the exchange carries 32-char keys, not
+    * 8-word strings; the passage-frequency aggregate and the join
+    * back both hash-partition on that key, so the exploded window
+    * table is exchanged ONCE and reused (ReuseExchange — the two
+    * consumers are identical subplans); no pairwise comparison
+    * anywhere, cost is linear in total window count. */
+  val q148 = QuerySpec.sql(
+    "q148_passage_dedup",
+    """WITH toks AS (
+      |  SELECT doc_id, regexp_extract_all(lower(text), '\S+') AS l FROM documents),
+      |g AS (
+      |  SELECT DISTINCT doc_id, md5(array_to_string(l[i:i+7], '_')) AS h
+      |  FROM toks, unnest(generate_series(1, greatest(len(l) - 7, least(len(l), 1)))) AS u(i)),
+      |c AS (SELECT h, count(*) AS ndocs FROM g GROUP BY h)
+      |SELECT g.doc_id,
+      |       count(*) AS n_passages,
+      |       count(CASE WHEN c.ndocs >= 2 THEN 1 END) AS n_dup_passages,
+      |       count(CASE WHEN c.ndocs >= 2 THEN 1 END) * 1.0 / count(*) AS dup_ratio
+      |FROM g JOIN c USING (h)
+      |GROUP BY g.doc_id""",
+    "exact duplicated-passage detection, span-level dedup signal (training-data pipeline)") { (s, d) =>
+    val g = Dedup.shingleTokens(Tables.documents(s, d), "doc_id", "text",
+      shingleK = 8).select(col("doc_id"), md5(col("tok")).as("h"))
+    val c = g.groupBy("h").agg(count(lit(1)).as("ndocs"))
+    g.join(c, "h")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_passages"),
+        count(when(col("ndocs") >= 2, lit(1))).as("n_dup_passages"))
+      .select(col("doc_id"), col("n_passages"), col("n_dup_passages"),
+        (col("n_dup_passages") * lit(1.0) / col("n_passages")).as("dup_ratio"))
+  }
+
   val all: Seq[QuerySpec] =
     Seq(q30, q31, q89, q32, q33, q34, q35, q36, q37, q38, q39, q40, q41, q42,
       q43, q77, q78, q83, q91, q92, q93, q97, q103, q112, q113, q114, q116,
-      q139, q140, q141, q144, q147)
+      q139, q140, q141, q144, q147, q148)
 }

@@ -111,6 +111,22 @@ class DedupSpec extends SparkSpec {
     assert(pairs.contains((1L, 2L)))
   }
 
+  test("passage dedup flags exactly the verbatim cross-doc 8-token windows (q148's law)") {
+    // the q148 composition on the fixture: the exact-dup pair (1,2)
+    // shares EVERY window; the near-dup pair (1,3) differs at a token
+    // inside every 8-window, so substring-level dedup correctly sees
+    // no shared passage where set-similarity sees jaccard 7/9
+    val g = Dedup.shingleTokens(docs, "doc_id", "text", shingleK = 8)
+      .select(col("doc_id"), md5(col("tok")).as("h"))
+    val c = g.groupBy("h").agg(count(lit(1)).as("ndocs"))
+    val res = g.join(c, "h").groupBy("doc_id")
+      .agg(count(lit(1)).as("n_passages"),
+        count(when(col("ndocs") >= 2, lit(1))).as("n_dup_passages"))
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(res(1L) == ((2L, 2L)) && res(2L) == ((2L, 2L))) // 9 toks → 2 windows, all shared
+    assert(res(3L)._2 == 0L && res(4L)._2 == 0L && res(5L)._2 == 0L && res(6L)._2 == 0L)
+  }
+
   test("jaccardPairs computes exact set jaccard within blocks only") {
     val out = Dedup.jaccardPairs(docs, "doc_id", "text", "source", 0.0)
       .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
