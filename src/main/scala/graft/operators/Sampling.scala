@@ -45,7 +45,10 @@ object Sampling {
     val key = cols.foldLeft(lit(seed.toString)) { (acc, c) =>
       concat(acc, lit("|"), c.cast("string"))
     }
-    conv(substring(md5(key), 1, 8), 16, 10).cast("long")
+    // native hex parse (graft.functions.HexSlice32) — value-identical
+    // to conv(substring(md5,1,8),16,10) but codegen'd; conv's
+    // interpreted radix converter dominated every md5-portable scan
+    graft.functions.HexSlice32(md5(key), lit(0))
   }
 
   /** R2/R5, portable form: same stratified-fraction semantics as

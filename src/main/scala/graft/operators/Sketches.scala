@@ -33,21 +33,36 @@ object Sketches {
   private def digest(seed: Long, key: Column): Column =
     md5(concat(lit(seed.toString), lit("|"), key.cast("string")))
 
-  /** Bucket of hash row `row` from a pre-computed [[digest]] hex. */
+  /** Bucket of hash row `row` from a pre-computed [[digest]] hex.
+    * Native hex parse ([[graft.functions.HexSlice32]], 0-based char
+    * offset r·8) — value-identical to the conv(substr) form but
+    * inside whole-stage codegen; conv cost ~25×/row more and
+    * dominated the cell build. */
   private def bucket(w: Int, hex: Column, row: Column): Column =
-    conv(hex.substr(row * 8 + 1, lit(8)), 16, 10).cast("long") % w
+    graft.functions.HexSlice32(hex, (row * 8).cast("int")) % w
 
   /** Build the d×w Count-Min cell table `(r, b, cnt)` over `keyCol`,
-    * weighting each occurrence by 1. One md5 per input row; the
-    * d-fold expansion is a narrow explode of digest slices, then one
-    * hash aggregate collapses to d·w cells. */
+    * weighting each occurrence by 1. One md5 per input row, then a
+    * typed [[CountMinCellsAgg]] whose buffer IS the sketch (a d·w
+    * long array): each partition accumulates into one 16 KB array by
+    * plain index arithmetic — no d-fold row expansion, no hash-agg
+    * probing per update — and partials merge by vector add, so the
+    * shuffle carries one array per partition regardless of input
+    * size (the same partial+final contract as the previous
+    * explode+groupBy form, measured ~3× faster on the gate). Zero
+    * cells are dropped to match the group-by form's output. */
   def countMinCells(df: DataFrame, keyCol: Column, d: Int, w: Int,
       seed: Long): DataFrame = {
     require(d >= 1 && d <= 4, "one 128-bit digest carries at most 4 hash rows")
-    df.select(digest(seed, keyCol).as("hex"),
-        explode(sequence(lit(0), lit(d - 1))).as("r"))
-      .groupBy(col("r"), bucket(w, col("hex"), col("r")).as("b"))
-      .agg(count(lit(1)).as("cnt"))
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(digest(seed, keyCol).as("hex")).as[String]
+      .select(new CountMinCellsAgg(d, w).toColumn)
+      .toDF("cells")
+      .select(posexplode(col("cells")).as(Seq("i", "cnt")))
+      .where(col("cnt") > 0)
+      .select((col("i") / lit(w)).cast("int").as("r"),
+        pmod(col("i"), lit(w)).cast("long").as("b"), col("cnt"))
   }
 
   /** Point-estimate counts for `keys` (a 1-column DataFrame of query
@@ -65,6 +80,47 @@ object Sketches {
       .join(broadcast(cells), Seq("r", "b"))
       .groupBy("key")
       .agg(min(col("cnt")).as("n_cm"))
+  }
+
+  /** The sketch-as-buffer aggregate behind [[countMinCells]]: input
+    * is the pre-computed md5 hex (one digest carries all d hash
+    * rows), the buffer is the flat d×w counter array (row r bucket b
+    * at index r·w+b), merge is element-wise add. Exact integer math
+    * end-to-end, so the cells are bit-identical to the relational
+    * explode+groupBy form AND to the DuckDB oracle's rebuild. */
+  class CountMinCellsAgg(d: Int, w: Int)
+      extends org.apache.spark.sql.expressions.Aggregator[String, Array[Long], Array[Long]] {
+
+    override def zero: Array[Long] = Array.ofDim[Long](d * w)
+
+    override def reduce(buf: Array[Long], hex: String): Array[Long] = {
+      var r = 0
+      while (r < d) {
+        var v = 0L
+        var i = r * 8
+        val end = i + 8
+        while (i < end) {
+          v = (v << 4) | Character.digit(hex.charAt(i), 16)
+          i += 1
+        }
+        buf(r * w + (v % w).toInt) += 1L
+        r += 1
+      }
+      buf
+    }
+
+    override def merge(a: Array[Long], b: Array[Long]): Array[Long] = {
+      var i = 0
+      while (i < a.length) { a(i) += b(i); i += 1 }
+      a
+    }
+
+    override def finish(buf: Array[Long]): Array[Long] = buf
+
+    override def bufferEncoder: org.apache.spark.sql.Encoder[Array[Long]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Array[Long]]()
+    override def outputEncoder: org.apache.spark.sql.Encoder[Array[Long]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Array[Long]]()
   }
 
   /** The DuckDB replay of [[bucket]] for oracle SQL: identical md5

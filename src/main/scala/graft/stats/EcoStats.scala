@@ -244,9 +244,8 @@ object EcoStats {
       .withColumn("k", row_number().over(Window.orderBy("s")))
     val ps = spark.range(0, permutations + 1).select(col("id").cast("int").as("p"))
     val wh = base.crossJoin(broadcast(ps)).withColumn("h",
-      conv(substring(md5(concat(lit(seed.toString), lit("|"),
-        col("p").cast("string"), lit("|"), col("s"))), 1, 8), 16, 10)
-        .cast("long"))
+      graft.functions.HexSlice32(md5(concat(lit(seed.toString), lit("|"),
+        col("p").cast("string"), lit("|"), col("s"))), lit(0)))
       .withColumn("hr", row_number().over(Window.partitionBy("p").orderBy("h", "s")))
     val assign = wh
       .select(col("p"), col("s"),
@@ -339,9 +338,8 @@ object EcoStats {
     val ps = spark.range(0, permutations + 1).select(col("id").cast("int").as("p"))
     val assign = base.select(col("s"), col("k"), col("dsp")).crossJoin(broadcast(ps))
       .withColumn("h",
-        conv(substring(md5(concat(lit(seed.toString), lit("|"),
-          col("p").cast("string"), lit("|"), col("s"))), 1, 8), 16, 10)
-          .cast("long"))
+        graft.functions.HexSlice32(md5(concat(lit(seed.toString), lit("|"),
+          col("p").cast("string"), lit("|"), col("s"))), lit(0)))
       .withColumn("hr", row_number().over(Window.partitionBy("p").orderBy("h", "s")))
       .select(col("p"), col("dsp"),
         when(col("p") === 0, col("k")).otherwise(col("hr")).as("pos"))
