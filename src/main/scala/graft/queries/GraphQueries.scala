@@ -49,10 +49,23 @@ object GraphQueries {
       |FROM e a JOIN e b ON a.l_partkey = b.l_partkey AND a.s_name < b.s_name""",
     "triadic closure via motif self-join (SURVEY J8,G16)") { (s, d) =>
     val g = GraphBuild.tpchGraph(s, d)
-    g.find("(a:Supplier)-[s1:supplies]->(p:Part); (b:Supplier)-[s2:supplies]->(p)")
-      .where(col("a_name") < col("b_name"))
-      .select(col("a_name").as("name1"), col("b_name").as("name2"))
-      .distinct()
+    // distinct on the 16-byte id pair BEFORE attaching names: the
+    // co-supplier fan-out (parts × suppliers²) shrinks ~10× at the
+    // distinct, so the wide string columns ride only the reduced
+    // pairs; Catalyst prunes the motif's name columns down to the
+    // kind-filter joins. Both orders of each unordered pair survive
+    // the id distinct; the name predicate then keeps exactly one.
+    val pairs = g
+      .find("(a:Supplier)-[s1:supplies]->(p:Part); (b:Supplier)-[s2:supplies]->(p)")
+      .where(col("a_id") =!= col("b_id"))
+      .select(col("a_id"), col("b_id")).distinct()
+    val names = g.nodes.where(col("kind") === "Supplier")
+      .select(col("id"), col("name"))
+    pairs
+      .join(broadcast(names.select(col("id").as("a_id"), col("name").as("name1"))), "a_id")
+      .join(broadcast(names.select(col("id").as("b_id"), col("name").as("name2"))), "b_id")
+      .where(col("name1") < col("name2"))
+      .select("name1", "name2")
   }
 
   /** Degree family (SURVEY G3/G9) over the derived graph, oracled
