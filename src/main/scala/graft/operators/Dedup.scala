@@ -279,6 +279,46 @@ object Dedup {
     jaccardVerifyCandidatesTokens(tok.select(col("doc_id"), col("tok")), cand, minJaccard)
   }
 
+  /** Incremental-ingest near-dup check: every (new doc, corpus doc)
+    * pair with exact Jaccard ≥ t, computed cross-set with the SAME
+    * prefix-filter lemma as [[jaccardPairsPrefixTokens]] — the
+    * candidate join touches only each doc's rarest tokens under one
+    * GLOBAL df order built over both sets (the lemma needs a shared
+    * canonical order; per-set orders would break it), and pairs are
+    * (new, corpus) instead of (d1 < d2). This is the batch-ingest
+    * dedup path: the corpus side's prefix table is a pure function of
+    * the corpus and can be precomputed/persisted once, so each
+    * incoming batch pays only its own prefix build plus the
+    * candidate-bounded verify — never a scan-the-corpus join.
+    * Doc ids must be unique ACROSS the two sets (ingest reality;
+    * enforced cheaply by the caller's id scheme). Output:
+    * (d1 = new doc, d2 = corpus doc, jaccard). */
+  def jaccardPairsAcrossTokens(tokNew: DataFrame, tokCorpus: DataFrame,
+      minJaccard: Double): DataFrame = {
+    require(minJaccard > 0.0, "prefix filtering needs a positive threshold")
+    import org.apache.spark.sql.expressions.Window
+    val u = tokNew.select(col("doc_id"), col("tok"), lit(0).as("side"))
+      .unionByName(tokCorpus.select(col("doc_id"), col("tok"), lit(1).as("side")))
+    val dfreq = u.groupBy("tok").agg(count(lit(1)).as("df"))
+    val byDoc = Window.partitionBy("doc_id")
+    val ranked = u.join(dfreq, Seq("tok"))
+      .select(col("side"), col("tok"), col("doc_id"),
+        row_number().over(byDoc.orderBy(col("df"), col("tok"))).as("pos"),
+        count(lit(1)).over(byDoc).as("n"))
+    val prefix = ranked.filter(
+      col("pos") <= col("n") - ceil(lit(minJaccard) * col("n") - lit(1e-9)) + 1)
+    val a = prefix.where(col("side") === 0)
+      .select(col("tok"), col("doc_id").as("d1"), col("n").as("n1"))
+    val b = prefix.where(col("side") === 1)
+      .select(col("tok"), col("doc_id").as("d2"), col("n").as("n2"))
+    val cand = a.join(b, Seq("tok"))
+      .where(least(col("n1"), col("n2")).cast("double") >=
+        lit(minJaccard) * greatest(col("n1"), col("n2")).cast("double") - lit(1e-9))
+      .select(col("d1"), col("d2")).distinct()
+    jaccardVerifyCandidatesTokens(u.select(col("doc_id"), col("tok")), cand,
+      minJaccard)
+  }
+
   /** Exact n-gram Jaccard similarity for doc pairs sharing a blocking
     * key (e.g. source): explode tokens, count intersections via
     * token-equi join within block, Jaccard from exact set sizes.

@@ -832,8 +832,87 @@ object Corpus {
         (col("n_dup_passages") * lit(1.0) / col("n_passages")).as("dup_ratio"))
   }
 
+  /** TF-IDF top terms per document — the classic relevance weighting
+    * over the corpus, with a RATIONAL idf (N/df as one IEEE division
+    * of exact integers) instead of the transcendental log form: ln()
+    * may differ in the last ulp between libm implementations, which
+    * would flake a hash gate, while a single division of exact BIGINTs
+    * is bit-identical everywhere and induces the same term ranking
+    * (x ↦ ln is monotone in N/df). Scale: tf and df are the vocab-
+    * build aggregations (shuffle by token, partial agg first); the
+    * corpus size N broadcasts; the final top-k window is per-doc,
+    * bounded by document vocabulary. */
+  val q149 = QuerySpec.sql(
+    "q149_tfidf_terms",
+    """WITH toks AS (
+      |  SELECT doc_id, unnest(regexp_extract_all(lower(text), '\S+')) AS tok
+      |  FROM documents),
+      |tf AS (SELECT doc_id, tok, count(*) AS tf FROM toks GROUP BY 1, 2),
+      |dfreq AS (SELECT tok, count(DISTINCT doc_id) AS df FROM toks GROUP BY 1),
+      |n AS (SELECT count(*) AS n FROM documents),
+      |w AS (
+      |  SELECT doc_id, tok, tf, df, CAST(tf * n AS DOUBLE) / df AS tfidf
+      |  FROM tf JOIN dfreq USING (tok) CROSS JOIN n),
+      |r AS (SELECT *, row_number() OVER (
+      |        PARTITION BY doc_id ORDER BY tfidf DESC, tok) AS rk FROM w)
+      |SELECT doc_id, tok, tf, df, tfidf FROM r WHERE rk <= 5""",
+    "TF-IDF top-5 terms per doc, rational idf (text analysis)") { (s, d) =>
+    val docs = Tables.documents(s, d)
+    val toks = docs.select(col("doc_id"),
+      explode(TextOps.tokens(col("text"))).as("tok"))
+    val tf = toks.groupBy("doc_id", "tok").agg(count(lit(1)).as("tf"))
+    val dfreq = toks.groupBy("tok").agg(countDistinct("doc_id").as("df"))
+    val n = docs.agg(count(lit(1)).as("n"))
+    val w = tf.join(dfreq, "tok").crossJoin(broadcast(n))
+      .select(col("doc_id"), col("tok"), col("tf"), col("df"),
+        ((col("tf") * col("n")).cast("double") / col("df")).as("tfidf"))
+    w.withColumn("rk", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy("doc_id")
+          .orderBy(col("tfidf").desc, col("tok"))))
+      .where(col("rk") <= 5)
+      .select("doc_id", "tok", "tf", "df", "tfidf")
+  }
+
+  /** Incremental-ingest dedup decision: for each doc of an incoming
+    * batch (doc_id ≡ 0 mod 7 stands in for the new shard), how many
+    * EXISTING corpus docs it near-duplicates at Jaccard ≥ 0.5 and the
+    * best match — the reject/keep signal of a production landing
+    * pipeline, where each batch is checked against the corpus and
+    * never corpus-against-corpus. Cross-set prefix-filtered exact
+    * Jaccard ([[Dedup.jaccardPairsAcrossTokens]]): candidates only
+    * from shared rare-prefix tokens under one global df order, so the
+    * batch never joins the whole corpus; the corpus prefix table is
+    * reusable across batches. */
+  val q150 = QuerySpec.sql(
+    "q150_ingest_dedup",
+    """WITH tok AS (
+      |  SELECT doc_id, unnest(list_distinct(regexp_extract_all(lower(text), '(\S+)', 1))) AS tok
+      |  FROM documents),
+      |sizes AS (SELECT doc_id, count(*) AS n FROM tok GROUP BY 1),
+      |inter AS (
+      |  SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS n_inter
+      |  FROM tok a JOIN tok b ON a.tok = b.tok
+      |  WHERE a.doc_id % 7 = 0 AND b.doc_id % 7 <> 0
+      |  GROUP BY 1, 2),
+      |j AS (
+      |  SELECT d1, CAST(n_inter AS DOUBLE) / (s1.n + s2.n - n_inter) AS jac
+      |  FROM inter JOIN sizes s1 ON s1.doc_id = d1 JOIN sizes s2 ON s2.doc_id = d2)
+      |SELECT d1 AS doc_id, count(*) AS n_corpus_matches, max(jac) AS best_jaccard
+      |FROM j WHERE jac >= 0.5 GROUP BY 1""",
+    "batch-vs-corpus ingest dedup, cross-set prefix-filtered Jaccard (dedup)") { (s, d) =>
+    val docs = Tables.documents(s, d)
+    def tokOf(f: org.apache.spark.sql.Column) = docs.where(f)
+      .select(col("doc_id"), explode(array_distinct(TextOps.tokens(col("text")))).as("tok"))
+    Dedup.jaccardPairsAcrossTokens(
+        tokOf(pmod(col("doc_id"), lit(7)) === 0),
+        tokOf(pmod(col("doc_id"), lit(7)) =!= 0), minJaccard = 0.5)
+      .groupBy(col("d1").as("doc_id"))
+      .agg(count(lit(1)).as("n_corpus_matches"),
+        max(col("jaccard")).as("best_jaccard"))
+  }
+
   val all: Seq[QuerySpec] =
     Seq(q30, q31, q89, q32, q33, q34, q35, q36, q37, q38, q39, q40, q41, q42,
       q43, q77, q78, q83, q91, q92, q93, q97, q103, q112, q113, q114, q116,
-      q139, q140, q141, q144, q147, q148)
+      q139, q140, q141, q144, q147, q148, q149, q150)
 }

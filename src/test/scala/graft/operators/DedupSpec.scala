@@ -137,6 +137,29 @@ class DedupSpec extends SparkSpec {
     assert(!out.contains((1L, 4L))) // different block
   }
 
+  test("cross-set prefix join equals the direct join restricted to cross pairs (q150's law)") {
+    val real = graft.Tables.documents(spark, sf)
+    def tokOf(f: org.apache.spark.sql.Column) = real.where(f)
+      .select(col("doc_id"), explode(array_distinct(TextOps.tokens(col("text")))).as("tok"))
+    val across = Dedup.jaccardPairsAcrossTokens(
+        tokOf(pmod(col("doc_id"), lit(7)) === 0),
+        tokOf(pmod(col("doc_id"), lit(7)) =!= 0), minJaccard = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    // direct exact join with no blocking, restricted to cross pairs
+    // (either orientation — the direct form orders d1 < d2)
+    val direct = Dedup.jaccardPairsTokens(
+        real.select(col("doc_id"), lit("all").as("blk"),
+          explode(array_distinct(TextOps.tokens(col("text")))).as("tok")), 0.5)
+      .collect().flatMap { r =>
+        val (a, b, j) = (r.getLong(0), r.getLong(1), r.getDouble(2))
+        if (a % 7 == 0 && b % 7 != 0) Some((a, b) -> j)
+        else if (b % 7 == 0 && a % 7 != 0) Some((b, a) -> j)
+        else None
+      }.toMap
+    assert(across.nonEmpty, "fixture has no cross-set near-dups at 0.5")
+    assert(across == direct)
+  }
+
   test("cluster-level split never separates near-duplicates (q144's law)") {
     val real = graft.Tables.documents(spark, sf)
     val pairs = Dedup.jaccardPairs(real, "doc_id", "text", "source", 0.8)
