@@ -232,6 +232,72 @@ object EventQueries {
     StreamOps.runSketchStream(s, d, 4, 64, seed = 42)
   }
 
+  /** Ordered-funnel analysis: users who progressed view → click →
+    * purchase with each stage STRICTLY after the previous one — the
+    * product-analytics staple. Stage k is one filtered min-ts
+    * aggregate joined to stage k−1 on user_id with a ts range
+    * predicate, so every stage reuses the user_id hash partitioning
+    * (one exchange, then co-partitioned joins); no window over the
+    * whole event stream, no per-user sort. Strict `>` keeps ties
+    * deterministic (min of equal timestamps is unique). */
+  val q151 = QuerySpec.sql(
+    "q151_funnel",
+    """WITH v AS (SELECT user_id, min(ts) AS t1 FROM events
+      |           WHERE event_type = 'view' GROUP BY 1),
+      |c AS (SELECT e.user_id, min(e.ts) AS t2
+      |      FROM events e JOIN v ON e.user_id = v.user_id AND e.ts > v.t1
+      |      WHERE e.event_type = 'click' GROUP BY 1),
+      |p AS (SELECT e.user_id, min(e.ts) AS t3
+      |      FROM events e JOIN c ON e.user_id = c.user_id AND e.ts > c.t2
+      |      WHERE e.event_type = 'purchase' GROUP BY 1)
+      |SELECT (SELECT count(*) FROM v) AS n_view,
+      |       (SELECT count(*) FROM c) AS n_view_click,
+      |       (SELECT count(*) FROM p) AS n_full_funnel""",
+    "ordered view->click->purchase funnel (event analytics)") { (s, d) =>
+    val ev = Tables.events(s, d)
+    def stage(typ: String, prev: org.apache.spark.sql.DataFrame,
+        prevTs: String, outTs: String) =
+      ev.where(col("event_type") === typ)
+        .join(prev, Seq("user_id"))
+        .where(col("ts") > col(prevTs))
+        .groupBy("user_id").agg(min(col("ts")).as(outTs))
+    val v = ev.where(col("event_type") === "view")
+      .groupBy("user_id").agg(min(col("ts")).as("t1"))
+    val c = stage("click", v, "t1", "t2")
+    val p = stage("purchase", c, "t2", "t3")
+    v.agg(count(lit(1)).as("n_view"))
+      .crossJoin(c.agg(count(lit(1)).as("n_view_click")))
+      .crossJoin(p.agg(count(lit(1)).as("n_full_funnel")))
+  }
+
+  /** Cohort retention matrix: users bucketed by the epoch-week of
+    * their FIRST event, counted distinct in every later week they
+    * were active. Weeks are pure integer epoch arithmetic
+    * (floor(sec/604800)) — no calendar/timezone semantics to diverge
+    * between engines. Two aggregates over the user_id partitioning
+    * plus one co-partitioned join; the matrix is cohorts × horizon,
+    * always tiny. */
+  val q152 = QuerySpec.sql(
+    "q152_cohort_retention",
+    """WITH wk AS (
+      |  SELECT user_id,
+      |         CAST(floor(floor(epoch(ts)) / 604800) AS BIGINT) AS week
+      |  FROM events),
+      |cohort AS (SELECT user_id, min(week) AS cohort_week FROM wk GROUP BY 1)
+      |SELECT cohort_week, week - cohort_week AS weeks_since,
+      |       count(DISTINCT wk.user_id) AS n_users
+      |FROM wk JOIN cohort ON wk.user_id = cohort.user_id
+      |GROUP BY 1, 2""",
+    "cohort retention by epoch week (event analytics)") { (s, d) =>
+    val wk = Tables.events(s, d).select(col("user_id"),
+      floor(col("ts").cast("long") / 604800).cast("long").as("week"))
+    val cohort = wk.groupBy("user_id").agg(min(col("week")).as("cohort_week"))
+    wk.join(cohort, "user_id")
+      .groupBy(col("cohort_week"), (col("week") - col("cohort_week")).as("weeks_since"))
+      .agg(countDistinct("user_id").as("n_users"))
+  }
+
   val all: Seq[QuerySpec] =
-    Seq(q60, q61, q62, q88, q105, q106, q108, q124, q127, q142, q143, q145)
+    Seq(q60, q61, q62, q88, q105, q106, q108, q124, q127, q142, q143, q145,
+      q151, q152)
 }
