@@ -801,11 +801,13 @@ object Corpus {
     * shared across otherwise-different documents — the signal behind
     * span-level dedup decisions. Scale: windows are hashed to md5
     * before the shuffle so the exchange carries 32-char keys, not
-    * 8-word strings; the passage-frequency aggregate and the join
-    * back both hash-partition on that key, so the exploded window
-    * table is exchanged ONCE and reused (ReuseExchange — the two
-    * consumers are identical subplans); no pairwise comparison
-    * anywhere, cost is linear in total window count. */
+    * 8-word strings; the passage frequency is a COUNT window over the
+    * hash partition, so the exploded window table is exchanged once
+    * on the hash and once on doc_id for the final rollup — the
+    * aggregate-then-join-back alternative exchanges it on the hash
+    * twice (the two consumers prune differently, so ReuseExchange
+    * cannot merge them). No pairwise comparison anywhere; cost is
+    * linear in total window count. */
   val q148 = QuerySpec.sql(
     "q148_passage_dedup",
     """WITH toks AS (
@@ -823,8 +825,8 @@ object Corpus {
     "exact duplicated-passage detection, span-level dedup signal (training-data pipeline)") { (s, d) =>
     val g = Dedup.shingleTokens(Tables.documents(s, d), "doc_id", "text",
       shingleK = 8).select(col("doc_id"), md5(col("tok")).as("h"))
-    val c = g.groupBy("h").agg(count(lit(1)).as("ndocs"))
-    g.join(c, "h")
+    g.withColumn("ndocs", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy("h")))
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_passages"),
         count(when(col("ndocs") >= 2, lit(1))).as("n_dup_passages"))

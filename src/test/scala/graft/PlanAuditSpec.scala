@@ -100,6 +100,35 @@ class PlanAuditSpec extends SparkSpec {
     }
   }
 
+  test("q148: the exploded passage table shuffles exactly twice (hash, then doc)") {
+    // frequency is a count window over the passage-hash partition —
+    // one exchange on h, one on doc_id for the rollup; the
+    // agg-then-join-back form exchanges the big table on h twice
+    val p = planOf("q148_passage_dedup")
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(p).length
+    assert(exchanges == 2,
+      s"expected exactly two hash exchanges, got $exchanges:\n" + p.take(2000))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      "q148 must never compare documents pairwise")
+  }
+
+  test("q150: cross-set ingest dedup joins only on tokens, never all pairs") {
+    val p = planOf("q150_ingest_dedup")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      "q150 plans a pairwise comparison:\n" + p.take(2000))
+  }
+
+  test("q151: every funnel stage reuses the user_id partitioning") {
+    // stage joins and stage aggs are all keyed on user_id — after the
+    // first per-key exchanges the co-partitioned joins must not add
+    // data-sized re-shuffles (broadcast of the three 1-row counts is fine)
+    val p = planOf("q151_funnel")
+    assert(!p.contains("CartesianProduct"),
+      "q151 plans a cartesian beyond the 1-row count joins:\n" + p.take(2000))
+    assert(p.contains("partial_min") || p.contains("partial_count"),
+      "funnel stage aggregation lost map-side combine:\n" + p.take(2000))
+  }
+
   test("dynamic partition pruning: a dim filter prunes fact partitions") {
     // the 100 TB layout contract: facts partitioned on the join key
     // (PropertyGraph.save partitions edges by relType the same way)
