@@ -51,7 +51,7 @@ object StreamOps {
     // file-stream source wants a directory; glob-filter to the events file
     val stream = spark.readStream.schema(schema)
       .option("pathGlobFilter", "events.parquet").parquet(dir)
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      .transform(graft.Tables.normalizeEventTs)
     val agg = windowedCounts(stream.withWatermark("ts", "1 hour"), windowLen)
     val name = s"windowed_${System.identityHashCode(schema)}"
     withStatePartitions(spark, 8) {
@@ -94,7 +94,7 @@ object StreamOps {
     val schema = spark.read.parquet(s"$dir/events.parquet").schema
     def source = spark.readStream.schema(schema)
       .option("pathGlobFilter", "events.parquet").parquet(dir)
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      .transform(graft.Tables.normalizeEventTs)
     val a = source.filter(col("event_type") === fromType)
       .select(col("event_id").as("from_id"), col("user_id"), col("ts").as("from_ts"))
       .withWatermark("from_ts", "1 hour")
@@ -132,7 +132,7 @@ object StreamOps {
     val schema = spark.read.parquet(s"$dir/events.parquet").schema
     val stream = spark.readStream.schema(schema)
       .option("pathGlobFilter", "events.parquet").parquet(dir)
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      .transform(graft.Tables.normalizeEventTs)
     def landed(): Long =
       try spark.read.parquet(outDir).count() catch { case _: Exception => 0L }
     val before = landed()
@@ -218,7 +218,7 @@ object StreamOps {
     val schema = spark.read.parquet(s"$dir/events.parquet").schema
     val stream = spark.readStream.schema(schema)
       .option("pathGlobFilter", "events.parquet").parquet(dir)
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      .transform(graft.Tables.normalizeEventTs)
     val dd = dedupStream(stream, keyCols, "ts", horizon)
       .select(keyCols.map(col): _*)
     val name = s"dedup_${System.identityHashCode(schema)}"
@@ -291,7 +291,7 @@ object StreamOps {
     val schema = spark.read.parquet(s"$dir/events.parquet").schema
     val stream = spark.readStream.schema(schema)
       .option("pathGlobFilter", "events.parquet").parquet(dir)
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      .transform(graft.Tables.normalizeEventTs)
     val sessions = sessionizeStream(
       stream.select(col("user_id"), col("ts"), col("value")).as[Event],
       gapMinutes)

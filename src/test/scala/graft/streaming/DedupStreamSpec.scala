@@ -12,7 +12,7 @@ class DedupStreamSpec extends SparkSpec {
     val schema = spark.read.parquet(s"$dir/events.parquet").schema
     val stream = spark.readStream.schema(schema)
       .option("pathGlobFilter", "events.parquet").parquet(dir)
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      .transform(graft.Tables.normalizeEventTs)
     val deduped = StreamOps.dedupStream(stream,
       Seq("user_id", "event_type"), "ts", "30 days")
     val q = deduped.writeStream.outputMode(OutputMode.Append())
