@@ -129,4 +129,103 @@ object Sketches {
   def bucketSqlTwin(seed: Long, w: Int, rowExpr: String, keyExpr: String): String =
     s"('0x' || substr(md5('$seed|' || CAST($keyExpr AS VARCHAR)), " +
       s"1 + 8 * ($rowExpr), 8))::BIGINT % $w"
+
+  // ------------------------------------------------------------- Bloom
+
+  /** Bloom filter (Bloom 1970) over `keyCol`: m bits packed into m/64
+    * longs, k ≤ 4 bit positions per key from ONE md5 digest (the same
+    * slice idiom as Count-Min, so an external oracle replays the
+    * identical bit set — see [[bucketSqlTwin]] with w = m). Build is
+    * one partial+final aggregation whose buffer IS the bit array
+    * ([[BloomBitsAgg]]): each partition ORs keys into m/8 bytes and
+    * partials merge by vector OR, so the shuffle carries one array
+    * per partition regardless of input size. The returned array is
+    * m/64 longs — always driver-safe (a 1-billion-bit filter is
+    * 125 MB; gate-sized filters are KBs).
+    *
+    * The 100 TB use: membership pre-filter before an expensive
+    * anti/semi-join — [[bloomContains]] is a pure codegen projection
+    * against the (broadcast) literal bit array, so the probe side is
+    * filtered with ZERO shuffle and only bloom-positive rows reach
+    * the exact join. No false negatives ever (a true member's bits
+    * are all set by construction); false positives at rate
+    * ≈ (1 − e^(−kn/m))^k are either tolerable (blocklist pre-screen)
+    * or removed by the exact join they gate. */
+  def bloomBits(df: DataFrame, keyCol: Column, m: Int, k: Int,
+      seed: Long): Array[Long] = {
+    require(k >= 1 && k <= 4, "one 128-bit digest carries at most 4 bit positions")
+    require(m >= 64 && m % 64 == 0, s"m must be a positive multiple of 64, got $m")
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(digest(seed, keyCol).as("hex")).as[String]
+      .select(new BloomBitsAgg(m, k).toColumn)
+      .head()
+  }
+
+  /** Bit masks 1L << i for i in [0, 64) — a literal lookup array so
+    * the membership test needs no variable-distance shift (keeps the
+    * whole predicate in built-in codegen'd expressions). */
+  private val BitMasks: Array[Long] = Array.tabulate(64)(1L << _)
+
+  /** Membership predicate against a built bit array: true iff all k
+    * bit positions of `key` are set. Pure built-in expression over
+    * the LITERAL bit array (m/64 longs) — codegen'd, narrow, zero
+    * shuffle on the probe side; the common-subexpression pass
+    * computes the md5 digest once per row. Must be called with the
+    * same (m, k, seed) the bits were built with. */
+  def bloomContains(bits: Array[Long], m: Int, k: Int, seed: Long,
+      key: Column): Column = {
+    require(k >= 1 && k <= 4, "one 128-bit digest carries at most 4 bit positions")
+    require(bits.length * 64 == m, s"bit array length ${bits.length} != m/64")
+    val hex = digest(seed, key)
+    val arr = lit(bits)
+    val masks = lit(BitMasks)
+    (0 until k).map { r =>
+      val pos = graft.functions.HexSlice32(hex, lit(r * 8)) % m
+      val word = element_at(arr, shiftright(pos, 6).cast("int") + lit(1))
+      val mask = element_at(masks, pos.bitwiseAND(lit(63L)).cast("int") + lit(1))
+      word.bitwiseAND(mask) =!= lit(0L)
+    }.reduce(_ && _)
+  }
+
+  /** The bit-OR twin of [[CountMinCellsAgg]]: input is the
+    * pre-computed md5 hex, the buffer is the packed bit array, merge
+    * is element-wise OR. Deterministic and order-independent (OR is
+    * commutative/idempotent), so the bit set is identical to the
+    * relational DISTINCT-positions form an oracle rebuilds. */
+  class BloomBitsAgg(m: Int, k: Int)
+      extends org.apache.spark.sql.expressions.Aggregator[String, Array[Long], Array[Long]] {
+
+    override def zero: Array[Long] = Array.ofDim[Long](m / 64)
+
+    override def reduce(buf: Array[Long], hex: String): Array[Long] = {
+      var r = 0
+      while (r < k) {
+        var v = 0L
+        var i = r * 8
+        val end = i + 8
+        while (i < end) {
+          v = (v << 4) | Character.digit(hex.charAt(i), 16)
+          i += 1
+        }
+        val pos = (v % m).toInt
+        buf(pos >>> 6) |= (1L << (pos & 63))
+        r += 1
+      }
+      buf
+    }
+
+    override def merge(a: Array[Long], b: Array[Long]): Array[Long] = {
+      var i = 0
+      while (i < a.length) { a(i) |= b(i); i += 1 }
+      a
+    }
+
+    override def finish(buf: Array[Long]): Array[Long] = buf
+
+    override def bufferEncoder: org.apache.spark.sql.Encoder[Array[Long]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Array[Long]]()
+    override def outputEncoder: org.apache.spark.sql.Encoder[Array[Long]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Array[Long]]()
+  }
 }

@@ -696,6 +696,57 @@ object Corpus {
       .join(est, "key")
   }
 
+  /** Sketch tier, membership side: Bloom-filter pre-screen of a probe
+    * stream against a blocklist ([[Sketches.bloomBits]]). The filter
+    * is built by one partial+final aggregation (buffer = the packed
+    * bit array) and applied as a pure codegen projection over the
+    * LITERAL bits — the probe side is screened with ZERO shuffle and
+    * only bloom-positive rows would reach the exact join the filter
+    * gates. The md5 bit positions are engine-portable, so the oracle
+    * rebuilds the identical bit set as a DISTINCT-positions table and
+    * replays every verdict — including the false positives, which is
+    * what makes this a sketch gate and not just an anti-join twin.
+    * The filter is sized for the gate corpus (m = 2048 ≈ 17 bits/key
+    * at sf0.01); production sizing is m ≈ 10·n bits for ~1% FP, and
+    * n_false_neg is structurally zero at ANY size (the exactness the
+    * pre-filter contract rests on). */
+  val q153 = QuerySpec.sql(
+    "q153_bloom_prefilter",
+    s"""WITH blockl AS (
+      |  SELECT DISTINCT CAST(p_partkey AS BIGINT) AS bkey
+      |  FROM part WHERE p_size >= 48),
+      |hr AS (SELECT * FROM (VALUES (0),(1),(2),(3)) AS t(r)),
+      |bits AS (
+      |  SELECT DISTINCT ${Sketches.bucketSqlTwin(9, 2048, "r", "bkey")} AS pos
+      |  FROM blockl CROSS JOIN hr),
+      |keys AS (SELECT DISTINCT CAST(l_partkey AS BIGINT) AS key FROM lineitem),
+      |kp AS (
+      |  SELECT DISTINCT key, ${Sketches.bucketSqlTwin(9, 2048, "r", "key")} AS pos
+      |  FROM keys CROSS JOIN hr),
+      |pass AS (
+      |  SELECT key, count(*) = count(b.pos) AS pass
+      |  FROM kp LEFT JOIN bits b ON kp.pos = b.pos GROUP BY key),
+      |probe AS (SELECT CAST(l_partkey AS BIGINT) AS key FROM lineitem)
+      |SELECT count(*) AS n_probe,
+      |       count(CASE WHEN pass THEN 1 END) AS n_pass,
+      |       count(CASE WHEN pass AND bkey IS NOT NULL THEN 1 END) AS n_true_hit,
+      |       count(CASE WHEN pass AND bkey IS NULL THEN 1 END) AS n_false_pos,
+      |       count(CASE WHEN NOT pass AND bkey IS NOT NULL THEN 1 END) AS n_false_neg
+      |FROM probe JOIN pass USING (key) LEFT JOIN blockl ON bkey = key""".stripMargin,
+    "Bloom-filter blocklist pre-screen, oracle-replayable bits (sketch tier)") { (s, d) =>
+    val block = Tables.part(s, d).where(col("p_size") >= 48)
+      .select(col("p_partkey").cast("long").as("key")).distinct()
+    val bits = Sketches.bloomBits(block, col("key"), m = 2048, k = 4, seed = 9)
+    Tables.lineitem(s, d).select(col("l_partkey").cast("long").as("key"))
+      .withColumn("pass", Sketches.bloomContains(bits, 2048, 4, 9, col("key")))
+      .join(broadcast(block.withColumn("member", lit(true))), Seq("key"), "left_outer")
+      .agg(count(lit(1)).as("n_probe"),
+        count(when(col("pass"), 1)).as("n_pass"),
+        count(when(col("pass") && col("member").isNotNull, 1)).as("n_true_hit"),
+        count(when(col("pass") && col("member").isNull, 1)).as("n_false_pos"),
+        count(when(!col("pass") && col("member").isNotNull, 1)).as("n_false_neg"))
+  }
+
   /** Leakage-safe train/heldout split: the assignment unit is the
     * NEAR-DUP CLUSTER, not the document — a doc-level split lets a
     * near-duplicate of an eval doc land in train (memorization leaks
@@ -916,5 +967,5 @@ object Corpus {
   val all: Seq[QuerySpec] =
     Seq(q30, q31, q89, q32, q33, q34, q35, q36, q37, q38, q39, q40, q41, q42,
       q43, q77, q78, q83, q91, q92, q93, q97, q103, q112, q113, q114, q116,
-      q139, q140, q141, q144, q147, q148, q149, q150)
+      q139, q140, q141, q144, q147, q148, q149, q150, q153)
 }

@@ -50,4 +50,50 @@ class SketchesSpec extends SparkSpec {
     val b = Sketches.countMinCells(keyed.repartition(17), col("key"), d, w, seed)
     assert(a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty)
   }
+
+  // ---------------------------------------------------------- Bloom
+
+  test("bloom filter has no false negatives, ever") {
+    val members = keyed.where(col("key") % 3 === 0).distinct()
+    val bits = Sketches.bloomBits(members, col("key"), m = 1024, k = 4, seed = 5)
+    val missed = members
+      .where(!Sketches.bloomContains(bits, 1024, 4, 5, col("key")))
+      .count()
+    assert(missed == 0, s"$missed members failed their own filter")
+  }
+
+  test("a cramped bloom filter produces false positives but stays one-sided") {
+    val members = keyed.distinct().where(col("key") <= 40)
+    // 40 keys × 4 bits into 64 bits: heavily loaded on purpose
+    val bits = Sketches.bloomBits(members, col("key"), m = 64, k = 4, seed = 5)
+    val verdicts = keyed.distinct()
+      .select(col("key"), Sketches.bloomContains(bits, 64, 4, 5, col("key")).as("pass"))
+    val fp = verdicts.where(col("pass") && col("key") > 40).count()
+    val fn = verdicts.where(!col("pass") && col("key") <= 40).count()
+    assert(fn == 0, s"false negatives: $fn")
+    assert(fp > 0, "a 64-bit filter over 40 keys must collide")
+  }
+
+  test("bloom bits are partition-independent and match the relational bit set") {
+    val members = keyed.where(col("key") % 5 === 0).distinct()
+    val a = Sketches.bloomBits(members, col("key"), m = 2048, k = 4, seed = 9)
+    val b = Sketches.bloomBits(members.repartition(13), col("key"), m = 2048, k = 4, seed = 9)
+    assert(a.sameElements(b))
+    // relational rebuild: distinct (md5 slice % m) positions
+    val hex = md5(concat(lit("9|"), col("key").cast("string")))
+    val pos = members.select(explode(array((0 until 4).map(r =>
+        graft.functions.HexSlice32(hex, lit(r * 8)) % 2048): _*)).as("pos"))
+      .distinct().collect().map(_.getLong(0)).toSet
+    val fromBits = (0 until 2048).filter(p => (a(p >>> 6) & (1L << (p & 63))) != 0L).toSet
+    assert(fromBits.map(_.toLong) == pos)
+  }
+
+  test("bloom membership probe plans no shuffle on the probe side") {
+    val members = keyed.distinct().limit(100)
+    val bits = Sketches.bloomBits(members, col("key"), m = 1024, k = 4, seed = 5)
+    val probe = keyed.where(Sketches.bloomContains(bits, 1024, 4, 5, col("key")))
+    val plan = probe.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"),
+      s"bloom probe must be a narrow projection:\n${plan.take(600)}")
+  }
 }
