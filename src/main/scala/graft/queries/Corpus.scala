@@ -747,6 +747,50 @@ object Corpus {
         count(when(!col("pass") && col("member").isNotNull, 1)).as("n_false_neg"))
   }
 
+  /** Sorted-neighborhood blocking ([[Dedup.sortedNeighborhoodCandidates]])
+    * + exact verify — the third candidate-generation family next to
+    * LSH banding (q37) and prefix-filtering (q35): sort each source
+    * block by a 40-char normalized-text prefix, pair each doc with
+    * its 3 successors, verify exact Jaccard ≥ 0.5. Candidates are
+    * w·n regardless of block skew (one exchange + lead projections),
+    * and the gate honestly shows the family's trade: the prefix key
+    * finds ~1000 of the ~4400 true pairs at sf0.01 — adjacency
+    * recall, not completeness, which is why production stacks run
+    * several sort passes with different keys. Fully SQL-expressible,
+    * so unlike the LSH family this blocking strategy carries a live
+    * hash oracle. */
+  val q154 = QuerySpec.sql(
+    "q154_sorted_neighborhood",
+    """WITH tok AS (
+      |  SELECT doc_id, unnest(list_distinct(regexp_extract_all(lower(text), '(\S+)', 1))) AS tok
+      |  FROM documents),
+      |sizes AS (SELECT doc_id, count(*) AS n FROM tok GROUP BY doc_id),
+      |r AS (
+      |  SELECT doc_id, source,
+      |         row_number() OVER (PARTITION BY source
+      |                            ORDER BY substr(lower(text), 1, 40), doc_id) AS rn
+      |  FROM documents),
+      |cand AS (
+      |  SELECT least(a.doc_id, b.doc_id) AS d1, greatest(a.doc_id, b.doc_id) AS d2
+      |  FROM r a JOIN r b ON a.source = b.source AND b.rn > a.rn AND b.rn <= a.rn + 3),
+      |inter AS (
+      |  SELECT c.d1, c.d2, count(*) AS n_inter
+      |  FROM cand c
+      |  JOIN tok t1 ON t1.doc_id = c.d1
+      |  JOIN tok t2 ON t2.doc_id = c.d2 AND t2.tok = t1.tok
+      |  GROUP BY 1, 2)
+      |SELECT d1, d2, CAST(n_inter AS DOUBLE) / (s1.n + s2.n - n_inter) AS jaccard
+      |FROM inter
+      |JOIN sizes s1 ON s1.doc_id = d1
+      |JOIN sizes s2 ON s2.doc_id = d2
+      |WHERE CAST(n_inter AS DOUBLE) / (s1.n + s2.n - n_inter) >= 0.5""".stripMargin,
+    "sorted-neighborhood blocking + exact Jaccard verify (dedup)") { (s, d) =>
+    val cand = Dedup.sortedNeighborhoodCandidates(Tables.documents(s, d),
+      "doc_id", "source", substring(lower(col("text")), 1, 40), w = 3)
+    Dedup.jaccardVerifyCandidatesTokens(
+      tokBlk1(s, d).select("doc_id", "tok"), cand, minJaccard = 0.5)
+  }
+
   /** Leakage-safe train/heldout split: the assignment unit is the
     * NEAR-DUP CLUSTER, not the document — a doc-level split lets a
     * near-duplicate of an eval doc land in train (memorization leaks
@@ -967,5 +1011,5 @@ object Corpus {
   val all: Seq[QuerySpec] =
     Seq(q30, q31, q89, q32, q33, q34, q35, q36, q37, q38, q39, q40, q41, q42,
       q43, q77, q78, q83, q91, q92, q93, q97, q103, q112, q113, q114, q116,
-      q139, q140, q141, q144, q147, q148, q149, q150, q153)
+      q139, q140, q141, q144, q147, q148, q149, q150, q153, q154)
 }

@@ -185,6 +185,26 @@ class DedupSpec extends SparkSpec {
     assert(docLeaked > 0, "fixture cannot demonstrate doc-level leakage")
   }
 
+  test("sorted-neighborhood candidates: exact count, uniqueness, one exchange") {
+    val docs = graft.Tables.documents(spark, sf)
+    val w = 3
+    def build() = Dedup.sortedNeighborhoodCandidates(docs, "doc_id", "source",
+      substring(lower(col("text")), 1, 40), w)
+    // plan audited on an uncached copy: caching below wraps the plan in
+    // an InMemoryRelation whose string repeats the child plan
+    val exchanges = "Exchange".r.findAllIn(
+      build().queryExecution.executedPlan.toString).size
+    assert(exchanges == 1, s"expected exactly 1 exchange, got $exchanges")
+    val cand = build().cache()
+    // per block of n rows the window emits n*w - w(w+1)/2 pairs
+    val expected = docs.groupBy("source").count().collect()
+      .map(r => { val n = r.getLong(1); n * w - w.toLong * (w + 1) / 2 }).sum
+    assert(cand.count() == expected)
+    assert(cand.distinct().count() == cand.count(), "duplicate candidate pair")
+    assert(cand.where(col("d1") >= col("d2")).count() == 0, "pair not least-first")
+    cand.unpersist()
+  }
+
   test("jaccardPairsPrefix returns bit-identical results to the naive join") {
     // wide-vocab corpus with shared stop words (the naive join's blowup
     // case) plus planted near-dup families, across two blocks
