@@ -288,6 +288,41 @@ object GraphAnalytics {
     deg.where(col("deg") >= k).select(col("grp"), col("node"), col("deg"))
   }
 
+  /** Deterministic synchronous label propagation per group (G14/G15
+    * family — the distributed community detector; reference uses
+    * igraph community kernels, bin/CompareNetworkGroups.R:67-68).
+    * Every node starts labeled with its own id; each superstep it
+    * adopts the most frequent label among its neighbors, ties broken
+    * by the smallest label. Max-count-then-min-label is a total order
+    * on (count, label), so unlike GraphX's hashmap-iteration
+    * tie-break the trajectory is engine-reproducible — an external
+    * oracle replays it as grouped counts + row_number. Fixed `iters`
+    * bounds cost (synchronous LPA may oscillate on bipartite graphs;
+    * a fixed step count makes that a deterministic snapshot, not a
+    * liveness hazard). Per step: one shuffle join on the label table
+    * (consumed once — linear plan growth) + two aggs, all keyed by
+    * (group, node). */
+  def lpaExactScaled(edges: DataFrame, iters: Int): DataFrame = {
+    val e0 = edges.select(col("group").as("grp"),
+      col("src").cast("long").as("a"), col("dst").cast("long").as("b"))
+    val sym = e0.unionByName(
+        e0.select(col("grp"), col("b").as("a"), col("a").as("b"))).distinct()
+    var lab = sym.select(col("grp"), col("a").as("node")).distinct()
+      .select(col("grp"), col("node"), col("node").as("lab"))
+    (0 until iters).foreach { _ =>
+      lab = sym
+        .join(lab.select(col("grp"), col("node").as("b"), col("lab")), Seq("grp", "b"))
+        .groupBy(col("grp"), col("a"), col("lab"))
+        .agg(count(lit(1)).as("c"))
+        .groupBy(col("grp"), col("a").as("node"))
+        // argmax with min-label tie-break as one order-independent agg:
+        // max over (count, -label) structs, then negate back
+        .agg(max(struct(col("c"), (-col("lab")).as("nl"))).as("m"))
+        .select(col("grp"), col("node"), (-col("m.nl")).as("lab"))
+    }
+    lab.select(col("grp"), col("node"), col("lab").as("community"))
+  }
+
   /** Exact-scaled alpha/Katz centrality (G10) — the driver-oracle-able
     * companion of the LocalGraph dense solve (reference
     * `alpha_centrality`, bin/interpersonaldiversity.R). The solve's

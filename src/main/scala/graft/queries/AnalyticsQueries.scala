@@ -1346,8 +1346,55 @@ object AnalyticsQueries {
         .select(col("src"), col("dst")), steps = 4)
   }
 
+  /** Chained-CTE mirror of [[GraphAnalytics.lpaExactScaled]]: per step
+    * one neighbor-label-count CTE and one argmax CTE (row_number
+    * ordered by count DESC, label ASC — the same total order the
+    * Spark side encodes as a max over (count, -label) structs). */
+  private def lpaOracle(iters: Int): String = {
+    val steps = (1 to iters).map { k =>
+      s"""s$k AS (
+         |  SELECT y.grp, y.a AS node, p.lab AS lab, count(*) AS c
+         |  FROM sym y JOIN l${k - 1} p ON p.grp = y.grp AND p.node = y.b
+         |  GROUP BY 1, 2, 3),
+         |l$k AS (
+         |  SELECT grp, node, lab FROM (
+         |    SELECT grp, node, lab,
+         |           row_number() OVER (PARTITION BY grp, node
+         |                              ORDER BY c DESC, lab ASC) AS rn
+         |    FROM s$k) WHERE rn = 1)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH e AS (
+       |  SELECT n_name AS grp, CAST(l_suppkey AS BIGINT) AS src,
+       |         CAST(o_custkey + 1000000 AS BIGINT) AS dst
+       |  FROM lineitem
+       |  JOIN orders ON l_orderkey = o_orderkey
+       |  JOIN customer ON o_custkey = c_custkey
+       |  JOIN nation ON c_nationkey = n_nationkey
+       |  WHERE l_quantity >= 49
+       |  GROUP BY 1, 2, 3),
+       |sym AS (SELECT grp, src AS a, dst AS b FROM e
+       |        UNION SELECT grp, dst AS a, src AS b FROM e),
+       |l0 AS (SELECT DISTINCT grp, a AS node, a AS lab FROM sym),
+       |$steps
+       |SELECT grp, node, lab AS community FROM l$iters""".stripMargin
+  }
+
+  /** G14/G15 distributed twin, hash-oracled: deterministic synchronous
+    * label propagation (min-label tie-break) as exact supersteps. The
+    * driver-local walktrap/CNM kernels stay the reference-matching
+    * form (q130's pinned assignments); THIS is the
+    * whole-graph-scale community detector, gated end-to-end. */
+  val q156 = QuerySpec.sql(
+    "q156_lpa_exact",
+    lpaOracle(iters = 4),
+    "deterministic per-group label propagation supersteps (SURVEY G14/G15)") { (s, d) =>
+    GraphAnalytics.lpaExactScaled(
+      groupEdges(s, d).select(col("group"), col("src"), col("dst")),
+      iters = 4)
+  }
+
   val all: Seq[QuerySpec] =
     Seq(q53, q54, q55, q56, q57, q59, q74, q75, q76, q82, q90, q96, q98, q99,
       q100, q104, q110, q115, q117, q118, q119, q120, q122, q130, q133, q134,
-      q135, q136)
+      q135, q136, q156)
 }
