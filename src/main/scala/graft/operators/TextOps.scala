@@ -124,6 +124,22 @@ object TextOps {
         text.substr((i * stride + 1).cast("int"), lit(size)).as("chunk")))
   }
 
+  /** Non-overlapping k-token windows ("passages") with their window
+    * index — the segmentation unit for passage-level corpus dedup
+    * (CCNet/Dolma-style line dedup, adapted to newline-free text).
+    * Returns array<struct(w_idx, passage)>; the short tail window is
+    * kept (truncation would silently drop corpus). Narrow: one
+    * `transform(sequence(...))` per doc, no shuffle. */
+  def tokenWindows(text: Column, k: Int): Column = {
+    require(k > 0, "need k > 0")
+    val toks = tokens(text)
+    val nWin = greatest(
+      ceil(size(toks).cast("double") / lit(k)).cast("long"), lit(1L))
+    transform(sequence(lit(0L), nWin - 1),
+      i => struct(i.as("w_idx"),
+        array_join(slice(toks, (i * k + 1).cast("int"), lit(k)), " ").as("passage")))
+  }
+
   val EmailPattern = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
   val LongDigitPattern = "[0-9][0-9 ()+.-]{7,}[0-9]"
 

@@ -1045,8 +1045,57 @@ object Corpus {
         max(col("jaccard")).as("best_jaccard"))
   }
 
+  /** Passage-level corpus dedup with document reconstitution — the
+    * removal step downstream of q148's detection signal (CCNet/Dolma
+    * "line dedup", adapted to newline-free text via non-overlapping
+    * 8-token windows). A passage occurring in ≥2 distinct documents is
+    * dropped from ALL of them; each document is reassembled from its
+    * surviving windows in order. Scale: windowing is a narrow
+    * per-doc `transform` (no shuffle); the duplicate decision is one
+    * hash-keyed agg over (passage-hash → distinct-doc count) joined
+    * back on the 16-byte md5 (not the passage text — the shuffle
+    * carries hashes); reassembly is one per-doc agg whose state is
+    * bounded by document length. Order independence: windows carry
+    * their index, so `array_sort` on (w_idx, passage) structs makes
+    * the collect deterministic — same total order as the oracle's
+    * `string_agg(... ORDER BY w_idx)`. */
+  val q157 = QuerySpec.sql(
+    "q157_passage_dedup_apply",
+    """WITH toks AS (
+      |  SELECT doc_id, regexp_extract_all(lower(text), '\S+') AS l FROM documents),
+      |w AS (
+      |  SELECT doc_id, i AS w_idx,
+      |         array_to_string(l[i*8+1 : i*8+8], ' ') AS passage
+      |  FROM toks, unnest(generate_series(0,
+      |    CAST(greatest(ceil(len(l) / 8.0), 1) AS BIGINT) - 1)) AS u(i)),
+      |h AS (SELECT doc_id, w_idx, passage, md5(passage) AS h FROM w),
+      |nd AS (SELECT h, count(DISTINCT doc_id) AS ndocs FROM h GROUP BY h)
+      |SELECT doc_id,
+      |       count(*) AS n_windows,
+      |       count(CASE WHEN ndocs >= 2 THEN 1 END) AS n_dropped,
+      |       coalesce(string_agg(CASE WHEN ndocs < 2 THEN passage END,
+      |                           ' ' ORDER BY w_idx), '') AS clean_text
+      |FROM h JOIN nd USING (h)
+      |GROUP BY doc_id""",
+    "passage-level corpus dedup applied: drop cross-doc duplicate windows, reassemble docs (training-data pipeline)") { (s, d) =>
+    val w = Tables.documents(s, d)
+      .select(col("doc_id"),
+        explode(TextOps.tokenWindows(col("text"), k = 8)).as("wd"))
+      .select(col("doc_id"), col("wd.w_idx").as("w_idx"),
+        col("wd.passage").as("passage"), md5(col("wd.passage")).as("h"))
+    val nd = w.select(col("doc_id"), col("h")).distinct()
+      .groupBy("h").agg(count(lit(1)).as("ndocs"))
+    w.join(nd, "h")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_windows"),
+        count(when(col("ndocs") >= 2, lit(1))).as("n_dropped"),
+        coalesce(array_join(transform(array_sort(collect_list(
+            when(col("ndocs") < 2, struct(col("w_idx"), col("passage"))))),
+          x => x.getField("passage")), " "), lit("")).as("clean_text"))
+  }
+
   val all: Seq[QuerySpec] =
     Seq(q30, q31, q89, q32, q33, q34, q35, q36, q37, q38, q39, q40, q41, q42,
       q43, q77, q78, q83, q91, q92, q93, q97, q103, q112, q113, q114, q116,
-      q139, q140, q141, q144, q147, q148, q149, q150, q153, q154, q155)
+      q139, q140, q141, q144, q147, q148, q149, q150, q153, q154, q155, q157)
 }
