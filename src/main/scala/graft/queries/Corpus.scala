@@ -1094,8 +1094,43 @@ object Corpus {
           x => x.getField("passage")), " "), lit("")).as("clean_text"))
   }
 
+  /** Out-of-vocabulary rate per document — the vocab-coverage quality
+    * signal: fraction of a doc's token OCCURRENCES whose corpus
+    * document-frequency falls below a floor (df < 3 ≈ "not in the
+    * working vocabulary"). High OOV rate flags garbage/corrupted docs
+    * before training. Arithmetic is integer counts with ONE final
+    * IEEE division (the q148 idiom), so the hash gate is stable.
+    * Scale: df is the vocab-build aggregation (shuffle by token,
+    * partial agg first); the occurrence⋈df join is keyed by token —
+    * at real scale the df table is Zipf-small relative to occurrences
+    * and broadcastable, but the keyed form stays correct either way;
+    * final rollup is one per-doc agg. */
+  val q158 = QuerySpec.sql(
+    "q158_oov_rate",
+    """WITH toks AS (
+      |  SELECT doc_id, unnest(regexp_extract_all(lower(text), '\S+')) AS tok
+      |  FROM documents),
+      |dfreq AS (SELECT tok, count(DISTINCT doc_id) AS df FROM toks GROUP BY 1)
+      |SELECT doc_id, count(*) AS n_tokens,
+      |       count(CASE WHEN df < 3 THEN 1 END) AS n_oov,
+      |       count(CASE WHEN df < 3 THEN 1 END) * 1.0 / count(*) AS oov_rate
+      |FROM toks JOIN dfreq USING (tok)
+      |GROUP BY doc_id""",
+    "per-doc out-of-vocabulary token rate vs corpus df floor (text quality)") { (s, d) =>
+    val toks = Tables.documents(s, d).select(col("doc_id"),
+      explode(TextOps.tokens(col("text"))).as("tok"))
+    val dfreq = toks.groupBy("tok").agg(countDistinct("doc_id").as("df"))
+    toks.join(dfreq, "tok")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_tokens"),
+        count(when(col("df") < 3, lit(1))).as("n_oov"))
+      .select(col("doc_id"), col("n_tokens"), col("n_oov"),
+        (col("n_oov") * lit(1.0) / col("n_tokens")).as("oov_rate"))
+  }
+
   val all: Seq[QuerySpec] =
     Seq(q30, q31, q89, q32, q33, q34, q35, q36, q37, q38, q39, q40, q41, q42,
       q43, q77, q78, q83, q91, q92, q93, q97, q103, q112, q113, q114, q116,
-      q139, q140, q141, q144, q147, q148, q149, q150, q153, q154, q155, q157)
+      q139, q140, q141, q144, q147, q148, q149, q150, q153, q154, q155, q157,
+      q158)
 }
