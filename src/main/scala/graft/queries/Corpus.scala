@@ -1128,9 +1128,60 @@ object Corpus {
         (col("n_oov") * lit(1.0) / col("n_tokens")).as("oov_rate"))
   }
 
+  /** Keep-best-duplicate retention — the canonical downstream of
+    * near-dup clustering: per 0.8-Jaccard cluster keep exactly ONE
+    * document, the longest (max n_chars, tie → smallest doc_id), and
+    * report how much the cluster deflated. This is the step that
+    * actually shrinks the corpus after q103/q144's clustering.
+    * Decision rule is a total order on (n_chars DESC, doc_id ASC), so
+    * it replays in any engine. Scale: cluster map is the memoized
+    * q103 plan (LSH→CC, no all-pairs); the retention itself is one
+    * per-cluster window over a table with one row per document. */
+  val q159 = QuerySpec.sql(
+    "q159_keep_best_dup",
+    """WITH RECURSIVE tok AS (
+      |  SELECT doc_id, source AS blk,
+      |         unnest(list_distinct(regexp_extract_all(lower(text), '(\S+)', 1))) AS tok
+      |  FROM documents),
+      |sizes AS (SELECT doc_id, count(*) AS n FROM tok GROUP BY doc_id),
+      |inter AS (
+      |  SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS n_inter
+      |  FROM tok a JOIN tok b ON a.tok = b.tok AND a.blk = b.blk AND a.doc_id < b.doc_id
+      |  GROUP BY 1, 2),
+      |pairs AS (
+      |  SELECT d1, d2 FROM inter
+      |  JOIN sizes s1 ON s1.doc_id = d1
+      |  JOIN sizes s2 ON s2.doc_id = d2
+      |  WHERE n_inter * 1.0 / (s1.n + s2.n - n_inter) >= 0.8),
+      |sym AS (SELECT d1 AS a, d2 AS b FROM pairs UNION ALL SELECT d2, d1 FROM pairs),
+      |r AS (
+      |  SELECT doc_id AS node, doc_id AS reach FROM documents
+      |  UNION
+      |  SELECT r.node, s.b AS reach FROM r JOIN sym s ON s.a = r.reach),
+      |cl AS (SELECT node AS doc_id, min(reach) AS cluster_rep FROM r GROUP BY node),
+      |rk AS (
+      |  SELECT cl.doc_id, cl.cluster_rep, d.n_chars,
+      |         count(*) OVER (PARTITION BY cl.cluster_rep) AS n_in_cluster,
+      |         row_number() OVER (PARTITION BY cl.cluster_rep
+      |                            ORDER BY d.n_chars DESC, cl.doc_id ASC) AS rn
+      |  FROM cl JOIN documents d ON d.doc_id = cl.doc_id)
+      |SELECT doc_id, cluster_rep, CAST(n_chars AS BIGINT) AS n_chars,
+      |       n_in_cluster FROM rk WHERE rn = 1""",
+    "keep-best-duplicate retention per near-dup cluster (training-data pipeline)") { (s, d) =>
+    val byCluster = org.apache.spark.sql.expressions.Window.partitionBy("cluster_rep")
+    clusters08(s, d)
+      .join(Tables.documents(s, d).select(col("doc_id"), col("n_chars")), "doc_id")
+      .withColumn("n_in_cluster", count(lit(1)).over(byCluster))
+      .withColumn("rn", row_number().over(
+        byCluster.orderBy(col("n_chars").desc, col("doc_id").asc)))
+      .where(col("rn") === 1)
+      .select(col("doc_id"), col("cluster_rep"), col("n_chars"),
+        col("n_in_cluster"))
+  }
+
   val all: Seq[QuerySpec] =
     Seq(q30, q31, q89, q32, q33, q34, q35, q36, q37, q38, q39, q40, q41, q42,
       q43, q77, q78, q83, q91, q92, q93, q97, q103, q112, q113, q114, q116,
       q139, q140, q141, q144, q147, q148, q149, q150, q153, q154, q155, q157,
-      q158)
+      q158, q159)
 }
