@@ -107,5 +107,9 @@ class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Un
       new FunctionIdentifier("simhash64"),
       new ExpressionInfo(classOf[SimHash64].getName, "simhash64"),
       (children: Seq[Expression]) => SimHash64(children(0))))
+    // whole-operator extension: BETWEEN-join → binned equi-join
+    // (graft.plans.BinnedRangeJoinRule) — keeps interval lookups off
+    // the BroadcastNestedLoopJoin path
+    ext.injectOptimizerRule(_ => new graft.plans.BinnedRangeJoinRule)
   }
 }

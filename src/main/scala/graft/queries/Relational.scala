@@ -553,8 +553,42 @@ object Relational {
         intSum(col("l_quantity")).as("sum_qty"))
   }
 
+  /** Range (interval-containment) join, hash-oracled: classify every
+    * part price into EVERY brand's [min, max] price band — a no-equi-
+    * key join that open-source Spark would execute as
+    * BroadcastNestedLoopJoin, run here through the binned rewrite
+    * ([[graft.plans.RangeJoin]]): ranges explode to ~span/4096 bin
+    * rows, probes to one, and the join is a plain equi-join on the
+    * bin + residual BETWEEN filter — linear, shuffle-partitioned.
+    * `floor(price*100)` is one IEEE multiply + floor, identical in
+    * both engines. */
+  val q160 = QuerySpec.sql(
+    "q160_range_join",
+    """WITH px AS (
+      |  SELECT p_partkey, p_brand,
+      |         CAST(floor(p_retailprice * 100) AS BIGINT) AS cents FROM part),
+      |bands AS (
+      |  SELECT p_brand AS band, min(cents) AS lo, max(cents) AS hi
+      |  FROM px GROUP BY 1)
+      |SELECT band, count(*) AS n_parts,
+      |       min(cents) AS min_cents, max(cents) AS max_cents
+      |FROM px JOIN bands ON cents >= lo AND cents <= hi
+      |GROUP BY band""",
+    "binned range join: parts vs all containing brand price bands (SURVEY J-family)") { (s, d) =>
+    val px = Tables.part(s, d).select(col("p_partkey"), col("p_brand"),
+      floor(col("p_retailprice") * 100).cast("long").as("cents"))
+    val bands = px.groupBy(col("p_brand").as("band"))
+      .agg(min("cents").as("lo"), max("cents").as("hi"))
+    graft.plans.RangeJoin.binned(
+        px.select("p_partkey", "cents"), "cents", bands, "lo", "hi",
+        binWidth = 4096L)
+      .groupBy("band")
+      .agg(count(lit(1)).as("n_parts"),
+        min("cents").as("min_cents"), max("cents").as("max_cents"))
+  }
+
   val all: Seq[QuerySpec] = Seq(
     q01, q02, q03, q04, q05, q06, q07, q08, q09, q10, q11,
     q12, q13, q14, q15, q16, q17, q18, q19, q20, q21, q22, q23, q94, q95,
-    q123, q125, q126, q128, q129)
+    q123, q125, q126, q128, q129, q160)
 }
