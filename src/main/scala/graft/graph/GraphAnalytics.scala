@@ -323,6 +323,51 @@ object GraphAnalytics {
     lab.select(col("grp"), col("node"), col("lab").as("community"))
   }
 
+  /** Newman modularity of the [[lpaExactScaled]] community assignment,
+    * per group — the quality score the reference's igraph workflow
+    * reads off its community kernels (modularity() over
+    * cluster_walktrap etc., bin/CompareNetworkGroups.R). Exact
+    * integer arithmetic to the last step: with m2 = |sym| = 2m and
+    * per-community sym-intra edge count I_c and degree mass D_c,
+    * Q = Σ_c [L_c/m − (D_c/2m)²] = (Σ_c m2·I_c − D_c²) / m2² — one
+    * IEEE division of exact BIGINTs, so any engine replays it. The
+    * label table is consumed three times (both endpoints + degree
+    * mass), so its superstep lineage is truncated with an eager
+    * localCheckpoint — the standard iterative-algorithm cut, same as
+    * [[kcore]]. */
+  def lpaModularityScaled(edges: DataFrame, iters: Int): DataFrame = {
+    val e0 = edges.select(col("group").as("grp"),
+      col("src").cast("long").as("a"), col("dst").cast("long").as("b"))
+    val sym = e0.unionByName(
+        e0.select(col("grp"), col("b").as("a"), col("a").as("b"))).distinct()
+    val lab = lpaExactScaled(edges, iters).localCheckpoint(true)
+    val m2 = sym.groupBy("grp").agg(count(lit(1)).as("m2"))
+    val labeled = sym
+      .join(lab.select(col("grp"), col("node").as("a"), col("community").as("ca")),
+        Seq("grp", "a"))
+      .join(lab.select(col("grp"), col("node").as("b"), col("community").as("cb")),
+        Seq("grp", "b"))
+    val intra = labeled.where(col("ca") === col("cb"))
+      .groupBy(col("grp"), col("ca").as("c")).agg(count(lit(1)).as("sym_intra"))
+    val deg = sym.groupBy(col("grp"), col("a").as("node"))
+      .agg(count(lit(1)).as("deg"))
+    val dsum = deg
+      .join(lab.select(col("grp"), col("node"), col("community").as("c")),
+        Seq("grp", "node"))
+      .groupBy("grp", "c").agg(sum(col("deg")).as("dsum"))
+    dsum.join(intra, Seq("grp", "c"), "left_outer").na.fill(0L, Seq("sym_intra"))
+      .join(m2, "grp")
+      .select(col("grp"), col("c"),
+        (col("m2") * col("sym_intra") - col("dsum") * col("dsum")).as("qc"),
+        col("m2"))
+      .groupBy("grp")
+      .agg(count(lit(1)).as("n_communities"), sum(col("qc")).as("q_num"),
+        max(col("m2")).as("m2"))
+      .select(col("grp"), col("n_communities"), col("q_num"),
+        (col("q_num").cast("double") /
+          (col("m2") * col("m2")).cast("double")).as("modularity"))
+  }
+
   /** Exact-scaled alpha/Katz centrality (G10) — the driver-oracle-able
     * companion of the LocalGraph dense solve (reference
     * `alpha_centrality`, bin/interpersonaldiversity.R). The solve's

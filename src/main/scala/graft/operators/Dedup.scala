@@ -346,6 +346,55 @@ object Dedup {
       minJaccard)
   }
 
+  /** Cross-set CONTAINMENT join: every (probe doc, corpus doc) pair
+    * with |T_probe ∩ T_corpus| / |T_probe| ≥ t — the asymmetric
+    * near-dup relation ("this doc is mostly inside that one") that
+    * catches quotes, mirrors, and partial copies which symmetric
+    * Jaccard misses when sizes differ. Prefix filter is asymmetric:
+    * under one GLOBAL df order over both sets, a probe doc of n1
+    * tokens keeps its n1 − ⌈t·n1⌉ + 1 rarest tokens (an intersection
+    * of ≥ ⌈t·n1⌉ tokens must hit that prefix), while the corpus side
+    * cannot shrink — containment puts no lower bound on how much of
+    * the corpus doc participates — so the corpus is indexed whole:
+    * exactly why production containment joins precompute the corpus
+    * posting lists once and reuse them per batch. Candidates then
+    * pass the size filter n2 ≥ ⌈t·n1⌉ and exact verification
+    * (candidates are a provable superset; the verify is exact).
+    * Output: (d1 = probe, d2 = corpus, containment). */
+  def containmentPairsAcrossTokens(tokProbe: DataFrame, tokCorpus: DataFrame,
+      minContainment: Double): DataFrame = {
+    require(minContainment > 0.0, "prefix filtering needs a positive threshold")
+    import org.apache.spark.sql.expressions.Window
+    val u = tokProbe.select(col("doc_id"), col("tok"), lit(0).as("side"))
+      .unionByName(tokCorpus.select(col("doc_id"), col("tok"), lit(1).as("side")))
+    val dfreq = u.groupBy("tok").agg(count(lit(1)).as("df"))
+    val byDoc = Window.partitionBy("doc_id")
+    val ranked = tokProbe.join(dfreq, Seq("tok"))
+      .select(col("tok"), col("doc_id"),
+        row_number().over(byDoc.orderBy(col("df"), col("tok"))).as("pos"),
+        count(lit(1)).over(byDoc).as("n"))
+    val probePrefix = ranked.filter(
+        col("pos") <= col("n") - ceil(lit(minContainment) * col("n") - lit(1e-9)) + 1)
+      .select(col("tok"), col("doc_id").as("d1"), col("n").as("n1"))
+    val corpusSizes = tokCorpus.groupBy("doc_id").agg(count(lit(1)).as("n2"))
+    val corpusIdx = tokCorpus.join(corpusSizes, Seq("doc_id"))
+      .select(col("tok"), col("doc_id").as("d2"), col("n2"))
+    val cand = probePrefix.join(corpusIdx, Seq("tok"))
+      .where(col("n2") >=
+        ceil(lit(minContainment) * col("n1") - lit(1e-9)).cast("long"))
+      .select(col("d1"), col("d2")).distinct()
+    val t1 = cand.join(tokProbe.select(col("doc_id").as("d1"), col("tok")), Seq("d1"))
+    val inter = t1
+      .join(tokCorpus.select(col("doc_id").as("d2"), col("tok")), Seq("d2", "tok"))
+      .groupBy("d1", "d2").agg(count(lit(1)).as("n_inter"))
+    inter
+      .join(tokProbe.groupBy("doc_id").agg(count(lit(1)).as("n1"))
+        .select(col("doc_id").as("d1"), col("n1")), Seq("d1"))
+      .select(col("d1"), col("d2"),
+        (col("n_inter") * lit(1.0) / col("n1")).as("containment"))
+      .where(col("containment") >= minContainment)
+  }
+
   /** Exact n-gram Jaccard similarity for doc pairs sharing a blocking
     * key (e.g. source): explode tokens, count intersections via
     * token-equi join within block, Jaccard from exact set sizes.

@@ -1393,8 +1393,74 @@ object AnalyticsQueries {
       iters = 4)
   }
 
+  /** [[lpaOracle]]'s CTE chain extended with the exact-integer
+    * modularity blocks: degree mass, sym-intra counts, and the
+    * per-community quantity m2·I_c − D_c², summed and divided ONCE. */
+  private def lpaModularityOracle(iters: Int): String = {
+    val steps = (1 to iters).map { k =>
+      s"""s$k AS (
+         |  SELECT y.grp, y.a AS node, p.lab AS lab, count(*) AS c
+         |  FROM sym y JOIN l${k - 1} p ON p.grp = y.grp AND p.node = y.b
+         |  GROUP BY 1, 2, 3),
+         |l$k AS (
+         |  SELECT grp, node, lab FROM (
+         |    SELECT grp, node, lab,
+         |           row_number() OVER (PARTITION BY grp, node
+         |                              ORDER BY c DESC, lab ASC) AS rn
+         |    FROM s$k) WHERE rn = 1)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH e AS (
+       |  SELECT n_name AS grp, CAST(l_suppkey AS BIGINT) AS src,
+       |         CAST(o_custkey + 1000000 AS BIGINT) AS dst
+       |  FROM lineitem
+       |  JOIN orders ON l_orderkey = o_orderkey
+       |  JOIN customer ON o_custkey = c_custkey
+       |  JOIN nation ON c_nationkey = n_nationkey
+       |  WHERE l_quantity >= 49
+       |  GROUP BY 1, 2, 3),
+       |sym AS (SELECT grp, src AS a, dst AS b FROM e
+       |        UNION SELECT grp, dst AS a, src AS b FROM e),
+       |l0 AS (SELECT DISTINCT grp, a AS node, a AS lab FROM sym),
+       |$steps,
+       |lab AS (SELECT grp, node, lab AS c FROM l$iters),
+       |m2 AS (SELECT grp, count(*) AS m2 FROM sym GROUP BY 1),
+       |deg AS (SELECT grp, a AS node, count(*) AS deg FROM sym GROUP BY 1, 2),
+       |intra AS (
+       |  SELECT s.grp, la.c AS c, count(*) AS sym_intra
+       |  FROM sym s
+       |  JOIN lab la ON la.grp = s.grp AND la.node = s.a
+       |  JOIN lab lb ON lb.grp = s.grp AND lb.node = s.b
+       |  WHERE la.c = lb.c GROUP BY 1, 2),
+       |dsum AS (
+       |  SELECT d.grp, la.c, CAST(sum(d.deg) AS BIGINT) AS dsum
+       |  FROM deg d JOIN lab la ON la.grp = d.grp AND la.node = d.node
+       |  GROUP BY 1, 2),
+       |per AS (
+       |  SELECT ds.grp, ds.c,
+       |         m2.m2 * coalesce(i.sym_intra, 0) - ds.dsum * ds.dsum AS qc,
+       |         m2.m2 AS m2
+       |  FROM dsum ds JOIN m2 USING (grp)
+       |  LEFT JOIN intra i ON i.grp = ds.grp AND i.c = ds.c)
+       |SELECT grp, count(*) AS n_communities, CAST(sum(qc) AS BIGINT) AS q_num,
+       |       CAST(sum(qc) AS DOUBLE) / CAST(max(m2) * max(m2) AS DOUBLE) AS modularity
+       |FROM per GROUP BY grp""".stripMargin
+  }
+
+  /** Newman modularity of the q156 LPA assignment, hash-oracled —
+    * the community-quality score (reference igraph modularity(),
+    * bin/CompareNetworkGroups.R) computed distributively in exact
+    * integers with one final division. */
+  val q162 = QuerySpec.sql(
+    "q162_lpa_modularity",
+    lpaModularityOracle(iters = 4),
+    "exact-integer Newman modularity of the LPA communities (SURVEY G14/G15)") { (s, d) =>
+    GraphAnalytics.lpaModularityScaled(
+      groupEdges(s, d).select(col("group"), col("src"), col("dst")),
+      iters = 4)
+  }
+
   val all: Seq[QuerySpec] =
     Seq(q53, q54, q55, q56, q57, q59, q74, q75, q76, q82, q90, q96, q98, q99,
       q100, q104, q110, q115, q117, q118, q119, q120, q122, q130, q133, q134,
-      q135, q136, q156)
+      q135, q136, q156, q162)
 }

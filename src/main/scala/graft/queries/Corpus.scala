@@ -1179,9 +1179,45 @@ object Corpus {
         col("n_in_cluster"))
   }
 
+  /** Cross-source containment screen: src0 docs that are ≥70%
+    * token-contained in some document of ANOTHER source — the
+    * asymmetric copy/quote/mirror detector symmetric Jaccard misses
+    * when sizes differ ([[Dedup.containmentPairsAcrossTokens]]:
+    * probe-side prefix filter under a global df order, corpus indexed
+    * whole, exact verify). Oracle is the naive token join — the
+    * prefix filter must be invisible to results. */
+  val q161 = QuerySpec.sql(
+    "q161_containment_screen",
+    """WITH tok AS (
+      |  SELECT doc_id, source,
+      |         unnest(list_distinct(regexp_extract_all(lower(text), '(\S+)', 1))) AS tok
+      |  FROM documents),
+      |sizes AS (SELECT doc_id, count(*) AS n FROM tok GROUP BY 1),
+      |inter AS (
+      |  SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS n_inter
+      |  FROM tok a JOIN tok b ON a.tok = b.tok
+      |  WHERE a.source = 'src0' AND b.source <> 'src0'
+      |  GROUP BY 1, 2),
+      |c AS (SELECT d1, d2, n_inter * 1.0 / s1.n AS containment
+      |      FROM inter JOIN sizes s1 ON s1.doc_id = d1)
+      |SELECT d1 AS doc_id, count(*) AS n_containers,
+      |       max(containment) AS best_containment
+      |FROM c WHERE containment >= 0.7 GROUP BY 1""",
+    "cross-source containment near-dup screen (dedup)") { (s, d) =>
+    val docs = Tables.documents(s, d)
+    def tokOf(f: org.apache.spark.sql.Column) = docs.where(f)
+      .select(col("doc_id"), explode(array_distinct(TextOps.tokens(col("text")))).as("tok"))
+    Dedup.containmentPairsAcrossTokens(
+        tokOf(col("source") === "src0"), tokOf(col("source") =!= "src0"),
+        minContainment = 0.7)
+      .groupBy(col("d1").as("doc_id"))
+      .agg(count(lit(1)).as("n_containers"),
+        max(col("containment")).as("best_containment"))
+  }
+
   val all: Seq[QuerySpec] =
     Seq(q30, q31, q89, q32, q33, q34, q35, q36, q37, q38, q39, q40, q41, q42,
       q43, q77, q78, q83, q91, q92, q93, q97, q103, q112, q113, q114, q116,
       q139, q140, q141, q144, q147, q148, q149, q150, q153, q154, q155, q157,
-      q158, q159)
+      q158, q159, q161)
 }
