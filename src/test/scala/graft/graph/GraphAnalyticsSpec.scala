@@ -299,4 +299,35 @@ class GraphAnalyticsSpec extends SparkSpec {
     assert(m.getAs[Int]("nCommunities") == 2)
     assert(m.getAs[Double]("modularity") > 0.2)
   }
+
+  test("lpaExactScaled: bridged cliques split into the two cliques") {
+    import spark.implicits._
+    // two 4-cliques bridged by a single edge; sync LPA with the
+    // min-label tie-break converges to {all-1, all-11} within 4 steps
+    def clique(ids: Seq[Long]) =
+      for (a <- ids; b <- ids if a < b) yield ("g", a, b)
+    val edges = (clique(Seq(1L, 2L, 3L, 4L)) ++
+      clique(Seq(11L, 12L, 13L, 14L)) :+ (("g", 4L, 11L)))
+      .toDF("group", "src", "dst")
+    val lab = GraphAnalytics.lpaExactScaled(edges, iters = 4)
+      .collect().map(r => r.getLong(1) -> r.getLong(2)).toMap
+    assert(Seq(1L, 2L, 3L, 4L).map(lab).toSet.size == 1)
+    assert(Seq(11L, 12L, 13L, 14L).map(lab).toSet.size == 1)
+    assert(lab(1L) != lab(11L))
+  }
+
+  test("lpaModularityScaled matches the closed form on bridged cliques") {
+    import spark.implicits._
+    def clique(ids: Seq[Long]) =
+      for (a <- ids; b <- ids if a < b) yield ("g", a, b)
+    val edges = (clique(Seq(1L, 2L, 3L, 4L)) ++
+      clique(Seq(11L, 12L, 13L, 14L)) :+ (("g", 4L, 11L)))
+      .toDF("group", "src", "dst")
+    val r = GraphAnalytics.lpaModularityScaled(edges, iters = 4).head()
+    // m = 13, m2 = 26; per clique: sym-intra = 12, degree mass = 13
+    // q_num = 2·(26·12 − 13²) = 286; Q = 286/676
+    assert(r.getAs[Long]("n_communities") == 2L)
+    assert(r.getAs[Long]("q_num") == 286L)
+    assert(math.abs(r.getAs[Double]("modularity") - 286.0 / 676.0) < 1e-12)
+  }
 }

@@ -227,4 +227,58 @@ class DedupSpec extends SparkSpec {
       assert(naive.nonEmpty, s"threshold $t: degenerate test corpus")
     }
   }
+
+  test("containmentPairsAcrossTokens: prefix filter invisible vs the naive join") {
+    // probe docs include exact substrings of corpus docs (the
+    // containment-not-Jaccard case: small probe inside big corpus doc)
+    val rnd = new scala.util.Random(29)
+    val vocab = (0 until 100).map(i => s"w$i")
+    val corpus = (100L to 140L).map { id =>
+      val r2 = new scala.util.Random(id)
+      (id, r2.shuffle(vocab).take(20 + r2.nextInt(10)).mkString(" "))
+    }
+    val probe = (1L to 30L).map { id =>
+      val src = corpus((id % corpus.size).toInt)._2.split(" ")
+      val keep = src.take(5 + rnd.nextInt(src.length - 5))
+      // a third of the probes get noise tokens breaking containment
+      val doc = if (id % 3 == 0) keep.toSeq ++ Seq(s"noise$id", s"junk$id")
+        else keep.toSeq
+      (id, doc.mkString(" "))
+    }
+    def tokOf(rows: Seq[(Long, String)]) = rows.toDF("doc_id", "text")
+      .select(col("doc_id"),
+        explode(array_distinct(TextOps.tokens(col("text")))).as("tok"))
+    for (t <- Seq(0.4, 0.7, 0.95)) {
+      val naive = tokOf(probe).as("a")
+        .join(tokOf(corpus).as("b"), col("a.tok") === col("b.tok"))
+        .groupBy(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
+        .agg(count(lit(1)).as("n_inter"))
+        .join(tokOf(probe).groupBy("doc_id").agg(count(lit(1)).as("n1"))
+          .withColumnRenamed("doc_id", "d1"), Seq("d1"))
+        .select(col("d1"), col("d2"),
+          (col("n_inter") * lit(1.0) / col("n1")).as("containment"))
+        .where(col("containment") >= t)
+        .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+      val got = Dedup.containmentPairsAcrossTokens(tokOf(probe), tokOf(corpus), t)
+        .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+      assert(got == naive, s"threshold $t: prefix-filtered != naive")
+      assert(naive.nonEmpty, s"threshold $t: degenerate fixture")
+    }
+  }
+
+  test("tokenWindows: windows reconstruct the token sequence exactly") {
+    val texts = Seq("", "   ", "one", "one two three",
+      "a  b\tc d e f g h i", docs.collect().map(_.getString(1)).mkString(" "))
+      .zipWithIndex.map { case (t, i) => (i.toLong, t) }
+    val df = texts.toDF("id", "text")
+    for (k <- Seq(1, 3, 8)) {
+      val got = df.select(col("id"), array_join(transform(
+          TextOps.tokenWindows(col("text"), k), w => w.getField("passage")), " ").as("j"))
+        .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+      val want = df.select(col("id"),
+          array_join(TextOps.tokens(col("text")), " ").as("j"))
+        .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+      assert(got == want, s"k=$k")
+    }
+  }
 }
