@@ -1012,11 +1012,16 @@ object Corpus {
     * EXISTING corpus docs it near-duplicates at Jaccard ≥ 0.5 and the
     * best match — the reject/keep signal of a production landing
     * pipeline, where each batch is checked against the corpus and
-    * never corpus-against-corpus. Cross-set prefix-filtered exact
-    * Jaccard ([[Dedup.jaccardPairsAcrossTokens]]): candidates only
-    * from shared rare-prefix tokens under one global df order, so the
-    * batch never joins the whole corpus; the corpus prefix table is
-    * reusable across batches. */
+    * never corpus-against-corpus. Runs through the regime dispatcher
+    * ([[Dedup.jaccardPairsAcross]]): sparse vocabularies take the
+    * prefix-filtered path (candidates only from shared rare-prefix
+    * tokens under one global df order, corpus prefix table reusable
+    * across batches); dense vocabularies — where prefix filtering
+    * degenerates to all pairs and the verify join explodes (55M join
+    * rows here for a 3M-pair answer) — take the bitset kernel
+    * (token→id dictionary, per-doc 64-bit-word masks, intersection =
+    * `bit_count(a & b)`, probe side broadcast). Identical output
+    * either way; the oracle is the algorithm-blind naive join. */
   val q150 = QuerySpec.sql(
     "q150_ingest_dedup",
     """WITH tok AS (
@@ -1037,7 +1042,7 @@ object Corpus {
     val docs = Tables.documents(s, d)
     def tokOf(f: org.apache.spark.sql.Column) = docs.where(f)
       .select(col("doc_id"), explode(array_distinct(TextOps.tokens(col("text")))).as("tok"))
-    Dedup.jaccardPairsAcrossTokens(
+    Dedup.jaccardPairsAcross(
         tokOf(pmod(col("doc_id"), lit(7)) === 0),
         tokOf(pmod(col("doc_id"), lit(7)) =!= 0), minJaccard = 0.5)
       .groupBy(col("d1").as("doc_id"))

@@ -228,6 +228,40 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  test("jaccardPairsAcrossBitmap is bit-identical to the prefix form") {
+    // same synthetic shape as the prefix test: shared stop words,
+    // planted near-dup families, plus noise docs; vocab ≈ 125 ≪ 4096
+    val rnd = new scala.util.Random(41)
+    val stop = Seq("the", "a", "of", "and", "to")
+    val vocab = (0 until 120).map(i => s"w$i")
+    val synth = (1L to 80L).map { id =>
+      val fam = id % 8
+      val famRnd = new scala.util.Random(fam)
+      val base = famRnd.shuffle(vocab).take(12 + famRnd.nextInt(8))
+      val mut = base.map(w => if (rnd.nextDouble() < 0.15) vocab(rnd.nextInt(vocab.size)) else w)
+      (id, (stop ++ mut).mkString(" "))
+    }
+    def tokOf(rows: Seq[(Long, String)]) = rows.toDF("doc_id", "text")
+      .select(col("doc_id"),
+        explode(array_distinct(TextOps.tokens(col("text")))).as("tok"))
+    val probe = synth.filter(_._1 % 5 == 0)
+    val corpus = synth.filter(_._1 % 5 != 0)
+    for (t <- Seq(0.3, 0.6, 0.9)) {
+      val pref = Dedup.jaccardPairsAcrossTokens(tokOf(probe), tokOf(corpus), t)
+        .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+      val bm = Dedup.jaccardPairsAcrossBitmap(tokOf(probe), tokOf(corpus), t)
+        .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+      assert(bm == pref, s"threshold $t: bitmap != prefix")
+    }
+    // dispatcher picks the bitmap path here and the result agrees too
+    val viaDispatch = Dedup.jaccardPairsAcross(tokOf(probe), tokOf(corpus), 0.3)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val direct = Dedup.jaccardPairsAcrossTokens(tokOf(probe), tokOf(corpus), 0.3)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(viaDispatch == direct)
+    assert(direct.nonEmpty)
+  }
+
   test("containmentPairsAcrossTokens: prefix filter invisible vs the naive join") {
     // probe docs include exact substrings of corpus docs (the
     // containment-not-Jaccard case: small probe inside big corpus doc)
