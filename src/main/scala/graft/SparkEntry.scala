@@ -35,6 +35,9 @@ object SparkEntry {
     val g = graft.graph.GraphBuild.tpchGraph(spark, dir)
     g.nodes.count(); g.edges.count()
     queries.get("q55_group_graph_metrics").foreach(_(spark, dir).count())
+    // the LPA assignment is shared by q156 (returns it) and q162
+    // (scores it): materialize once here
+    queries.get("q156_lpa_exact").foreach(_(spark, dir).count())
     queries.get("q59_vertex_centralities").foreach(_(spark, dir).count())
     queries.get("q37_minhash_lsh_pairs").foreach(_(spark, dir).count())
     // the exact-Jaccard pair table is shared by q35 and q103

@@ -335,12 +335,21 @@ object GraphAnalytics {
     * mass), so its superstep lineage is truncated with an eager
     * localCheckpoint — the standard iterative-algorithm cut, same as
     * [[kcore]]. */
-  def lpaModularityScaled(edges: DataFrame, iters: Int): DataFrame = {
+  def lpaModularityScaled(edges: DataFrame, iters: Int): DataFrame =
+    lpaModularityOf(edges, lpaExactScaled(edges, iters).localCheckpoint(true))
+
+  /** [[lpaModularityScaled]] with the label table supplied by the
+    * caller — the shared-intermediate form: when the assignment is
+    * already memoized/persisted (one LPA run feeding both the
+    * assignment gate and this score), passing it here skips the
+    * superstep recompute. `labels` must be (grp, node, community)
+    * and MATERIALIZED (persisted or checkpointed) — it is consumed
+    * three times below. */
+  def lpaModularityOf(edges: DataFrame, lab: DataFrame): DataFrame = {
     val e0 = edges.select(col("group").as("grp"),
       col("src").cast("long").as("a"), col("dst").cast("long").as("b"))
     val sym = e0.unionByName(
         e0.select(col("grp"), col("b").as("a"), col("a").as("b"))).distinct()
-    val lab = lpaExactScaled(edges, iters).localCheckpoint(true)
     val m2 = sym.groupBy("grp").agg(count(lit(1)).as("m2"))
     val labeled = sym
       .join(lab.select(col("grp"), col("node").as("a"), col("community").as("ca")),

@@ -420,6 +420,59 @@ object Dedup {
     else jaccardPairsAcrossTokens(tokProbe, tokCorpus, minJaccard)
   }
 
+  /** Dense-vocabulary fast path for the cross-set CONTAINMENT join —
+    * same bitset kernel as [[jaccardPairsAcrossBitmap]] (the prefix
+    * filter degenerates identically in this regime, and containment's
+    * probe-side-only prefix makes the verify blowup WORSE), scoring
+    * |T1∩T2|/|T1| instead of Jaccard. */
+  def containmentPairsAcrossBitmap(tokProbe: DataFrame, tokCorpus: DataFrame,
+      minContainment: Double, maxVocab: Int = 4096): DataFrame = {
+    require(minContainment > 0.0, "thresholdless all-pairs output is never wanted")
+    import org.apache.spark.sql.expressions.Window
+    val u = tokProbe.select(col("doc_id"), col("tok"))
+      .unionByName(tokCorpus.select(col("doc_id"), col("tok")))
+    val vocab = u.select("tok").distinct()
+      .select(col("tok"),
+        (row_number().over(Window.orderBy("tok")) - 1).as("id"))
+      .cache()
+    val v = vocab.count()
+    require(v <= maxVocab,
+      s"vocabulary $v exceeds $maxVocab — use containmentPairsAcrossTokens (sparse path)")
+    val nWords = ((v + 63) / 64).toInt.max(1)
+    def masksOf(tok: DataFrame, d: String, n: String, m: String) = tok
+      .join(broadcast(vocab), Seq("tok"))
+      .select(col("doc_id"), (col("id") / 64).cast("int").as("w"),
+        expr("shiftleft(CAST(1 AS BIGINT), CAST(id % 64 AS INT))").as("bit"))
+      .groupBy("doc_id", "w").agg(bit_or(col("bit")).as("bits"))
+      .groupBy("doc_id")
+      .agg(map_from_entries(collect_list(struct(col("w"), col("bits")))).as("mm"))
+      .select(col("doc_id").as(d),
+        transform(sequence(lit(0), lit(nWords - 1)),
+          w => coalesce(element_at(col("mm"), w), lit(0L))).as(m))
+      .withColumn(n, aggregate(col(m), lit(0L),
+        (acc, x) => acc + bit_count(x).cast("long")))
+    val p = masksOf(tokProbe, "d1", "n1", "ma")
+    val c = masksOf(tokCorpus, "d2", "n2", "mb")
+    broadcast(p).crossJoin(c)
+      .withColumn("n_inter", aggregate(
+        zip_with(col("ma"), col("mb"), (x, y) => bit_count(x.bitwiseAND(y)).cast("long")),
+        lit(0L), (acc, x) => acc + x))
+      .select(col("d1"), col("d2"),
+        (col("n_inter") * lit(1.0) / col("n1")).as("containment"))
+      .where(col("containment") >= minContainment)
+  }
+
+  /** Regime dispatcher for the cross-set containment join — the
+    * [[jaccardPairsAcross]] crossover applied to containment. */
+  def containmentPairsAcross(tokProbe: DataFrame, tokCorpus: DataFrame,
+      minContainment: Double, bitmapMaxVocab: Int = 4096): DataFrame = {
+    val approxV = tokProbe.select("tok").unionByName(tokCorpus.select("tok"))
+      .agg(approx_count_distinct(col("tok")).as("v")).head().getLong(0)
+    if (approxV <= bitmapMaxVocab * 9L / 10)
+      containmentPairsAcrossBitmap(tokProbe, tokCorpus, minContainment, bitmapMaxVocab)
+    else containmentPairsAcrossTokens(tokProbe, tokCorpus, minContainment)
+  }
+
   /** Cross-set CONTAINMENT join: every (probe doc, corpus doc) pair
     * with |T_probe ∩ T_corpus| / |T_probe| ≥ t — the asymmetric
     * near-dup relation ("this doc is mostly inside that one") that

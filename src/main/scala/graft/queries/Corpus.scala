@@ -1212,7 +1212,7 @@ object Corpus {
     val docs = Tables.documents(s, d)
     def tokOf(f: org.apache.spark.sql.Column) = docs.where(f)
       .select(col("doc_id"), explode(array_distinct(TextOps.tokens(col("text")))).as("tok"))
-    Dedup.containmentPairsAcrossTokens(
+    Dedup.containmentPairsAcross(
         tokOf(col("source") === "src0"), tokOf(col("source") =!= "src0"),
         minContainment = 0.7)
       .groupBy(col("d1").as("doc_id"))

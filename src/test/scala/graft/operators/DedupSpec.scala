@@ -297,6 +297,9 @@ class DedupSpec extends SparkSpec {
         .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
       assert(got == naive, s"threshold $t: prefix-filtered != naive")
       assert(naive.nonEmpty, s"threshold $t: degenerate fixture")
+      val bm = Dedup.containmentPairsAcrossBitmap(tokOf(probe), tokOf(corpus), t)
+        .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+      assert(bm == naive, s"threshold $t: bitmap != naive")
     }
   }
 
