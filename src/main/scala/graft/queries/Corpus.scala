@@ -1220,9 +1220,55 @@ object Corpus {
         max(col("containment")).as("best_containment"))
   }
 
+  /** Symmetric per-vector int8 quantization of the embedding column —
+    * the 4× storage compressor every large-scale vector store applies
+    * before indexing (scale = 127/max|x|, q = ⌊x·127/mx + 0.5⌋
+    * clamped to ±127). Replay discipline: every float promotes to
+    * double ONCE, the expression tree is written identically on both
+    * sides (left-associative multiply-divide, floor(x+0.5) instead of
+    * engine-specific round-half rules), so quantized codes AND the
+    * max reconstruction error are bit-identical. Scale: one narrow
+    * explode + per-vector agg + keyed join back — shuffle is two
+    * small (vec_id, mx) tables, never the codes. */
+  val q163 = QuerySpec.sql(
+    "q163_embed_quantize",
+    """WITH e AS (
+      |  SELECT vec_id, unnest(embedding) AS v FROM embeddings),
+      |s AS (SELECT vec_id, max(abs(v)) AS mx FROM e GROUP BY 1),
+      |q AS (
+      |  SELECT e.vec_id, v, mx,
+      |         CASE WHEN mx = 0 THEN 0 ELSE
+      |           CAST(greatest(-127, least(127,
+      |             floor(CAST(v AS DOUBLE) * 127.0 / CAST(mx AS DOUBLE) + 0.5)))
+      |           AS BIGINT) END AS qv
+      |  FROM e JOIN s USING (vec_id))
+      |SELECT vec_id, count(*) AS n_dims,
+      |       CAST(sum(qv) AS BIGINT) AS q_sum,
+      |       CAST(sum(abs(qv)) AS BIGINT) AS q_l1,
+      |       max(abs(CAST(qv AS DOUBLE) * (CAST(mx AS DOUBLE) / 127.0)
+      |               - CAST(v AS DOUBLE))) AS max_abs_err
+      |FROM q GROUP BY vec_id""",
+    "symmetric int8 embedding quantization + reconstruction error (similarity infra)") { (s, d) =>
+    val e = Tables.embeddings(s, d)
+      .select(col("vec_id"), explode(col("embedding")).as("v"))
+    val mx = e.groupBy("vec_id").agg(max(abs(col("v"))).as("mx"))
+    e.join(mx, "vec_id")
+      .select(col("vec_id"), col("v"), col("mx"),
+        when(col("mx") === 0, lit(0L)).otherwise(
+          greatest(lit(-127L), least(lit(127L),
+            floor(col("v").cast("double") * lit(127.0) / col("mx").cast("double")
+              + lit(0.5)))).cast("long")).as("qv"))
+      .groupBy("vec_id")
+      .agg(count(lit(1)).as("n_dims"),
+        sum(col("qv")).as("q_sum"),
+        sum(abs(col("qv"))).as("q_l1"),
+        max(abs(col("qv").cast("double") * (col("mx").cast("double") / lit(127.0))
+          - col("v").cast("double"))).as("max_abs_err"))
+  }
+
   val all: Seq[QuerySpec] =
     Seq(q30, q31, q89, q32, q33, q34, q35, q36, q37, q38, q39, q40, q41, q42,
       q43, q77, q78, q83, q91, q92, q93, q97, q103, q112, q113, q114, q116,
       q139, q140, q141, q144, q147, q148, q149, q150, q153, q154, q155, q157,
-      q158, q159, q161)
+      q158, q159, q161, q163)
 }
