@@ -1266,9 +1266,50 @@ object Corpus {
           - col("v").cast("double"))).as("max_abs_err"))
   }
 
+  /** Vocabulary coverage curve: how much of the corpus's token MASS
+    * the top-k vocabulary entries cover — the Zipf diagnostic read
+    * before sizing a tokenizer/vocab (a 50k vocab covering 97% of
+    * mass vs 99.5% is a real pre-training decision). Counts are the
+    * vocab-build aggregation (shuffle by token, partial agg first);
+    * the ranked cumulative sum runs over the VOCABULARY (small by
+    * Zipf), not the corpus, so the single-partition window is
+    * bounded; total mass broadcasts. Integer mass, one division. */
+  val q164 = QuerySpec.sql(
+    "q164_vocab_coverage",
+    """WITH toks AS (
+      |  SELECT unnest(regexp_extract_all(lower(text), '\S+')) AS tok
+      |  FROM documents),
+      |c AS (SELECT tok, count(*) AS cnt FROM toks GROUP BY 1),
+      |tot AS (SELECT CAST(sum(cnt) AS BIGINT) AS total FROM c),
+      |r AS (SELECT tok, cnt,
+      |             row_number() OVER (ORDER BY cnt DESC, tok) AS rk,
+      |             CAST(sum(cnt) OVER (ORDER BY cnt DESC, tok
+      |               ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum
+      |      FROM c)
+      |SELECT rk, tok, CAST(cnt AS BIGINT) AS cnt, cum AS cum_mass,
+      |       CAST(cum AS DOUBLE) / CAST(total AS DOUBLE) AS coverage
+      |FROM r CROSS JOIN tot WHERE rk <= 50""",
+    "top-k vocabulary coverage of corpus token mass (text analysis)") { (s, d) =>
+    import org.apache.spark.sql.expressions.Window
+    val c = Tables.documents(s, d)
+      .select(explode(TextOps.tokens(col("text"))).as("tok"))
+      .groupBy("tok").agg(count(lit(1)).as("cnt"))
+    val tot = c.agg(sum(col("cnt")).as("total"))
+    val w = Window.orderBy(col("cnt").desc, col("tok"))
+    c.select(col("tok"), col("cnt"),
+        row_number().over(w).as("rk"),
+        sum(col("cnt")).over(w.rowsBetween(Window.unboundedPreceding,
+          Window.currentRow)).as("cum"))
+      .where(col("rk") <= 50)
+      .crossJoin(broadcast(tot))
+      .select(col("rk").cast("long").as("rk"), col("tok"), col("cnt"),
+        col("cum").as("cum_mass"),
+        (col("cum").cast("double") / col("total").cast("double")).as("coverage"))
+  }
+
   val all: Seq[QuerySpec] =
     Seq(q30, q31, q89, q32, q33, q34, q35, q36, q37, q38, q39, q40, q41, q42,
       q43, q77, q78, q83, q91, q92, q93, q97, q103, q112, q113, q114, q116,
       q139, q140, q141, q144, q147, q148, q149, q150, q153, q154, q155, q157,
-      q158, q159, q161, q163)
+      q158, q159, q161, q163, q164)
 }
