@@ -297,7 +297,65 @@ object EventQueries {
       .agg(countDistinct("user_id").as("n_users"))
   }
 
+  /** Robust per-type outlier detection on the metric stream: median /
+    * MAD (median absolute deviation) with a 5·MAD fence — the
+    * rank-based robust alternative to z-scores whose mean/σ a single
+    * spike corrupts. Engine-exactness by construction: medians are
+    * SELECTED values (lower median at rank ⌈n/2⌉ — ties share the
+    * value, so unspecified peer order cannot change the result), the
+    * deviation and fence are per-row IEEE ops, and NOTHING is summed —
+    * no float-summation order dependence, no scaled-int overflow at
+    * any corpus size. Scale: two rank windows and one count, all
+    * partitioned by event_type. */
+  val q165 = QuerySpec.sql(
+    "q165_outlier_mad",
+    """WITH v AS (
+      |  SELECT event_type, value FROM events WHERE value IS NOT NULL),
+      |rk AS (
+      |  SELECT event_type, value,
+      |         row_number() OVER (PARTITION BY event_type ORDER BY value) AS rn,
+      |         count(*) OVER (PARTITION BY event_type) AS n
+      |  FROM v),
+      |med AS (
+      |  SELECT event_type, value AS med
+      |  FROM rk WHERE rn = CAST(ceil(n / 2.0) AS BIGINT)),
+      |dev AS (
+      |  SELECT v.event_type, v.value, med, abs(v.value - med) AS d
+      |  FROM v JOIN med USING (event_type)),
+      |drk AS (
+      |  SELECT event_type, value, med, d,
+      |         row_number() OVER (PARTITION BY event_type ORDER BY d) AS rn,
+      |         count(*) OVER (PARTITION BY event_type) AS n
+      |  FROM dev),
+      |mad AS (
+      |  SELECT event_type, d AS mad
+      |  FROM drk WHERE rn = CAST(ceil(n / 2.0) AS BIGINT))
+      |SELECT dev.event_type, count(*) AS n, max(med) AS med, max(mad) AS mad,
+      |       count(CASE WHEN dev.d > 5.0 * mad THEN 1 END) AS n_outliers
+      |FROM dev JOIN mad USING (event_type)
+      |GROUP BY dev.event_type""",
+    "median/MAD robust outlier fence per event type (event analytics)") { (s, d) =>
+    import org.apache.spark.sql.expressions.Window
+    val v = Tables.events(s, d).where(col("value").isNotNull)
+      .select(col("event_type"), col("value"))
+    val byType = Window.partitionBy("event_type")
+    def lowerMedian(df: org.apache.spark.sql.DataFrame, ord: String, out: String) = df
+      .withColumn("rn", row_number().over(byType.orderBy(col(ord))))
+      .withColumn("n", count(lit(1)).over(byType))
+      .where(col("rn") === ceil(col("n") / 2.0).cast("long"))
+      .select(col("event_type"), col(ord).as(out))
+    val med = lowerMedian(v, "value", "med")
+    val dev = v.join(med, "event_type")
+      .withColumn("d", abs(col("value") - col("med")))
+    val mad = lowerMedian(dev.select(col("event_type"), col("d")), "d", "mad")
+    dev.join(mad, "event_type")
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"), max(col("med")).as("med"),
+        max(col("mad")).as("mad"),
+        count(when(col("d") > lit(5.0) * col("mad"), lit(1))).as("n_outliers"))
+  }
+
   val all: Seq[QuerySpec] =
     Seq(q60, q61, q62, q88, q105, q106, q108, q124, q127, q142, q143, q145,
-      q151, q152)
+      q151, q152, q165)
 }
