@@ -1307,9 +1307,49 @@ object Corpus {
         (col("cum").cast("double") / col("total").cast("double")).as("coverage"))
   }
 
+  /** Per-source adaptive quality cutoff: each source keeps only docs
+    * at or above its OWN lower-quartile score (rank-selected, q165's
+    * median idiom: the p25 is an actual value at rank ⌈n/4⌉, ties
+    * share the value, nothing averaged or summed) — the per-domain
+    * pruning step of modern corpus curation, where a fixed global
+    * threshold would gut clean sources and keep dirty ones. One rank
+    * window + one count per source; the cutoff table broadcasts. */
+  val q166 = QuerySpec.sql(
+    "q166_adaptive_quality",
+    """WITH s AS (
+      |  SELECT source, doc_id, CAST(n_chars AS BIGINT) AS score FROM documents),
+      |rk AS (
+      |  SELECT source, score,
+      |         row_number() OVER (PARTITION BY source ORDER BY score) AS rn,
+      |         count(*) OVER (PARTITION BY source) AS n
+      |  FROM s),
+      |cut AS (SELECT source, score AS cutoff
+      |        FROM rk WHERE rn = CAST(ceil(n / 4.0) AS BIGINT))
+      |SELECT s.source, count(*) AS n_docs, max(cutoff) AS cutoff,
+      |       count(CASE WHEN score >= cutoff THEN 1 END) AS n_kept,
+      |       count(CASE WHEN score < cutoff THEN 1 END) AS n_dropped
+      |FROM s JOIN cut USING (source)
+      |GROUP BY s.source""",
+    "per-source lower-quartile quality fence (corpus curation)") { (s, d) =>
+    import org.apache.spark.sql.expressions.Window
+    val sc = Tables.documents(s, d)
+      .select(col("source"), col("doc_id"), col("n_chars").cast("long").as("score"))
+    val bySrc = Window.partitionBy("source")
+    val cut = sc
+      .withColumn("rn", row_number().over(bySrc.orderBy(col("score"))))
+      .withColumn("n", count(lit(1)).over(bySrc))
+      .where(col("rn") === ceil(col("n") / 4.0).cast("long"))
+      .select(col("source"), col("score").as("cutoff"))
+    sc.join(broadcast(cut), "source")
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"), max(col("cutoff")).as("cutoff"),
+        count(when(col("score") >= col("cutoff"), lit(1))).as("n_kept"),
+        count(when(col("score") < col("cutoff"), lit(1))).as("n_dropped"))
+  }
+
   val all: Seq[QuerySpec] =
     Seq(q30, q31, q89, q32, q33, q34, q35, q36, q37, q38, q39, q40, q41, q42,
       q43, q77, q78, q83, q91, q92, q93, q97, q103, q112, q113, q114, q116,
       q139, q140, q141, q144, q147, q148, q149, q150, q153, q154, q155, q157,
-      q158, q159, q161, q163, q164)
+      q158, q159, q161, q163, q164, q166)
 }
