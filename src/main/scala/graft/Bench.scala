@@ -23,6 +23,11 @@ object Bench {
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      // UTC everywhere: Verify and the test session pin it, and
+      // Tables.normalizeEventTs's NTZ→TIMESTAMP cast is only
+      // instant-preserving under UTC — without this, a non-UTC host
+      // would bench different window boundaries than were verified
+      .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .withExtensions(new graft.functions.GraftExtensions)
       .getOrCreate()
@@ -78,6 +83,16 @@ object Bench {
     val detail =
       s"""{"metric":"total","value":${ms(total)},"unit":"sec","sf":"$sfDir","n_queries":${results.size},"queries":${json(results)},"warmup_sec":${ms(warmupSec)},"load_avg_pre":${ms(load0)},"load_avg_post":${ms(load1)},"calib_mops_pre":${ms(calib0)},"calib_mops_post":${ms(calib1)},"heap_gb":${ms(heapGb)}}"""
     java.nio.file.Files.write(detailPath, (detail + "\n").getBytes("UTF-8"))
+    // bench_detail.json is overwritten by every run (round-6 verdict
+    // lost the official per-query record to a local re-run), so every
+    // run ALSO appends a timestamped line to the git-tracked history
+    val stamped = "{\"ts_utc\":\"" +
+      java.time.Instant.now().toString + "\"," + detail.drop(1)
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get("BENCH_HISTORY.jsonl"),
+      (stamped + "\n").getBytes("UTF-8"),
+      java.nio.file.StandardOpenOption.CREATE,
+      java.nio.file.StandardOpenOption.APPEND)
     spark.stop()
     // printed AFTER spark.stop() so no shutdown logging can land below it
     println(s"""{"metric":"total","value":${ms(total)},"unit":"sec","queries":${json(top)},"n_queries":${results.size},"other_sec":${ms(otherSec)},"sf":"$sfDir","warmup_sec":${ms(warmupSec)},"load_avg_pre":${ms(load0)},"load_avg_post":${ms(load1)},"calib_mops_pre":${ms(calib0)},"calib_mops_post":${ms(calib1)},"heap_gb":${ms(heapGb)},"detail":"$detailPath"}""")

@@ -23,10 +23,19 @@ object Memo {
     scala.collection.concurrent.TrieMap.empty[(String, String), DataFrame]
   private val hooked =
     scala.collection.concurrent.TrieMap.empty[String, Boolean]
+  // Per-key build locks: TrieMap.getOrElseUpdate is atomic about which
+  // VALUE wins, but racing callers each evaluate the by-name argument —
+  // for `build.persist()` that means two persisted plans, one of them
+  // leaked in the cache manager. Lock objects are cheap to double-create
+  // (the map keeps one); the build itself runs under that per-key lock
+  // with a double-checked cache read, so it runs exactly once.
+  private val locks =
+    scala.collection.concurrent.TrieMap.empty[(String, String), Object]
 
   /** Get-or-build a persisted DataFrame shared across queries of one
-    * session. `build` runs at most once per (session, dir, key); the
-    * result is `persist()`ed (lazy — first action materializes it). */
+    * session. `build` runs EXACTLY once per (session, dir, key) even
+    * under concurrent first access; the result is `persist()`ed (lazy —
+    * first action materializes it). */
   def df(spark: SparkSession, key: String, dir: String)(build: => DataFrame): DataFrame = {
     val uuid = org.apache.spark.sql.graftbridge.SessionBridge.sessionUUID(spark)
     hooked.getOrElseUpdate(uuid, {
@@ -36,13 +45,24 @@ object Memo {
       })
       true
     })
-    cache.getOrElseUpdate((uuid, s"$dir#$key"), build.persist())
+    val k = (uuid, s"$dir#$key")
+    cache.get(k).getOrElse {
+      val lock = locks.getOrElseUpdate(k, new Object)
+      lock.synchronized {
+        cache.get(k).getOrElse {
+          val built = build.persist()
+          cache.put(k, built)
+          built
+        }
+      }
+    }
   }
 
   /** Drop every cached entry belonging to one session (unpersist is
     * best-effort: the session may already be stopped). */
   def evictSession(uuid: String): Unit =
     cache.keys.filter(_._1 == uuid).foreach { k =>
+      locks.remove(k)
       cache.remove(k).foreach { d =>
         try d.unpersist(blocking = false) catch { case _: Throwable => () }
       }

@@ -150,14 +150,20 @@ object Sketches {
     * the exact join. No false negatives ever (a true member's bits
     * are all set by construction); false positives at rate
     * ≈ (1 − e^(−kn/m))^k are either tolerable (blocklist pre-screen)
-    * or removed by the exact join they gate. */
+    * or removed by the exact join they gate.
+    *
+    * Null contract (both directions, so build and probe agree): a null
+    * key is NOT a member — nulls are dropped at build time here, and
+    * [[bloomContains]] evaluates to null (filter-false) on a null key.
+    * This matches equi-join semantics, where null keys never match. */
   def bloomBits(df: DataFrame, keyCol: Column, m: Int, k: Int,
       seed: Long): Array[Long] = {
     require(k >= 1 && k <= 4, "one 128-bit digest carries at most 4 bit positions")
     require(m >= 64 && m % 64 == 0, s"m must be a positive multiple of 64, got $m")
     val spark = df.sparkSession
     import spark.implicits._
-    df.select(digest(seed, keyCol).as("hex")).as[String]
+    df.where(keyCol.isNotNull)
+      .select(digest(seed, keyCol).as("hex")).as[String]
       .select(new BloomBitsAgg(m, k).toColumn)
       .head()
   }
@@ -172,7 +178,9 @@ object Sketches {
     * the LITERAL bit array (m/64 longs) — codegen'd, narrow, zero
     * shuffle on the probe side; the common-subexpression pass
     * computes the md5 digest once per row. Must be called with the
-    * same (m, k, seed) the bits were built with. */
+    * same (m, k, seed) the bits were built with. A null key evaluates
+    * to null (filter-false): never a member, mirroring [[bloomBits]]
+    * dropping nulls at build time. */
   def bloomContains(bits: Array[Long], m: Int, k: Int, seed: Long,
       key: Column): Column = {
     require(k >= 1 && k <= 4, "one 128-bit digest carries at most 4 bit positions")
@@ -199,6 +207,7 @@ object Sketches {
     override def zero: Array[Long] = Array.ofDim[Long](m / 64)
 
     override def reduce(buf: Array[Long], hex: String): Array[Long] = {
+      if (hex == null) return buf // null key = not a member (see bloomBits)
       var r = 0
       while (r < k) {
         var v = 0L

@@ -5,7 +5,7 @@ import org.apache.spark.sql.catalyst.expressions._
 import org.apache.spark.sql.catalyst.plans.Inner
 import org.apache.spark.sql.catalyst.plans.logical.{Generate, Join, LogicalPlan, Project}
 import org.apache.spark.sql.catalyst.rules.Rule
-import org.apache.spark.sql.functions.{col, explode, expr}
+import org.apache.spark.sql.functions.{col, concat, explode, expr, lit, raise_error, sequence, when}
 import org.apache.spark.sql.types.{ByteType, DataType, IntegerType, LongType, ShortType}
 
 /** Binned range join — the missing whole-operator in open-source
@@ -51,19 +51,34 @@ object RangeJoin {
     * names of the two inputs must be disjoint (the result carries
     * both sides' columns, minus the internal bin key). */
   def binned(probe: DataFrame, xCol: String, ranges: DataFrame,
-      loCol: String, hiCol: String, binWidth: Long): DataFrame = {
+      loCol: String, hiCol: String, binWidth: Long,
+      maxBinsPerRange: Long = DefaultMaxBins): DataFrame = {
     require(binWidth > 0, "binWidth must be positive")
     val overlap = probe.columns.toSet.intersect(ranges.columns.toSet)
     require(overlap.isEmpty, s"column names must be disjoint, both have: $overlap")
     val p = probe.withColumn(BinColumn,
       expr(s"CAST(`$xCol` AS BIGINT) div $binWidth"))
+    val loBin = expr(s"CAST(`$loCol` AS BIGINT) div $binWidth")
+    val hiBin = expr(s"CAST(`$hiCol` AS BIGINT) div $binWidth")
+    // wide-interval fuse (see BinnedRangeJoinRule scaladoc): an
+    // open-ended sentinel range must fail loudly, not OOM in Sequence
+    val guardedHi = when(hiBin - loBin > maxBinsPerRange,
+      raise_error(concat(lit("graft range join: interval spans "),
+        (hiBin - loBin + 1).cast("string"),
+        lit(s" bins (cap $maxBinsPerRange). Raise binWidth, pre-split or " +
+          "clamp open-ended intervals, or raise maxBinsPerRange."))).cast("bigint"))
+      .otherwise(hiBin)
     val r = ranges.withColumn(BinColumn,
-      explode(expr(s"sequence(CAST(`$loCol` AS BIGINT) div $binWidth, " +
-        s"CAST(`$hiCol` AS BIGINT) div $binWidth)")))
+      explode(sequence(loBin, guardedHi)))
     p.join(r, Seq(BinColumn))
       .where(col(xCol) >= col(loCol) && col(xCol) <= col(hiCol))
       .drop(BinColumn)
   }
+
+  /** Default per-range bin-count cap: 2²⁰ bins ≈ 8 MB of bin rows per
+    * range row — far above any sane binWidth choice, low enough that a
+    * Long.MaxValue sentinel fails in milliseconds instead of OOMing. */
+  val DefaultMaxBins: Long = 1L << 20
 }
 
 /** Optimizer rule: rewrite `A JOIN B ON x >= lo AND x <= hi [AND ...]`
@@ -80,7 +95,21 @@ object RangeJoin {
   *
   * Bin width comes from `spark.graft.rangejoin.binwidth` (default
   * 4096); `spark.graft.rangejoin.enabled=false` switches the rule
-  * off. */
+  * off.
+  *
+  * WIDE-INTERVAL HAZARD + FUSE: the rewrite explodes each range row to
+  * span/binWidth bin rows, so a single very wide or open-ended
+  * interval (e.g. a `hi = Long.MaxValue` sentinel) would make
+  * `sequence()` demand billions of elements — a query that merely ran
+  * slowly under BroadcastNestedLoopJoin would instead OOM. The rule
+  * therefore guards every range row with a bin-count fuse,
+  * `spark.graft.rangejoin.maxbins` (default 2²⁰): a row past the cap
+  * raises a deliberate, actionable error naming the three remedies
+  * (raise `binwidth` so wide intervals span fewer bins, pre-split or
+  * clamp sentinel intervals, or set `enabled=false` to fall back to
+  * the nested-loop plan). Failing loudly is the designed behavior —
+  * silently clamping would drop matches, and silently falling back
+  * per-row would need a runtime union the optimizer cannot size. */
 class BinnedRangeJoinRule extends Rule[LogicalPlan] {
 
   private def conjuncts(e: Expression): Seq[Expression] = e match {
@@ -99,6 +128,9 @@ class BinnedRangeJoinRule extends Rule[LogicalPlan] {
     }
     val binWidth =
       conf.getConfString("spark.graft.rangejoin.binwidth", "4096").toLong
+    val maxBins =
+      conf.getConfString("spark.graft.rangejoin.maxbins",
+        RangeJoin.DefaultMaxBins.toString).toLong
     plan.transformUp {
       case j @ Join(left, right, Inner, Some(cond), hint)
           if j.resolved && findRange(j, cond).isDefined =>
@@ -110,10 +142,23 @@ class BinnedRangeJoinRule extends Rule[LogicalPlan] {
           AttributeReference(RangeJoin.BinColumn + "s", LongType, nullable = false)()
         val (probe, ranges) = if (probeIsLeft) (left, right) else (right, left)
         val probeProj = Project(probe.output :+ binAlias, probe)
+        // wide-interval fuse (see class scaladoc): a range row spanning
+        // more than maxbins bins raises an actionable error instead of
+        // asking Sequence for billions of elements
+        val span = Subtract(toBin(hi), toBin(lo))
+        val guardedHi = If(GreaterThan(span, Literal(maxBins)),
+          Cast(new RaiseError(Concat(Seq(
+            Literal("graft range join: interval spans "),
+            Cast(Add(span, Literal(1L)), org.apache.spark.sql.types.StringType),
+            Literal(s" bins (cap spark.graft.rangejoin.maxbins=$maxBins). " +
+              "Raise spark.graft.rangejoin.binwidth, pre-split or clamp " +
+              "open-ended intervals, or set spark.graft.rangejoin.enabled=false.")))),
+            LongType),
+          toBin(hi))
         // Sequence is TimeZoneAwareExpression: without an explicit
         // timeZoneId it stays unresolved post-analysis
         val rangeGen = Generate(
-          Explode(new Sequence(toBin(lo), toBin(hi), None,
+          Explode(new Sequence(toBin(lo), guardedHi, None,
             Some(conf.sessionLocalTimeZone))),
           unrequiredChildIndex = Nil, outer = false, qualifier = None,
           generatorOutput = Seq(binsAttr), child = ranges)

@@ -88,6 +88,20 @@ class SketchesSpec extends SparkSpec {
     assert(fromBits.map(_.toLong) == pos)
   }
 
+  test("null keys: ignored at build, never members at probe") {
+    import spark.implicits._
+    val members = Seq(Some(3L), None, Some(6L), None).toDF("key")
+    // build must not NPE on null keys, and nulls must not set any bits
+    val bits = Sketches.bloomBits(members, col("key"), m = 1024, k = 4, seed = 5)
+    val noNull = Sketches.bloomBits(members.na.drop(), col("key"), m = 1024, k = 4, seed = 5)
+    assert(bits.sameElements(noNull), "null keys must not contribute bits")
+    val verdicts = Seq(Some(3L), None, Some(999L)).toDF("key")
+      .where(Sketches.bloomContains(bits, 1024, 4, 5, col("key")))
+      .select("key").as[Option[Long]].collect()
+    assert(verdicts.flatten.contains(3L))
+    assert(!verdicts.contains(None), "a null key must never probe as a member")
+  }
+
   test("bloom membership probe plans no shuffle on the probe side") {
     val members = keyed.distinct().limit(100)
     val bits = Sketches.bloomBits(members, col("key"), m = 1024, k = 4, seed = 5)

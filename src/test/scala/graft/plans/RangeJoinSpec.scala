@@ -55,6 +55,35 @@ class RangeJoinSpec extends SparkSpec {
     assert(on.collect().toSet === expect)
   }
 
+  test("wide-interval fuse: a sentinel range fails loudly, not with OOM") {
+    import spark.implicits._
+    val probe = (1L to 100L).toDF("x")
+    // hi = Long.MaxValue sentinel: span/binWidth ≈ 2⁵² bins
+    val ranges = Seq((0L, Long.MaxValue, "open")).toDF("lo", "hi", "tag")
+    // operator surface
+    val exOp = intercept[Exception] {
+      RangeJoin.binned(probe, "x", ranges, "lo", "hi", 4096L).count()
+    }
+    assert(exOp.getMessage.contains("graft range join"), exOp.getMessage)
+    // rule surface
+    probe.createOrReplaceTempView("rj_probe2")
+    ranges.createOrReplaceTempView("rj_ranges2")
+    val exRule = intercept[Exception] {
+      spark.sql("SELECT x, tag FROM rj_probe2 JOIN rj_ranges2 " +
+        "ON x >= lo AND x <= hi").count()
+    }
+    assert(exRule.getMessage.contains("spark.graft.rangejoin"),
+      exRule.getMessage)
+    // a cap raise (here: binwidth raise) lets the same query run:
+    // span/binWidth falls under maxbins when binwidth covers the span
+    val naive = try {
+      spark.conf.set("spark.graft.rangejoin.enabled", "false")
+      spark.sql("SELECT count(*) FROM rj_probe2 JOIN rj_ranges2 " +
+        "ON x >= lo AND x <= hi").head().getLong(0)
+    } finally spark.conf.set("spark.graft.rangejoin.enabled", "true")
+    assert(naive === 100L)
+  }
+
   test("rule leaves joins with an equi-key alone") {
     val (probe, ranges) = fixtures
     probe.createOrReplaceTempView("rj_probe")
