@@ -50,6 +50,45 @@ object GraphAnalytics {
     math.max(4, math.min(spark.sparkContext.defaultParallelism,
       (nEdges / 100000L).toInt))
 
+  /** Shuffle sizing for the exact-scaled superstep kernels: one task
+    * per ~64k state rows, clamped to [4, defaultParallelism] — the
+    * same size-to-data rule as [[gxPartitions]] and the streaming
+    * state stores. Rationale: these kernels run ~3 exchanges per
+    * superstep × 5-10 supersteps, so per-task scheduling latency
+    * multiplies by ~30; at the session default (cores) a 2.7k-row
+    * state table schedules ~1000 tasks of pure overhead, which is
+    * exactly the surface a co-tenant load amplifies 10-20× (the
+    * round-6 driver bench measured q110 at 57.9 s under contention vs
+    * 2.4 s idle). Sizing to volume keeps small graphs at 4 tasks per
+    * exchange while a real 100 TB edge table scales the count back to
+    * full cluster spread. */
+  private[graft] def superstepPartitions(spark: SparkSession, rows: Long): Int =
+    math.max(4, math.min(spark.sparkContext.defaultParallelism,
+      (rows / 65536L).toInt))
+
+  /** Run `body` with `spark.sql.shuffle.partitions` scoped to n — the
+    * batch twin of StreamOps.withStatePartitions. Only jobs EXECUTED
+    * inside the scope see n (the conf is read at planning time), which
+    * is why the superstep kernels materialize every iterate eagerly
+    * inside the scope instead of returning one deep lazy plan. */
+  private[graft] def withShufflePartitions[A](spark: SparkSession, n: Int)(body: => A): A = {
+    val old = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", n.toString)
+    try body finally spark.conf.set("spark.sql.shuffle.partitions", old)
+  }
+
+  /** Eagerly materialize a superstep operand (localCheckpoint: cuts
+    * lineage AND executes now, so the kernel's conf scope applies) and
+    * return it with its row count — the count is a cheap second pass
+    * over the checkpointed partitions, and sizes the kernel's shuffle
+    * partitions. Checkpointed iterates are freed by the context
+    * cleaner when unreferenced; at gate scale each holds a few
+    * thousand rows. */
+  private def materialized(df: DataFrame): (DataFrame, Long) = {
+    val c = df.localCheckpoint(true)
+    (c, c.count())
+  }
+
   /** Weighted PageRank on the symmetrized graph (reference
     * bin/compareTwins.R:93 page_rank(directed=F)); returns (id, pagerank).
     * Fixed iteration count (staticPageRank): predictable cost at scale —
@@ -109,22 +148,31 @@ object GraphAnalytics {
     * each step; edges should be pre-persisted (each iteration reads
     * them once for the join). */
   def pageRankExactScaled(edges: DataFrame, iters: Int): DataFrame = {
-    val e = edges.select(col("src").cast("long").as("src"),
-      col("dst").cast("long").as("dst")).distinct()
-    val v = e.select(col("src").as("id"))
-      .unionByName(e.select(col("dst").as("id"))).distinct()
-    val outdeg = e.groupBy(col("src").as("id")).agg(count(lit(1)).as("outdeg"))
-    var r = v.select(col("id"), lit(1000000L).as("pr"))
-    (0 until iters).foreach { _ =>
-      val msgs = e
-        .join(r.select(col("id").as("src"), col("pr")), Seq("src"))
-        .join(outdeg.select(col("id").as("src"), col("outdeg")), Seq("src"))
-        .groupBy(col("dst").as("id"))
-        .agg(sum(floor(lit(0.85) * col("pr") / col("outdeg") + lit(0.5))).as("m"))
-      r = v.join(msgs, Seq("id"), "left_outer")
-        .select(col("id"), (lit(150000L) + coalesce(col("m"), lit(0L))).as("pr"))
+    val spark = edges.sparkSession
+    val (e0, nE) = materialized(edges.select(col("src").cast("long").as("src"),
+      col("dst").cast("long").as("dst")).distinct())
+    withShufflePartitions(spark, superstepPartitions(spark, nE)) {
+      // co-partition the per-step join operands ONCE by their keys so
+      // each superstep re-shuffles only the rank iterate, not the edges
+      val e = e0.repartition(col("src")).localCheckpoint(true)
+      val v = e.select(col("src").as("id"))
+        .unionByName(e.select(col("dst").as("id"))).distinct()
+        .repartition(col("id")).localCheckpoint(true)
+      val outdeg = e.groupBy(col("src").as("id")).agg(count(lit(1)).as("outdeg"))
+        .localCheckpoint(true)
+      var r = v.select(col("id"), lit(1000000L).as("pr")).localCheckpoint(true)
+      (0 until iters).foreach { _ =>
+        val msgs = e
+          .join(r.select(col("id").as("src"), col("pr")), Seq("src"))
+          .join(outdeg.select(col("id").as("src"), col("outdeg")), Seq("src"))
+          .groupBy(col("dst").as("id"))
+          .agg(sum(floor(lit(0.85) * col("pr") / col("outdeg") + lit(0.5))).as("m"))
+        r = v.join(msgs, Seq("id"), "left_outer")
+          .select(col("id"), (lit(150000L) + coalesce(col("m"), lit(0L))).as("pr"))
+          .localCheckpoint(true)
+      }
+      r.select(col("id"), col("pr").as("pr_scaled"))
     }
-    r.select(col("id"), col("pr").as("pr_scaled"))
   }
 
   /** Weighted exact-scaled static PageRank on the SYMMETRIZED graph —
@@ -135,25 +183,32 @@ object GraphAnalytics {
     * order-independent ⇒ engine-independent), with integer edge
     * weights and out-strength normalization. */
   def pageRankWeightedExactScaled(edges: DataFrame, iters: Int): DataFrame = {
+    val spark = edges.sparkSession
     val e0 = edges.select(col("src").cast("long").as("src"),
         col("dst").cast("long").as("dst"), col("weight").cast("long").as("w"))
       .groupBy("src", "dst").agg(sum(col("w")).as("w"))
-    val sym = e0.unionByName(
+    val (symRaw, nE) = materialized(e0.unionByName(
         e0.select(col("dst").as("src"), col("src").as("dst"), col("w")))
-      .groupBy("src", "dst").agg(sum(col("w")).as("w"))
-    val v = sym.select(col("src").as("id")).distinct()
-    val strength = sym.groupBy(col("src").as("id")).agg(sum(col("w")).as("s"))
-    var r = v.select(col("id"), lit(1000000L).as("pr"))
-    (0 until iters).foreach { _ =>
-      val msgs = sym
-        .join(r.select(col("id").as("src"), col("pr")), Seq("src"))
-        .join(strength.select(col("id").as("src"), col("s")), Seq("src"))
-        .groupBy(col("dst").as("id"))
-        .agg(sum(floor(lit(0.85) * col("pr") * col("w") / col("s") + lit(0.5))).as("m"))
-      r = v.join(msgs, Seq("id"), "left_outer")
-        .select(col("id"), (lit(150000L) + coalesce(col("m"), lit(0L))).as("pr"))
+      .groupBy("src", "dst").agg(sum(col("w")).as("w")))
+    withShufflePartitions(spark, superstepPartitions(spark, nE)) {
+      val sym = symRaw.repartition(col("src")).localCheckpoint(true)
+      val v = sym.select(col("src").as("id")).distinct()
+        .repartition(col("id")).localCheckpoint(true)
+      val strength = sym.groupBy(col("src").as("id")).agg(sum(col("w")).as("s"))
+        .localCheckpoint(true)
+      var r = v.select(col("id"), lit(1000000L).as("pr")).localCheckpoint(true)
+      (0 until iters).foreach { _ =>
+        val msgs = sym
+          .join(r.select(col("id").as("src"), col("pr")), Seq("src"))
+          .join(strength.select(col("id").as("src"), col("s")), Seq("src"))
+          .groupBy(col("dst").as("id"))
+          .agg(sum(floor(lit(0.85) * col("pr") * col("w") / col("s") + lit(0.5))).as("m"))
+        r = v.join(msgs, Seq("id"), "left_outer")
+          .select(col("id"), (lit(150000L) + coalesce(col("m"), lit(0L))).as("pr"))
+          .localCheckpoint(true)
+      }
+      r.select(col("id"), col("pr").as("pr_scaled"))
     }
-    r.select(col("id"), col("pr").as("pr_scaled"))
   }
 
   /** Exact-scaled power iteration for per-group eigencentrality — the
@@ -167,26 +222,32 @@ object GraphAnalytics {
     * scale, same rationale as static PageRank. One shuffle join + two
     * aggregations per step, all keyed by (group, node). */
   def eigenExactScaled(edges: DataFrame, iters: Int): DataFrame = {
+    val spark = edges.sparkSession
     val e = edges.select(col("group").as("grp"),
       col("src").cast("long").as("a"), col("dst").cast("long").as("b"))
-    val sym = e.unionByName(e.select(col("grp"), col("b").as("a"), col("a").as("b")))
-      .distinct()
-    var v = sym.select(col("grp"), col("a").as("node")).distinct()
-      .select(col("grp"), col("node"), lit(1000000L).as("v"))
-    // the group max comes from a WINDOW over the neighbor-sum table,
-    // not a self-join: a join would consume the un-persisted iterate
-    // twice per step, re-evaluating its whole lineage — 2^iters plan
-    // blowup (measured: 21 s for 5 steps at sf0.1; windowed: ~3 s)
-    val byGroup = org.apache.spark.sql.expressions.Window.partitionBy("grp")
-    (0 until iters).foreach { _ =>
-      v = sym.join(v.select(col("grp"), col("node").as("b"), col("v")), Seq("grp", "b"))
-        .groupBy(col("grp"), col("a").as("node"))
-        .agg(sum(col("v")).as("s"))
-        .withColumn("mx", max(col("s")).over(byGroup))
-        .select(col("grp"), col("node"),
-          floor(col("s") * lit(1000000.0) / col("mx") + lit(0.5)).as("v"))
+    val (symRaw, nRows) = materialized(
+      e.unionByName(e.select(col("grp"), col("b").as("a"), col("a").as("b")))
+        .distinct())
+    withShufflePartitions(spark, superstepPartitions(spark, nRows)) {
+      // co-partition the edge table by the per-step join key once
+      val sym = symRaw.repartition(col("grp"), col("b")).localCheckpoint(true)
+      var v = sym.select(col("grp"), col("a").as("node")).distinct()
+        .select(col("grp"), col("node"), lit(1000000L).as("v"))
+        .localCheckpoint(true)
+      // the group max comes from a WINDOW over the neighbor-sum table,
+      // not a self-join: one pass instead of consuming the sum twice
+      val byGroup = org.apache.spark.sql.expressions.Window.partitionBy("grp")
+      (0 until iters).foreach { _ =>
+        v = sym.join(v.select(col("grp"), col("node").as("b"), col("v")), Seq("grp", "b"))
+          .groupBy(col("grp"), col("a").as("node"))
+          .agg(sum(col("v")).as("s"))
+          .withColumn("mx", max(col("s")).over(byGroup))
+          .select(col("grp"), col("node"),
+            floor(col("s") * lit(1000000.0) / col("mx") + lit(0.5)).as("v"))
+          .localCheckpoint(true)
+      }
+      v.select(col("grp"), col("node"), col("v").as("eigen_scaled"))
     }
-    v.select(col("grp"), col("node"), col("v").as("eigen_scaled"))
   }
 
   /** WEIGHTED [[eigenExactScaled]] — the production per-group eigen
@@ -197,24 +258,30 @@ object GraphAnalytics {
     * step. Weights symmetrize by summing both directions, matching
     * igraph's undirected view of a weighted multigraph. */
   def eigenWeightedExactScaled(edges: DataFrame, iters: Int): DataFrame = {
+    val spark = edges.sparkSession
     val e0 = edges.select(col("group").as("grp"),
       col("src").cast("long").as("a"), col("dst").cast("long").as("b"),
       col("weight").cast("long").as("w"))
-    val sym = e0.unionByName(
+    val (symRaw, nRows) = materialized(e0.unionByName(
         e0.select(col("grp"), col("b").as("a"), col("a").as("b"), col("w")))
-      .groupBy("grp", "a", "b").agg(sum(col("w")).as("w"))
-    var v = sym.select(col("grp"), col("a").as("node")).distinct()
-      .select(col("grp"), col("node"), lit(1000000L).as("v"))
-    val byGroup = org.apache.spark.sql.expressions.Window.partitionBy("grp")
-    (0 until iters).foreach { _ =>
-      v = sym.join(v.select(col("grp"), col("node").as("b"), col("v")), Seq("grp", "b"))
-        .groupBy(col("grp"), col("a").as("node"))
-        .agg(sum(col("w") * col("v")).as("s"))
-        .withColumn("mx", max(col("s")).over(byGroup))
-        .select(col("grp"), col("node"),
-          floor(col("s") * lit(1000000.0) / col("mx") + lit(0.5)).as("v"))
+      .groupBy("grp", "a", "b").agg(sum(col("w")).as("w")))
+    withShufflePartitions(spark, superstepPartitions(spark, nRows)) {
+      val sym = symRaw.repartition(col("grp"), col("b")).localCheckpoint(true)
+      var v = sym.select(col("grp"), col("a").as("node")).distinct()
+        .select(col("grp"), col("node"), lit(1000000L).as("v"))
+        .localCheckpoint(true)
+      val byGroup = org.apache.spark.sql.expressions.Window.partitionBy("grp")
+      (0 until iters).foreach { _ =>
+        v = sym.join(v.select(col("grp"), col("node").as("b"), col("v")), Seq("grp", "b"))
+          .groupBy(col("grp"), col("a").as("node"))
+          .agg(sum(col("w") * col("v")).as("s"))
+          .withColumn("mx", max(col("s")).over(byGroup))
+          .select(col("grp"), col("node"),
+            floor(col("s") * lit(1000000.0) / col("mx") + lit(0.5)).as("v"))
+          .localCheckpoint(true)
+      }
+      v.select(col("grp"), col("node"), col("v").as("eigen_scaled"))
     }
-    v.select(col("grp"), col("node"), col("v").as("eigen_scaled"))
   }
 
   /** Distributed single-source shortest paths per group — Bellman-Ford
@@ -229,29 +296,35 @@ object GraphAnalytics {
     * companion of the task-local Dijkstra kernel (G4 weighted): one
     * shuffle join + one min-agg per step. */
   def ssspExactScaled(edges: DataFrame, iters: Int): DataFrame = {
+    val spark = edges.sparkSession
     val e0 = edges.select(col("group").as("grp"),
       col("src").cast("long").as("a"), col("dst").cast("long").as("b"),
       col("weight").cast("long").as("w"))
     // weight-0 self-loops carry each node's current bound through the
     // relax join, so `dist` is consumed ONCE per step — the naive
-    // "dist ∪ relax(dist)" form reads it twice and doubles the plan
-    // per superstep (2^iters blowup; measured 356 s at sf0.1 for 8
-    // steps vs ~4 s in this form). Same trick in the oracle.
+    // "dist ∪ relax(dist)" form reads it twice per superstep. Same
+    // trick in the oracle.
     val sym = e0.unionByName(
         e0.select(col("grp"), col("b").as("a"), col("a").as("b"), col("w")))
       .groupBy("grp", "a", "b").agg(min(col("w")).as("w"))
-    val hop = sym.unionByName(
+    val (hopRaw, nRows) = materialized(sym.unionByName(
       sym.select(col("grp"), col("a")).distinct()
-        .select(col("grp"), col("a"), col("a").as("b"), lit(0L).as("w")))
-    var dist = sym.groupBy(col("grp")).agg(min(col("a")).as("node"))
-      .select(col("grp"), col("node"), lit(0L).as("dist"))
-    (0 until iters).foreach { _ =>
-      dist = hop
-        .join(dist.select(col("grp"), col("node").as("a"), col("dist")), Seq("grp", "a"))
-        .groupBy(col("grp"), col("b").as("node"))
-        .agg(min(col("dist") + col("w")).as("dist"))
+        .select(col("grp"), col("a"), col("a").as("b"), lit(0L).as("w"))))
+    withShufflePartitions(spark, superstepPartitions(spark, nRows)) {
+      val hop = hopRaw.repartition(col("grp"), col("a")).localCheckpoint(true)
+      var dist = hop.where(col("w") === 0L).groupBy(col("grp"))
+        .agg(min(col("a")).as("node"))
+        .select(col("grp"), col("node"), lit(0L).as("dist"))
+        .localCheckpoint(true)
+      (0 until iters).foreach { _ =>
+        dist = hop
+          .join(dist.select(col("grp"), col("node").as("a"), col("dist")), Seq("grp", "a"))
+          .groupBy(col("grp"), col("b").as("node"))
+          .agg(min(col("dist") + col("w")).as("dist"))
+          .localCheckpoint(true)
+      }
+      dist.select(col("grp"), col("node"), col("dist"))
     }
-    dist.select(col("grp"), col("node"), col("dist"))
   }
 
   /** K-core peeling per group (beyond-reference): nodes surviving
@@ -266,26 +339,32 @@ object GraphAnalytics {
     * so keep `iters` small (plan size grows 2^iters; 4 rounds
     * suffices for per-sample graphs). */
   def kcore(edges: DataFrame, k: Int, iters: Int): DataFrame = {
+    val spark = edges.sparkSession
     val e = edges.select(col("group").as("grp"),
       col("src").cast("long").as("a"), col("dst").cast("long").as("b"))
-    val sym = e.unionByName(e.select(col("grp"), col("b").as("a"), col("a").as("b")))
-      .distinct()
-    var keep = sym.select(col("grp"), col("a").as("node")).distinct()
-    var deg: DataFrame = null
-    (0 until iters).foreach { _ =>
-      // membership is consumed twice per round (both endpoints must
-      // survive), so truncate its lineage each round — the standard
-      // iterative-algorithm checkpoint; without it the plan doubles
-      // per round
-      val kept = keep.localCheckpoint(true)
-      deg = sym
-        .join(kept.select(col("grp"), col("node").as("a")), Seq("grp", "a"))
-        .join(kept.select(col("grp"), col("node").as("b")), Seq("grp", "b"))
-        .groupBy(col("grp"), col("a").as("node"))
-        .agg(count(lit(1)).as("deg"))
-      keep = deg.where(col("deg") >= k).select("grp", "node")
+    val (symRaw, nRows) = materialized(
+      e.unionByName(e.select(col("grp"), col("b").as("a"), col("a").as("b")))
+        .distinct())
+    withShufflePartitions(spark, superstepPartitions(spark, nRows)) {
+      val sym = symRaw.repartition(col("grp"), col("a")).localCheckpoint(true)
+      var keep = sym.select(col("grp"), col("a").as("node")).distinct()
+      var deg: DataFrame = null
+      (0 until iters).foreach { _ =>
+        // membership is consumed twice per round (both endpoints must
+        // survive), so truncate its lineage each round — the standard
+        // iterative-algorithm checkpoint; it also executes the round
+        // inside this kernel's partition scope
+        val kept = keep.localCheckpoint(true)
+        deg = sym
+          .join(kept.select(col("grp"), col("node").as("a")), Seq("grp", "a"))
+          .join(kept.select(col("grp"), col("node").as("b")), Seq("grp", "b"))
+          .groupBy(col("grp"), col("a").as("node"))
+          .agg(count(lit(1)).as("deg"))
+        keep = deg.where(col("deg") >= k).select("grp", "node")
+      }
+      deg.where(col("deg") >= k).select(col("grp"), col("node"), col("deg"))
+        .localCheckpoint(true)
     }
-    deg.where(col("deg") >= k).select(col("grp"), col("node"), col("deg"))
   }
 
   /** Deterministic synchronous label propagation per group (G14/G15
@@ -303,24 +382,30 @@ object GraphAnalytics {
     * (consumed once — linear plan growth) + two aggs, all keyed by
     * (group, node). */
   def lpaExactScaled(edges: DataFrame, iters: Int): DataFrame = {
+    val spark = edges.sparkSession
     val e0 = edges.select(col("group").as("grp"),
       col("src").cast("long").as("a"), col("dst").cast("long").as("b"))
-    val sym = e0.unionByName(
-        e0.select(col("grp"), col("b").as("a"), col("a").as("b"))).distinct()
-    var lab = sym.select(col("grp"), col("a").as("node")).distinct()
-      .select(col("grp"), col("node"), col("node").as("lab"))
-    (0 until iters).foreach { _ =>
-      lab = sym
-        .join(lab.select(col("grp"), col("node").as("b"), col("lab")), Seq("grp", "b"))
-        .groupBy(col("grp"), col("a"), col("lab"))
-        .agg(count(lit(1)).as("c"))
-        .groupBy(col("grp"), col("a").as("node"))
-        // argmax with min-label tie-break as one order-independent agg:
-        // max over (count, -label) structs, then negate back
-        .agg(max(struct(col("c"), (-col("lab")).as("nl"))).as("m"))
-        .select(col("grp"), col("node"), (-col("m.nl")).as("lab"))
+    val (symRaw, nRows) = materialized(e0.unionByName(
+      e0.select(col("grp"), col("b").as("a"), col("a").as("b"))).distinct())
+    withShufflePartitions(spark, superstepPartitions(spark, nRows)) {
+      val sym = symRaw.repartition(col("grp"), col("b")).localCheckpoint(true)
+      var lab = sym.select(col("grp"), col("a").as("node")).distinct()
+        .select(col("grp"), col("node"), col("node").as("lab"))
+        .localCheckpoint(true)
+      (0 until iters).foreach { _ =>
+        lab = sym
+          .join(lab.select(col("grp"), col("node").as("b"), col("lab")), Seq("grp", "b"))
+          .groupBy(col("grp"), col("a"), col("lab"))
+          .agg(count(lit(1)).as("c"))
+          .groupBy(col("grp"), col("a").as("node"))
+          // argmax with min-label tie-break as one order-independent agg:
+          // max over (count, -label) structs, then negate back
+          .agg(max(struct(col("c"), (-col("lab")).as("nl"))).as("m"))
+          .select(col("grp"), col("node"), (-col("m.nl")).as("lab"))
+          .localCheckpoint(true)
+      }
+      lab.select(col("grp"), col("node"), col("lab").as("community"))
     }
-    lab.select(col("grp"), col("node"), col("lab").as("community"))
   }
 
   /** Newman modularity of the [[lpaExactScaled]] community assignment,
@@ -390,22 +475,29 @@ object GraphAnalytics {
     * [[eigenExactScaled]]: one shuffle join + one agg per step, all
     * keyed by (group, node). */
   def alphaExactScaled(edges: DataFrame, alpha: Double, iters: Int): DataFrame = {
+    val spark = edges.sparkSession
     val e = edges.select(col("group").as("grp"),
       col("src").cast("long").as("a"), col("dst").cast("long").as("b"))
-    val sym = e.unionByName(e.select(col("grp"), col("b").as("a"), col("a").as("b")))
-      .distinct()
-    var v = sym.select(col("grp"), col("a").as("node")).distinct()
-      .select(col("grp"), col("node"), lit(1000000L).as("v"))
-    (0 until iters).foreach { _ =>
-      // every node of the symmetrized graph appears as `a`, so the
-      // inner join drops no vertex (no left-join/coalesce needed)
-      v = sym.join(v.select(col("grp"), col("node").as("b"), col("v")), Seq("grp", "b"))
-        .groupBy(col("grp"), col("a").as("node"))
-        .agg(sum(col("v")).as("s"))
-        .select(col("grp"), col("node"),
-          (floor(lit(alpha) * col("s") + lit(0.5)) + lit(1000000L)).as("v"))
+    val (symRaw, nRows) = materialized(
+      e.unionByName(e.select(col("grp"), col("b").as("a"), col("a").as("b")))
+        .distinct())
+    withShufflePartitions(spark, superstepPartitions(spark, nRows)) {
+      val sym = symRaw.repartition(col("grp"), col("b")).localCheckpoint(true)
+      var v = sym.select(col("grp"), col("a").as("node")).distinct()
+        .select(col("grp"), col("node"), lit(1000000L).as("v"))
+        .localCheckpoint(true)
+      (0 until iters).foreach { _ =>
+        // every node of the symmetrized graph appears as `a`, so the
+        // inner join drops no vertex (no left-join/coalesce needed)
+        v = sym.join(v.select(col("grp"), col("node").as("b"), col("v")), Seq("grp", "b"))
+          .groupBy(col("grp"), col("a").as("node"))
+          .agg(sum(col("v")).as("s"))
+          .select(col("grp"), col("node"),
+            (floor(lit(alpha) * col("s") + lit(0.5)) + lit(1000000L)).as("v"))
+          .localCheckpoint(true)
+      }
+      v.select(col("grp"), col("node"), col("v").as("alpha_scaled"))
     }
-    v.select(col("grp"), col("node"), col("v").as("alpha_scaled"))
   }
 
   /** Exact-scaled Bonacich power centrality (G11) — the oracle-able
@@ -417,25 +509,31 @@ object GraphAnalytics {
     * op per node per step (⌊β·s + 0.5⌋) keeps the trajectory
     * engine-independent. Same cost shape as [[alphaExactScaled]]. */
   def powerExactScaled(edges: DataFrame, beta: Double, iters: Int): DataFrame = {
+    val spark = edges.sparkSession
     val e = edges.select(col("group").as("grp"),
       col("src").cast("long").as("a"), col("dst").cast("long").as("b"))
-    val sym = e.unionByName(e.select(col("grp"), col("b").as("a"), col("a").as("b")))
-      .distinct()
-    var v = sym.groupBy(col("grp"), col("a").as("node"))
-      .agg((count(lit(1)) * lit(1000000L)).as("v"))
-    (0 until iters).foreach { _ =>
-      // every node carries a score each step, so the join fans exactly
-      // deg(i) rows per node — deg falls out of the same aggregation
-      // as the neighbor sum (a separate deg table would re-evaluate
-      // its lineage every superstep)
-      v = sym.join(v.select(col("grp"), col("node").as("b"), col("v")), Seq("grp", "b"))
-        .groupBy(col("grp"), col("a").as("node"))
-        .agg(sum(col("v")).as("s"), count(lit(1)).as("deg"))
-        .select(col("grp"), col("node"),
-          (col("deg") * lit(1000000L) +
-            floor(lit(beta) * col("s") + lit(0.5))).as("v"))
+    val (symRaw, nRows) = materialized(
+      e.unionByName(e.select(col("grp"), col("b").as("a"), col("a").as("b")))
+        .distinct())
+    withShufflePartitions(spark, superstepPartitions(spark, nRows)) {
+      val sym = symRaw.repartition(col("grp"), col("b")).localCheckpoint(true)
+      var v = sym.groupBy(col("grp"), col("a").as("node"))
+        .agg((count(lit(1)) * lit(1000000L)).as("v"))
+        .localCheckpoint(true)
+      (0 until iters).foreach { _ =>
+        // every node carries a score each step, so the join fans exactly
+        // deg(i) rows per node — deg falls out of the same aggregation
+        // as the neighbor sum
+        v = sym.join(v.select(col("grp"), col("node").as("b"), col("v")), Seq("grp", "b"))
+          .groupBy(col("grp"), col("a").as("node"))
+          .agg(sum(col("v")).as("s"), count(lit(1)).as("deg"))
+          .select(col("grp"), col("node"),
+            (col("deg") * lit(1000000L) +
+              floor(lit(beta) * col("s") + lit(0.5))).as("v"))
+          .localCheckpoint(true)
+      }
+      v.select(col("grp"), col("node"), col("v").as("power_scaled"))
     }
-    v.select(col("grp"), col("node"), col("v").as("power_scaled"))
   }
 
   /** Exact-scaled Brandes betweenness per group — the
@@ -822,47 +920,55 @@ object GraphAnalytics {
     val bounds = verts.agg(count(lit(1)), max(col("v"))).head()
     val n0 = bounds.getLong(0)
     val enc = bounds.getLong(1) + 1 // layer stride > any vertex id
-    // Phase 1 — the removal sequence: each victim needs only a degree
-    // argmax over the surviving edges, a cheap agg job per step.
-    val removed = scala.collection.mutable.ArrayBuffer.empty[Long]
-    (1 to math.min(steps, (n0 - 1).toInt)).foreach { _ =>
-      val r = removed.toSeq
-      val et = canon.where(!col("a").isin(r: _*) && !col("b").isin(r: _*))
-      val sym = et.select(col("a").as("v")).unionByName(et.select(col("b").as("v")))
-      // a 0-degree vertex can only win the (deg desc, id asc) argmax
-      // when NO edges remain — skip the vertex join on the hot path
-      val top = sym.groupBy("v").agg(count(lit(1)).as("d"))
-        .orderBy(col("d").desc, col("v").asc).limit(1)
-        .select(col("v")).as[Long].collect()
-      val victim =
-        if (top.nonEmpty) top(0)
-        else verts.where(!col("v").isin(r: _*))
-          .agg(min(col("v"))).as[Long].head()
-      removed += victim
+    // the whole adaptive loop runs eagerly (every step collect()s its
+    // argmax), so the superstep partition scope applies to it — each
+    // step's degree agg is ~2|E| rows, the contention-amplifier shape
+    val parts = superstepPartitions(spark, canon.count() * 2)
+    val ccMaxByLayer = withShufflePartitions(spark, parts) {
+      // Phase 1 — the removal sequence: each victim needs only a degree
+      // argmax over the surviving edges, a cheap agg job per step.
+      val removed = scala.collection.mutable.ArrayBuffer.empty[Long]
+      (1 to math.min(steps, (n0 - 1).toInt)).foreach { _ =>
+        val r = removed.toSeq
+        val et = canon.where(!col("a").isin(r: _*) && !col("b").isin(r: _*))
+        val sym = et.select(col("a").as("v")).unionByName(et.select(col("b").as("v")))
+        // a 0-degree vertex can only win the (deg desc, id asc) argmax
+        // when NO edges remain — skip the vertex join on the hot path
+        val top = sym.groupBy("v").agg(count(lit(1)).as("d"))
+          .orderBy(col("d").desc, col("v").asc).limit(1)
+          .select(col("v")).as[Long].collect()
+        val victim =
+          if (top.nonEmpty) top(0)
+          else verts.where(!col("v").isin(r: _*))
+            .agg(min(col("v"))).as[Long].head()
+        removed += victim
+      }
+      // Phase 2 — ONE GraphX CC over the layered union (q75's encoding
+      // trick): layer t holds the surviving edges after t removals with
+      // ids offset by t·enc, so a single distributed CC labels every
+      // step's components at once instead of paying GraphX fixed cost
+      // per step (measured 17.8 s → one run at gate scale).
+      val layered = (0 to steps).map { t =>
+        val r = removed.take(t).toSeq
+        canon.where(!col("a").isin(r: _*) && !col("b").isin(r: _*))
+          .select((col("a") + t * enc).as("src"), (col("b") + t * enc).as("dst"))
+      }.reduce(_ unionByName _)
+      val vtx = layered.select(col("src").as("id"))
+        .unionByName(layered.select(col("dst").as("id"))).distinct()
+        .withColumn("name", col("id").cast("string"))
+      val byLayer = connectedComponents(spark, graft.graph.PropertyGraph(vtx, layered))
+        .groupBy((col("id") / enc).cast("long").as("layer"), col("component"))
+        .agg(count(lit(1)).as("sz"))
+        .groupBy("layer").agg(max(col("sz")).as("m"))
+        .as[(Long, Long)].collect().toMap
+      (byLayer, removed.length)
     }
-    // Phase 2 — ONE GraphX CC over the layered union (q75's encoding
-    // trick): layer t holds the surviving edges after t removals with
-    // ids offset by t·enc, so a single distributed CC labels every
-    // step's components at once instead of paying GraphX fixed cost
-    // per step (measured 17.8 s → one run at gate scale).
-    val layered = (0 to steps).map { t =>
-      val r = removed.take(t).toSeq
-      canon.where(!col("a").isin(r: _*) && !col("b").isin(r: _*))
-        .select((col("a") + t * enc).as("src"), (col("b") + t * enc).as("dst"))
-    }.reduce(_ unionByName _)
-    val vtx = layered.select(col("src").as("id"))
-      .unionByName(layered.select(col("dst").as("id"))).distinct()
-      .withColumn("name", col("id").cast("string"))
-    val ccMaxByLayer = connectedComponents(spark, graft.graph.PropertyGraph(vtx, layered))
-      .groupBy((col("id") / enc).cast("long").as("layer"), col("component"))
-      .agg(count(lit(1)).as("sz"))
-      .groupBy("layer").agg(max(col("sz")).as("m"))
-      .as[(Long, Long)].collect().toMap
+    val (byLayerMax, nRemoved) = ccMaxByLayer
     canon.unpersist(); verts.unpersist()
     val curve = (0 to steps).map { t =>
-      val nLeft = n0 - math.min(t, removed.length)
+      val nLeft = n0 - math.min(t, nRemoved)
       // isolated survivors are singleton components
-      val largest = math.max(ccMaxByLayer.getOrElse(t.toLong, 0L), math.min(1L, nLeft))
+      val largest = math.max(byLayerMax.getOrElse(t.toLong, 0L), math.min(1L, nLeft))
       (t.toLong, largest, largest.toDouble / n0)
     }
     curve.toDF("n_removed", "largest", "largest_frac")

@@ -162,7 +162,10 @@ class GraphAnalyticsSpec extends SparkSpec {
     val m = GraphAnalytics.perGroupMetrics(df, quadraticMaxNodes = 20000)
       .collect().map(r => r.getAs[String]("group") -> r).toMap
     val secs = (System.nanoTime() - t0) / 1e9
-    assert(secs < 60, f"gated battery took $secs%.0f s — gate not effective")
+    // the ungated Brandes would take ~15 min; anything near 2 min means
+    // the gate fired. (The bound is deliberately loose: in-suite this
+    // test runs on a warm JVM whose GC state swings it 30-90 s.)
+    assert(secs < 120, f"gated battery took $secs%.0f s — gate not effective")
     val mega = m("mega")
     assert(mega.getAs[Int]("nNodes") == 30000)
     assert(mega.getAs[Int]("diameter") == -1 && mega.getAs[Int]("radius") == -1)
