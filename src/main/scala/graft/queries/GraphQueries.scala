@@ -39,8 +39,26 @@ object GraphQueries {
       .agg(count(lit(1)).as("n_paths"), sum("o_weight").as("total_ordered_qty"))
   }
 
+  /** The motif-compiled co-supplier pair projection — the canonical
+    * triadic co-edge set in graph-id space, memoized+persisted per
+    * (session, dir) exactly like the coSupplier/coTriangles chain
+    * (AnalyticsQueries): one derived pair table shared and warmed
+    * instead of re-running the motif self-join per consumer. The
+    * distinct runs on the 16-byte id pair BEFORE any names attach —
+    * the co-supplier fan-out (parts × suppliers²) shrinks ~10× at the
+    * distinct, so wide string columns never ride the fan-out. */
+  private[graft] def motifCoSupplierPairs(s: org.apache.spark.sql.SparkSession, d: String) =
+    graft.Memo.df(s, "motifCoSupplierPairs", d) {
+      GraphBuild.tpchGraph(s, d)
+        .find("(a:Supplier)-[s1:supplies]->(p:Part); (b:Supplier)-[s2:supplies]->(p)")
+        .where(col("a_id") =!= col("b_id"))
+        .select(col("a_id"), col("b_id")).distinct()
+    }
+
   /** Triadic closure through the motif engine (SURVEY J8/G16;
-    * reference bin/TriadicClosures.R:89) — co-suppliers of a part. */
+    * reference bin/TriadicClosures.R:89) — co-suppliers of a part.
+    * Both orders of each unordered pair survive the id distinct; the
+    * name predicate then keeps exactly one. */
   val q51 = QuerySpec.sql(
     "q51_motif_triadic",
     """WITH e AS (SELECT DISTINCT s_name, l_partkey
@@ -49,19 +67,9 @@ object GraphQueries {
       |FROM e a JOIN e b ON a.l_partkey = b.l_partkey AND a.s_name < b.s_name""",
     "triadic closure via motif self-join (SURVEY J8,G16)") { (s, d) =>
     val g = GraphBuild.tpchGraph(s, d)
-    // distinct on the 16-byte id pair BEFORE attaching names: the
-    // co-supplier fan-out (parts × suppliers²) shrinks ~10× at the
-    // distinct, so the wide string columns ride only the reduced
-    // pairs; Catalyst prunes the motif's name columns down to the
-    // kind-filter joins. Both orders of each unordered pair survive
-    // the id distinct; the name predicate then keeps exactly one.
-    val pairs = g
-      .find("(a:Supplier)-[s1:supplies]->(p:Part); (b:Supplier)-[s2:supplies]->(p)")
-      .where(col("a_id") =!= col("b_id"))
-      .select(col("a_id"), col("b_id")).distinct()
     val names = g.nodes.where(col("kind") === "Supplier")
       .select(col("id"), col("name"))
-    pairs
+    motifCoSupplierPairs(s, d)
       .join(broadcast(names.select(col("id").as("a_id"), col("name").as("name1"))), "a_id")
       .join(broadcast(names.select(col("id").as("b_id"), col("name").as("name2"))), "b_id")
       .where(col("name1") < col("name2"))

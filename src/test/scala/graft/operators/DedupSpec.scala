@@ -303,6 +303,40 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  test("coOccurrencePairs: bitset kernel bit-identical to the self-join, both regimes") {
+    import spark.implicits._
+    // 200 bags over 131 items (spans >2 words), skewed membership,
+    // duplicate (bag, item) rows on purpose
+    val bagItem = (0 until 200).flatMap { bag =>
+      (0 until (bag % 7) + 1).map(j => (bag.toLong, ((bag * 37 + j * j) % 131).toLong))
+    }
+    val df = (bagItem ++ bagItem.take(50)).toDF("bag", "item")
+    val naive = {
+      val a = df.select(col("bag"), col("item").as("i1")).distinct()
+      val b = df.select(col("bag"), col("item").as("i2")).distinct()
+      a.join(b, Seq("bag")).where(col("i1") < col("i2"))
+        .select("i1", "i2").distinct()
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    }
+    val dense = Dedup.coOccurrencePairsBitmap(df, maxItems = 4096).get
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(dense == naive && naive.nonEmpty)
+    // over-cap item space: bitmap refuses, dispatcher falls back and
+    // still matches
+    assert(Dedup.coOccurrencePairsBitmap(df, maxItems = 64).isEmpty)
+    val sparse = Dedup.coOccurrencePairs(df, maxItems = 64)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(sparse == naive)
+    // string items go through the same dictionary
+    val sdf = df.select(col("bag"), concat(lit("it"), col("item")).as("item"))
+    val sNaive = naive.map { case (a, b) =>
+      val (x, y) = (s"it$a", s"it$b"); if (x < y) (x, y) else (y, x)
+    }
+    val sGot = Dedup.coOccurrencePairs(sdf)
+      .collect().map(r => (r.getString(0), r.getString(1))).toSet
+    assert(sGot == sNaive)
+  }
+
   test("tokenWindows: windows reconstruct the token sequence exactly") {
     val texts = Seq("", "   ", "one", "one two three",
       "a  b\tc d e f g h i", docs.collect().map(_.getString(1)).mkString(" "))
