@@ -366,32 +366,70 @@ object Dedup {
   def jaccardPairsAcrossBitmap(tokProbe: DataFrame, tokCorpus: DataFrame,
       minJaccard: Double, maxVocab: Int = 4096): DataFrame = {
     require(minJaccard > 0.0, "thresholdless all-pairs output is never wanted")
-    import org.apache.spark.sql.expressions.Window
-    val u = tokProbe.select(col("doc_id"), col("tok"))
-      .unionByName(tokCorpus.select(col("doc_id"), col("tok")))
-    val vocab = u.select("tok").distinct()
-      .select(col("tok"),
-        (row_number().over(Window.orderBy("tok")) - 1).as("id"))
-      .cache()
-    val v = vocab.count()
-    require(v <= maxVocab,
-      s"vocabulary $v exceeds $maxVocab — use jaccardPairsAcrossTokens (sparse path)")
-    val nWords = ((v + 63) / 64).toInt.max(1)
-    def masksOf(tok: DataFrame, d: String, n: String, m: String) = tok
-      .join(broadcast(vocab), Seq("tok"))
+    val u = tokProbe.select("tok").unionByName(tokCorpus.select("tok"))
+    val vocab = tokenVocab(u, maxVocab).getOrElse(throw new IllegalArgumentException(
+      s"vocabulary exceeds $maxVocab — use jaccardPairsAcrossTokens (sparse path)"))
+    jaccardPairsFromMasks(tokenMasks(tokProbe, vocab),
+      tokenMasks(tokCorpus, vocab), minJaccard)
+  }
+
+  /** The global token dictionary of the dense-vocab kernels, or None
+    * past `maxVocab`: ONE sorted-distinct-limit job collecting at most
+    * maxVocab+1 strings to the driver, so the dense check is EXACT (no
+    * estimate gap — an approx_count_distinct dispatch could promise
+    * the bitmap path and then fail its contract at runtime) and the
+    * dictionary needs no cached DataFrame (the round-6 form leaked one
+    * cached vocab relation per invocation). */
+  def tokenVocab(tok: DataFrame, maxVocab: Int = 4096): Option[Array[String]] = {
+    val probe = tok.select(col("tok")).where(col("tok").isNotNull)
+      .distinct().orderBy("tok").limit(maxVocab + 1)
+      .collect().map(_.getString(0))
+    if (probe.length > maxVocab) None else Some(probe)
+  }
+
+  /** Per-doc token bitmap masks under a dictionary from [[tokenVocab]]:
+    * (doc_id, mask array<bigint>, n = set-bit count). Tokens outside
+    * the dictionary are dropped — pass a dictionary built over every
+    * token set that will be compared. The mask build is one broadcast
+    * dictionary join + two grouped aggregations, all doc-keyed. */
+  def tokenMasks(tok: DataFrame, vocab: Array[String]): DataFrame = {
+    val spark = tok.sparkSession
+    import spark.implicits._
+    val nWords = ((vocab.length + 63) / 64).max(1)
+    val dict = vocab.zipWithIndex.toSeq.toDF("tok", "id")
+    tok.join(broadcast(dict), Seq("tok"))
       .select(col("doc_id"), (col("id") / 64).cast("int").as("w"),
         expr("shiftleft(CAST(1 AS BIGINT), CAST(id % 64 AS INT))").as("bit"))
       .groupBy("doc_id", "w").agg(bit_or(col("bit")).as("bits"))
       .groupBy("doc_id")
-      .agg(map_from_entries(collect_list(struct(col("w"), col("bits")))).as("mm"),
-        count(lit(1)).as("nw"))
-      .select(col("doc_id").as(d),
+      .agg(map_from_entries(collect_list(struct(col("w"), col("bits")))).as("mm"))
+      .select(col("doc_id"),
         transform(sequence(lit(0), lit(nWords - 1)),
-          w => coalesce(element_at(col("mm"), w), lit(0L))).as(m))
-      .withColumn(n, aggregate(col(m), lit(0L),
+          w => coalesce(element_at(col("mm"), w), lit(0L))).as("mask"))
+      .withColumn("n", aggregate(col("mask"), lit(0L),
         (acc, x) => acc + bit_count(x).cast("long")))
-    val p = masksOf(tokProbe, "d1", "n1", "ma")
-    val c = masksOf(tokCorpus, "d2", "n2", "mb")
+  }
+
+  /** The bitset Jaccard pair kernel over pre-built masks (both sides
+    * from the SAME [[tokenVocab]] dictionary — callers with a shared
+    * corpus-wide masks table memoize it once and filter per query).
+    * The probe side broadcasts, so the pair stream never shuffles;
+    * `maxProbeDocs` is the fuse on that contract — a caller feeding a
+    * corpus-sized "batch" fails with the remedy instead of OOMing the
+    * driver at scale. The count() that enforces it is the probe
+    * side's materialization (cheap on a memoized masks table). */
+  def jaccardPairsFromMasks(masksProbe: DataFrame, masksCorpus: DataFrame,
+      minJaccard: Double, maxProbeDocs: Long = 200000): DataFrame = {
+    require(minJaccard > 0.0, "thresholdless all-pairs output is never wanted")
+    val np = masksProbe.count()
+    require(np <= maxProbeDocs,
+      s"probe side has $np docs (cap $maxProbeDocs): the bitmap kernel broadcasts " +
+        "the probe masks. Swap the sides, raise maxProbeDocs, or use the sparse " +
+        "prefix path (jaccardPairsAcrossTokens) for corpus-vs-corpus joins.")
+    val p = masksProbe.select(col("doc_id").as("d1"), col("mask").as("ma"),
+      col("n").as("n1"))
+    val c = masksCorpus.select(col("doc_id").as("d2"), col("mask").as("mb"),
+      col("n").as("n2"))
     broadcast(p).crossJoin(c)
       .withColumn("n_inter", aggregate(
         zip_with(col("ma"), col("mb"), (x, y) => bit_count(x.bitwiseAND(y)).cast("long")),
@@ -403,22 +441,24 @@ object Dedup {
       .where(col("jaccard") >= minJaccard)
   }
 
-  /** Regime dispatcher for the cross-set Jaccard join: one cheap
-    * `approx_count_distinct` over the union's token column picks the
-    * dense-vocab bitset kernel ([[jaccardPairsAcrossBitmap]]) or the
-    * sparse-vocab prefix filter ([[jaccardPairsAcrossTokens]]). The
-    * two are bit-identical on their overlap (DedupSpec law), so the
-    * dispatch is invisible to results — it is purely the density
+  /** Regime dispatcher for the cross-set Jaccard join: the EXACT
+    * dictionary probe ([[tokenVocab]]) picks the dense-vocab bitset
+    * kernel or the sparse-vocab prefix filter
+    * ([[jaccardPairsAcrossTokens]]) — and because the probe is exact,
+    * a vocabulary past the cap falls back to the sparse path instead
+    * of aborting at runtime the way an over-optimistic estimate would.
+    * The two are bit-identical on their overlap (DedupSpec law), so
+    * the dispatch is invisible to results — it is purely the density
     * crossover that decides which plan survives at scale. */
   def jaccardPairsAcross(tokProbe: DataFrame, tokCorpus: DataFrame,
-      minJaccard: Double, bitmapMaxVocab: Int = 4096): DataFrame = {
-    val approxV = tokProbe.select("tok").unionByName(tokCorpus.select("tok"))
-      .agg(approx_count_distinct(col("tok")).as("v")).head().getLong(0)
-    // approx estimate ±2%: stay well inside the bitmap contract
-    if (approxV <= bitmapMaxVocab * 9L / 10)
-      jaccardPairsAcrossBitmap(tokProbe, tokCorpus, minJaccard, bitmapMaxVocab)
-    else jaccardPairsAcrossTokens(tokProbe, tokCorpus, minJaccard)
-  }
+      minJaccard: Double, bitmapMaxVocab: Int = 4096): DataFrame =
+    tokenVocab(tokProbe.select("tok").unionByName(tokCorpus.select("tok")),
+        bitmapMaxVocab) match {
+      case Some(vocab) =>
+        jaccardPairsFromMasks(tokenMasks(tokProbe, vocab),
+          tokenMasks(tokCorpus, vocab), minJaccard)
+      case None => jaccardPairsAcrossTokens(tokProbe, tokCorpus, minJaccard)
+    }
 
   /** Dense-vocabulary fast path for the cross-set CONTAINMENT join —
     * same bitset kernel as [[jaccardPairsAcrossBitmap]] (the prefix
@@ -428,31 +468,27 @@ object Dedup {
   def containmentPairsAcrossBitmap(tokProbe: DataFrame, tokCorpus: DataFrame,
       minContainment: Double, maxVocab: Int = 4096): DataFrame = {
     require(minContainment > 0.0, "thresholdless all-pairs output is never wanted")
-    import org.apache.spark.sql.expressions.Window
-    val u = tokProbe.select(col("doc_id"), col("tok"))
-      .unionByName(tokCorpus.select(col("doc_id"), col("tok")))
-    val vocab = u.select("tok").distinct()
-      .select(col("tok"),
-        (row_number().over(Window.orderBy("tok")) - 1).as("id"))
-      .cache()
-    val v = vocab.count()
-    require(v <= maxVocab,
-      s"vocabulary $v exceeds $maxVocab — use containmentPairsAcrossTokens (sparse path)")
-    val nWords = ((v + 63) / 64).toInt.max(1)
-    def masksOf(tok: DataFrame, d: String, n: String, m: String) = tok
-      .join(broadcast(vocab), Seq("tok"))
-      .select(col("doc_id"), (col("id") / 64).cast("int").as("w"),
-        expr("shiftleft(CAST(1 AS BIGINT), CAST(id % 64 AS INT))").as("bit"))
-      .groupBy("doc_id", "w").agg(bit_or(col("bit")).as("bits"))
-      .groupBy("doc_id")
-      .agg(map_from_entries(collect_list(struct(col("w"), col("bits")))).as("mm"))
-      .select(col("doc_id").as(d),
-        transform(sequence(lit(0), lit(nWords - 1)),
-          w => coalesce(element_at(col("mm"), w), lit(0L))).as(m))
-      .withColumn(n, aggregate(col(m), lit(0L),
-        (acc, x) => acc + bit_count(x).cast("long")))
-    val p = masksOf(tokProbe, "d1", "n1", "ma")
-    val c = masksOf(tokCorpus, "d2", "n2", "mb")
+    val u = tokProbe.select("tok").unionByName(tokCorpus.select("tok"))
+    val vocab = tokenVocab(u, maxVocab).getOrElse(throw new IllegalArgumentException(
+      s"vocabulary exceeds $maxVocab — use containmentPairsAcrossTokens (sparse path)"))
+    containmentPairsFromMasks(tokenMasks(tokProbe, vocab),
+      tokenMasks(tokCorpus, vocab), minContainment)
+  }
+
+  /** The bitset CONTAINMENT pair kernel over pre-built masks — same
+    * contract and probe-side broadcast fuse as
+    * [[jaccardPairsFromMasks]], scoring |T1∩T2|/|T1|. */
+  def containmentPairsFromMasks(masksProbe: DataFrame, masksCorpus: DataFrame,
+      minContainment: Double, maxProbeDocs: Long = 200000): DataFrame = {
+    require(minContainment > 0.0, "thresholdless all-pairs output is never wanted")
+    val np = masksProbe.count()
+    require(np <= maxProbeDocs,
+      s"probe side has $np docs (cap $maxProbeDocs): the bitmap kernel broadcasts " +
+        "the probe masks. Swap the sides, raise maxProbeDocs, or use the sparse " +
+        "prefix path (containmentPairsAcrossTokens) for corpus-vs-corpus joins.")
+    val p = masksProbe.select(col("doc_id").as("d1"), col("mask").as("ma"),
+      col("n").as("n1"))
+    val c = masksCorpus.select(col("doc_id").as("d2"), col("mask").as("mb"))
     broadcast(p).crossJoin(c)
       .withColumn("n_inter", aggregate(
         zip_with(col("ma"), col("mb"), (x, y) => bit_count(x.bitwiseAND(y)).cast("long")),
@@ -463,15 +499,18 @@ object Dedup {
   }
 
   /** Regime dispatcher for the cross-set containment join — the
-    * [[jaccardPairsAcross]] crossover applied to containment. */
+    * [[jaccardPairsAcross]] crossover applied to containment, with the
+    * same exact-probe fallback (over-cap vocabularies take the sparse
+    * path instead of aborting). */
   def containmentPairsAcross(tokProbe: DataFrame, tokCorpus: DataFrame,
-      minContainment: Double, bitmapMaxVocab: Int = 4096): DataFrame = {
-    val approxV = tokProbe.select("tok").unionByName(tokCorpus.select("tok"))
-      .agg(approx_count_distinct(col("tok")).as("v")).head().getLong(0)
-    if (approxV <= bitmapMaxVocab * 9L / 10)
-      containmentPairsAcrossBitmap(tokProbe, tokCorpus, minContainment, bitmapMaxVocab)
-    else containmentPairsAcrossTokens(tokProbe, tokCorpus, minContainment)
-  }
+      minContainment: Double, bitmapMaxVocab: Int = 4096): DataFrame =
+    tokenVocab(tokProbe.select("tok").unionByName(tokCorpus.select("tok")),
+        bitmapMaxVocab) match {
+      case Some(vocab) =>
+        containmentPairsFromMasks(tokenMasks(tokProbe, vocab),
+          tokenMasks(tokCorpus, vocab), minContainment)
+      case None => containmentPairsAcrossTokens(tokProbe, tokCorpus, minContainment)
+    }
 
   /** Cross-set CONTAINMENT join: every (probe doc, corpus doc) pair
     * with |T_probe ∩ T_corpus| / |T_probe| ≥ t — the asymmetric
