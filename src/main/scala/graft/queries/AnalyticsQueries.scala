@@ -1467,8 +1467,80 @@ object AnalyticsQueries {
       lpa4(s, d))
   }
 
+  /** M10, hash-oracled: pairwise two-sample Wilcoxon rank-sum over
+    * per-customer balances by market segment, replayed by DuckDB
+    * end-to-end — the q133 midrank idiom applied to the rank-sum
+    * statistic (doubled midranks keep W and U exact BIGINTs; the
+    * pooled ranks are permutation-invariant, so the 99-perm two-sided
+    * test only re-selects group membership via the md5-portable
+    * uniform). q72/q73 keep the driver-local R-shaped exact/normal
+    * p-values (golden-pinned in specs); THIS gates M10's rank
+    * arithmetic distributively (reference wilcox.test,
+    * bin/interpersonaldiversity.R:147, bin/CompareSkin.R:218). */
+  val q167 = QuerySpec.sql(
+    "q167_wilcoxon_portable",
+    """WITH o AS (
+      |  SELECT c_mktsegment AS grp, c_custkey AS id,
+      |         CAST(round(c_acctbal * 100, 0) AS BIGINT) AS v
+      |  FROM customer WHERE c_custkey % 10 = 0),
+      |gs AS (SELECT DISTINCT grp FROM o),
+      |pairs AS (SELECT a.grp AS g1, b.grp AS g2 FROM gs a JOIN gs b ON a.grp < b.grp),
+      |pooled AS (
+      |  SELECT g1, g2, grp, id, v FROM o JOIN pairs ON grp = g1 OR grp = g2),
+      |ranked AS (
+      |  SELECT g1, g2, grp, id, v,
+      |         row_number() OVER (PARTITION BY g1, g2 ORDER BY v, id) AS rn
+      |  FROM pooled),
+      |mid AS (
+      |  SELECT g1, g2, grp, id,
+      |         min(rn) OVER (PARTITION BY g1, g2, v)
+      |           + max(rn) OVER (PARTITION BY g1, g2, v) AS mid2
+      |  FROM ranked),
+      |sizes AS (
+      |  SELECT g1, g2,
+      |         CAST(sum(CASE WHEN grp = g1 THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+      |         CAST(sum(CASE WHEN grp = g2 THEN 1 ELSE 0 END) AS BIGINT) AS n2
+      |  FROM pooled GROUP BY 1, 2),
+      |ps AS (SELECT unnest(generate_series(0, 99)) AS p),
+      |hashed AS (
+      |  SELECT g1, g2, grp, id, mid2, p,
+      |         ('0x' || substr(md5('11|' || CAST(p AS VARCHAR) || '|' ||
+      |            CAST(id AS VARCHAR)), 1, 8))::BIGINT AS h
+      |  FROM mid CROSS JOIN ps),
+      |wh AS (
+      |  SELECT g1, g2, grp, id, mid2, p,
+      |         row_number() OVER (PARTITION BY g1, g2, p ORDER BY h, id) AS hr
+      |  FROM hashed),
+      |w AS (
+      |  SELECT wh.g1, wh.g2, p, CAST(sum(mid2) AS BIGINT) AS w2,
+      |         max(n1) AS n1, max(n2) AS n2
+      |  FROM wh JOIN sizes USING (g1, g2)
+      |  WHERE CASE WHEN p = 0 THEN grp = g1 ELSE hr <= n1 END
+      |  GROUP BY wh.g1, wh.g2, p),
+      |st AS (
+      |  SELECT g1, g2, p, w2, n1, n2,
+      |         w2 - n1 * (n1 + 1) AS u2,
+      |         abs(w2 - n1 * (n1 + 1) - n1 * n2) AS dev
+      |  FROM w),
+      |ob AS (SELECT g1, g2, w2 AS w2o, u2 AS u2o, dev AS devo
+      |       FROM st WHERE p = 0)
+      |SELECT st.g1, st.g2, max(n1) AS n1, max(n2) AS n2,
+      |       max(w2o) AS w2, CAST(max(u2o) AS DOUBLE) / 2 AS u,
+      |       CAST(sum(CASE WHEN dev >= devo THEN 1 ELSE 0 END) AS BIGINT) AS n_ge,
+      |       CAST(sum(CASE WHEN dev >= devo THEN 1 ELSE 0 END) + 1 AS DOUBLE) / 100
+      |         AS p_value
+      |FROM st JOIN ob USING (g1, g2) WHERE p > 0
+      |GROUP BY st.g1, st.g2""",
+    "pairwise Wilcoxon rank-sum with md5-portable permutation test (SURVEY M10)") { (s, d) =>
+    graft.stats.EcoStats.wilcoxonPairsPortable(
+      Tables.customer(s, d).filter(pmod(col("c_custkey"), lit(10)) === 0)
+        .select(col("c_mktsegment").as("grp"), col("c_custkey").as("id"),
+          graft.functions.ExactNum.scaled(col("c_acctbal"), 100).as("v")),
+      permutations = 99, seed = 11L)
+  }
+
   val all: Seq[QuerySpec] =
     Seq(q53, q54, q55, q56, q57, q59, q74, q75, q76, q82, q90, q96, q98, q99,
       q100, q104, q110, q115, q117, q118, q119, q120, q122, q130, q133, q134,
-      q135, q136, q156, q162)
+      q135, q136, q156, q162, q167)
 }

@@ -267,6 +267,77 @@ object EcoStats {
           .as("p_value"))
   }
 
+  /** M10, distributed + engine-portable form: pairwise two-sample
+    * Wilcoxon rank-sum over a long (grp, id, v) table, permutation
+    * two-sided p — the q133 midrank idiom applied to the rank-sum
+    * statistic so an external engine replays EVERY number:
+    *  - `v` must already be an exact integer (scale decimals with the
+    *    ExactNum idiom first);
+    *  - midranks are carried doubled — mid2 = min(rn)+max(rn) over the
+    *    tie window — so rank sums are pure BIGINTs (W2 = 2W, U2 = 2U);
+    *  - the permutation test exploits that relabeling a pooled sample
+    *    leaves pooled ranks FIXED: each permutation only re-selects
+    *    which n1 observations count as group 1, via the md5-portable
+    *    uniform (q101 idiom), so no re-ranking per permutation;
+    *  - two-sided deviation |U2 − n1·n2| is an exact BIGINT; the only
+    *    float outputs are u = U2/2 and p = (n_ge+1)/(B+1), one IEEE
+    *    division each.
+    * The driver-local [[wilcoxonRankSum]] keeps R's exact/normal
+    * p-values (golden-pinned in specs); THIS gates the rank arithmetic
+    * distributively with a replayable permutation p. Scale: windows
+    * and aggs are keyed by (pair) / (pair, permutation); B bounds the
+    * expansion. Output per pair g1 < g2:
+    * (g1, g2, n1, n2, w2, u, n_ge, p_value). */
+  def wilcoxonPairsPortable(obs: DataFrame, permutations: Int = 99,
+      seed: Long = 11L): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val spark = obs.sparkSession
+    val o = obs.select(col("grp"), col("id"), col("v").cast("long").as("v"))
+    val gs = o.select("grp").distinct()
+    val pairs = gs.select(col("grp").as("g1"))
+      .crossJoin(gs.select(col("grp").as("g2"))).where(col("g1") < col("g2"))
+    val pooled = o.join(broadcast(pairs),
+      col("grp") === col("g1") || col("grp") === col("g2"))
+    val byPair = Window.partitionBy("g1", "g2")
+    val tieWin = Window.partitionBy("g1", "g2", "v")
+    val ranked = pooled
+      .withColumn("rn", row_number().over(byPair.orderBy(col("v"), col("id"))))
+      .withColumn("mid2",
+        min(col("rn")).over(tieWin) + max(col("rn")).over(tieWin))
+    val sizes = pooled.groupBy("g1", "g2")
+      .agg(sum(when(col("grp") === col("g1"), 1L).otherwise(0L)).as("n1"),
+        sum(when(col("grp") === col("g2"), 1L).otherwise(0L)).as("n2"))
+    val ps = spark.range(0, permutations + 1).select(col("id").cast("int").as("p"))
+    val wh = ranked.select("g1", "g2", "grp", "id", "mid2")
+      .crossJoin(broadcast(ps))
+      .withColumn("h",
+        graft.functions.HexSlice32(md5(concat(lit(seed.toString), lit("|"),
+          col("p").cast("string"), lit("|"), col("id").cast("string"))), lit(0)))
+      .withColumn("hr", row_number().over(
+        Window.partitionBy("g1", "g2", "p").orderBy(col("h"), col("id"))))
+    val w = wh.join(sizes, Seq("g1", "g2"))
+      .where(when(col("p") === 0, col("grp") === col("g1"))
+        .otherwise(col("hr") <= col("n1")))
+      .groupBy("g1", "g2", "p")
+      .agg(sum(col("mid2")).as("w2"), max(col("n1")).as("n1"),
+        max(col("n2")).as("n2"))
+      .withColumn("u2", col("w2") - col("n1") * (col("n1") + 1))
+      .withColumn("dev", abs(col("u2") - col("n1") * col("n2")))
+    val obs0 = w.where(col("p") === 0)
+      .select(col("g1"), col("g2"), col("w2").as("w2o"), col("u2").as("u2o"),
+        col("dev").as("devo"))
+    w.where(col("p") > 0).join(obs0, Seq("g1", "g2"))
+      .groupBy("g1", "g2")
+      .agg(max(col("n1")).as("n1"), max(col("n2")).as("n2"),
+        max(col("w2o")).as("w2"),
+        (max(col("u2o")).cast("double") / 2).as("u"),
+        sum(when(col("dev") >= col("devo"), 1L).otherwise(0L)).as("n_ge"))
+      .select(col("g1"), col("g2"), col("n1"), col("n2"), col("w2"), col("u"),
+        col("n_ge"),
+        ((col("n_ge") + lit(1)).cast("double") / lit(permutations + 1))
+          .as("p_value"))
+  }
+
   /** M9, distributed + engine-portable form: PERMDISP (betadisper +
     * permutest) as ONE relational plan with every decision integer-
     * exact, so an external engine replays F and the permutation p:

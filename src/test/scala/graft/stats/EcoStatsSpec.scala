@@ -131,6 +131,36 @@ class EcoStatsSpec extends SparkSpec {
     assert(math.abs(local._2 - dist._2) < 1e-9)
   }
 
+  test("wilcoxonPairsPortable: observed U matches the driver-local kernel per pair") {
+    import org.apache.spark.sql.functions.col
+    // 3 groups with ties within and across groups (integer values)
+    val rows = Seq(
+      ("A", 1L, 10L), ("A", 2L, 12L), ("A", 3L, 12L), ("A", 4L, 19L),
+      ("A", 5L, 25L), ("A", 6L, 31L),
+      ("B", 11L, 12L), ("B", 12L, 18L), ("B", 13L, 22L), ("B", 14L, 25L),
+      ("B", 15L, 40L), ("B", 16L, 41L),
+      ("C", 21L, 5L), ("C", 22L, 6L), ("C", 23L, 7L), ("C", 24L, 12L),
+      ("C", 25L, 13L), ("C", 26L, 14L))
+    val df = rows.toDF("grp", "id", "v")
+    val got = EcoStats.wilcoxonPairsPortable(df, permutations = 99, seed = 3L)
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        (r.getAs[Long]("n1"), r.getAs[Long]("n2"), r.getAs[Long]("w2"),
+          r.getAs[Double]("u"), r.getAs[Double]("p_value"))).toMap
+    assert(got.size == 3)
+    val byG = rows.groupBy(_._1).view.mapValues(_.map(_._3.toDouble).toArray).toMap
+    for (((g1, g2), (n1, n2, w2, u, p)) <- got) {
+      val (uLocal, _) = EcoStats.wilcoxonRankSum(byG(g1), byG(g2))
+      assert(n1 == byG(g1).length && n2 == byG(g2).length, s"$g1/$g2 sizes")
+      assert(u == uLocal, s"$g1/$g2: distributed U $u != local $uLocal")
+      // W2 = 2U + n1(n1+1) — the doubled rank sum is consistent (2U may
+      // be odd when midranks land on .5)
+      assert(w2 == math.round(2 * uLocal) + n1 * (n1 + 1), s"$g1/$g2 W2")
+      assert(p > 0 && p <= 1 && math.abs(p * 100 - math.round(p * 100)) < 1e-9)
+    }
+    // C is stochastically far below B → permutation p should be small
+    assert(got(("B", "C"))._5 <= 0.05)
+  }
+
   test("ANOSIM: strong group structure → R near 1, significant") {
     // two tight clusters far apart; n=8 per group so the label-pattern
     // space is large enough for p < 0.05 under permutation
