@@ -188,6 +188,73 @@ object PipelineQueries {
       .toDF("n_same", "n_diff", "u_stat", "p_value")
   }
 
+  /** A9, hash-oracled: grouped MEAN of pairwise Bray-Curtis distances
+    * per class pair — q72's rows-only "mean distance within vs across
+    * classes" semantic with every number replayable. Distances are
+    * exact ratios of integer sums scaled to BIGINTs (round(d·10⁶),
+    * the q77/q134 idiom) BEFORE grouping, so the class means are one
+    * IEEE division of exact integers (reference
+    * bin/interpersonaldiversity.R:132,147 — mean interpersonal
+    * distance per class). Classes are regions over the supplier-side
+    * nation samples; item space bounded like q133 so the oracle's
+    * self-join stays fast. */
+  val q168 = QuerySpec.sql(
+    "q168_class_mean_distance",
+    """WITH ab AS (
+      |  SELECT n_name AS g, l_partkey AS item,
+      |         CAST(sum(CAST(l_quantity AS BIGINT)) AS DOUBLE) AS val
+      |  FROM lineitem
+      |  JOIN supplier ON l_suppkey = s_suppkey
+      |  JOIN nation ON s_nationkey = n_nationkey
+      |  WHERE l_partkey % 50 = 0
+      |  GROUP BY 1, 2),
+      |totals AS (SELECT g, sum(val) AS t FROM ab GROUP BY g),
+      |shared AS (
+      |  SELECT x.g AS g1, y.g AS g2,
+      |         sum(abs(x.val - y.val)) AS sad, sum(x.val) AS sx, sum(y.val) AS sy
+      |  FROM ab x JOIN ab y ON x.item = y.item AND x.g < y.g
+      |  GROUP BY 1, 2),
+      |bc AS (
+      |  SELECT t1.g AS g1, t2.g AS g2,
+      |         CAST(round((COALESCE(sad, 0) + (t1.t - COALESCE(sx, 0))
+      |                     + (t2.t - COALESCE(sy, 0)))
+      |              / (t1.t + t2.t) * 1000000, 0) AS BIGINT) AS di
+      |  FROM totals t1 JOIN totals t2 ON t1.g < t2.g
+      |  LEFT JOIN shared ON g1 = t1.g AND g2 = t2.g),
+      |reg AS (SELECT n_name, r_name FROM nation
+      |        JOIN region ON n_regionkey = r_regionkey)
+      |SELECT least(ra.r_name, rb.r_name) AS r1,
+      |       greatest(ra.r_name, rb.r_name) AS r2,
+      |       count(*) AS n_pairs, CAST(sum(di) AS BIGINT) AS sum_scaled,
+      |       CAST(sum(di) AS DOUBLE) / (count(*) * 1000000) AS mean_dist
+      |FROM bc
+      |JOIN reg ra ON bc.g1 = ra.n_name
+      |JOIN reg rb ON bc.g2 = rb.n_name
+      |GROUP BY 1, 2""",
+    "per-class-pair mean Bray-Curtis distance, exact-scaled (SURVEY A9)") { (s, d) =>
+    import graft.graph.GraphAnalytics
+    val ab = Tables.lineitem(s, d)
+      .filter(pmod(col("l_partkey"), lit(50)) === 0)
+      .join(Tables.supplier(s, d), col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(Tables.nation(s, d)), col("s_nationkey") === col("n_nationkey"))
+      .groupBy(col("n_name").as("group"), col("l_partkey").as("item"))
+      .agg(sum(col("l_quantity").cast("long")).cast("double").as("value"))
+    val di = GraphAnalytics.brayCurtis(ab)
+      .select(col("g1"), col("g2"),
+        round(col("bray_curtis") * 1000000, 0).cast("long").as("di"))
+    val reg = Tables.nation(s, d)
+      .join(broadcast(Tables.region(s, d)), col("n_regionkey") === col("r_regionkey"))
+      .select(col("n_name"), col("r_name"))
+    di.join(broadcast(reg.select(col("n_name").as("g1"), col("r_name").as("ra"))), "g1")
+      .join(broadcast(reg.select(col("n_name").as("g2"), col("r_name").as("rb"))), "g2")
+      .groupBy(least(col("ra"), col("rb")).as("r1"),
+        greatest(col("ra"), col("rb")).as("r2"))
+      .agg(count(lit(1)).as("n_pairs"), sum(col("di")).as("sum_scaled"))
+      .select(col("r1"), col("r2"), col("n_pairs"), col("sum_scaled"),
+        (col("sum_scaled").cast("double") / (col("n_pairs") * lit(1000000L)))
+          .as("mean_dist"))
+  }
+
   /** The reference's interstats tail (SURVEY M7-M9; reference
     * bin/interpersonaldiversity.R:177,194 → rtables/interstats.tsv):
     * Bray-Curtis distance matrix → NMDS stress + ANOSIM R/p +
@@ -275,5 +342,5 @@ object PipelineQueries {
     Seq((r6(stress), r6(kde))).toDF("nmds_stress_6dp", "kde_below_6dp")
   }
 
-  val all: Seq[QuerySpec] = Seq(q70, q71, q87, q72, q73, q84, q138)
+  val all: Seq[QuerySpec] = Seq(q70, q71, q87, q72, q73, q84, q138, q168)
 }
