@@ -536,6 +536,51 @@ object GraphAnalytics {
     }
   }
 
+  /** Exact-scaled HITS (Kleinberg hubs & authorities, beyond-
+    * reference): on the directed graph, h ← A·a then a ← Aᵀ·h per
+    * superstep, each followed by a global max-normalization — neighbor
+    * sums are exact BIGINTs and the single rounded op per node per
+    * half-step (⌊s·1e6/max + 0.5⌋) keeps the trajectory engine-
+    * independent, the [[eigenExactScaled]] discipline applied to the
+    * two-sided iteration. The global max travels as a broadcast 1-row
+    * aggregate (not a whole-table window). Nodes without out-(in-)
+    * edges carry hub (authority) 0 exactly. Output:
+    * (id, hub_scaled, auth_scaled). */
+  def hitsExactScaled(edges: DataFrame, iters: Int): DataFrame = {
+    val spark = edges.sparkSession
+    val (e0, nE) = materialized(edges.select(col("src").cast("long").as("src"),
+      col("dst").cast("long").as("dst")).distinct())
+    withShufflePartitions(spark, superstepPartitions(spark, nE)) {
+      val e = e0.repartition(col("dst")).localCheckpoint(true)
+      val v = e.select(col("src").as("id"))
+        .unionByName(e.select(col("dst").as("id"))).distinct()
+        .repartition(col("id")).localCheckpoint(true)
+      def normalized(sums: DataFrame, out: String): DataFrame = {
+        val mx = sums.agg(max(col("s")).as("mx"))
+        v.join(sums, Seq("id"), "left_outer")
+          .select(col("id"), coalesce(col("s"), lit(0L)).as("s"))
+          .crossJoin(broadcast(mx))
+          .select(col("id"),
+            when(col("mx").isNull || col("mx") === 0L, lit(0L))
+              .otherwise(floor(col("s") * lit(1000000.0) / col("mx") + lit(0.5))
+                .cast("long")).as(out))
+          .localCheckpoint(true)
+      }
+      var a = v.select(col("id"), lit(1000000L).as("a")).localCheckpoint(true)
+      var h = v.select(col("id"), lit(1000000L).as("h"))
+      (0 until iters).foreach { _ =>
+        h = normalized(
+          e.join(a.select(col("id").as("dst"), col("a")), Seq("dst"))
+            .groupBy(col("src").as("id")).agg(sum(col("a")).as("s")), "h")
+        a = normalized(
+          e.join(h.select(col("id").as("src"), col("h")), Seq("src"))
+            .groupBy(col("dst").as("id")).agg(sum(col("h")).as("s")), "a")
+      }
+      h.join(a, Seq("id"))
+        .select(col("id"), col("h").as("hub_scaled"), col("a").as("auth_scaled"))
+    }
+  }
+
   /** Exact-scaled Brandes betweenness per group — the
     * driver-oracle-able form of the "no SQL form" kernel (G7).
     *

@@ -130,6 +130,61 @@ object Sketches {
     s"('0x' || substr(md5('$seed|' || CAST($keyExpr AS VARCHAR)), " +
       s"1 + 8 * ($rowExpr), 8))::BIGINT % $w"
 
+  /** The flat d·w cell array on the driver — the literal-broadcast
+    * form for [[cmEstimate]] row screens (16 KB at d=4, w=512; always
+    * driver-safe by the d ≤ 4 bound and caller-chosen w). Null keys
+    * are dropped, matching [[bloomBits]]'s null contract. */
+  def countMinCellsArray(df: DataFrame, keyCol: Column, d: Int, w: Int,
+      seed: Long): Array[Long] = {
+    require(d >= 1 && d <= 4, "one 128-bit digest carries at most 4 hash rows")
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.where(keyCol.isNotNull)
+      .select(digest(seed, keyCol).as("hex")).as[String]
+      .select(new CountMinCellsAgg(d, w).toColumn)
+      .head()
+  }
+
+  /** Row-level Count-Min estimate against LITERAL cells — the
+    * frequency twin of [[bloomContains]]: a pure codegen'd projection
+    * (one md5 per row via common-subexpression elimination, d array
+    * lookups, a min), so a frequency screen filters the probe side
+    * with ZERO shuffle. Must use the same (d, w, seed) the cells were
+    * built with. Null keys evaluate to null (filter-false). */
+  def cmEstimate(cells: Array[Long], d: Int, w: Int, seed: Long,
+      key: Column): Column = {
+    require(d >= 1 && d <= 4, "one 128-bit digest carries at most 4 hash rows")
+    require(cells.length == d * w, s"cell array length ${cells.length} != d*w")
+    val hex = digest(seed, key)
+    val arr = lit(cells)
+    (0 until d).map { r =>
+      element_at(arr, (bucket(w, hex, lit(r)) + lit(r.toLong * w)).cast("int") + 1)
+    }.reduce(least(_, _))
+  }
+
+  /** Heavy-hitter screen + exact verify — the production "find
+    * frequent keys without aggregating the universe" shape: every row
+    * is screened by its CM estimate against the broadcast-literal
+    * cells (zero shuffle — only rows whose key ESTIMATES ≥ threshold
+    * survive), then the exact count aggregates the survivors only.
+    * CM never under-counts, so the screen keeps every true heavy
+    * hitter (one-sided, like the bloom pre-filter); collision-inflated
+    * false positives pass the screen and are exposed by their
+    * `n_exact` column — callers drop them with `n_exact >= threshold`
+    * when they want the exact answer, or keep the candidate set when
+    * the screen IS the answer. At 100 TB the exact verify's shuffle is
+    * bounded by the heavy keys' rows, not by |distinct keys|.
+    * Output: (key, n_exact, n_cm) per screened candidate. */
+  def heavyHitters(df: DataFrame, keyCol: Column, threshold: Long,
+      d: Int, w: Int, seed: Long): DataFrame = {
+    val cells = countMinCellsArray(df, keyCol, d, w, seed)
+    df.select(keyCol.as("key"), cmEstimate(cells, d, w, seed, keyCol).as("n_cm"))
+      .where(col("n_cm") >= threshold)
+      .groupBy("key")
+      .agg(count(lit(1)).as("n_exact"), max(col("n_cm")).as("n_cm"))
+      .select(col("key"), col("n_exact"), col("n_cm"))
+  }
+
   // ------------------------------------------------------------- Bloom
 
   /** Bloom filter (Bloom 1970) over `keyCol`: m bits packed into m/64

@@ -1539,8 +1539,63 @@ object AnalyticsQueries {
       permutations = 99, seed = 11L)
   }
 
+  /** Chained-CTE mirror of [[GraphAnalytics.hitsExactScaled]]: per
+    * superstep, a hub-sum CTE + global-max rescale, then an
+    * authority-sum CTE + rescale — generated like the PageRank/eigen
+    * oracles. The edge base is q90's directed supplier→customer
+    * graph. */
+  private def hitsOracle(iters: Int): String = {
+    val steps = (1 to iters).map { k =>
+      s"""hs$k AS (
+         |  SELECT e.src AS id, CAST(sum(p.a) AS BIGINT) AS s
+         |  FROM e JOIN a${k - 1} p ON p.id = e.dst GROUP BY e.src),
+         |h$k AS (
+         |  SELECT v.id,
+         |         CASE WHEN m.mx IS NULL OR m.mx = 0 THEN CAST(0 AS BIGINT)
+         |              ELSE CAST(floor(COALESCE(s.s, 0) * CAST(1000000.0 AS DOUBLE) / m.mx + 0.5) AS BIGINT)
+         |         END AS h
+         |  FROM v LEFT JOIN hs$k s ON s.id = v.id
+         |  CROSS JOIN (SELECT max(s) AS mx FROM hs$k) m),
+         |au$k AS (
+         |  SELECT e.dst AS id, CAST(sum(p.h) AS BIGINT) AS s
+         |  FROM e JOIN h$k p ON p.id = e.src GROUP BY e.dst),
+         |a$k AS (
+         |  SELECT v.id,
+         |         CASE WHEN m.mx IS NULL OR m.mx = 0 THEN CAST(0 AS BIGINT)
+         |              ELSE CAST(floor(COALESCE(s.s, 0) * CAST(1000000.0 AS DOUBLE) / m.mx + 0.5) AS BIGINT)
+         |         END AS a
+         |  FROM v LEFT JOIN au$k s ON s.id = v.id
+         |  CROSS JOIN (SELECT max(s) AS mx FROM au$k) m)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH e AS (
+       |  SELECT DISTINCT CAST(l_suppkey AS BIGINT) AS src,
+       |         CAST(o_custkey + 1000000 AS BIGINT) AS dst
+       |  FROM lineitem
+       |  JOIN orders ON l_orderkey = o_orderkey
+       |  WHERE l_quantity >= 49),
+       |v AS (SELECT src AS id FROM e UNION SELECT dst AS id FROM e),
+       |a0 AS (SELECT id, CAST(1000000 AS BIGINT) AS a FROM v),
+       |$steps
+       |SELECT h.id, h.h AS hub_scaled, a.a AS auth_scaled
+       |FROM h$iters h JOIN a$iters a ON a.id = h.id""".stripMargin
+  }
+
+  /** HITS hubs & authorities (beyond-reference G family), hash-oracled:
+    * the exact-scaled two-sided power iteration — integer neighbor
+    * sums, one rounded global-max normalization per half-step — so
+    * DuckDB replays the whole trajectory (the q90/q96 discipline on a
+    * directed two-score iteration). On the supplier→customer graph
+    * hubs are suppliers, authorities customers. */
+  val q170 = QuerySpec.sql(
+    "q170_hits_exact",
+    hitsOracle(iters = 4),
+    "exact-scaled HITS hubs/authorities, chained-CTE-oracled (beyond-ref G)") { (s, d) =>
+    GraphAnalytics.hitsExactScaled(
+      groupEdges(s, d).select(col("src"), col("dst")), iters = 4)
+  }
+
   val all: Seq[QuerySpec] =
     Seq(q53, q54, q55, q56, q57, q59, q74, q75, q76, q82, q90, q96, q98, q99,
       q100, q104, q110, q115, q117, q118, q119, q120, q122, q130, q133, q134,
-      q135, q136, q156, q162, q167)
+      q135, q136, q156, q162, q167, q170)
 }

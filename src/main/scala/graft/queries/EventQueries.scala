@@ -1,6 +1,7 @@
 package graft.queries
 
 import graft.{QuerySpec, Tables}
+import graft.operators.Sketches
 import graft.streaming.StreamOps
 import org.apache.spark.sql.functions._
 
@@ -355,7 +356,44 @@ object EventQueries {
         count(when(col("d") > lit(5.0) * col("mad"), lit(1))).as("n_outliers"))
   }
 
+  /** Sketch tier, heavy-hitter side: the Count-Min cells screen the
+    * event stream for high-activity users as a PURE PROJECTION against
+    * the broadcast-literal cells (the bloom idiom applied to
+    * frequencies — zero shuffle on the screen), and the exact verify
+    * aggregates only the survivors, so its shuffle is bounded by the
+    * heavy keys' rows instead of |distinct users|. CM never
+    * under-counts → every true heavy hitter survives (one-sided);
+    * collision-inflated false positives appear with n_exact below the
+    * fence, exactly as the operator contract documents. The md5 hash
+    * rows are engine-portable, so DuckDB rebuilds the identical
+    * sketch and replays every candidate verdict
+    * ([[graft.operators.Sketches.heavyHitters]]). */
+  val q169 = QuerySpec.sql(
+    "q169_cm_heavy_hitters",
+    s"""WITH keyed AS (
+      |  SELECT CAST(user_id AS BIGINT) AS key FROM events
+      |  WHERE user_id IS NOT NULL),
+      |hr AS (SELECT * FROM (VALUES (0),(1),(2),(3)) AS t(r)),
+      |cells AS (
+      |  SELECT r, ${Sketches.bucketSqlTwin(9, 4096, "r", "key")} AS b,
+      |         count(*) AS cnt
+      |  FROM keyed CROSS JOIN hr GROUP BY 1, 2),
+      |est AS (
+      |  SELECT key, min(cnt) AS n_cm
+      |  FROM (SELECT DISTINCT key FROM keyed) qk CROSS JOIN hr
+      |  JOIN cells ON cells.r = hr.r
+      |   AND cells.b = ${Sketches.bucketSqlTwin(9, 4096, "hr.r", "key")}
+      |  GROUP BY key),
+      |ex AS (SELECT key, count(*) AS n_exact FROM keyed GROUP BY key)
+      |SELECT ex.key, n_exact, n_cm
+      |FROM ex JOIN est USING (key) WHERE n_cm >= 85""".stripMargin,
+    "Count-Min heavy-hitter screen + exact verify over event users (sketch tier)") { (s, d) =>
+    Sketches.heavyHitters(
+      Tables.events(s, d).where(col("user_id").isNotNull),
+      col("user_id").cast("long"), threshold = 85L, d = 4, w = 4096, seed = 9L)
+  }
+
   val all: Seq[QuerySpec] =
     Seq(q60, q61, q62, q88, q105, q106, q108, q124, q127, q142, q143, q145,
-      q151, q152, q165)
+      q151, q152, q165, q169)
 }

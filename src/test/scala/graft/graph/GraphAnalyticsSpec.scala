@@ -245,6 +245,29 @@ class GraphAnalyticsSpec extends SparkSpec {
     assert(shuffled == so)
   }
 
+  test("hitsExactScaled: bipartite closed forms, dangling sides, repartition-stable") {
+    import spark.implicits._
+    // star into one sink: every source is an equal hub (1e6), the sink
+    // is the sole authority (1e6); sources have authority 0 (no
+    // in-edges), the sink hub 0 (no out-edges)
+    val star = Seq((1L, 9L), (2L, 9L), (3L, 9L)).toDF("src", "dst")
+    val so = GraphAnalytics.hitsExactScaled(star, iters = 3)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(so(1L) == ((1000000L, 0L)) && so(2L) == ((1000000L, 0L)) &&
+      so(3L) == ((1000000L, 0L)))
+    assert(so(9L) == ((0L, 1000000L)))
+    // two sinks, skewed: src 1 links both sinks, src 2 links only one —
+    // 1 must out-hub 2, and the doubly-linked sink out-auths the other
+    val skew = Seq((1L, 8L), (1L, 9L), (2L, 9L)).toDF("src", "dst")
+    val sk = GraphAnalytics.hitsExactScaled(skew, iters = 4)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(sk(1L)._1 == 1000000L && sk(1L)._1 > sk(2L)._1)
+    assert(sk(9L)._2 == 1000000L && sk(9L)._2 > sk(8L)._2)
+    val shuffled = GraphAnalytics.hitsExactScaled(skew.repartition(5), iters = 4)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(shuffled == sk)
+  }
+
   test("betweennessExactScaled: closed forms, agrees with the float kernel, stable") {
     import spark.implicits._
     // path a-b-c: classic btw(b)=1 -> scaled2 = 2e6 (counted from both

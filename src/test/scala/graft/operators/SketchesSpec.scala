@@ -51,6 +51,38 @@ class SketchesSpec extends SparkSpec {
     assert(a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty)
   }
 
+  // ---------------------------------------------------- heavy hitters
+
+  test("heavy hitters: screen is one-sided and estimates replay the cell table") {
+    // skewed keys: key k appears k times for k in 1..40
+    import spark.implicits._
+    val rows = (1L to 40L).flatMap(k => Seq.fill(k.toInt)(k)).toDF("key")
+    val hh = Sketches.heavyHitters(rows, col("key"), threshold = 25L,
+        d = 4, w = 64, seed = 5)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    // no false negatives: every truly-heavy key survives the screen
+    (25L to 40L).foreach(k => assert(hh.contains(k), s"true heavy hitter $k dropped"))
+    // estimates never under-count, and match the standalone cell build
+    val cells = Sketches.countMinCellsArray(rows, col("key"), d = 4, w = 64, seed = 5)
+    hh.foreach { case (k, (nExact, nCm)) =>
+      assert(nCm >= nExact, s"key $k: CM $nCm under-counts exact $nExact")
+      val est = rows.select(Sketches.cmEstimate(cells, 4, 64, 5, col("key")).as("e"))
+        .where(col("key") === k).head().getLong(0)
+      assert(est == nCm, s"key $k: operator estimate $nCm != standalone $est")
+    }
+    // exact counts are the true frequencies for every survivor
+    hh.foreach { case (k, (nExact, _)) => assert(nExact == k) }
+  }
+
+  test("heavy-hitter screen itself plans no shuffle before the verify agg") {
+    val cells = Sketches.countMinCellsArray(keyed, col("key"), d = 4, w = 512, seed = 7)
+    val screen = keyed.where(
+      Sketches.cmEstimate(cells, 4, 512, 7, col("key")) >= lit(50L))
+    val plan = screen.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"),
+      s"frequency screen must be a narrow projection:\n${plan.take(600)}")
+  }
+
   // ---------------------------------------------------------- Bloom
 
   test("bloom filter has no false negatives, ever") {
