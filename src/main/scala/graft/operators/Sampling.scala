@@ -105,6 +105,24 @@ object Sampling {
       .where(col("__rk") <= k).drop("__rk")
   }
 
+  /** Portable stratified k-fold assignment — the cross-validation
+    * splitter (SURVEY M2's fold structure) as a pure projection +
+    * window: rows rank within their stratum by the md5-portable
+    * uniform (ties → id columns) and fold = (rank − 1) mod k, so every
+    * stratum's rows spread across folds as evenly as arithmetic allows
+    * (fold sizes differ by ≤ 1 per stratum — the property plain
+    * hash-mod-k sampling does NOT give) and any engine replays every
+    * assignment. One exchange on the stratum key; the fold column
+    * composes with anti/semi-joins for train/heldout selection. */
+  def kfoldPortable(df: DataFrame, stratumCol: String, idCols: Seq[String],
+      k: Int, seed: Long): DataFrame = {
+    require(k >= 2, s"k-fold needs k >= 2, got $k")
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(stratumCol)
+      .orderBy((md5Bits32(seed, idCols.map(col): _*) +: idCols.map(col)): _*)
+    df.withColumn("fold", pmod(row_number().over(w) - 1, lit(k)))
+  }
+
   /** R3 — seeded subsample of a column list (driver-side choice, as in
     * the reference's 25%-of-samples workaround,
     * bin/ReshapeAlignedAbundance.R:41-45). */

@@ -393,7 +393,43 @@ object EventQueries {
       col("user_id").cast("long"), threshold = 85L, d = 4, w = 4096, seed = 9L)
   }
 
+  /** Event-path transition matrix — the Markov-chain view of user
+    * journeys: per (event_type → next event_type) edge, the count and
+    * the row-normalized transition probability. Order within a user
+    * is (ts, event_id) — the q108 tie-break, so concurrent events
+    * sequence identically in every engine; the probability is ONE
+    * IEEE division of exact counts. Scale: one window per user (one
+    * exchange on user_id) + one grouped count — no self-join; the
+    * matrix is |event_type|² rows regardless of data size. */
+  val q171 = QuerySpec.sql(
+    "q171_event_transitions",
+    """WITH seq AS (
+      |  SELECT event_type,
+      |         lead(event_type) OVER (PARTITION BY user_id
+      |                                ORDER BY ts, event_id) AS next_type
+      |  FROM events),
+      |t AS (
+      |  SELECT event_type AS from_type, next_type AS to_type, count(*) AS n
+      |  FROM seq WHERE next_type IS NOT NULL GROUP BY 1, 2),
+      |tot AS (SELECT from_type, sum(n) AS row_n FROM t GROUP BY 1)
+      |SELECT t.from_type, t.to_type, n AS n_transitions,
+      |       CAST(n AS DOUBLE) / row_n AS p
+      |FROM t JOIN tot USING (from_type)""",
+    "per-user event-type transition counts + row-normalized Markov matrix (event analytics)") { (s, d) =>
+    import org.apache.spark.sql.expressions.Window
+    val byUser = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+    val t = Tables.events(s, d)
+      .select(col("event_type"), lead(col("event_type"), 1).over(byUser).as("next_type"))
+      .where(col("next_type").isNotNull)
+      .groupBy(col("event_type").as("from_type"), col("next_type").as("to_type"))
+      .agg(count(lit(1)).as("n"))
+    val tot = t.groupBy("from_type").agg(sum(col("n")).as("row_n"))
+    t.join(broadcast(tot), Seq("from_type"))
+      .select(col("from_type"), col("to_type"), col("n").as("n_transitions"),
+        (col("n").cast("double") / col("row_n")).as("p"))
+  }
+
   val all: Seq[QuerySpec] =
     Seq(q60, q61, q62, q88, q105, q106, q108, q124, q127, q142, q143, q145,
-      q151, q152, q165, q169)
+      q151, q152, q165, q169, q171)
 }

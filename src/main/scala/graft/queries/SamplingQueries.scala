@@ -227,6 +227,31 @@ object SamplingQueries {
     Sampling.rarefactionCurve(ab, depths = Seq(1000L, 5000L, 20000L), seed = 42)
   }
 
+  /** Portable stratified k-fold assignment (SURVEY M2's fold
+    * structure), hash-oracled: rows rank within their stratum by the
+    * md5-portable uniform and fold = (rank−1) mod k — per-stratum fold
+    * sizes differ by ≤ 1 (the guarantee hash-mod-k sampling lacks),
+    * and DuckDB replays every assignment. The gate emits the
+    * (stratum, fold) census; the balance property is visible in the
+    * hashed output itself. */
+  val q172 = QuerySpec.sql(
+    "q172_kfold_portable",
+    """WITH f AS (
+      |  SELECT c_mktsegment,
+      |         (row_number() OVER (
+      |            PARTITION BY c_mktsegment
+      |            ORDER BY ('0x' || substr(md5('13|' || CAST(c_custkey AS VARCHAR)), 1, 8))::BIGINT,
+      |                     c_custkey) - 1) % 5 AS fold
+      |  FROM customer)
+      |SELECT c_mktsegment, CAST(fold AS INT) AS fold, count(*) AS n
+      |FROM f GROUP BY 1, 2""",
+    "portable stratified k-fold split, oracle replays every assignment (SURVEY M2/R5)") { (s, d) =>
+    Sampling.kfoldPortable(Tables.customer(s, d), "c_mktsegment",
+        Seq("c_custkey"), k = 5, seed = 13)
+      .groupBy(col("c_mktsegment"), col("fold"))
+      .agg(count(lit(1)).as("n"))
+  }
+
   val all: Seq[QuerySpec] =
-    Seq(q63, q64, q65, q85, q86, q101, q102, q107, q109, q111, q137)
+    Seq(q63, q64, q65, q85, q86, q101, q102, q107, q109, q111, q137, q172)
 }

@@ -131,6 +131,32 @@ class PortableSamplingSpec extends SparkSpec {
     assert(out == Map(1L -> 2L, 2L -> 2L, 3L -> 2L))
   }
 
+  test("kfoldPortable: per-stratum balance <=1, exhaustive, partition-invariant") {
+    import spark.implicits._
+    // stratum sizes 7 and 12 over k=5: folds must split 2/1/... and 3/3/2/2/2
+    val rows = ((1L to 7L).map(i => (i, "a")) ++ (101L to 112L).map(i => (i, "b")))
+      .toDF("id", "stratum")
+    val folds = Sampling.kfoldPortable(rows, "stratum", Seq("id"), k = 5, seed = 3)
+    val census = folds.groupBy("stratum", "fold").count()
+      .collect().map(r => (r.getString(0), r.getInt(1)) -> r.getLong(2)).toMap
+    for (s <- Seq("a", "b")) {
+      val sizes = (0 until 5).map(f => census.getOrElse((s, f), 0L))
+      assert(sizes.sum == (if (s == "a") 7 else 12))
+      assert(sizes.max - sizes.min <= 1, s"stratum $s folds unbalanced: $sizes")
+    }
+    // every row gets exactly one fold, stable under repartitioning
+    assert(folds.count() == 19)
+    val again = Sampling.kfoldPortable(rows.repartition(7), "stratum",
+        Seq("id"), k = 5, seed = 3)
+      .collect().map(r => (r.getLong(0), r.getInt(2))).toSet
+    val first = folds.collect().map(r => (r.getLong(0), r.getInt(2))).toSet
+    assert(again == first)
+    // a different seed reassigns (sanity that the hash drives the order)
+    val other = Sampling.kfoldPortable(rows, "stratum", Seq("id"), k = 5, seed = 4)
+      .collect().map(r => (r.getLong(0), r.getInt(2))).toSet
+    assert(other != first)
+  }
+
   test("clusterDuplicates over exact-Jaccard pairs: min-id reps") {
     import spark.implicits._
     val docs = Seq((1L, "a b c", "s"), (2L, "a b c", "s"), (3L, "x y", "s"))
