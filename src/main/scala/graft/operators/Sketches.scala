@@ -130,6 +130,36 @@ object Sketches {
     s"('0x' || substr(md5('$seed|' || CAST($keyExpr AS VARCHAR)), " +
       s"1 + 8 * ($rowExpr), 8))::BIGINT % $w"
 
+  /** Approximate median/MAD outlier fence — the documented 100×
+    * fallback for the exact rank-selected fences (q165/q166): those
+    * gates pick medians by `row_number` over a per-key sort, which is
+    * exact and engine-replayable but makes one skewed key a full-sort
+    * straggler at scale. This form swaps each rank-select for
+    * `percentile_approx` (Greenwald-Khanna, relative rank error
+    * 1/accuracy) — two grouped one-pass aggregations and a join-back,
+    * NO per-key sort, partial-mergeable state of O(accuracy) per key.
+    * GK sketch state is implementation-defined, so this variant is
+    * NOT hash-oracle-able — the exact forms stay the correctness
+    * gates; this is the scale valve, asserted equivalent on odd-count
+    * data and sort-free by plan in SketchesSpec.
+    * Output per key: (key, n, med, mad, n_outliers) — the q165
+    * schema. */
+  def approxOutlierFence(df: DataFrame, keyCol: String, valueCol: String,
+      nMads: Double = 5.0, accuracy: Int = 10000): DataFrame = {
+    val v = df.where(col(valueCol).isNotNull)
+      .select(col(keyCol), col(valueCol).cast("double").as("v"))
+    val med = v.groupBy(keyCol)
+      .agg(percentile_approx(col("v"), lit(0.5), lit(accuracy)).as("med"))
+    val dev = v.join(med, Seq(keyCol)).withColumn("d", abs(col("v") - col("med")))
+    val stats = dev.groupBy(keyCol)
+      .agg(percentile_approx(col("d"), lit(0.5), lit(accuracy)).as("mad"))
+    dev.join(stats, Seq(keyCol))
+      .groupBy(keyCol)
+      .agg(count(lit(1)).as("n"), max(col("med")).as("med"),
+        max(col("mad")).as("mad"),
+        count(when(col("d") > lit(nMads) * col("mad"), lit(1))).as("n_outliers"))
+  }
+
   /** The flat d·w cell array on the driver — the literal-broadcast
     * form for [[cmEstimate]] row screens (16 KB at d=4, w=512; always
     * driver-safe by the d ≤ 4 bound and caller-chosen w). Null keys

@@ -1373,7 +1373,12 @@ object Corpus {
     * share the value, nothing averaged or summed) — the per-domain
     * pruning step of modern corpus curation, where a fixed global
     * threshold would gut clean sources and keep dirty ones. One rank
-    * window + one count per source; the cutoff table broadcasts. */
+    * window + one count per source; the cutoff table broadcasts. A
+    * skewed source at 100× makes the rank window a full-sort
+    * straggler — the documented fallback is the sketch-quantile form
+    * ([[graft.operators.Sketches.approxOutlierFence]]'s
+    * percentile_approx idiom): same plan minus the sort, at the cost
+    * of hash-oracle-ability. */
   val q166 = QuerySpec.sql(
     "q166_adaptive_quality",
     """WITH s AS (

@@ -335,6 +335,10 @@ object EventQueries {
       |       count(CASE WHEN dev.d > 5.0 * mad THEN 1 END) AS n_outliers
       |FROM dev JOIN mad USING (event_type)
       |GROUP BY dev.event_type""",
+    // a skewed event type at 100× makes the rank windows full-sort
+    // stragglers — the documented fallback is
+    // Sketches.approxOutlierFence (percentile_approx, sort-free, same
+    // output schema), at the cost of hash-oracle-ability
     "median/MAD robust outlier fence per event type (event analytics)") { (s, d) =>
     import org.apache.spark.sql.expressions.Window
     val v = Tables.events(s, d).where(col("value").isNotNull)

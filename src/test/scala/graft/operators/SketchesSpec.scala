@@ -51,6 +51,32 @@ class SketchesSpec extends SparkSpec {
     assert(a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty)
   }
 
+  // ---------------------------------------------- approx fence valve
+
+  test("approxOutlierFence matches the exact rank-select fence on odd counts, sort-free") {
+    import spark.implicits._
+    // odd per-key counts → GK at high accuracy returns the true median
+    val rows = Seq("a", "b").flatMap { k =>
+      val base = (1 to 101).map(i => (k, i.toDouble))
+      base :+ (k, 10000.0) // one gross outlier per key
+    }.toDF("key", "value")
+    val got = Sketches.approxOutlierFence(rows, "key", "value", nMads = 5.0)
+    val m = got.collect().map(r => r.getString(0) ->
+      (r.getLong(1), r.getDouble(2), r.getDouble(3), r.getLong(4))).toMap
+    for (k <- Seq("a", "b")) {
+      val (n, med, mad, out) = m(k)
+      assert(n == 102)
+      assert(med == 51.0 || med == 52.0) // 102 values: either middle value
+      assert(mad >= 25.0 && mad <= 27.0)
+      assert(out == 1L, s"key $k: the planted outlier must be fenced, got $out")
+    }
+    // the scale property: no rank-selecting window (and so no per-key
+    // full sort for the quantiles) anywhere in the plan
+    val plan = got.queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"),
+      s"approx fence must not rank-select via windows:\n${plan.take(800)}")
+  }
+
   // ---------------------------------------------------- heavy hitters
 
   test("heavy hitters: screen is one-sided and estimates replay the cell table") {
