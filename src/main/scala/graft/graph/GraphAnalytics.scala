@@ -500,6 +500,53 @@ object GraphAnalytics {
     }
   }
 
+  /** Exact-scaled personalized PageRank — random-walk-with-restart
+    * from one seed per group (the min node id: deterministic, no
+    * config to drift). The iterate stays engine-portable by integer
+    * arithmetic only: each node's outgoing contribution is v DIV deg
+    * (integer division on the symmetrized graph), the neighbor sum is
+    * an exact BIGINT, and the damping step is the single rounded op
+    * ⌊d·s + 0.5⌋ before the teleport mass (1−d)·10⁶ re-enters at the
+    * seed. Same cost shape as [[alphaExactScaled]]: per step one
+    * co-partitioned join + one agg at superstep-sized partitions. */
+  def pprExactScaled(edges: DataFrame, damping: Double, iters: Int): DataFrame = {
+    val spark = edges.sparkSession
+    val e = edges.select(col("group").as("grp"),
+      col("src").cast("long").as("a"), col("dst").cast("long").as("b"))
+    val (symRaw, nRows) = materialized(
+      e.unionByName(e.select(col("grp"), col("b").as("a"), col("a").as("b")))
+        .distinct())
+    val teleport = math.round((1.0 - damping) * 1000000L)
+    withShufflePartitions(spark, superstepPartitions(spark, nRows)) {
+      val sym = symRaw.repartition(col("grp"), col("b")).localCheckpoint(true)
+      val deg = sym.groupBy(col("grp"), col("a").as("node"))
+        .agg(count(lit(1)).as("deg")).localCheckpoint(true)
+      val seed = deg.groupBy("grp").agg(min(col("node")).as("seed"))
+        .localCheckpoint(true)
+      var v = deg.join(seed, "grp")
+        .select(col("grp"), col("node"), col("deg"),
+          when(col("node") === col("seed"), lit(1000000L))
+            .otherwise(lit(0L)).as("v"),
+          (col("node") === col("seed")).as("is_seed"))
+        .localCheckpoint(true)
+      (0 until iters).foreach { _ =>
+        val contrib = v.select(col("grp"), col("node").as("b"),
+          expr("v DIV deg").as("c"))
+        v = sym.join(contrib, Seq("grp", "b"))
+          .groupBy(col("grp"), col("a").as("node"))
+          .agg(sum(col("c")).as("s"))
+          .join(v.select(col("grp"), col("node"), col("deg"), col("is_seed")),
+            Seq("grp", "node"))
+          .select(col("grp"), col("node"), col("deg"),
+            (floor(lit(damping) * col("s") + lit(0.5)) +
+              when(col("is_seed"), lit(teleport)).otherwise(lit(0L))).as("v"),
+            col("is_seed"))
+          .localCheckpoint(true)
+      }
+      v.select(col("grp"), col("node"), col("v").as("ppr_scaled"))
+    }
+  }
+
   /** Exact-scaled Bonacich power centrality (G11) — the oracle-able
     * companion of the LocalGraph dense solve. The solve's target
     * x = (I − βA)⁻¹·A·1 expands as the Neumann series

@@ -1594,8 +1594,126 @@ object AnalyticsQueries {
       groupEdges(s, d).select(col("src"), col("dst")), iters = 4)
   }
 
+  /** Link prediction by common-neighbor count + Jaccard coefficient —
+    * the classic unsupervised edge-recommendation scores, kept
+    * hash-oracle-able: cn and the degrees are exact integers, the
+    * Jaccard cn/(dᵤ+dᵥ−cn) is ONE IEEE division per emitted pair.
+    * Candidate pairs come from the wedge join (two edges sharing an
+    * endpoint, grouped per pair) — never an all-pairs product — and
+    * existing edges leave via an anti-join, so output is bounded by
+    * the wedge count. At 100 TB the wedge join is the triangle-count
+    * shuffle shape (co-partitioned on the shared endpoint), and a
+    * skewed hub salts the same way q119's triangle count does. */
+  val q176 = QuerySpec.sql(
+    "q176_link_prediction",
+    """WITH e AS (
+      |  SELECT n_name AS grp, CAST(l_suppkey AS BIGINT) AS src,
+      |         CAST(o_custkey + 1000000 AS BIGINT) AS dst
+      |  FROM lineitem
+      |  JOIN orders ON l_orderkey = o_orderkey
+      |  JOIN customer ON o_custkey = c_custkey
+      |  JOIN nation ON c_nationkey = n_nationkey
+      |  WHERE l_quantity >= 49
+      |  GROUP BY 1, 2, 3),
+      |sym AS (SELECT grp, src AS a, dst AS b FROM e
+      |        UNION SELECT grp, dst AS a, src AS b FROM e),
+      |deg AS (SELECT grp, a AS node, count(*) AS deg FROM sym GROUP BY 1, 2),
+      |cn AS (
+      |  SELECT x.grp, x.a AS u, y.a AS v, count(*) AS cn
+      |  FROM sym x JOIN sym y ON y.grp = x.grp AND y.b = x.b AND x.a < y.a
+      |  GROUP BY 1, 2, 3),
+      |cand AS (
+      |  SELECT cn.* FROM cn
+      |  WHERE NOT EXISTS (SELECT 1 FROM sym
+      |                    WHERE sym.grp = cn.grp AND sym.a = cn.u AND sym.b = cn.v))
+      |SELECT cand.grp, u, v, cn, du.deg AS deg_u, dv.deg AS deg_v,
+      |       CAST(cn AS DOUBLE) / (du.deg + dv.deg - cn) AS jaccard
+      |FROM cand
+      |JOIN deg du ON du.grp = cand.grp AND du.node = u
+      |JOIN deg dv ON dv.grp = cand.grp AND dv.node = v""",
+    "common-neighbor + Jaccard link prediction over the co-activity graph (beyond-reference)") { (s, d) =>
+    val e = groupEdges(s, d).select(col("group").as("grp"),
+      col("src").cast("long").as("a"), col("dst").cast("long").as("b"))
+    val sym = e.unionByName(e.select(col("grp"), col("b").as("a"), col("a").as("b")))
+      .distinct()
+    val deg = sym.groupBy(col("grp"), col("a").as("node"))
+      .agg(count(lit(1)).as("deg"))
+    val x = sym.select(col("grp"), col("a").as("u"), col("b"))
+    val y = sym.select(col("grp"), col("a").as("v"), col("b"))
+    val cn = x.join(y, Seq("grp", "b")).where(col("u") < col("v"))
+      .groupBy("grp", "u", "v").agg(count(lit(1)).as("cn"))
+    val cand = cn.join(
+      sym.select(col("grp"), col("a").as("u"), col("b").as("v")),
+      Seq("grp", "u", "v"), "left_anti")
+    cand
+      .join(deg.select(col("grp"), col("node").as("u"), col("deg").as("deg_u")),
+        Seq("grp", "u"))
+      .join(deg.select(col("grp"), col("node").as("v"), col("deg").as("deg_v")),
+        Seq("grp", "v"))
+      .select(col("grp"), col("u"), col("v"), col("cn"),
+        col("deg_u"), col("deg_v"),
+        (col("cn").cast("double") / (col("deg_u") + col("deg_v") - col("cn")))
+          .as("jaccard"))
+  }
+
+  /** Chained-CTE mirror of [[GraphAnalytics.pprExactScaled]]: per step
+    * one integer-division contribution CTE, one neighbor-sum CTE, and
+    * one damping+teleport rescale — same generation scheme as
+    * [[alphaOracle]]. */
+  private def pprOracle(damping: Double, iters: Int): String = {
+    val teleport = math.round((1.0 - damping) * 1000000L)
+    val steps = (1 to iters).map { k =>
+      s"""c$k AS (SELECT grp, node AS b, v // deg AS c FROM r${k - 1}),
+         |m$k AS (
+         |  SELECT y.grp, y.a AS node, CAST(sum(p.c) AS BIGINT) AS s
+         |  FROM sym y JOIN c$k p ON p.grp = y.grp AND p.b = y.b
+         |  GROUP BY y.grp, y.a),
+         |r$k AS (
+         |  SELECT m$k.grp, m$k.node, deg.deg,
+         |         CAST(floor(CAST($damping AS DOUBLE) * s + 0.5) AS BIGINT)
+         |         + CASE WHEN m$k.node = seed.seed THEN $teleport ELSE 0 END AS v
+         |  FROM m$k
+         |  JOIN deg ON deg.grp = m$k.grp AND deg.node = m$k.node
+         |  JOIN seed ON seed.grp = m$k.grp)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH e AS (
+       |  SELECT n_name AS grp, CAST(l_suppkey AS BIGINT) AS src,
+       |         CAST(o_custkey + 1000000 AS BIGINT) AS dst
+       |  FROM lineitem
+       |  JOIN orders ON l_orderkey = o_orderkey
+       |  JOIN customer ON o_custkey = c_custkey
+       |  JOIN nation ON c_nationkey = n_nationkey
+       |  WHERE l_quantity >= 49
+       |  GROUP BY 1, 2, 3),
+       |sym AS (SELECT grp, src AS a, dst AS b FROM e
+       |        UNION SELECT grp, dst AS a, src AS b FROM e),
+       |deg AS (SELECT grp, a AS node, count(*) AS deg FROM sym GROUP BY 1, 2),
+       |seed AS (SELECT grp, min(node) AS seed FROM deg GROUP BY 1),
+       |r0 AS (
+       |  SELECT deg.grp, deg.node, deg.deg,
+       |         CAST(CASE WHEN deg.node = seed.seed THEN 1000000 ELSE 0 END AS BIGINT) AS v
+       |  FROM deg JOIN seed ON seed.grp = deg.grp),
+       |$steps
+       |SELECT grp, node, v AS ppr_scaled FROM r$iters""".stripMargin
+  }
+
+  /** Personalized PageRank (random walk with restart) from a
+    * deterministic per-group seed, hash-oracled: integer-division
+    * contributions, exact BIGINT neighbor sums, one rounded damping op
+    * per node per step ([[GraphAnalytics.pprExactScaled]]). The
+    * proximity ranking behind "related items" — the graph-ML sibling
+    * of the global PageRank gates (q90/q98). */
+  val q177 = QuerySpec.sql(
+    "q177_ppr_exact",
+    pprOracle(damping = 0.85, iters = 4),
+    "exact-scaled personalized PageRank supersteps from per-group seed (beyond-reference)") { (s, d) =>
+    GraphAnalytics.pprExactScaled(
+      groupEdges(s, d).select(col("group"), col("src"), col("dst")),
+      damping = 0.85, iters = 4)
+  }
+
   val all: Seq[QuerySpec] =
     Seq(q53, q54, q55, q56, q57, q59, q74, q75, q76, q82, q90, q96, q98, q99,
       q100, q104, q110, q115, q117, q118, q119, q120, q122, q130, q133, q134,
-      q135, q136, q156, q162, q167, q170)
+      q135, q136, q156, q162, q167, q170, q176, q177)
 }

@@ -1412,9 +1412,97 @@ object Corpus {
         count(when(col("score") < col("cutoff"), lit(1))).as("n_dropped"))
   }
 
+  /** Collocation mining by LIFT — the PMI-family association measure
+    * kept hash-oracle-able: lift(a,b) = N·c(ab) / (c(a)·c(b)) ranks
+    * exactly as PMI (its log) but needs only exact BIGINT products and
+    * ONE IEEE division. Occurrence counts (not per-doc distinct):
+    * bigrams come from a narrow zip_with over each doc's token array
+    * (codegen, no shuffle until the grouped count), the support floor
+    * prunes the bigram table to survivors BEFORE any join, and the
+    * unigram lookups join against the broadcast survivor set — at
+    * 100 TB the only full-data exchanges are the two grouped counts,
+    * both map-side-combined. */
+  val q173 = QuerySpec.sql(
+    "q173_collocations",
+    """WITH toks AS (
+      |  SELECT doc_id, regexp_extract_all(lower(text), '\S+') AS l FROM documents),
+      |uni AS (
+      |  SELECT tok, count(*) AS c FROM (SELECT unnest(l) AS tok FROM toks)
+      |  GROUP BY tok),
+      |n AS (SELECT sum(c) AS n_tokens FROM uni),
+      |big AS (
+      |  SELECT l[i] || ' ' || l[i + 1] AS bigram, count(*) AS c_ab
+      |  FROM toks, unnest(generate_series(1, greatest(len(l) - 1, 0))) AS u(i)
+      |  GROUP BY 1
+      |  HAVING count(*) >= 10)
+      |SELECT bigram, c_ab, a.c AS c_a, b.c AS c_b, CAST(n_tokens AS BIGINT) AS n_tokens,
+      |       CAST(c_ab * n_tokens AS DOUBLE) / (a.c * b.c) AS lift
+      |FROM big
+      |JOIN uni a ON a.tok = split_part(bigram, ' ', 1)
+      |JOIN uni b ON b.tok = split_part(bigram, ' ', 2)
+      |CROSS JOIN n""",
+    "bigram collocations ranked by lift — exact counts, one IEEE division (text analysis)") { (s, d) =>
+    val toks = Tables.documents(s, d)
+      .select(col("doc_id"), TextOps.tokens(col("text")).as("l"))
+    val uni = toks.select(explode(col("l")).as("tok"))
+      .groupBy("tok").agg(count(lit(1)).as("c"))
+    val n = uni.agg(sum(col("c")).as("n_tokens"))
+    val len1 = greatest(size(col("l")) - 1, lit(0))
+    val big = toks
+      .select(explode(zip_with(slice(col("l"), lit(1), len1), slice(col("l"), lit(2), len1),
+        (a, b) => concat(a, lit(" "), b))).as("bigram"))
+      .groupBy("bigram").agg(count(lit(1)).as("c_ab"))
+      .where(col("c_ab") >= 10)
+    big
+      .withColumn("w1", split_part(col("bigram"), lit(" "), lit(1)))
+      .withColumn("w2", split_part(col("bigram"), lit(" "), lit(2)))
+      .join(uni.select(col("tok").as("w1"), col("c").as("c_a")), "w1")
+      .join(uni.select(col("tok").as("w2"), col("c").as("c_b")), "w2")
+      .crossJoin(broadcast(n))
+      .select(col("bigram"), col("c_ab"), col("c_a"), col("c_b"),
+        col("n_tokens").cast("long").as("n_tokens"),
+        ((col("c_ab") * col("n_tokens")).cast("double") / (col("c_a") * col("c_b")))
+          .as("lift"))
+  }
+
+  /** Per-doc readability scoring — Coleman–Liau index, the readability
+    * formula built ONLY from character-class counts (no syllable
+    * heuristic to diverge between engines): CLI = 0.0588·L − 0.296·S −
+    * 15.8 with L = letters per 100 words, S = sentence enders per 100
+    * words. All three counts are exact integers from one codegen
+    * projection over the scan (no shuffle at all — at 100 TB this is
+    * a pure map stage); the index is a fixed IEEE expression tree
+    * evaluated identically by any engine. */
+  val q174 = QuerySpec.sql(
+    "q174_readability",
+    """WITH c AS (
+      |  SELECT doc_id,
+      |         CAST(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS BIGINT) AS n_letters,
+      |         CAST(greatest(len(regexp_extract_all(text, '\S+')), 1) AS BIGINT) AS n_words,
+      |         CAST(greatest(length(regexp_replace(text, '[^.!?]', '', 'g')), 1) AS BIGINT) AS n_sentences
+      |  FROM documents)
+      |SELECT doc_id, n_letters, n_words, n_sentences,
+      |       0.0588 * (CAST(n_letters AS DOUBLE) * 100 / n_words)
+      |       - 0.296 * (CAST(n_sentences AS DOUBLE) * 100 / n_words)
+      |       - 15.8 AS cli
+      |FROM c""",
+    "Coleman-Liau readability index per doc — integer counts, fixed IEEE tree (text analysis)") { (s, d) =>
+    val c = Tables.documents(s, d).select(
+      col("doc_id"),
+      length(regexp_replace(col("text"), "[^A-Za-z]", "")).cast("long").as("n_letters"),
+      greatest(TextOps.tokenCount(col("text")), lit(1L))
+        .cast("long").as("n_words"),
+      greatest(length(regexp_replace(col("text"), "[^.!?]", "")), lit(1))
+        .cast("long").as("n_sentences"))
+    c.select(col("doc_id"), col("n_letters"), col("n_words"), col("n_sentences"),
+      (lit(0.0588) * (col("n_letters").cast("double") * 100 / col("n_words"))
+        - lit(0.296) * (col("n_sentences").cast("double") * 100 / col("n_words"))
+        - lit(15.8)).as("cli"))
+  }
+
   val all: Seq[QuerySpec] =
     Seq(q30, q31, q89, q32, q33, q34, q35, q36, q37, q38, q39, q40, q41, q42,
       q43, q77, q78, q83, q91, q92, q93, q97, q103, q112, q113, q114, q116,
       q139, q140, q141, q144, q147, q148, q149, q150, q153, q154, q155, q157,
-      q158, q159, q161, q163, q164, q166)
+      q158, q159, q161, q163, q164, q166, q173, q174)
 }

@@ -433,7 +433,79 @@ object EventQueries {
         (col("n").cast("double") / col("row_n")).as("p"))
   }
 
+  /** Linear multi-touch attribution — every view/click in the 7 days
+    * before a purchase shares the conversion credit equally. The
+    * fractional credit 1/k is NOT float-summed (order-dependence):
+    * each touch gets ⌊10⁶/k⌋ parts-per-million by INTEGER division,
+    * so the per-channel totals are exact BIGINTs any engine replays.
+    * Scale: the touch↔conversion pairing is an equi-join on user_id
+    * with a time-range predicate (co-partitioned, never cartesian),
+    * the per-conversion k is one window over that join's user_id
+    * partitioning, and the final rollup is |channels| rows. */
+  val q175 = QuerySpec.sql(
+    "q175_attribution",
+    """WITH conv AS (
+      |  SELECT event_id AS conv_id, user_id, ts AS conv_ts FROM events
+      |  WHERE event_type = 'purchase'),
+      |touch AS (
+      |  SELECT event_id AS touch_id, user_id, event_type AS channel, ts
+      |  FROM events WHERE event_type IN ('view', 'click')),
+      |paired AS (
+      |  SELECT conv_id, touch_id, channel,
+      |         count(*) OVER (PARTITION BY conv_id) AS k
+      |  FROM conv JOIN touch ON conv.user_id = touch.user_id
+      |   AND touch.ts <= conv_ts AND touch.ts > conv_ts - INTERVAL 7 DAY)
+      |SELECT channel, count(*) AS n_touches,
+      |       count(DISTINCT conv_id) AS n_conversions,
+      |       CAST(sum(1000000 // k) AS BIGINT) AS credit_ppm
+      |FROM paired GROUP BY channel""",
+    "linear multi-touch attribution with exact ppm credit split (event analytics)") { (s, d) =>
+    import org.apache.spark.sql.expressions.Window
+    val ev = Tables.events(s, d)
+    val conv = ev.where(col("event_type") === "purchase")
+      .select(col("event_id").as("conv_id"), col("user_id"), col("ts").as("conv_ts"))
+    val touch = ev.where(col("event_type").isin("view", "click"))
+      .select(col("event_id").as("touch_id"), col("user_id"),
+        col("event_type").as("channel"), col("ts"))
+    val paired = conv.join(touch, Seq("user_id"))
+      .where(col("ts") <= col("conv_ts") &&
+        col("ts") > col("conv_ts") - expr("INTERVAL 7 DAYS"))
+      .withColumn("k", count(lit(1)).over(Window.partitionBy("conv_id")))
+    paired.groupBy("channel")
+      .agg(count(lit(1)).as("n_touches"),
+        countDistinct("conv_id").as("n_conversions"),
+        sum(expr("CAST(1000000 AS BIGINT) DIV k")).as("credit_ppm"))
+  }
+
+  /** Rolling 7-day active users per day — the DAU/WAU engagement
+    * metric. Days are pure integer epoch arithmetic (no calendar
+    * drift); the day↔event pairing is a range join of the TINY
+    * distinct-day table against the stream (at any scale |days| stays
+    * calendar-bounded, so the build side broadcasts — and being a
+    * no-equi-key BETWEEN join it is exactly the shape the
+    * BinnedRangeJoinRule fuses engine-wide), then one distinct-count
+    * per day. */
+  val q180 = QuerySpec.sql(
+    "q180_rolling_active",
+    """WITH ev AS (
+      |  SELECT CAST(floor(floor(epoch(ts)) / 86400) AS BIGINT) AS day, user_id
+      |  FROM events),
+      |days AS (SELECT DISTINCT day FROM ev)
+      |SELECT days.day, count(DISTINCT ev.user_id) AS n_active_7d
+      |FROM days JOIN ev ON ev.day BETWEEN days.day - 6 AND days.day
+      |GROUP BY days.day""",
+    "rolling 7-day active users per day (event analytics)") { (s, d) =>
+    val ev = Tables.events(s, d)
+      .select(floor(col("ts").cast("long") / 86400).cast("long").as("day"),
+        col("user_id"))
+    val days = ev.select(col("day").as("d0")).distinct()
+    broadcast(days).join(ev,
+        col("day") >= col("d0") - 6 && col("day") <= col("d0"))
+      .groupBy(col("d0").as("day"))
+      .agg(countDistinct("user_id").as("n_active_7d"))
+  }
+
   val all: Seq[QuerySpec] =
     Seq(q60, q61, q62, q88, q105, q106, q108, q124, q127, q142, q143, q145,
-      q151, q152, q165, q169, q171)
+      q151, q152, q165, q169, q171, q175, q180)
 }

@@ -615,8 +615,89 @@ object Relational {
         min("cents").as("min_cents"), max("cents").as("max_cents"))
   }
 
+  /** Data-quality profiling — the pipeline-observability pass every
+    * ingest needs: per column, null count, exact distinct count, and
+    * typed min/max (numeric as DOUBLE, strings in their own columns —
+    * never doubles-through-string, whose formatting differs between
+    * engines). One wide aggregate = ONE scan of the table with
+    * map-side partial aggregation; the expand for the multi-column
+    * exact distincts is the only shuffle and carries distinct values,
+    * not rows. Long format (one row per column) so downstream drift
+    * checks can diff profiles relationally. */
+  val q178 = QuerySpec.sql(
+    "q178_profile",
+    """SELECT 'l_quantity' AS col_name,
+      |       count(CASE WHEN l_quantity IS NULL THEN 1 END) AS n_nulls,
+      |       count(DISTINCT l_quantity) AS n_distinct,
+      |       min(l_quantity) AS min_num, max(l_quantity) AS max_num,
+      |       CAST(NULL AS VARCHAR) AS min_str, CAST(NULL AS VARCHAR) AS max_str
+      |FROM lineitem
+      |UNION ALL
+      |SELECT 'l_discount', count(CASE WHEN l_discount IS NULL THEN 1 END),
+      |       count(DISTINCT l_discount), min(l_discount), max(l_discount),
+      |       CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR)
+      |FROM lineitem
+      |UNION ALL
+      |SELECT 'l_partkey', count(CASE WHEN l_partkey IS NULL THEN 1 END),
+      |       count(DISTINCT l_partkey), CAST(min(l_partkey) AS DOUBLE),
+      |       CAST(max(l_partkey) AS DOUBLE),
+      |       CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR)
+      |FROM lineitem
+      |UNION ALL
+      |SELECT 'l_returnflag', count(CASE WHEN l_returnflag IS NULL THEN 1 END),
+      |       count(DISTINCT l_returnflag), CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE),
+      |       min(l_returnflag), max(l_returnflag)
+      |FROM lineitem
+      |UNION ALL
+      |SELECT 'l_linestatus', count(CASE WHEN l_linestatus IS NULL THEN 1 END),
+      |       count(DISTINCT l_linestatus), CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE),
+      |       min(l_linestatus), max(l_linestatus)
+      |FROM lineitem""",
+    "per-column profile: nulls, exact distincts, typed min/max (pipeline observability)") { (s, d) =>
+    val li = Tables.lineitem(s, d)
+    def nulls(c: String) = count(when(col(c).isNull, lit(1))).as("n_nulls")
+    val row = li.agg(
+      nulls("l_quantity"), countDistinct(col("l_quantity")).as("n_distinct"),
+      min(col("l_quantity")).as("min_num"), max(col("l_quantity")).as("max_num"),
+      count(when(col("l_discount").isNull, lit(1))).as("d_nulls"),
+      countDistinct(col("l_discount")).as("d_distinct"),
+      min(col("l_discount")).as("d_min"), max(col("l_discount")).as("d_max"),
+      count(when(col("l_partkey").isNull, lit(1))).as("p_nulls"),
+      countDistinct(col("l_partkey")).as("p_distinct"),
+      min(col("l_partkey")).cast("double").as("p_min"),
+      max(col("l_partkey")).cast("double").as("p_max"),
+      count(when(col("l_returnflag").isNull, lit(1))).as("r_nulls"),
+      countDistinct(col("l_returnflag")).as("r_distinct"),
+      min(col("l_returnflag")).as("r_min"), max(col("l_returnflag")).as("r_max"),
+      count(when(col("l_linestatus").isNull, lit(1))).as("s_nulls"),
+      countDistinct(col("l_linestatus")).as("s_distinct"),
+      min(col("l_linestatus")).as("s_min"), max(col("l_linestatus")).as("s_max"))
+    val nullD = lit(null).cast("double")
+    val nullS = lit(null).cast("string")
+    row.select(
+      array(
+        struct(lit("l_quantity").as("col_name"), col("n_nulls"), col("n_distinct"),
+          col("min_num"), col("max_num"), nullS.as("min_str"), nullS.as("max_str")),
+        struct(lit("l_discount").as("col_name"), col("d_nulls").as("n_nulls"),
+          col("d_distinct").as("n_distinct"), col("d_min").as("min_num"),
+          col("d_max").as("max_num"), nullS.as("min_str"), nullS.as("max_str")),
+        struct(lit("l_partkey").as("col_name"), col("p_nulls").as("n_nulls"),
+          col("p_distinct").as("n_distinct"), col("p_min").as("min_num"),
+          col("p_max").as("max_num"), nullS.as("min_str"), nullS.as("max_str")),
+        struct(lit("l_returnflag").as("col_name"), col("r_nulls").as("n_nulls"),
+          col("r_distinct").as("n_distinct"), nullD.as("min_num"),
+          nullD.as("max_num"), col("r_min").as("min_str"), col("r_max").as("max_str")),
+        struct(lit("l_linestatus").as("col_name"), col("s_nulls").as("n_nulls"),
+          col("s_distinct").as("n_distinct"), nullD.as("min_num"),
+          nullD.as("max_num"), col("s_min").as("min_str"), col("s_max").as("max_str")))
+        .as("p"))
+      .select(explode(col("p")).as("p"))
+      .select(col("p.col_name"), col("p.n_nulls"), col("p.n_distinct"),
+        col("p.min_num"), col("p.max_num"), col("p.min_str"), col("p.max_str"))
+  }
+
   val all: Seq[QuerySpec] = Seq(
     q01, q02, q03, q04, q05, q06, q07, q08, q09, q10, q11,
     q12, q13, q14, q15, q16, q17, q18, q19, q20, q21, q22, q23, q94, q95,
-    q123, q125, q126, q128, q129, q160)
+    q123, q125, q126, q128, q129, q160, q178)
 }

@@ -252,6 +252,74 @@ object SamplingQueries {
       .agg(count(lit(1)).as("n"))
   }
 
+  /** Bootstrap confidence interval for the per-source mean doc length —
+    * the uncertainty quantification a corpus-curation dashboard puts
+    * next to every point estimate. Fully md5-portable: resample b's
+    * slot i draws the doc at rank (md5(seed|source|b|i) mod n)+1, so
+    * the oracle replays every draw; resample means are ONE IEEE
+    * division of an exact BIGINT sum, and the CI bounds are
+    * rank-SELECTED resample means (2.5%/97.5%), never float-summed.
+    * Scale: the resample table is |rows|×B keyed by (source, rank) —
+    * a co-partitioned equi-join against the ranked docs, then two
+    * tiny windows over |sources|×B means. */
+  val q179 = QuerySpec.sql(
+    "q179_bootstrap_ci",
+    """WITH docs AS (
+      |  SELECT source, CAST(n_chars AS BIGINT) AS score,
+      |         row_number() OVER (PARTITION BY source ORDER BY doc_id) AS rn,
+      |         count(*) OVER (PARTITION BY source) AS n
+      |  FROM documents),
+      |slots AS (
+      |  SELECT d.source, d.n, tb.b, d.rn AS i,
+      |         ('0x' || substr(md5('7|' || d.source || '|' || CAST(tb.b AS VARCHAR)
+      |                         || '|' || CAST(d.rn AS VARCHAR)), 1, 8))::BIGINT % d.n + 1 AS idx
+      |  FROM docs d, unnest(generate_series(1, 64)) AS tb(b)),
+      |means AS (
+      |  SELECT s.source, s.b,
+      |         CAST(sum(d.score) AS DOUBLE) / any_value(s.n) AS m
+      |  FROM slots s JOIN docs d ON d.source = s.source AND d.rn = s.idx
+      |  GROUP BY s.source, s.b),
+      |rk AS (
+      |  SELECT source, m,
+      |         row_number() OVER (PARTITION BY source ORDER BY m, b) AS r
+      |  FROM means),
+      |obs AS (
+      |  SELECT source, CAST(sum(score) AS DOUBLE) / count(*) AS mean_obs,
+      |         count(*) AS n_docs
+      |  FROM docs GROUP BY source)
+      |SELECT obs.source, n_docs, mean_obs,
+      |       max(CASE WHEN r = 2 THEN m END) AS ci_lo,
+      |       max(CASE WHEN r = 63 THEN m END) AS ci_hi
+      |FROM rk JOIN obs USING (source)
+      |GROUP BY obs.source, n_docs, mean_obs""",
+    "md5-portable bootstrap CI for per-source mean doc length (statistics tier)") { (s, d) =>
+    import org.apache.spark.sql.expressions.Window
+    val bySrc = Window.partitionBy("source")
+    val docs = Tables.documents(s, d)
+      .select(col("source"), col("n_chars").cast("long").as("score"), col("doc_id"))
+      .withColumn("rn", row_number().over(bySrc.orderBy(col("doc_id"))))
+      .withColumn("n", count(lit(1)).over(bySrc))
+    val slots = docs
+      .select(col("source"), col("n"), col("rn").as("i"),
+        explode(sequence(lit(1), lit(64))).as("b"))
+      .withColumn("idx",
+        pmod(Sampling.md5Bits32(7, col("source"), col("b"), col("i")), col("n")) + 1)
+    val means = slots
+      .join(docs.select(col("source"), col("rn").as("idx"), col("score")),
+        Seq("source", "idx"))
+      .groupBy("source", "b")
+      .agg((sum(col("score")).cast("double") / first(col("n"))).as("m"))
+    val rk = means.withColumn("r",
+      row_number().over(bySrc.orderBy(col("m"), col("b"))))
+    val obs = docs.groupBy("source")
+      .agg((sum(col("score")).cast("double") / count(lit(1))).as("mean_obs"),
+        count(lit(1)).as("n_docs"))
+    rk.join(obs, "source")
+      .groupBy(col("source"), col("n_docs"), col("mean_obs"))
+      .agg(max(when(col("r") === 2, col("m"))).as("ci_lo"),
+        max(when(col("r") === 63, col("m"))).as("ci_hi"))
+  }
+
   val all: Seq[QuerySpec] =
-    Seq(q63, q64, q65, q85, q86, q101, q102, q107, q109, q111, q137, q172)
+    Seq(q63, q64, q65, q85, q86, q101, q102, q107, q109, q111, q137, q172, q179)
 }
