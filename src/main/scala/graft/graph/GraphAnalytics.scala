@@ -547,6 +547,37 @@ object GraphAnalytics {
     }
   }
 
+  /** Fixed-round k-truss peel over a canonical (u &lt; v) edge list: each
+    * round measures per-edge triangle support with the wedge join
+    * (edge ⋈ adjacency on u, then adjacency on (v, shared-neighbor) —
+    * co-partitioned equi-joins, never an all-pairs product) and drops
+    * edges below k−2. A FIXED round count keeps cluster cost
+    * predictable at scale (converged peeling is an unbounded number of
+    * full passes — same design call as the superstep kernels) and
+    * gives the recurrence an exact chained-CTE SQL form. Returns the
+    * surviving edges with the support measured in the admitting
+    * round. */
+  def ktrussPeel(pairs: DataFrame, k: Int, rounds: Int): DataFrame = {
+    require(rounds >= 1, "ktrussPeel needs at least one round")
+    var e = pairs.select(col("u"), col("v"))
+    var out: DataFrame = null
+    (0 until rounds).foreach { _ =>
+      val sym = e.select(col("u").as("a"), col("v").as("b"))
+        .unionByName(e.select(col("v").as("a"), col("u").as("b")))
+      val sup = e
+        .join(sym.select(col("a").as("u"), col("b").as("w")), "u")
+        .join(sym.select(col("a").as("v"), col("b").as("w")), Seq("v", "w"))
+        .groupBy("u", "v").agg(count(lit(1)).as("support"))
+      out = e.join(sup, Seq("u", "v"), "left")
+        .select(col("u"), col("v"),
+          coalesce(col("support"), lit(0L)).as("support"))
+        .where(col("support") >= (k - 2).toLong)
+        .localCheckpoint(true)
+      e = out.select("u", "v")
+    }
+    out
+  }
+
   /** Exact-scaled Bonacich power centrality (G11) — the oracle-able
     * companion of the LocalGraph dense solve. The solve's target
     * x = (I − βA)⁻¹·A·1 expands as the Neumann series

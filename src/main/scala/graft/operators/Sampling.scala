@@ -123,6 +123,28 @@ object Sampling {
     df.withColumn("fold", pmod(row_number().over(w) - 1, lit(k)))
   }
 
+  /** Weighted priority sampling without replacement, md5-portable:
+    * each row draws the uniform u = md5bits32 and competes on priority
+    * u / max(weight, 1) — a heavier row gets a proportionally smaller
+    * priority, so the k smallest priorities per stratum form a
+    * weight-biased sample any engine replays (the priority is ONE IEEE
+    * division; ties break on the id columns). Same shuffle shape as
+    * [[kfoldPortable]]: one exchange on the stratum key, rank window,
+    * k rows out per stratum. */
+  def weightedSamplePortable(df: DataFrame, stratumCol: String,
+      idCols: Seq[String], weightCol: String, k: Int, seed: Long): DataFrame = {
+    require(k >= 1, s"weighted sample needs k >= 1, got $k")
+    import org.apache.spark.sql.expressions.Window
+    val pri = md5Bits32(seed, idCols.map(col): _*).cast("double") /
+      greatest(col(weightCol).cast("double"), lit(1.0))
+    val w = Window.partitionBy(stratumCol)
+      .orderBy((pri +: idCols.map(col)): _*)
+    df.withColumn("priority", pri)
+      .withColumn("rk", row_number().over(w))
+      .where(col("rk") <= k)
+      .drop("rk")
+  }
+
   /** R3 — seeded subsample of a column list (driver-side choice, as in
     * the reference's 25%-of-samples workaround,
     * bin/ReshapeAlignedAbundance.R:41-45). */

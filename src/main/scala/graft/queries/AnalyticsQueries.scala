@@ -1712,8 +1712,49 @@ object AnalyticsQueries {
       damping = 0.85, iters = 4)
   }
 
+  /** Chained-CTE mirror of [[GraphAnalytics.ktrussPeel]]: per round a
+    * symmetrize CTE, a wedge-join support CTE, and the peel filter. */
+  private def ktrussOracle(k: Int, rounds: Int): String = {
+    val steps = (0 until rounds).map { r =>
+      s"""s$r AS (SELECT u AS a, v AS b FROM e$r
+         |        UNION ALL SELECT v AS a, u AS b FROM e$r),
+         |sup$r AS (
+         |  SELECT e$r.u, e$r.v, count(*) AS c
+         |  FROM e$r JOIN s$r x ON x.a = e$r.u
+         |           JOIN s$r y ON y.a = e$r.v AND y.b = x.b
+         |  GROUP BY e$r.u, e$r.v),
+         |e${r + 1} AS (
+         |  SELECT e$r.u, e$r.v, coalesce(c, 0) AS support
+         |  FROM e$r LEFT JOIN sup$r ON sup$r.u = e$r.u AND sup$r.v = e$r.v
+         |  WHERE coalesce(c, 0) >= ${k - 2})""".stripMargin
+    }.mkString(",\n")
+    s"""WITH ed AS (SELECT DISTINCT l_suppkey AS sk, l_partkey AS pk
+       |            FROM lineitem WHERE l_quantity >= 49),
+       |e0 AS (SELECT DISTINCT a.sk AS u, b.sk AS v
+       |       FROM ed a JOIN ed b ON a.pk = b.pk AND a.sk < b.sk),
+       |$steps
+       |SELECT u, v, CAST(support AS BIGINT) AS support FROM e$rounds""".stripMargin
+  }
+
+  /** k-truss (k=4, 2 peel rounds) on the thinned co-supplier
+    * projection — the cohesive-subgraph extractor one level up from
+    * triangle counting: every surviving edge sits in ≥ k−2 triangles
+    * among surviving edges. Integer supports, fixed rounds
+    * ([[GraphAnalytics.ktrussPeel]]); the oracle replays every peel. */
+  val q181 = QuerySpec.sql(
+    "q181_ktruss",
+    ktrussOracle(k = 4, rounds = 2),
+    "fixed-round k-truss peel over the co-supplier graph (beyond-reference)") { (s, d) =>
+    val ed = Tables.lineitem(s, d).filter(col("l_quantity") >= 49)
+      .select("l_suppkey", "l_partkey").distinct()
+    val pairs = graft.operators.Dedup.coOccurrencePairs(
+        ed.select(col("l_partkey").as("bag"), col("l_suppkey").as("item")))
+      .select(col("i1").as("u"), col("i2").as("v"))
+    GraphAnalytics.ktrussPeel(pairs, k = 4, rounds = 2)
+  }
+
   val all: Seq[QuerySpec] =
     Seq(q53, q54, q55, q56, q57, q59, q74, q75, q76, q82, q90, q96, q98, q99,
       q100, q104, q110, q115, q117, q118, q119, q120, q122, q130, q133, q134,
-      q135, q136, q156, q162, q167, q170, q176, q177)
+      q135, q136, q156, q162, q167, q170, q176, q177, q181)
 }

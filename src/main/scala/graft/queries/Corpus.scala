@@ -1500,9 +1500,91 @@ object Corpus {
         - lit(15.8)).as("cli"))
   }
 
+  /** Fuzzy string join by deletion-neighborhood blocking (FastSS):
+    * two strings are within edit distance 1 iff they share a
+    * 1-deletion variant, so each string emits length+1 variants (a
+    * narrow transform+explode), candidates come from the variant
+    * equi-join — NEVER an all-pairs product; candidate volume is
+    * bounded by real near-matches — and `levenshtein` verifies
+    * exactly. The entity-resolution / spell-dedup primitive. */
+  val q184 = QuerySpec.sql(
+    "q184_fuzzy_join",
+    """WITH v AS (
+      |  SELECT c_custkey AS id, c_name AS name,
+      |         unnest(list_transform(generate_series(0, length(c_name)),
+      |           i -> substr(c_name, 1, i) || substr(c_name, i + 2, length(c_name)))) AS var
+      |  FROM customer),
+      |cand AS (
+      |  SELECT DISTINCT a.id AS id1, a.name AS name1, b.id AS id2, b.name AS name2
+      |  FROM v a JOIN v b ON a.var = b.var AND a.id < b.id)
+      |SELECT id1, id2, name1, name2,
+      |       CAST(levenshtein(name1, name2) AS INT) AS dist
+      |FROM cand WHERE levenshtein(name1, name2) <= 1""",
+    "edit-distance-1 fuzzy join via deletion-neighborhood blocking (entity resolution)") { (s, d) =>
+    val names = Tables.customer(s, d)
+      .select(col("c_custkey").as("id"), col("c_name").as("name"))
+    // the candidate join carries (id, 64-bit variant hash) only — the
+    // exact verify already filters hash collisions, so hashing the
+    // variant costs nothing semantically and shrinks the blocking
+    // shuffle to two longs per row
+    val variants = names.select(col("id"),
+      explode(transform(sequence(lit(0), length(col("name"))),
+        i => concat(col("name").substr(lit(1), i),
+          col("name").substr(i + lit(2), length(col("name")))))).as("var"))
+      .select(col("id"), xxhash64(col("var")).as("h"))
+    val cand = variants.as("a")
+      .join(variants.as("b"),
+        col("a.h") === col("b.h") && col("a.id") < col("b.id"))
+      .select(col("a.id").as("id1"), col("b.id").as("id2"))
+      .distinct()
+    // names re-attach narrowly to the candidate set (a per-id lookup,
+    // broadcast at gate scale; at 100 TB a shuffled id-join — the
+    // candidates, not the corpus, size this join)
+    cand
+      .join(broadcast(names.select(col("id").as("id1"), col("name").as("name1"))), "id1")
+      .join(broadcast(names.select(col("id").as("id2"), col("name").as("name2"))), "id2")
+      .withColumn("dist", levenshtein(col("name1"), col("name2")).cast("int"))
+      .where(col("dist") <= 1)
+      .select(col("id1"), col("id2"), col("name1"), col("name2"), col("dist"))
+  }
+
+  /** Categorical drift check — standardized Pearson residuals of the
+    * source × lang contingency table: resid = (o − e)/√e with
+    * e = rowtot·coltot/N. All counts are exact BIGINTs; e is one IEEE
+    * division, √ is IEEE-exact (correctly rounded), so every cell's
+    * residual replays bit-for-bit in any engine — the per-cell view a
+    * χ² sum (order-dependent float accumulation) would NOT give.
+    * Flags which (source, lang) cell moved, not just that something
+    * did. Three grouped counts + a broadcast join of two tiny margins:
+    * one data-sized exchange at any scale. */
+  val q185 = QuerySpec.sql(
+    "q185_drift_residuals",
+    """WITH o AS (SELECT source, lang, count(*) AS n_obs FROM documents GROUP BY 1, 2),
+      |rt AS (SELECT source, CAST(sum(n_obs) AS BIGINT) AS rt FROM o GROUP BY 1),
+      |ct AS (SELECT lang, CAST(sum(n_obs) AS BIGINT) AS ct FROM o GROUP BY 1),
+      |nn AS (SELECT CAST(sum(n_obs) AS BIGINT) AS n FROM o)
+      |SELECT o.source, o.lang, n_obs,
+      |       CAST(rt * ct AS DOUBLE) / n AS n_exp,
+      |       (CAST(n_obs AS DOUBLE) - CAST(rt * ct AS DOUBLE) / n)
+      |         / sqrt(CAST(rt * ct AS DOUBLE) / n) AS resid
+      |FROM o JOIN rt USING (source) JOIN ct USING (lang) CROSS JOIN nn""",
+    "source-by-lang drift via standardized contingency residuals (pipeline observability)") { (s, d) =>
+    val o = Tables.documents(s, d).groupBy("source", "lang")
+      .agg(count(lit(1)).as("n_obs"))
+    val rt = o.groupBy("source").agg(sum(col("n_obs")).as("rt"))
+    val ct = o.groupBy("lang").agg(sum(col("n_obs")).as("ct"))
+    val nn = o.agg(sum(col("n_obs")).as("n"))
+    val e = (col("rt") * col("ct")).cast("double") / col("n")
+    o.join(broadcast(rt), "source").join(broadcast(ct), "lang")
+      .crossJoin(broadcast(nn))
+      .select(col("source"), col("lang"), col("n_obs"),
+        e.as("n_exp"),
+        ((col("n_obs").cast("double") - e) / sqrt(e)).as("resid"))
+  }
+
   val all: Seq[QuerySpec] =
     Seq(q30, q31, q89, q32, q33, q34, q35, q36, q37, q38, q39, q40, q41, q42,
       q43, q77, q78, q83, q91, q92, q93, q97, q103, q112, q113, q114, q116,
       q139, q140, q141, q144, q147, q148, q149, q150, q153, q154, q155, q157,
-      q158, q159, q161, q163, q164, q166, q173, q174)
+      q158, q159, q161, q163, q164, q166, q173, q174, q184, q185)
 }

@@ -696,8 +696,81 @@ object Relational {
         col("p.min_num"), col("p.max_num"), col("p.min_str"), col("p.max_str"))
   }
 
+  /** Grouped multi-quantile profile — exact p25/p50/p75/p95 as
+    * rank-SELECTED values (the q165/q166 idiom generalized to a
+    * quantile vector): one rank window per group, one broadcast join
+    * against the 4-row quantile spec, nothing summed. The exact twin
+    * of `approx_percentile` — at a skewed 100× group the documented
+    * fallback is the sketch; here the gate proves the exact path. */
+  val q183 = QuerySpec.sql(
+    "q183_group_quantiles",
+    """WITH rk AS (
+      |  SELECT l_returnflag, l_extendedprice AS v,
+      |         row_number() OVER (PARTITION BY l_returnflag
+      |                            ORDER BY l_extendedprice, l_orderkey, l_linenumber) AS rn,
+      |         count(*) OVER (PARTITION BY l_returnflag) AS n
+      |  FROM lineitem)
+      |SELECT l_returnflag, CAST(p.pct AS INT) AS pct, v AS value
+      |FROM rk JOIN (VALUES (25, 0.25), (50, 0.5), (75, 0.75), (95, 0.95)) p(pct, f)
+      |  ON rn = CAST(ceil(f * n) AS BIGINT)""",
+    "exact grouped quantile vector by rank selection (A5 extension)") { (s, d) =>
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("l_returnflag")
+    val rk = Tables.lineitem(s, d)
+      .select(col("l_returnflag"), col("l_extendedprice").as("v"),
+        col("l_orderkey"), col("l_linenumber"))
+      .withColumn("rn", row_number().over(
+        w.orderBy(col("v"), col("l_orderkey"), col("l_linenumber"))))
+      .withColumn("n", count(lit(1)).over(w))
+    val spec = s.createDataFrame(Seq((25, 0.25), (50, 0.5), (75, 0.75), (95, 0.95)))
+      .toDF("pct", "f")
+    rk.join(broadcast(spec), col("rn") === ceil(col("f") * col("n")).cast("long"))
+      .select(col("l_returnflag"), col("pct").cast("int").as("pct"),
+        col("v").as("value"))
+  }
+
+  /** Weighted median per group — cumulative-weight rank selection:
+    * order by value, accumulate exact BIGINT weights, select the first
+    * value where 2·cum ≥ total. The weighted robust location estimate
+    * (shard balancing, fee schedules) with no float summation — the
+    * selected VALUE is tie-stable even though the cumulative walk
+    * isn't. */
+  val q186 = QuerySpec.sql(
+    "q186_weighted_median",
+    """WITH w AS (
+      |  SELECT l_returnflag AS g, l_discount AS v,
+      |         CAST(l_quantity AS BIGINT) AS wt, l_orderkey, l_linenumber
+      |  FROM lineitem),
+      |tot AS (SELECT g, CAST(sum(wt) AS BIGINT) AS tw FROM w GROUP BY g),
+      |cum AS (
+      |  SELECT g, v,
+      |         CAST(sum(wt) OVER (PARTITION BY g
+      |                            ORDER BY v, l_orderkey, l_linenumber
+      |                            ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cw
+      |  FROM w)
+      |SELECT cum.g AS l_returnflag,
+      |       min(CASE WHEN 2 * cw >= tw THEN v END) AS wmedian,
+      |       max(tw) AS total_weight
+      |FROM cum JOIN tot ON tot.g = cum.g
+      |GROUP BY cum.g""",
+    "weighted median by cumulative-weight rank selection (A5 extension)") { (s, d) =>
+    import org.apache.spark.sql.expressions.Window
+    val w = Tables.lineitem(s, d).select(col("l_returnflag").as("g"),
+      col("l_discount").as("v"), col("l_quantity").cast("long").as("wt"),
+      col("l_orderkey"), col("l_linenumber"))
+    val tot = w.groupBy("g").agg(sum(col("wt")).as("tw"))
+    val cum = w.withColumn("cw", sum(col("wt")).over(
+      Window.partitionBy("g")
+        .orderBy(col("v"), col("l_orderkey"), col("l_linenumber"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    cum.join(broadcast(tot), "g")
+      .groupBy(col("g").as("l_returnflag"))
+      .agg(min(when(lit(2) * col("cw") >= col("tw"), col("v"))).as("wmedian"),
+        max(col("tw")).as("total_weight"))
+  }
+
   val all: Seq[QuerySpec] = Seq(
     q01, q02, q03, q04, q05, q06, q07, q08, q09, q10, q11,
     q12, q13, q14, q15, q16, q17, q18, q19, q20, q21, q22, q23, q94, q95,
-    q123, q125, q126, q128, q129, q160, q178)
+    q123, q125, q126, q128, q129, q160, q178, q183, q186)
 }

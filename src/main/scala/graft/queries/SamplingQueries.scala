@@ -320,6 +320,31 @@ object SamplingQueries {
         max(when(col("r") === 63, col("m"))).as("ci_hi"))
   }
 
+  /** Weighted priority sampling — the balance-biased eval-set carve
+    * (sample big accounts more often) with every draw replayable:
+    * priority = md5-uniform / max(weight, 1), k smallest per stratum
+    * ([[Sampling.weightedSamplePortable]]). */
+  val q182 = QuerySpec.sql(
+    "q182_weighted_sample",
+    """WITH p AS (
+      |  SELECT c_mktsegment, c_custkey, c_acctbal,
+      |         CAST(('0x' || substr(md5('21|' || CAST(c_custkey AS VARCHAR)), 1, 8))::BIGINT AS DOUBLE)
+      |         / greatest(CAST(c_acctbal AS DOUBLE), 1.0) AS priority
+      |  FROM customer),
+      |rk AS (
+      |  SELECT c_mktsegment, c_custkey, c_acctbal, priority,
+      |         row_number() OVER (PARTITION BY c_mktsegment
+      |                            ORDER BY priority, c_custkey) AS r
+      |  FROM p)
+      |SELECT c_mktsegment, c_custkey, c_acctbal, priority
+      |FROM rk WHERE r <= 10""",
+    "md5-portable weighted priority sample per segment (sampling tier)") { (s, d) =>
+    Sampling.weightedSamplePortable(
+      Tables.customer(s, d).select("c_mktsegment", "c_custkey", "c_acctbal"),
+      "c_mktsegment", Seq("c_custkey"), "c_acctbal", k = 10, seed = 21)
+  }
+
   val all: Seq[QuerySpec] =
-    Seq(q63, q64, q65, q85, q86, q101, q102, q107, q109, q111, q137, q172, q179)
+    Seq(q63, q64, q65, q85, q86, q101, q102, q107, q109, q111, q137, q172,
+      q179, q182)
 }

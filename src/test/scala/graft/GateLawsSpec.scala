@@ -86,6 +86,91 @@ class GateLawsSpec extends SparkSpec {
     assert(out.filter(col("lift") <= 0).count() == 0)
   }
 
+  test("ktrussPeel: 4-clique survives k=4; peeling is monotone; supports bounded") {
+    val clique = (for { i <- 0L to 3L; j <- (i + 1) to 3L } yield (i, j))
+      .toDF("u", "v")
+    val kept = GraphAnalytics.ktrussPeel(clique, k = 4, rounds = 3).collect()
+    // every 4-clique edge sits in exactly 2 triangles → all survive
+    assert(kept.length == 6 && kept.forall(_.getLong(2) == 2L))
+    // a pendant edge (no triangle) dies in round one
+    val withTail = clique.union(Seq((3L, 9L)).toDF("u", "v"))
+    val kept2 = GraphAnalytics.ktrussPeel(withTail, k = 4, rounds = 1)
+      .select("u", "v").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(!kept2.contains((3L, 9L)) && kept2.size == 6)
+    // more rounds can only shrink the survivor set
+    val r1 = GraphAnalytics.ktrussPeel(withTail, k = 4, rounds = 1)
+      .select("u", "v").collect().toSet
+    val r2 = GraphAnalytics.ktrussPeel(withTail, k = 4, rounds = 2)
+      .select("u", "v").collect().toSet
+    assert(r2.subsetOf(r1))
+  }
+
+  test("weightedSamplePortable: k per stratum, partitioning-independent, weight bias") {
+    val df = Tables.customer(spark, sf)
+      .select("c_mktsegment", "c_custkey", "c_acctbal")
+    val a = graft.operators.Sampling.weightedSamplePortable(
+      df, "c_mktsegment", Seq("c_custkey"), "c_acctbal", k = 10, seed = 21)
+    val b = graft.operators.Sampling.weightedSamplePortable(
+      df.repartition(13), "c_mktsegment", Seq("c_custkey"), "c_acctbal",
+      k = 10, seed = 21)
+    assert(a.collect().map(_.getLong(1)).sorted.sameElements(
+      b.collect().map(_.getLong(1)).sorted))
+    val counts = a.groupBy("c_mktsegment").count().collect().map(_.getLong(1))
+    assert(counts.forall(_ == 10L))
+    // the sample's mean balance should exceed the population's (weight bias)
+    val sMean = a.agg(avg("c_acctbal")).head.getDouble(0)
+    val pMean = df.agg(avg("c_acctbal")).head.getDouble(0)
+    assert(sMean > pMean, s"weighted sample not balance-biased: $sMean <= $pMean")
+  }
+
+  test("q184 fuzzy join: every pair verified at distance <= 1, none self, none missed locally") {
+    val out = SparkEntry.queries("q184_fuzzy_join")(spark, sf)
+    assert(out.filter(col("dist") > 1 || col("id1") >= col("id2")).count() == 0)
+    // spot-law: consecutive single-digit customers differ in one char
+    val names = Tables.customer(spark, sf).select("c_custkey", "c_name")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    if (names.contains(1L) && names.contains(2L)) {
+      val hit = out.filter(col("id1") === 1 && col("id2") === 2).count()
+      assert(hit == 1, "adjacent-key near-duplicate pair missed")
+    }
+  }
+
+  test("q183/q186: quantile vector is monotone; unit weights reduce to plain median") {
+    val q = SparkEntry.queries("q183_group_quantiles")(spark, sf).collect()
+      .groupBy(_.getString(0)).map { case (g, rows) =>
+        g -> rows.sortBy(_.getInt(1)).map(_.getDouble(2)) }
+    q.values.foreach { v => assert(v.sameElements(v.sorted), "quantiles not monotone") }
+    // weighted median with all weights 1 == lower median rank selection
+    val df = Seq(("a", 1.0, 1L, 1L, 1), ("a", 2.0, 1L, 2L, 1), ("a", 3.0, 1L, 3L, 1),
+      ("a", 4.0, 1L, 4L, 1)).toDF("g", "v", "wt", "l_orderkey", "l_linenumber")
+    import org.apache.spark.sql.expressions.Window
+    val cum = df.withColumn("cw", sum(col("wt")).over(
+      Window.partitionBy("g").orderBy(col("v"), col("l_orderkey"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    val tot = df.groupBy("g").agg(sum("wt").as("tw"))
+    val med = cum.join(tot, "g")
+      .agg(min(when(lit(2) * col("cw") >= col("tw"), col("v")))).head.getDouble(0)
+    assert(med == 2.0, s"unit-weight weighted median $med != lower median 2.0")
+  }
+
+  test("q185 drift: every cell's expectation and residual match an independent recompute") {
+    val cells = Tables.documents(spark, sf).groupBy("source", "lang").count()
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    val rt = cells.groupBy(_._1._1).view.mapValues(_.values.sum).toMap
+    val ct = cells.groupBy(_._1._2).view.mapValues(_.values.sum).toMap
+    val n = cells.values.sum.toDouble
+    val out = SparkEntry.queries("q185_drift_residuals")(spark, sf).collect()
+    assert(out.length == cells.size)
+    out.foreach { r =>
+      val key = (r.getAs[String]("source"), r.getAs[String]("lang"))
+      val o = cells(key)
+      val e = rt(key._1).toDouble * ct(key._2) / n
+      assert(r.getAs[Long]("n_obs") == o)
+      assert(math.abs(r.getAs[Double]("n_exp") - e) < 1e-9 * e + 1e-12)
+      assert(math.abs(r.getAs[Double]("resid") - (o - e) / math.sqrt(e)) < 1e-9)
+    }
+  }
+
   test("q178 profile: null/distinct counts reconcile with direct recompute") {
     val out = SparkEntry.queries("q178_profile")(spark, sf).collect()
       .map(r => r.getString(0) -> r).toMap
