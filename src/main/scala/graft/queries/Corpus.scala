@@ -1582,9 +1582,51 @@ object Corpus {
         ((col("n_obs").cast("double") - e) / sqrt(e)).as("resid"))
   }
 
+  /** Inter-class centroid distances over the embedding space — the
+    * cluster-separation diagnostic (are my labels geometrically
+    * distinct?) kept engine-exact end to end: vectors are shifted
+    * non-negative and FLOOR-scaled to 2²⁰ ints (floor has no
+    * round-half tie semantics to diverge between engines; the shift
+    * cancels in every difference and makes floor- and truncating
+    * integer division agree), per-dim centroid = integer division of exact
+    * BIGINT sums, and the pairwise L2² is an exact integer sum of
+    * squared differences — NO float accumulation anywhere. Scale: one
+    * narrow posexplode (rows × dims), one grouped sum (shuffle =
+    * |labels|·dims), then a |labels|²-bounded join. */
+  val q187 = QuerySpec.sql(
+    "q187_centroid_distances",
+    """WITH dims AS (
+      |  SELECT label, i AS dim,
+      |         CAST(floor((CAST(embedding[i] AS DOUBLE) + 1.0) * 1048576) AS BIGINT) AS q
+      |  FROM embeddings, unnest(generate_series(1, len(embedding))) AS u(i)),
+      |cent AS (
+      |  SELECT label, dim, CAST(sum(q) // count(*) AS BIGINT) AS c,
+      |         count(*) AS n
+      |  FROM dims GROUP BY 1, 2)
+      |SELECT a.label AS label1, b.label AS label2,
+      |       CAST(sum((a.c - b.c) * (a.c - b.c)) AS BIGINT) AS d2_scaled,
+      |       max(a.n) AS n1, max(b.n) AS n2
+      |FROM cent a JOIN cent b ON a.dim = b.dim AND a.label < b.label
+      |GROUP BY 1, 2""",
+    "exact-scaled inter-class centroid L2 distances over embeddings (similarity tier)") { (s, d) =>
+    val dims = Tables.embeddings(s, d)
+      .select(col("label"), posexplode(col("embedding")).as(Seq("pos", "v")))
+      .select(col("label"), (col("pos") + 1).as("dim"),
+        floor((col("v").cast("double") + lit(1.0)) * 1048576).cast("long").as("q"))
+    val cent = dims.groupBy("label", "dim")
+      .agg(sum(col("q")).as("sq"), count(lit(1)).as("n"))
+      .select(col("label"), col("dim"), expr("sq DIV n").as("c"), col("n"))
+    cent.as("a").join(cent.as("b"),
+        col("a.dim") === col("b.dim") && col("a.label") < col("b.label"))
+      .groupBy(col("a.label").as("label1"), col("b.label").as("label2"))
+      .agg(sum((col("a.c") - col("b.c")) * (col("a.c") - col("b.c")))
+          .as("d2_scaled"),
+        max(col("a.n")).as("n1"), max(col("b.n")).as("n2"))
+  }
+
   val all: Seq[QuerySpec] =
     Seq(q30, q31, q89, q32, q33, q34, q35, q36, q37, q38, q39, q40, q41, q42,
       q43, q77, q78, q83, q91, q92, q93, q97, q103, q112, q113, q114, q116,
       q139, q140, q141, q144, q147, q148, q149, q150, q153, q154, q155, q157,
-      q158, q159, q161, q163, q164, q166, q173, q174, q184, q185)
+      q158, q159, q161, q163, q164, q166, q173, q174, q184, q185, q187)
 }

@@ -505,7 +505,120 @@ object EventQueries {
       .agg(countDistinct("user_id").as("n_active_7d"))
   }
 
+  /** OHLC bars — open/high/low/close/volume per (event_type, epoch
+    * day), the time-series summarization every metrics store performs.
+    * Open/close are rank-SELECTED values under the (ts, event_id)
+    * total order (the q108 tie-break — no first_value ambiguity in
+    * either engine); high/low/volume are exact. One window + one agg,
+    * both on the (event_type, day) partitioning. */
+  val q188 = QuerySpec.sql(
+    "q188_ohlc_bars",
+    """WITH e AS (
+      |  SELECT event_type,
+      |         CAST(floor(floor(epoch(ts)) / 86400) AS BIGINT) AS day,
+      |         ts, event_id, value
+      |  FROM events WHERE value IS NOT NULL),
+      |rk AS (
+      |  SELECT event_type, day, value,
+      |         row_number() OVER (PARTITION BY event_type, day
+      |                            ORDER BY ts, event_id) AS rn_a,
+      |         row_number() OVER (PARTITION BY event_type, day
+      |                            ORDER BY ts DESC, event_id DESC) AS rn_d
+      |  FROM e)
+      |SELECT event_type, day,
+      |       max(CASE WHEN rn_a = 1 THEN value END) AS open,
+      |       max(value) AS high, min(value) AS low,
+      |       max(CASE WHEN rn_d = 1 THEN value END) AS close,
+      |       count(*) AS volume
+      |FROM rk GROUP BY event_type, day""",
+    "OHLC/volume bars per event type and epoch day (time-series tier)") { (s, d) =>
+    import org.apache.spark.sql.expressions.Window
+    val e = Tables.events(s, d).where(col("value").isNotNull)
+      .select(col("event_type"),
+        floor(col("ts").cast("long") / 86400).cast("long").as("day"),
+        col("ts"), col("event_id"), col("value"))
+    val w = Window.partitionBy("event_type", "day")
+    val rk = e
+      .withColumn("rn_a", row_number().over(w.orderBy(col("ts"), col("event_id"))))
+      .withColumn("rn_d", row_number().over(
+        w.orderBy(col("ts").desc, col("event_id").desc)))
+    rk.groupBy("event_type", "day")
+      .agg(max(when(col("rn_a") === 1, col("value"))).as("open"),
+        max(col("value")).as("high"), min(col("value")).as("low"),
+        max(when(col("rn_d") === 1, col("value"))).as("close"),
+        count(lit(1)).as("volume"))
+  }
+
+  /** Telemetry gap scan — per user, the count and maximum of
+    * inter-event gaps above a 6 h threshold: the missing-data /
+    * dead-sensor detector. Pure integer epoch arithmetic on one lead
+    * window over the user_id partitioning. */
+  val q189 = QuerySpec.sql(
+    "q189_gap_scan",
+    """WITH g AS (
+      |  SELECT user_id,
+      |         CAST(floor(epoch(lead(ts) OVER (PARTITION BY user_id
+      |                                         ORDER BY ts, event_id)))
+      |              - floor(epoch(ts)) AS BIGINT) AS gap_s
+      |  FROM events)
+      |SELECT user_id, count(*) AS n_gaps,
+      |       count(CASE WHEN gap_s > 21600 THEN 1 END) AS n_gaps_6h,
+      |       max(gap_s) AS max_gap_s
+      |FROM g WHERE gap_s IS NOT NULL
+      |GROUP BY user_id""",
+    "inter-event gap detection per user (data-quality tier)") { (s, d) =>
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+    Tables.events(s, d)
+      .select(col("user_id"),
+        (lead(col("ts").cast("long"), 1).over(w) - col("ts").cast("long"))
+          .as("gap_s"))
+      .where(col("gap_s").isNotNull)
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("n_gaps"),
+        count(when(col("gap_s") > 21600, lit(1))).as("n_gaps_6h"),
+        max(col("gap_s")).as("max_gap_s"))
+  }
+
+  /** Time-weighted average value per event type (TWAP): each reading
+    * holds until the next one, so the mean weights each value by its
+    * holding time. Engine-exact: values scale to BIGINT cents, the
+    * weighted mass Σ(cents·seconds) is an exact integer sum, and the
+    * ONE division at the end un-scales. The order-dependent float
+    * accumulation a naive avg-of-samples gets wrong under irregular
+    * sampling. */
+  val q190 = QuerySpec.sql(
+    "q190_twap",
+    """WITH seg AS (
+      |  SELECT event_type,
+      |         CAST(round(value * 100, 0) AS BIGINT) AS cents,
+      |         CAST(floor(epoch(lead(ts) OVER (PARTITION BY event_type
+      |                                         ORDER BY ts, event_id)))
+      |              - floor(epoch(ts)) AS BIGINT) AS dt
+      |  FROM events WHERE value IS NOT NULL)
+      |SELECT event_type,
+      |       CAST(sum(cents * dt) AS BIGINT) AS mass_cent_s,
+      |       CAST(sum(dt) AS BIGINT) AS total_s,
+      |       CAST(sum(cents * dt) AS DOUBLE) / (100.0 * sum(dt)) AS twap
+      |FROM seg WHERE dt IS NOT NULL AND dt > 0
+      |GROUP BY event_type""",
+    "time-weighted average value per event type, exact-scaled (time-series tier)") { (s, d) =>
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("event_type").orderBy(col("ts"), col("event_id"))
+    val seg = Tables.events(s, d).where(col("value").isNotNull)
+      .select(col("event_type"),
+        round(col("value") * 100, 0).cast("long").as("cents"),
+        (lead(col("ts").cast("long"), 1).over(w) - col("ts").cast("long"))
+          .as("dt"))
+      .where(col("dt").isNotNull && col("dt") > 0)
+    seg.groupBy("event_type")
+      .agg(sum(col("cents") * col("dt")).as("mass_cent_s"),
+        sum(col("dt")).as("total_s"),
+        (sum(col("cents") * col("dt")).cast("double") /
+          (lit(100.0) * sum(col("dt")))).as("twap"))
+  }
+
   val all: Seq[QuerySpec] =
     Seq(q60, q61, q62, q88, q105, q106, q108, q124, q127, q142, q143, q145,
-      q151, q152, q165, q169, q171, q175, q180)
+      q151, q152, q165, q169, q171, q175, q180, q188, q189, q190)
 }

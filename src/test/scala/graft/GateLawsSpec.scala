@@ -171,6 +171,54 @@ class GateLawsSpec extends SparkSpec {
     }
   }
 
+  test("q187 centroid distances: all label pairs present, non-negative, counts reconcile") {
+    val out = SparkEntry.queries("q187_centroid_distances")(spark, sf).collect()
+    val labels = Tables.embeddings(spark, sf).groupBy("label").count()
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    assert(out.length == labels.size * (labels.size - 1) / 2)
+    out.foreach { r =>
+      assert(r.getAs[Long]("d2_scaled") >= 0L)
+      assert(r.getAs[Long]("n1") == labels(r.getAs[Int]("label1")))
+      assert(r.getAs[Long]("n2") == labels(r.getAs[Int]("label2")))
+    }
+  }
+
+  test("q188 OHLC: low <= open,close <= high; volume reconciles") {
+    val out = SparkEntry.queries("q188_ohlc_bars")(spark, sf)
+    assert(out.filter(col("low") > col("open") || col("low") > col("close") ||
+      col("high") < col("open") || col("high") < col("close")).count() == 0)
+    val vol = out.agg(sum("volume")).head.getLong(0)
+    val want = Tables.events(spark, sf).filter(col("value").isNotNull).count()
+    assert(vol == want)
+  }
+
+  test("q189 gap scan: per-user gap count is n_events - 1") {
+    val out = SparkEntry.queries("q189_gap_scan")(spark, sf)
+      .select("user_id", "n_gaps").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val n = Tables.events(spark, sf).groupBy("user_id").count()
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    n.foreach { case (u, c) =>
+      if (c > 1) assert(out(u) == c - 1, s"user $u: ${out(u)} gaps for $c events")
+      else assert(!out.contains(u))
+    }
+  }
+
+  test("q190 TWAP: bounded by each type's value range; mass reconciles with one division") {
+    val out = SparkEntry.queries("q190_twap")(spark, sf).collect()
+    val rng = Tables.events(spark, sf).filter(col("value").isNotNull)
+      .groupBy("event_type").agg(min("value").as("lo"), max("value").as("hi"))
+      .collect().map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2))).toMap
+    out.foreach { r =>
+      val (lo, hi) = rng(r.getAs[String]("event_type"))
+      val t = r.getAs[Double]("twap")
+      // cents quantization can nudge past the true extrema by < 1 cent
+      assert(t >= lo - 0.01 && t <= hi + 0.01, s"twap $t outside [$lo, $hi]")
+      assert(math.abs(t - r.getAs[Long]("mass_cent_s").toDouble /
+        (100.0 * r.getAs[Long]("total_s"))) < 1e-12)
+    }
+  }
+
   test("q178 profile: null/distinct counts reconcile with direct recompute") {
     val out = SparkEntry.queries("q178_profile")(spark, sf).collect()
       .map(r => r.getString(0) -> r).toMap
