@@ -1753,8 +1753,55 @@ object AnalyticsQueries {
     GraphAnalytics.ktrussPeel(pairs, k = 4, rounds = 2)
   }
 
+  /** Graph feature engineering — the one-step GNN-style neighborhood
+    * aggregation: per supplier, its 1-hop customer count, their exact
+    * summed balances (cents), the mean (ONE IEEE division), and the
+    * 2-hop co-supplier count. Two co-partitioned equi-joins + two
+    * grouped counts — the per-node feature build that feeds any
+    * downstream model, never an all-pairs product. */
+  val q191 = QuerySpec.sql(
+    "q191_neighbor_features",
+    """WITH e AS (
+      |  SELECT DISTINCT l_suppkey AS s, o_custkey AS c
+      |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      |  WHERE l_quantity >= 45),
+      |bal AS (
+      |  SELECT e.s, e.c, CAST(round(c_acctbal * 100, 0) AS BIGINT) AS cents
+      |  FROM e JOIN customer ON c_custkey = e.c),
+      |hop1 AS (
+      |  SELECT s, count(*) AS n_cust, CAST(sum(cents) AS BIGINT) AS sum_cents,
+      |         CAST(sum(cents) AS DOUBLE) / (100.0 * count(*)) AS mean_bal
+      |  FROM bal GROUP BY s),
+      |hop2 AS (
+      |  SELECT s1 AS s, count(*) AS n_cosupp FROM (
+      |    SELECT DISTINCT a.s AS s1, b.s AS s2
+      |    FROM e a JOIN e b ON a.c = b.c AND a.s <> b.s)
+      |  GROUP BY s1)
+      |SELECT hop1.s AS suppkey, n_cust, sum_cents, mean_bal,
+      |       coalesce(n_cosupp, 0) AS n_cosupp
+      |FROM hop1 LEFT JOIN hop2 ON hop2.s = hop1.s""",
+    "1-hop + 2-hop neighborhood feature aggregation per supplier (graph feature engineering)") { (s, d) =>
+    val e = Tables.lineitem(s, d).filter(col("l_quantity") >= 45)
+      .join(Tables.orders(s, d), col("l_orderkey") === col("o_orderkey"))
+      .select(col("l_suppkey").as("s"), col("o_custkey").as("c")).distinct()
+    val bal = e.join(Tables.customer(s, d)
+        .select(col("c_custkey").as("c"),
+          round(col("c_acctbal") * 100, 0).cast("long").as("cents")), "c")
+    val hop1 = bal.groupBy("s")
+      .agg(count(lit(1)).as("n_cust"), sum(col("cents")).as("sum_cents"),
+        (sum(col("cents")).cast("double") / (lit(100.0) * count(lit(1))))
+          .as("mean_bal"))
+    val hop2 = e.as("a").join(e.as("b"),
+        col("a.c") === col("b.c") && col("a.s") =!= col("b.s"))
+      .select(col("a.s").as("s1"), col("b.s").as("s2")).distinct()
+      .groupBy(col("s1").as("s")).agg(count(lit(1)).as("n_cosupp"))
+    hop1.join(hop2, Seq("s"), "left")
+      .select(col("s").as("suppkey"), col("n_cust"), col("sum_cents"),
+        col("mean_bal"), coalesce(col("n_cosupp"), lit(0L)).as("n_cosupp"))
+  }
+
   val all: Seq[QuerySpec] =
     Seq(q53, q54, q55, q56, q57, q59, q74, q75, q76, q82, q90, q96, q98, q99,
       q100, q104, q110, q115, q117, q118, q119, q120, q122, q130, q133, q134,
-      q135, q136, q156, q162, q167, q170, q176, q177, q181)
+      q135, q136, q156, q162, q167, q170, q176, q177, q181, q191)
 }

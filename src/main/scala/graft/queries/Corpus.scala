@@ -1624,9 +1624,86 @@ object Corpus {
         max(col("a.n")).as("n1"), max(col("b.n")).as("n2"))
   }
 
+  /** Quantile normalization across sources — each doc's length is
+    * replaced by the GLOBAL value at its source-relative rank, the
+    * distribution-matching transform that removes per-source scale
+    * drift before mixing corpora. Everything is rank arithmetic: the
+    * target rank is the ceiling integer division (rn·N_g + N_s − 1)
+    * div N_s (non-negative, so floor/truncate agree in every engine)
+    * and the normalized value is rank-SELECTED, never interpolated.
+    * Scale note: the global reference rank is a full sort here; at
+    * 100 TB the reference becomes a sampled/sketched quantile table
+    * joined the same way (the per-source windows are unchanged). */
+  val q192 = QuerySpec.sql(
+    "q192_quantile_normalize",
+    """WITH rk AS (
+      |  SELECT doc_id, source, n_chars,
+      |         row_number() OVER (PARTITION BY source ORDER BY n_chars, doc_id) AS rn,
+      |         count(*) OVER (PARTITION BY source) AS ns
+      |  FROM documents),
+      |gn AS (SELECT count(*) AS ng FROM documents),
+      |g AS (
+      |  SELECT n_chars AS v,
+      |         row_number() OVER (ORDER BY n_chars, doc_id) AS gr
+      |  FROM documents)
+      |SELECT doc_id, source, n_chars, g.v AS norm_chars
+      |FROM rk CROSS JOIN gn JOIN g ON g.gr = (rn * ng + ns - 1) // ns""",
+    "cross-source quantile normalization by rank selection (corpus curation)") { (s, d) =>
+    import org.apache.spark.sql.expressions.Window
+    val docs = Tables.documents(s, d)
+    val rk = docs
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("source").orderBy(col("n_chars"), col("doc_id"))))
+      .withColumn("ns", count(lit(1)).over(Window.partitionBy("source")))
+      .select(col("doc_id"), col("source"), col("n_chars"), col("rn"), col("ns"))
+    val gn = docs.agg(count(lit(1)).as("ng"))
+    val g = docs
+      .select(col("n_chars").as("v"), col("doc_id"))
+      .withColumn("gr", row_number().over(
+        Window.orderBy(col("v"), col("doc_id"))))
+      .select(col("v"), col("gr"))
+    rk.crossJoin(broadcast(gn))
+      .withColumn("gr", expr("(rn * ng + ns - 1) DIV ns"))
+      .join(g, "gr")
+      .select(col("doc_id"), col("source"), col("n_chars"),
+        col("v").as("norm_chars"))
+  }
+
+  /** Content novelty rate — the fraction of a doc's 3-gram shingles
+    * that appear NOWHERE else in the corpus (df = 1): high novelty is
+    * original text, low novelty is boilerplate/template mass. The
+    * inverse view of the q93/q148 duplication signals. Integer counts,
+    * ONE IEEE division per doc; the shingle table's grouped df is the
+    * only data-sized shuffle. */
+  val q194 = QuerySpec.sql(
+    "q194_novelty_rate",
+    """WITH toks AS (
+      |  SELECT doc_id, regexp_extract_all(lower(text), '\S+') AS l FROM documents),
+      |g AS (
+      |  SELECT DISTINCT doc_id, array_to_string(l[i:i+2], '_') AS tok
+      |  FROM toks, unnest(generate_series(1, greatest(len(l) - 2, least(len(l), 1)))) AS u(i)),
+      |df AS (SELECT tok, count(*) AS df FROM g GROUP BY tok)
+      |SELECT doc_id, count(*) AS n_grams,
+      |       count(CASE WHEN df = 1 THEN 1 END) AS n_unique,
+      |       CAST(count(CASE WHEN df = 1 THEN 1 END) AS DOUBLE) / count(*) AS novelty
+      |FROM g JOIN df USING (tok)
+      |GROUP BY doc_id""",
+    "per-doc 3-gram novelty rate vs the whole corpus (text analysis)") { (s, d) =>
+    val g = Tables.documents(s, d).select(col("doc_id"),
+      explode(TextOps.wordShingles(col("text"), 3)).as("tok"))
+    val df = g.groupBy("tok").agg(count(lit(1)).as("df"))
+    g.join(df, "tok")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_grams"),
+        count(when(col("df") === 1, lit(1))).as("n_unique"),
+        (count(when(col("df") === 1, lit(1))).cast("double") / count(lit(1)))
+          .as("novelty"))
+  }
+
   val all: Seq[QuerySpec] =
     Seq(q30, q31, q89, q32, q33, q34, q35, q36, q37, q38, q39, q40, q41, q42,
       q43, q77, q78, q83, q91, q92, q93, q97, q103, q112, q113, q114, q116,
       q139, q140, q141, q144, q147, q148, q149, q150, q153, q154, q155, q157,
-      q158, q159, q161, q163, q164, q166, q173, q174, q184, q185, q187)
+      q158, q159, q161, q163, q164, q166, q173, q174, q184, q185, q187, q192,
+      q194)
 }

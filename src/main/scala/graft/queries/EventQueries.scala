@@ -618,7 +618,56 @@ object EventQueries {
           (lit(100.0) * sum(col("dt")))).as("twap"))
   }
 
+  /** RFM segmentation — recency/frequency/monetary quintiles per
+    * user, the classic behavioral-cohort assignment. All three raw
+    * features are exact integers (epoch-day recency, event count,
+    * summed cents) and each quintile is ntile(5) under a fully
+    * tie-broken total order (feature, user_id) — deterministic in any
+    * engine, no float anywhere. One grouped pass + three rank windows
+    * over the |users|-sized feature table. */
+  val q193 = QuerySpec.sql(
+    "q193_rfm",
+    """WITH f AS (
+      |  SELECT user_id,
+      |         max(CAST(floor(floor(epoch(ts)) / 86400) AS BIGINT)) AS last_day,
+      |         count(*) AS freq,
+      |         CAST(coalesce(sum(CAST(round(value * 100, 0) AS BIGINT)), 0) AS BIGINT) AS mon_cents
+      |  FROM events GROUP BY user_id),
+      |mx AS (SELECT max(last_day) AS maxday FROM f),
+      |s AS (
+      |  SELECT user_id, maxday - last_day AS recency_days, freq, mon_cents,
+      |         ntile(5) OVER (ORDER BY maxday - last_day, user_id) AS r,
+      |         ntile(5) OVER (ORDER BY freq DESC, user_id) AS fq,
+      |         ntile(5) OVER (ORDER BY mon_cents DESC, user_id) AS m
+      |  FROM f CROSS JOIN mx)
+      |SELECT user_id, recency_days, freq, mon_cents,
+      |       CAST(r AS INT) AS r, CAST(fq AS INT) AS f,
+      |       CAST(m AS INT) AS m,
+      |       CAST(r * 100 + fq * 10 + m AS INT) AS segment
+      |FROM s""",
+    "RFM quintile segmentation per user, integer-exact (event analytics)") { (s, d) =>
+    import org.apache.spark.sql.expressions.Window
+    val f = Tables.events(s, d).groupBy("user_id")
+      .agg(max(floor(col("ts").cast("long") / 86400).cast("long")).as("last_day"),
+        count(lit(1)).as("freq"),
+        coalesce(sum(round(col("value") * 100, 0).cast("long")), lit(0L))
+          .as("mon_cents"))
+    val mx = f.agg(max(col("last_day")).as("maxday"))
+    val st = f.crossJoin(broadcast(mx))
+      .withColumn("recency_days", col("maxday") - col("last_day"))
+      .withColumn("r", ntile(5).over(
+        Window.orderBy(col("recency_days"), col("user_id"))))
+      .withColumn("fq", ntile(5).over(
+        Window.orderBy(col("freq").desc, col("user_id"))))
+      .withColumn("m", ntile(5).over(
+        Window.orderBy(col("mon_cents").desc, col("user_id"))))
+    st.select(col("user_id"), col("recency_days"), col("freq"), col("mon_cents"),
+      col("r").cast("int").as("r"), col("fq").cast("int").as("f"),
+      col("m").cast("int").as("m"),
+      (col("r") * 100 + col("fq") * 10 + col("m")).cast("int").as("segment"))
+  }
+
   val all: Seq[QuerySpec] =
     Seq(q60, q61, q62, q88, q105, q106, q108, q124, q127, q142, q143, q145,
-      q151, q152, q165, q169, q171, q175, q180, q188, q189, q190)
+      q151, q152, q165, q169, q171, q175, q180, q188, q189, q190, q193)
 }

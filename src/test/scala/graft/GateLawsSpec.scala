@@ -219,6 +219,56 @@ class GateLawsSpec extends SparkSpec {
     }
   }
 
+  test("q191 neighbor features: mean identity and co-supplier bound") {
+    val out = SparkEntry.queries("q191_neighbor_features")(spark, sf)
+    val nSupp = out.count()
+    assert(out.filter(col("n_cosupp") >= nSupp).count() == 0)
+    assert(out.filter(abs(col("mean_bal") -
+      col("sum_cents").cast("double") / (lit(100.0) * col("n_cust"))) > 1e-9)
+      .count() == 0)
+  }
+
+  test("q192 quantile normalization: equal-size sources get identical distributions") {
+    val out = SparkEntry.queries("q192_quantile_normalize")(spark, sf).collect()
+    val bySrc = out.groupBy(_.getString(1))
+      .map { case (s, rs) => s -> rs.map(_.getAs[Long]("norm_chars")).sorted.toSeq }
+    val sizes = bySrc.view.mapValues(_.size).toMap
+    // any two sources with the same row count must normalize to the
+    // SAME value multiset — that is what distribution matching means
+    bySrc.groupBy { case (s, _) => sizes(s) }.values.foreach { grp =>
+      val vecs = grp.values.toSeq
+      assert(vecs.forall(_ == vecs.head), "equal-size sources diverged")
+    }
+    // normalized values are drawn from the observed global values
+    val global = out.map(_.getAs[Long]("n_chars")).toSet
+    assert(bySrc.values.flatten.forall(global.contains))
+  }
+
+  test("q193 RFM: quintiles balanced to within one; segment decomposes") {
+    val out = SparkEntry.queries("q193_rfm")(spark, sf).collect()
+    val n = out.length
+    Seq("r", "f", "m").foreach { c =>
+      val counts = out.groupBy(_.getAs[Int](c)).view.mapValues(_.size)
+      assert(counts.keySet == (1 to 5).toSet)
+      assert(counts.values.max - counts.values.min <= 1,
+        s"$c quintiles unbalanced for $n users")
+    }
+    out.foreach { r =>
+      assert(r.getAs[Int]("segment") ==
+        r.getAs[Int]("r") * 100 + r.getAs[Int]("f") * 10 + r.getAs[Int]("m"))
+    }
+  }
+
+  test("q194 novelty: rate in [0,1]; unique-gram mass reconciles with df table") {
+    val out = SparkEntry.queries("q194_novelty_rate")(spark, sf)
+    assert(out.filter(col("novelty") < 0 || col("novelty") > 1).count() == 0)
+    val uniq = out.agg(sum("n_unique")).head.getLong(0)
+    val want = Tables.documents(spark, sf)
+      .select(explode(graft.operators.TextOps.wordShingles(col("text"), 3)).as("tok"))
+      .groupBy("tok").count().filter(col("count") === 1).count()
+    assert(uniq == want, s"unique-gram mass $uniq != df-1 gram count $want")
+  }
+
   test("q178 profile: null/distinct counts reconcile with direct recompute") {
     val out = SparkEntry.queries("q178_profile")(spark, sf).collect()
       .map(r => r.getString(0) -> r).toMap
