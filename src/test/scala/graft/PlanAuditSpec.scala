@@ -190,4 +190,50 @@ class PlanAuditSpec extends SparkSpec {
       "no runtime bloom filter injected on the fact side:\n" + p.take(2000))
     assert(j.count() == 1)
   }
+
+  test("q174: readability is a pure projection — zero exchanges") {
+    val p = planOf("q174_readability")
+    assert(!p.contains("Exchange"), "readability scoring plans a shuffle:\n" + p.take(2000))
+  }
+
+  test("q184/q176/q181: blocked joins plan no cartesian / nested loop") {
+    for (q <- Seq("q184_fuzzy_join", "q176_link_prediction", "q181_ktruss")) {
+      val p = planOf(q)
+      assert(!p.contains("CartesianProduct"), s"$q plans a cartesian product")
+      assert(!p.contains("BroadcastNestedLoopJoin"), s"$q plans a nested-loop join")
+    }
+  }
+
+  test("q173: the bigram support floor applies before the unigram joins") {
+    // the survivors (c_ab >= 10) must be filtered on the aggregate
+    // BEFORE joining unigram counts — at 100 TB the unigram join must
+    // see the tiny survivor set, not the full bigram table
+    val df = SparkEntry.queries("q173_collocations")(spark, sf)
+    val plan = df.queryExecution.optimizedPlan
+    import org.apache.spark.sql.catalyst.plans.logical.{Filter, Join}
+    def joinsAboveSupportFilter(p: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan,
+        seenJoin: Boolean): Boolean = p match {
+      case f: Filter if f.condition.toString.contains("c_ab") => !seenJoin
+      case j: Join => j.children.exists(joinsAboveSupportFilter(_, seenJoin = false))
+      case other => other.children.exists(joinsAboveSupportFilter(_, seenJoin))
+    }
+    assert(joinsAboveSupportFilter(plan, seenJoin = true),
+      "support floor not below every unigram join:\n" + plan.toString.take(2000))
+  }
+
+  test("q175/q189/q190: event windows reuse one keyed exchange, no global sort") {
+    for (q <- Seq("q189_gap_scan", "q190_twap")) {
+      val p = planOf(q)
+      // a window keyed by user/event_type must hash-partition, never
+      // range-partition the whole stream through a global sort
+      assert(!p.contains("rangepartitioning"),
+        s"$q plans a global range partitioning:\n" + p.take(2000))
+    }
+  }
+
+  test("q187: centroid build aggregates partially before its one shuffle") {
+    val p = planOf("q187_centroid_distances")
+    assert(p.contains("partial_"), "no map-side combine in centroid build:\n" + p.take(2000))
+    assert(!p.contains("CartesianProduct"), "centroid pair join is cartesian")
+  }
 }
