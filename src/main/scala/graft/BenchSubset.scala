@@ -18,6 +18,7 @@ object BenchSubset {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .withExtensions(new graft.functions.GraftExtensions)
+      .config("spark.cleaner.periodicGC.interval", "30s") // see Bench
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     val w0 = System.nanoTime()

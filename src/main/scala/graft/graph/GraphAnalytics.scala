@@ -633,10 +633,13 @@ object GraphAnalytics {
       val v = e.select(col("src").as("id"))
         .unionByName(e.select(col("dst").as("id"))).distinct()
         .repartition(col("id")).localCheckpoint(true)
+      // zero-score nodes contribute nothing to any later neighbor sum,
+      // so iterations normalize only the nodes WITH mass (drops the
+      // all-node left join — 2 stages/iteration in a kernel whose cost
+      // is pure stage count); the zeros re-enter once at the end
       def normalized(sums: DataFrame, out: String): DataFrame = {
         val mx = sums.agg(max(col("s")).as("mx"))
-        v.join(sums, Seq("id"), "left_outer")
-          .select(col("id"), coalesce(col("s"), lit(0L)).as("s"))
+        sums
           .crossJoin(broadcast(mx))
           .select(col("id"),
             when(col("mx").isNull || col("mx") === 0L, lit(0L))
@@ -654,8 +657,9 @@ object GraphAnalytics {
           e.join(h.select(col("id").as("src"), col("h")), Seq("src"))
             .groupBy(col("dst").as("id")).agg(sum(col("h")).as("s")), "a")
       }
-      h.join(a, Seq("id"))
-        .select(col("id"), col("h").as("hub_scaled"), col("a").as("auth_scaled"))
+      v.join(h, Seq("id"), "left_outer").join(a, Seq("id"), "left_outer")
+        .select(col("id"), coalesce(col("h"), lit(0L)).as("hub_scaled"),
+          coalesce(col("a"), lit(0L)).as("auth_scaled"))
     }
   }
 
