@@ -667,7 +667,45 @@ object EventQueries {
       (col("r") * 100 + col("fq") * 10 + col("m")).cast("int").as("segment"))
   }
 
+  /** Burst detection — per event type, the maximum event count inside
+    * ANY trailing 1-hour window (the rate-spike detector a fixed
+    * tumbling window misses when a burst straddles the boundary).
+    * A RANGE frame over integer epoch seconds counts each event's
+    * trailing hour exactly; everything is integer, and the argmax
+    * window end is rank-selected (max count, earliest second) so the
+    * output is tie-deterministic. One exchange on event_type. */
+  val q198 = QuerySpec.sql(
+    "q198_burst_detection",
+    """WITH e AS (
+      |  SELECT event_type, CAST(floor(epoch(ts)) AS BIGINT) AS sec
+      |  FROM events),
+      |w AS (
+      |  SELECT event_type, sec,
+      |         count(*) OVER (PARTITION BY event_type ORDER BY sec
+      |                        RANGE BETWEEN 3599 PRECEDING AND CURRENT ROW) AS n_1h
+      |  FROM e),
+      |rk AS (
+      |  SELECT event_type, sec, n_1h,
+      |         row_number() OVER (PARTITION BY event_type
+      |                            ORDER BY n_1h DESC, sec) AS r
+      |  FROM w)
+      |SELECT event_type, n_1h AS peak_1h, sec AS peak_end_sec
+      |FROM rk WHERE r = 1""",
+    "peak trailing-hour event rate per type (burst detection, time-series tier)") { (s, d) =>
+    import org.apache.spark.sql.expressions.Window
+    val e = Tables.events(s, d)
+      .select(col("event_type"), col("ts").cast("long").as("sec"))
+    val w = e.withColumn("n_1h", count(lit(1)).over(
+      Window.partitionBy("event_type").orderBy(col("sec"))
+        .rangeBetween(-3599, Window.currentRow)))
+    w.withColumn("r", row_number().over(
+        Window.partitionBy("event_type").orderBy(col("n_1h").desc, col("sec"))))
+      .where(col("r") === 1)
+      .select(col("event_type"), col("n_1h").as("peak_1h"),
+        col("sec").as("peak_end_sec"))
+  }
+
   val all: Seq[QuerySpec] =
     Seq(q60, q61, q62, q88, q105, q106, q108, q124, q127, q142, q143, q145,
-      q151, q152, q165, q169, q171, q175, q180, q188, q189, q190, q193)
+      q151, q152, q165, q169, q171, q175, q180, q188, q189, q190, q193, q198)
 }

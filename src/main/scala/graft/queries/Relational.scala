@@ -769,8 +769,42 @@ object Relational {
         max(col("tw")).as("total_weight"))
   }
 
+  /** The SQL front end as a first-class surface: the same engine
+    * capabilities driven through `spark.sql(...)` text over temp
+    * views — join order, aggregate pushdown, and broadcast selection
+    * all decided by Catalyst from SQL, not from DataFrame hints. The
+    * oracle is the IDENTICAL portable SQL, so this gates text-level
+    * SQL parity end to end (a user of the reference's query surface
+    * can paste ANSI SQL at this engine). */
+  val q197 = QuerySpec.sql(
+    "q197_sql_frontend",
+    """SELECT n_name, l_returnflag, count(*) AS n,
+      |       CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS qty,
+      |       CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 10000, 0) AS BIGINT)) / 10000.0 AS DOUBLE) AS revenue
+      |FROM lineitem
+      |JOIN orders ON l_orderkey = o_orderkey
+      |JOIN customer ON o_custkey = c_custkey
+      |JOIN nation ON c_nationkey = n_nationkey
+      |WHERE o_orderstatus = 'F'
+      |GROUP BY n_name, l_returnflag""",
+    "ANSI SQL text through the spark.sql front end (query-surface parity)") { (s, d) =>
+    Tables.lineitem(s, d).createOrReplaceTempView("lineitem")
+    Tables.orders(s, d).createOrReplaceTempView("orders")
+    Tables.customer(s, d).createOrReplaceTempView("customer")
+    Tables.nation(s, d).createOrReplaceTempView("nation")
+    s.sql("""SELECT n_name, l_returnflag, count(*) AS n,
+      CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS qty,
+      CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 10000, 0) AS BIGINT)) / 10000.0 AS DOUBLE) AS revenue
+      FROM lineitem
+      JOIN orders ON l_orderkey = o_orderkey
+      JOIN customer ON o_custkey = c_custkey
+      JOIN nation ON c_nationkey = n_nationkey
+      WHERE o_orderstatus = 'F'
+      GROUP BY n_name, l_returnflag""")
+  }
+
   val all: Seq[QuerySpec] = Seq(
     q01, q02, q03, q04, q05, q06, q07, q08, q09, q10, q11,
     q12, q13, q14, q15, q16, q17, q18, q19, q20, q21, q22, q23, q94, q95,
-    q123, q125, q126, q128, q129, q160, q178, q183, q186)
+    q123, q125, q126, q128, q129, q160, q178, q183, q186, q197)
 }

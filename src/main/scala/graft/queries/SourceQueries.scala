@@ -315,6 +315,52 @@ object SourceQueries {
         sum(graft.functions.ExactNum.scaled(col("l_extendedprice"), 100)).as("price_cents"))
   }
 
+  /** ORC sink → source roundtrip: land the events table as ORC, read
+    * it back through the vectorized ORC reader, and aggregate — the
+    * oracle runs the same aggregate on the ORIGINAL parquet, so the
+    * gate proves the ORC path carries exactly the input rows
+    * (timestamps included — the cross-format fidelity trap). */
+  val q195 = QuerySpec.sql(
+    "q195_orc_roundtrip",
+    """SELECT event_type, count(*) AS n_events,
+      |       count(DISTINCT user_id) AS n_users,
+      |       CAST(sum(CAST(round(value * 100, 0) AS BIGINT)) AS BIGINT) AS value_cents,
+      |       min(ts) AS first_ts, max(ts) AS last_ts
+      |FROM events GROUP BY 1""",
+    "ORC write -> vectorized re-read fidelity (S12 extension)") { (s, d) =>
+    val out = java.nio.file.Files.createTempDirectory("graft-q195").toString + "/ev"
+    graft.sources.Tabular.checkpointOrc(Tables.events(s, d), out)
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n_events"),
+        countDistinct("user_id").as("n_users"),
+        sum(round(col("value") * 100, 0).cast("long")).as("value_cents"),
+        min(col("ts")).as("first_ts"), max(col("ts")).as("last_ts"))
+  }
+
+  /** Hive-style partitioned sink → pruned re-read: land lineitem
+    * partitioned by l_returnflag, then aggregate ONE partition — the
+    * scan must carry a PartitionFilters entry (directory-level
+    * pruning, asserted in PlanAuditSpec), and the oracle replays the
+    * filtered aggregate on the original table. */
+  val q196 = QuerySpec.sql(
+    "q196_partitioned_sink",
+    """SELECT l_linestatus, count(*) AS n,
+      |       CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS qty
+      |FROM lineitem WHERE l_returnflag = 'R'
+      |GROUP BY 1""",
+    "partitioned parquet sink -> partition-pruned re-read (S12 extension)") { (s, d) =>
+    val out = java.nio.file.Files.createTempDirectory("graft-q196").toString + "/li"
+    graft.sources.Tabular.writePartitioned(
+      Tables.lineitem(s, d).select("l_orderkey", "l_quantity", "l_returnflag",
+        "l_linestatus"),
+      out, Seq("l_returnflag"))
+    s.read.parquet(out)
+      .where(col("l_returnflag") === "R")
+      .groupBy("l_linestatus")
+      .agg(count(lit(1)).as("n"),
+        sum(col("l_quantity").cast("long")).as("qty"))
+  }
+
   val all: Seq[QuerySpec] =
-    Seq(q44, q45, q46, q47, q48, q49, q79, q80, q121, q131, q146)
+    Seq(q44, q45, q46, q47, q48, q49, q79, q80, q121, q131, q146, q195, q196)
 }

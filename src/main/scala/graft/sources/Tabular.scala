@@ -64,4 +64,23 @@ object Tabular {
   /** JSONL sink — one JSON object per line, splittable downstream. */
   def writeJsonl(df: DataFrame, path: String): Unit =
     df.write.mode("overwrite").json(path)
+
+  /** ORC checkpoint sink/source (beyond-reference: the second
+    * columnar interchange format a lakehouse ingests; same
+    * predicate-pushdown + column-pruning contract as parquet via the
+    * vectorized ORC reader). */
+  def checkpointOrc(df: DataFrame, path: String): DataFrame = {
+    df.write.mode("overwrite").orc(path)
+    df.sparkSession.read.orc(path)
+  }
+
+  /** Hive-style partitioned parquet sink: one directory per partition
+    * value, so a filter on the partition column prunes whole
+    * directories at PLANNING time (PartitionFilters in the scan —
+    * cheaper than any row-group statistic). THE layout primitive for
+    * a date/source-partitioned 100 TB corpus; pair with
+    * [[writeClusteredParquet]]'s z-order INSIDE partitions for
+    * two-level skipping. */
+  def writePartitioned(df: DataFrame, path: String, partCols: Seq[String]): Unit =
+    df.write.mode("overwrite").partitionBy(partCols: _*).parquet(path)
 }

@@ -269,6 +269,23 @@ class GateLawsSpec extends SparkSpec {
     assert(uniq == want, s"unique-gram mass $uniq != df-1 gram count $want")
   }
 
+  test("q198 burst: sliding peak dominates every tumbling hour; argmax is a real window") {
+    val peak = SparkEntry.queries("q198_burst_detection")(spark, sf).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val tumbling = Tables.events(spark, sf)
+      .groupBy(col("event_type"),
+        floor(col("ts").cast("long") / 3600).as("hr"))
+      .count().groupBy("event_type").agg(max("count").as("mx"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    tumbling.foreach { case (t, mx) =>
+      assert(peak(t) >= mx, s"$t: sliding peak ${peak(t)} < tumbling max $mx")
+    }
+    // and the peak is attainable: never more than total events of the type
+    val tot = Tables.events(spark, sf).groupBy("event_type").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    peak.foreach { case (t, p) => assert(p <= tot(t)) }
+  }
+
   test("q178 profile: null/distinct counts reconcile with direct recompute") {
     val out = SparkEntry.queries("q178_profile")(spark, sf).collect()
       .map(r => r.getString(0) -> r).toMap

@@ -231,6 +231,26 @@ class PlanAuditSpec extends SparkSpec {
     }
   }
 
+  test("q196: the partitioned sink's re-read prunes partitions at planning time") {
+    val out = java.nio.file.Files.createTempDirectory("graft-plan-q196").toString + "/li"
+    graft.sources.Tabular.writePartitioned(
+      Tables.lineitem(spark, sf).select("l_orderkey", "l_quantity",
+        "l_returnflag", "l_linestatus"),
+      out, Seq("l_returnflag"))
+    val df = spark.read.parquet(out)
+      .where(org.apache.spark.sql.functions.col("l_returnflag") === "R")
+    val p = df.queryExecution.executedPlan.toString()
+    assert(p.contains("PartitionFilters: [") && p.contains("l_returnflag"),
+      "no partition filter on the partitioned scan:\n" + p.take(2000))
+  }
+
+  test("q197: the SQL front end still picks broadcast joins and partial aggs") {
+    val p = planOf("q197_sql_frontend")
+    assert(p.contains("BroadcastHashJoin"),
+      "SQL-text plan lost broadcast dimension joins:\n" + p.take(2000))
+    assert(p.contains("partial_"), "SQL-text plan lost map-side combine")
+  }
+
   test("q187: centroid build aggregates partially before its one shuffle") {
     val p = planOf("q187_centroid_distances")
     assert(p.contains("partial_"), "no map-side combine in centroid build:\n" + p.take(2000))
