@@ -102,10 +102,10 @@ object Pca {
         acc
       })
       val m = w.map(math.abs).max
-      if (m != 0L) {
-        val div = (m + vScale - 1) / vScale // m ≥ 0 → ceil via add
-        v = w.map(_ / div)                  // trunc toward zero
-      } else v = w
+      // ceil(m/vScale) clamped to ≥1 (all-zero w stays all-zero) —
+      // mirrors the oracle's greatest((max|w| + vScale-1) // vScale, 1)
+      val div = math.max((m + vScale - 1) / vScale, 1L)
+      v = w.map(_ / div) // trunc toward zero in Spark div, Java /, DuckDB //
     }
     v
   }

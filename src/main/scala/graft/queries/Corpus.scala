@@ -1624,6 +1624,47 @@ object Corpus {
         max(col("a.n")).as("n1"), max(col("b.n")).as("n2"))
   }
 
+  /** Top principal component of the embedding corpus — exact-scaled
+    * power iteration (graft.operators.Pca). The data-sized work is ONE
+    * moments pass (typed aggregator, map-side combine: the shuffle is
+    * `partitions × (1+d+d²)` longs); the d²-state eigensolve runs on
+    * the driver, which IS the 100 TB shape (distributing a 4096-cell
+    * matvec is pure scheduler overhead). Integer covariance
+    * `n·Σxy − Σx·Σy`, three power steps whose only division is
+    * truncating integer division — identical semantics in Spark
+    * `div`, Java `/` and DuckDB `//` — so the vector is
+    * bit-replayable from chained CTEs. Production double path:
+    * [[graft.operators.Pca.topComponent]] (law-tested in PcaSpec). */
+  val q199 = QuerySpec.sql(
+    "q199_pca_top_component",
+    """WITH x AS (
+      |  SELECT vec_id, generate_subscripts(embedding, 1) - 1 AS i,
+      |         CAST(floor(CAST(unnest(embedding) AS DOUBLE) * 512) AS BIGINT) AS xi
+      |  FROM embeddings),
+      |s AS (SELECT i, CAST(sum(xi) AS BIGINT) AS sx FROM x GROUP BY i),
+      |nn AS (SELECT count(*) AS n FROM embeddings),
+      |g AS (SELECT a.i AS i, b.i AS j, CAST(sum(a.xi * b.xi) AS BIGINT) AS sxy
+      |      FROM x a JOIN x b ON a.vec_id = b.vec_id GROUP BY 1, 2),
+      |cov AS (SELECT g.i, g.j, (SELECT n FROM nn) * sxy - sa.sx * sb.sx AS c
+      |        FROM g JOIN s sa ON sa.i = g.i JOIN s sb ON sb.i = g.j),
+      |w1 AS (SELECT i, CAST(sum(c) AS BIGINT) AS w FROM cov GROUP BY i),
+      |d1 AS (SELECT greatest((max(abs(w)) + 4095) // 4096, 1) AS dv FROM w1),
+      |v1 AS (SELECT i, w // (SELECT dv FROM d1) AS v FROM w1),
+      |w2 AS (SELECT cov.i AS i, CAST(sum(cov.c * v1.v) AS BIGINT) AS w
+      |       FROM cov JOIN v1 ON v1.i = cov.j GROUP BY 1),
+      |d2 AS (SELECT greatest((max(abs(w)) + 4095) // 4096, 1) AS dv FROM w2),
+      |v2 AS (SELECT i, w // (SELECT dv FROM d2) AS v FROM w2),
+      |w3 AS (SELECT cov.i AS i, CAST(sum(cov.c * v2.v) AS BIGINT) AS w
+      |       FROM cov JOIN v2 ON v2.i = cov.j GROUP BY 1),
+      |d3 AS (SELECT greatest((max(abs(w)) + 4095) // 4096, 1) AS dv FROM w3),
+      |v3 AS (SELECT i, w // (SELECT dv FROM d3) AS v FROM w3)
+      |SELECT CAST(i AS BIGINT) AS pos, CAST(v AS BIGINT) AS v
+      |FROM v3""",
+    "exact-scaled top principal component via power iteration (embedding analytics)") { (s, d) =>
+    graft.operators.Pca.topComponentExactScaled(
+      Tables.embeddings(s, d), "embedding", d = 64)
+  }
+
   /** Quantile normalization across sources — each doc's length is
     * replaced by the GLOBAL value at its source-relative rank, the
     * distribution-matching transform that removes per-source scale
@@ -1705,5 +1746,5 @@ object Corpus {
       q43, q77, q78, q83, q91, q92, q93, q97, q103, q112, q113, q114, q116,
       q139, q140, q141, q144, q147, q148, q149, q150, q153, q154, q155, q157,
       q158, q159, q161, q163, q164, q166, q173, q174, q184, q185, q187, q192,
-      q194)
+      q194, q199)
 }
