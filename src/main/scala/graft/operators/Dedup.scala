@@ -682,4 +682,78 @@ object Dedup {
           (col("n1") + col("n2") - col("n_inter")).cast("double")).as("jaccard"))
       .where(col("jaccard") >= minJaccard)
   }
+
+  /** Engine-portable SimHash signatures: two 32-bit words per doc from
+    * md5 slices of each distinct token (HexSlice32), ±1 bit votes
+    * folded in ONE 64-column grouped aggregate — no doc×bit row
+    * blowup, and every value is replayable in ANSI SQL (the md5
+    * idiom), unlike the xxhash64 production signature
+    * ([[graft.functions.SimHash64]]) which this mirrors structurally.
+    * Output: (idCol, sim1, sim2). */
+  def simHashPortable(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val th = docs
+      .select(col(idCol),
+        explode(array_distinct(TextOps.tokens(col(textCol)))).as("tok"))
+      .select(col(idCol), md5(col("tok")).as("hx"))
+      .select(col(idCol),
+        graft.functions.HexSlice32(col("hx"), lit(0)).as("h1"),
+        graft.functions.HexSlice32(col("hx"), lit(8)).as("h2"))
+    val votes = (1 to 2).flatMap { w =>
+      (0 until 32).map { b =>
+        sum(when(shiftright(col(s"h$w"), b).bitwiseAND(lit(1L)) === 1L, 1L)
+          .otherwise(-1L)).as(s"s${w}_$b")
+      }
+    }
+    def simOf(w: Int): org.apache.spark.sql.Column = (0 until 32)
+      .map(b => when(col(s"s${w}_$b") > 0, lit(1L << b)).otherwise(lit(0L)))
+      .reduce(_ + _)
+    th.groupBy(col(idCol)).agg(votes.head, votes.tail: _*)
+      .select(col(idCol), simOf(1).as("sim1"), simOf(2).as("sim2"))
+  }
+
+  /** Near-duplicate pairs at hamming distance ≤ `maxHamming` over the
+    * portable 64-bit SimHash, via Manku-style pigeonhole blocking:
+    * the signature splits into `nBlocks` = 8 blocks of 8 bits, a pair
+    * within hamming ≤ nBlocks−1 = 7 must agree on ≥ 1 whole block, so
+    * for maxHamming ≤ 7 the block equi-join is EXACT — identical to
+    * the all-pairs join it replaces (law-tested in DedupSpec).
+    * Scale shape: signatures are 2 longs/doc, candidates come from a
+    * corpus-linear block join, compares are per-bucket quadratic. */
+  def simHashNearDupPairs(docs: DataFrame, idCol: String, textCol: String,
+      maxHamming: Int): DataFrame = {
+    require(maxHamming <= 7,
+      s"pigeonhole blocking with 8 blocks is exact only for hamming <= 7, got $maxHamming")
+    val sh = simHashPortable(docs, idCol, textCol)
+    val blk = sh.select(col(idCol), col("sim1"), col("sim2"),
+      posexplode(array((0 until 8).map(g =>
+        (if (g < 4) shiftright(col("sim1"), g * 8)
+         else shiftright(col("sim2"), (g - 4) * 8)).bitwiseAND(lit(255L))): _*))
+        .as(Seq("blk_id", "blk_val")))
+    val a = blk.select(col("blk_id"), col("blk_val"), col(idCol).as("d1"),
+      col("sim1").as("a1"), col("sim2").as("a2"))
+    val b = blk.select(col("blk_id"), col("blk_val"), col(idCol).as("d2"),
+      col("sim1").as("b1"), col("sim2").as("b2"))
+    val ham = bit_count(col("a1").bitwiseXOR(col("b1"))) +
+      bit_count(col("a2").bitwiseXOR(col("b2")))
+    a.join(b, Seq("blk_id", "blk_val")).where(col("d1") < col("d2"))
+      .select(col("d1"), col("a1"), col("a2"), col("d2"), col("b1"), col("b2"))
+      .distinct()
+      .where(ham <= maxHamming)
+      .select(col("d1"), col("d2"), ham.cast("long").as("hamming"))
+  }
+
+  /** The all-pairs reference form of [[simHashNearDupPairs]] — test
+    * oracle only; the quadratic join this operator family exists to
+    * avoid. */
+  private[graft] def simHashNearDupPairsBrute(docs: DataFrame, idCol: String,
+      textCol: String, maxHamming: Int): DataFrame = {
+    val sh = simHashPortable(docs, idCol, textCol)
+    val a = sh.select(col(idCol).as("d1"), col("sim1").as("a1"), col("sim2").as("a2"))
+    val b = sh.select(col(idCol).as("d2"), col("sim1").as("b1"), col("sim2").as("b2"))
+    val ham = bit_count(col("a1").bitwiseXOR(col("b1"))) +
+      bit_count(col("a2").bitwiseXOR(col("b2")))
+    a.crossJoin(b).where(col("d1") < col("d2"))
+      .where(ham <= maxHamming)
+      .select(col("d1"), col("d2"), ham.cast("long").as("hamming"))
+  }
 }

@@ -1665,6 +1665,57 @@ object Corpus {
       Tables.embeddings(s, d), "embedding", d = 64)
   }
 
+  /** Portable SimHash near-duplicate pairs — the md5-replayable twin
+    * of the xxhash64 production signature (functions.SimHash64, q38):
+    * two 32-bit signature words from md5 slices (HexSlice32), one
+    * grouped 64-column ±1 vote aggregate (NO doc×bit row blowup on
+    * the Spark side), then Manku-style pigeonhole blocking — 8 blocks
+    * of 8 bits, so every pair at hamming ≤ 7 shares a block and the
+    * ≤ 3 output is EXACT (equality with the brute-force all-pairs
+    * join is law-tested in DedupSpec). Scale shape: signatures are 2
+    * longs/doc, candidate generation is a corpus-linear block
+    * equi-join (8 rows/doc of 3 longs), compares are per-bucket
+    * quadratic only — never all-pairs. */
+  val q200 = QuerySpec.sql(
+    "q200_simhash_hamming_pairs",
+    """WITH tok AS (
+      |  SELECT doc_id, unnest(list_distinct(regexp_extract_all(lower(text), '(\S+)', 1))) AS tok
+      |  FROM documents),
+      |th AS (
+      |  SELECT doc_id,
+      |         ('0x' || substr(md5(tok), 1, 8))::BIGINT AS h1,
+      |         ('0x' || substr(md5(tok), 9, 8))::BIGINT AS h2
+      |  FROM tok),
+      |bits AS (SELECT unnest(generate_series(0, 31)) AS b),
+      |sb AS (
+      |  SELECT doc_id, b,
+      |         sum(CASE WHEN (h1 >> b) & 1 = 1 THEN 1 ELSE -1 END) AS s1,
+      |         sum(CASE WHEN (h2 >> b) & 1 = 1 THEN 1 ELSE -1 END) AS s2
+      |  FROM th, bits GROUP BY 1, 2),
+      |sh AS (
+      |  SELECT doc_id,
+      |         CAST(sum(CASE WHEN s1 > 0 THEN 1::BIGINT << b ELSE 0 END) AS BIGINT) AS sim1,
+      |         CAST(sum(CASE WHEN s2 > 0 THEN 1::BIGINT << b ELSE 0 END) AS BIGINT) AS sim2
+      |  FROM sb GROUP BY 1),
+      |blk AS (
+      |  SELECT doc_id, sim1, sim2, g AS blk_id,
+      |         CASE WHEN g < 4 THEN (sim1 >> (g * 8)) & 255
+      |              ELSE (sim2 >> ((g - 4) * 8)) & 255 END AS blk_val
+      |  FROM sh, unnest(generate_series(0, 7)) AS u(g)),
+      |cand AS (
+      |  SELECT DISTINCT a.doc_id AS d1, a.sim1 AS a1, a.sim2 AS a2,
+      |                  b.doc_id AS d2, b.sim1 AS b1, b.sim2 AS b2
+      |  FROM blk a JOIN blk b ON a.blk_id = b.blk_id AND a.blk_val = b.blk_val
+      |                        AND a.doc_id < b.doc_id)
+      |SELECT d1, d2,
+      |       CAST(bit_count(xor(a1, b1)) + bit_count(xor(a2, b2)) AS BIGINT) AS hamming
+      |FROM cand
+      |WHERE bit_count(xor(a1, b1)) + bit_count(xor(a2, b2)) <= 3""",
+    "portable SimHash near-dup pairs via pigeonhole block join (dedup tier)") { (s, d) =>
+    Dedup.simHashNearDupPairs(Tables.documents(s, d), "doc_id", "text",
+      maxHamming = 3)
+  }
+
   /** Quantile normalization across sources — each doc's length is
     * replaced by the GLOBAL value at its source-relative rank, the
     * distribution-matching transform that removes per-source scale
@@ -1746,5 +1797,5 @@ object Corpus {
       q43, q77, q78, q83, q91, q92, q93, q97, q103, q112, q113, q114, q116,
       q139, q140, q141, q144, q147, q148, q149, q150, q153, q154, q155, q157,
       q158, q159, q161, q163, q164, q166, q173, q174, q184, q185, q187, q192,
-      q194, q199)
+      q194, q199, q200)
 }

@@ -352,4 +352,28 @@ class DedupSpec extends SparkSpec {
       assert(got == want, s"k=$k")
     }
   }
+
+  test("simHashNearDupPairs: pigeonhole block join identical to brute force; dup invariants") {
+    // real corpus slice — the structure the blocking must not miss
+    val corpus = spark.read
+      .parquet("/root/testdata/sf0.001/documents.parquet")
+    for (t <- Seq(0, 3, 7)) {
+      val blocked = Dedup.simHashNearDupPairs(corpus, "doc_id", "text", t)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      val brute = Dedup.simHashNearDupPairsBrute(corpus, "doc_id", "text", t)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      assert(blocked == brute, s"maxHamming=$t: blocked ${blocked.size} != brute ${brute.size}")
+    }
+    // identical texts get identical signatures → hamming 0
+    val sig = Dedup.simHashPortable(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(sig(1L) == sig(2L), "exact dup texts differ in signature")
+    assert(sig.values.forall { case (a, b) =>
+      a >= 0 && a < (1L << 32) && b >= 0 && b < (1L << 32) }, "word out of u32 range")
+    // the guard refuses thresholds past the pigeonhole guarantee
+    val ex = intercept[IllegalArgumentException] {
+      Dedup.simHashNearDupPairs(docs, "doc_id", "text", 8)
+    }
+    assert(ex.getMessage.contains("pigeonhole"))
+  }
 }
