@@ -705,7 +705,54 @@ object EventQueries {
         col("sec").as("peak_end_sec"))
   }
 
+  /** CDC changelog merge (SCD-1 apply): the events stream read as an
+    * ordered change log per user — `error` rows are tombstones that
+    * clear state, every other row upserts `value`. The merged snapshot
+    * keeps, per user, only upserts AFTER the last tombstone: latest
+    * value + live-op count. Total order inside a key is (ts,
+    * event_id), so the result is tie-deterministic. Scale shape: one
+    * hash exchange on user_id feeds the rank window, the tombstone
+    * watermark AND the final aggregate — Catalyst reuses the
+    * partitioning, so the whole merge is one shuffle of (key, rk,
+    * cents), the standard log-compaction cost. */
+  val q201 = QuerySpec.sql(
+    "q201_cdc_merge",
+    """WITH ops AS (
+      |  SELECT user_id, event_id,
+      |         CASE WHEN event_type = 'error' THEN 'D' ELSE 'U' END AS op,
+      |         CAST(round(value * 100, 0) AS BIGINT) AS value_cents,
+      |         row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rk
+      |  FROM events),
+      |del AS (
+      |  SELECT user_id, max(CASE WHEN op = 'D' THEN rk ELSE 0 END) AS last_del
+      |  FROM ops GROUP BY 1),
+      |live AS (
+      |  SELECT o.user_id, o.rk, o.value_cents
+      |  FROM ops o JOIN del d ON d.user_id = o.user_id
+      |  WHERE o.op = 'U' AND o.rk > d.last_del)
+      |SELECT user_id, CAST(count(*) AS BIGINT) AS n_live_ops,
+      |       CAST(max_by(value_cents, rk) AS BIGINT) AS last_value_cents
+      |FROM live GROUP BY 1""",
+    "CDC changelog merge with tombstone semantics (SCD-1 apply, lakehouse tier)") { (s, d) =>
+    import org.apache.spark.sql.expressions.Window
+    // both windows share the user_id partitioning → ONE exchange; the
+    // final aggregate reuses it too (plan-audited: single Exchange)
+    Tables.events(s, d)
+      .select(col("user_id"), col("event_id"), col("ts"),
+        when(col("event_type") === "error", lit("D")).otherwise(lit("U")).as("op"),
+        round(col("value") * 100, 0).cast("long").as("value_cents"))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))))
+      .withColumn("last_del", max(when(col("op") === "D", col("rk")).otherwise(0))
+        .over(Window.partitionBy("user_id")))
+      .where(col("op") === "U" && col("rk") > col("last_del"))
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("n_live_ops"),
+        expr("max_by(value_cents, rk)").cast("long").as("last_value_cents"))
+  }
+
   val all: Seq[QuerySpec] =
     Seq(q60, q61, q62, q88, q105, q106, q108, q124, q127, q142, q143, q145,
-      q151, q152, q165, q169, q171, q175, q180, q188, q189, q190, q193, q198)
+      q151, q152, q165, q169, q171, q175, q180, q188, q189, q190, q193, q198,
+      q201)
 }

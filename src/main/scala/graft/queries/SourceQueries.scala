@@ -361,6 +361,36 @@ object SourceQueries {
         sum(col("l_quantity").cast("long")).as("qty"))
   }
 
+  /** Schema evolution across parquet batches: an early batch lands
+    * WITHOUT the later `n_chars` column, a later batch WITH it — the
+    * lakehouse reality of a corpus ingested over months. The
+    * `mergeSchema` re-read unions the schemas (missing column reads
+    * as NULL, no rewrite of old files), and the aggregate proves the
+    * null-fill semantics exactly against the original table. Scale
+    * note: schema merge is a footer-only planning cost; the data
+    * files are untouched. */
+  val q202 = QuerySpec.sql(
+    "q202_schema_evolution",
+    """SELECT source, count(*) AS n_docs,
+      |       CAST(sum(CASE WHEN doc_id % 2 = 1 THEN n_chars ELSE 0 END) AS BIGINT) AS chars_known,
+      |       CAST(sum(CASE WHEN doc_id % 2 = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_with_chars
+      |FROM documents GROUP BY 1""",
+    "mergeSchema read across evolving parquet batches (S12 extension)") { (s, d) =>
+    val docs = Tables.documents(s, d)
+    val out = java.nio.file.Files.createTempDirectory("graft-q202").toString
+    docs.where(col("doc_id") % 2 === 0).select("doc_id", "source")
+      .write.mode("overwrite").parquet(out + "/batch0")
+    docs.where(col("doc_id") % 2 === 1).select("doc_id", "source", "n_chars")
+      .write.mode("overwrite").parquet(out + "/batch1")
+    s.read.option("mergeSchema", "true")
+      .parquet(out + "/batch0", out + "/batch1")
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(coalesce(col("n_chars"), lit(0L))).cast("long").as("chars_known"),
+        count(col("n_chars")).as("n_with_chars"))
+  }
+
   val all: Seq[QuerySpec] =
-    Seq(q44, q45, q46, q47, q48, q49, q79, q80, q121, q131, q146, q195, q196)
+    Seq(q44, q45, q46, q47, q48, q49, q79, q80, q121, q131, q146, q195, q196,
+      q202)
 }

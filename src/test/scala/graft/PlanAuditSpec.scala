@@ -244,6 +244,13 @@ class PlanAuditSpec extends SparkSpec {
       "no partition filter on the partitioned scan:\n" + p.take(2000))
   }
 
+  test("q201: CDC merge runs on ONE exchange — windows and final agg share the key") {
+    val p = planOf("q201_cdc_merge")
+    val nExchanges = "(?<!Broadcast)Exchange".r.findAllIn(p).length
+    assert(nExchanges <= 1,
+      s"CDC merge shuffles events more than once:\n" + p.take(3000))
+  }
+
   test("q197: the SQL front end still picks broadcast joins and partial aggs") {
     val p = planOf("q197_sql_frontend")
     assert(p.contains("BroadcastHashJoin"),
