@@ -1716,6 +1716,50 @@ object Corpus {
       maxHamming = 3)
   }
 
+  /** Incremental snapshot diff — the change-detection pass an
+    * incremental ingest runs between two corpus snapshots: full-outer
+    * join on the key, rows classified added / removed / changed /
+    * unchanged by comparing content hashes (md5 travels instead of
+    * text, so the shuffle carries 32 bytes per doc regardless of
+    * document size — THE trick that keeps snapshot diffs cheap at
+    * 100 TB). Snapshots are derived deterministically from the base
+    * table (A drops doc_id≡0 mod 7; B drops ≡0 mod 5 and revises
+    * ≡0 mod 11), so the oracle replays them exactly. */
+  val q203 = QuerySpec.sql(
+    "q203_snapshot_diff",
+    """WITH a AS (
+      |  SELECT doc_id, source, md5(text) AS h
+      |  FROM documents WHERE doc_id % 7 <> 0),
+      |b AS (
+      |  SELECT doc_id, source,
+      |         md5(CASE WHEN doc_id % 11 = 0 THEN text || ' [rev2]' ELSE text END) AS h
+      |  FROM documents WHERE doc_id % 5 <> 0),
+      |d AS (
+      |  SELECT coalesce(a.source, b.source) AS source,
+      |         CASE WHEN a.doc_id IS NULL THEN 'added'
+      |              WHEN b.doc_id IS NULL THEN 'removed'
+      |              WHEN a.h <> b.h THEN 'changed'
+      |              ELSE 'unchanged' END AS status
+      |  FROM a FULL OUTER JOIN b ON a.doc_id = b.doc_id)
+      |SELECT source, status, count(*) AS n
+      |FROM d GROUP BY 1, 2""",
+    "incremental snapshot diff via content-hash full-outer join (ingest tier)") { (s, d) =>
+    val docs = Tables.documents(s, d)
+    val a = docs.where(col("doc_id") % 7 =!= 0)
+      .select(col("doc_id"), col("source"), md5(col("text")).as("h"))
+    val b = docs.where(col("doc_id") % 5 =!= 0)
+      .select(col("doc_id"), col("source"),
+        md5(when(col("doc_id") % 11 === 0, concat(col("text"), lit(" [rev2]")))
+          .otherwise(col("text"))).as("h"))
+    a.as("a").join(b.as("b"), col("a.doc_id") === col("b.doc_id"), "full_outer")
+      .select(coalesce(col("a.source"), col("b.source")).as("source"),
+        when(col("a.doc_id").isNull, "added")
+          .when(col("b.doc_id").isNull, "removed")
+          .when(col("a.h") =!= col("b.h"), "changed")
+          .otherwise("unchanged").as("status"))
+      .groupBy("source", "status").agg(count(lit(1)).as("n"))
+  }
+
   /** Quantile normalization across sources — each doc's length is
     * replaced by the GLOBAL value at its source-relative rank, the
     * distribution-matching transform that removes per-source scale
@@ -1797,5 +1841,5 @@ object Corpus {
       q43, q77, q78, q83, q91, q92, q93, q97, q103, q112, q113, q114, q116,
       q139, q140, q141, q144, q147, q148, q149, q150, q153, q154, q155, q157,
       q158, q159, q161, q163, q164, q166, q173, q174, q184, q185, q187, q192,
-      q194, q199, q200)
+      q194, q199, q200, q203)
 }

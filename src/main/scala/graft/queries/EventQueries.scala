@@ -751,8 +751,42 @@ object EventQueries {
         expr("max_by(value_cents, rk)").cast("long").as("last_value_cents"))
   }
 
+  /** Ordered-sequence pattern matching (the MATCH_RECOGNIZE-shaped
+    * CEP ask): each user's event history collapses to a tiny symbol
+    * string — initial letter per event, total-ordered by (ts,
+    * event_id) — and the pattern `s[cv]*p` (signup, then purchase
+    * with only clicks/views between) is counted by one regex scan.
+    * Scale shape: ONE exchange on user_id; the shuffled payload is a
+    * few bytes per event (symbol + order key), and the per-user
+    * string is bounded by that user's event count — regex time is
+    * linear, state never leaves the row. Non-overlapping match
+    * semantics are identical in Java and DuckDB's regex engines for
+    * this alternation-free pattern. */
+  val q204 = QuerySpec.sql(
+    "q204_sequence_pattern",
+    """WITH seqs AS (
+      |  SELECT user_id,
+      |         string_agg(substr(event_type, 1, 1), '' ORDER BY ts, event_id) AS seq
+      |  FROM events GROUP BY 1)
+      |SELECT user_id,
+      |       CAST(len(regexp_extract_all(seq, 's[cv]*p')) AS BIGINT) AS n_conversions,
+      |       CAST(length(seq) AS BIGINT) AS n_events
+      |FROM seqs""",
+    "signup->purchase conversion paths via regex over ordered event symbols (CEP tier)") { (s, d) =>
+    Tables.events(s, d)
+      .select(col("user_id"),
+        struct(col("ts"), col("event_id"),
+          substring(col("event_type"), 1, 1).as("sym")).as("e"))
+      .groupBy("user_id")
+      .agg(array_join(transform(array_sort(collect_list(col("e"))),
+        e => e.getField("sym")), "").as("seq"))
+      .select(col("user_id"),
+        regexp_count(col("seq"), lit("s[cv]*p")).cast("long").as("n_conversions"),
+        length(col("seq")).cast("long").as("n_events"))
+  }
+
   val all: Seq[QuerySpec] =
     Seq(q60, q61, q62, q88, q105, q106, q108, q124, q127, q142, q143, q145,
       q151, q152, q165, q169, q171, q175, q180, q188, q189, q190, q193, q198,
-      q201)
+      q201, q204)
 }

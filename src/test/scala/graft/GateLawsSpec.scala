@@ -286,6 +286,43 @@ class GateLawsSpec extends SparkSpec {
     peak.foreach { case (t, p) => assert(p <= tot(t)) }
   }
 
+  test("q203 snapshot diff: statuses partition both snapshots; totals reconcile") {
+    val out = SparkEntry.queries("q203_snapshot_diff")(spark, sf).collect()
+      .map(r => (r.getString(1), r.getLong(2))).groupBy(_._1)
+      .view.mapValues(_.map(_._2).sum).toMap
+    val docs = Tables.documents(spark, sf)
+    val nA = docs.where(col("doc_id") % 7 =!= 0).count()
+    val nB = docs.where(col("doc_id") % 5 =!= 0).count()
+    val inA = out.getOrElse("removed", 0L) + out.getOrElse("changed", 0L) +
+      out.getOrElse("unchanged", 0L)
+    val inB = out.getOrElse("added", 0L) + out.getOrElse("changed", 0L) +
+      out.getOrElse("unchanged", 0L)
+    assert(inA == nA, s"A-side rows $inA != |A| $nA")
+    assert(inB == nB, s"B-side rows $inB != |B| $nB")
+    // every doc_id≡0 mod 11 surviving both snapshots must be 'changed'
+    val nChanged = docs.where(col("doc_id") % 11 === 0 &&
+      col("doc_id") % 7 =!= 0 && col("doc_id") % 5 =!= 0).count()
+    assert(out.getOrElse("changed", 0L) == nChanged,
+      s"changed ${out.get("changed")} != revised survivors $nChanged")
+  }
+
+  test("q204 sequence pattern: conversions bounded by signups and purchases") {
+    val out = SparkEntry.queries("q204_sequence_pattern")(spark, sf).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val counts = Tables.events(spark, sf)
+      .groupBy("user_id")
+      .agg(sum(when(col("event_type") === "signup", 1L).otherwise(0L)).as("s"),
+        sum(when(col("event_type") === "purchase", 1L).otherwise(0L)).as("p"),
+        count(lit(1)).as("n"))
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    out.foreach { case (u, (conv, nEv)) =>
+      val (sCnt, pCnt, n) = counts(u)
+      assert(conv <= math.min(sCnt, pCnt), s"user $u: $conv conversions > min($sCnt,$pCnt)")
+      assert(nEv == n, s"user $u: seq length $nEv != event count $n")
+    }
+    assert(out.values.exists(_._1 > 0), "no conversions anywhere — vacuous gate")
+  }
+
   test("q178 profile: null/distinct counts reconcile with direct recompute") {
     val out = SparkEntry.queries("q178_profile")(spark, sf).collect()
       .map(r => r.getString(0) -> r).toMap
