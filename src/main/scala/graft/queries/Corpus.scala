@@ -1760,6 +1760,46 @@ object Corpus {
       .groupBy("source", "status").agg(count(lit(1)).as("n"))
   }
 
+  /** Cross-source n-gram overlap matrix — the contamination audit run
+    * before mixing corpora (or before trusting a benchmark source):
+    * distinct 3-grams per source, pairwise shared-gram counts and
+    * containment (shared / smaller vocabulary). Scale shape: the only
+    * data-sized shuffle is the distinct (source, gram) table; the
+    * pair join is gram-equi (posting-list style), never source×source
+    *×grams; output is |sources|² rows. Complements q93 (doc-level
+    * decontamination) with the source-level dashboard view. */
+  val q205 = QuerySpec.sql(
+    "q205_source_overlap",
+    """WITH toks AS (
+      |  SELECT source, regexp_extract_all(lower(text), '\S+') AS l FROM documents),
+      |g AS (
+      |  SELECT DISTINCT source, array_to_string(l[i:i+2], '_') AS tok
+      |  FROM toks, unnest(generate_series(1, greatest(len(l) - 2, least(len(l), 1)))) AS u(i)),
+      |sz AS (SELECT source, count(*) AS n FROM g GROUP BY 1),
+      |ov AS (
+      |  SELECT a.source AS s1, b.source AS s2, count(*) AS n_shared
+      |  FROM g a JOIN g b ON a.tok = b.tok AND a.source < b.source
+      |  GROUP BY 1, 2)
+      |SELECT s1, s2, CAST(n_shared AS BIGINT) AS n_shared,
+      |       CAST(z1.n AS BIGINT) AS n1, CAST(z2.n AS BIGINT) AS n2,
+      |       CAST(n_shared AS DOUBLE) / least(z1.n, z2.n) AS containment
+      |FROM ov JOIN sz z1 ON z1.source = s1 JOIN sz z2 ON z2.source = s2""",
+    "source-pair 3-gram overlap / containment matrix (contamination audit)") { (s, d) =>
+    val g = Tables.documents(s, d)
+      .select(col("source"), explode(TextOps.wordShingles(col("text"), 3)).as("tok"))
+      .distinct()
+    val sz = g.groupBy("source").agg(count(lit(1)).as("n"))
+    val ov = g.as("a").join(g.as("b"),
+        col("a.tok") === col("b.tok") && col("a.source") < col("b.source"))
+      .groupBy(col("a.source").as("s1"), col("b.source").as("s2"))
+      .agg(count(lit(1)).as("n_shared"))
+    ov.join(sz.select(col("source").as("s1"), col("n").as("n1")), Seq("s1"))
+      .join(sz.select(col("source").as("s2"), col("n").as("n2")), Seq("s2"))
+      .select(col("s1"), col("s2"), col("n_shared"), col("n1"), col("n2"),
+        (col("n_shared").cast("double") / least(col("n1"), col("n2")))
+          .as("containment"))
+  }
+
   /** Quantile normalization across sources — each doc's length is
     * replaced by the GLOBAL value at its source-relative rank, the
     * distribution-matching transform that removes per-source scale
@@ -1841,5 +1881,5 @@ object Corpus {
       q43, q77, q78, q83, q91, q92, q93, q97, q103, q112, q113, q114, q116,
       q139, q140, q141, q144, q147, q148, q149, q150, q153, q154, q155, q157,
       q158, q159, q161, q163, q164, q166, q173, q174, q184, q185, q187, q192,
-      q194, q199, q200, q203)
+      q194, q199, q200, q203, q205)
 }

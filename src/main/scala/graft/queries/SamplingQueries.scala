@@ -344,7 +344,93 @@ object SamplingQueries {
       "c_mktsegment", Seq("c_custkey"), "c_acctbal", k = 10, seed = 21)
   }
 
+  /** Temporal train/eval split — the leakage-safe cutoff for models
+    * over event data: everything at-or-before the global 80th-
+    * percentile instant trains, everything after evaluates. The
+    * cutoff is rank-SELECTED under the total order (ts, event_id) —
+    * exact and engine-replayable. Scale note: the global rank is a
+    * full sort at gate scale; the documented 100 TB path derives the
+    * cutoff from a sampled/sketched quantile instead (q192's note) —
+    * the split semantics downstream are unchanged. Output counts per
+    * (split, event_type) plus the user overlap that leakage analyses
+    * start from. */
+  val q206 = QuerySpec.sql(
+    "q206_temporal_split",
+    """WITH rk AS (
+      |  SELECT user_id, event_type, ts, event_id,
+      |         row_number() OVER (ORDER BY ts, event_id) AS r,
+      |         count(*) OVER () AS n
+      |  FROM events),
+      |cut AS (SELECT ts AS cts, event_id AS cid FROM rk
+      |        WHERE r = (4 * n + 4) // 5),
+      |lab AS (
+      |  SELECT user_id, event_type,
+      |         CASE WHEN ts < cts OR (ts = cts AND event_id <= cid)
+      |              THEN 'train' ELSE 'eval' END AS split
+      |  FROM rk, cut)
+      |SELECT split, event_type, count(*) AS n_events,
+      |       CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+      |FROM lab GROUP BY 1, 2""",
+    "temporal 80/20 train-eval split at a rank-selected cutoff (ML data tier)") { (s, d) =>
+    import org.apache.spark.sql.expressions.Window
+    val rk = Tables.events(s, d)
+      .select(col("user_id"), col("event_type"), col("ts"), col("event_id"))
+      .withColumn("r", row_number().over(Window.orderBy(col("ts"), col("event_id"))))
+      .withColumn("n", count(lit(1)).over(Window.partitionBy()))
+    val cut = rk.where(col("r").cast("long") === expr("(4 * n + 4) DIV 5"))
+      .select(col("ts").as("cts"), col("event_id").as("cid"))
+    rk.crossJoin(broadcast(cut))
+      .select(col("user_id"), col("event_type"),
+        when(col("ts") < col("cts") ||
+          (col("ts") === col("cts") && col("event_id") <= col("cid")), "train")
+          .otherwise("eval").as("split"))
+      .groupBy("split", "event_type")
+      .agg(count(lit(1)).as("n_events"),
+        countDistinct("user_id").as("n_users"))
+  }
+
+  /** Deterministic negative sampling — the contrastive-pair generator
+    * for link prediction / recommendation training: 4 pseudo-random
+    * candidate suppliers per customer from the md5 idiom (every draw
+    * replayable in SQL), minus the true interactions (anti-join on
+    * the observed customer→supplier pairs). Scale shape: candidates
+    * are |customers|×k rows generated scan-side (no cross join
+    * anywhere); the anti-join shuffles (custkey, suppkey) ids only.
+    * Contiguous TPC-H suppkeys [1..S] make the index→key map free;
+    * for non-contiguous keys the documented path is a zipWithIndex
+    * dimension table joined the same way. */
+  val q207 = QuerySpec.sql(
+    "q207_negative_sampling",
+    """WITH ns AS (SELECT count(*) AS n FROM supplier),
+      |cand AS (
+      |  SELECT c_custkey, slot,
+      |         1 + (('0x' || substr(md5('neg|' || CAST(c_custkey AS VARCHAR) || '|' || CAST(slot AS VARCHAR)), 1, 8))::BIGINT
+      |              % (SELECT n FROM ns)) AS s_suppkey
+      |  FROM customer, unnest(generate_series(0, 3)) AS u(slot))
+      |SELECT c.c_custkey, CAST(c.slot AS BIGINT) AS slot,
+      |       CAST(c.s_suppkey AS BIGINT) AS s_suppkey
+      |FROM cand c
+      |WHERE NOT EXISTS (
+      |  SELECT 1 FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+      |  WHERE o.o_custkey = c.c_custkey AND l.l_suppkey = c.s_suppkey)""",
+    "md5-replayable negative pairs minus observed interactions (contrastive tier)") { (s, d) =>
+    val nSupp = Tables.supplier(s, d).count()
+    val cand = Tables.customer(s, d)
+      .select(col("c_custkey"), explode(array((0 until 4).map(lit(_)): _*)).as("slot"))
+      .select(col("c_custkey"), col("slot").cast("long").as("slot"),
+        (graft.functions.HexSlice32(
+          md5(concat(lit("neg|"), col("c_custkey").cast("string"),
+            lit("|"), col("slot").cast("string"))), lit(0)) % nSupp + 1)
+          .as("s_suppkey"))
+    val pos = Tables.orders(s, d).join(Tables.lineitem(s, d),
+        col("l_orderkey") === col("o_orderkey"))
+      .select(col("o_custkey").as("c_custkey"), col("l_suppkey").as("s_suppkey"))
+      .distinct()
+    cand.join(pos, Seq("c_custkey", "s_suppkey"), "left_anti")
+      .select(col("c_custkey"), col("slot"), col("s_suppkey"))
+  }
+
   val all: Seq[QuerySpec] =
     Seq(q63, q64, q65, q85, q86, q101, q102, q107, q109, q111, q137, q172,
-      q179, q182)
+      q179, q182, q206, q207)
 }
