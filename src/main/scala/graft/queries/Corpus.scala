@@ -1800,6 +1800,40 @@ object Corpus {
           .as("containment"))
   }
 
+  /** Canonicalization dedup — the normalize-then-hash pass that
+    * catches duplicates exact dedup misses (case, punctuation and
+    * whitespace variants of the same content): lowercase → non-
+    * alphanumeric runs to one space → trim → md5 → group. Both
+    * regex engines substitute ALL occurrences here (Spark by
+    * default; DuckDB via the 'g' flag), so the canonical form is
+    * engine-identical. Only collapsed groups (n > 1) are emitted —
+    * the review queue a cleaning pipeline actually materializes.
+    * Scale shape: identical to exact dedup — one hash aggregation,
+    * 32 bytes per doc shuffled. Emitted as the per-source collapse
+    * profile (raw vs exact-distinct vs canonical-distinct counts),
+    * the number a cleaning dashboard tracks. */
+  val q209 = QuerySpec.sql(
+    "q209_canonical_dedup",
+    """WITH c AS (
+      |  SELECT doc_id, source,
+      |         md5(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'))) AS ch,
+      |         md5(text) AS eh
+      |  FROM documents)
+      |SELECT source, count(*) AS n_docs,
+      |       CAST(count(DISTINCT eh) AS BIGINT) AS n_exact,
+      |       CAST(count(DISTINCT ch) AS BIGINT) AS n_canonical
+      |FROM c GROUP BY 1""",
+    "normalize-then-hash collapse profile per source (dedup tier)") { (s, d) =>
+    Tables.documents(s, d)
+      .select(col("doc_id"), col("source"),
+        md5(trim(regexp_replace(lower(col("text")), "[^a-z0-9]+", " "))).as("ch"),
+        md5(col("text")).as("eh"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        countDistinct(col("eh")).as("n_exact"),
+        countDistinct(col("ch")).as("n_canonical"))
+  }
+
   /** Quantile normalization across sources — each doc's length is
     * replaced by the GLOBAL value at its source-relative rank, the
     * distribution-matching transform that removes per-source scale
@@ -1881,5 +1915,5 @@ object Corpus {
       q43, q77, q78, q83, q91, q92, q93, q97, q103, q112, q113, q114, q116,
       q139, q140, q141, q144, q147, q148, q149, q150, q153, q154, q155, q157,
       q158, q159, q161, q163, q164, q166, q173, q174, q184, q185, q187, q192,
-      q194, q199, q200, q203, q205)
+      q194, q199, q200, q203, q205, q209)
 }

@@ -785,8 +785,37 @@ object EventQueries {
         length(col("seq")).cast("long").as("n_events"))
   }
 
+  /** SCD-2 history build — q201's companion: instead of compacting
+    * the changelog to its latest state, every change becomes a
+    * versioned validity interval (valid_from, valid_to, is_current),
+    * the dimension-table shape a warehouse keeps for point-in-time
+    * joins (q106 consumes exactly this form). One exchange on
+    * user_id; version numbers and interval ends are pure window
+    * arithmetic under the total order (ts, event_id). */
+  val q208 = QuerySpec.sql(
+    "q208_scd2_history",
+    """SELECT user_id, event_id,
+      |       CAST(row_number() OVER w AS BIGINT) AS version,
+      |       CAST(round(value * 100, 0) AS BIGINT) AS value_cents,
+      |       ts AS valid_from,
+      |       lead(ts) OVER w AS valid_to,
+      |       CAST(CASE WHEN lead(ts) OVER w IS NULL THEN 1 ELSE 0 END AS BIGINT) AS is_current
+      |FROM events
+      |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)""",
+    "SCD-2 validity intervals from the event changelog (lakehouse tier)") { (s, d) =>
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+    Tables.events(s, d)
+      .select(col("user_id"), col("event_id"),
+        row_number().over(w).cast("long").as("version"),
+        round(col("value") * 100, 0).cast("long").as("value_cents"),
+        col("ts").as("valid_from"),
+        lead(col("ts"), 1).over(w).as("valid_to"),
+        when(lead(col("ts"), 1).over(w).isNull, 1L).otherwise(0L).as("is_current"))
+  }
+
   val all: Seq[QuerySpec] =
     Seq(q60, q61, q62, q88, q105, q106, q108, q124, q127, q142, q143, q145,
       q151, q152, q165, q169, q171, q175, q180, q188, q189, q190, q193, q198,
-      q201, q204)
+      q201, q204, q208)
 }

@@ -390,7 +390,43 @@ object SourceQueries {
         count(col("n_chars")).as("n_with_chars"))
   }
 
+  /** Federated multi-format union: one logical table living in THREE
+    * physical formats at once — a TSV shard, a JSONL shard, a parquet
+    * shard (the ingest reality of a corpus assembled from many
+    * producers) — unioned by NAME and aggregated. The oracle replays
+    * the aggregate on the original table, so the gate proves all
+    * three readers and the name-based union carry identical rows.
+    * Text stays out of the TSV shard (delimiter safety — the
+    * documented TSV contract); each shard carries the same declared
+    * schema, no inference pass anywhere. */
+  val q210 = QuerySpec.sql(
+    "q210_federated_union",
+    """SELECT source,
+      |       count(*) AS n_docs,
+      |       CAST(sum(n_chars) AS BIGINT) AS total_chars,
+      |       CAST(min(doc_id) AS BIGINT) AS min_id,
+      |       CAST(max(doc_id) AS BIGINT) AS max_id
+      |FROM documents GROUP BY 1""",
+    "one logical table across TSV+JSONL+parquet shards, unioned by name (federation)") { (s, d) =>
+    import org.apache.spark.sql.types._
+    val narrow = Tables.documents(s, d)
+      .select(col("doc_id"), col("source"), col("n_chars").cast("long").as("n_chars"))
+    val out = java.nio.file.Files.createTempDirectory("graft-q210").toString
+    val schema = StructType(Seq(StructField("doc_id", LongType),
+      StructField("source", StringType), StructField("n_chars", LongType)))
+    graft.sources.Tabular.writeTsv(narrow.where(col("doc_id") % 3 === 0), out + "/tsv")
+    graft.sources.Tabular.writeJsonl(narrow.where(col("doc_id") % 3 === 1), out + "/jsonl")
+    narrow.where(col("doc_id") % 3 === 2).write.mode("overwrite").parquet(out + "/pq")
+    val tsv = graft.sources.Tabular.tsv(s, out + "/tsv", schema, header = true)
+    val jsonl = graft.sources.Tabular.jsonl(s, out + "/jsonl", schema)
+    val pq = s.read.parquet(out + "/pq")
+    tsv.unionByName(jsonl).unionByName(pq)
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("total_chars"),
+        min(col("doc_id")).as("min_id"), max(col("doc_id")).as("max_id"))
+  }
+
   val all: Seq[QuerySpec] =
     Seq(q44, q45, q46, q47, q48, q49, q79, q80, q121, q131, q146, q195, q196,
-      q202)
+      q202, q210)
 }
