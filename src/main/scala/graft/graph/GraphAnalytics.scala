@@ -970,6 +970,8 @@ object GraphAnalytics {
         val pr = g.pageRank()
         val btw = if (g.n <= quadraticMaxNodes) g.betweenness else nan
         val clo = if (g.n <= quadraticMaxNodes) g.closeness else nan
+        val har = if (g.n <= quadraticMaxNodes) g.harmonicScaled()
+          else Array.fill(g.n)(-1L)
         val div = g.diversity
         val alp =
           if (g.n > denseMaxNodes) nan
@@ -977,9 +979,10 @@ object GraphAnalytics {
             case _: IllegalArgumentException => nan
           }
         g.vertexIds.indices.map(i =>
-          (grp, g.vertexIds(i), eig(i), pr(i), btw(i), clo(i), div(i), alp(i)))
+          (grp, g.vertexIds(i), eig(i), pr(i), btw(i), clo(i), div(i), alp(i),
+            har(i)))
       }.toDF("group", "id", "eigen", "pagerank", "betweenness",
-        "closeness", "diversity", "alpha")
+        "closeness", "diversity", "alpha", "harmonic_scaled")
   }
 
   /** G19 — per-group targeted-removal robustness curve (NetSwan

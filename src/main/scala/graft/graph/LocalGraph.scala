@@ -72,6 +72,17 @@ final case class LocalGraph(
     if (d.isEmpty) 0.0 else d.length.toDouble / d.sum
   }
 
+  /** Harmonic centrality, exact-scaled: Σ_{d(u,v)>0} (K div d) with
+    * K = 720720 = lcm(1..16) — a pure BIGINT with NO floating point
+    * anywhere (the division exact for d ≤ 16 and identically
+    * truncated in the JVM, Spark `div` and DuckDB `//` beyond), so
+    * the value is engine-portable bit-for-bit. Unreachable pairs
+    * contribute 0 — harmonic's defining advantage over closeness on
+    * disconnected graphs. */
+  def harmonicScaled(k: Long = 720720L): Array[Long] = Array.tabulate(n) { v =>
+    bfs(v).foldLeft(0L)((acc, d) => if (d > 0) acc + k / d else acc)
+  }
+
   // ---- connectivity (G5) ----
 
   def componentIds: Array[Int] = {

@@ -339,6 +339,97 @@ object AnalyticsQueries {
       col("id").cast("long").as("node"), col("closeness"))
   }
 
+  /** Harmonic centrality, exact-scaled (beyond-reference — completes
+    * the distance-centrality family next to closeness): Σ over
+    * reachable pairs of 720720 div d, a pure BIGINT with no floating
+    * point anywhere (LocalGraph.harmonicScaled scaladoc). Defined —
+    * unlike closeness — on disconnected graphs, which is why modern
+    * surveys prefer it. Spark side is the same memoized vertex
+    * battery as q59/q76; oracle is q76's recursive-CTE walk with the
+    * integer-reciprocal aggregate. */
+  val q212 = QuerySpec.sql(
+    "q212_vertex_harmonic",
+    """WITH RECURSIVE e AS (
+      |  SELECT n_name AS grp, CAST(l_suppkey AS BIGINT) AS src,
+      |         CAST(o_custkey + 1000000 AS BIGINT) AS dst
+      |  FROM lineitem
+      |  JOIN orders ON l_orderkey = o_orderkey
+      |  JOIN customer ON o_custkey = c_custkey
+      |  JOIN nation ON c_nationkey = n_nationkey
+      |  WHERE l_quantity >= 49
+      |  GROUP BY 1, 2, 3),
+      |sym AS (SELECT grp, src AS a, dst AS b FROM e
+      |        UNION SELECT grp, dst AS a, src AS b FROM e),
+      |nodes AS (SELECT DISTINCT grp, a AS node FROM sym),
+      |walk AS (
+      |  SELECT grp, node AS root, node, 0 AS d FROM nodes
+      |  UNION
+      |  SELECT w.grp, w.root, s.b AS node, w.d + 1 AS d
+      |  FROM walk w JOIN sym s ON s.grp = w.grp AND s.a = w.node
+      |  WHERE w.d < 64),
+      |dist AS (SELECT grp, root, node, min(d) AS d FROM walk GROUP BY 1, 2, 3)
+      |SELECT grp, root AS node,
+      |       CAST(sum(720720 // d) AS BIGINT) AS harmonic_scaled
+      |FROM dist WHERE d > 0 GROUP BY grp, root""",
+    "per-vertex harmonic centrality, integer-exact, recursive-CTE-oracled") { (s, d) =>
+    vertexBattery(s, d).select(col("group").as("grp"),
+      col("id").cast("long").as("node"), col("harmonic_scaled"))
+  }
+
+  /** Categorical mixing matrix (beyond-reference — the attribute-
+    * assortativity companion to q120's numeric form): the joint
+    * distribution of edge endpoints over a node attribute (nation),
+    * with exact-integer margins — trace share vs the independence
+    * product is what an assortativity dashboard reads off. Every cell
+    * is a BIGINT count; expected_x2 is the margin product n_row·n_col
+    * (exact — the single IEEE division by E² is left to the reader,
+    * q185's residual-table idiom). Scale shape: one edge-table
+    * aggregation; attribute lookup is two broadcast dimension joins. */
+  val q213 = QuerySpec.sql(
+    "q213_mixing_matrix",
+    """WITH e AS (
+      |  SELECT DISTINCT l_suppkey AS sk, o_custkey AS ck
+      |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      |  WHERE l_quantity >= 49),
+      |lab AS (
+      |  SELECT e.sk, e.ck, sn.n_name AS src_nation, cn.n_name AS dst_nation
+      |  FROM e
+      |  JOIN supplier s ON s.s_suppkey = e.sk
+      |  JOIN nation sn ON sn.n_nationkey = s.s_nationkey
+      |  JOIN customer c ON c.c_custkey = e.ck
+      |  JOIN nation cn ON cn.n_nationkey = c.c_nationkey),
+      |cells AS (
+      |  SELECT src_nation, dst_nation, count(*) AS n
+      |  FROM lab GROUP BY 1, 2),
+      |rowm AS (SELECT src_nation, CAST(sum(n) AS BIGINT) AS n_row FROM cells GROUP BY 1),
+      |colm AS (SELECT dst_nation, CAST(sum(n) AS BIGINT) AS n_col FROM cells GROUP BY 1)
+      |SELECT c.src_nation, c.dst_nation, CAST(c.n AS BIGINT) AS n,
+      |       r.n_row, m.n_col, r.n_row * m.n_col AS expected_x2
+      |FROM cells c
+      |JOIN rowm r ON r.src_nation = c.src_nation
+      |JOIN colm m ON m.dst_nation = c.dst_nation""",
+    "edge-attribute mixing matrix with exact margins (assortativity tier)") { (s, d) =>
+    val e = Tables.lineitem(s, d).where(col("l_quantity") >= 49)
+      .join(Tables.orders(s, d), col("l_orderkey") === col("o_orderkey"))
+      .select(col("l_suppkey").as("sk"), col("o_custkey").as("ck")).distinct()
+    val supNat = broadcast(Tables.supplier(s, d)
+      .join(broadcast(Tables.nation(s, d)),
+        col("s_nationkey") === col("n_nationkey"))
+      .select(col("s_suppkey").as("sk"), col("n_name").as("src_nation")))
+    val cusNat = Tables.customer(s, d)
+      .join(broadcast(Tables.nation(s, d)),
+        col("c_nationkey") === col("n_nationkey"))
+      .select(col("c_custkey").as("ck"), col("n_name").as("dst_nation"))
+    val cells = e.join(supNat, Seq("sk")).join(cusNat, Seq("ck"))
+      .groupBy("src_nation", "dst_nation").agg(count(lit(1)).as("n"))
+    val rowm = cells.groupBy("src_nation").agg(sum(col("n")).as("n_row"))
+    val colm = cells.groupBy("dst_nation").agg(sum(col("n")).as("n_col"))
+    cells.join(broadcast(rowm), Seq("src_nation"))
+      .join(broadcast(colm), Seq("dst_nation"))
+      .select(col("src_nation"), col("dst_nation"), col("n"),
+        col("n_row"), col("n_col"), (col("n_row") * col("n_col")).as("expected_x2"))
+  }
+
   /** Chained-CTE DuckDB mirror of [[GraphAnalytics.pageRankExactScaled]]:
     * SQL recursion cannot aggregate over the recursive table, so the
     * fixed iteration count unrolls as one (messages, ranks) CTE pair
@@ -1803,5 +1894,5 @@ object AnalyticsQueries {
   val all: Seq[QuerySpec] =
     Seq(q53, q54, q55, q56, q57, q59, q74, q75, q76, q82, q90, q96, q98, q99,
       q100, q104, q110, q115, q117, q118, q119, q120, q122, q130, q133, q134,
-      q135, q136, q156, q162, q167, q170, q176, q177, q181, q191)
+      q135, q136, q156, q162, q167, q170, q176, q177, q181, q191, q212, q213)
 }

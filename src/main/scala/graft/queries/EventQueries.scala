@@ -814,8 +814,36 @@ object EventQueries {
         when(lead(col("ts"), 1).over(w).isNull, 1L).otherwise(0L).as("is_current"))
   }
 
+  /** Streaming CDC compaction parity — [[graft.streaming.StreamOps
+    * .cdcMergeStream]] run on the real streaming engine
+    * (mapGroupsWithState, Update mode, state = two longs per live
+    * key) must land exactly where the batch merge lands: the oracle
+    * is q201's SQL verbatim. This is the log-compaction state store
+    * gate — the same fold, bounded or unbounded. */
+  val q211 = QuerySpec.sql(
+    "q211_cdc_stream_parity",
+    """WITH ops AS (
+      |  SELECT user_id, event_id,
+      |         CASE WHEN event_type = 'error' THEN 'D' ELSE 'U' END AS op,
+      |         CAST(round(value * 100, 0) AS BIGINT) AS value_cents,
+      |         row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rk
+      |  FROM events),
+      |del AS (
+      |  SELECT user_id, max(CASE WHEN op = 'D' THEN rk ELSE 0 END) AS last_del
+      |  FROM ops GROUP BY 1),
+      |live AS (
+      |  SELECT o.user_id, o.rk, o.value_cents
+      |  FROM ops o JOIN del d ON d.user_id = o.user_id
+      |  WHERE o.op = 'U' AND o.rk > d.last_del)
+      |SELECT user_id, CAST(count(*) AS BIGINT) AS n_live_ops,
+      |       CAST(max_by(value_cents, rk) AS BIGINT) AS last_value_cents
+      |FROM live GROUP BY 1""",
+    "streaming CDC state store == batch changelog merge (stream parity)") { (s, d) =>
+    graft.streaming.StreamOps.runCdcMergeStream(s, d)
+  }
+
   val all: Seq[QuerySpec] =
     Seq(q60, q61, q62, q88, q105, q106, q108, q124, q127, q142, q143, q145,
       q151, q152, q165, q169, q171, q175, q180, q188, q189, q190, q193, q198,
-      q201, q204, q208)
+      q201, q204, q208, q211)
 }

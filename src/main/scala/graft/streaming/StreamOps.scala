@@ -327,4 +327,58 @@ object StreamOps {
         (sum(round(col("value") * 100, 0).cast("long")) / 100.0).as("sum_value"))
       .drop("session_seq")
   }
+
+  final case class CdcEvent(user_id: Long, ts: java.time.Instant,
+    event_id: Long, event_type: String, value: Double)
+  final case class CdcState(live: Long, lastCents: Long)
+
+  /** Stream-maintained CDC compaction — the stateful-streaming twin
+    * of the batch merge (q201): per user, `error` rows tombstone the
+    * state, every other row upserts; the maintained state is exactly
+    * (live-op count, latest value). State is two longs per ACTIVE
+    * key — the log-compaction state store a 100 TB/day changelog
+    * feed keeps in memory, bounded by live keys, never by history.
+    * Bounded-input semantics here (single micro-batch, iterator
+    * sorted by the (ts, event_id) total order); an unbounded feed
+    * gets the same fold incrementally because the state carries
+    * everything the fold needs. */
+  def cdcMergeStream(events: org.apache.spark.sql.Dataset[CdcEvent]): DataFrame = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_.user_id)
+      .mapGroupsWithState(GroupStateTimeout.NoTimeout())(
+        (uid: Long, it: Iterator[CdcEvent], state: GroupState[CdcState]) => {
+          var cur = state.getOption.getOrElse(CdcState(0L, 0L))
+          it.toSeq.sortBy(e => (micros(e.ts), e.event_id)).foreach { e =>
+            cur =
+              if (e.event_type == "error") CdcState(0L, 0L)
+              else CdcState(cur.live + 1L, math.round(e.value * 100))
+          }
+          state.update(cur)
+          (uid, cur.live, cur.lastCents)
+        })
+      .toDF("user_id", "n_live_ops", "last_value_cents")
+      .where(col("n_live_ops") > 0)
+  }
+
+  /** Drives [[cdcMergeStream]] over the bounded events table on the
+    * real streaming engine; the result must equal the batch merge
+    * (oracle: q201's SQL). */
+  def runCdcMergeStream(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val schema = spark.read.parquet(s"$dir/events.parquet").schema
+    val stream = spark.readStream.schema(schema)
+      .option("pathGlobFilter", "events.parquet").parquet(dir)
+      .transform(graft.Tables.normalizeEventTs)
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"),
+        col("value")).as[CdcEvent]
+    val merged = cdcMergeStream(stream)
+    val name = s"cdc_${System.identityHashCode(schema)}"
+    withStatePartitions(spark, 8) {
+      val q = merged.writeStream.outputMode(OutputMode.Update())
+        .format("memory").queryName(name).start()
+      try q.processAllAvailable() finally q.stop()
+    }
+    spark.table(name)
+  }
 }
