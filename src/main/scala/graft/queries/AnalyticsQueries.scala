@@ -1891,8 +1891,93 @@ object AnalyticsQueries {
         col("mean_bal"), coalesce(col("n_cosupp"), lit(0L)).as("n_cosupp"))
   }
 
+  /** Weighted one-mode projection of the bipartite graph — supplier
+    * pairs weighted by shared-customer count, the edge strength a
+    * bipartite network analysis starts from (plain co-occurrence
+    * projections throw this weight away). Scale shape: one self-join
+    * on (group, customer) — shuffle is customer-degree bounded, the
+    * classic projection cost; output is pair-sparse. */
+  val q215 = QuerySpec.sql(
+    "q215_weighted_projection",
+    """WITH e AS (
+      |  SELECT DISTINCT n_name AS grp, CAST(l_suppkey AS BIGINT) AS sk,
+      |         CAST(o_custkey AS BIGINT) AS ck
+      |  FROM lineitem
+      |  JOIN orders ON l_orderkey = o_orderkey
+      |  JOIN customer ON o_custkey = c_custkey
+      |  JOIN nation ON c_nationkey = n_nationkey
+      |  WHERE l_quantity >= 49)
+      |SELECT a.grp, a.sk AS s1, b.sk AS s2, count(*) AS w
+      |FROM e a JOIN e b ON a.grp = b.grp AND a.ck = b.ck AND a.sk < b.sk
+      |GROUP BY 1, 2, 3""",
+    "bipartite projection with shared-neighbor edge weights (graph tier)") { (s, d) =>
+    val e = bipartiteEdges(s, d)
+    e.as("a").join(e.as("b"),
+        col("a.grp") === col("b.grp") && col("a.ck") === col("b.ck") &&
+          col("a.sk") < col("b.sk"))
+      .groupBy(col("a.grp").as("grp"), col("a.sk").as("s1"), col("b.sk").as("s2"))
+      .agg(count(lit(1)).as("w"))
+  }
+
+  /** Per-supplier 4-cycle (square) count — the bipartite clustering
+    * signal (triangles cannot exist across a bipartition; C4 is the
+    * smallest cycle): node a sits in Σ_b C(w(a,b), 2) squares, where
+    * w is q215's shared-neighbor weight. Pure integer arithmetic
+    * (w·(w−1) is even, so DIV 2 is exact). Same projection join as
+    * q215 plus one symmetric aggregate. */
+  val q214 = QuerySpec.sql(
+    "q214_bipartite_squares",
+    """WITH e AS (
+      |  SELECT DISTINCT n_name AS grp, CAST(l_suppkey AS BIGINT) AS sk,
+      |         CAST(o_custkey AS BIGINT) AS ck
+      |  FROM lineitem
+      |  JOIN orders ON l_orderkey = o_orderkey
+      |  JOIN customer ON o_custkey = c_custkey
+      |  JOIN nation ON c_nationkey = n_nationkey
+      |  WHERE l_quantity >= 49),
+      |pw AS (
+      |  SELECT a.grp, a.sk AS s1, b.sk AS s2, count(*) AS w
+      |  FROM e a JOIN e b ON a.grp = b.grp AND a.ck = b.ck AND a.sk < b.sk
+      |  GROUP BY 1, 2, 3),
+      |sym AS (
+      |  SELECT grp, s1 AS sk, (w * (w - 1)) // 2 AS c4 FROM pw
+      |  UNION ALL
+      |  SELECT grp, s2 AS sk, (w * (w - 1)) // 2 AS c4 FROM pw)
+      |SELECT grp, sk, CAST(sum(c4) AS BIGINT) AS n_squares
+      |FROM sym GROUP BY 1, 2 HAVING sum(c4) > 0""",
+    "per-node bipartite 4-cycle counts (bipartite clustering tier)") { (s, d) =>
+    val e = bipartiteEdges(s, d)
+    val pw = e.as("a").join(e.as("b"),
+        col("a.grp") === col("b.grp") && col("a.ck") === col("b.ck") &&
+          col("a.sk") < col("b.sk"))
+      .groupBy(col("a.grp").as("grp"), col("a.sk").as("s1"), col("b.sk").as("s2"))
+      .agg(count(lit(1)).as("w"))
+      .select(col("grp"), col("s1"), col("s2"),
+        expr("(w * (w - 1)) DIV 2").as("c4"))
+    pw.select(col("grp"), col("s1").as("sk"), col("c4"))
+      .unionByName(pw.select(col("grp"), col("s2").as("sk"), col("c4")))
+      .groupBy("grp", "sk").agg(sum(col("c4")).as("n_squares"))
+      .where(col("n_squares") > 0)
+  }
+
+  /** The (group, supplier, customer) bipartite edge list shared by
+    * q214/q215 — memoized so the projection self-join's input scans
+    * once per session. */
+  private def bipartiteEdges(s: org.apache.spark.sql.SparkSession, d: String) =
+    graft.Memo.df(s, "bipartiteEdges", d) {
+      Tables.lineitem(s, d).where(col("l_quantity") >= 49)
+        .join(Tables.orders(s, d), col("l_orderkey") === col("o_orderkey"))
+        .join(Tables.customer(s, d), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(Tables.nation(s, d)),
+          col("c_nationkey") === col("n_nationkey"))
+        .select(col("n_name").as("grp"), col("l_suppkey").cast("long").as("sk"),
+          col("o_custkey").cast("long").as("ck"))
+        .distinct()
+    }
+
   val all: Seq[QuerySpec] =
     Seq(q53, q54, q55, q56, q57, q59, q74, q75, q76, q82, q90, q96, q98, q99,
       q100, q104, q110, q115, q117, q118, q119, q120, q122, q130, q133, q134,
-      q135, q136, q156, q162, q167, q170, q176, q177, q181, q191, q212, q213)
+      q135, q136, q156, q162, q167, q170, q176, q177, q181, q191, q212, q213,
+      q214, q215)
 }
