@@ -426,7 +426,33 @@ object SourceQueries {
         min(col("doc_id")).as("min_id"), max(col("doc_id")).as("max_id"))
   }
 
+  /** DataSource V2 FASTA provider end-to-end on REAL data volume:
+    * the documents table becomes a block-wrapped FASTA corpus (60-col
+    * lines), re-read through `format("graft-fasta")` with splitBytes
+    * forced far below file size — so the gate exercises the byte-
+    * range planner and the mid-record boundary alignment, not just
+    * the parser. The oracle recomputes every record length from the
+    * ORIGINAL table, closing the loop without the oracle ever seeing
+    * FASTA. (q44 keeps the tiny pinned fixture; this is the scale
+    * form.) */
+  val q216 = QuerySpec.sql(
+    "q216_fasta_dsv2",
+    """SELECT 'd' || CAST(doc_id AS VARCHAR) AS id,
+      |       CAST(length(upper(regexp_replace(text, '[^A-Za-z]', '', 'g'))) AS BIGINT) AS len
+      |FROM documents""",
+    "DSv2 FASTA scan with forced byte-range splits == original table (S3 scale form)") { (s, d) =>
+    val out = java.nio.file.Files.createTempDirectory("graft-q216").toString + "/fa"
+    Tables.documents(s, d)
+      .select(concat(lit(">d"), col("doc_id").cast("string"), lit("\n"),
+        regexp_replace(
+          upper(regexp_replace(col("text"), "[^A-Za-z]", "")),
+          "(.{60})", "$1\n")).as("value"))
+      .write.mode("overwrite").text(out)
+    s.read.format("graft-fasta").option("splitBytes", "4096").load(out)
+      .select(col("id"), col("length").as("len"))
+  }
+
   val all: Seq[QuerySpec] =
     Seq(q44, q45, q46, q47, q48, q49, q79, q80, q121, q131, q146, q195, q196,
-      q202, q210)
+      q202, q210, q216)
 }

@@ -1,0 +1,69 @@
+package graft.sources
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** The DSv2 FASTA provider must be value-identical to the RDD reader
+  * on every split geometry — including adversarial splitBytes that
+  * cut records mid-header, mid-sequence and exactly on boundaries —
+  * and must prune columns at the scan. */
+class FastaSourceSpec extends SparkSpec {
+
+  private def writeFixture(): (String, Int) = {
+    val rng = new scala.util.Random(7)
+    val recs = (0 until 211).map { i =>
+      val lines = (0 to rng.nextInt(4)).map(_ =>
+        (0 until (1 + rng.nextInt(70))).map(_ => "ACGT" (rng.nextInt(4))).mkString)
+      s">rec_$i sample=${i % 7}\n${lines.mkString("\n")}"
+    }
+    val dir = java.nio.file.Files.createTempDirectory("fasta-spec")
+    val f = dir.resolve("t.fasta")
+    java.nio.file.Files.write(f, (recs.mkString("\n") + "\n").getBytes)
+    (f.toString, recs.length)
+  }
+
+  test("DSv2 reader == RDD reader across adversarial split sizes") {
+    val (path, n) = writeFixture()
+    val want = BioSources.fasta(spark, path)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getString(2),
+        r.getLong(3))).toSet
+    assert(want.size == n)
+    for (split <- Seq(64L, 997L, 4096L, 1L << 20)) {
+      val got = spark.read.format("graft-fasta")
+        .option("splitBytes", split.toString).load(path)
+        .collect().map(r => (r.getString(0), r.getString(1), r.getString(2),
+          r.getLong(3))).toSet
+      assert(got == want, s"splitBytes=$split: ${got.size} vs ${want.size}; " +
+        s"missing=${(want -- got).take(3)} extra=${(got -- want).take(3)}")
+    }
+  }
+
+  test("column pruning reaches the scan: seq is never materialized for id+length") {
+    val (path, _) = writeFixture()
+    val df = spark.read.format("graft-fasta").load(path).select("id", "length")
+    val scans = df.queryExecution.executedPlan.collect {
+      case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec => b
+    }
+    assert(scans.nonEmpty, "no BatchScanExec in plan")
+    val cols = scans.head.scan.readSchema().fieldNames.toSet
+    assert(cols == Set("id", "length"), s"scan reads $cols")
+    // and the values still come out right
+    val total = df.agg(sum("length")).head().getLong(0)
+    val want = BioSources.fasta(spark, path).agg(sum("length")).head().getLong(0)
+    assert(total == want)
+  }
+
+  test("short name registration and empty/degenerate records") {
+    val dir = java.nio.file.Files.createTempDirectory("fasta-spec2")
+    val f = dir.resolve("d.fasta")
+    java.nio.file.Files.write(f,
+      ">a desc here\nACGT\nAC\n>\n>b\n\n>c x\nGG\n".getBytes)
+    val rows = spark.read.format("graft-fasta").load(f.toString)
+      .orderBy("id").collect()
+      .map(r => (r.getString(0), r.getString(2), r.getLong(3)))
+    // a bare ">" record has no content at all and is dropped — the
+    // same contract as the RDD reader's nonEmpty filter
+    assert(rows.toSeq == Seq(("a", "ACGTAC", 6L),
+      ("b", "", 0L), ("c", "GG", 2L)), rows.mkString("; "))
+  }
+}
