@@ -683,14 +683,28 @@ object Dedup {
       .where(col("jaccard") >= minJaccard)
   }
 
-  /** Engine-portable SimHash signatures: two 32-bit words per doc from
-    * md5 slices of each distinct token (HexSlice32), ±1 bit votes
-    * folded in ONE 64-column grouped aggregate — no doc×bit row
-    * blowup, and every value is replayable in ANSI SQL (the md5
-    * idiom), unlike the xxhash64 production signature
-    * ([[graft.functions.SimHash64]]) which this mirrors structurally.
-    * Output: (idCol, sim1, sim2). */
-  def simHashPortable(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+  /** Engine-portable SimHash signatures: two 32-bit words per doc
+    * from md5 slices of each distinct token, folded scan-side by the
+    * native [[graft.functions.SimHashPortable]] expression — no
+    * explode, no shuffle, and every value replayable in ANSI SQL
+    * (the md5 idiom), unlike the xxhash64 production signature
+    * ([[graft.functions.SimHash64]]). Output: (idCol, sim1, sim2);
+    * token-less docs drop out (null signature), matching the
+    * relational form. */
+  def simHashPortable(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs.select(col(idCol),
+        graft.functions.SimHashPortable(
+          array_distinct(TextOps.tokens(col(textCol)))).as("s"))
+      .where(col("s").isNotNull)
+      .select(col(idCol), col("s").getItem(0).as("sim1"),
+        col("s").getItem(1).as("sim2"))
+
+  /** The explode → md5 → HexSlice32 → 64-column vote aggregate chain
+    * the native expression replaces — kept as the bit-equality test
+    * oracle (DedupSpec) and for inputs that genuinely arrive
+    * exploded. */
+  private[graft] def simHashPortableRelational(docs: DataFrame, idCol: String,
+      textCol: String): DataFrame = {
     val th = docs
       .select(col(idCol),
         explode(array_distinct(TextOps.tokens(col(textCol)))).as("tok"))
@@ -724,22 +738,35 @@ object Dedup {
     require(maxHamming <= 7,
       s"pigeonhole blocking with 8 blocks is exact only for hamming <= 7, got $maxHamming")
     val sh = simHashPortable(docs, idCol, textCol)
+    // block geometry adapts to the threshold: hamming ≤ 3 needs only
+    // 4 blocks (pigeonhole), so use 16-bit values — a 65536-value
+    // space with ~25× fewer candidate collisions than 8-bit blocks
+    // on a near-dup-dense corpus; ≤ 7 falls back to 8 × 8-bit
+    val blockCols =
+      if (maxHamming <= 3)
+        (0 until 4).map(g =>
+          (if (g < 2) shiftright(col("sim1"), g * 16)
+           else shiftright(col("sim2"), (g - 2) * 16)).bitwiseAND(lit(65535L)))
+      else
+        (0 until 8).map(g =>
+          (if (g < 4) shiftright(col("sim1"), g * 8)
+           else shiftright(col("sim2"), (g - 4) * 8)).bitwiseAND(lit(255L)))
     val blk = sh.select(col(idCol), col("sim1"), col("sim2"),
-      posexplode(array((0 until 8).map(g =>
-        (if (g < 4) shiftright(col("sim1"), g * 8)
-         else shiftright(col("sim2"), (g - 4) * 8)).bitwiseAND(lit(255L))): _*))
-        .as(Seq("blk_id", "blk_val")))
+      posexplode(array(blockCols: _*)).as(Seq("blk_id", "blk_val")))
     val a = blk.select(col("blk_id"), col("blk_val"), col(idCol).as("d1"),
       col("sim1").as("a1"), col("sim2").as("a2"))
     val b = blk.select(col("blk_id"), col("blk_val"), col(idCol).as("d2"),
       col("sim1").as("b1"), col("sim2").as("b2"))
     val ham = bit_count(col("a1").bitwiseXOR(col("b1"))) +
       bit_count(col("a2").bitwiseXOR(col("b2")))
+    // hamming filter BELOW the dedup: the codegen'd bit_count drops
+    // ~98% of candidate rows map-side, so the distinct shuffles only
+    // surviving (d1, d2, hamming) triples — not every block collision
+    // with both signatures attached (~50× narrower at sf0.1)
     a.join(b, Seq("blk_id", "blk_val")).where(col("d1") < col("d2"))
-      .select(col("d1"), col("a1"), col("a2"), col("d2"), col("b1"), col("b2"))
-      .distinct()
       .where(ham <= maxHamming)
       .select(col("d1"), col("d2"), ham.cast("long").as("hamming"))
+      .distinct()
   }
 
   /** The all-pairs reference form of [[simHashNearDupPairs]] — test

@@ -364,6 +364,12 @@ class DedupSpec extends SparkSpec {
         .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
       assert(blocked == brute, s"maxHamming=$t: blocked ${blocked.size} != brute ${brute.size}")
     }
+    // the native expression is bit-equal to the relational vote chain
+    val nat = Dedup.simHashPortable(corpus, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val rel = Dedup.simHashPortableRelational(corpus, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(nat == rel, "native simhash_portable != relational vote chain")
     // identical texts get identical signatures → hamming 0
     val sig = Dedup.simHashPortable(docs, "doc_id", "text")
       .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
