@@ -443,4 +443,78 @@ object Multimodal {
       }
     }
   }
+
+  /** 64-bit average-hash (aHash) of an encoded image: decode, bucket
+    * pixels into an 8×8 luminance grid (integer sums, integer
+    * division — no floats, so the hash is platform-deterministic),
+    * bit = cell above the global cell mean. The perceptual-dedup
+    * primitive for image lakes: byte-level dedup misses re-encoded /
+    * resized copies, aHash survives them. None for undecodable
+    * payloads. */
+  def aHash64(bytes: Array[Byte]): Option[Long] = {
+    val img =
+      try Option(javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes)))
+      catch { case _: java.io.IOException => None }
+    img.filter(im => im.getWidth > 0 && im.getHeight > 0).map { im =>
+      val (w, h) = (im.getWidth, im.getHeight)
+      val px = im.getRGB(0, 0, w, h, null, 0, w)
+      val sums = new Array[Long](64)
+      val cnts = new Array[Long](64)
+      var y = 0
+      while (y < h) {
+        val cy = y * 8 / h
+        var x = 0
+        while (x < w) {
+          val argb = px(y * w + x)
+          val lum = (((argb >>> 16) & 0xFF) * 299 + ((argb >>> 8) & 0xFF) * 587 +
+            (argb & 0xFF) * 114) / 1000
+          val c = cy * 8 + x * 8 / w
+          sums(c) += lum; cnts(c) += 1
+          x += 1
+        }
+        y += 1
+      }
+      val cells = Array.tabulate(64)(i => if (cnts(i) == 0) 0L else sums(i) / cnts(i))
+      val mean = cells.sum / 64
+      cells.zipWithIndex.foldLeft(0L) { case (acc, (v, i)) =>
+        if (v > mean) acc | (1L << i) else acc
+      }
+    }
+  }
+
+  /** (media_id, ahash) for every decodable image in the lake. */
+  def imageAHashes(media: Dataset[Media]): DataFrame = {
+    import media.sparkSession.implicits._
+    media.filter(_.kind == "image")
+      .flatMap(m => aHash64(m.bytes).map(h => (m.media_id, h)))
+      .toDF("media_id", "ahash")
+  }
+
+  /** Perceptual near-duplicate image pairs at hamming ≤ `maxHamming`
+    * over aHash, blocked by the pigeonhole scheme shared with the
+    * text SimHash operator (4 × 16-bit blocks, exact for ≤ 3; 8 ×
+    * 8-bit for ≤ 7 — equality with brute force law-tested in
+    * MultimodalSpec). Candidates are a block equi-join; the corpus
+    * of image bytes never shuffles — only (id, 64-bit hash). */
+  def imageNearDupPairs(media: Dataset[Media], maxHamming: Int): DataFrame = {
+    require(maxHamming <= 7,
+      s"pigeonhole blocking is exact only for hamming <= 7, got $maxHamming")
+    val hashes = imageAHashes(media)
+    val blockCols =
+      if (maxHamming <= 3)
+        (0 until 4).map(g => shiftright(col("ahash"), g * 16).bitwiseAND(lit(65535L)))
+      else
+        (0 until 8).map(g => shiftright(col("ahash"), g * 8).bitwiseAND(lit(255L)))
+    val blk = hashes.select(col("media_id"), col("ahash"),
+      posexplode(array(blockCols: _*)).as(Seq("blk_id", "blk_val")))
+    val a = blk.select(col("blk_id"), col("blk_val"),
+      col("media_id").as("m1"), col("ahash").as("h1"))
+    val b = blk.select(col("blk_id"), col("blk_val"),
+      col("media_id").as("m2"), col("ahash").as("h2"))
+    val ham = bit_count(col("h1").bitwiseXOR(col("h2")))
+    a.join(b, Seq("blk_id", "blk_val")).where(col("m1") < col("m2"))
+      .where(ham <= maxHamming)
+      .select(col("m1"), col("m2"), ham.cast("long").as("hamming"))
+      .distinct()
+  }
 }

@@ -342,5 +342,19 @@ object PipelineQueries {
     Seq((r6(stress), r6(kde))).toDF("nmds_stress_6dp", "kde_below_6dp")
   }
 
-  val all: Seq[QuerySpec] = Seq(q70, q71, q87, q72, q73, q84, q138, q168)
+  /** Perceptual image dedup — aHash (8×8 integer luminance grid, no
+    * floats) + the pigeonhole block join shared with the text SimHash
+    * family. Rows-only by nature (image decode has no ANSI-SQL
+    * form); determinism and blocked≡brute-force equality are pinned
+    * in MultimodalSpec. The pipeline capability this gates: finding
+    * re-encoded / near-identical images without ever shuffling image
+    * bytes — only (id, 64-bit hash) travels. */
+  val q219 = QuerySpec.rowsOnly(
+    "q219_image_ahash_neardup",
+    "perceptual near-dup image pairs via aHash + pigeonhole blocks (multimodal dedup)") { (s, d) =>
+    Multimodal.imageNearDupPairs(
+      Multimodal.fromDocuments(Tables.documents(s, d)), maxHamming = 3)
+  }
+
+  val all: Seq[QuerySpec] = Seq(q70, q71, q87, q72, q73, q84, q138, q168, q219)
 }

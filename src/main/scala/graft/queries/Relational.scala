@@ -803,8 +803,59 @@ object Relational {
       GROUP BY n_name, l_returnflag""")
   }
 
+  /** GROUPING SETS — the explicit multi-granularity form beyond
+    * rollup (q123) and cube (q126): an arbitrary, non-hierarchical
+    * set of grouping combinations in ONE pass (Catalyst expands to a
+    * single Expand + aggregate — one scan, one shuffle, however many
+    * granularities the report wants). Identical SQL text runs in
+    * both engines, grouping_id() disambiguates the null rows. */
+  val q217 = QuerySpec.sql(
+    "q217_grouping_sets",
+    """SELECT o_orderstatus, o_orderpriority,
+      |       CAST(grouping(o_orderstatus) * 2 + grouping(o_orderpriority) AS BIGINT) AS gid,
+      |       count(*) AS n,
+      |       CAST(sum(CAST(round(o_totalprice * 100, 0) AS BIGINT)) AS BIGINT) AS total_cents
+      |FROM orders
+      |GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority),
+      |                        (o_orderstatus), (o_orderpriority), ())""",
+    "arbitrary multi-granularity aggregate in one pass (A5 extension)") { (s, d) =>
+    Tables.orders(s, d).createOrReplaceTempView("orders")
+    s.sql("""SELECT o_orderstatus, o_orderpriority,
+      CAST(grouping(o_orderstatus) * 2 + grouping(o_orderpriority) AS BIGINT) AS gid,
+      count(*) AS n,
+      CAST(sum(CAST(round(o_totalprice * 100, 0) AS BIGINT)) AS BIGINT) AS total_cents
+      FROM orders
+      GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority),
+                              (o_orderstatus), (o_orderpriority), ())""")
+  }
+
+  /** INTERSECT ALL / EXCEPT ALL — multiset semantics (bag
+    * intersection keeps min multiplicity, bag difference subtracts
+    * it), the E-family completion beyond the distinct forms (q13/q14/
+    * q06). Same text both engines; the multiplicities come from
+    * duplicated customer keys in orders. */
+  val q218 = QuerySpec.sql(
+    "q218_multiset_ops",
+    """WITH a AS (SELECT o_custkey AS k FROM orders WHERE o_orderstatus = 'O'),
+      |b AS (SELECT o_custkey AS k FROM orders WHERE o_orderpriority = '1-URGENT')
+      |SELECT 'inter' AS op, k, count(*) AS n
+      |FROM (SELECT k FROM a INTERSECT ALL SELECT k FROM b) GROUP BY 2
+      |UNION ALL
+      |SELECT 'except' AS op, k, count(*) AS n
+      |FROM (SELECT k FROM a EXCEPT ALL SELECT k FROM b) GROUP BY 2""",
+    "INTERSECT ALL / EXCEPT ALL bag semantics (E-family completion)") { (s, d) =>
+    Tables.orders(s, d).createOrReplaceTempView("orders")
+    s.sql("""WITH a AS (SELECT o_custkey AS k FROM orders WHERE o_orderstatus = 'O'),
+      b AS (SELECT o_custkey AS k FROM orders WHERE o_orderpriority = '1-URGENT')
+      SELECT 'inter' AS op, k, count(*) AS n
+      FROM (SELECT k FROM a INTERSECT ALL SELECT k FROM b) GROUP BY 2
+      UNION ALL
+      SELECT 'except' AS op, k, count(*) AS n
+      FROM (SELECT k FROM a EXCEPT ALL SELECT k FROM b) GROUP BY 2""")
+  }
+
   val all: Seq[QuerySpec] = Seq(
     q01, q02, q03, q04, q05, q06, q07, q08, q09, q10, q11,
     q12, q13, q14, q15, q16, q17, q18, q19, q20, q21, q22, q23, q94, q95,
-    q123, q125, q126, q128, q129, q160, q178, q183, q186, q197)
+    q123, q125, q126, q128, q129, q160, q178, q183, q186, q197, q217, q218)
 }

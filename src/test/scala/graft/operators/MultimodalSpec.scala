@@ -122,6 +122,31 @@ class MultimodalSpec extends SparkSpec {
     }
   }
 
+  test("aHash near-dup: blocked == brute force; identical bytes hash identically") {
+    import org.apache.spark.sql.functions._
+    val hashes = Multimodal.imageAHashes(media)
+    // every decodable image hashes deterministically (re-run equality)
+    val h1 = hashes.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val h2 = Multimodal.imageAHashes(media).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(h1 == h2 && h1.nonEmpty)
+    for (t <- Seq(0, 3, 7)) {
+      val blocked = Multimodal.imageNearDupPairs(media, t)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      val a = hashes.select(col("media_id").as("m1"), col("ahash").as("h1"))
+      val b = hashes.select(col("media_id").as("m2"), col("ahash").as("h2"))
+      val ham = bit_count(col("h1").bitwiseXOR(col("h2")))
+      val brute = a.crossJoin(b).where(col("m1") < col("m2") && ham <= t)
+        .select(col("m1"), col("m2"), ham.cast("long"))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      assert(blocked == brute, s"t=$t: ${blocked.size} vs ${brute.size}")
+    }
+    val ex = intercept[IllegalArgumentException] {
+      Multimodal.imageNearDupPairs(media, 9)
+    }
+    assert(ex.getMessage.contains("pigeonhole"))
+  }
+
   test("resize stub bounds payload size and is a no-op when small") {
     val resized = Multimodal.resizeStub(media, targetBytes = 50).collect()
     assert(resized.forall(_.bytes.length <= 50))
