@@ -1834,6 +1834,67 @@ object Corpus {
         countDistinct(col("ch")).as("n_canonical"))
   }
 
+  /** Sparse TF-IDF cosine pairs — the WEIGHTED similarity join the
+    * Jaccard family (q35) cannot express: rare shared terms count
+    * more than common ones. Everything stays integer-exact until one
+    * final IEEE op chain: tf capped at 30 (sublinear capping also
+    * keeps every product inside BIGINT at any corpus size — bound in
+    * scaladoc math), idf quantized as 10⁶ div df (N-free, bounded by
+    * 10⁶), dot products and norms are exact BIGINT sums; cosine is
+    * computed from exact integers in both engines. Scale shape: the
+    * pair candidates come from the posting-list join on (source,
+    * token) — shuffle ∝ corpus tokens, compare ∝ co-occurring pairs,
+    * never all-pairs. */
+  val q221 = QuerySpec.sql(
+    "q221_tfidf_cosine_pairs",
+    """WITH tok AS (
+      |  SELECT doc_id, source, unnest(regexp_extract_all(lower(text), '(\S+)', 1)) AS tok
+      |  FROM documents),
+      |tf AS (
+      |  SELECT doc_id, source, tok, least(count(*), 30) AS tf
+      |  FROM tok GROUP BY 1, 2, 3),
+      |df AS (SELECT tok, count(*) AS df FROM tf GROUP BY 1),
+      |w AS (
+      |  SELECT tf.doc_id, tf.source, tf.tok,
+      |         CAST(tf.tf * (1000000 // df.df) AS BIGINT) AS w
+      |  FROM tf JOIN df USING (tok)),
+      |norms AS (SELECT doc_id, CAST(sum(w * w) AS BIGINT) AS n2 FROM w GROUP BY 1),
+      |dots AS (
+      |  SELECT a.doc_id AS d1, b.doc_id AS d2, CAST(sum(a.w * b.w) AS BIGINT) AS dp
+      |  FROM w a JOIN w b ON a.tok = b.tok AND a.source = b.source
+      |                    AND a.doc_id < b.doc_id
+      |  GROUP BY 1, 2),
+      |scored AS (
+      |  SELECT d1, d2,
+      |         CAST(dp AS DOUBLE) / (sqrt(CAST(x.n2 AS DOUBLE)) * sqrt(CAST(y.n2 AS DOUBLE))) AS cos_sim
+      |  FROM dots JOIN norms x ON x.doc_id = d1 JOIN norms y ON y.doc_id = d2)
+      |SELECT d1, d2, cos_sim FROM scored WHERE cos_sim >= 0.8""",
+    "posting-list TF-IDF cosine similarity join, integer-exact weights (IR tier)") { (s, d) =>
+    val tf = Tables.documents(s, d)
+      .select(col("doc_id"), col("source"),
+        explode(TextOps.tokens(col("text"))).as("tok"))
+      .groupBy("doc_id", "source", "tok")
+      .agg(least(count(lit(1)), lit(30L)).as("tf"))
+    val df = tf.groupBy("tok").agg(count(lit(1)).as("df"))
+    val w = tf.join(df, Seq("tok"))
+      .select(col("doc_id"), col("source"), col("tok"),
+        (col("tf") * expr("1000000 DIV df")).as("w"))
+    val norms = w.groupBy("doc_id").agg(sum(col("w") * col("w")).as("n2"))
+    val dots = w.as("a").join(w.as("b"),
+        col("a.tok") === col("b.tok") && col("a.source") === col("b.source") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
+      .agg(sum(col("a.w") * col("b.w")).as("dp"))
+    dots
+      .join(norms.select(col("doc_id").as("d1"), col("n2").as("x2")), Seq("d1"))
+      .join(norms.select(col("doc_id").as("d2"), col("n2").as("y2")), Seq("d2"))
+      .select(col("d1"), col("d2"),
+        (col("dp").cast("double") /
+          (sqrt(col("x2").cast("double")) * sqrt(col("y2").cast("double"))))
+          .as("cos_sim"))
+      .where(col("cos_sim") >= 0.8)
+  }
+
   /** Quantile normalization across sources — each doc's length is
     * replaced by the GLOBAL value at its source-relative rank, the
     * distribution-matching transform that removes per-source scale
@@ -1915,5 +1976,5 @@ object Corpus {
       q43, q77, q78, q83, q91, q92, q93, q97, q103, q112, q113, q114, q116,
       q139, q140, q141, q144, q147, q148, q149, q150, q153, q154, q155, q157,
       q158, q159, q161, q163, q164, q166, q173, q174, q184, q185, q187, q192,
-      q194, q199, q200, q203, q205, q209)
+      q194, q199, q200, q203, q205, q209, q221)
 }

@@ -842,8 +842,45 @@ object EventQueries {
     graft.streaming.StreamOps.runCdcMergeStream(s, d)
   }
 
+  /** Date-spine gap filling — the calendar-completion join every BI /
+    * time-series consumer needs: the observed daily counts joined
+    * onto a GENERATED continuous day spine (sequence of dates ×
+    * event types), zero-filling days with no events so downstream
+    * windows see a dense series. Scale shape: the spine is
+    * |days|×|types| rows — generated, tiny, broadcast; the daily
+    * aggregate is the only data-sized shuffle. */
+  val q222 = QuerySpec.sql(
+    "q222_date_spine",
+    """WITH bounds AS (
+      |  SELECT CAST(min(ts) AS DATE) AS d0, CAST(max(ts) AS DATE) AS d1 FROM events),
+      |spine AS (
+      |  SELECT CAST(unnest(generate_series(d0, d1, INTERVAL 1 DAY)) AS DATE) AS day
+      |  FROM bounds),
+      |types AS (SELECT DISTINCT event_type FROM events),
+      |daily AS (
+      |  SELECT CAST(ts AS DATE) AS day, event_type, count(*) AS n
+      |  FROM events GROUP BY 1, 2)
+      |SELECT CAST(s.day AS VARCHAR) AS day, t.event_type,
+      |       CAST(coalesce(d.n, 0) AS BIGINT) AS n
+      |FROM spine s CROSS JOIN types t
+      |LEFT JOIN daily d ON d.day = s.day AND d.event_type = t.event_type""",
+    "calendar spine generation + zero-filled daily series (time-series tier)") { (s, d) =>
+    val ev = Tables.events(s, d)
+    val bounds = ev.agg(to_date(min(col("ts"))).as("d0"),
+      to_date(max(col("ts"))).as("d1"))
+    val spine = bounds
+      .select(explode(expr("sequence(d0, d1, interval 1 day)")).as("day"))
+    val types = ev.select(col("event_type")).distinct()
+    val daily = ev.groupBy(to_date(col("ts")).as("day"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+    broadcast(spine).crossJoin(broadcast(types))
+      .join(daily, Seq("day", "event_type"), "left_outer")
+      .select(date_format(col("day"), "yyyy-MM-dd").as("day"), col("event_type"),
+        coalesce(col("n"), lit(0L)).as("n"))
+  }
+
   val all: Seq[QuerySpec] =
     Seq(q60, q61, q62, q88, q105, q106, q108, q124, q127, q142, q143, q145,
       q151, q152, q165, q169, q171, q175, q180, q188, q189, q190, q193, q198,
-      q201, q204, q208, q211)
+      q201, q204, q208, q211, q222)
 }

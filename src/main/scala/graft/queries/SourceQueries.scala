@@ -452,7 +452,51 @@ object SourceQueries {
       .select(col("id"), col("length").as("len"))
   }
 
+  /** Malformed-row quarantine — the ingest-resilience contract: a
+    * TSV feed where some rows are torn (wrong arity / junk) must
+    * load WITHOUT failing the job, routing bad rows to a corrupt-
+    * record column for a quarantine count while good rows parse
+    * normally (PERMISSIVE mode + columnNameOfCorruptRecord). The
+    * torn rows are derived deterministically (o_orderkey ≡ 0 mod 13
+    * gets its line replaced by junk), so the oracle recomputes both
+    * populations from the original table. */
+  val q220 = QuerySpec.sql(
+    "q220_corrupt_quarantine",
+    """SELECT CASE WHEN o_orderkey % 13 = 0 THEN 'quarantined' ELSE 'parsed' END AS status,
+      |       count(*) AS n,
+      |       CAST(sum(CASE WHEN o_orderkey % 13 <> 0
+      |                     THEN CAST(round(o_totalprice * 100, 0) AS BIGINT)
+      |                     ELSE 0 END) AS BIGINT) AS good_cents,
+      |       CAST(max(CASE WHEN o_orderkey % 13 <> 0 THEN o_orderkey
+      |                     ELSE -1 END) AS BIGINT) AS max_key
+      |FROM orders GROUP BY 1""",
+    "PERMISSIVE parse with corrupt-record quarantine (ingest resilience)") { (s, d) =>
+    import org.apache.spark.sql.types._
+    val out = java.nio.file.Files.createTempDirectory("graft-q220").toString + "/t"
+    Tables.orders(s, d)
+      .select(when(col("o_orderkey") % 13 === 0,
+          lit("###TORN-RECORD###"))
+        .otherwise(concat_ws("\t", col("o_orderkey"),
+          round(col("o_totalprice") * 100, 0).cast("long"))).as("value"))
+      .write.mode("overwrite").text(out)
+    val schema = StructType(Seq(
+      StructField("o_orderkey", LongType), StructField("cents", LongType),
+      StructField("_bad", StringType)))
+    // max_key also forces o_orderkey into the parsed subset: CSV
+    // corruption is detected per REFERENCED column (pruned parsing),
+    // so a gate reading only `cents` would never see the torn key
+    s.read.option("sep", "\t").option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", "_bad")
+      .schema(schema).csv(out)
+      .select(when(col("_bad").isNotNull, "quarantined")
+        .otherwise("parsed").as("status"), col("cents"), col("o_orderkey"))
+      .groupBy("status")
+      .agg(count(lit(1)).as("n"),
+        sum(coalesce(col("cents"), lit(0L))).cast("long").as("good_cents"),
+        max(coalesce(col("o_orderkey"), lit(-1L))).as("max_key"))
+  }
+
   val all: Seq[QuerySpec] =
     Seq(q44, q45, q46, q47, q48, q49, q79, q80, q121, q131, q146, q195, q196,
-      q202, q210, q216)
+      q202, q210, q216, q220)
 }
