@@ -854,8 +854,72 @@ object Relational {
       FROM (SELECT k FROM a EXCEPT ALL SELECT k FROM b) GROUP BY 2""")
   }
 
+  /** The typed-Aggregator → SQL surface: an exact-cents sum
+    * Aggregator (the ExactNum idiom as reusable state machine)
+    * registered through `spark.udf.register(functions.udaf(...))`
+    * and invoked from SQL TEXT — proving custom aggregation state
+    * machines are first-class to SQL users, not just the Scala API.
+    * Mergeable long state → map-side combine like any built-in. */
+  val q223 = QuerySpec.sql(
+    "q223_udaf_surface",
+    """SELECT o_orderstatus,
+      |       CAST(sum(CAST(round(o_totalprice * 100, 0) AS BIGINT)) AS BIGINT) AS cents,
+      |       count(*) AS n
+      |FROM orders GROUP BY 1""",
+    "typed Aggregator registered as a SQL UDAF (custom-agg surface)") { (s, d) =>
+    import org.apache.spark.sql.expressions.Aggregator
+    val centsSum = new Aggregator[java.lang.Double, Long, Long] {
+      def zero: Long = 0L
+      def reduce(b: Long, a: java.lang.Double): Long =
+        if (a == null) b else b + math.round(a * 100)
+      def merge(a: Long, b: Long): Long = a + b
+      def finish(r: Long): Long = r
+      def bufferEncoder: org.apache.spark.sql.Encoder[Long] =
+        org.apache.spark.sql.Encoders.scalaLong
+      def outputEncoder: org.apache.spark.sql.Encoder[Long] =
+        org.apache.spark.sql.Encoders.scalaLong
+    }
+    s.udf.register("sum_cents", org.apache.spark.sql.functions.udaf(centsSum))
+    Tables.orders(s, d).createOrReplaceTempView("orders")
+    s.sql("""SELECT o_orderstatus, sum_cents(o_totalprice) AS cents, count(*) AS n
+             FROM orders GROUP BY 1""")
+  }
+
+  /** Nested complex types end-to-end: each customer's orders roll up
+    * into a SORTED array<struct> column, then higher-order functions
+    * (filter / transform / aggregate) compute over the nested data
+    * without re-exploding — the schema shape a document/feature
+    * store serves. The oracle replays the same answers from flat
+    * SQL, proving the nest → HOF path loses nothing. One exchange
+    * builds the nest; every HOF is a codegen'd scan over the array
+    * cell. */
+  val q224 = QuerySpec.sql(
+    "q224_nested_hof",
+    """SELECT o_custkey AS custkey, count(*) AS n_orders,
+      |       CAST(sum(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS n_finished,
+      |       CAST(max(CAST(round(o_totalprice * 100, 0) AS BIGINT)) AS BIGINT) AS max_cents,
+      |       CAST(sum(CAST(round(o_totalprice * 100, 0) AS BIGINT)) AS BIGINT) AS total_cents
+      |FROM orders GROUP BY 1""",
+    "array<struct> rollup + higher-order functions == flat replay (nested tier)") { (s, d) =>
+    Tables.orders(s, d)
+      .select(col("o_custkey").as("custkey"),
+        struct(col("o_orderkey").as("k"), col("o_orderstatus").as("st"),
+          round(col("o_totalprice") * 100, 0).cast("long").as("cents")).as("o"))
+      .groupBy("custkey")
+      .agg(array_sort(collect_list(col("o"))).as("orders"))
+      .select(col("custkey"),
+        size(col("orders")).cast("long").as("n_orders"),
+        size(filter(col("orders"), o => o.getField("st") === "F"))
+          .cast("long").as("n_finished"),
+        array_max(transform(col("orders"), o => o.getField("cents")))
+          .as("max_cents"),
+        aggregate(transform(col("orders"), o => o.getField("cents")),
+          lit(0L), (acc, x) => acc + x).as("total_cents"))
+  }
+
   val all: Seq[QuerySpec] = Seq(
     q01, q02, q03, q04, q05, q06, q07, q08, q09, q10, q11,
     q12, q13, q14, q15, q16, q17, q18, q19, q20, q21, q22, q23, q94, q95,
-    q123, q125, q126, q128, q129, q160, q178, q183, q186, q197, q217, q218)
+    q123, q125, q126, q128, q129, q160, q178, q183, q186, q197, q217, q218,
+    q223, q224)
 }
