@@ -1895,6 +1895,68 @@ object Corpus {
       .where(col("cos_sim") >= 0.8)
   }
 
+  /** Exact two-sample Kolmogorov–Smirnov drift per source — the
+    * distribution-shift detector q185's χ²-residuals can't give for
+    * ORDERED features: D = max |F_source − F_rest| over document
+    * lengths, kept integer-exact by cross-multiplying the ECDFs
+    * (|cum_s·n_rest − cum_rest·n_s| — no division until nothing is
+    * left to compare). Scale shape: per-(source, value) counts, a
+    * |sources|×|distinct values| zero-filled grid (tiny), cumulative
+    * windows per source — the data-sized work is one groupBy. */
+  val q227 = QuerySpec.sql(
+    "q227_ks_drift",
+    """WITH x AS (SELECT source, CAST(n_chars AS BIGINT) AS v FROM documents),
+      |tot AS (SELECT source, count(*) AS ns FROM x GROUP BY 1),
+      |n AS (SELECT count(*) AS nt FROM x),
+      |vals AS (SELECT DISTINCT v FROM x),
+      |cnt AS (SELECT source, v, count(*) AS c FROM x GROUP BY 1, 2),
+      |grid AS (
+      |  SELECT s.source, t.v, coalesce(c.c, 0) AS c
+      |  FROM (SELECT DISTINCT source FROM x) s CROSS JOIN vals t
+      |  LEFT JOIN cnt c ON c.source = s.source AND c.v = t.v),
+      |cum AS (
+      |  SELECT source, v,
+      |         CAST(sum(c) OVER (PARTITION BY source ORDER BY v) AS BIGINT) AS cs
+      |  FROM grid),
+      |gcum AS (
+      |  SELECT v, CAST(sum(ca) OVER (ORDER BY v) AS BIGINT) AS g
+      |  FROM (SELECT v, count(*) AS ca FROM x GROUP BY 1)),
+      |d AS (
+      |  SELECT cum.source, cum.v,
+      |         abs(cum.cs * ((SELECT nt FROM n) - tot.ns)
+      |             - (gcum.g - cum.cs) * tot.ns) AS dsc
+      |  FROM cum JOIN gcum ON gcum.v = cum.v JOIN tot ON tot.source = cum.source)
+      |SELECT d.source, CAST(max(dsc) AS BIGINT) AS ks_scaled,
+      |       CAST(max(tot.ns) AS BIGINT) AS ns,
+      |       CAST((SELECT nt FROM n) - max(tot.ns) AS BIGINT) AS nr
+      |FROM d JOIN tot ON tot.source = d.source
+      |GROUP BY 1""",
+    "exact two-sample KS statistic per source vs rest (drift tier)") { (s, d) =>
+    import org.apache.spark.sql.expressions.Window
+    val x = Tables.documents(s, d)
+      .select(col("source"), col("n_chars").cast("long").as("v"))
+    val tot = x.groupBy("source").agg(count(lit(1)).as("ns"))
+    val nt = x.count()
+    val vals = x.select("v").distinct()
+    val cnt = x.groupBy("source", "v").agg(count(lit(1)).as("c"))
+    val grid = tot.select("source").crossJoin(broadcast(vals))
+      .join(cnt, Seq("source", "v"), "left_outer")
+      .select(col("source"), col("v"), coalesce(col("c"), lit(0L)).as("c"))
+    val cum = grid.withColumn("cs", sum(col("c")).over(
+      Window.partitionBy("source").orderBy("v")))
+    val gcum = x.groupBy("v").agg(count(lit(1)).as("ca"))
+      .withColumn("g", sum(col("ca")).over(Window.orderBy("v")))
+      .select(col("v"), col("g"))
+    cum.join(broadcast(gcum), Seq("v")).join(broadcast(tot), Seq("source"))
+      .select(col("source"), col("ns"),
+        abs(col("cs") * (lit(nt) - col("ns")) -
+          (col("g") - col("cs")) * col("ns")).as("dsc"))
+      .groupBy("source")
+      .agg(max(col("dsc")).as("ks_scaled"), max(col("ns")).as("ns"),
+        (lit(nt) - max(col("ns"))).as("nr"))
+      .select(col("source"), col("ks_scaled"), col("ns"), col("nr"))
+  }
+
   /** Quantile normalization across sources — each doc's length is
     * replaced by the GLOBAL value at its source-relative rank, the
     * distribution-matching transform that removes per-source scale
@@ -1976,5 +2038,5 @@ object Corpus {
       q43, q77, q78, q83, q91, q92, q93, q97, q103, q112, q113, q114, q116,
       q139, q140, q141, q144, q147, q148, q149, q150, q153, q154, q155, q157,
       q158, q159, q161, q163, q164, q166, q173, q174, q184, q185, q187, q192,
-      q194, q199, q200, q203, q205, q209, q221)
+      q194, q199, q200, q203, q205, q209, q221, q227)
 }

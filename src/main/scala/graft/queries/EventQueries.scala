@@ -879,8 +879,67 @@ object EventQueries {
         coalesce(col("n"), lit(0L)).as("n"))
   }
 
+  /** Cumulative distinct users per type by day — DISTINCT aggregation
+    * over a window, a surface Spark's windowed aggregates lack
+    * natively: expressed as `size(collect_set() OVER (RANGE
+    * UNBOUNDED..CURRENT))`, which DuckDB replays with its native
+    * `count(DISTINCT) OVER`. Scale note: the per-frame set is
+    * bounded by the key's distinct users; the documented 100 TB
+    * fallback is the HLL sketch (q140) merged cumulatively. */
+  val q225 = QuerySpec.sql(
+    "q225_window_distinct",
+    """WITH daily AS (
+      |  SELECT DISTINCT event_type, CAST(ts AS DATE) AS day, user_id FROM events)
+      |SELECT DISTINCT event_type, CAST(day AS VARCHAR) AS day,
+      |       CAST(count(DISTINCT user_id) OVER (PARTITION BY event_type ORDER BY day
+      |              RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_users
+      |FROM daily""",
+    "running distinct-user counts per type (window DISTINCT surface)") { (s, d) =>
+    import org.apache.spark.sql.expressions.Window
+    val daily = Tables.events(s, d)
+      .select(col("event_type"), to_date(col("ts")).as("day"), col("user_id"))
+      .distinct()
+    daily.withColumn("cum_users",
+        size(collect_set(col("user_id")).over(
+          Window.partitionBy("event_type").orderBy("day")
+            .rangeBetween(Window.unboundedPreceding, Window.currentRow)))
+          .cast("long"))
+      .select(col("event_type"), date_format(col("day"), "yyyy-MM-dd").as("day"),
+        col("cum_users"))
+      .distinct()
+  }
+
+  /** Gini mean difference per event type — the pairwise dispersion
+    * Σ|xᵢ−xⱼ| WITHOUT the pairwise join: the classic sorted-rank
+    * identity Σ(2i−n−1)·x₍ᵢ₎ turns an O(n²) statistic into one sort
+    * + one aggregate, integer-exact end to end (tie order cannot
+    * change the sum — equal values contribute zero either way). */
+  val q226 = QuerySpec.sql(
+    "q226_gini_dispersion",
+    """WITH v AS (
+      |  SELECT event_type, CAST(round(value * 100, 0) AS BIGINT) AS c FROM events),
+      |r AS (
+      |  SELECT event_type, c,
+      |         row_number() OVER (PARTITION BY event_type ORDER BY c) AS i,
+      |         count(*) OVER (PARTITION BY event_type) AS n
+      |  FROM v)
+      |SELECT event_type, CAST(sum((2 * i - n - 1) * c) AS BIGINT) AS gmd_sum,
+      |       CAST(max(n) AS BIGINT) AS n
+      |FROM r GROUP BY 1""",
+    "pairwise dispersion via the sorted-rank identity, no n^2 join (stats tier)") { (s, d) =>
+    import org.apache.spark.sql.expressions.Window
+    Tables.events(s, d)
+      .select(col("event_type"), round(col("value") * 100, 0).cast("long").as("c"))
+      .withColumn("i", row_number().over(
+        Window.partitionBy("event_type").orderBy("c")).cast("long"))
+      .withColumn("n", count(lit(1)).over(Window.partitionBy("event_type")))
+      .groupBy("event_type")
+      .agg(sum((lit(2) * col("i") - col("n") - 1) * col("c")).as("gmd_sum"),
+        max(col("n")).as("n"))
+  }
+
   val all: Seq[QuerySpec] =
     Seq(q60, q61, q62, q88, q105, q106, q108, q124, q127, q142, q143, q145,
       q151, q152, q165, q169, q171, q175, q180, q188, q189, q190, q193, q198,
-      q201, q204, q208, q211, q222)
+      q201, q204, q208, q211, q222, q225, q226)
 }

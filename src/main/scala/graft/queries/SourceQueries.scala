@@ -482,13 +482,14 @@ object SourceQueries {
     val schema = StructType(Seq(
       StructField("o_orderkey", LongType), StructField("cents", LongType),
       StructField("_bad", StringType)))
-    // max_key also forces o_orderkey into the parsed subset: CSV
+    // the classifier references o_orderkey as well as _bad: CSV
     // corruption is detected per REFERENCED column (pruned parsing),
-    // so a gate reading only `cents` would never see the torn key
+    // so a plan pruned to the corrupt column alone would both miss
+    // the torn rows AND trip QUERY_ONLY_CORRUPT_RECORD_COLUMN
     s.read.option("sep", "\t").option("mode", "PERMISSIVE")
       .option("columnNameOfCorruptRecord", "_bad")
       .schema(schema).csv(out)
-      .select(when(col("_bad").isNotNull, "quarantined")
+      .select(when(col("_bad").isNotNull || col("o_orderkey").isNull, "quarantined")
         .otherwise("parsed").as("status"), col("cents"), col("o_orderkey"))
       .groupBy("status")
       .agg(count(lit(1)).as("n"),
