@@ -938,8 +938,94 @@ object EventQueries {
         max(col("n")).as("n"))
   }
 
+  /** Per-type OLS trend of daily value — slope of cents-per-day over
+    * day index, carried as EXACT integer numerator/denominator
+    * (n·Σxy − Σx·Σy over n·Σx² − (Σx)²) with ONE final IEEE
+    * division: the regression a drift monitor fits, engine-portable
+    * bit-for-bit. Day indexing (not epoch seconds) keeps every
+    * product far inside BIGINT at any corpus length (x ≤ days,
+    * documented bound). One groupBy(type, day) + one groupBy(type). */
+  val q228 = QuerySpec.sql(
+    "q228_trend_ols",
+    """WITH daily AS (
+      |  SELECT event_type, CAST(ts AS DATE) AS day,
+      |         CAST(sum(CAST(round(value * 100, 0) AS BIGINT)) AS BIGINT) AS cents
+      |  FROM events GROUP BY 1, 2),
+      |idx AS (
+      |  SELECT event_type,
+      |         CAST(day - (SELECT min(CAST(ts AS DATE)) FROM events) AS BIGINT) AS x,
+      |         cents AS y
+      |  FROM daily),
+      |m AS (
+      |  SELECT event_type, count(*) AS n,
+      |         CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+      |         CAST(sum(x * y) AS BIGINT) AS sxy, CAST(sum(x * x) AS BIGINT) AS sxx
+      |  FROM idx GROUP BY 1)
+      |SELECT event_type,
+      |       CAST(n * sxy - sx * sy AS BIGINT) AS slope_num,
+      |       CAST(n * sxx - sx * sx AS BIGINT) AS slope_den,
+      |       CAST(CAST(n * sxy - sx * sy AS DOUBLE) / CAST(n * sxx - sx * sx AS DOUBLE) AS DOUBLE) AS slope
+      |FROM m""",
+    "integer-exact OLS slope of daily value per type (trend tier)") { (s, d) =>
+    val ev = Tables.events(s, d)
+    val d0 = ev.agg(to_date(min(col("ts"))).as("d0"))
+    val daily = ev.groupBy(col("event_type"), to_date(col("ts")).as("day"))
+      .agg(sum(round(col("value") * 100, 0).cast("long")).as("y"))
+      .crossJoin(broadcast(d0))
+      .select(col("event_type"), datediff(col("day"), col("d0")).cast("long").as("x"),
+        col("y"))
+    daily.groupBy("event_type")
+      .agg(count(lit(1)).as("n"), sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+        sum(col("x") * col("y")).as("sxy"), sum(col("x") * col("x")).as("sxx"))
+      .select(col("event_type"),
+        (col("n") * col("sxy") - col("sx") * col("sy")).as("slope_num"),
+        (col("n") * col("sxx") - col("sx") * col("sx")).as("slope_den"),
+        ((col("n") * col("sxy") - col("sx") * col("sy")).cast("double") /
+          (col("n") * col("sxx") - col("sx") * col("sx")).cast("double"))
+          .as("slope"))
+  }
+
+  /** Day-of-week seasonal anomaly fence — a daily count is anomalous
+    * relative to ITS WEEKDAY's own baseline (Monday spikes compare
+    * to Mondays), the seasonality-aware form a naive global fence
+    * gets wrong. All comparisons are cross-multiplied integers
+    * (5·c·den vs 6·num — a ±20% fence), no division anywhere. */
+  val q229 = QuerySpec.sql(
+    "q229_seasonal_anomaly",
+    """WITH daily AS (
+      |  SELECT event_type, CAST(ts AS DATE) AS day, count(*) AS c
+      |  FROM events GROUP BY 1, 2),
+      |dw AS (SELECT event_type, day, c, dayofweek(day) AS dow FROM daily),
+      |base AS (
+      |  SELECT event_type, dow, CAST(sum(c) AS BIGINT) AS num,
+      |         count(*) AS den
+      |  FROM dw GROUP BY 1, 2)
+      |SELECT d.event_type, CAST(d.day AS VARCHAR) AS day, CAST(d.c AS BIGINT) AS n_events,
+      |       b.num AS base_num, CAST(b.den AS BIGINT) AS base_den,
+      |       CAST(CASE WHEN d.c * b.den * 5 > 6 * b.num THEN 1
+      |                 WHEN d.c * b.den * 6 < 5 * b.num THEN -1 ELSE 0 END AS BIGINT) AS flag
+      |FROM dw d JOIN base b ON b.event_type = d.event_type AND b.dow = d.dow
+      |WHERE d.c * b.den * 5 > 6 * b.num OR d.c * b.den * 6 < 5 * b.num""",
+    "weekday-baseline anomaly days, cross-multiplied integers (time-series tier)") { (s, d) =>
+    val daily = Tables.events(s, d)
+      .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+      .agg(count(lit(1)).as("c"))
+      .withColumn("dow", dayofweek(col("day")))
+    val base = daily.groupBy("event_type", "dow")
+      .agg(sum(col("c")).as("num"), count(lit(1)).as("den"))
+    daily.join(base, Seq("event_type", "dow"))
+      .where(col("c") * col("den") * 5 > lit(6) * col("num") ||
+        col("c") * col("den") * 6 < lit(5) * col("num"))
+      .select(col("event_type"), date_format(col("day"), "yyyy-MM-dd").as("day"),
+        col("c").as("n_events"), col("num").as("base_num"),
+        col("den").as("base_den"),
+        when(col("c") * col("den") * 5 > lit(6) * col("num"), 1L)
+          .when(col("c") * col("den") * 6 < lit(5) * col("num"), -1L)
+          .otherwise(0L).as("flag"))
+  }
+
   val all: Seq[QuerySpec] =
     Seq(q60, q61, q62, q88, q105, q106, q108, q124, q127, q142, q143, q145,
       q151, q152, q165, q169, q171, q175, q180, q188, q189, q190, q193, q198,
-      q201, q204, q208, q211, q222, q225, q226)
+      q201, q204, q208, q211, q222, q225, q226, q228, q229)
 }
