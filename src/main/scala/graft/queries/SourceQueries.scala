@@ -497,7 +497,53 @@ object SourceQueries {
         max(coalesce(col("o_orderkey"), lit(-1L))).as("max_key"))
   }
 
+  /** Declarative data-quality report — five constraint families
+    * (completeness, uniqueness, bounds, format, referential
+    * containment) compiled into ONE aggregate scan + one anti-join
+    * (operators.Quality). Metrics are exact integer num/den pairs,
+    * so the oracle recomputes the identical report row by row. */
+  val q230 = QuerySpec.sql(
+    "q230_quality_report",
+    """SELECT 'complete(o_custkey)' AS constraint,
+      |       CAST(count(o_custkey) AS BIGINT) AS metric_num,
+      |       CAST(count(*) AS BIGINT) AS metric_den,
+      |       count(o_custkey) = count(*) AS passed
+      |FROM orders
+      |UNION ALL
+      |SELECT 'unique(o_orderkey)', CAST(count(DISTINCT o_orderkey) AS BIGINT),
+      |       CAST(count(*) AS BIGINT), count(DISTINCT o_orderkey) = count(*)
+      |FROM orders
+      |UNION ALL
+      |SELECT 'bounds(o_totalprice,0,10000000)',
+      |       CAST(sum(CASE WHEN o_totalprice BETWEEN 0 AND 10000000 THEN 1 ELSE 0 END) AS BIGINT),
+      |       CAST(count(*) AS BIGINT),
+      |       sum(CASE WHEN o_totalprice BETWEEN 0 AND 10000000 THEN 1 ELSE 0 END) = count(*)
+      |FROM orders
+      |UNION ALL
+      |SELECT 'matches(o_orderpriority)',
+      |       CAST(sum(CASE WHEN regexp_matches(o_orderpriority, '^[1-5]-') THEN 1 ELSE 0 END) AS BIGINT),
+      |       CAST(count(*) AS BIGINT),
+      |       sum(CASE WHEN regexp_matches(o_orderpriority, '^[1-5]-') THEN 1 ELSE 0 END) = count(*)
+      |FROM orders
+      |UNION ALL
+      |SELECT 'contained(o_custkey)',
+      |       CAST((SELECT count(DISTINCT o_custkey) FROM orders
+      |             WHERE o_custkey IN (SELECT c_custkey FROM customer)) AS BIGINT),
+      |       CAST(count(DISTINCT o_custkey) AS BIGINT),
+      |       (SELECT count(DISTINCT o_custkey) FROM orders
+      |        WHERE o_custkey NOT IN (SELECT c_custkey FROM customer)) = 0
+      |FROM orders""",
+    "declarative constraint report in one scan (data-quality tier)") { (s, d) =>
+    import graft.operators.Quality._
+    check(Tables.orders(s, d), Seq(
+      Complete("o_custkey"),
+      Unique(Seq("o_orderkey")),
+      Bounds("o_totalprice", 0, 10000000),
+      Matches("o_orderpriority", "^[1-5]-"),
+      ContainedIn("o_custkey", Tables.customer(s, d), "c_custkey")))
+  }
+
   val all: Seq[QuerySpec] =
     Seq(q44, q45, q46, q47, q48, q49, q79, q80, q121, q131, q146, q195, q196,
-      q202, q210, q216, q220)
+      q202, q210, q216, q220, q230)
 }
