@@ -543,7 +543,33 @@ object SourceQueries {
       ContainedIn("o_custkey", Tables.customer(s, d), "c_custkey")))
   }
 
+  /** DSv2 FASTA WRITE → READ end-to-end on real data volume: the
+    * documents table lands through the connector's two-phase task
+    * commit (`.write.format("graft-fasta")`), re-reads through the
+    * splittable scan, and the per-source aggregate must equal the
+    * original table — closing the loop on BOTH halves of the
+    * provider (q216 gates the read half alone). The source rides in
+    * the header (`dNNN src=SOURCE`), exercising the desc column. */
+  val q231 = QuerySpec.sql(
+    "q231_fasta_dsv2_write",
+    """SELECT source, count(*) AS n_records,
+      |       CAST(sum(length(upper(regexp_replace(text, '[^A-Za-z]', '', 'g')))) AS BIGINT) AS total_len
+      |FROM documents GROUP BY 1""",
+    "DSv2 FASTA writer two-phase commit -> splittable re-read == original (S3/S11 scale form)") { (s, d) =>
+    val out = java.nio.file.Files.createTempDirectory("graft-q231").toString + "/fa"
+    Tables.documents(s, d)
+      .select(concat(lit("d"), col("doc_id").cast("string"), lit(" src="),
+          col("source")).as("desc"),
+        upper(regexp_replace(col("text"), "[^A-Za-z]", "")).as("seq"))
+      .write.format("graft-fasta").mode("overwrite").save(out)
+    s.read.format("graft-fasta").option("splitBytes", "8192").load(out)
+      .select(regexp_extract(col("desc"), "src=(\\S+)", 1).as("source"),
+        col("length"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_records"), sum(col("length")).as("total_len"))
+  }
+
   val all: Seq[QuerySpec] =
     Seq(q44, q45, q46, q47, q48, q49, q79, q80, q121, q131, q146, q195, q196,
-      q202, q210, q216, q220, q230)
+      q202, q210, q216, q220, q230, q231)
 }

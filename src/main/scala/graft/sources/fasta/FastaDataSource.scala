@@ -57,14 +57,20 @@ object FastaDataSource {
 }
 
 final class FastaTable(path: String, splitBytes: Long)
-    extends Table with SupportsRead {
+    extends Table with SupportsRead
+    with org.apache.spark.sql.connector.catalog.SupportsWrite {
   require(path != null, "graft-fasta requires a path")
   override def name(): String = s"graft-fasta:$path"
   override def schema(): StructType = FastaDataSource.Schema
   override def capabilities(): util.Set[TableCapability] =
-    util.EnumSet.of(TableCapability.BATCH_READ)
+    util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE,
+      TableCapability.TRUNCATE)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new FastaScanBuilder(path, splitBytes)
+  override def newWriteBuilder(
+      info: org.apache.spark.sql.connector.write.LogicalWriteInfo)
+      : org.apache.spark.sql.connector.write.WriteBuilder =
+    new FastaWriteBuilder(path, info.schema())
 }
 
 final class FastaScanBuilder(path: String, splitBytes: Long)

@@ -53,6 +53,26 @@ class FastaSourceSpec extends SparkSpec {
     assert(total == want)
   }
 
+  test("DSv2 write path: read(write(df)) round-trips; overwrite truncates") {
+    val (path, n) = writeFixture()
+    val df = spark.read.format("graft-fasta").load(path)
+    val out = java.nio.file.Files.createTempDirectory("fasta-w").toString + "/o"
+    df.write.format("graft-fasta").mode("overwrite").save(out)
+    val back = spark.read.format("graft-fasta").load(out)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getString(2),
+        r.getLong(3))).toSet
+    val want = df.collect().map(r => (r.getString(0), r.getString(1),
+      r.getString(2), r.getLong(3))).toSet
+    assert(back == want && back.size == n)
+    // overwrite clears prior content (write a SUBSET, expect only it)
+    df.limit(7).write.format("graft-fasta").mode("overwrite").save(out)
+    assert(spark.read.format("graft-fasta").load(out).count() == 7)
+    // no in-progress leftovers
+    val leftovers = new java.io.File(out).listFiles()
+      .filter(_.getName.contains("inprogress"))
+    assert(leftovers.isEmpty, leftovers.mkString(","))
+  }
+
   test("short name registration and empty/degenerate records") {
     val dir = java.nio.file.Files.createTempDirectory("fasta-spec2")
     val f = dir.resolve("d.fasta")
