@@ -1853,11 +1853,13 @@ object Corpus {
       |tf AS (
       |  SELECT doc_id, source, tok, least(count(*), 30) AS tf
       |  FROM tok GROUP BY 1, 2, 3),
+      |nn AS (SELECT count(*) AS n FROM documents),
       |df AS (SELECT tok, count(*) AS df FROM tf GROUP BY 1),
       |w AS (
       |  SELECT tf.doc_id, tf.source, tf.tok,
       |         CAST(tf.tf * (1000000 // df.df) AS BIGINT) AS w
-      |  FROM tf JOIN df USING (tok)),
+      |  FROM tf JOIN df USING (tok)
+      |  WHERE df.df * 10 <= (SELECT n FROM nn)),
       |norms AS (SELECT doc_id, CAST(sum(w * w) AS BIGINT) AS n2 FROM w GROUP BY 1),
       |dots AS (
       |  SELECT a.doc_id AS d1, b.doc_id AS d2, CAST(sum(a.w * b.w) AS BIGINT) AS dp
@@ -1875,7 +1877,13 @@ object Corpus {
         explode(TextOps.tokens(col("text"))).as("tok"))
       .groupBy("doc_id", "source", "tok")
       .agg(least(count(lit(1)), lit(30L)).as("tf"))
+    val nDocs = Tables.documents(s, d).count()
+    // df ceiling at N/10: stopword-frequency terms carry near-zero
+    // idf weight but quadratic posting-list cost (df² join rows per
+    // term) — dropping them is the standard sparse-cosine contract,
+    // applied identically in the oracle
     val df = tf.groupBy("tok").agg(count(lit(1)).as("df"))
+      .where(col("df") * 10 <= nDocs)
     val w = tf.join(df, Seq("tok"))
       .select(col("doc_id"), col("source"), col("tok"),
         (col("tf") * expr("1000000 DIV df")).as("w"))
