@@ -1024,8 +1024,66 @@ object EventQueries {
           .otherwise(0L).as("flag"))
   }
 
+  /** Hopping (sliding) windows — every event lands in FOUR
+    * overlapping 1-hour windows at 15-minute hops, the
+    * dashboard-smoothing form tumbling windows (q60) can't give.
+    * Spark's `window(ts, len, slide)` expands slots inside the scan;
+    * the oracle replays the slot arithmetic with integer epoch
+    * division. */
+  val q232 = QuerySpec.sql(
+    "q232_hopping_windows",
+    """WITH slots AS (
+      |  SELECT event_type,
+      |         CAST(floor(epoch(ts)) AS BIGINT) // 900 - k AS slot,
+      |         CAST(round(value * 100, 0) AS BIGINT) AS cents
+      |  FROM events, unnest(generate_series(0, 3)) AS u(k)),
+      |w AS (
+      |  SELECT event_type, slot * 900 AS win_start_sec, count(*) AS n_events,
+      |         CAST(sum(cents) AS BIGINT) AS cents
+      |  FROM slots GROUP BY 1, 2)
+      |SELECT event_type, win_start_sec, n_events, cents FROM w""",
+    "overlapping 1h windows at 15min hops (hopping-window surface)") { (s, d) =>
+    Tables.events(s, d)
+      .select(col("event_type"),
+        window(col("ts"), "1 hour", "15 minutes").as("w"),
+        round(col("value") * 100, 0).cast("long").as("cents"))
+      .groupBy("event_type", "w")
+      .agg(count(lit(1)).as("n_events"), sum(col("cents")).as("cents"))
+      .select(col("event_type"),
+        col("w.start").cast("long").as("win_start_sec"),
+        col("n_events"), col("cents"))
+  }
+
+  /** Native session windows — Spark's `session_window(ts, gap)`
+    * (the state-store-ready form) must land exactly where the
+    * hand-rolled lag/cumsum sessionizer (q61) lands: same sessions,
+    * same boundaries, same counts. The oracle is q61's window SQL
+    * reshaped to the same columns. */
+  val q233 = QuerySpec.sql(
+    "q233_session_window_native",
+    """WITH flagged AS (
+      |  SELECT user_id, ts, event_id,
+      |         CASE WHEN lag(ts) OVER w IS NULL
+      |                OR epoch_ms(ts) - epoch_ms(lag(ts) OVER w) > 1800000
+      |              THEN 1 ELSE 0 END AS new_session
+      |  FROM events
+      |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+      |sessions AS (
+      |  SELECT user_id, ts,
+      |         sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |                                ROWS UNBOUNDED PRECEDING) AS session_seq
+      |  FROM flagged)
+      |SELECT user_id, min(ts) AS session_start, count(*) AS n_events
+      |FROM sessions GROUP BY user_id, session_seq""",
+    "native session_window == hand-rolled sessionizer (streaming surface)") { (s, d) =>
+    Tables.events(s, d)
+      .groupBy(col("user_id"), session_window(col("ts"), "30 minutes").as("w"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("user_id"), col("w.start").as("session_start"), col("n_events"))
+  }
+
   val all: Seq[QuerySpec] =
     Seq(q60, q61, q62, q88, q105, q106, q108, q124, q127, q142, q143, q145,
       q151, q152, q165, q169, q171, q175, q180, q188, q189, q190, q193, q198,
-      q201, q204, q208, q211, q222, q225, q226, q228, q229)
+      q201, q204, q208, q211, q222, q225, q226, q228, q229, q232, q233)
 }
