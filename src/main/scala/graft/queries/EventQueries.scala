@@ -1082,8 +1082,41 @@ object EventQueries {
       .select(col("user_id"), col("w.start").as("session_start"), col("n_events"))
   }
 
+  /** Gaps-and-islands — maximal runs of CONSECUTIVE active days per
+    * user via the classic day − dense_rank grouping constant: rows
+    * in one island share (day − rank), so islands fall out of one
+    * window + one aggregate, no self-join, no iteration. Output per
+    * user: island count, longest streak, total active days — the
+    * engagement-streak features a retention model consumes. */
+  val q234 = QuerySpec.sql(
+    "q234_gaps_islands",
+    """WITH days AS (
+      |  SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events),
+      |grp AS (
+      |  SELECT user_id, day,
+      |         day - CAST(row_number() OVER (PARTITION BY user_id ORDER BY day) AS INT) AS island
+      |  FROM days),
+      |islands AS (
+      |  SELECT user_id, island, count(*) AS len
+      |  FROM grp GROUP BY 1, 2)
+      |SELECT user_id, count(*) AS n_islands,
+      |       CAST(max(len) AS BIGINT) AS longest_streak,
+      |       CAST(sum(len) AS BIGINT) AS active_days
+      |FROM islands GROUP BY 1""",
+    "consecutive-day activity streaks via day-rank islands (sequence tier)") { (s, d) =>
+    import org.apache.spark.sql.expressions.Window
+    Tables.events(s, d)
+      .select(col("user_id"), to_date(col("ts")).as("day")).distinct()
+      .withColumn("island", expr("date_sub(day, " +
+        "row_number() OVER (PARTITION BY user_id ORDER BY day))"))
+      .groupBy("user_id", "island").agg(count(lit(1)).as("len"))
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("n_islands"), max(col("len")).as("longest_streak"),
+        sum(col("len")).as("active_days"))
+  }
+
   val all: Seq[QuerySpec] =
     Seq(q60, q61, q62, q88, q105, q106, q108, q124, q127, q142, q143, q145,
       q151, q152, q165, q169, q171, q175, q180, q188, q189, q190, q193, q198,
-      q201, q204, q208, q211, q222, q225, q226, q228, q229, q232, q233)
+      q201, q204, q208, q211, q222, q225, q226, q228, q229, q232, q233, q234)
 }
