@@ -1,0 +1,74 @@
+package graft.ml
+
+import org.apache.spark.ml.recommendation.ALS
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Collaborative-filtering recommender (beyond-reference ML breadth
+  * next to the RF classifier): ALS matrix factorization over the
+  * implicit customer→part interaction strengths derived from order
+  * quantities — the "customers who bought X" model a commerce
+  * pipeline trains on exactly this schema.
+  *
+  * Scale notes: ALS is THE distributed factorization (alternating
+  * least squares block-solves user/item factor matrices; shuffle per
+  * iteration ∝ ratings, state ∝ (users+items)·rank). Seeded runs are
+  * deterministic for a fixed partitioning; like the RF family the
+  * gate evidence is rows-only + spec laws (matrix factorization has
+  * no ANSI-SQL form), with the spec asserting the model genuinely
+  * fits: reconstruction RMSE must beat the global-mean baseline by a
+  * margin on training interactions.
+  */
+object Recommender {
+
+  /** (customer, part, strength) implicit ratings: summed quantities,
+    * log-free (integer) so the table is engine-exact. */
+  def interactions(lineitem: DataFrame, orders: DataFrame): DataFrame =
+    lineitem.join(orders, col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("o_custkey").cast("int").as("user"),
+        col("l_partkey").cast("int").as("item"))
+      .agg(sum(col("l_quantity").cast("double")).as("rating"))
+
+  def fit(ratings: DataFrame, rank: Int = 8, iters: Int = 8,
+      reg: Double = 0.1, seed: Long = 42L)
+      : org.apache.spark.ml.recommendation.ALSModel =
+    new ALS().setUserCol("user").setItemCol("item").setRatingCol("rating")
+      .setRank(rank).setMaxIter(iters).setRegParam(reg).setSeed(seed)
+      .setImplicitPrefs(false).setColdStartStrategy("drop")
+      .fit(ratings)
+
+  /** Top-k part recommendations per customer, EXCLUDING already-
+    * purchased parts (the deployment form). Deterministic given the
+    * model: ties break on item id. */
+  def topK(model: org.apache.spark.ml.recommendation.ALSModel,
+      ratings: DataFrame, k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val recs = model.recommendForAllUsers(k * 4)
+      .select(col("user"), explode(col("recommendations")).as("r"))
+      .select(col("user"), col("r.item").as("item"),
+        col("r.rating").as("score"))
+      .join(ratings.select(col("user"), col("item"), lit(1).as("owned")),
+        Seq("user", "item"), "left_outer")
+      .where(col("owned").isNull)
+    recs.withColumn("rk", row_number().over(
+        Window.partitionBy("user").orderBy(col("score").desc, col("item"))))
+      .where(col("rk") <= k)
+      .select(col("user"), col("rk").cast("long").as("rk"), col("item"))
+  }
+
+  /** Training-set reconstruction RMSE of the model vs the global-mean
+    * baseline — the fit-quality pair the spec asserts on. */
+  def rmseVsBaseline(model: org.apache.spark.ml.recommendation.ALSModel,
+      ratings: DataFrame): (Double, Double) = {
+    val pred = model.transform(ratings)
+      .select(col("rating"), col("prediction").cast("double"))
+    val n = pred.count().toDouble
+    val rmse = math.sqrt(pred.select(
+      sum(pow(col("rating") - col("prediction"), 2)).as("s"))
+      .head().getDouble(0) / n)
+    val mean = ratings.select(avg("rating")).head().getDouble(0)
+    val base = math.sqrt(ratings.select(
+      sum(pow(col("rating") - mean, 2)).as("s")).head().getDouble(0) / n)
+    (rmse, base)
+  }
+}

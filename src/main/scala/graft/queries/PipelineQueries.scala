@@ -356,5 +356,20 @@ object PipelineQueries {
       Multimodal.fromDocuments(Tables.documents(s, d)), maxHamming = 3)
   }
 
-  val all: Seq[QuerySpec] = Seq(q70, q71, q87, q72, q73, q84, q138, q168, q219)
+  /** ALS collaborative filtering — the second ML family next to the
+    * RF classifier: seeded matrix factorization over customer→part
+    * quantities, top-5 unseen-part recommendations per customer.
+    * Rows-only like the RF gates (factorization has no ANSI-SQL
+    * form); RecommenderSpec pins fit quality (reconstruction RMSE
+    * ≪ global-mean baseline) and rec-list invariants. */
+  val q235 = QuerySpec.rowsOnly(
+    "q235_als_recommendations",
+    "seeded ALS matrix factorization -> top-5 unseen recs per customer (ML tier)") { (s, d) =>
+    val ratings = graft.ml.Recommender.interactions(
+      Tables.lineitem(s, d), Tables.orders(s, d))
+    graft.ml.Recommender.topK(graft.ml.Recommender.fit(ratings), ratings, k = 5)
+  }
+
+  val all: Seq[QuerySpec] =
+    Seq(q70, q71, q87, q72, q73, q84, q138, q168, q219, q235)
 }
