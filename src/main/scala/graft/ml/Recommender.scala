@@ -29,7 +29,7 @@ object Recommender {
         col("l_partkey").cast("int").as("item"))
       .agg(sum(col("l_quantity").cast("double")).as("rating"))
 
-  def fit(ratings: DataFrame, rank: Int = 8, iters: Int = 8,
+  def fit(ratings: DataFrame, rank: Int = 8, iters: Int = 6,
       reg: Double = 0.1, seed: Long = 42L)
       : org.apache.spark.ml.recommendation.ALSModel =
     new ALS().setUserCol("user").setItemCol("item").setRatingCol("rating")
