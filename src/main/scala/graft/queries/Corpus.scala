@@ -1965,6 +1965,55 @@ object Corpus {
       .select(col("source"), col("ks_scaled"), col("ns"), col("nr"))
   }
 
+  /** Weighted Jaccard over token MULTISETS — Σmin(tfₐ,tf_b) /
+    * Σmax(tfₐ,tf_b): counts matter (a doc repeating a phrase 50×
+    * is not the doc using it once), which set-Jaccard (q35) erases
+    * and TF-IDF cosine (q221) re-weights differently. Integer-exact:
+    * min/max of counts summed as BIGINTs, one final division. The
+    * max-side uses the identity Σmax = tot_a + tot_b − Σmin, so only
+    * per-doc totals + the intersection join are needed — absent
+    * tokens never materialize. Same blocked posting join as the set
+    * form. */
+  val q236 = QuerySpec.sql(
+    "q236_weighted_jaccard",
+    """WITH tf AS (
+      |  SELECT doc_id, source, tok, count(*) AS tf
+      |  FROM (SELECT doc_id, source,
+      |               unnest(regexp_extract_all(lower(text), '(\S+)', 1)) AS tok
+      |        FROM documents)
+      |  GROUP BY 1, 2, 3),
+      |tot AS (SELECT doc_id, CAST(sum(tf) AS BIGINT) AS t FROM tf GROUP BY 1),
+      |inter AS (
+      |  SELECT a.doc_id AS d1, b.doc_id AS d2,
+      |         CAST(sum(least(a.tf, b.tf)) AS BIGINT) AS smin
+      |  FROM tf a JOIN tf b ON a.tok = b.tok AND a.source = b.source
+      |                      AND a.doc_id < b.doc_id
+      |  GROUP BY 1, 2),
+      |j AS (
+      |  SELECT d1, d2, smin, x.t + y.t - smin AS smax
+      |  FROM inter JOIN tot x ON x.doc_id = d1 JOIN tot y ON y.doc_id = d2)
+      |SELECT d1, d2, CAST(smin AS DOUBLE) / CAST(smax AS DOUBLE) AS wjaccard
+      |FROM j WHERE smin * 2 >= smax""",
+    "weighted multiset Jaccard >= 0.5 pairs, integer-exact (dedup tier)") { (s, d) =>
+    val tf = Tables.documents(s, d)
+      .select(col("doc_id"), col("source"),
+        explode(TextOps.tokens(col("text"))).as("tok"))
+      .groupBy("doc_id", "source", "tok").agg(count(lit(1)).as("tf"))
+    val tot = tf.groupBy("doc_id").agg(sum(col("tf")).as("t"))
+    val inter = tf.as("a").join(tf.as("b"),
+        col("a.tok") === col("b.tok") && col("a.source") === col("b.source") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
+      .agg(sum(least(col("a.tf"), col("b.tf"))).as("smin"))
+    inter.join(tot.select(col("doc_id").as("d1"), col("t").as("t1")), Seq("d1"))
+      .join(tot.select(col("doc_id").as("d2"), col("t").as("t2")), Seq("d2"))
+      .select(col("d1"), col("d2"), col("smin"),
+        (col("t1") + col("t2") - col("smin")).as("smax"))
+      .where(col("smin") * 2 >= col("smax"))
+      .select(col("d1"), col("d2"),
+        (col("smin").cast("double") / col("smax").cast("double")).as("wjaccard"))
+  }
+
   /** Quantile normalization across sources — each doc's length is
     * replaced by the GLOBAL value at its source-relative rank, the
     * distribution-matching transform that removes per-source scale
@@ -2046,5 +2095,5 @@ object Corpus {
       q43, q77, q78, q83, q91, q92, q93, q97, q103, q112, q113, q114, q116,
       q139, q140, q141, q144, q147, q148, q149, q150, q153, q154, q155, q157,
       q158, q159, q161, q163, q164, q166, q173, q174, q184, q185, q187, q192,
-      q194, q199, q200, q203, q205, q209, q221, q227)
+      q194, q199, q200, q203, q205, q209, q221, q227, q236)
 }

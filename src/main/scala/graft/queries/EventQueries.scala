@@ -1115,8 +1115,74 @@ object EventQueries {
         sum(col("len")).as("active_days"))
   }
 
+  /** MODE aggregate — most frequent event type per user,
+    * tie-deterministic (max count, then lexicographically first
+    * type): the categorical summary `avg` can't give. Expressed as
+    * max_by over (count, reversed tie-break) in both engines. */
+  val q237 = QuerySpec.sql(
+    "q237_mode_aggregate",
+    """WITH c AS (
+      |  SELECT user_id, event_type, count(*) AS n
+      |  FROM events GROUP BY 1, 2),
+      |r AS (
+      |  SELECT user_id, event_type, n,
+      |         row_number() OVER (PARTITION BY user_id
+      |                            ORDER BY n DESC, event_type) AS rk
+      |  FROM c)
+      |SELECT user_id, event_type AS mode_type, CAST(n AS BIGINT) AS n
+      |FROM r WHERE rk = 1""",
+    "tie-deterministic per-user mode of event type (aggregate surface)") { (s, d) =>
+    import org.apache.spark.sql.expressions.Window
+    Tables.events(s, d)
+      .groupBy("user_id", "event_type").agg(count(lit(1)).as("n"))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy("user_id").orderBy(col("n").desc, col("event_type"))))
+      .where(col("rk") === 1)
+      .select(col("user_id"), col("event_type").as("mode_type"), col("n"))
+  }
+
+  /** Trimmed (10%-winsorized-out) mean per event type — the robust
+    * center a heavy-tailed value column needs: drop the exact
+    * bottom/top decile BY RANK (ceil/floor integer cutoffs shared by
+    * both engines) and average the middle as an exact cents sum with
+    * one final division. Rank-select idiom; approx_percentile is the
+    * documented skewed-key fallback as with q165/q166. */
+  val q238 = QuerySpec.sql(
+    "q238_trimmed_mean",
+    """WITH v AS (
+      |  SELECT event_type, CAST(round(value * 100, 0) AS BIGINT) AS c,
+      |         event_id
+      |  FROM events),
+      |r AS (
+      |  SELECT event_type, c,
+      |         row_number() OVER (PARTITION BY event_type ORDER BY c, event_id) AS i,
+      |         count(*) OVER (PARTITION BY event_type) AS n
+      |  FROM v),
+      |kept AS (
+      |  SELECT event_type, c, n FROM r
+      |  WHERE i > n // 10 AND i <= n - n // 10)
+      |SELECT event_type,
+      |       CAST(count(*) AS BIGINT) AS n_kept,
+      |       CAST(sum(c) AS BIGINT) AS cents_sum,
+      |       CAST(sum(c) AS DOUBLE) / count(*) / 100.0 AS trimmed_mean
+      |FROM kept GROUP BY 1""",
+    "exact rank-trimmed decile mean per type (robust stats tier)") { (s, d) =>
+    import org.apache.spark.sql.expressions.Window
+    Tables.events(s, d)
+      .select(col("event_type"), round(col("value") * 100, 0).cast("long").as("c"),
+        col("event_id"))
+      .withColumn("i", row_number().over(
+        Window.partitionBy("event_type").orderBy(col("c"), col("event_id"))).cast("long"))
+      .withColumn("n", count(lit(1)).over(Window.partitionBy("event_type")))
+      .where(col("i") > expr("n DIV 10") && col("i") <= col("n") - expr("n DIV 10"))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n_kept"), sum(col("c")).as("cents_sum"),
+        (sum(col("c")).cast("double") / count(lit(1)) / 100.0).as("trimmed_mean"))
+  }
+
   val all: Seq[QuerySpec] =
     Seq(q60, q61, q62, q88, q105, q106, q108, q124, q127, q142, q143, q145,
       q151, q152, q165, q169, q171, q175, q180, q188, q189, q190, q193, q198,
-      q201, q204, q208, q211, q222, q225, q226, q228, q229, q232, q233, q234)
+      q201, q204, q208, q211, q222, q225, q226, q228, q229, q232, q233, q234,
+      q237, q238)
 }
