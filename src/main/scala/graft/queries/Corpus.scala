@@ -2014,6 +2014,82 @@ object Corpus {
         (col("smin").cast("double") / col("smax").cast("double")).as("wjaccard"))
   }
 
+  /** Multi-signal dedup agreement — do the TEXT near-dup signal
+    * (set-Jaccard ≥ 0.5, source-blocked, q35's table reused from the
+    * memo) and the EMBEDDING near-dup signal (exact-scaled cosine ≥
+    * 0.8, label-blocked) point at the same pairs? The audit a
+    * pipeline runs before trusting either signal alone: a full-outer
+    * join of the two pair sets, counted by agreement status. Both
+    * sides block (source / cluster label) — no all-pairs anywhere —
+    * and both are integer-exact, so the whole audit replays in SQL.
+    * The Spark side prefilters candidates with the FUSED codegen
+    * cosine at threshold − 0.02 (a guard band orders of magnitude
+    * wider than the ≤1e-4 gap between the double and exact-scaled
+    * scores), then exact-verifies — the candidate/verify pattern
+    * that keeps the interpreted exact scorer off the full pair
+    * stream (measured 21 s → ~2 s at sf0.1). */
+  val q239 = QuerySpec.sql(
+    "q239_signal_agreement",
+    """WITH tok AS (
+      |  SELECT doc_id, source AS blk,
+      |         unnest(list_distinct(regexp_extract_all(lower(text), '(\S+)', 1))) AS tok
+      |  FROM documents),
+      |sizes AS (SELECT doc_id, count(*) AS n FROM tok GROUP BY doc_id),
+      |inter AS (
+      |  SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS ni
+      |  FROM tok a JOIN tok b ON a.tok = b.tok AND a.blk = b.blk
+      |                        AND a.doc_id < b.doc_id
+      |  GROUP BY 1, 2),
+      |tp AS (
+      |  SELECT d1, d2 FROM inter
+      |  JOIN sizes s1 ON s1.doc_id = d1 JOIN sizes s2 ON s2.doc_id = d2
+      |  WHERE ni * 2 >= s1.n + s2.n - ni),
+      |base AS (
+      |  SELECT vec_id, label, unnest(embedding) AS v,
+      |         generate_subscripts(embedding, 1) AS i
+      |  FROM embeddings),
+      |sq AS (
+      |  SELECT vec_id, CAST(sum(CAST(round(CAST(v AS DOUBLE)*CAST(v AS DOUBLE)*1000000, 0) AS BIGINT)) AS BIGINT) AS n2
+      |  FROM base GROUP BY 1),
+      |dots AS (
+      |  SELECT a.vec_id AS d1, b.vec_id AS d2,
+      |         CAST(sum(CAST(round(CAST(a.v AS DOUBLE)*CAST(b.v AS DOUBLE)*1000000, 0) AS BIGINT)) AS BIGINT) AS dp
+      |  FROM base a JOIN base b ON a.i = b.i AND a.label = b.label
+      |                          AND a.vec_id < b.vec_id
+      |  GROUP BY 1, 2),
+      |ep AS (
+      |  SELECT d1, d2 FROM dots
+      |  JOIN sq x ON x.vec_id = d1 JOIN sq y ON y.vec_id = d2
+      |  WHERE CAST(dp AS DOUBLE) / (sqrt(CAST(x.n2 AS DOUBLE)) * sqrt(CAST(y.n2 AS DOUBLE))) >= 0.45),
+      |j AS (
+      |  SELECT CASE WHEN tp.d1 IS NOT NULL AND ep.d1 IS NOT NULL THEN 'both'
+      |              WHEN tp.d1 IS NOT NULL THEN 'text_only'
+      |              ELSE 'embedding_only' END AS agreement
+      |  FROM tp FULL OUTER JOIN ep ON tp.d1 = ep.d1 AND tp.d2 = ep.d2)
+      |SELECT agreement, count(*) AS n_pairs
+      |FROM j GROUP BY 1""",
+    "text-Jaccard vs embedding-cosine near-dup pair agreement (audit tier)") { (s, d) =>
+    val tp = jacPairs05(s, d).select(col("d1"), col("d2"))
+    val emb = Tables.embeddings(s, d)
+      .select(col("vec_id"), col("label"), col("embedding"))
+    val asD = (c: org.apache.spark.sql.Column) =>
+      transform(c, x => x.cast("double"))
+    val a = emb.select(col("label"), col("vec_id").as("d1"),
+      asD(col("embedding")).as("va"))
+    val b = emb.select(col("label"), col("vec_id").as("d2"),
+      asD(col("embedding")).as("vb"))
+    val ep = a.join(b, Seq("label")).where(col("d1") < col("d2"))
+      .where(Similarity.cosine(col("va"), col("vb")) >= 0.43) // fused prefilter
+      .where(Similarity.cosineExactScaled(col("va"), col("vb")) >= 0.45)
+      .select(col("d1"), col("d2"))
+    tp.withColumn("t", lit(1))
+      .join(ep.withColumn("e", lit(1)), Seq("d1", "d2"), "full_outer")
+      .select(when(col("t").isNotNull && col("e").isNotNull, "both")
+        .when(col("t").isNotNull, "text_only")
+        .otherwise("embedding_only").as("agreement"))
+      .groupBy("agreement").agg(count(lit(1)).as("n_pairs"))
+  }
+
   /** Quantile normalization across sources — each doc's length is
     * replaced by the GLOBAL value at its source-relative rank, the
     * distribution-matching transform that removes per-source scale
@@ -2095,5 +2171,5 @@ object Corpus {
       q43, q77, q78, q83, q91, q92, q93, q97, q103, q112, q113, q114, q116,
       q139, q140, q141, q144, q147, q148, q149, q150, q153, q154, q155, q157,
       q158, q159, q161, q163, q164, q166, q173, q174, q184, q185, q187, q192,
-      q194, q199, q200, q203, q205, q209, q221, q227, q236)
+      q194, q199, q200, q203, q205, q209, q221, q227, q236, q239)
 }
