@@ -1975,9 +1975,55 @@ object AnalyticsQueries {
         .distinct()
     }
 
+  /** Recursive SQL parity — Spark 4's WITH RECURSIVE runs the SAME
+    * transitive-closure text DuckDB runs (q74/q76 keep the
+    * DataFrame-BFS forms; this gates the SQL-text surface itself):
+    * a bounded-depth BFS distance histogram over one nation's
+    * bipartite graph. UNION ALL recursion (Spark's supported form)
+    * revisits nodes per path, so the walk bounds depth at 4 and
+    * min(d) collapses revisits — bounded work in both engines. */
+  val q240 = QuerySpec.sql(
+    "q240_recursive_sql",
+    """WITH RECURSIVE e AS (
+      |  SELECT CAST(l_suppkey AS BIGINT) AS src, CAST(o_custkey + 1000000 AS BIGINT) AS dst
+      |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      |  JOIN customer ON o_custkey = c_custkey
+      |  JOIN nation ON c_nationkey = n_nationkey
+      |  WHERE l_quantity >= 49 AND n_name = 'NATION_7'
+      |  GROUP BY 1, 2),
+      |sym AS (SELECT src AS a, dst AS b FROM e UNION SELECT dst AS a, src AS b FROM e),
+      |walk AS (
+      |  SELECT a AS root, a AS node, 0 AS d FROM (SELECT DISTINCT a FROM sym)
+      |  UNION ALL
+      |  SELECT w.root, s.b AS node, w.d + 1 AS d
+      |  FROM walk w JOIN sym s ON s.a = w.node WHERE w.d < 4),
+      |dist AS (SELECT root, node, min(d) AS d FROM walk GROUP BY 1, 2)
+      |SELECT d, count(*) AS n_pairs FROM dist WHERE d > 0 GROUP BY 1""",
+    "WITH RECURSIVE transitive closure, identical SQL both engines (SQL surface)") { (s, d) =>
+    Tables.lineitem(s, d).createOrReplaceTempView("lineitem")
+    Tables.orders(s, d).createOrReplaceTempView("orders")
+    Tables.customer(s, d).createOrReplaceTempView("customer")
+    Tables.nation(s, d).createOrReplaceTempView("nation")
+    s.sql("""WITH RECURSIVE e AS (
+      SELECT CAST(l_suppkey AS BIGINT) AS src, CAST(o_custkey + 1000000 AS BIGINT) AS dst
+      FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      JOIN customer ON o_custkey = c_custkey
+      JOIN nation ON c_nationkey = n_nationkey
+      WHERE l_quantity >= 49 AND n_name = 'NATION_7'
+      GROUP BY 1, 2),
+    sym AS (SELECT src AS a, dst AS b FROM e UNION SELECT dst AS a, src AS b FROM e),
+    walk AS (
+      SELECT a AS root, a AS node, 0 AS d FROM (SELECT DISTINCT a FROM sym)
+      UNION ALL
+      SELECT w.root, s.b AS node, w.d + 1 AS d
+      FROM walk w JOIN sym s ON s.a = w.node WHERE w.d < 4),
+    dist AS (SELECT root, node, min(d) AS d FROM walk GROUP BY 1, 2)
+    SELECT d, count(*) AS n_pairs FROM dist WHERE d > 0 GROUP BY 1""")
+  }
+
   val all: Seq[QuerySpec] =
     Seq(q53, q54, q55, q56, q57, q59, q74, q75, q76, q82, q90, q96, q98, q99,
       q100, q104, q110, q115, q117, q118, q119, q120, q122, q130, q133, q134,
       q135, q136, q156, q162, q167, q170, q176, q177, q181, q191, q212, q213,
-      q214, q215)
+      q214, q215, q240)
 }

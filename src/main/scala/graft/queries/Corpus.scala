@@ -2090,6 +2090,27 @@ object Corpus {
       .groupBy("agreement").agg(count(lit(1)).as("n_pairs"))
   }
 
+  /** Partition content digests — the Merkle-style sync primitive:
+    * one order-independent digest per source (md5 of the sorted
+    * per-doc content hashes), so two replicas can diff a 100 TB
+    * corpus by exchanging |partitions| digests and re-reading only
+    * the partitions whose digest moved (q203's snapshot diff is the
+    * row-level follow-up). Scale shape: per-doc md5 map-side, one
+    * grouped sort-agg per source; the digest carries 32 bytes per
+    * partition. */
+  val q241 = QuerySpec.sql(
+    "q241_partition_digests",
+    """SELECT source, count(*) AS n_docs,
+      |       md5(string_agg(md5(text), '' ORDER BY md5(text))) AS digest
+      |FROM documents GROUP BY 1""",
+    "order-independent per-source content digests (table-sync tier)") { (s, d) =>
+    Tables.documents(s, d)
+      .select(col("source"), md5(col("text")).as("h"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        md5(concat_ws("", array_sort(collect_list(col("h"))))).as("digest"))
+  }
+
   /** Quantile normalization across sources — each doc's length is
     * replaced by the GLOBAL value at its source-relative rank, the
     * distribution-matching transform that removes per-source scale
@@ -2171,5 +2192,5 @@ object Corpus {
       q43, q77, q78, q83, q91, q92, q93, q97, q103, q112, q113, q114, q116,
       q139, q140, q141, q144, q147, q148, q149, q150, q153, q154, q155, q157,
       q158, q159, q161, q163, q164, q166, q173, q174, q184, q185, q187, q192,
-      q194, q199, q200, q203, q205, q209, q221, q227, q236, q239)
+      q194, q199, q200, q203, q205, q209, q221, q227, q236, q239, q241)
 }
