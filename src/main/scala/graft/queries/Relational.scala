@@ -917,9 +917,58 @@ object Relational {
           lit(0L), (acc, x) => acc + x).as("total_cents"))
   }
 
+  /** Market-basket pair mining — co-purchased part BRANDS per order
+    * with support and integer-exact lift numerators (the association-
+    * rule screen). Brands (not parts) keep the pair space dense
+    * enough to rank; baskets are small so the within-order self-join
+    * is per-basket quadratic, never global. Lift is emitted as the
+    * exact cross-multiplied pair (lift_num = n_ab·n_orders,
+    * lift_den = n_a·n_b) plus the one-division double. */
+  val q242 = QuerySpec.sql(
+    "q242_market_basket",
+    """WITH ob AS (
+      |  SELECT DISTINCT l_orderkey AS ok, p_brand AS b
+      |  FROM lineitem JOIN part ON l_partkey = p_partkey),
+      |n AS (SELECT count(DISTINCT ok) AS n_orders FROM ob),
+      |bc AS (SELECT b, count(*) AS nb FROM ob GROUP BY 1),
+      |pairs AS (
+      |  SELECT x.b AS b1, y.b AS b2, count(*) AS nab
+      |  FROM ob x JOIN ob y ON x.ok = y.ok AND x.b < y.b
+      |  GROUP BY 1, 2)
+      |SELECT b1, b2, CAST(nab AS BIGINT) AS n_ab,
+      |       CAST(nab * (SELECT n_orders FROM n) AS BIGINT) AS lift_num,
+      |       CAST(c1.nb * c2.nb AS BIGINT) AS lift_den,
+      |       CAST(CAST(nab * (SELECT n_orders FROM n) AS DOUBLE)
+      |            / CAST(c1.nb * c2.nb AS DOUBLE) AS DOUBLE) AS lift
+      |FROM pairs JOIN bc c1 ON c1.b = b1 JOIN bc c2 ON c2.b = b2
+      |WHERE nab >= 20""",
+    "co-purchase brand pairs with exact lift (association tier)") { (s, d) =>
+    // four consumers (count, margins, both join sides) — materialize
+    // the small basket table once (localCheckpoint; reaped by the
+    // periodic cleaner like the superstep iterates)
+    val ob = Tables.lineitem(s, d)
+      .join(Tables.part(s, d), col("l_partkey") === col("p_partkey"))
+      .select(col("l_orderkey").as("ok"), col("p_brand").as("b")).distinct()
+      .localCheckpoint(true)
+    val nOrders = ob.select("ok").distinct().count()
+    val bc = ob.groupBy("b").agg(count(lit(1)).as("nb"))
+    ob.as("x").join(ob.as("y"),
+        col("x.ok") === col("y.ok") && col("x.b") < col("y.b"))
+      .groupBy(col("x.b").as("b1"), col("y.b").as("b2"))
+      .agg(count(lit(1)).as("nab"))
+      .where(col("nab") >= 20)
+      .join(broadcast(bc.select(col("b").as("b1"), col("nb").as("n1"))), Seq("b1"))
+      .join(broadcast(bc.select(col("b").as("b2"), col("nb").as("n2"))), Seq("b2"))
+      .select(col("b1"), col("b2"), col("nab").as("n_ab"),
+        (col("nab") * nOrders).as("lift_num"),
+        (col("n1") * col("n2")).as("lift_den"),
+        ((col("nab") * nOrders).cast("double") /
+          (col("n1") * col("n2")).cast("double")).as("lift"))
+  }
+
   val all: Seq[QuerySpec] = Seq(
     q01, q02, q03, q04, q05, q06, q07, q08, q09, q10, q11,
     q12, q13, q14, q15, q16, q17, q18, q19, q20, q21, q22, q23, q94, q95,
     q123, q125, q126, q128, q129, q160, q178, q183, q186, q197, q217, q218,
-    q223, q224)
+    q223, q224, q242)
 }
