@@ -323,6 +323,28 @@ class GateLawsSpec extends SparkSpec {
     assert(out.values.exists(_._1 > 0), "no conversions anywhere — vacuous gate")
   }
 
+  test("q236 weighted re-score: scores in (0,1], exactly the candidate pair set") {
+    val wj = SparkEntry.queries("q236_weighted_jaccard")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(wj.nonEmpty)
+    assert(wj.values.forall(v => v > 0.0 && v <= 1.0), "wjaccard out of (0,1]")
+    val cand = SparkEntry.queries("q35_jaccard_pairs")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(wj.keySet == cand, s"re-score pairs ${wj.size} != candidates ${cand.size}")
+  }
+
+  test("q242 market basket: lift arithmetic reconciles; support threshold respected") {
+    val rows = SparkEntry.queries("q242_market_basket")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (nab, num, den, lift) = (r.getLong(2), r.getLong(3), r.getLong(4),
+        r.getDouble(5))
+      assert(nab >= 20, "support threshold violated")
+      assert(num % nab == 0, "lift_num not a multiple of n_ab")
+      assert(math.abs(lift - num.toDouble / den) < 1e-12, "lift != num/den")
+    }
+  }
+
   test("q178 profile: null/distinct counts reconcile with direct recompute") {
     val out = SparkEntry.queries("q178_profile")(spark, sf).collect()
       .map(r => r.getString(0) -> r).toMap
