@@ -39,11 +39,20 @@ object Recommender {
 
   /** Top-k part recommendations per customer, EXCLUDING already-
     * purchased parts (the deployment form). Deterministic given the
-    * model: ties break on item id. */
+    * model: ties break on item id.
+    *
+    * The candidate pull is sized `k + max(owned items per user)` so a
+    * heavy user whose top-scored items are all already purchased still
+    * receives a full k after the anti-join — a fixed `k*4` over-fetch
+    * silently shorts any user owning more than 3k of their top-4k
+    * scored items. The max-owned count is one cheap aggregate over the
+    * ratings table (map-side combinable; no data-sized collect). */
   def topK(model: org.apache.spark.ml.recommendation.ALSModel,
       ratings: DataFrame, k: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val recs = model.recommendForAllUsers(k * 4)
+    val maxOwned = ratings.groupBy("user").agg(count(lit(1)).as("n"))
+      .agg(max("n")).head().getLong(0).toInt
+    val recs = model.recommendForAllUsers(k + maxOwned)
       .select(col("user"), explode(col("recommendations")).as("r"))
       .select(col("user"), col("r.item").as("item"),
         col("r.rating").as("score"))

@@ -44,10 +44,14 @@ class FastaDataSource extends TableProvider with DataSourceRegister {
     FastaDataSource.Schema
 
   override def getTable(schema: StructType, partitioning: Array[Transform],
-      properties: util.Map[String, String]): Table =
-    new FastaTable(properties.get("path"),
-      Option(properties.get("splitbytes")).map(_.toLong)
+      properties: util.Map[String, String]): Table = {
+    // properties arrives as a plain (case-sensitive) map here — wrap it
+    // so .option("splitBytes", …) and .option("splitbytes", …) both land
+    val opts = new CaseInsensitiveStringMap(properties)
+    new FastaTable(opts.get("path"),
+      Option(opts.get("splitbytes")).map(_.toLong)
         .getOrElse(128L * 1024 * 1024))
+  }
 }
 
 object FastaDataSource {
@@ -117,28 +121,34 @@ final class FastaReaderFactory(fields: Array[String])
 }
 
 /** Streams one byte range of one FASTA file. Ownership rule: this
-  * split emits every record whose '>' lies in [start, end) — except
-  * that a non-first split skips a record starting exactly AT `start`
-  * only when it is not preceded by '\n' inside the previous split
-  * (impossible for well-formed FASTA, where records start after a
-  * newline), so alignment is: seek to start, scan to the first
-  * "\n>" at or after start-1, then read records until one starts at
-  * or beyond `end`. The reader buffers only ONE record — memory is
-  * O(longest record), never O(split). */
+  * split emits every record whose '>' lies in [start, end). A
+  * non-first split seeks to `start - 1` (NOT `start`) before scanning
+  * for the "\n>" boundary — a record whose '>' falls exactly at
+  * `start` is preceded by a '\n' at `start - 1`, which belongs to the
+  * previous split's byte range; starting the scan one byte early is
+  * the only way this split can see that newline and claim the record.
+  * (The previous split stops at records with '>' < its end == start,
+  * so without the back-off such a record is emitted by NO split.)
+  * Records are accumulated as raw bytes and decoded once as UTF-8, so
+  * multi-byte headers match BioSources.fasta's text reader exactly.
+  * The reader buffers only ONE record — memory is O(longest record),
+  * never O(split). */
 final class FastaPartitionReader(part: FastaInputPartition,
     fields: Array[String]) extends PartitionReader[InternalRow] {
 
   private val conf = new Configuration() // local/default-FS contract; a
   // cluster deployment threads its serialized Hadoop conf here instead
+  /** non-first splits back off one byte to catch a boundary-exact record */
+  private val scanFrom = math.max(0L, part.start - 1)
   private val in = {
     val p = new Path(part.file)
     val stream = p.getFileSystem(conf).open(p)
-    stream.seek(part.start)
+    stream.seek(scanFrom)
     new java.io.BufferedInputStream(stream, 1 << 16)
   }
   private val end = part.start + part.length
   /** absolute offset of the NEXT byte `in` will deliver */
-  private var pos = part.start
+  private var pos = scanFrom
   private var eof = false
   private var row: InternalRow = _
   /** lookahead holding the '>' byte of the next record (consumed from
@@ -172,16 +182,18 @@ final class FastaPartitionReader(part: FastaInputPartition,
   @annotation.tailrec
   override def next(): Boolean = {
     if (eof || pendingRecordStart < 0) return false
-    // read one record: from the pending '>' to the next "\n>" or EOF
-    val sb = new java.lang.StringBuilder(256)
+    // read one record: from the pending '>' to the next "\n>" or EOF —
+    // raw bytes, decoded once as UTF-8 (per-byte toChar would be Latin-1
+    // and mangle multi-byte headers)
+    val buf = new java.io.ByteArrayOutputStream(256)
     var prev = -1
     var b = read()
     var nextStart = -1L
     while (b >= 0 && !(prev == '\n' && b == '>')) {
-      sb.append(b.toChar); prev = b; b = read()
+      buf.write(b); prev = b; b = read()
     }
     if (b == '>') nextStart = pos - 1
-    val rec = sb.toString
+    val rec = new String(buf.toByteArray, java.nio.charset.StandardCharsets.UTF_8)
     pendingRecordStart = if (nextStart >= 0 && nextStart < end) nextStart else -1L
     if (pendingRecordStart < 0) eof = true
     if (rec.trim.isEmpty) next() // degenerate empty record: skip

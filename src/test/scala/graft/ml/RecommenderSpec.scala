@@ -26,4 +26,19 @@ class RecommenderSpec extends SparkSpec {
       .where(col("mx") =!= col("n")).count()
     assert(badRk == 0, "rank sequence has holes")
   }
+
+  test("heavy user owning far more than 3k items still receives a full k") {
+    import spark.implicits._
+    // 40 items; user 1 owns 35 of them (>> 3k for k=3), users 2..9 own a few
+    val heavy = (0 until 35).map(i => (1, i, 5.0 + (i % 7)))
+    val light = (2 to 9).flatMap(u => (0 until 4).map(i => (u, (u * 5 + i) % 40, 3.0 + i)))
+    val r = (heavy ++ light).toDF("user", "item", "rating")
+    val model = Recommender.fit(r, rank = 4, iters = 5)
+    val recs = Recommender.topK(model, r, k = 3).cache()
+    val heavyRecs = recs.where($"user" === 1).collect()
+    assert(heavyRecs.length == 3,
+      s"heavy user got ${heavyRecs.length} recs, wanted 3")
+    assert(heavyRecs.forall(row => !heavy.exists(_._2 == row.getInt(2))),
+      "recommended an owned item to the heavy user")
+  }
 }

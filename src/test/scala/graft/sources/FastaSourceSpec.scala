@@ -28,14 +28,57 @@ class FastaSourceSpec extends SparkSpec {
       .collect().map(r => (r.getString(0), r.getString(1), r.getString(2),
         r.getLong(3))).toSet
     assert(want.size == n)
-    for (split <- Seq(64L, 997L, 4096L, 1L << 20)) {
-      val got = spark.read.format("graft-fasta")
+    for (split <- Seq(64L, 997L, 4096L)) {
+      val df = spark.read.format("graft-fasta")
         .option("splitBytes", split.toString).load(path)
+      // if the option ever stops reaching the planner (e.g. a casing
+      // regression), this fails loudly instead of testing one split
+      assert(df.rdd.getNumPartitions > 1,
+        s"splitBytes=$split produced a single partition — option ignored?")
+      val got = df
         .collect().map(r => (r.getString(0), r.getString(1), r.getString(2),
           r.getLong(3))).toSet
       assert(got == want, s"splitBytes=$split: ${got.size} vs ${want.size}; " +
         s"missing=${(want -- got).take(3)} extra=${(got -- want).take(3)}")
     }
+    // single-split geometry still agrees
+    val one = spark.read.format("graft-fasta")
+      .option("splitBytes", (1L << 20).toString).load(path)
+    assert(one.rdd.getNumPartitions == 1)
+    assert(one.collect().map(r => (r.getString(0), r.getString(1),
+      r.getString(2), r.getLong(3))).toSet == want)
+  }
+
+  test("record starting exactly on a split boundary is not dropped") {
+    // '>b' lands precisely at byte 64 — with splitBytes=64 the '\n' at
+    // byte 63 is in split 0 and the '>' in split 1; the reader must
+    // back off one byte so exactly one split claims record b
+    val dir = java.nio.file.Files.createTempDirectory("fasta-bnd")
+    val f = dir.resolve("b.fasta")
+    val bytes = (">a\n" + "A" * 60 + "\n>b\nCC\n>c\nGG\n").getBytes
+    assert(bytes(64) == '>' && bytes(63) == '\n')
+    java.nio.file.Files.write(f, bytes)
+    val got = spark.read.format("graft-fasta")
+      .option("splitBytes", "64").load(f.toString)
+      .collect().map(r => (r.getString(0), r.getString(2))).toSet
+    assert(got.map(_._1) == Set("a", "b", "c"), got.mkString("; "))
+    assert(got.contains(("b", "CC")) && got.contains(("c", "GG")))
+  }
+
+  test("non-ASCII UTF-8 headers decode identically to the RDD reader") {
+    val dir = java.nio.file.Files.createTempDirectory("fasta-utf8")
+    val f = dir.resolve("u.fasta")
+    val text = ">α strain=φX174 ünïcode\nACGT\n>plain\nGG\n"
+    java.nio.file.Files.write(f,
+      text.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    val want = BioSources.fasta(spark, f.toString)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getString(2),
+        r.getLong(3))).toSet
+    val got = spark.read.format("graft-fasta").load(f.toString)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getString(2),
+        r.getLong(3))).toSet
+    assert(got == want, s"missing=${want -- got} extra=${got -- want}")
+    assert(got.exists(_._1 == "α"))
   }
 
   test("column pruning reaches the scan: seq is never materialized for id+length") {
