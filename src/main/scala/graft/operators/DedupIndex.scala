@@ -1,0 +1,241 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Persisted incremental near-duplicate index — the production shape
+  * of batch ingest dedup: the corpus-side work (dictionary, masks,
+  * posting lists) is materialized ONCE as parquet, each incoming
+  * batch probes the index for its near-duplicates and appends its own
+  * signatures, and no batch ever re-reads an earlier batch's
+  * documents (IncrementalDedupIndexSpec plan-audits that the probe's
+  * file scans touch only the index directory).
+  *
+  * Same regime dispatch as [[Dedup.jaccardPairsAcross]], persisted:
+  *
+  *  - **dense** (vocabulary fits [[Dedup.tokenVocab]]'s cap): the
+  *    index is a token→id dictionary plus per-doc 64-bit-word bitset
+  *    masks. Appends EXTEND the dictionary (new tokens get fresh ids;
+  *    existing masks stay valid — their missing high words read as
+  *    zero, padded at probe time), so masks written under any
+  *    dictionary generation intersect exactly. Probe-side docs may
+  *    carry out-of-dictionary tokens; those cannot intersect any
+  *    indexed doc, but they DO count toward the union, so the probe
+  *    overrides the mask bit-count with the doc's true distinct-token
+  *    count — the Jaccard stays exact, not dictionary-relative.
+  *  - **sparse** (open vocabulary — the 100 TB web-corpus regime): the
+  *    index is the prefix-filter posting list (AllPairs/PPJoin lemma,
+  *    same math as [[Dedup.jaccardPairsAcrossTokens]]) plus per-doc
+  *    sorted token arrays for exact verification. The canonical token
+  *    order the lemma needs is FROZEN at build time as the persisted
+  *    df table — later batches rank their prefixes under
+  *    `(frozen df, tok)` with unseen tokens at df 0, so every batch
+  *    ever indexed or probed uses the SAME total order (the lemma
+  *    holds for any fixed order; build-time df is only the
+  *    selectivity heuristic). Postings are laid out by token hash via
+  *    [[graft.sources.Tabular.writeClusteredParquet]] so file-level
+  *    min/max stats cluster each token's postings.
+  *
+  * Thresholds: the sparse posting prefixes are computed for the
+  * build-time threshold and are a provable candidate SUPERSET for any
+  * probe threshold ≥ it (higher t ⇒ shorter prefix), so `probe`
+  * accepts any `minJaccard >= t_build`; verification is exact either
+  * way. Input contract for every method: a distinct per-doc
+  * (doc_id, tok) table (e.g. `explode(array_distinct(tokens))`),
+  * doc ids unique across all batches.
+  *
+  * Reference analog: the similarity-clustering dedup of
+  * bin/OperationalProteinFamilies.sh:66-86 (SURVEY M14), recast as the
+  * incremental batch-vs-corpus form a standing corpus needs.
+  */
+object DedupIndex {
+
+  private def metaPath(dir: String) = s"$dir/meta"
+  private def dictPath(dir: String) = s"$dir/dict"
+  private def masksPath(dir: String) = s"$dir/masks"
+  private def dfreqPath(dir: String) = s"$dir/dfreq"
+  private def postingsPath(dir: String) = s"$dir/postings"
+  private def docsPath(dir: String) = s"$dir/docs"
+
+  /** Hard ceiling on a dense index's dictionary growth across appends
+    * — past it the regime premise (bounded vocabulary) is wrong and
+    * the caller should rebuild sparse. */
+  val DenseDictCap = 1 << 16
+
+  private case class Meta(kind: String, tBuild: Double)
+
+  private def readMeta(spark: SparkSession, dir: String): Meta = {
+    val r = spark.read.parquet(metaPath(dir)).head()
+    Meta(r.getAs[String]("kind"), r.getAs[Double]("t_build"))
+  }
+
+  /** Per-doc exact-verify features: sorted distinct token array + its
+    * size (the sparse index's docs table; also the probe side's). */
+  private def features(tok: DataFrame): DataFrame =
+    tok.groupBy("doc_id").agg(sort_array(collect_set(col("tok"))).as("toks"))
+      .withColumn("n", size(col("toks")).cast("long"))
+
+  /** Prefix rows under the frozen canonical order `(df, tok)` with
+    * unseen tokens at df 0: (tok, doc_id, n) for each doc's
+    * n − ⌈t·n⌉ + 1 first tokens (1e-9 ceil slack as in
+    * [[Dedup.jaccardPairsPrefixTokens]] — a longer prefix only adds
+    * candidates). */
+  private def prefixRows(tok: DataFrame, dfreqFrozen: DataFrame,
+      t: Double): DataFrame = {
+    val byDoc = Window.partitionBy("doc_id")
+    tok.join(dfreqFrozen.select("tok", "df"), Seq("tok"), "left_outer")
+      .na.fill(0L, Seq("df"))
+      .select(col("tok"), col("doc_id"),
+        row_number().over(byDoc.orderBy(col("df"), col("tok"))).as("pos"),
+        count(lit(1)).over(byDoc).as("n"))
+      .where(col("pos") <= col("n") - ceil(lit(t) * col("n") - lit(1e-9)) + 1)
+      .select(col("tok"), col("doc_id"), col("n"))
+  }
+
+  /** Build the index over the first batch; returns the chosen regime
+    * ("dense" | "sparse"). One pass over the batch tokens per
+    * persisted table; nothing here is ever recomputed by later
+    * batches. */
+  def build(tok: DataFrame, dir: String, minJaccard: Double,
+      bitmapMaxVocab: Int = 4096): String = {
+    require(minJaccard > 0.0, "prefix/bitset indexing needs a positive threshold")
+    val spark = tok.sparkSession
+    import spark.implicits._
+    val kind = Dedup.tokenVocab(tok.select("tok"), bitmapMaxVocab) match {
+      case Some(vocab) =>
+        vocab.zipWithIndex.map { case (t, i) => (t, i.toLong) }.toSeq
+          .toDF("tok", "id").coalesce(1)
+          .write.mode("overwrite").parquet(dictPath(dir))
+        Dedup.tokenMasks(tok, vocab)
+          .write.mode("overwrite").parquet(masksPath(dir))
+        "dense"
+      case None =>
+        val dfreq = tok.groupBy("tok").agg(count(lit(1)).as("df"))
+        dfreq.write.mode("overwrite").parquet(dfreqPath(dir))
+        graft.sources.Tabular.writeClusteredParquet(
+          prefixRows(tok, dfreq, minJaccard)
+            .withColumn("tok_h", xxhash64(col("tok"))),
+          postingsPath(dir), Seq("tok_h"))
+        features(tok).write.mode("overwrite").parquet(docsPath(dir))
+        "sparse"
+    }
+    Seq((kind, minJaccard)).toDF("kind", "t_build").coalesce(1)
+      .write.mode("overwrite").parquet(metaPath(dir))
+    kind
+  }
+
+  /** The dictionary in id order (dense regime) — bounded by
+    * [[DenseDictCap]] by construction, so the collect is small. */
+  private def readVocab(spark: SparkSession, dir: String): Array[String] =
+    spark.read.parquet(dictPath(dir)).orderBy("id")
+      .collect().map(_.getAs[String]("tok"))
+
+  /** Append a batch's signatures to the index. Dense: extends the
+    * dictionary with the batch's unseen tokens (deterministic — new
+    * ids in token sort order after the current max) and appends the
+    * batch masks. Sparse: appends posting rows under the FROZEN df
+    * order and the batch's verify features. Never touches previously
+    * indexed batches. */
+  def append(tok: DataFrame, dir: String): Unit = {
+    val spark = tok.sparkSession
+    import spark.implicits._
+    val meta = readMeta(spark, dir)
+    meta.kind match {
+      case "dense" =>
+        val vocab = readVocab(spark, dir)
+        val known = vocab.toSet
+        val fresh = tok.select("tok").distinct().collect()
+          .map(_.getString(0)).filterNot(known).sorted
+        require(vocab.length + fresh.length <= DenseDictCap,
+          s"dense dictionary would grow past $DenseDictCap — the bounded-" +
+            "vocabulary premise no longer holds; rebuild the index sparse")
+        if (fresh.nonEmpty)
+          fresh.zipWithIndex.map { case (t, i) => (t, (vocab.length + i).toLong) }
+            .toSeq.toDF("tok", "id").coalesce(1)
+            .write.mode("append").parquet(dictPath(dir))
+        Dedup.tokenMasks(tok, vocab ++ fresh)
+          .write.mode("append").parquet(masksPath(dir))
+      case "sparse" =>
+        val dfreq = spark.read.parquet(dfreqPath(dir))
+        prefixRows(tok, dfreq, meta.tBuild)
+          .withColumn("tok_h", xxhash64(col("tok")))
+          .repartitionByRange(col("tok_h")).sortWithinPartitions("tok_h")
+          .write.mode("append").parquet(postingsPath(dir))
+        features(tok).write.mode("append").parquet(docsPath(dir))
+    }
+  }
+
+  /** Every (batch doc, indexed doc) pair with exact Jaccard ≥
+    * `minJaccard` (must be ≥ the build threshold in the sparse
+    * regime), reading ONLY the index — the batch side comes from the
+    * caller's DataFrame, the corpus side from the persisted
+    * dictionary/masks or postings/features. Output:
+    * (d1 = batch doc, d2 = indexed doc, jaccard). */
+  def probe(tok: DataFrame, dir: String, minJaccard: Double,
+      maxProbeDocs: Long = 200000): DataFrame = {
+    val spark = tok.sparkSession
+    val meta = readMeta(spark, dir)
+    require(minJaccard >= meta.tBuild - 1e-12,
+      s"probe threshold $minJaccard is below the build threshold " +
+        s"${meta.tBuild} — indexed prefixes only cover t >= t_build")
+    meta.kind match {
+      case "dense" =>
+        val vocab = readVocab(spark, dir)
+        val nWords = ((vocab.length + 63) / 64).max(1)
+        // older masks are shorter than the grown dictionary: pad the
+        // missing high words with zeros so the bitwise kernel zips
+        val corpus = spark.read.parquet(masksPath(dir))
+          .withColumn("mask",
+            when(size(col("mask")) < nWords,
+              concat(col("mask"),
+                array_repeat(lit(0L), lit(nWords) - size(col("mask")))))
+              .otherwise(col("mask")))
+        // out-of-dictionary probe tokens intersect nothing but DO
+        // count toward the union: override n with the true size
+        val nTrue = tok.groupBy("doc_id").agg(count(lit(1)).as("n_true"))
+        val batch = Dedup.tokenMasks(tok, vocab).drop("n")
+          .join(nTrue, Seq("doc_id"))
+          .withColumnRenamed("n_true", "n")
+        Dedup.jaccardPairsFromMasks(batch, corpus, minJaccard, maxProbeDocs)
+      case "sparse" =>
+        val dfreq = spark.read.parquet(dfreqPath(dir))
+        val post = spark.read.parquet(postingsPath(dir))
+        val docsT = spark.read.parquet(docsPath(dir))
+        val bp = prefixRows(tok, dfreq, minJaccard)
+        val cand = bp.select(col("tok"), col("doc_id").as("d1"), col("n").as("n1"))
+          .join(post.select(col("tok"), col("doc_id").as("d2"), col("n").as("n2")),
+            Seq("tok"))
+          .where(least(col("n1"), col("n2")).cast("double") >=
+            lit(minJaccard) * greatest(col("n1"), col("n2")).cast("double") -
+              lit(1e-9))
+          .select("d1", "d2").distinct()
+        val bf = features(tok)
+        cand
+          .join(docsT.select(col("doc_id").as("d2"), col("toks").as("t2"),
+            col("n").as("n2")), Seq("d2"))
+          .join(bf.select(col("doc_id").as("d1"), col("toks").as("t1"),
+            col("n").as("n1")), Seq("d1"))
+          .withColumn("n_inter",
+            size(array_intersect(col("t1"), col("t2"))).cast("long"))
+          .select(col("d1"), col("d2"),
+            when(col("n1") + col("n2") - col("n_inter") === 0, lit(0.0))
+              .otherwise(col("n_inter").cast("double") /
+                (col("n1") + col("n2") - col("n_inter")).cast("double"))
+              .as("jaccard"))
+          .where(col("jaccard") >= minJaccard)
+    }
+  }
+
+  /** The deployment step: probe the index for the batch's
+    * near-duplicates, THEN append the batch's own signatures. The
+    * probe result is materialized (localCheckpoint) before the append
+    * mutates the index — a lazy plan evaluated afterwards would see
+    * the batch matching itself. */
+  def probeAndAppend(tok: DataFrame, dir: String,
+      minJaccard: Double): DataFrame = {
+    val out = probe(tok, dir, minJaccard).localCheckpoint()
+    append(tok, dir)
+    out
+  }
+}

@@ -2124,6 +2124,47 @@ object Corpus {
         md5(concat_ws("", array_sort(collect_list(col("h"))))).as("digest"))
   }
 
+  /** The persisted incremental dedup index, driven end-to-end: the
+    * corpus lands in TWO installments ([[DedupIndex.build]] on
+    * doc_id mod 7 ∈ {1,2,3}, [[DedupIndex.append]] on {4,5,6} — the
+    * append must extend, not rebuild), then the incoming batch
+    * (mod 7 = 0) probes the index for its near-duplicates at
+    * Jaccard ≥ 0.5. The oracle is q150's algorithm-blind naive join
+    * over ALL batches — so the gate proves build + append + probe
+    * against the persisted parquet index reproduces the exact
+    * combined answer. DedupIndexSpec plan-audits that the probe scans
+    * ONLY the index (never installment documents); on this corpus the
+    * dispatcher picks the dense regime (dictionary + bitset masks),
+    * and the sparse posting-index regime is law-tested in the spec. */
+  val q243 = QuerySpec.sql(
+    "q243_incremental_dedup_index",
+    """WITH tok AS (
+      |  SELECT doc_id, unnest(list_distinct(regexp_extract_all(lower(text), '(\S+)', 1))) AS tok
+      |  FROM documents),
+      |sizes AS (SELECT doc_id, count(*) AS n FROM tok GROUP BY 1),
+      |inter AS (
+      |  SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS n_inter
+      |  FROM tok a JOIN tok b ON a.tok = b.tok
+      |  WHERE a.doc_id % 7 = 0 AND b.doc_id % 7 <> 0
+      |  GROUP BY 1, 2),
+      |j AS (
+      |  SELECT d1, CAST(n_inter AS DOUBLE) / (s1.n + s2.n - n_inter) AS jac
+      |  FROM inter JOIN sizes s1 ON s1.doc_id = d1 JOIN sizes s2 ON s2.doc_id = d2)
+      |SELECT d1 AS doc_id, count(*) AS n_corpus_matches, max(jac) AS best_jaccard
+      |FROM j WHERE jac >= 0.5 GROUP BY 1""",
+    "persisted dedup index: build + append + batch probe (dedup at scale)") { (s, d) =>
+    val dir = java.nio.file.Files.createTempDirectory("graft-q243").toString + "/idx"
+    val tok = tokBlk1(s, d).select("doc_id", "tok")
+    val m7 = pmod(col("doc_id"), lit(7))
+    graft.operators.DedupIndex.build(
+      tok.where(m7.isin(1, 2, 3)), dir, minJaccard = 0.5)
+    graft.operators.DedupIndex.append(tok.where(m7.isin(4, 5, 6)), dir)
+    graft.operators.DedupIndex.probe(tok.where(m7 === 0), dir, minJaccard = 0.5)
+      .groupBy(col("d1").as("doc_id"))
+      .agg(count(lit(1)).as("n_corpus_matches"),
+        max(col("jaccard")).as("best_jaccard"))
+  }
+
   /** Quantile normalization across sources — each doc's length is
     * replaced by the GLOBAL value at its source-relative rank, the
     * distribution-matching transform that removes per-source scale
@@ -2205,5 +2246,5 @@ object Corpus {
       q43, q77, q78, q83, q91, q92, q93, q97, q103, q112, q113, q114, q116,
       q139, q140, q141, q144, q147, q148, q149, q150, q153, q154, q155, q157,
       q158, q159, q161, q163, q164, q166, q173, q174, q184, q185, q187, q192,
-      q194, q199, q200, q203, q205, q209, q221, q227, q236, q239, q241)
+      q194, q199, q200, q203, q205, q209, q221, q227, q236, q239, q241, q243)
 }
