@@ -57,12 +57,42 @@ object Bench {
       }
       best
     }
-    val calib0 = calib()
+    var calib0 = calib()
     val heapGb = Runtime.getRuntime.maxMemory / 1e9
-    val load0 = loadAvg
-    if (load0 > 4.0)
-      System.err.println(f"WARNING: system load average $load0%.1f before bench — " +
-        "timings will be contention-inflated; re-run on an idle machine")
+    var load0 = loadAvg
+    // --- self-validation (round-7 verdict item 2): every official
+    // bench to date was contention-inflated ~1.5× by driver co-work.
+    // Gate on the two environment signals BEFORE starting: runnable
+    // backlog (load_avg > 1.0) or single-core throughput more than 5%
+    // under the rolling norm of the tracked history. One 90 s
+    // sleep+retry, then the record carries "contended" either way —
+    // the JSON says whether its own numbers are trustworthy.
+    val calibNorm: Option[Double] = try {
+      val p = java.nio.file.Paths.get("BENCH_HISTORY.jsonl")
+      if (java.nio.file.Files.exists(p)) {
+        val re = """"calib_mops_pre":([0-9.]+)""".r
+        val xs = scala.jdk.CollectionConverters.ListHasAsScala(
+          java.nio.file.Files.readAllLines(p)).asScala
+          .flatMap(l => re.findFirstMatchIn(l).map(_.group(1).toDouble))
+          .takeRight(20).toIndexedSeq.sorted
+        if (xs.nonEmpty) Some(xs(xs.size / 2)) else None
+      } else None
+    } catch { case _: Throwable => None }
+    def contendedNow(l: Double, c: Double): Boolean =
+      l > 1.0 || calibNorm.exists(n => c < 0.95 * n)
+    var retried = false
+    if (contendedNow(load0, calib0)) {
+      System.err.println(f"WARNING: contended environment (load $load0%.2f, " +
+        f"calib $calib0%.0f Mops vs norm ${calibNorm.getOrElse(0.0)}%.0f) — " +
+        "sleeping 90 s and retrying once")
+      Thread.sleep(90000)
+      retried = true
+      calib0 = calib(); load0 = loadAvg
+    }
+    val contended = contendedNow(load0, calib0)
+    if (contended)
+      System.err.println(f"WARNING: still contended after retry (load $load0%.2f) — " +
+        "timings below are inflated; the JSON record carries contended:true")
     val w0 = System.nanoTime()
     SparkEntry.warmCaches(spark, sfDir)
     val warmupSec = (System.nanoTime() - w0) / 1e9
@@ -92,8 +122,10 @@ object Bench {
     val top = results.filter { case (k, _) => slow(k) } // declared order
     val otherSec = total - top.map(_._2).sum
     val detailPath = java.nio.file.Paths.get("bench_detail.json").toAbsolutePath
+    val validity =
+      s""""contended":$contended,"retried":$retried,"calib_norm":${ms(calibNorm.getOrElse(0.0))}"""
     val detail =
-      s"""{"metric":"total","value":${ms(total)},"unit":"sec","sf":"$sfDir","n_queries":${results.size},"queries":${json(results)},"warmup_sec":${ms(warmupSec)},"load_avg_pre":${ms(load0)},"load_avg_post":${ms(load1)},"calib_mops_pre":${ms(calib0)},"calib_mops_post":${ms(calib1)},"heap_gb":${ms(heapGb)}}"""
+      s"""{"metric":"total","value":${ms(total)},"unit":"sec","sf":"$sfDir","n_queries":${results.size},"queries":${json(results)},"warmup_sec":${ms(warmupSec)},"load_avg_pre":${ms(load0)},"load_avg_post":${ms(load1)},"calib_mops_pre":${ms(calib0)},"calib_mops_post":${ms(calib1)},"heap_gb":${ms(heapGb)},$validity}"""
     java.nio.file.Files.write(detailPath, (detail + "\n").getBytes("UTF-8"))
     // bench_detail.json is overwritten by every run (round-6 verdict
     // lost the official per-query record to a local re-run), so every
@@ -107,6 +139,6 @@ object Bench {
       java.nio.file.StandardOpenOption.APPEND)
     spark.stop()
     // printed AFTER spark.stop() so no shutdown logging can land below it
-    println(s"""{"metric":"total","value":${ms(total)},"unit":"sec","queries":${json(top)},"n_queries":${results.size},"other_sec":${ms(otherSec)},"sf":"$sfDir","warmup_sec":${ms(warmupSec)},"load_avg_pre":${ms(load0)},"load_avg_post":${ms(load1)},"calib_mops_pre":${ms(calib0)},"calib_mops_post":${ms(calib1)},"heap_gb":${ms(heapGb)},"detail":"$detailPath"}""")
+    println(s"""{"metric":"total","value":${ms(total)},"unit":"sec","queries":${json(top)},"n_queries":${results.size},"other_sec":${ms(otherSec)},"sf":"$sfDir","warmup_sec":${ms(warmupSec)},"load_avg_pre":${ms(load0)},"load_avg_post":${ms(load1)},"calib_mops_pre":${ms(calib0)},"calib_mops_post":${ms(calib1)},"heap_gb":${ms(heapGb)},$validity,"detail":"$detailPath"}""")
   }
 }
