@@ -1023,6 +1023,37 @@ object GraphAnalytics {
         (col("s").cast("double") * col("s") / col("q")).as("simpson"))
   }
 
+  /** Largest connected-component size of one edge list, computed
+    * task-locally by union-find with path halving — the per-layer
+    * kernel of [[robustnessExact]]'s small tier. Component sizes are
+    * algorithm-independent, so this agrees exactly with GraphX CC and
+    * with a recursive-CTE closure. Counts only edge endpoints
+    * (isolated vertices are the caller's singleton arithmetic). */
+  private def largestComponentOf(edges: Iterator[(Long, Long)]): Long = {
+    val idx = scala.collection.mutable.HashMap.empty[Long, Int]
+    val parent = scala.collection.mutable.ArrayBuffer.empty[Int]
+    def nodeOf(v: Long): Int = idx.getOrElseUpdate(v, {
+      parent += parent.length; parent.length - 1
+    })
+    def find(x0: Int): Int = {
+      var x = x0
+      while (parent(x) != x) { parent(x) = parent(parent(x)); x = parent(x) }
+      x
+    }
+    edges.foreach { case (a, b) =>
+      val (ra, rb) = (find(nodeOf(a)), find(nodeOf(b)))
+      if (ra != rb) parent(ra) = rb
+    }
+    if (parent.isEmpty) 0L
+    else {
+      val sizes = scala.collection.mutable.HashMap.empty[Int, Long]
+      parent.indices.foreach { i =>
+        val r = find(i); sizes.update(r, sizes.getOrElse(r, 0L) + 1L)
+      }
+      sizes.values.max
+    }
+  }
+
   /** G19 exact twin — targeted-removal robustness with every decision
     * integer-exact, mirroring LocalGraph.robustnessCurve (NetSwan
     * shape, reference bin/alteredDiet.R:5) distributively: at each
@@ -1037,7 +1068,8 @@ object GraphAnalytics {
     * a recursive-CTE closure in an external engine agree exactly; the
     * only float is the final size/n division. Input: (src, dst).
     * Output: (n_removed, largest, largest_frac). */
-  def robustnessExact(edges: DataFrame, steps: Int): DataFrame = {
+  def robustnessExact(edges: DataFrame, steps: Int,
+      maxLayeredLocalEdges: Long = 100000L): DataFrame = {
     val spark = edges.sparkSession
     import spark.implicits._
     val canon = edges.select(least(col("src"), col("dst")).as("a"),
@@ -1053,44 +1085,80 @@ object GraphAnalytics {
     // the whole adaptive loop runs eagerly (every step collect()s its
     // argmax), so the superstep partition scope applies to it — each
     // step's degree agg is ~2|E| rows, the contention-amplifier shape
-    val parts = superstepPartitions(spark, canon.count() * 2)
+    val nEdges = canon.count()
+    val parts = superstepPartitions(spark, nEdges * 2)
     val ccMaxByLayer = withShufflePartitions(spark, parts) {
-      // Phase 1 — the removal sequence: each victim needs only a degree
-      // argmax over the surviving edges, a cheap agg job per step.
+      // Phase 1 — the removal sequence. Degrees are maintained
+      // INCREMENTALLY (round-7 verdict item 5): the full 2|E| edge agg
+      // runs once, then each step subtracts the victim's incident
+      // edges from a |V|-sized surviving-degree table instead of
+      // re-aggregating the whole edge set k times — at scale |E| ≫ |V|
+      // and the per-step work drops from edge-sized to vertex-sized.
+      // An edge to an ALREADY-removed neighbor was subtracted when
+      // that neighbor fell, so the decrement join over surviving rows
+      // needs no removed-list filter; 0-degree rows drop out, matching
+      // the old argmax-over-edges rule (a 0-degree vertex can only win
+      // when NO edges remain).
       val removed = scala.collection.mutable.ArrayBuffer.empty[Long]
+      var degrees = canon.select(col("a").as("v"))
+        .unionByName(canon.select(col("b").as("v")))
+        .groupBy("v").agg(count(lit(1)).as("d"))
+        .localCheckpoint(true)
       (1 to math.min(steps, (n0 - 1).toInt)).foreach { _ =>
-        val r = removed.toSeq
-        val et = canon.where(!col("a").isin(r: _*) && !col("b").isin(r: _*))
-        val sym = et.select(col("a").as("v")).unionByName(et.select(col("b").as("v")))
-        // a 0-degree vertex can only win the (deg desc, id asc) argmax
-        // when NO edges remain — skip the vertex join on the hot path
-        val top = sym.groupBy("v").agg(count(lit(1)).as("d"))
-          .orderBy(col("d").desc, col("v").asc).limit(1)
+        val top = degrees.orderBy(col("d").desc, col("v").asc).limit(1)
           .select(col("v")).as[Long].collect()
         val victim =
           if (top.nonEmpty) top(0)
-          else verts.where(!col("v").isin(r: _*))
+          else verts.where(!col("v").isin(removed.toSeq: _*))
             .agg(min(col("v"))).as[Long].head()
         removed += victim
+        val nbDec = canon
+          .where(col("a") === victim || col("b") === victim)
+          .select(when(col("a") === victim, col("b")).otherwise(col("a")).as("v"))
+          .groupBy("v").agg(count(lit(1)).as("dec"))
+        degrees = degrees.where(col("v") =!= victim)
+          .join(nbDec, Seq("v"), "left_outer")
+          .select(col("v"), (col("d") - coalesce(col("dec"), lit(0L))).as("d"))
+          .where(col("d") > 0)
+          .localCheckpoint(true)
       }
-      // Phase 2 — ONE GraphX CC over the layered union (q75's encoding
-      // trick): layer t holds the surviving edges after t removals with
-      // ids offset by t·enc, so a single distributed CC labels every
-      // step's components at once instead of paying GraphX fixed cost
-      // per step (measured 17.8 s → one run at gate scale).
-      val layered = (0 to steps).map { t =>
-        val r = removed.take(t).toSeq
-        canon.where(!col("a").isin(r: _*) && !col("b").isin(r: _*))
-          .select((col("a") + t * enc).as("src"), (col("b") + t * enc).as("dst"))
-      }.reduce(_ unionByName _)
-      val vtx = layered.select(col("src").as("id"))
-        .unionByName(layered.select(col("dst").as("id"))).distinct()
-        .withColumn("name", col("id").cast("string"))
-      val byLayer = connectedComponents(spark, graft.graph.PropertyGraph(vtx, layered))
-        .groupBy((col("id") / enc).cast("long").as("layer"), col("component"))
-        .agg(count(lit(1)).as("sz"))
-        .groupBy("layer").agg(max(col("sz")).as("m"))
-        .as[(Long, Long)].collect().toMap
+      // Phase 2 — per-layer largest component, TIERED like every graph
+      // kernel in this file: below the task-local cap the layers are
+      // independent groups, so ONE shuffle fans each layer's surviving
+      // edges to its own task and a union-find labels it there —
+      // GraphX's per-run fixed cost (~3-5 s of Pregel supersteps,
+      // measured) is pure overhead on a group-sized graph. Past the
+      // cap, ONE GraphX CC over the layered union (q75's encoding
+      // trick: layer t's ids offset by t·enc) labels every step at
+      // once instead of paying GraphX fixed cost per step (17.8 s →
+      // one run at gate scale).
+      val byLayer: Map[Long, Long] =
+        if ((steps + 1).toLong * nEdges <= maxLayeredLocalEdges) {
+          val layered = (0 to steps).map { t =>
+            val r = removed.take(t).toSeq
+            canon.where(!col("a").isin(r: _*) && !col("b").isin(r: _*))
+              .select(lit(t).as("layer"), col("a"), col("b"))
+          }.reduce(_ unionByName _)
+          layered.as[(Int, Long, Long)]
+            .groupByKey(_._1)
+            .mapGroups { (layer, it) =>
+              (layer.toLong, largestComponentOf(it.map(e => (e._2, e._3))))
+            }.collect().toMap
+        } else {
+          val layered = (0 to steps).map { t =>
+            val r = removed.take(t).toSeq
+            canon.where(!col("a").isin(r: _*) && !col("b").isin(r: _*))
+              .select((col("a") + t * enc).as("src"), (col("b") + t * enc).as("dst"))
+          }.reduce(_ unionByName _)
+          val vtx = layered.select(col("src").as("id"))
+            .unionByName(layered.select(col("dst").as("id"))).distinct()
+            .withColumn("name", col("id").cast("string"))
+          connectedComponents(spark, graft.graph.PropertyGraph(vtx, layered))
+            .groupBy((col("id") / enc).cast("long").as("layer"), col("component"))
+            .agg(count(lit(1)).as("sz"))
+            .groupBy("layer").agg(max(col("sz")).as("m"))
+            .as[(Long, Long)].collect().toMap
+        }
       (byLayer, removed.length)
     }
     val (byLayerMax, nRemoved) = ccMaxByLayer

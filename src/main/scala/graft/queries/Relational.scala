@@ -943,26 +943,37 @@ object Relational {
       |FROM pairs JOIN bc c1 ON c1.b = b1 JOIN bc c2 ON c2.b = b2
       |WHERE nab >= 20""",
     "co-purchase brand pairs with exact lift (association tier)") { (s, d) =>
-    // four consumers (count, margins, both join sides) — materialize
-    // the small basket table once (localCheckpoint; reaped by the
-    // periodic cleaner like the superstep iterates)
-    val ob = Tables.lineitem(s, d)
+    // ONE shuffle builds the per-order brand baskets (sorted distinct
+    // arrays); pair expansion is then a NARROW array comprehension —
+    // no basket self-join shuffle at all — and n_orders/margins fall
+    // out of the same materialized frame (localCheckpoint, reaped by
+    // the periodic cleaner) with n_orders riding in as a broadcast
+    // one-row frame instead of a separate driver count job (round-7
+    // verdict item 4). Baskets are small (≤ distinct brands), so the
+    // per-row pair fan-out is bounded and the final (b1, b2) agg is
+    // map-side combined into a brand²-sized result.
+    val baskets = Tables.lineitem(s, d)
       .join(Tables.part(s, d), col("l_partkey") === col("p_partkey"))
-      .select(col("l_orderkey").as("ok"), col("p_brand").as("b")).distinct()
+      .groupBy(col("l_orderkey").as("ok"))
+      .agg(sort_array(collect_set(col("p_brand"))).as("bs"))
       .localCheckpoint(true)
-    val nOrders = ob.select("ok").distinct().count()
-    val bc = ob.groupBy("b").agg(count(lit(1)).as("nb"))
-    ob.as("x").join(ob.as("y"),
-        col("x.ok") === col("y.ok") && col("x.b") < col("y.b"))
-      .groupBy(col("x.b").as("b1"), col("y.b").as("b2"))
+    val n = baskets.agg(count(lit(1)).as("n_orders"))
+    val bc = baskets.select(explode(col("bs")).as("b"))
+      .groupBy("b").agg(count(lit(1)).as("nb"))
+    baskets
+      .select(explode(flatten(transform(col("bs"), (x, i) =>
+        transform(slice(col("bs"), i + lit(2), size(col("bs"))),
+          y => struct(x.as("b1"), y.as("b2")))))).as("p"))
+      .groupBy(col("p.b1").as("b1"), col("p.b2").as("b2"))
       .agg(count(lit(1)).as("nab"))
       .where(col("nab") >= 20)
       .join(broadcast(bc.select(col("b").as("b1"), col("nb").as("n1"))), Seq("b1"))
       .join(broadcast(bc.select(col("b").as("b2"), col("nb").as("n2"))), Seq("b2"))
+      .crossJoin(broadcast(n))
       .select(col("b1"), col("b2"), col("nab").as("n_ab"),
-        (col("nab") * nOrders).as("lift_num"),
+        (col("nab") * col("n_orders")).as("lift_num"),
         (col("n1") * col("n2")).as("lift_den"),
-        ((col("nab") * nOrders).cast("double") /
+        ((col("nab") * col("n_orders")).cast("double") /
           (col("n1") * col("n2")).cast("double")).as("lift"))
   }
 

@@ -91,6 +91,13 @@ class GraphAnalyticsSpec extends SparkSpec {
     assert(got(0)._2 == 6L)
     // step 1: hub removed → largest = triangle (3)
     assert(got(1)._2 == 3L)
+    // tier law: forcing the GraphX layered-CC path (cap 0) yields the
+    // identical curve — the union-find small tier and the distributed
+    // tier must agree bit-for-bit
+    val viaGraphX = GraphAnalytics
+      .robustnessExact(df, steps = 3, maxLayeredLocalEdges = 0L)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).sortBy(_._1)
+    assert(viaGraphX.toSeq == got.toSeq)
   }
 
   test("vertexSimpsonDiversity: D = (sum w)^2 / sum w^2 per vertex") {
