@@ -173,6 +173,177 @@ object Similarity {
         col("neighbor_id"), col("cos_sim"))
   }
 
+  /** Product-quantization codebooks: `m` subspaces of `dim/m`
+    * components, each with `k` centroid sub-vectors.
+    * `codebooks(mi)(code)` is the code-th centroid of subspace mi. */
+  final case class PqModel(m: Int, k: Int, dim: Int,
+      codebooks: Array[Array[Array[Double]]]) {
+    def sub: Int = dim / m
+  }
+
+  /** Scaled-integer squared L2 distance of two array<double> columns:
+    * per-component diffs of `round(x·10⁶)` BIGINTs, summed exactly —
+    * bit-deterministic on any partitioning and replayable by an
+    * external SQL engine (the same idiom as [[cosineExactScaled]]). */
+  private[graft] def intL2(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => {
+      val d = round(x * 1e6).cast("long") - round(y * 1e6).cast("long")
+      d * d
+    }), lit(0L), (acc, t) => acc + t)
+
+  /** The codebooks as a broadcastable (m, code, cvec) frame — every PQ
+    * stage joins this instead of inlining the codebook as expression
+    * literals (an m·k·sub literal tree costs tens of seconds of Janino
+    * compilation per stage; a 1,024-row broadcast join costs nothing). */
+  private def codebookDf(spark: org.apache.spark.sql.SparkSession,
+      model: PqModel): DataFrame = {
+    import spark.implicits._
+    model.codebooks.zipWithIndex.flatMap { case (cb, mi) =>
+      cb.zipWithIndex.map { case (vec, code) => (mi, code, vec.toSeq) }
+    }.toSeq.toDF("m", "code", "cvec")
+  }
+
+  /** Per-row sub-vector explosion: (…, m, sv) with m = 0-based
+    * subspace index and sv = that subspace's dim/m components. */
+  private def explodeSubs(v: Column, m: Int, sub: Int) =
+    posexplode(transform(sequence(lit(0), lit(m - 1)),
+      mi => slice(v, mi * sub + 1, lit(sub)))).as(Seq("m", "sv"))
+
+  /** Train PQ codebooks — the IVF trainer's recipe per subspace:
+    * the k seed rows are a deterministic pseudo-random corpus sample
+    * (smallest hash of id; `portable = true` uses md5-of-string so an
+    * external SQL engine replays the selection, default xxhash64),
+    * each seed row contributing its mi-th sub-vector to subspace mi's
+    * codebook, refined by `refineIters` Lloyd steps with exact
+    * scaled-integer means (order-independent → the model is
+    * bit-reproducible on any cluster layout). ONE distributed job per
+    * Lloyd step covers ALL subspaces (explode → broadcast-codebook
+    * join → min-struct argmin → exact means); driver state is
+    * m·k·(dim/m) = k·dim doubles — constant in corpus size. */
+  def pqTrain(corpus: DataFrame, idCol: String, vecCol: String,
+      m: Int, k: Int, refineIters: Int = 1,
+      portable: Boolean = false): PqModel = {
+    val spark = corpus.sparkSession
+    val c = corpus.select(col(idCol).as("vid"), asDouble(col(vecCol)).as("v"))
+    val dim = c.select(size(col("v"))).head().getInt(0)
+    require(dim % m == 0, s"dim $dim not divisible into $m subspaces")
+    val sub = dim / m
+    val ord = if (portable) md5(col("vid").cast("string")) else xxhash64(col("vid"))
+    val seeds = c.orderBy(ord, col("vid")).limit(k)
+      .select(col("v")).collect().map(_.getSeq[Double](0).toArray)
+    var codebooks = Array.tabulate(m) { mi =>
+      seeds.map(_.slice(mi * sub, mi * sub + sub))
+    }
+    (0 until refineIters).foreach { _ =>
+      val cb = broadcast(codebookDf(spark, PqModel(m, k, dim, codebooks)))
+      val refined = c.select(col("vid"), explodeSubs(col("v"), m, sub))
+        .join(cb, Seq("m"))
+        // min over struct(d, code, sv): argmin by (distance, code); sv
+        // rides along (constant within the (vid, m) group)
+        .groupBy("vid", "m")
+        .agg(min(struct(intL2(col("sv"), col("cvec")).as("d"),
+          col("code").as("code"), col("sv").as("sv"))).as("b"))
+        .select(col("m"), col("b.code").as("code"),
+          posexplode(col("b.sv")).as(Seq("pos", "x")))
+        .groupBy("m", "code", "pos")
+        .agg((sum(round(col("x") * 1e6).cast("long")) / (count(lit(1)) * 1e6)).as("mean"))
+        .groupBy("m", "code")
+        .agg(transform(array_sort(collect_list(struct(col("pos"), col("mean")))),
+          e => e.getField("mean")).as("vec"))
+        .collect()
+        .map(r => (r.getInt(0), r.getInt(1)) -> r.getSeq[Double](2).toArray)
+        .toMap
+      // a code that lost every vector keeps its previous centroid
+      codebooks = codebooks.zipWithIndex.map { case (cbM, mi) =>
+        cbM.zipWithIndex.map { case (old, code) =>
+          refined.getOrElse((mi, code), old)
+        }
+      }
+    }
+    PqModel(m, k, dim, codebooks)
+  }
+
+  /** Integer PQ code table: (vid, codes array<int>) — `m` bytes-worth
+    * of index per vector instead of `dim` floats (here dim/m·32÷8 ≈
+    * 32× compression at m=8, dim=64, k≤256). Explode → broadcast
+    * codebook join → per-subspace argmin; the shuffle carries
+    * corpus·m narrow rows after map-side combine. */
+  def pqEncode(corpus: DataFrame, idCol: String, vecCol: String,
+      model: PqModel): DataFrame = {
+    val cb = broadcast(codebookDf(corpus.sparkSession, model))
+    corpus
+      .select(col(idCol).as("vid"),
+        explodeSubs(asDouble(col(vecCol)), model.m, model.sub))
+      .join(cb, Seq("m"))
+      .groupBy("vid", "m")
+      .agg(min(struct(intL2(col("sv"), col("cvec")).as("d"),
+        col("code").as("code"))).as("b"))
+      .groupBy("vid")
+      .agg(transform(array_sort(collect_list(struct(col("m"),
+        col("b.code").as("code")))), e => e.getField("code")).as("codes"))
+  }
+
+  /** Asymmetric-distance (ADC) top-k: each query scans the CODE table
+    * — never the raw corpus vectors. The classic per-query lookup
+    * table is built IN-PLAN as a broadcast frame (query_id, m, code,
+    * d) of nq·m·k integer distances; exploded codes join it on
+    * (m, code) and sum per (query, doc) with map-side combine, so the
+    * distance arithmetic per (query, doc) touches CODEBOOK data only.
+    * Integer distances end-to-end → bit-deterministic ranking.
+    * Output: (query_id, rank, neighbor_id, adc_dist). */
+  def pqAdcTopK(queries: DataFrame, codes: DataFrame, idCol: String,
+      vecCol: String, model: PqModel, k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val cb = broadcast(codebookDf(queries.sparkSession, model))
+    val lut = broadcast(
+      queries.select(col(idCol).as("query_id"),
+          explodeSubs(asDouble(col(vecCol)), model.m, model.sub))
+        .join(cb, Seq("m"))
+        .select(col("query_id"), col("m"), col("code"),
+          intL2(col("sv"), col("cvec")).as("d")))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("adc_dist").asc, col("neighbor_id"))
+    codes.select(col("vid").as("neighbor_id"),
+        posexplode(col("codes")).as(Seq("m", "code")))
+      .join(lut, Seq("m", "code"))
+      .where(col("query_id") =!= col("neighbor_id"))
+      .groupBy("query_id", "neighbor_id")
+      .agg(sum(col("d")).as("adc_dist"))
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select(col("query_id"), col("rank").cast("long").as("rank"),
+        col("neighbor_id"), col("adc_dist"))
+  }
+
+  /** ADC shortlist + exact re-rank — the production PQ search shape:
+    * the cheap code-table scan keeps `k·shortlist` candidates per
+    * query (ADC order), then ONLY those rows' raw vectors are fetched
+    * (a candidate-bounded equi-join, never a corpus scan per query)
+    * and re-scored with the exact integer L2. Raises recall toward
+    * exact at a per-query cost of `k·shortlist` true distance
+    * computations. Output: (query_id, rank, neighbor_id, l2_dist). */
+  def pqAdcTopKReranked(queries: DataFrame, codes: DataFrame,
+      corpus: DataFrame, idCol: String, vecCol: String, model: PqModel,
+      k: Int, shortlist: Int = 5): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val cand = pqAdcTopK(queries, codes, idCol, vecCol, model, k * shortlist)
+      .select(col("query_id"), col("neighbor_id"))
+    val q = broadcast(queries.select(col(idCol).as("query_id"),
+      asDouble(col(vecCol)).as("qv")))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("l2_dist").asc, col("neighbor_id"))
+    cand
+      .join(corpus.select(col(idCol).as("neighbor_id"),
+        asDouble(col(vecCol)).as("cv")), Seq("neighbor_id"))
+      .join(q, Seq("query_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        intL2(col("qv"), col("cv")).as("l2_dist"))
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select(col("query_id"), col("rank").cast("long").as("rank"),
+        col("neighbor_id"), col("l2_dist"))
+  }
+
   /** LSH-bucketed ANN: candidates share a bucket (equi-join shuffle on
     * bucket id), exact cosine re-rank inside the bucket, top-k per
     * query. The scale path: shuffle volume is corpus-linear, compare

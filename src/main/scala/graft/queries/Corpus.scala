@@ -432,6 +432,71 @@ object Corpus {
       "vec_id", "embedding", nCentroids = 16, nProbe = 4, k = 5)
   }
 
+  /** Product-quantization code assignment, hash-oracled: the PQ tier's
+    * deterministic integer heart. The codebook is the md5-portable
+    * corpus sample (16 seed rows, each contributing its sub-vector per
+    * 8-dim subspace — [[Similarity.pqTrain]] with refineIters = 0 so
+    * an external engine can replay the selection), and every vector's
+    * per-subspace code is the argmin of the scaled-integer L2 distance
+    * (tie → smaller code). DuckDB replays seed selection, distances
+    * and argmin from the exploded embedding — so the gate pins the
+    * exact arithmetic the ADC search tier stands on. The Lloyd-refined
+    * production model is law-tested in SimilaritySpec (exactness at
+    * full codebook, partition independence, recall floors). */
+  val q244 = QuerySpec.sql(
+    "q244_pq_codes",
+    """WITH e AS (
+      |  SELECT vec_id, unnest(embedding) AS v,
+      |         generate_subscripts(embedding, 1) AS i
+      |  FROM embeddings),
+      |q AS (
+      |  SELECT vec_id, i,
+      |         CAST(round(CAST(v AS DOUBLE) * 1000000, 0) AS BIGINT) AS xi,
+      |         CAST((i - 1) // 8 AS BIGINT) AS m
+      |  FROM e),
+      |seeds AS (
+      |  SELECT vec_id AS sid,
+      |         CAST(row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) - 1 AS BIGINT) AS code
+      |  FROM embeddings ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 16),
+      |cb AS (SELECT s.code, q.m, q.i, q.xi FROM seeds s JOIN q ON q.vec_id = s.sid),
+      |dist AS (
+      |  SELECT a.vec_id, a.m, c.code, sum((a.xi - c.xi) * (a.xi - c.xi)) AS d
+      |  FROM q a JOIN cb c ON c.i = a.i
+      |  GROUP BY 1, 2, 3),
+      |best AS (
+      |  SELECT vec_id, m, code,
+      |         row_number() OVER (PARTITION BY vec_id, m ORDER BY d, code) AS rn
+      |  FROM dist)
+      |SELECT vec_id, m AS subspace, CAST(code AS BIGINT) AS code
+      |FROM best WHERE rn = 1""",
+    "PQ per-subspace code assignment, md5-portable codebook (ANN tier)") { (s, d) =>
+    val emb = Tables.embeddings(s, d)
+    val model = Similarity.pqTrain(emb, "vec_id", "embedding",
+      m = 8, k = 16, refineIters = 0, portable = true)
+    Similarity.pqEncode(emb, "vec_id", "embedding", model)
+      .select(col("vid").as("vec_id"),
+        posexplode(col("codes")).as(Seq("subspace", "code")))
+      .select(col("vec_id"), col("subspace").cast("long").as("subspace"),
+        col("code").cast("long").as("code"))
+  }
+
+  /** The PQ/ADC search tier end-to-end (rows-only — the Lloyd-refined
+    * codebook has no SQL form): train, encode to integer code tables,
+    * ADC-shortlist each query against the CODES (never the raw
+    * corpus), exact re-rank of the candidate-bounded shortlist.
+    * Recall-vs-brute floors live in SimilaritySpec; q244 hash-gates
+    * the code-assignment arithmetic. */
+  val q245 = QuerySpec.rowsOnly(
+    "q245_pq_adc",
+    "PQ/ADC ANN: code-table scan + exact re-rank (similarity scale path)") { (s, d) =>
+    val emb = Tables.embeddings(s, d)
+    val model = Similarity.pqTrain(emb, "vec_id", "embedding",
+      m = 8, k = 16, refineIters = 1)
+    val codes = Similarity.pqEncode(emb, "vec_id", "embedding", model)
+    Similarity.pqAdcTopKReranked(emb.filter(col("vec_id") < 10), codes, emb,
+      "vec_id", "embedding", model, k = 5, shortlist = 5)
+  }
+
   /** M13 — the k-mer composition features that feed genome binning,
     * driver-oracled in long format. Spark counts overlapping 2-mers
     * with one codegen'd lookahead `regexp_count` per k-mer; DuckDB's
@@ -2246,5 +2311,6 @@ object Corpus {
       q43, q77, q78, q83, q91, q92, q93, q97, q103, q112, q113, q114, q116,
       q139, q140, q141, q144, q147, q148, q149, q150, q153, q154, q155, q157,
       q158, q159, q161, q163, q164, q166, q173, q174, q184, q185, q187, q192,
-      q194, q199, q200, q203, q205, q209, q221, q227, q236, q239, q241, q243)
+      q194, q199, q200, q203, q205, q209, q221, q227, q236, q239, q241, q243,
+      q244, q245)
 }

@@ -122,4 +122,62 @@ class SimilaritySpec extends SparkSpec {
     lsh.foreach { case (q, s) => assert(s <= bf(q) + 1e-12) }
     assert(lsh.nonEmpty)
   }
+
+  test("PQ/ADC with every row a seed degenerates to exact L2 search") {
+    // k = corpus size makes each vector's own sub-vectors codebook
+    // entries: assignment distance 0, ADC == exact integer L2, so the
+    // ADC top-k must equal the brute-force L2 top-k bit-for-bit
+    val emb = Tables.embeddings(spark, sf).cache()
+    val n = emb.count().toInt
+    val q = emb.filter(col("vec_id") < 5)
+    val model = Similarity.pqTrain(emb, "vec_id", "embedding",
+      m = 8, k = n, refineIters = 0)
+    val codes = Similarity.pqEncode(emb, "vec_id", "embedding", model)
+    val adc = Similarity.pqAdcTopK(q, codes, "vec_id", "embedding", model, k = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val bfL2 = Similarity.bruteForceTopK(q, emb, "vec_id", "embedding", 5,
+        scorer = (a, b) => -Similarity.intL2(a, b).cast("double"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(adc == bfL2, "full-codebook PQ must be exact")
+  }
+
+  test("PQ training/encoding is partition-independent and codes are in range") {
+    val emb = Tables.embeddings(spark, sf)
+    def run(df: org.apache.spark.sql.DataFrame) = {
+      val model = Similarity.pqTrain(df, "vec_id", "embedding",
+        m = 8, k = 8, refineIters = 1)
+      Similarity.pqEncode(df, "vec_id", "embedding", model)
+        .collect().map(r => r.getLong(0) -> r.getSeq[Int](1)).sortBy(_._1).toSeq
+    }
+    val base = run(emb)
+    assert(base == run(emb.repartition(13)))
+    assert(base.forall(_._2.forall(c => c >= 0 && c < 8)))
+    assert(base.forall(_._2.length == 8))
+  }
+
+  test("PQ/ADC recall@10 vs brute-force L2 on the fixture") {
+    // uniform-random 64-d embeddings are PQ's worst case (no cluster
+    // structure, concentrated distances): measured 0.285 pure-ADC and
+    // 0.840 with the shortlist=10 exact re-rank at m=8, k=16. The
+    // floors pin codebook training + ADC routing — an assignment or
+    // table-lookup bug craters both long before normal variance does.
+    val emb = Tables.embeddings(spark, sf).cache()
+    val q = emb.filter(col("vec_id") < 20)
+    val model = Similarity.pqTrain(emb, "vec_id", "embedding",
+      m = 8, k = 16, refineIters = 2)
+    val codes = Similarity.pqEncode(emb, "vec_id", "embedding", model)
+    val adc = Similarity.pqAdcTopK(q, codes, "vec_id", "embedding", model, k = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    val bf = Similarity.bruteForceTopK(q, emb, "vec_id", "embedding", 10,
+        scorer = (a, b) => -Similarity.intL2(a, b).cast("double"))
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    val recall = adc.intersect(bf).size.toDouble / bf.size
+    assert(recall >= 0.20, f"pure-ADC recall@10 degraded: $recall%.3f")
+    val rr = Similarity.pqAdcTopKReranked(q, codes, emb, "vec_id", "embedding",
+        model, k = 10, shortlist = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    val recallRr = rr.intersect(bf).size.toDouble / bf.size
+    assert(recallRr >= 0.70, f"re-ranked recall@10 degraded: $recallRr%.3f")
+    assert(recallRr > recall, "re-rank did not improve recall")
+  }
 }
