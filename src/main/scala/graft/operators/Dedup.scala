@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Deduplication operators for web-scale corpora.
@@ -767,6 +767,76 @@ object Dedup {
       .where(ham <= maxHamming)
       .select(col("d1"), col("d2"), ham.cast("long").as("hamming"))
       .distinct()
+  }
+
+  /** All distinct variants of `s` reachable by deleting up to
+    * `maxDeletions` (1 or 2) characters, the string itself included.
+    * ed(a,b) ≤ k ⟺ the ≤k-deletion neighborhoods of a and b
+    * intersect (delete the aligned edit positions from each side), so
+    * equi-joining these variants is a COMPLETE blocking for
+    * levenshtein ≤ k — never a candidate false-negative. Volume per
+    * string: 1 + L at k=1, + L·(L−1)/2 at k=2. */
+  private[graft] def deletionVariants(s: Column, maxDeletions: Int): Column = {
+    require(maxDeletions >= 1 && maxDeletions <= 2,
+      s"deletionVariants supports maxDeletions 1..2, got $maxDeletions")
+    val len = length(s)
+    val empty = array().cast("array<string>")
+    // sequence(1, 0) counts DOWN in Spark — guard the degenerate
+    // lengths explicitly instead of relying on an empty range
+    val del1 = when(len >= 1, transform(sequence(lit(1), len),
+      i => concat(s.substr(lit(1), i - lit(1)), s.substr(i + lit(1), len))))
+      .otherwise(empty)
+    val del2 = when(len >= 2, flatten(transform(sequence(lit(1), len - lit(1)),
+      i => transform(sequence(i + lit(1), len),
+        j => concat(s.substr(lit(1), i - lit(1)),
+          s.substr(i + lit(1), j - i - lit(1)),
+          s.substr(j + lit(1), len))))))
+      .otherwise(empty)
+    val all = if (maxDeletions == 1) concat(array(s), del1)
+              else concat(array(s), del1, del2)
+    array_distinct(all)
+  }
+
+  /** Fuzzy self-join at levenshtein ≤ `maxDist` (1 or 2) by FastSS
+    * deletion-neighborhood blocking: candidates share a deletion
+    * variant (equi-join on the variant's 64-bit hash — two longs per
+    * blocking row, never the strings), `levenshtein` verifies exactly.
+    * The length band |len(a) − len(b)| ≤ maxDist is implicit: equal
+    * variants have equal length, and each side deleted ≤ maxDist
+    * chars. Candidate volume is bounded by strings genuinely sharing
+    * a length-(L−k) subsequence — near-match-bounded, never all-pairs.
+    * Output: (id1, id2, name1, name2, dist), id1 < id2. */
+  def fuzzyJoinPairs(df: DataFrame, idCol: String, strCol: String,
+      maxDist: Int): DataFrame = {
+    val names = df.select(col(idCol).as("id"), col(strCol).as("name"))
+    val variants = names.select(col("id"),
+        explode(deletionVariants(col("name"), maxDist)).as("v"))
+      .select(col("id"), xxhash64(col("v")).as("h"))
+    val cand = variants.as("a")
+      .join(variants.as("b"),
+        col("a.h") === col("b.h") && col("a.id") < col("b.id"))
+      .select(col("a.id").as("id1"), col("b.id").as("id2"))
+      .distinct()
+    // names re-attach to the candidate set only (candidate-sized join;
+    // AQE broadcasts the small side at gate scale)
+    cand
+      .join(names.select(col("id").as("id1"), col("name").as("name1")), "id1")
+      .join(names.select(col("id").as("id2"), col("name").as("name2")), "id2")
+      .withColumn("dist", levenshtein(col("name1"), col("name2")).cast("int"))
+      .where(col("dist") <= maxDist)
+      .select(col("id1"), col("id2"), col("name1"), col("name2"), col("dist"))
+  }
+
+  /** All-pairs reference form of [[fuzzyJoinPairs]] — test oracle
+    * only (the completeness law: blocked == brute). */
+  private[graft] def fuzzyJoinPairsBrute(df: DataFrame, idCol: String,
+      strCol: String, maxDist: Int): DataFrame = {
+    val a = df.select(col(idCol).as("id1"), col(strCol).as("name1"))
+    val b = df.select(col(idCol).as("id2"), col(strCol).as("name2"))
+    a.crossJoin(b).where(col("id1") < col("id2"))
+      .withColumn("dist", levenshtein(col("name1"), col("name2")).cast("int"))
+      .where(col("dist") <= maxDist)
+      .select(col("id1"), col("id2"), col("name1"), col("name2"), col("dist"))
   }
 
   /** The all-pairs reference form of [[simHashNearDupPairs]] — test

@@ -497,6 +497,41 @@ object Corpus {
       "vec_id", "embedding", model, k = 5, shortlist = 5)
   }
 
+  /** q184's blocking extended to edit distance ≤ 2 — entity
+    * resolution's workhorse radius ([[graft.operators.Dedup
+    * .fuzzyJoinPairs]]): candidates share a 0/1/2-deletion variant
+    * (complete for ed ≤ 2: delete the aligned edit positions from
+    * each side), the equi-join carries 64-bit variant hashes only,
+    * `levenshtein` verifies exactly. DuckDB replays the identical
+    * neighborhood with list comprehensions over raw variant strings —
+    * hash collisions on the Spark side are filtered by the same exact
+    * verify, so the answers match bit-for-bit. The blocked ≡ brute
+    * completeness law lives in DedupSpec. */
+  val q246 = QuerySpec.sql(
+    "q246_fuzzy_join2",
+    """WITH v AS (
+      |  SELECT c_custkey AS id, c_name AS name,
+      |         unnest(list_distinct(
+      |           [c_name] ||
+      |           list_transform(generate_series(1, length(c_name)),
+      |             i -> substr(c_name, 1, i - 1) || substr(c_name, i + 1, length(c_name))) ||
+      |           flatten(list_transform(generate_series(1, length(c_name) - 1),
+      |             i -> list_transform(generate_series(i + 1, length(c_name)),
+      |               j -> substr(c_name, 1, i - 1) || substr(c_name, i + 1, j - i - 1)
+      |                    || substr(c_name, j + 1, length(c_name))))))) AS var
+      |  FROM customer),
+      |cand AS (
+      |  SELECT DISTINCT a.id AS id1, a.name AS name1, b.id AS id2, b.name AS name2
+      |  FROM v a JOIN v b ON a.var = b.var AND a.id < b.id)
+      |SELECT id1, id2, name1, name2,
+      |       CAST(levenshtein(name1, name2) AS INT) AS dist
+      |FROM cand WHERE levenshtein(name1, name2) <= 2""",
+    "edit-distance-2 fuzzy join via 2-deletion FastSS blocking (entity resolution)") { (s, d) =>
+    graft.operators.Dedup.fuzzyJoinPairs(
+      Tables.customer(s, d).select(col("c_custkey").as("id"), col("c_name").as("name")),
+      "id", "name", maxDist = 2)
+  }
+
   /** M13 — the k-mer composition features that feed genome binning,
     * driver-oracled in long format. Spark counts overlapping 2-mers
     * with one codegen'd lookahead `regexp_count` per k-mer; DuckDB's
@@ -2312,5 +2347,5 @@ object Corpus {
       q139, q140, q141, q144, q147, q148, q149, q150, q153, q154, q155, q157,
       q158, q159, q161, q163, q164, q166, q173, q174, q184, q185, q187, q192,
       q194, q199, q200, q203, q205, q209, q221, q227, q236, q239, q241, q243,
-      q244, q245)
+      q244, q245, q246)
 }

@@ -382,4 +382,38 @@ class DedupSpec extends SparkSpec {
     }
     assert(ex.getMessage.contains("pigeonhole"))
   }
+
+  test("fuzzyJoinPairs: deletion blocking complete vs brute force at k=1 and k=2") {
+    import spark.implicits._
+    // handcrafted radii: exact dup, 1-sub, 1-del, 2-sub, 1-sub+1-del,
+    // transposition (= ed 2), ed-3 (must NOT match at k=2), empties
+    val df = Seq(
+      1L -> "kitten", 2L -> "kitten", 3L -> "mitten", 4L -> "kiten",
+      5L -> "mitter", 6L -> "miten", 7L -> "kittne", 8L -> "sitting",
+      9L -> "", 10L -> "a", 11L -> "ab"
+    ).toDF("id", "name")
+    for (k <- Seq(1, 2)) {
+      val blocked = Dedup.fuzzyJoinPairs(df, "id", "name", k)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(4))).toSet
+      val brute = Dedup.fuzzyJoinPairsBrute(df, "id", "name", k)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(4))).toSet
+      assert(blocked == brute, s"blocking incomplete at maxDist=$k")
+    }
+    // spot invariants at k=2
+    val p2 = Dedup.fuzzyJoinPairs(df, "id", "name", 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getInt(4)).toMap
+    assert(p2((1L, 2L)) == 0)                  // exact dup
+    assert(p2((1L, 7L)) == 2)                  // transposition
+    assert(p2((3L, 5L)) == 1)                  // 1-sub
+    assert(!p2.contains((1L, 8L)))             // kitten→sitting is ed 3
+    assert(p2((9L, 10L)) == 1 && p2((9L, 11L)) == 2) // empty vs "a","ab"
+    // the fixture's real corpus: blocked == brute on customer names
+    val names = graft.Tables.customer(spark, sf)
+      .select(col("c_custkey").as("id"), col("c_name").as("name"))
+    val blocked = Dedup.fuzzyJoinPairs(names, "id", "name", 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val brute = Dedup.fuzzyJoinPairsBrute(names, "id", "name", 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(blocked == brute && blocked.nonEmpty)
+  }
 }
