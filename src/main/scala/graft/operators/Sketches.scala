@@ -322,4 +322,53 @@ object Sketches {
     override def outputEncoder: org.apache.spark.sql.Encoder[Array[Long]] =
       org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Array[Long]]()
   }
+
+  /** Mergeable equi-width histogram quantiles — the sketch tier's
+    * rank member (HLL = distinct, Count-Min = frequency, Bloom =
+    * membership, this = quantile). TWO scans: exact integer bounds,
+    * then ONE groupBy(bucket) count whose state is ≤ nBuckets longs —
+    * partials merge by addition, so the sketch is partition-layout
+    * independent and unions across corpora by adding histograms. Each
+    * requested percentile is then picked from the ≤ nBuckets-row
+    * cumulative histogram by pure BIGINT arithmetic (truncating DIV
+    * end to end — an external SQL engine replays the estimate
+    * bit-for-bit, unlike GK/KLL whose state is implementation
+    * defined). Input must be integer-scaled ([[graft.functions
+    * .ExactNum.scaled]]) and non-empty; the error bound
+    * |est − exact| ≤ ceil(span/nBuckets) is asserted in SketchesSpec.
+    * Output: (q_pct, n, target_rank, bucket, est) — target_rank is
+    * the 1-based ceil(n·q/100) order statistic the estimate aims at.
+    */
+  def histogramQuantiles(df: DataFrame, valueCol: Column, nBuckets: Int,
+      percents: Seq[Int]): DataFrame = {
+    require(nBuckets >= 1 && percents.nonEmpty &&
+      percents.forall(p => p >= 0 && p <= 100), "percents in 0..100")
+    val spark = df.sparkSession
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val v = df.select(valueCol.cast("long").as("v")).where(col("v").isNotNull)
+    val bounds = v.agg(min(col("v")).as("lo"), max(col("v")).as("hi"),
+      count(lit(1)).as("n"))
+    // (v-lo)·nB DIV (span+1) ≤ nB-1 always — no clamp branch needed
+    val hist = v.crossJoin(broadcast(bounds))
+      .select(expr(s"((v - lo) * $nBuckets) DIV (hi - lo + 1)").as("bucket"))
+      .groupBy("bucket").agg(count(lit(1)).as("cnt"))
+    // ≤ nBuckets rows: the single-partition window is sketch-sized
+    val cum = hist
+      .withColumn("cum", sum(col("cnt")).over(Window.orderBy("bucket")))
+      .withColumn("cum_before", col("cum") - col("cnt"))
+    val qdf = percents.map(_.toLong).toDF("q_pct")
+    broadcast(qdf).crossJoin(broadcast(bounds))
+      .withColumn("target_rank",
+        expr("greatest(CAST(1 AS BIGINT), (n * q_pct + 99) DIV 100)"))
+      .join(cum, col("cum") >= col("target_rank"))
+      .groupBy("q_pct", "n", "lo", "hi", "target_rank")
+      .agg(min(struct(col("bucket"), col("cnt"), col("cum_before"))).as("b"))
+      .select(col("q_pct"), col("n"), col("target_rank"),
+        col("b.bucket").as("bucket"),
+        expr(s"""lo + (b.bucket * (hi - lo + 1)) DIV $nBuckets
+          + ((target_rank - b.cum_before - 1)
+             * ((hi - lo + 1 + $nBuckets - 1) DIV $nBuckets)) DIV b.cnt""")
+          .as("est"))
+  }
 }

@@ -532,6 +532,42 @@ object Corpus {
       "id", "name", maxDist = 2)
   }
 
+  /** Sketch tier, rank side ([[graft.operators.Sketches
+    * .histogramQuantiles]]): mergeable equi-width histogram
+    * quantiles over cent-scaled prices — ≤ 1024 longs of state, two
+    * scans, pure BIGINT interpolation, so DuckDB replays the whole
+    * estimator (bounds → bucket counts → cumulative pick) hash-exact.
+    * The |est − exact| ≤ bucket-width law and partition independence
+    * live in SketchesSpec. */
+  val q247 = QuerySpec.sql(
+    "q247_hist_quantiles",
+    """WITH v AS (SELECT CAST(round(l_extendedprice * 100, 0) AS BIGINT) AS v FROM lineitem),
+      |b AS (SELECT min(v) AS lo, max(v) AS hi, CAST(count(*) AS BIGINT) AS n FROM v),
+      |h AS (SELECT ((v - lo) * 1024) // (hi - lo + 1) AS bucket, CAST(count(*) AS BIGINT) AS cnt
+      |      FROM v CROSS JOIN b GROUP BY 1),
+      |c AS (SELECT bucket, cnt, CAST(sum(cnt) OVER (ORDER BY bucket) AS BIGINT) AS cum FROM h),
+      |q AS (SELECT unnest([1, 25, 50, 75, 99]) AS q_pct),
+      |t AS (SELECT CAST(q_pct AS BIGINT) AS q_pct, lo, hi, n,
+      |             greatest(1, (n * q_pct + 99) // 100) AS target_rank
+      |      FROM q CROSS JOIN b),
+      |pick AS (
+      |  SELECT t.q_pct, t.n, t.target_rank, c.bucket, c.cnt,
+      |         c.cum - c.cnt AS cum_before, t.lo, t.hi,
+      |         row_number() OVER (PARTITION BY t.q_pct ORDER BY c.bucket) AS rn
+      |  FROM t JOIN c ON c.cum >= t.target_rank)
+      |SELECT q_pct, n, CAST(target_rank AS BIGINT) AS target_rank,
+      |       CAST(bucket AS BIGINT) AS bucket,
+      |       CAST(lo + (bucket * (hi - lo + 1)) // 1024
+      |            + ((target_rank - cum_before - 1)
+      |               * ((hi - lo + 1 + 1023) // 1024)) // cnt AS BIGINT) AS est
+      |FROM pick WHERE rn = 1""",
+    "mergeable histogram quantile sketch, integer interpolation (sketch tier)") { (s, d) =>
+    graft.operators.Sketches.histogramQuantiles(
+      Tables.lineitem(s, d),
+      round(col("l_extendedprice") * 100, 0).cast("long"),
+      nBuckets = 1024, percents = Seq(1, 25, 50, 75, 99))
+  }
+
   /** M13 — the k-mer composition features that feed genome binning,
     * driver-oracled in long format. Spark counts overlapping 2-mers
     * with one codegen'd lookahead `regexp_count` per k-mer; DuckDB's
@@ -2347,5 +2383,5 @@ object Corpus {
       q139, q140, q141, q144, q147, q148, q149, q150, q153, q154, q155, q157,
       q158, q159, q161, q163, q164, q166, q173, q174, q184, q185, q187, q192,
       q194, q199, q200, q203, q205, q209, q221, q227, q236, q239, q241, q243,
-      q244, q245, q246)
+      q244, q245, q246, q247)
 }

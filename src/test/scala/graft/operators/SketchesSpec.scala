@@ -168,4 +168,38 @@ class SketchesSpec extends SparkSpec {
     assert(!plan.contains("Exchange"),
       s"bloom probe must be a narrow projection:\n${plan.take(600)}")
   }
+
+  test("histogramQuantiles: error bound vs exact order statistic, partition independence, edges") {
+    import spark.implicits._
+    val li = graft.Tables.lineitem(spark, sf)
+      .select(round(col("l_extendedprice") * 100, 0).cast("long").as("v"))
+      .cache()
+    val nBuckets = 256
+    val est = Sketches.histogramQuantiles(li, col("v"), nBuckets,
+        Seq(1, 25, 50, 75, 99))
+      .collect().map(r => (r.getLong(0), r.getLong(2), r.getLong(4))).sortBy(_._1)
+    val vs = li.orderBy("v").as[Long].collect()
+    val (lo, hi) = (vs.head, vs.last)
+    val width = (hi - lo + 1 + nBuckets - 1) / nBuckets
+    est.foreach { case (q, rank, e) =>
+      val exact = vs(rank.toInt - 1)
+      assert(math.abs(e - exact) <= width,
+        s"q=$q est=$e exact=$exact off by more than bucket width $width")
+    }
+    // bit-identical on any partitioning (mergeable state)
+    val re = Sketches.histogramQuantiles(li.repartition(17), col("v"), nBuckets,
+        Seq(1, 25, 50, 75, 99))
+      .collect().map(r => (r.getLong(0), r.getLong(2), r.getLong(4))).sortBy(_._1)
+    assert(est.toSeq == re.toSeq)
+    // all-equal column degenerates to the constant
+    val const = Sketches.histogramQuantiles(
+        Seq(7L, 7L, 7L).toDF("v"), col("v"), 64, Seq(50, 99))
+      .collect().map(_.getLong(4)).toSeq
+    assert(const == Seq(7L, 7L))
+    // q=100 targets the max; q=0 clamps to rank 1 (the min)
+    val ends = Sketches.histogramQuantiles(li, col("v"), nBuckets, Seq(0, 100))
+      .collect().map(r => (r.getLong(0), r.getLong(2), r.getLong(4))).sortBy(_._1)
+    assert(ends(0)._2 == 1L && math.abs(ends(0)._3 - lo) <= width)
+    assert(ends(1)._2 == vs.length.toLong && math.abs(ends(1)._3 - hi) <= width)
+  }
 }
