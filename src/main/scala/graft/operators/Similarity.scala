@@ -344,6 +344,38 @@ object Similarity {
         col("neighbor_id"), col("l2_dist"))
   }
 
+  /** Majority vote over a (query_id, neighbor_id) neighbor frame:
+    * join the corpus labels (candidate-bounded — the vote never scans
+    * the corpus), count votes per (query, label), keep the winner
+    * with a deterministic tie-break (most votes, then smallest
+    * label). Any neighbor source plugs in — [[bruteForceTopK]] for
+    * the exact form, [[ivfTopK]]/[[pqAdcTopK]] for the scale path.
+    * Output: (query_id, pred_label, votes). */
+  def majorityVote(neighbors: DataFrame, corpus: DataFrame,
+      idCol: String, labelCol: String): DataFrame = {
+    val labels = corpus.select(col(idCol).as("neighbor_id"),
+      col(labelCol).cast("long").as("label"))
+    neighbors.select("query_id", "neighbor_id")
+      .join(labels, "neighbor_id")
+      .groupBy("query_id", "label").agg(count(lit(1)).as("votes"))
+      .groupBy("query_id")
+      .agg(max(struct(col("votes"), (-col("label")).as("neg"),
+        col("label"))).as("b"))
+      .select(col("query_id"), col("b.label").as("pred_label"),
+        col("b.votes").as("votes"))
+  }
+
+  /** k-NN classifier: exact top-k neighbors (self-excluded, so the
+    * same table classifies leave-one-out) + [[majorityVote]]. The
+    * exact-scaled scorer makes the whole pipeline hash-oracle-able
+    * (gate q248); SimilaritySpec pins the IVF-candidate variant's
+    * agreement with this exact form. */
+  def knnClassify(queries: DataFrame, corpus: DataFrame, idCol: String,
+      vecCol: String, labelCol: String, k: Int,
+      scorer: (Column, Column) => Column = cosine): DataFrame =
+    majorityVote(bruteForceTopK(queries, corpus, idCol, vecCol, k, scorer),
+      corpus, idCol, labelCol)
+
   /** LSH-bucketed ANN: candidates share a bucket (equi-join shuffle on
     * bucket id), exact cosine re-rank inside the bucket, top-k per
     * query. The scale path: shuffle volume is corpus-linear, compare

@@ -568,6 +568,55 @@ object Corpus {
       nBuckets = 1024, percents = Seq(1, 25, 50, 75, 99))
   }
 
+  /** k-NN majority-vote classifier, hash-oracled end to end
+    * ([[Similarity.knnClassify]]): q77's exact-scaled neighbor
+    * machinery + a candidate-bounded vote with deterministic
+    * tie-break (most votes, then smallest label). Leave-one-out over
+    * the labeled embeddings — the eval shape a labeling pipeline runs
+    * before trusting propagated labels. The IVF-candidate variant's
+    * agreement with this exact form is pinned in SimilaritySpec. */
+  val q248 = QuerySpec.sql(
+    "q248_knn_classify",
+    """WITH base AS (
+      |  SELECT vec_id, unnest(embedding) AS v,
+      |         generate_subscripts(embedding, 1) AS i
+      |  FROM embeddings),
+      |sq AS (
+      |  SELECT vec_id,
+      |         CAST(sum(CAST(round(CAST(v AS DOUBLE)*CAST(v AS DOUBLE)*1000000, 0) AS BIGINT)) AS BIGINT) AS n2
+      |  FROM base GROUP BY vec_id),
+      |dots AS (
+      |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+      |         CAST(sum(CAST(round(CAST(q.v AS DOUBLE)*CAST(c.v AS DOUBLE)*1000000, 0) AS BIGINT)) AS BIGINT) AS dp
+      |  FROM base q JOIN base c ON q.i = c.i
+      |  WHERE q.vec_id < 30 AND c.vec_id <> q.vec_id
+      |  GROUP BY 1, 2),
+      |scored AS (
+      |  SELECT query_id, neighbor_id,
+      |         CAST(dp AS DOUBLE) / (sqrt(CAST(a.n2 AS DOUBLE)) * sqrt(CAST(b.n2 AS DOUBLE))) AS cos_sim
+      |  FROM dots
+      |  JOIN sq a ON a.vec_id = query_id
+      |  JOIN sq b ON b.vec_id = neighbor_id),
+      |nn AS (
+      |  SELECT query_id, neighbor_id FROM (
+      |    SELECT query_id, neighbor_id, row_number() OVER (
+      |             PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id) AS rank
+      |    FROM scored) r WHERE rank <= 10),
+      |votes AS (
+      |  SELECT query_id, CAST(e.label AS BIGINT) AS label, count(*) AS votes
+      |  FROM nn JOIN embeddings e ON e.vec_id = nn.neighbor_id
+      |  GROUP BY 1, 2)
+      |SELECT query_id, label AS pred_label, CAST(votes AS BIGINT) AS votes FROM (
+      |  SELECT query_id, label, votes, row_number() OVER (
+      |           PARTITION BY query_id ORDER BY votes DESC, label) AS rn
+      |  FROM votes) v WHERE rn = 1""",
+    "k-NN majority-vote label classifier, exact-scaled + oracled (ML eval tier)") { (s, d) =>
+    val emb = Tables.embeddings(s, d)
+    Similarity.knnClassify(emb.filter(col("vec_id") < 30), emb,
+      "vec_id", "embedding", "label", k = 10,
+      scorer = Similarity.cosineExactScaled)
+  }
+
   /** M13 — the k-mer composition features that feed genome binning,
     * driver-oracled in long format. Spark counts overlapping 2-mers
     * with one codegen'd lookahead `regexp_count` per k-mer; DuckDB's
@@ -2383,5 +2432,5 @@ object Corpus {
       q139, q140, q141, q144, q147, q148, q149, q150, q153, q154, q155, q157,
       q158, q159, q161, q163, q164, q166, q173, q174, q184, q185, q187, q192,
       q194, q199, q200, q203, q205, q209, q221, q227, q236, q239, q241, q243,
-      q244, q245, q246, q247)
+      q244, q245, q246, q247, q248)
 }

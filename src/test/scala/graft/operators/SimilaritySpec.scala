@@ -123,6 +123,31 @@ class SimilaritySpec extends SparkSpec {
     assert(lsh.nonEmpty)
   }
 
+  test("knnClassify: vote invariants and IVF-candidate agreement with the exact form") {
+    val emb = Tables.embeddings(spark, sf).cache()
+    val q = emb.filter(col("vec_id") < 25)
+    val exact = Similarity.knnClassify(q, emb, "vec_id", "embedding", "label",
+        k = 10, scorer = Similarity.cosineExactScaled)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(exact.size == 25)
+    val labelDomain = emb.select(col("label").cast("long")).distinct()
+      .collect().map(_.getLong(0)).toSet
+    assert(exact.values.forall { case (l, v) => labelDomain.contains(l) && v >= 1 && v <= 10 })
+    // partition independence
+    val re = Similarity.knnClassify(q.repartition(7), emb.repartition(11),
+        "vec_id", "embedding", "label", k = 10,
+        scorer = Similarity.cosineExactScaled)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(exact == re)
+    // the scale path: IVF candidates into the same vote — high agreement
+    val ivfNn = Similarity.ivfTopK(q, emb, "vec_id", "embedding",
+      nCentroids = 16, nProbe = 8, k = 10)
+    val ivf = Similarity.majorityVote(ivfNn, emb, "vec_id", "label")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val agree = exact.count { case (id, (l, _)) => ivf.get(id).contains(l) }
+    assert(agree >= 18, s"IVF-candidate kNN agreement degraded: $agree/25")
+  }
+
   test("PQ/ADC with every row a seed degenerates to exact L2 search") {
     // k = corpus size makes each vector's own sub-vectors codebook
     // entries: assignment distance 0, ADC == exact integer L2, so the
