@@ -532,6 +532,61 @@ object Corpus {
       "id", "name", maxDist = 2)
   }
 
+  /** Entity-resolution agreement-vector profile — the Fellegi-Sunter
+    * m/u-probability input: for every fuzzy-blocked candidate pair
+    * (q184's 1-deletion FastSS blocking via [[graft.operators.Dedup
+    * .fuzzyJoinPairs]]), the per-field agreement pattern (name edit
+    * distance, nation equal, segment equal, balance within $100 in
+    * exact cents) counted per pattern. All-integer → DuckDB replays
+    * blocking, comparisons and counts hash-exact. The pattern table
+    * is what a linkage model trains on; attributes join to the
+    * CANDIDATE set only, never pairwise over the corpus. */
+  val q249 = QuerySpec.sql(
+    "q249_er_agreement_profile",
+    """WITH v AS (
+      |  SELECT c_custkey AS id, c_name AS name,
+      |         unnest(list_transform(generate_series(0, length(c_name)),
+      |           i -> substr(c_name, 1, i) || substr(c_name, i + 2, length(c_name)))) AS var
+      |  FROM customer),
+      |cand AS (
+      |  SELECT DISTINCT a.id AS id1, b.id AS id2
+      |  FROM v a JOIN v b ON a.var = b.var AND a.id < b.id),
+      |pairs AS (
+      |  SELECT id1, id2, levenshtein(x.c_name, y.c_name) AS name_dist,
+      |         CASE WHEN x.c_nationkey = y.c_nationkey THEN 1 ELSE 0 END AS nation_eq,
+      |         CASE WHEN x.c_mktsegment = y.c_mktsegment THEN 1 ELSE 0 END AS seg_eq,
+      |         CASE WHEN abs(CAST(round(x.c_acctbal * 100, 0) AS BIGINT)
+      |                       - CAST(round(y.c_acctbal * 100, 0) AS BIGINT)) <= 10000
+      |              THEN 1 ELSE 0 END AS bal_close
+      |  FROM cand JOIN customer x ON x.c_custkey = id1
+      |            JOIN customer y ON y.c_custkey = id2
+      |  WHERE levenshtein(x.c_name, y.c_name) <= 1)
+      |SELECT CAST(name_dist AS BIGINT) AS name_dist,
+      |       CAST(nation_eq AS BIGINT) AS nation_eq,
+      |       CAST(seg_eq AS BIGINT) AS seg_eq,
+      |       CAST(bal_close AS BIGINT) AS bal_close,
+      |       CAST(count(*) AS BIGINT) AS n_pairs
+      |FROM pairs GROUP BY 1, 2, 3, 4""",
+    "Fellegi-Sunter agreement-vector profile over fuzzy-blocked pairs (entity resolution)") { (s, d) =>
+    val cust = Tables.customer(s, d)
+    val pairs = graft.operators.Dedup.fuzzyJoinPairs(
+      cust.select(col("c_custkey").as("id"), col("c_name").as("name")),
+      "id", "name", maxDist = 1)
+    val attrs = cust.select(col("c_custkey"), col("c_nationkey"),
+      col("c_mktsegment"),
+      round(col("c_acctbal") * 100, 0).cast("long").as("cents"))
+    pairs
+      .join(attrs.toDF("id1", "nat1", "seg1", "cents1"), "id1")
+      .join(attrs.toDF("id2", "nat2", "seg2", "cents2"), "id2")
+      .groupBy(
+        col("dist").cast("long").as("name_dist"),
+        when(col("nat1") === col("nat2"), 1L).otherwise(0L).as("nation_eq"),
+        when(col("seg1") === col("seg2"), 1L).otherwise(0L).as("seg_eq"),
+        when(abs(col("cents1") - col("cents2")) <= 10000L, 1L).otherwise(0L)
+          .as("bal_close"))
+      .agg(count(lit(1)).as("n_pairs"))
+  }
+
   /** Sketch tier, rank side ([[graft.operators.Sketches
     * .histogramQuantiles]]): mergeable equi-width histogram
     * quantiles over cent-scaled prices — ≤ 1024 longs of state, two
@@ -2432,5 +2487,5 @@ object Corpus {
       q139, q140, q141, q144, q147, q148, q149, q150, q153, q154, q155, q157,
       q158, q159, q161, q163, q164, q166, q173, q174, q184, q185, q187, q192,
       q194, q199, q200, q203, q205, q209, q221, q227, q236, q239, q241, q243,
-      q244, q245, q246, q247, q248)
+      q244, q245, q246, q247, q248, q249)
 }
