@@ -36,7 +36,7 @@ object Similarity {
     * ~10× faster in the ANN scoring loop, bit-identical results. */
   def cosine(a: Column, b: Column): Column = graft.functions.CosineSim(a, b)
 
-  private def asDouble(c: Column): Column = transform(c, x => x.cast("double"))
+  private[graft] def asDouble(c: Column): Column = transform(c, x => x.cast("double"))
 
   /** Order-independent EXACT cosine: each per-element product is
     * scaled to an integer (`round(x·y·10⁶)` as BIGINT) and summed
@@ -96,7 +96,7 @@ object Similarity {
 
   /** Literal array<struct<cid,vec>> column from driver-side centroids
     * — broadcast by value into codegen, no join needed. */
-  private def centroidsLit(cents: Array[(Int, Array[Double])]): Column =
+  private[graft] def centroidsLit(cents: Array[(Int, Array[Double])]): Column =
     array(cents.map { case (cid, v) =>
       struct(lit(cid).as("cid"), array(v.map(lit(_)): _*).as("vec"))
     }: _*)
@@ -104,7 +104,7 @@ object Similarity {
   /** Nearest-centroid id by cosine: `array_max` over
     * struct(score, cid) — struct ordering picks max score, ties break
     * to the larger cid. One codegen expression, no shuffle. */
-  private def nearestCentroid(v: Column, cents: Array[(Int, Array[Double])]): Column =
+  private[graft] def nearestCentroid(v: Column, cents: Array[(Int, Array[Double])]): Column =
     array_max(transform(centroidsLit(cents),
       c => struct(cosine(v, c.getField("vec")).as("score"),
         c.getField("cid").as("cid")))).getField("cid")
@@ -129,12 +129,11 @@ object Similarity {
     * The driver holds nCentroids·dim doubles (a few MB even at
     * 100 TB-scale centroid counts); the corpus never materializes
     * off-plan. */
-  def ivfTopK(queries: DataFrame, corpus: DataFrame, idCol: String,
-      vecCol: String, nCentroids: Int, nProbe: Int, k: Int,
-      refineIters: Int = 1): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val c = corpus.select(col(idCol).as("vid"), asDouble(col(vecCol)).as("v"))
-    // 1. train: deterministic seed sample, then scaled-exact Lloyd steps
+  /** [[ivfTopK]]'s training step (deterministic seed sample +
+    * scaled-exact Lloyd refinement) extracted for reuse by the
+    * persisted [[AnnIndex]]. `c` is (vid, v: array<double>). */
+  private[graft] def ivfTrain(c: DataFrame, nCentroids: Int,
+      refineIters: Int): Array[(Int, Array[Double])] = {
     var cents: Array[(Int, Array[Double])] = c
       .orderBy(xxhash64(col("vid")), col("vid")).limit(nCentroids)
       .select(col("v")).collect()
@@ -152,6 +151,16 @@ object Similarity {
       val byId = refined.toMap
       cents = cents.map { case (cid, old) => cid -> byId.getOrElse(cid, old) }
     }
+    cents
+  }
+
+  def ivfTopK(queries: DataFrame, corpus: DataFrame, idCol: String,
+      vecCol: String, nCentroids: Int, nProbe: Int, k: Int,
+      refineIters: Int = 1): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val c = corpus.select(col(idCol).as("vid"), asDouble(col(vecCol)).as("v"))
+    // 1. train: deterministic seed sample, then scaled-exact Lloyd steps
+    val cents = ivfTrain(c, nCentroids, refineIters)
     // 2. assign corpus to buckets (narrow), 3. probe + re-rank
     val bucketed = c.select(col("vid").as("neighbor_id"), col("v").as("cv"),
       nearestCentroid(col("v"), cents).as("cid"))
@@ -195,7 +204,7 @@ object Similarity {
     * stage joins this instead of inlining the codebook as expression
     * literals (an m·k·sub literal tree costs tens of seconds of Janino
     * compilation per stage; a 1,024-row broadcast join costs nothing). */
-  private def codebookDf(spark: org.apache.spark.sql.SparkSession,
+  private[graft] def codebookDf(spark: org.apache.spark.sql.SparkSession,
       model: PqModel): DataFrame = {
     import spark.implicits._
     model.codebooks.zipWithIndex.flatMap { case (cb, mi) =>
@@ -205,7 +214,7 @@ object Similarity {
 
   /** Per-row sub-vector explosion: (…, m, sv) with m = 0-based
     * subspace index and sv = that subspace's dim/m components. */
-  private def explodeSubs(v: Column, m: Int, sub: Int) =
+  private[graft] def explodeSubs(v: Column, m: Int, sub: Int) =
     posexplode(transform(sequence(lit(0), lit(m - 1)),
       mi => slice(v, mi * sub + 1, lit(sub)))).as(Seq("m", "sv"))
 

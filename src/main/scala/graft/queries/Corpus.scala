@@ -672,6 +672,29 @@ object Corpus {
       scorer = Similarity.cosineExactScaled)
   }
 
+  /** The persisted IVF-PQ ANN index end-to-end ([[graft.operators
+    * .AnnIndex]]): build on batch 1, append batch 2 under the frozen
+    * model (no rebuild, earlier codes untouched), probe with
+    * partition-pruned ADC — the only files opened are the probed
+    * inverted lists' (plan-audited in AnnIndexSpec, with the
+    * full-probe ≡ in-memory-ADC exactness law). Rows-only: the
+    * xxhash-seeded training has no SQL form; q244 hash-gates the
+    * code-assignment arithmetic this index persists. */
+  val q250 = QuerySpec.rowsOnly(
+    "q250_ann_index",
+    "persisted IVF-PQ ANN index: build + append + partition-pruned ADC probe") { (s, d) =>
+    val dir = java.nio.file.Files.createTempDirectory("graft-q250").toString + "/idx"
+    val emb = Tables.embeddings(s, d)
+    val m2 = pmod(col("vec_id"), lit(2))
+    graft.operators.AnnIndex.build(emb.where(m2 === 1),
+      "vec_id", "embedding", dir, nCentroids = 16, m = 8, k = 16)
+    graft.operators.AnnIndex.append(
+      emb.where(m2 === 0 && col("vec_id") >= 20), "vec_id", "embedding", dir)
+    graft.operators.AnnIndex.probe(
+      emb.where(m2 === 0 && col("vec_id") < 20),
+      "vec_id", "embedding", dir, nProbe = 4, k = 5)
+  }
+
   /** M13 — the k-mer composition features that feed genome binning,
     * driver-oracled in long format. Spark counts overlapping 2-mers
     * with one codegen'd lookahead `regexp_count` per k-mer; DuckDB's
@@ -2487,5 +2510,5 @@ object Corpus {
       q139, q140, q141, q144, q147, q148, q149, q150, q153, q154, q155, q157,
       q158, q159, q161, q163, q164, q166, q173, q174, q184, q185, q187, q192,
       q194, q199, q200, q203, q205, q209, q221, q227, q236, q239, q241, q243,
-      q244, q245, q246, q247, q248, q249)
+      q244, q245, q246, q247, q248, q249, q250)
 }
