@@ -339,6 +339,25 @@ object Sketches {
     * Output: (q_pct, n, target_rank, bucket, est) — target_rank is
     * the 1-based ceil(n·q/100) order statistic the estimate aims at.
     */
+  /** Fixed-domain histogram cells — [[histogramQuantiles]]'s state in
+    * the form a STREAM can maintain: the domain is DECLARED (an
+    * unbounded stream cannot take a bounds pass), the bucket map is a
+    * stateless codegen projection (out-of-domain values clamp to the
+    * edge buckets), and the groupBy(bucket) count runs as a
+    * Complete-mode streaming aggregate whose entire state is
+    * ≤ nBuckets longs ([[graft.streaming.StreamOps
+    * .runHistogramStream]]). Quantile reads interpolate over the
+    * maintained table on demand — the monitoring-pipeline shape
+    * (latency/price percentiles over an event firehose). */
+  def histogramCells(df: DataFrame, valueCol: Column, lo: Long, hi: Long,
+      nBuckets: Int): DataFrame = {
+    require(hi >= lo && nBuckets >= 1)
+    df.select(valueCol.cast("long").as("v")).where(col("v").isNotNull)
+      .select(least(lit((nBuckets - 1).toLong), greatest(lit(0L),
+        expr(s"((v - $lo) * $nBuckets) DIV ($hi - $lo + 1)"))).as("bucket"))
+      .groupBy("bucket").agg(count(lit(1)).as("cnt"))
+  }
+
   def histogramQuantiles(df: DataFrame, valueCol: Column, nBuckets: Int,
       percents: Seq[Int]): DataFrame = {
     require(nBuckets >= 1 && percents.nonEmpty &&

@@ -233,6 +233,22 @@ object EventQueries {
     StreamOps.runSketchStream(s, d, 4, 64, seed = 42)
   }
 
+  /** q145's quantile twin: the streaming engine maintains a
+    * fixed-domain histogram (state = 256 longs for any stream length),
+    * hashed cell-for-cell against the relational rebuild — see
+    * [[graft.streaming.StreamOps.runHistogramStream]] and
+    * [[graft.operators.Sketches.histogramCells]]; q247 gates the
+    * quantile interpolation this state feeds. */
+  val q251 = QuerySpec.sql(
+    "q251_stream_histogram",
+    """WITH v AS (SELECT CAST(round(value * 100, 0) AS BIGINT) AS v FROM events)
+      |SELECT CAST(least(255, greatest(0, (v * 256) // 100000)) AS BIGINT) AS bucket,
+      |       CAST(count(*) AS BIGINT) AS cnt
+      |FROM v GROUP BY 1""",
+    "streaming-maintained fixed-domain histogram == relational rebuild") { (s, d) =>
+    StreamOps.runHistogramStream(s, d, lo = 0L, hi = 99999L, nBuckets = 256)
+  }
+
   /** Ordered-funnel analysis: users who progressed view → click →
     * purchase with each stage STRICTLY after the previous one — the
     * product-analytics staple. Stage k is one filtered min-ts
@@ -1184,5 +1200,5 @@ object EventQueries {
     Seq(q60, q61, q62, q88, q105, q106, q108, q124, q127, q142, q143, q145,
       q151, q152, q165, q169, q171, q175, q180, q188, q189, q190, q193, q198,
       q201, q204, q208, q211, q222, q225, q226, q228, q229, q232, q233, q234,
-      q237, q238)
+      q237, q238, q251)
 }

@@ -171,6 +171,30 @@ object StreamOps {
     spark.table(name)
   }
 
+  /** Streaming-maintained fixed-domain histogram ([[graft.operators
+    * .Sketches.histogramCells]] over the event stream's cent-scaled
+    * value): Complete-mode aggregate, state ≤ nBuckets longs
+    * regardless of stream length — the quantile twin of
+    * [[runSketchStream]]'s Count-Min. The gate hashes the maintained
+    * cells against the relational rebuild (stream == batch == oracle,
+    * cell-for-cell). */
+  def runHistogramStream(spark: SparkSession, dir: String, lo: Long,
+      hi: Long, nBuckets: Int): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val schema = spark.read.parquet(s"$dir/events.parquet").schema
+    val stream = spark.readStream.schema(schema)
+      .option("pathGlobFilter", "events.parquet").parquet(dir)
+    val cells = graft.operators.Sketches.histogramCells(
+      stream, round(col("value") * 100, 0).cast("long"), lo, hi, nBuckets)
+    val name = s"hist_${System.identityHashCode(schema)}"
+    withStatePartitions(spark, 8) {
+      val q = cells.writeStream.outputMode(OutputMode.Complete())
+        .format("memory").queryName(name).start()
+      try q.processAllAvailable() finally q.stop()
+    }
+    spark.table(name)
+  }
+
   /** STREAM-STATIC enrichment join: the unbounded event stream joined
     * to a bounded dimension (here: events → customer segment). The
     * canonical ingestion-enrichment shape, and the cheapest join in
