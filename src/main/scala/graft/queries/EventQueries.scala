@@ -767,6 +767,62 @@ object EventQueries {
         expr("max_by(value_cents, rk)").cast("long").as("last_value_cents"))
   }
 
+  /** Incremental aggregate-view maintenance ([[graft.operators
+    * .MaterializedAgg.applyDelta]]): the per-user rollup is built
+    * from the base batch, then batch 2 arrives as PARTIAL aggregates
+    * and merges in one co-partitioned full-outer join — the base is
+    * never re-read. The oracle is the full recompute over
+    * base ∪ delta, so the gate hash-proves the incremental path's
+    * defining invariant. Measures are exact cents, so addition is
+    * associative and the merge is order-safe. */
+  val q252 = QuerySpec.sql(
+    "q252_incremental_agg_view",
+    """SELECT user_id, CAST(count(*) AS BIGINT) AS n_events,
+      |       CAST(sum(CAST(round(value * 100, 0) AS BIGINT)) AS BIGINT) AS sum_cents
+      |FROM events GROUP BY 1""",
+    "incremental agg-view maintenance: delta merge == full recompute (lakehouse tier)") { (s, d) =>
+    def rollup(df: org.apache.spark.sql.DataFrame) = df
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("n_events"),
+        sum(round(col("value") * 100, 0).cast("long")).as("sum_cents"))
+    val ev = Tables.events(s, d)
+    val view = rollup(ev.where(pmod(col("event_id"), lit(3)) =!= 0))
+    val delta = rollup(ev.where(pmod(col("event_id"), lit(3)) === 0))
+    graft.operators.MaterializedAgg.applyDelta(view, delta,
+      keys = Seq("user_id"), measures = Seq("n_events", "sum_cents"))
+  }
+
+  /** First-order Markov transition model over per-user event
+    * sequences — the behavior-modeling primitive (what follows what,
+    * and each state's ranked next events). ONE exchange on user_id
+    * feeds the lead() window; the transition table is |types|² rows
+    * regardless of corpus size, so the model itself is
+    * driver/broadcast-sized at any scale. Total order (ts, event_id)
+    * keeps ties deterministic. */
+  val q253 = QuerySpec.sql(
+    "q253_markov_transitions",
+    """WITH s AS (
+      |  SELECT user_id, event_type AS f,
+      |         lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS t
+      |  FROM events),
+      |c AS (SELECT f, t, count(*) AS n FROM s WHERE t IS NOT NULL GROUP BY 1, 2)
+      |SELECT f AS from_type, t AS to_type, CAST(n AS BIGINT) AS n_trans,
+      |       CAST(row_number() OVER (PARTITION BY f ORDER BY n DESC, t) AS BIGINT) AS rnk
+      |FROM c""",
+    "first-order Markov transition counts + ranked next events (sequence modeling)") { (s, d) =>
+    import org.apache.spark.sql.expressions.Window
+    val seq = Tables.events(s, d)
+      .select(col("user_id"), col("event_type").as("from_type"),
+        lead(col("event_type"), 1).over(
+          Window.partitionBy("user_id").orderBy(col("ts"), col("event_id")))
+          .as("to_type"))
+      .where(col("to_type").isNotNull)
+    seq.groupBy("from_type", "to_type").agg(count(lit(1)).as("n_trans"))
+      .withColumn("rnk", row_number().over(
+        Window.partitionBy("from_type")
+          .orderBy(col("n_trans").desc, col("to_type"))).cast("long"))
+  }
+
   /** Ordered-sequence pattern matching (the MATCH_RECOGNIZE-shaped
     * CEP ask): each user's event history collapses to a tiny symbol
     * string — initial letter per event, total-ordered by (ts,
@@ -1200,5 +1256,5 @@ object EventQueries {
     Seq(q60, q61, q62, q88, q105, q106, q108, q124, q127, q142, q143, q145,
       q151, q152, q165, q169, q171, q175, q180, q188, q189, q190, q193, q198,
       q201, q204, q208, q211, q222, q225, q226, q228, q229, q232, q233, q234,
-      q237, q238, q251)
+      q237, q238, q251, q252, q253)
 }
