@@ -111,5 +111,8 @@ class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Un
     // (graft.plans.BinnedRangeJoinRule) — keeps interval lookups off
     // the BroadcastNestedLoopJoin path
     ext.injectOptimizerRule(_ => new graft.plans.BinnedRangeJoinRule)
+    // whole-operator extension: levenshtein(a,b) <= k join → FastSS
+    // deletion-variant equi-join (graft.plans.FuzzyLevJoinRule)
+    ext.injectOptimizerRule(_ => new graft.plans.FuzzyLevJoinRule)
   }
 }

@@ -779,6 +779,15 @@ object Dedup {
   private[graft] def deletionVariants(s: Column, maxDeletions: Int): Column = {
     require(maxDeletions >= 1 && maxDeletions <= 2,
       s"deletionVariants supports maxDeletions 1..2, got $maxDeletions")
+    // native one-pass expression (graft.functions.DeletionVariants);
+    // the HOF chain below is its order-and-value equivalence twin
+    graft.functions.DeletionVariants(s, maxDeletions)
+  }
+
+  /** The built-in HOF form of [[deletionVariants]] — kept as the
+    * native expression's equivalence oracle (DedupSpec). */
+  private[graft] def deletionVariantsRelational(s: Column,
+      maxDeletions: Int): Column = {
     val len = length(s)
     val empty = array().cast("array<string>")
     // sequence(1, 0) counts DOWN in Spark — guard the degenerate

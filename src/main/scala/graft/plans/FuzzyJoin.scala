@@ -1,0 +1,141 @@
+package graft.plans
+
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.plans.Inner
+import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Generate, Join, LogicalPlan, Project}
+import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.types.{DataType, MapType, StringType}
+
+/** Optimizer rule: rewrite `A JOIN B ON levenshtein(a, b) <= k`
+  * (k ≤ 2, no equi-conjunct, inner join) into the FastSS
+  * deletion-neighborhood equi-join of [[graft.operators.Dedup
+  * .fuzzyJoinPairs]] — the second whole-operator extension beside
+  * [[BinnedRangeJoinRule]] on the same ladder rung: a predicate the
+  * stock planner can only run as BroadcastNestedLoopJoin with an
+  * O(|A|·|B|) edit-distance evaluation becomes a hash join on shared
+  * deletion variants ([[graft.functions.DeletionVariants]] planted as
+  * the generator) with the ORIGINAL condition kept as residual — so a
+  * user writing plain SQL entity resolution gets the linear plan
+  * without knowing this library exists.
+  *
+  * Exact-multiset semantics: a qualifying row pair shares SEVERAL
+  * deletion variants, so the variant join inflates multiplicity. The
+  * rewrite therefore tags each input row with a
+  * `monotonically_increasing_id` BEFORE the explode and collapses
+  * the join output with a distinct over (lid, rid, output columns) —
+  * duplicate INPUT rows keep their duplicate output pairs, while the
+  * variant multiplicity collapses to exactly one row per qualifying
+  * pair, like the original nested-loop join.
+  *
+  * Conservative by construction (mirrors [[BinnedRangeJoinRule]]):
+  * fires only on resolved INNER joins, only when no equi-conjunct
+  * already spans the sides (then the native hash join is linear
+  * anyway), only for a deterministic `levenshtein` conjunct with a
+  * literal bound ≤ `spark.graft.fuzzyjoin.maxdist` (default 2 — the
+  * neighborhood is O(L^k) variants per row), only when every output
+  * column is groupable (no MapType), and the rewritten join carries a
+  * cross-side equi-conjunct so the rule cannot re-fire on its own
+  * output. `spark.graft.fuzzyjoin.enabled=false` switches it off.
+  */
+class FuzzyLevJoinRule extends Rule[LogicalPlan] {
+
+  private def conjuncts(e: Expression): Seq[Expression] = e match {
+    case And(l, r) => conjuncts(l) ++ conjuncts(r)
+    case other => Seq(other)
+  }
+
+  private def groupable(dt: DataType): Boolean = dt match {
+    case MapType(_, _, _) => false
+    case org.apache.spark.sql.types.ArrayType(et, _) => groupable(et)
+    case org.apache.spark.sql.types.StructType(fields) =>
+      fields.forall(f => groupable(f.dataType))
+    case _ => true
+  }
+
+  override def apply(plan: LogicalPlan): LogicalPlan = {
+    if (!conf.getConfString("spark.graft.fuzzyjoin.enabled", "true").toBoolean) {
+      return plan
+    }
+    val maxDist =
+      conf.getConfString("spark.graft.fuzzyjoin.maxdist", "2").toInt
+    plan.transformUp {
+      case j @ Join(left, right, Inner, Some(cond), hint)
+          if j.resolved && j.output.forall(a => groupable(a.dataType)) &&
+            findLev(j, cond, maxDist).isDefined =>
+        val (a, b, k) = findLev(j, cond, maxDist).get
+        val lid = Alias(MonotonicallyIncreasingID(), "__graft_lid")()
+        val rid = Alias(MonotonicallyIncreasingID(), "__graft_rid")()
+        val leftP = Project(left.output :+ lid, left)
+        val rightP = Project(right.output :+ rid, right)
+        val varL =
+          AttributeReference("__graft_var_l", StringType, nullable = false)()
+        val varR =
+          AttributeReference("__graft_var_r", StringType, nullable = false)()
+        val genL = Generate(
+          Explode(graft.functions.DeletionVariants(a, k)),
+          unrequiredChildIndex = Nil, outer = false, qualifier = None,
+          generatorOutput = Seq(varL), child = leftP)
+        val genR = Generate(
+          Explode(graft.functions.DeletionVariants(b, k)),
+          unrequiredChildIndex = Nil, outer = false, qualifier = None,
+          generatorOutput = Seq(varR), child = rightP)
+        val newJoin = Join(genL, genR, Inner,
+          Some(And(EqualTo(varL, varR), cond)), hint)
+        val groupCols: Seq[Attribute] =
+          lid.toAttribute +: rid.toAttribute +: j.output
+        Project(j.output, Aggregate(groupCols, groupCols, newJoin))
+    }
+  }
+
+  /** Detect a `levenshtein(a, b) <= k` conjunct (either written
+    * orientation, `<` normalized to `<=`): a's references wholly on
+    * one side, b's wholly on the other, both deterministic, bound a
+    * non-negative integer literal ≤ maxDist — and NO equi-conjunct
+    * across the sides. Returns (leftExpr, rightExpr, k) with
+    * leftExpr on the join's left side. */
+  private def findLev(j: Join, cond: Expression,
+      maxDist: Int): Option[(Expression, Expression, Int)] = {
+    val cs = conjuncts(cond)
+    val hasCrossEqui = cs.exists {
+      case EqualTo(a, b) => crossSides(j, a, b)
+      case EqualNullSafe(a, b) => crossSides(j, a, b)
+      case _ => false
+    }
+    if (hasCrossEqui) return None
+    val bounded = cs.collectFirst(Function.unlift {
+      case LessThanOrEqual(lev: Levenshtein, Literal(k: Int, _)) =>
+        Some((lev, k))
+      case GreaterThanOrEqual(Literal(k: Int, _), lev: Levenshtein) =>
+        Some((lev, k))
+      case LessThan(lev: Levenshtein, Literal(k: Int, _)) =>
+        Some((lev, k - 1))
+      case GreaterThan(Literal(k: Int, _), lev: Levenshtein) =>
+        Some((lev, k - 1))
+      case _ => None
+    })
+    bounded.flatMap { case (lev, k) =>
+      if (k < 0 || k > maxDist || k > 2 || lev.threshold.isDefined) None
+      else {
+        val (x, y) = (lev.left, lev.right)
+        if (!x.deterministic || !y.deterministic) None
+        else (sideOf(j, x), sideOf(j, y)) match {
+          case (Some(true), Some(false)) => Some((x, y, math.max(k, 1)))
+          case (Some(false), Some(true)) => Some((y, x, math.max(k, 1)))
+          case _ => None
+        }
+      }
+    }
+  }
+
+  private def crossSides(j: Join, a: Expression, b: Expression): Boolean = {
+    val sa = sideOf(j, a)
+    val sb = sideOf(j, b)
+    sa.isDefined && sb.isDefined && sa != sb
+  }
+
+  private def sideOf(j: Join, e: Expression): Option[Boolean] =
+    if (e.references.isEmpty) None
+    else if (e.references.subsetOf(j.left.outputSet)) Some(true)
+    else if (e.references.subsetOf(j.right.outputSet)) Some(false)
+    else None
+}

@@ -532,6 +532,29 @@ object Corpus {
       "id", "name", maxDist = 2)
   }
 
+  /** The [[graft.plans.FuzzyLevJoinRule]] exercised END TO END from
+    * plain SQL: the gate's Spark side is nothing but
+    * `JOIN ON levenshtein(a, b) <= 1` — no library call — and the
+    * optimizer rewrites it to the FastSS deletion-variant equi-join
+    * ([[graft.functions.DeletionVariants]] planted as generator,
+    * original predicate as residual, row-id distinct restoring exact
+    * multiset semantics). The oracle runs the IDENTICAL naive
+    * θ-join text in DuckDB — O(n²) there, linear here; FuzzyJoinSpec
+    * plan-audits that no nested-loop join survives the rewrite. */
+  val q254 = QuerySpec.sql(
+    "q254_fuzzy_join_sql",
+    """SELECT a.c_custkey AS id1, b.c_custkey AS id2,
+      |       CAST(levenshtein(a.c_name, b.c_name) AS INT) AS dist
+      |FROM customer a JOIN customer b
+      |  ON levenshtein(a.c_name, b.c_name) <= 1 AND a.c_custkey < b.c_custkey""",
+    "plain-SQL levenshtein join auto-rewritten by the FuzzyLevJoinRule (entity resolution)") { (s, d) =>
+    Tables.customer(s, d).createOrReplaceTempView("fz_customer_q254")
+    s.sql("""SELECT a.c_custkey AS id1, b.c_custkey AS id2,
+      |       CAST(levenshtein(a.c_name, b.c_name) AS INT) AS dist
+      |FROM fz_customer_q254 a JOIN fz_customer_q254 b
+      |  ON levenshtein(a.c_name, b.c_name) <= 1 AND a.c_custkey < b.c_custkey""".stripMargin)
+  }
+
   /** Entity-resolution agreement-vector profile — the Fellegi-Sunter
     * m/u-probability input: for every fuzzy-blocked candidate pair
     * (q184's 1-deletion FastSS blocking via [[graft.operators.Dedup
@@ -2510,5 +2533,5 @@ object Corpus {
       q139, q140, q141, q144, q147, q148, q149, q150, q153, q154, q155, q157,
       q158, q159, q161, q163, q164, q166, q173, q174, q184, q185, q187, q192,
       q194, q199, q200, q203, q205, q209, q221, q227, q236, q239, q241, q243,
-      q244, q245, q246, q247, q248, q249, q250)
+      q244, q245, q246, q247, q248, q249, q250, q254)
 }

@@ -1,0 +1,94 @@
+package graft.plans
+
+import graft.SparkSpec
+
+/** FuzzyLevJoinRule: rewrite behavior (fires on no-equi levenshtein
+  * joins, preserves exact multiset semantics including duplicate
+  * input rows, leaves equi-joins and k > maxdist alone, honors the
+  * kill switch) and the native deletion_variants expression's
+  * equivalence with the HOF chain. */
+class FuzzyJoinSpec extends SparkSpec {
+
+  private def fixtures = {
+    import spark.implicits._
+    // kitten appears TWICE on the left: the rewrite must keep both
+    // output pairs (multiset semantics), while variant multiplicity
+    // (many shared variants per pair) must collapse
+    val a = Seq((1L, "kitten"), (2L, "kitten"), (3L, "sitting"),
+      (4L, "abc"), (5L, "zzzz")).toDF("aid", "aname")
+    val b = Seq((10L, "mitten"), (11L, "kiten"), (12L, "sittin"),
+      (13L, "abd"), (14L, "qqqq")).toDF("bid", "bname")
+    (a, b)
+  }
+
+  test("rule rewrites a SQL levenshtein join off the nested-loop path, exact multiset") {
+    val (a, b) = fixtures
+    a.createOrReplaceTempView("fz_a")
+    b.createOrReplaceTempView("fz_b")
+    for (k <- Seq(1, 2)) {
+      val q = s"SELECT aid, bid FROM fz_a JOIN fz_b ON levenshtein(aname, bname) <= $k"
+      val on = spark.sql(q)
+      val phys = on.queryExecution.executedPlan.toString
+      assert(!phys.contains("BroadcastNestedLoopJoin") &&
+        !phys.contains("CartesianProduct"), s"k=$k not rewritten:\n$phys")
+      assert(phys.contains("deletion_variants"), phys)
+      val expect = try {
+        spark.conf.set("spark.graft.fuzzyjoin.enabled", "false")
+        val off = spark.sql(q)
+        assert(!off.queryExecution.executedPlan.toString
+          .contains("deletion_variants"))
+        off.collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+      } finally spark.conf.set("spark.graft.fuzzyjoin.enabled", "true")
+      val got = on.collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+      assert(got == expect, s"k=$k")
+      // duplicate left rows produce duplicate pairs, exactly once each
+      if (k == 1) {
+        assert(got.count(_ == (1L, 11L)) == 1 && got.count(_ == (2L, 11L)) == 1)
+      }
+    }
+  }
+
+  test("rule leaves equi-joins, k>2, strict-inequality shapes it can't serve, and disabled sessions alone") {
+    val (a, b) = fixtures
+    a.createOrReplaceTempView("fz_a")
+    b.createOrReplaceTempView("fz_b")
+    // equi-conjunct present → native hash join, no rewrite
+    val equi = spark.sql(
+      "SELECT aid, bid FROM fz_a JOIN fz_b ON aid = bid AND levenshtein(aname, bname) <= 1")
+    assert(!equi.queryExecution.executedPlan.toString.contains("deletion_variants"))
+    // k = 3 exceeds the neighborhood the rule will plant
+    val k3 = spark.sql(
+      "SELECT aid, bid FROM fz_a JOIN fz_b ON levenshtein(aname, bname) <= 3")
+    assert(!k3.queryExecution.executedPlan.toString.contains("deletion_variants"))
+    // levenshtein < 3 normalizes to <= 2 and DOES rewrite
+    val lt3 = spark.sql(
+      "SELECT aid, bid FROM fz_a JOIN fz_b ON levenshtein(aname, bname) < 3")
+    assert(lt3.queryExecution.executedPlan.toString.contains("deletion_variants"))
+    import spark.implicits._
+    val naive = fixtures._1.crossJoin(fixtures._2)
+      .where(levenshtein($"aname", $"bname") < 3)
+      .select("aid", "bid").collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+    assert(lt3.collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq == naive)
+  }
+
+  test("deletion_variants native expression == HOF chain, order and values") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    import graft.operators.Dedup
+    val df = (Seq("kitten", "", "a", "ab", "aaa", "héllo", "日本語テスト",
+      "Customer#000000042") ++ (1 to 50).map(i => s"w$i$i")).toDF("s")
+    for (k <- Seq(1, 2)) {
+      val rows = df.select(
+        Dedup.deletionVariants(col("s"), k).as("n"),
+        Dedup.deletionVariantsRelational(col("s"), k).as("r")).collect()
+      rows.foreach { r =>
+        assert(r.getSeq[String](0) == r.getSeq[String](1),
+          s"k=$k mismatch for variants")
+      }
+    }
+  }
+
+  private def levenshtein(a: org.apache.spark.sql.Column,
+      b: org.apache.spark.sql.Column) =
+    org.apache.spark.sql.functions.levenshtein(a, b)
+}
