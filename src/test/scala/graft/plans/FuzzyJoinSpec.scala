@@ -14,10 +14,11 @@ class FuzzyJoinSpec extends SparkSpec {
     // kitten appears TWICE on the left: the rewrite must keep both
     // output pairs (multiset semantics), while variant multiplicity
     // (many shared variants per pair) must collapse
+    // null strings must fall out exactly as the naive join drops them
     val a = Seq((1L, "kitten"), (2L, "kitten"), (3L, "sitting"),
-      (4L, "abc"), (5L, "zzzz")).toDF("aid", "aname")
+      (4L, "abc"), (5L, "zzzz"), (6L, null)).toDF("aid", "aname")
     val b = Seq((10L, "mitten"), (11L, "kiten"), (12L, "sittin"),
-      (13L, "abd"), (14L, "qqqq")).toDF("bid", "bname")
+      (13L, "abd"), (14L, "qqqq"), (15L, null)).toDF("bid", "bname")
     (a, b)
   }
 
