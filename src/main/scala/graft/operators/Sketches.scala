@@ -358,6 +358,31 @@ object Sketches {
       .groupBy("bucket").agg(count(lit(1)).as("cnt"))
   }
 
+  /** Quantile-bin discretizer map ([[histogramQuantiles]]'s third
+    * face): each histogram bucket is assigned its equi-depth bin
+    * (decile at nBins = 10) by midpoint-rank arithmetic — pure BIGINT
+    * end to end. The returned (bucket, cnt, bin) table is sketch-sized
+    * (≤ nBuckets rows): broadcast-join it to assign every corpus row
+    * its bin with ZERO additional shuffles — the ML feature
+    * discretizer at any scale. */
+  def quantileBinMap(df: DataFrame, valueCol: Column, nBuckets: Int,
+      nBins: Int): DataFrame = {
+    require(nBins >= 1)
+    import org.apache.spark.sql.expressions.Window
+    val v = df.select(valueCol.cast("long").as("v")).where(col("v").isNotNull)
+    val bounds = v.agg(min(col("v")).as("lo"), max(col("v")).as("hi"),
+      count(lit(1)).as("n"))
+    val hist = v.crossJoin(broadcast(bounds))
+      .select(expr(s"((v - lo) * $nBuckets) DIV (hi - lo + 1)").as("bucket"))
+      .groupBy("bucket").agg(count(lit(1)).as("cnt"))
+    hist
+      .withColumn("cum", sum(col("cnt")).over(Window.orderBy("bucket")))
+      .crossJoin(broadcast(bounds.select(col("n"))))
+      .select(col("bucket"), col("cnt"),
+        expr(s"least(CAST(${nBins - 1} AS BIGINT), " +
+          s"((cum - cnt + (cnt + 1) DIV 2 - 1) * $nBins) DIV n)").as("bin"))
+  }
+
   def histogramQuantiles(df: DataFrame, valueCol: Column, nBuckets: Int,
       percents: Seq[Int]): DataFrame = {
     require(nBuckets >= 1 && percents.nonEmpty &&

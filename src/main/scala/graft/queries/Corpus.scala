@@ -718,6 +718,88 @@ object Corpus {
       "vec_id", "embedding", dir, nProbe = 4, k = 5)
   }
 
+  /** Equi-depth feature discretization over the q247 histogram
+    * ([[graft.operators.Sketches.quantileBinMap]]): every bucket gets
+    * its decile by midpoint-rank BIGINT arithmetic; the gate
+    * aggregates the mapping per decile (row mass, bucket span) so
+    * DuckDB replays the entire discretizer hash-exact. At corpus
+    * scale the map broadcast-joins onto rows — binning adds no
+    * shuffle. */
+  val q256 = QuerySpec.sql(
+    "q256_quantile_bins",
+    """WITH v AS (SELECT CAST(round(l_extendedprice * 100, 0) AS BIGINT) AS v FROM lineitem),
+      |b AS (SELECT min(v) AS lo, max(v) AS hi, CAST(count(*) AS BIGINT) AS n FROM v),
+      |h AS (SELECT ((v - lo) * 1024) // (hi - lo + 1) AS bucket, CAST(count(*) AS BIGINT) AS cnt
+      |      FROM v CROSS JOIN b GROUP BY 1),
+      |c AS (SELECT bucket, cnt, CAST(sum(cnt) OVER (ORDER BY bucket) AS BIGINT) AS cum FROM h),
+      |dec AS (
+      |  SELECT bucket, cnt,
+      |         least(9, ((cum - cnt + (cnt + 1) // 2 - 1) * 10) // n) AS bin
+      |  FROM c CROSS JOIN b)
+      |SELECT CAST(bin AS BIGINT) AS bin, CAST(sum(cnt) AS BIGINT) AS n_rows,
+      |       CAST(count(*) AS BIGINT) AS n_buckets,
+      |       CAST(min(bucket) AS BIGINT) AS min_bucket,
+      |       CAST(max(bucket) AS BIGINT) AS max_bucket
+      |FROM dec GROUP BY 1""",
+    "equi-depth decile discretizer from the mergeable histogram (ML feature prep)") { (s, d) =>
+    graft.operators.Sketches.quantileBinMap(
+        Tables.lineitem(s, d),
+        round(col("l_extendedprice") * 100, 0).cast("long"),
+        nBuckets = 1024, nBins = 10)
+      .groupBy(col("bin"))
+      .agg(sum(col("cnt")).as("n_rows"), count(lit(1)).as("n_buckets"),
+        min(col("bucket")).as("min_bucket"), max(col("bucket")).as("max_bucket"))
+  }
+
+  /** Token-label association screen — q185's standardized-residual
+    * machinery lifted from categorical drift to FEATURE SELECTION:
+    * which tokens are most over-represented in each language's
+    * documents (the χ²-family signal a classifier's feature pruner
+    * ranks by), computed from exact integer counts with one IEEE
+    * chain per cell so DuckDB replays every residual bit-for-bit.
+    * Shape: posting-list counts + two broadcast margins + a tiny
+    * per-lang top-5 window — at 100 TB the only data-sized exchange
+    * is the (lang, tok) count. Tokenization is [[graft.operators
+    * .Dedup.shingleTokens]]'s distinct unigrams, the same contract
+    * the dedup tier oracles replay. */
+  val q257 = QuerySpec.sql(
+    "q257_token_label_assoc",
+    """WITH tok AS (
+      |  SELECT doc_id, unnest(list_distinct(regexp_extract_all(lower(text), '(\S+)', 1))) AS tok
+      |  FROM documents),
+      |dl AS (SELECT t.tok, d.lang FROM tok t JOIN documents d USING (doc_id)),
+      |o AS (SELECT lang, tok, CAST(count(*) AS BIGINT) AS n_obs FROM dl GROUP BY 1, 2),
+      |lt AS (SELECT lang, CAST(sum(n_obs) AS BIGINT) AS nl FROM o GROUP BY 1),
+      |tt AS (SELECT tok, CAST(sum(n_obs) AS BIGINT) AS nt FROM o GROUP BY 1),
+      |nn AS (SELECT CAST(sum(n_obs) AS BIGINT) AS n FROM o),
+      |r AS (
+      |  SELECT o.lang, o.tok, n_obs,
+      |         (CAST(n_obs AS DOUBLE) - CAST(nl * nt AS DOUBLE) / n)
+      |           / sqrt(CAST(nl * nt AS DOUBLE) / n) AS resid
+      |  FROM o JOIN lt USING (lang) JOIN tt USING (tok) CROSS JOIN nn)
+      |SELECT lang, CAST(rnk AS BIGINT) AS rnk, tok, n_obs, resid FROM (
+      |  SELECT lang, tok, n_obs, resid,
+      |         row_number() OVER (PARTITION BY lang ORDER BY resid DESC, tok) AS rnk
+      |  FROM r) z WHERE rnk <= 5""",
+    "top discriminative tokens per language via standardized residuals (feature selection)") { (s, d) =>
+    import org.apache.spark.sql.expressions.Window
+    val docs = Tables.documents(s, d)
+    val tok = graft.operators.Dedup.shingleTokens(docs, "doc_id", "text")
+    val o = tok.join(docs.select(col("doc_id"), col("lang")), "doc_id")
+      .groupBy("lang", "tok").agg(count(lit(1)).as("n_obs"))
+    val lt = o.groupBy("lang").agg(sum(col("n_obs")).as("nl"))
+    val tt = o.groupBy("tok").agg(sum(col("n_obs")).as("nt"))
+    val nn = o.agg(sum(col("n_obs")).as("n"))
+    val e = (col("nl") * col("nt")).cast("double") / col("n")
+    o.join(broadcast(lt), "lang").join(tt, "tok").crossJoin(broadcast(nn))
+      .select(col("lang"), col("tok"), col("n_obs"),
+        ((col("n_obs").cast("double") - e) / sqrt(e)).as("resid"))
+      .withColumn("rnk", row_number().over(
+        Window.partitionBy("lang").orderBy(col("resid").desc, col("tok"))).cast("long"))
+      .where(col("rnk") <= 5)
+      .select(col("lang"), col("rnk"), col("tok"), col("n_obs"), col("resid"))
+  }
+
   /** M13 — the k-mer composition features that feed genome binning,
     * driver-oracled in long format. Spark counts overlapping 2-mers
     * with one codegen'd lookahead `regexp_count` per k-mer; DuckDB's
@@ -2533,5 +2615,5 @@ object Corpus {
       q139, q140, q141, q144, q147, q148, q149, q150, q153, q154, q155, q157,
       q158, q159, q161, q163, q164, q166, q173, q174, q184, q185, q187, q192,
       q194, q199, q200, q203, q205, q209, q221, q227, q236, q239, q241, q243,
-      q244, q245, q246, q247, q248, q249, q250, q254)
+      q244, q245, q246, q247, q248, q249, q250, q254, q256, q257)
 }

@@ -977,9 +977,82 @@ object Relational {
           (col("n1") * col("n2")).cast("double")).as("lift"))
   }
 
+  /** Pairwise Pearson correlation matrix over integer-scaled numeric
+    * features — the feature-engineering screen (which columns are
+    * redundant before a model sees them), kept engine-exact: ONE scan
+    * accumulates every moment (n, Σx, Σx², Σxy per pair) as exact
+    * BIGINTs — scales chosen so the largest Σx² fits comfortably
+    * (dollars for price, raw units for quantity, basis-point-ish ×100
+    * for the rates) — then each r is one IEEE chain over those exact
+    * integers ((nΣxy − ΣxΣy)/√(·)·√(·)), bit-identical in any engine
+    * (the q77 idiom). The 6 output rows explode from the single agg
+    * row; at 100 TB this is a one-pass map-side-combined aggregate of
+    * 15 longs, no shuffle beyond the final combine. */
+  val q255 = QuerySpec.sql(
+    "q255_corr_matrix",
+    """WITH f AS (
+      |  SELECT CAST(round(l_quantity, 0) AS BIGINT) AS q,
+      |         CAST(round(l_extendedprice, 0) AS BIGINT) AS p,
+      |         CAST(round(l_discount * 100, 0) AS BIGINT) AS d,
+      |         CAST(round(l_tax * 100, 0) AS BIGINT) AS t
+      |  FROM lineitem),
+      |m AS (
+      |  SELECT CAST(count(*) AS BIGINT) AS n,
+      |         CAST(sum(q) AS BIGINT) AS sq, CAST(sum(p) AS BIGINT) AS sp,
+      |         CAST(sum(d) AS BIGINT) AS sd, CAST(sum(t) AS BIGINT) AS st,
+      |         CAST(sum(q*q) AS BIGINT) AS sqq, CAST(sum(p*p) AS BIGINT) AS spp,
+      |         CAST(sum(d*d) AS BIGINT) AS sdd, CAST(sum(t*t) AS BIGINT) AS stt,
+      |         CAST(sum(q*p) AS BIGINT) AS sqp, CAST(sum(q*d) AS BIGINT) AS sqd,
+      |         CAST(sum(q*t) AS BIGINT) AS sqt, CAST(sum(p*d) AS BIGINT) AS spd,
+      |         CAST(sum(p*t) AS BIGINT) AS spt, CAST(sum(d*t) AS BIGINT) AS sdt
+      |  FROM f),
+      |pairs AS (
+      |  SELECT 'quantity' AS col1, 'price' AS col2, n, sq AS sx, sp AS sy, sqq AS sxx, spp AS syy, sqp AS sxy FROM m
+      |  UNION ALL SELECT 'quantity', 'discount', n, sq, sd, sqq, sdd, sqd FROM m
+      |  UNION ALL SELECT 'quantity', 'tax', n, sq, st, sqq, stt, sqt FROM m
+      |  UNION ALL SELECT 'price', 'discount', n, sp, sd, spp, sdd, spd FROM m
+      |  UNION ALL SELECT 'price', 'tax', n, sp, st, spp, stt, spt FROM m
+      |  UNION ALL SELECT 'discount', 'tax', n, sd, st, sdd, stt, sdt FROM m)
+      |SELECT col1, col2, n,
+      |       (CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
+      |         / (sqrt(CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx)
+      |            * sqrt(CAST(n AS DOUBLE) * syy - CAST(sy AS DOUBLE) * sy)) AS r
+      |FROM pairs""",
+    "exact-scaled pairwise Pearson correlation matrix (feature engineering)") { (s, d) =>
+    val f = Tables.lineitem(s, d).select(
+      round(col("l_quantity"), 0).cast("long").as("q"),
+      round(col("l_extendedprice"), 0).cast("long").as("p"),
+      round(col("l_discount") * 100, 0).cast("long").as("d"),
+      round(col("l_tax") * 100, 0).cast("long").as("t"))
+    val cols = Seq("q" -> "quantity", "p" -> "price", "d" -> "discount", "t" -> "tax")
+    val aggs = Seq(count(lit(1)).as("n")) ++
+      cols.map { case (c, _) => sum(col(c)).as(s"s_$c") } ++
+      cols.map { case (c, _) => sum(col(c) * col(c)).as(s"s_${c}$c") } ++
+      cols.combinations(2).toSeq.map { cc =>
+        sum(col(cc(0)._1) * col(cc(1)._1)).as(s"s_${cc(0)._1}${cc(1)._1}")
+      }
+    val m = f.agg(aggs.head, aggs.tail: _*)
+    val pairs = cols.combinations(2).toSeq.map { cc =>
+      val (x, xn) = cc(0); val (y, yn) = cc(1)
+      struct(lit(xn).as("col1"), lit(yn).as("col2"), col("n").as("n"),
+        col(s"s_$x").as("sx"), col(s"s_$y").as("sy"),
+        col(s"s_$x$x").as("sxx"), col(s"s_$y$y").as("syy"),
+        col(s"s_$x$y").as("sxy"))
+    }
+    m.select(explode(array(pairs: _*)).as("e"))
+      .select(col("e.col1").as("col1"), col("e.col2").as("col2"),
+        col("e.n").as("n"),
+        ((col("e.n").cast("double") * col("e.sxy") -
+          col("e.sx").cast("double") * col("e.sy")) /
+          (sqrt(col("e.n").cast("double") * col("e.sxx") -
+            col("e.sx").cast("double") * col("e.sx")) *
+           sqrt(col("e.n").cast("double") * col("e.syy") -
+             col("e.sy").cast("double") * col("e.sy")))).as("r"))
+  }
+
   val all: Seq[QuerySpec] = Seq(
     q01, q02, q03, q04, q05, q06, q07, q08, q09, q10, q11,
     q12, q13, q14, q15, q16, q17, q18, q19, q20, q21, q22, q23, q94, q95,
     q123, q125, q126, q128, q129, q160, q178, q183, q186, q197, q217, q218,
-    q223, q224, q242)
+    q223, q224, q242, q255)
 }

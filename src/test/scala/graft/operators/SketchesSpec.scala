@@ -201,5 +201,14 @@ class SketchesSpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getLong(2), r.getLong(4))).sortBy(_._1)
     assert(ends(0)._2 == 1L && math.abs(ends(0)._3 - lo) <= width)
     assert(ends(1)._2 == vs.length.toLong && math.abs(ends(1)._3 - hi) <= width)
+    // discretizer map: bins cover 0..9, are monotone in bucket, and
+    // conserve row mass exactly
+    val bins = Sketches.quantileBinMap(li, col("v"), nBuckets, nBins = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .sortBy(_._1)
+    assert(bins.map(_._2).sum == vs.length.toLong, "bin mass != n")
+    assert(bins.forall(b => b._3 >= 0 && b._3 <= 9))
+    assert(bins.map(_._3).sliding(2).forall(w => w.length < 2 || w(0) <= w(1)),
+      "bins must be monotone in bucket order")
   }
 }
