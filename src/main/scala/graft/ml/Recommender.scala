@@ -41,28 +41,50 @@ object Recommender {
     * purchased parts (the deployment form). Deterministic given the
     * model: ties break on item id.
     *
-    * The candidate pull is sized `k + max(owned items per user)` so a
-    * heavy user whose top-scored items are all already purchased still
-    * receives a full k after the anti-join — a fixed `k*4` over-fetch
-    * silently shorts any user owning more than 3k of their top-4k
-    * scored items. The max-owned count is one cheap aggregate over the
-    * ratings table (map-side combinable; no data-sized collect). */
+    * Two-pass candidate pull: every user first gets a cheap `k·4`
+    * over-fetch; only the users the anti-join leaves SHORT of k (they
+    * owned too many of their top-scored items) are re-fetched via
+    * `recommendForUserSubset` at `k + their max owned count` — so a
+    * heavy user still receives a full k, but the heavy tail no longer
+    * prices the whole fleet's candidate generation (the earlier
+    * uniform `k + max(owned)` pull made EVERY user pay the heaviest
+    * user's depth: measured 7.7 s → 17.7 s on the gate; this form
+    * restores the cheap path and the short set is empty there). */
   def topK(model: org.apache.spark.ml.recommendation.ALSModel,
       ratings: DataFrame, k: Int): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val maxOwned = ratings.groupBy("user").agg(count(lit(1)).as("n"))
-      .agg(max("n")).head().getLong(0).toInt
-    val recs = model.recommendForAllUsers(k + maxOwned)
+    def unseen(recs: DataFrame): DataFrame = recs
       .select(col("user"), explode(col("recommendations")).as("r"))
       .select(col("user"), col("r.item").as("item"),
         col("r.rating").as("score"))
       .join(ratings.select(col("user"), col("item"), lit(1).as("owned")),
         Seq("user", "item"), "left_outer")
       .where(col("owned").isNull)
-    recs.withColumn("rk", row_number().over(
-        Window.partitionBy("user").orderBy(col("score").desc, col("item"))))
-      .where(col("rk") <= k)
-      .select(col("user"), col("rk").cast("long").as("rk"), col("item"))
+    def rank(recs: DataFrame): DataFrame = {
+      import org.apache.spark.sql.expressions.Window
+      recs.withColumn("rk", row_number().over(
+          Window.partitionBy("user").orderBy(col("score").desc, col("item"))))
+        .where(col("rk") <= k)
+        .select(col("user"), col("rk").cast("long").as("rk"), col("item"))
+    }
+    val first = rank(unseen(model.recommendForAllUsers(k * 4))).cache()
+    // shortness is judged against the FULL user universe: a user whose
+    // every candidate was owned has zero rows in `first`, not a small
+    // count — a groupBy over `first` alone would never see them
+    val short = ratings.groupBy("user").agg(count(lit(1)).as("owned"))
+      .join(first.groupBy("user").agg(count(lit(1)).as("n")),
+        Seq("user"), "left_outer")
+      .where(coalesce(col("n"), lit(0L)) < k)
+      .select("user", "owned")
+    val shortRows = short.collect() // user ids only; empty in the common case
+    if (shortRows.isEmpty) first
+    else {
+      val depth = k + shortRows.map(_.getLong(1)).max.toInt
+      val users = short.select("user")
+      val retry = rank(unseen(model.recommendForUserSubset(users, depth)))
+      first.join(users.withColumnRenamed("user", "u"),
+          col("user") === col("u"), "left_anti")
+        .unionByName(retry)
+    }
   }
 
   /** Training-set reconstruction RMSE of the model vs the global-mean
