@@ -72,6 +72,20 @@ class FuzzyJoinSpec extends SparkSpec {
     assert(lt3.collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq == naive)
   }
 
+  test("rule handles derived string expressions (case-insensitive fuzzy join)") {
+    import spark.implicits._
+    val a = Seq((1L, "KITTEN"), (2L, "Abc")).toDF("aid", "aname")
+    val b = Seq((10L, "kitten"), (11L, "abd"), (12L, "zzz")).toDF("bid", "bname")
+    a.createOrReplaceTempView("fzl_a")
+    b.createOrReplaceTempView("fzl_b")
+    val q = "SELECT aid, bid FROM fzl_a JOIN fzl_b " +
+      "ON levenshtein(lower(aname), lower(bname)) <= 1"
+    val on = spark.sql(q)
+    assert(on.queryExecution.executedPlan.toString.contains("deletion_variants"))
+    val got = on.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == Set((1L, 10L), (2L, 11L)))
+  }
+
   test("deletion_variants native expression == HOF chain, order and values") {
     import org.apache.spark.sql.functions._
     import spark.implicits._
