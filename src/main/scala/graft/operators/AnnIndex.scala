@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -19,21 +19,28 @@ import Similarity.{PqModel, asDouble, codebookDf, explodeSubs, intL2,
   *    m small ints per vector instead of dim floats — written as
   *    parquet PARTITIONED BY the coarse bucket, so a probe's
   *    `cid IN (...)` filter is partition pruning: only the probed
-  *    lists' files are ever opened (plan-audited in AnnIndexSpec);
+  *    lists' files are ever opened (plan-audited in AnnIndexSpec).
+  *    By default codes quantize the RESIDUAL `v − centroid(v)`
+  *    (classic IVF-PQ: the codebook spends its resolution on the
+  *    within-list offsets, not on re-describing the centroid);
+  *    `residual = false` keeps the plain raw-vector PQ;
   *  - **probe**: asymmetric-distance top-k over the pruned code
-  *    scan — the per-query lookup table is built in-plan from the
-  *    persisted codebook ([[Similarity.pqAdcTopK]]'s shape), raw
-  *    corpus vectors are never read;
+  *    scan — the lookup table is built in-plan from the persisted
+  *    codebook (per (query, probed list) in residual mode, since the
+  *    query's offset differs per centroid), raw corpus vectors are
+  *    never read;
   *  - **append**: a new batch reads ONLY the tiny model tables
-  *    (centroids + codebook), encodes itself, and appends its codes —
-  *    earlier batches are untouched, the model stays frozen (the
-  *    same frozen-generation contract as [[DedupIndex.append]]).
+  *    (centroids + codebook + the residual flag), encodes itself,
+  *    and appends its codes — earlier batches are untouched, the
+  *    model stays frozen (the same frozen-generation contract as
+  *    [[DedupIndex.append]]).
   *
-  * Probing all buckets (`nProbe = nCentroids`) is bit-identical to
-  * the in-memory [[Similarity.pqAdcTopK]] over the same model — the
-  * exactness law AnnIndexSpec pins. Everything driver-side is
-  * model-sized (nCentroids·dim + k·dim doubles); the corpus never
-  * leaves the plan.
+  * Exactness laws (AnnIndexSpec): raw mode probing all buckets is
+  * bit-identical to the in-memory [[Similarity.pqAdcTopK]]; residual
+  * mode at the degenerate full codebook recovers EXACT integer L2
+  * (ADC = ‖(q−c) − (v−c)‖² = ‖q−v‖² when every residual is its own
+  * codeword). Everything driver-side is model-sized; the corpus
+  * never leaves the plan.
   */
 object AnnIndex {
 
@@ -43,29 +50,64 @@ object AnnIndex {
 
   /** Nearest-centroid assignment by exact scaled L2 — the metric the
     * ADC stage ranks with (ties → smaller cid). */
-  private def nearestByL2(v: org.apache.spark.sql.Column,
-      cents: Array[(Int, Array[Double])]): org.apache.spark.sql.Column =
+  private def nearestByL2(v: Column,
+      cents: Array[(Int, Array[Double])]): Column =
     array_min(transform(Similarity.centroidsLit(cents),
       c => struct(intL2(v, c.getField("vec")).as("d"),
         c.getField("cid").as("cid")))).getField("cid")
 
+  private def centroidsDf(spark: SparkSession,
+      cents: Array[(Int, Array[Double])]): DataFrame = {
+    import spark.implicits._
+    cents.toSeq.map { case (cid, vec) => (cid, vec.toSeq) }
+      .toDF("cid", "cvec_full")
+  }
+
+  /** (vid, cid, rv = v − centroid_cid) — cid assigned by exact L2,
+    * the subtraction a narrow zip_with against broadcast centroids. */
+  private def residualFrame(batch: DataFrame, idCol: String,
+      vecCol: String, cents: Array[(Int, Array[Double])]): DataFrame = {
+    val cdf = broadcast(centroidsDf(batch.sparkSession, cents))
+    batch.select(col(idCol).as("vid"), asDouble(col(vecCol)).as("v"))
+      .withColumn("cid", nearestByL2(col("v"), cents))
+      .join(cdf, "cid")
+      .select(col("vid"), col("cid"),
+        zip_with(col("v"), col("cvec_full"), (x, c) => x - c).as("rv"))
+  }
+
   /** Train coarse centroids + PQ codebooks on `corpus`, encode it,
     * and persist the index at `dir`: `centroids` (cid, vec),
-    * `codebook` (m, code, cvec), `codes` (vid, codes) partitioned by
-    * cid. */
+    * `codebook` (m, code, cvec, dim, residual), `codes`
+    * (vid, codes) partitioned by cid. */
+  /** (vid, cid, rv) encode source — residual or raw. Callers persist
+    * it: training takes several actions over it and the code write
+    * reads it twice (encode + cid re-attach); without the cache the
+    * centroid argmin + subtraction replays per action (measured 2×
+    * the build cost on the gate). */
+  private def encodeSource(batch: DataFrame, idCol: String, vecCol: String,
+      cents: Array[(Int, Array[Double])], residual: Boolean): DataFrame =
+    if (residual) residualFrame(batch, idCol, vecCol, cents)
+    else batch.select(col(idCol).as("vid"),
+      nearestByL2(asDouble(col(vecCol)), cents).as("cid"),
+      asDouble(col(vecCol)).as("rv"))
+
   def build(corpus: DataFrame, idCol: String, vecCol: String, dir: String,
-      nCentroids: Int, m: Int, k: Int, refineIters: Int = 1): Unit = {
+      nCentroids: Int, m: Int, k: Int, refineIters: Int = 1,
+      residual: Boolean = true): Unit = {
     val spark = corpus.sparkSession
-    import spark.implicits._
     val c = corpus.select(col(idCol).as("vid"), asDouble(col(vecCol)).as("v"))
     val cents = ivfTrain(c, nCentroids, refineIters)
-    val model = Similarity.pqTrain(corpus, idCol, vecCol, m, k, refineIters)
-    cents.toSeq.map { case (cid, vec) => (cid, vec.toSeq) }
-      .toDF("cid", "vec")
-      .coalesce(1).write.mode("overwrite").parquet(centroidsPath(dir))
-    codebookDf(spark, model).withColumn("dim", lit(model.dim))
-      .coalesce(1).write.mode("overwrite").parquet(codebookPath(dir))
-    writeCodes(corpus, idCol, vecCol, dir, cents, model, overwrite = true)
+    val src = encodeSource(corpus, idCol, vecCol, cents, residual).persist()
+    try {
+      val model = Similarity.pqTrain(src, "vid", "rv", m, k, refineIters)
+      centroidsDf(spark, cents)
+        .withColumnRenamed("cvec_full", "vec")
+        .coalesce(1).write.mode("overwrite").parquet(centroidsPath(dir))
+      codebookDf(spark, model).withColumn("dim", lit(model.dim))
+        .withColumn("residual", lit(residual))
+        .coalesce(1).write.mode("overwrite").parquet(codebookPath(dir))
+      writeCodes(src, dir, model, overwrite = true)
+    } finally src.unpersist(blocking = false)
   }
 
   /** Encode a new batch under the index's FROZEN model and append its
@@ -73,54 +115,56 @@ object AnnIndex {
     * be unique against everything already indexed. */
   def append(batch: DataFrame, idCol: String, vecCol: String,
       dir: String): Unit = {
-    val (cents, model) = readModel(batch.sparkSession, dir)
-    writeCodes(batch, idCol, vecCol, dir, cents, model, overwrite = false)
+    val (cents, model, residual) = readModel(batch.sparkSession, dir)
+    val src = encodeSource(batch, idCol, vecCol, cents, residual).persist()
+    try writeCodes(src, dir, model, overwrite = false)
+    finally src.unpersist(blocking = false)
   }
 
-  private def writeCodes(batch: DataFrame, idCol: String, vecCol: String,
-      dir: String, cents: Array[(Int, Array[Double])], model: PqModel,
-      overwrite: Boolean): Unit = {
-    val codes = Similarity.pqEncode(batch, idCol, vecCol, model)
-    val cids = batch.select(col(idCol).as("vid"),
-      nearestByL2(asDouble(col(vecCol)), cents).as("cid"))
-    codes.join(cids, "vid")
+  private def writeCodes(src: DataFrame, dir: String, model: PqModel,
+      overwrite: Boolean): Unit =
+    Similarity.pqEncode(src, "vid", "rv", model)
+      .join(src.select("vid", "cid"), "vid")
       .write.partitionBy("cid")
       .mode(if (overwrite) "overwrite" else "append")
       .parquet(codesPath(dir))
-  }
 
-  /** The model tables — tiny by construction (centroids + codebook),
-    * the ONLY thing probe/append read besides the probed code lists. */
-  private[graft] def readModel(spark: SparkSession,
-      dir: String): (Array[(Int, Array[Double])], PqModel) = {
+  /** The model tables — tiny by construction (centroids + codebook +
+    * residual flag), the ONLY thing probe/append read besides the
+    * probed code lists. */
+  private[graft] def readModel(spark: SparkSession, dir: String)
+      : (Array[(Int, Array[Double])], PqModel, Boolean) = {
     val cents = spark.read.parquet(centroidsPath(dir))
       .collect().map(r => r.getInt(0) -> r.getSeq[Double](1).toArray)
       .sortBy(_._1)
     val cbRows = spark.read.parquet(codebookPath(dir)).collect()
     val dim = cbRows.head.getInt(3)
+    val residual = cbRows.head.getBoolean(4)
     val m = cbRows.map(_.getInt(0)).max + 1
     val k = cbRows.map(_.getInt(1)).max + 1
     val codebooks = Array.ofDim[Array[Double]](m, k)
     cbRows.foreach { r =>
       codebooks(r.getInt(0))(r.getInt(1)) = r.getSeq[Double](2).toArray
     }
-    (cents, PqModel(m, k, dim, codebooks))
+    (cents, PqModel(m, k, dim, codebooks), residual)
   }
 
   /** ADC top-k against the persisted index: each query probes its
     * `nProbe` nearest inverted lists; the codes scan carries a
     * partition filter on exactly those cids, so unprobed lists'
-    * files are never opened. Output: (query_id, rank, neighbor_id,
+    * files are never opened. In residual mode the lookup table is
+    * per (query, probed list) — nq·nProbe·m·k integer distances,
+    * still broadcast-sized. Output: (query_id, rank, neighbor_id,
     * adc_dist) — [[Similarity.pqAdcTopK]]'s schema. */
   def probe(queries: DataFrame, idCol: String, vecCol: String,
       dir: String, nProbe: Int, k: Int): DataFrame = {
     val spark = queries.sparkSession
-    val (cents, model) = readModel(spark, dir)
+    val (cents, model, residual) = readModel(spark, dir)
     val q = queries.select(col(idCol).as("query_id"),
       asDouble(col(vecCol)).as("qv"))
     // per-query probed lists (queries are small by contract; the
     // collected cid set sizes the partition filter, not the data)
-    val probes = broadcast(q.select(col("query_id"),
+    val probes = broadcast(q.select(col("query_id"), col("qv"),
       explode(slice(array_sort(transform(Similarity.centroidsLit(cents),
         c => struct(intL2(col("qv"), c.getField("vec")).as("d"),
           c.getField("cid").as("cid")))), 1, nProbe).getField("cid"))
@@ -130,18 +174,35 @@ object AnnIndex {
     val codes = spark.read.parquet(codesPath(dir))
       .where(col("cid").isin(probedCids.map(Integer.valueOf): _*))
     val cb = broadcast(codebookDf(spark, model))
-    val lut = broadcast(q
-      .select(col("query_id"), explodeSubs(col("qv"), model.m, model.sub))
-      .join(cb, Seq("m"))
-      .select(col("query_id"), col("m"), col("code"),
-        intL2(col("sv"), col("cvec")).as("d")))
+    val lut = broadcast {
+      if (residual) {
+        val cdf = broadcast(centroidsDf(spark, cents))
+        // query offset differs per probed list: rq = qv − centroid
+        val rq = probes.join(cdf, "cid")
+          .select(col("query_id"), col("cid"),
+            zip_with(col("qv"), col("cvec_full"), (x, c) => x - c).as("rq"))
+        rq.select(col("query_id"), col("cid"),
+            explodeSubs(col("rq"), model.m, model.sub))
+          .join(cb, Seq("m"))
+          .select(col("query_id"), col("cid"), col("m"), col("code"),
+            intL2(col("sv"), col("cvec")).as("d"))
+      } else {
+        q.select(col("query_id"), explodeSubs(col("qv"), model.m, model.sub))
+          .join(cb, Seq("m"))
+          .select(col("query_id"), col("m"), col("code"),
+            intL2(col("sv"), col("cvec")).as("d"))
+      }
+    }
     val w = Window.partitionBy("query_id")
       .orderBy(col("adc_dist").asc, col("neighbor_id"))
-    codes.join(probes, Seq("cid"))
+    val joined = codes.join(probes.select("query_id", "cid"), Seq("cid"))
       .where(col("query_id") =!= col("vid"))
-      .select(col("query_id"), col("vid").as("neighbor_id"),
+      .select(col("query_id"), col("cid"), col("vid").as("neighbor_id"),
         posexplode(col("codes")).as(Seq("m", "code")))
-      .join(lut, Seq("query_id", "m", "code"))
+    val scored =
+      if (residual) joined.join(lut, Seq("query_id", "cid", "m", "code"))
+      else joined.join(lut, Seq("query_id", "m", "code"))
+    scored
       .groupBy("query_id", "neighbor_id")
       .agg(sum(col("d")).as("adc_dist"))
       .withColumn("rank", row_number().over(w))

@@ -12,7 +12,7 @@ class AnnIndexSpec extends SparkSpec {
     val b2 = emb.filter(col("vec_id") % 2 === 0 && col("vec_id") >= 20)
     val q = emb.filter(col("vec_id") < 20 && col("vec_id") % 2 === 0)
     AnnIndex.build(b1, "vec_id", "embedding", dir,
-      nCentroids = 8, m = 8, k = 16, refineIters = 1)
+      nCentroids = 8, m = 8, k = 16, refineIters = 1, residual = false)
 
     // probing every list must equal the in-memory ADC over the same
     // (deterministically retrained) model — bit-for-bit
@@ -49,8 +49,43 @@ class AnnIndexSpec extends SparkSpec {
     assert(after.intersect(b2ids).nonEmpty,
       "appended batch never surfaces in probe results")
     // appended codes match what the frozen model assigns in memory
-    val (_, frozen) = AnnIndex.readModel(spark, dir)
+    val (_, frozen, residualFlag) = AnnIndex.readModel(spark, dir)
+    assert(!residualFlag)
     assert(frozen.codebooks.flatten.flatten.toSeq ==
       model.codebooks.flatten.flatten.toSeq, "append mutated the model")
+  }
+
+  test("residual IVF-PQ: degenerate full codebook recovers exact L2; pruning + append hold") {
+    val emb = graft.Tables.embeddings(spark, sf).cache()
+    val n = emb.count().toInt
+    val dir = java.nio.file.Files.createTempDirectory("graft-annidx-r").toString + "/idx"
+    val q = emb.filter(col("vec_id") < 8)
+    // k = corpus size, refine 0: every residual is its own codeword →
+    // ADC = ‖(q−c) − (v−c)‖² = ‖q−v‖² exactly, so full-probe residual
+    // ADC top-k must equal brute-force integer-L2 top-k bit-for-bit
+    AnnIndex.build(emb, "vec_id", "embedding", dir,
+      nCentroids = 8, m = 8, k = n, refineIters = 0, residual = true)
+    val got = AnnIndex.probe(q, "vec_id", "embedding", dir, nProbe = 8, k = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val bf = Similarity.bruteForceTopK(q, emb, "vec_id", "embedding", 5,
+        scorer = (a, b) => -Similarity.intL2(a, b).cast("double"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got == bf, "degenerate residual IVF-PQ must be exact L2")
+    // pruned probe still partition-filters, and a realistic codebook
+    // (k = 16) keeps a sane recall floor on the uniform fixture
+    val dir2 = java.nio.file.Files.createTempDirectory("graft-annidx-r2").toString + "/idx"
+    AnnIndex.build(emb.filter(col("vec_id") >= 8), "vec_id", "embedding", dir2,
+      nCentroids = 8, m = 8, k = 16, refineIters = 1, residual = true)
+    val partial = AnnIndex.probe(q, "vec_id", "embedding", dir2, nProbe = 3, k = 10)
+    assert(partial.queryExecution.executedPlan.toString
+      .contains("PartitionFilters: ["))
+    val full = AnnIndex.probe(q, "vec_id", "embedding", dir2, nProbe = 8, k = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    val bf2 = Similarity.bruteForceTopK(q, emb.filter(col("vec_id") >= 8),
+        "vec_id", "embedding", 10,
+        scorer = (a, b) => -Similarity.intL2(a, b).cast("double"))
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    val recall = full.intersect(bf2).size.toDouble / bf2.size
+    assert(recall >= 0.20, f"residual full-probe recall@10 degraded: $recall%.3f")
   }
 }
