@@ -383,6 +383,47 @@ object Sketches {
           s"((cum - cnt + (cnt + 1) DIV 2 - 1) * $nBins) DIV n)").as("bin"))
   }
 
+  /** Per-key [[histogramQuantiles]] — the monitoring shape (latency /
+    * price percentiles per service / segment): per-key exact bounds
+    * (one grouped agg, broadcast back), per-(key, bucket) counts
+    * (state ≤ |keys|·nBuckets longs, mergeable by addition), per-key
+    * cumulative pick with the same BIGINT interpolation. Output:
+    * (grp, q_pct, n, target_rank, bucket, est). */
+  def histogramQuantilesByKey(df: DataFrame, keyCol: String,
+      valueCol: Column, nBuckets: Int, percents: Seq[Int]): DataFrame = {
+    require(nBuckets >= 1 && percents.nonEmpty &&
+      percents.forall(p => p >= 0 && p <= 100), "percents in 0..100")
+    val spark = df.sparkSession
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val v = df.select(col(keyCol).as("grp"), valueCol.cast("long").as("v"))
+      .where(col("v").isNotNull)
+    val bounds = v.groupBy("grp").agg(min(col("v")).as("lo"),
+      max(col("v")).as("hi"), count(lit(1)).as("n"))
+    val hist = v.join(broadcast(bounds), "grp")
+      .select(col("grp"),
+        expr(s"((v - lo) * $nBuckets) DIV (hi - lo + 1)").as("bucket"))
+      .groupBy("grp", "bucket").agg(count(lit(1)).as("cnt"))
+    val cum = hist
+      .withColumn("cum", sum(col("cnt"))
+        .over(Window.partitionBy("grp").orderBy("bucket")))
+      .withColumn("cum_before", col("cum") - col("cnt"))
+    val qdf = percents.map(_.toLong).toDF("q_pct")
+    broadcast(qdf).crossJoin(broadcast(bounds))
+      .withColumn("target_rank",
+        expr("greatest(CAST(1 AS BIGINT), (n * q_pct + 99) DIV 100)"))
+      .join(cum, Seq("grp"))
+      .where(col("cum") >= col("target_rank"))
+      .groupBy("grp", "q_pct", "n", "lo", "hi", "target_rank")
+      .agg(min(struct(col("bucket"), col("cnt"), col("cum_before"))).as("b"))
+      .select(col("grp"), col("q_pct"), col("n"), col("target_rank"),
+        col("b.bucket").as("bucket"),
+        expr(s"""lo + (b.bucket * (hi - lo + 1)) DIV $nBuckets
+          + ((target_rank - b.cum_before - 1)
+             * ((hi - lo + 1 + $nBuckets - 1) DIV $nBuckets)) DIV b.cnt""")
+          .as("est"))
+  }
+
   def histogramQuantiles(df: DataFrame, valueCol: Column, nBuckets: Int,
       percents: Seq[Int]): DataFrame = {
     require(nBuckets >= 1 && percents.nonEmpty &&

@@ -800,6 +800,46 @@ object Corpus {
       .select(col("lang"), col("rnk"), col("tok"), col("n_obs"), col("resid"))
   }
 
+  /** q247's per-key form ([[graft.operators.Sketches
+    * .histogramQuantilesByKey]]): quartiles per return flag from
+    * per-(key, bucket) counts — the latency/price-percentile-per-
+    * segment monitoring shape, state ≤ |keys|·nBuckets longs,
+    * interpolation BIGINT-exact so DuckDB replays every estimate. */
+  val q258 = QuerySpec.sql(
+    "q258_grouped_quantiles",
+    """WITH v AS (SELECT l_returnflag AS grp,
+      |                  CAST(round(l_extendedprice * 100, 0) AS BIGINT) AS v
+      |           FROM lineitem),
+      |b AS (SELECT grp, min(v) AS lo, max(v) AS hi, CAST(count(*) AS BIGINT) AS n
+      |      FROM v GROUP BY 1),
+      |h AS (SELECT v.grp, ((v - lo) * 256) // (hi - lo + 1) AS bucket,
+      |             CAST(count(*) AS BIGINT) AS cnt
+      |      FROM v JOIN b ON b.grp = v.grp GROUP BY 1, 2),
+      |c AS (SELECT grp, bucket, cnt,
+      |             CAST(sum(cnt) OVER (PARTITION BY grp ORDER BY bucket) AS BIGINT) AS cum
+      |      FROM h),
+      |q AS (SELECT unnest([25, 50, 75]) AS q_pct),
+      |t AS (SELECT b.grp, CAST(q_pct AS BIGINT) AS q_pct, lo, hi, n,
+      |             greatest(1, (n * q_pct + 99) // 100) AS target_rank
+      |      FROM q CROSS JOIN b),
+      |pick AS (
+      |  SELECT t.grp, t.q_pct, t.n, t.target_rank, c.bucket, c.cnt,
+      |         c.cum - c.cnt AS cum_before, t.lo, t.hi,
+      |         row_number() OVER (PARTITION BY t.grp, t.q_pct ORDER BY c.bucket) AS rn
+      |  FROM t JOIN c ON c.grp = t.grp AND c.cum >= t.target_rank)
+      |SELECT grp, q_pct, n, CAST(target_rank AS BIGINT) AS target_rank,
+      |       CAST(bucket AS BIGINT) AS bucket,
+      |       CAST(lo + (bucket * (hi - lo + 1)) // 256
+      |            + ((target_rank - cum_before - 1)
+      |               * ((hi - lo + 1 + 255) // 256)) // cnt AS BIGINT) AS est
+      |FROM pick WHERE rn = 1""",
+    "per-key histogram quantiles: quartiles per return flag (monitoring tier)") { (s, d) =>
+    graft.operators.Sketches.histogramQuantilesByKey(
+      Tables.lineitem(s, d), "l_returnflag",
+      round(col("l_extendedprice") * 100, 0).cast("long"),
+      nBuckets = 256, percents = Seq(25, 50, 75))
+  }
+
   /** M13 — the k-mer composition features that feed genome binning,
     * driver-oracled in long format. Spark counts overlapping 2-mers
     * with one codegen'd lookahead `regexp_count` per k-mer; DuckDB's
@@ -2615,5 +2655,5 @@ object Corpus {
       q139, q140, q141, q144, q147, q148, q149, q150, q153, q154, q155, q157,
       q158, q159, q161, q163, q164, q166, q173, q174, q184, q185, q187, q192,
       q194, q199, q200, q203, q205, q209, q221, q227, q236, q239, q241, q243,
-      q244, q245, q246, q247, q248, q249, q250, q254, q256, q257)
+      q244, q245, q246, q247, q248, q249, q250, q254, q256, q257, q258)
 }

@@ -210,5 +210,24 @@ class SketchesSpec extends SparkSpec {
     assert(bins.forall(b => b._3 >= 0 && b._3 <= 9))
     assert(bins.map(_._3).sliding(2).forall(w => w.length < 2 || w(0) <= w(1)),
       "bins must be monotone in bucket order")
+    // per-key form: every estimate within its key's bucket width of
+    // the exact per-key order statistic
+    val byKey = Sketches.histogramQuantilesByKey(
+        graft.Tables.lineitem(spark, sf), "l_returnflag",
+        round(col("l_extendedprice") * 100, 0).cast("long"),
+        nBuckets, Seq(25, 50, 75))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(3), r.getLong(5)))
+    val byFlag = graft.Tables.lineitem(spark, sf)
+      .select(col("l_returnflag").as("k"),
+        round(col("l_extendedprice") * 100, 0).cast("long").as("v"))
+      .collect().map(r => r.getString(0) -> r.getLong(1))
+      .groupBy(_._1).map { case (k, xs) => k -> xs.map(_._2).sorted }
+    byKey.foreach { case (k, q, rank, e) =>
+      val vsk = byFlag(k)
+      val wk = (vsk.last - vsk.head + 1 + nBuckets - 1) / nBuckets
+      val exact = vsk(rank.toInt - 1)
+      assert(math.abs(e - exact) <= wk,
+        s"grp=$k q=$q est=$e exact=$exact off by more than width $wk")
+    }
   }
 }
