@@ -66,25 +66,34 @@ object Recommender {
         .where(col("rk") <= k)
         .select(col("user"), col("rk").cast("long").as("rk"), col("item"))
     }
+    // cache scope is THIS call: the result is materialized (eager
+    // localCheckpoint — executor-memory blocks the ContextCleaner
+    // reclaims once the frame is unreachable) before the finally
+    // unpersists, so repeated topK calls no longer accrete cached
+    // candidate frames for the session's lifetime
     val first = rank(unseen(model.recommendForAllUsers(k * 4))).cache()
-    // shortness is judged against the FULL user universe: a user whose
-    // every candidate was owned has zero rows in `first`, not a small
-    // count — a groupBy over `first` alone would never see them
-    val short = ratings.groupBy("user").agg(count(lit(1)).as("owned"))
-      .join(first.groupBy("user").agg(count(lit(1)).as("n")),
-        Seq("user"), "left_outer")
-      .where(coalesce(col("n"), lit(0L)) < k)
-      .select("user", "owned")
-    val shortRows = short.collect() // user ids only; empty in the common case
-    if (shortRows.isEmpty) first
-    else {
-      val depth = k + shortRows.map(_.getLong(1)).max.toInt
-      val users = short.select("user")
-      val retry = rank(unseen(model.recommendForUserSubset(users, depth)))
-      first.join(users.withColumnRenamed("user", "u"),
-          col("user") === col("u"), "left_anti")
-        .unionByName(retry)
-    }
+    try {
+      // shortness is judged against the FULL user universe: a user whose
+      // every candidate was owned has zero rows in `first`, not a small
+      // count — a groupBy over `first` alone would never see them
+      val short = ratings.groupBy("user").agg(count(lit(1)).as("owned"))
+        .join(first.groupBy("user").agg(count(lit(1)).as("n")),
+          Seq("user"), "left_outer")
+        .where(coalesce(col("n"), lit(0L)) < k)
+        .select("user", "owned")
+      val shortRows = short.collect() // user ids only; empty in the common case
+      val out =
+        if (shortRows.isEmpty) first
+        else {
+          val depth = k + shortRows.map(_.getLong(1)).max.toInt
+          val users = short.select("user")
+          val retry = rank(unseen(model.recommendForUserSubset(users, depth)))
+          first.join(users.withColumnRenamed("user", "u"),
+              col("user") === col("u"), "left_anti")
+            .unionByName(retry)
+        }
+      out.localCheckpoint(true)
+    } finally first.unpersist()
   }
 
   /** Training-set reconstruction RMSE of the model vs the global-mean

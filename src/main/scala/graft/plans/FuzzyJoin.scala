@@ -2,9 +2,9 @@ package graft.plans
 
 import org.apache.spark.sql.catalyst.expressions._
 import org.apache.spark.sql.catalyst.plans.Inner
-import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Generate, Join, LogicalPlan, Project}
+import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Filter, Generate, Join, LeafNode, LogicalPlan, Project, SubqueryAlias}
 import org.apache.spark.sql.catalyst.rules.Rule
-import org.apache.spark.sql.types.{DataType, MapType, StringType}
+import org.apache.spark.sql.types.{DataType, DoubleType, FloatType, MapType, StringType}
 
 /** Optimizer rule: rewrite `A JOIN B ON levenshtein(a, b) <= k`
   * (k ≤ 2, no equi-conjunct, inner join) into the FastSS
@@ -33,7 +33,10 @@ import org.apache.spark.sql.types.{DataType, MapType, StringType}
   * anyway), only for a deterministic `levenshtein` conjunct with a
   * literal bound ≤ `spark.graft.fuzzyjoin.maxdist` (default 2 — the
   * neighborhood is O(L^k) variants per row), only when every output
-  * column is groupable (no MapType), and the rewritten join carries a
+  * column is groupable without normalization (no MapType, and no
+  * Float/Double — grouping canonicalizes -0.0/NaN), only when both
+  * children are shuffle-free narrow trees (see [[midSafe]] — the row
+  * tags must be retry-stable), and the rewritten join carries a
   * cross-side equi-conjunct so the rule cannot re-fire on its own
   * output. `spark.graft.fuzzyjoin.enabled=false` switches it off.
   */
@@ -44,12 +47,38 @@ class FuzzyLevJoinRule extends Rule[LogicalPlan] {
     case other => Seq(other)
   }
 
+  /** Output columns the multiset-restoring Aggregate may group on:
+    * MapType is not groupable at all, and Float/Double are excluded
+    * because grouping NORMALIZES them (-0.0 → 0.0, NaN → canonical
+    * NaN), so the rewrite could return different bits than the
+    * un-rewritten nested-loop join. Joins carrying such columns fall
+    * back to the stock plan. */
   private def groupable(dt: DataType): Boolean = dt match {
     case MapType(_, _, _) => false
+    case FloatType | DoubleType => false
     case org.apache.spark.sql.types.ArrayType(et, _) => groupable(et)
     case org.apache.spark.sql.types.StructType(fields) =>
       fields.forall(f => groupable(f.dataType))
     case _ => true
+  }
+
+  /** MonotonicallyIncreasingID row tags are stable across task
+    * retries only when the tagged partition recomputes the same rows
+    * in the same order. That holds for shuffle-free narrow trees over
+    * sources (file scans enumerate splits deterministically; narrow
+    * deterministic operators preserve order) but NOT downstream of an
+    * exchange, whose reduce-side fetch order varies across attempts —
+    * there a retried map task could re-tag rows differently and the
+    * distinct could gain or lose output pairs. The rule fires only
+    * when both children pass this check; anything else keeps the
+    * stock (slow but retry-safe) nested-loop plan. */
+  private def midSafe(plan: LogicalPlan): Boolean = plan match {
+    case _: LeafNode => true
+    case p: Project => p.projectList.forall(_.deterministic) && midSafe(p.child)
+    case f: Filter => f.condition.deterministic && midSafe(f.child)
+    case g: Generate => g.generator.deterministic && midSafe(g.child)
+    case s: SubqueryAlias => midSafe(s.child)
+    case _ => false
   }
 
   override def apply(plan: LogicalPlan): LogicalPlan = {
@@ -61,6 +90,7 @@ class FuzzyLevJoinRule extends Rule[LogicalPlan] {
     plan.transformUp {
       case j @ Join(left, right, Inner, Some(cond), hint)
           if j.resolved && j.output.forall(a => groupable(a.dataType)) &&
+            midSafe(left) && midSafe(right) &&
             findLev(j, cond, maxDist).isDefined =>
         val (a, b, k) = findLev(j, cond, maxDist).get
         val lid = Alias(MonotonicallyIncreasingID(), "__graft_lid")()

@@ -31,6 +31,28 @@ object StreamOps {
     try body finally spark.conf.set("spark.sql.shuffle.partitions", old)
   }
 
+  /** The bounded gate inputs carry nanos timestamps that the parquet
+    * reader must widen to long; the flag is session-global, so it is
+    * saved and RESTORED around each driven query rather than leaking
+    * into whatever the session runs next. */
+  private def withNanosAsLong[A](spark: SparkSession)(body: => A): A = {
+    val key = "spark.sql.legacy.parquet.nanosAsLong"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key, "true")
+    try body finally prev match {
+      case Some(v) => spark.conf.set(key, v)
+      case None => spark.conf.unset(key)
+    }
+  }
+
+  /** Memory-sink query names are session-global temp views; a
+    * monotonic suffix guarantees two invocations in one session never
+    * collide with each other's still-registered table (an identity
+    * hash of the schema — the previous scheme — can). */
+  private val sinkSeq = new java.util.concurrent.atomic.AtomicLong(0L)
+  private def sinkName(prefix: String): String =
+    s"${prefix}_${sinkSeq.incrementAndGet()}"
+
   /** Tumbling-window per-type aggregate; works on batch AND streaming
     * DataFrames (same plan, different sink semantics). */
   def windowedCounts(events: DataFrame, windowLen: String = "1 hour"): DataFrame =
@@ -44,16 +66,15 @@ object StreamOps {
   /** Streaming variant with watermarking, driven to completion against
     * bounded input via a memory sink; returns the result table. */
   def runWindowedStream(spark: SparkSession, dir: String,
-      windowLen: String = "1 hour"): DataFrame = {
+      windowLen: String = "1 hour"): DataFrame = withNanosAsLong(spark) {
     // nanos-as-long + micros conversion, matching Tables.events
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val schema = spark.read.parquet(s"$dir/events.parquet").schema
     // file-stream source wants a directory; glob-filter to the events file
     val stream = spark.readStream.schema(schema)
       .option("pathGlobFilter", "events.parquet").parquet(dir)
       .transform(graft.Tables.normalizeEventTs)
     val agg = windowedCounts(stream.withWatermark("ts", "1 hour"), windowLen)
-    val name = s"windowed_${System.identityHashCode(schema)}"
+    val name = sinkName("windowed")
     withStatePartitions(spark, 8) {
       val q = agg.writeStream.outputMode(OutputMode.Complete())
         .format("memory").queryName(name).start()
@@ -89,8 +110,7 @@ object StreamOps {
     * via a memory sink; parity with [[attributionJoinBatch]] is the
     * gate's oracle. */
   def attributionJoinStream(spark: SparkSession, dir: String,
-      fromType: String, toType: String, horizonMinutes: Int): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      fromType: String, toType: String, horizonMinutes: Int): DataFrame = withNanosAsLong(spark) {
     val schema = spark.read.parquet(s"$dir/events.parquet").schema
     def source = spark.readStream.schema(schema)
       .option("pathGlobFilter", "events.parquet").parquet(dir)
@@ -106,7 +126,7 @@ object StreamOps {
         col("to_ts") >= col("from_ts") &&
         col("to_ts") <= col("from_ts") + expr(s"INTERVAL $horizonMinutes MINUTES"))
       .select(col("from_id"), col("user_id"), col("from_ts"), col("to_id"), col("to_ts"))
-    val name = s"attrib_${System.identityHashCode(schema)}"
+    val name = sinkName("attrib")
     withStatePartitions(spark, 8) {
       val q = joined.writeStream.outputMode(OutputMode.Append())
         .format("memory").queryName(name).start()
@@ -127,8 +147,7 @@ object StreamOps {
     * over either way. Returns the number of NEW rows this run landed
     * (0 on an idempotent re-run over unchanged input). */
   def runIngestToParquet(spark: SparkSession, dir: String, outDir: String,
-      checkpointDir: String): Long = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      checkpointDir: String): Long = withNanosAsLong(spark) {
     val schema = spark.read.parquet(s"$dir/events.parquet").schema
     val stream = spark.readStream.schema(schema)
       .option("pathGlobFilter", "events.parquet").parquet(dir)
@@ -155,14 +174,13 @@ object StreamOps {
     * the batch build ([[graft.operators.Sketches.countMinCells]]) and
     * replay exactly in an external engine via the md5-slice twin. */
   def runSketchStream(spark: SparkSession, dir: String, d: Int, w: Int,
-      seed: Long): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      seed: Long): DataFrame = withNanosAsLong(spark) {
     val schema = spark.read.parquet(s"$dir/events.parquet").schema
     val stream = spark.readStream.schema(schema)
       .option("pathGlobFilter", "events.parquet").parquet(dir)
     val cells = graft.operators.Sketches.countMinCells(
       stream.select(col("user_id")), col("user_id"), d, w, seed)
-    val name = s"sketch_${System.identityHashCode(schema)}"
+    val name = sinkName("sketch")
     withStatePartitions(spark, 8) {
       val q = cells.writeStream.outputMode(OutputMode.Complete())
         .format("memory").queryName(name).start()
@@ -179,14 +197,13 @@ object StreamOps {
     * cells against the relational rebuild (stream == batch == oracle,
     * cell-for-cell). */
   def runHistogramStream(spark: SparkSession, dir: String, lo: Long,
-      hi: Long, nBuckets: Int): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      hi: Long, nBuckets: Int): DataFrame = withNanosAsLong(spark) {
     val schema = spark.read.parquet(s"$dir/events.parquet").schema
     val stream = spark.readStream.schema(schema)
       .option("pathGlobFilter", "events.parquet").parquet(dir)
     val cells = graft.operators.Sketches.histogramCells(
       stream, round(col("value") * 100, 0).cast("long"), lo, hi, nBuckets)
-    val name = s"hist_${System.identityHashCode(schema)}"
+    val name = sinkName("hist")
     withStatePartitions(spark, 8) {
       val q = cells.writeStream.outputMode(OutputMode.Complete())
         .format("memory").queryName(name).start()
@@ -203,8 +220,7 @@ object StreamOps {
     * per micro-batch, so at 100 TB/day the stream side never
     * shuffles; cost per batch = batch rows × broadcast probe. Driven
     * to completion over bounded input via a memory sink. */
-  def enrichStream(spark: SparkSession, dir: String): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+  def enrichStream(spark: SparkSession, dir: String): DataFrame = withNanosAsLong(spark) {
     val schema = spark.read.parquet(s"$dir/events.parquet").schema
     val stream = spark.readStream.schema(schema)
       .option("pathGlobFilter", "events.parquet").parquet(dir)
@@ -212,7 +228,7 @@ object StreamOps {
       .select(col("c_custkey"), col("c_mktsegment")))
     val joined = stream.join(dim, col("user_id") === col("c_custkey"))
       .select(col("event_id"), col("user_id"), col("c_mktsegment"), col("value"))
-    val name = s"enrich_${System.identityHashCode(schema)}"
+    val name = sinkName("enrich")
     val q = joined.writeStream.outputMode(OutputMode.Append())
       .format("memory").queryName(name).start()
     try q.processAllAvailable() finally q.stop()
@@ -237,15 +253,14 @@ object StreamOps {
     * projection: WHICH physical row is retained depends on arrival
     * order; the retained key set does not. */
   def runDedupStream(spark: SparkSession, dir: String,
-      keyCols: Seq[String], horizon: String = "3650 days"): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      keyCols: Seq[String], horizon: String = "3650 days"): DataFrame = withNanosAsLong(spark) {
     val schema = spark.read.parquet(s"$dir/events.parquet").schema
     val stream = spark.readStream.schema(schema)
       .option("pathGlobFilter", "events.parquet").parquet(dir)
       .transform(graft.Tables.normalizeEventTs)
     val dd = dedupStream(stream, keyCols, "ts", horizon)
       .select(keyCols.map(col): _*)
-    val name = s"dedup_${System.identityHashCode(schema)}"
+    val name = sinkName("dedup")
     withStatePartitions(spark, 8) {
       val q = dd.writeStream.outputMode(OutputMode.Append())
         .format("memory").queryName(name).start()
@@ -309,9 +324,8 @@ object StreamOps {
     * boundaries and counts are integer/timestamp arithmetic and gate
     * the state machine itself. */
   def runSessionizeStream(spark: SparkSession, dir: String,
-      gapMinutes: Int): DataFrame = {
+      gapMinutes: Int): DataFrame = withNanosAsLong(spark) {
     import spark.implicits._
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val schema = spark.read.parquet(s"$dir/events.parquet").schema
     val stream = spark.readStream.schema(schema)
       .option("pathGlobFilter", "events.parquet").parquet(dir)
@@ -319,7 +333,7 @@ object StreamOps {
     val sessions = sessionizeStream(
       stream.select(col("user_id"), col("ts"), col("value")).as[Event],
       gapMinutes)
-    val name = s"sessions_${System.identityHashCode(schema)}"
+    val name = sinkName("sessions")
     withStatePartitions(spark, 8) {
       val q = sessions.writeStream.outputMode(OutputMode.Append())
         .format("memory").queryName(name).start()
@@ -387,9 +401,8 @@ object StreamOps {
   /** Drives [[cdcMergeStream]] over the bounded events table on the
     * real streaming engine; the result must equal the batch merge
     * (oracle: q201's SQL). */
-  def runCdcMergeStream(spark: SparkSession, dir: String): DataFrame = {
+  def runCdcMergeStream(spark: SparkSession, dir: String): DataFrame = withNanosAsLong(spark) {
     import spark.implicits._
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val schema = spark.read.parquet(s"$dir/events.parquet").schema
     val stream = spark.readStream.schema(schema)
       .option("pathGlobFilter", "events.parquet").parquet(dir)
@@ -397,7 +410,7 @@ object StreamOps {
       .select(col("user_id"), col("ts"), col("event_id"), col("event_type"),
         col("value")).as[CdcEvent]
     val merged = cdcMergeStream(stream)
-    val name = s"cdc_${System.identityHashCode(schema)}"
+    val name = sinkName("cdc")
     withStatePartitions(spark, 8) {
       val q = merged.writeStream.outputMode(OutputMode.Update())
         .format("memory").queryName(name).start()

@@ -39,4 +39,25 @@ class MaterializedAggSpec extends SparkSpec {
         s"retraction did not invert for key $k")
     }
   }
+
+  test("applyDelta: null keys merge into ONE group, like groupBy") {
+    import spark.implicits._
+    // groupBy folds nulls into one group; the merge join must match
+    // them null-safely or the null group splits into two rows
+    val base = Seq((Some("a"), 1.0), (None, 2.0), (None, 3.0))
+      .toDF("seg", "value").withColumn("user_id", lit(1L))
+    val delta = Seq((Some("a"), 4.0), (None, 5.0), (Some("b"), 6.0))
+      .toDF("seg", "value").withColumn("user_id", lit(1L))
+    def roll(df: org.apache.spark.sql.DataFrame) = df.groupBy("seg")
+      .agg(count(lit(1)).as("n_events"),
+        sum(round(col("value") * 100, 0).cast("long")).as("sum_cents"))
+    val merged = MaterializedAgg.applyDelta(roll(base), roll(delta),
+      Seq("seg"), Seq("n_events", "sum_cents"))
+    def asMap(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => Option(r.getString(0)) -> (r.getLong(1), r.getLong(2))).toMap
+    val got = asMap(merged)
+    assert(merged.count() == got.size, "null group emitted twice")
+    assert(got == asMap(roll(base.unionByName(delta))))
+    assert(got(None) == (3L, 1000L))
+  }
 }

@@ -86,6 +86,31 @@ class FuzzyJoinSpec extends SparkSpec {
     assert(got == Set((1L, 10L), (2L, 11L)))
   }
 
+  test("rule declines float/double outputs and shuffled children (retry/normalization hazards)") {
+    import spark.implicits._
+    val a = Seq((1L, "kitten", 0.5f), (2L, "abc", -0.0f)).toDF("aid", "aname", "ascore")
+    val b = Seq((10L, "mitten"), (11L, "abd")).toDF("bid", "bname")
+    a.createOrReplaceTempView("fzh_a")
+    b.createOrReplaceTempView("fzh_b")
+    // float output column: grouping would canonicalize -0.0/NaN → no rewrite
+    val withFloat = spark.sql(
+      "SELECT aid, bid, ascore FROM fzh_a JOIN fzh_b ON levenshtein(aname, bname) <= 1")
+    assert(!withFloat.queryExecution.executedPlan.toString.contains("deletion_variants"))
+    // float present in the table but NOT in the join output → fires
+    val pruned = spark.sql(
+      "SELECT aid, bid FROM fzh_a JOIN fzh_b ON levenshtein(aname, bname) <= 1")
+    assert(pruned.queryExecution.executedPlan.toString.contains("deletion_variants"))
+    // a shuffle beneath a side makes MonotonicallyIncreasingID tags
+    // retry-unstable → no rewrite, stock plan retained (still correct)
+    val shuffled = spark.sql(
+      """SELECT g.aname, bid FROM
+        |  (SELECT aname, count(*) AS n FROM fzh_a GROUP BY aname) g
+        |JOIN fzh_b ON levenshtein(g.aname, bname) <= 1""".stripMargin)
+    assert(!shuffled.queryExecution.executedPlan.toString.contains("deletion_variants"))
+    assert(shuffled.collect().map(r => (r.getString(0), r.getLong(1))).toSet ==
+      Set(("kitten", 10L), ("abc", 11L)))
+  }
+
   test("deletion_variants native expression == HOF chain, order and values") {
     import org.apache.spark.sql.functions._
     import spark.implicits._
