@@ -2580,9 +2580,11 @@ object Corpus {
     * target rank is the ceiling integer division (rn·N_g + N_s − 1)
     * div N_s (non-negative, so floor/truncate agree in every engine)
     * and the normalized value is rank-SELECTED, never interpolated.
-    * Scale note: the global reference rank is a full sort here; at
-    * 100 TB the reference becomes a sampled/sketched quantile table
-    * joined the same way (the per-source windows are unchanged). */
+    * Scale: the global reference ranks come from the range-
+    * partitioned [[graft.operators.GlobalRank]] (parallel sort +
+    * offset sum, never one task); an even cheaper 100 TB variant
+    * swaps in a sampled/sketched quantile table joined the same way
+    * (the per-source windows are unchanged). */
   val q192 = QuerySpec.sql(
     "q192_quantile_normalize",
     """WITH rk AS (
@@ -2606,10 +2608,11 @@ object Corpus {
       .withColumn("ns", count(lit(1)).over(Window.partitionBy("source")))
       .select(col("doc_id"), col("source"), col("n_chars"), col("rn"), col("ns"))
     val gn = docs.agg(count(lit(1)).as("ng"))
-    val g = docs
-      .select(col("n_chars").as("v"), col("doc_id"))
-      .withColumn("gr", row_number().over(
-        Window.orderBy(col("v"), col("doc_id"))))
+    // global reference ranks via the range-partitioned GlobalRank —
+    // the whole-corpus sort is parallel, never one task
+    val g = graft.operators.GlobalRank.withRank(
+        docs.select(col("n_chars").as("v"), col("doc_id")),
+        Seq(col("v"), col("doc_id")), "gr", "__n")
       .select(col("v"), col("gr"))
     rk.crossJoin(broadcast(gn))
       .withColumn("gr", expr("(rn * ng + ns - 1) DIV ns"))

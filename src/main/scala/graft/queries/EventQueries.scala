@@ -639,8 +639,10 @@ object EventQueries {
     * features are exact integers (epoch-day recency, event count,
     * summed cents) and each quintile is ntile(5) under a fully
     * tie-broken total order (feature, user_id) — deterministic in any
-    * engine, no float anywhere. One grouped pass + three rank windows
-    * over the |users|-sized feature table. */
+    * engine, no float anywhere. One grouped pass + three range-
+    * partitioned [[graft.operators.GlobalRank]] passes over the
+    * |users|-sized feature table (the oracle keeps NTILE SQL — the
+    * semantics; the engine avoids its one-task execution). */
   val q193 = QuerySpec.sql(
     "q193_rfm",
     """WITH f AS (
@@ -662,21 +664,27 @@ object EventQueries {
       |       CAST(r * 100 + fq * 10 + m AS INT) AS segment
       |FROM s""",
     "RFM quintile segmentation per user, integer-exact (event analytics)") { (s, d) =>
-    import org.apache.spark.sql.expressions.Window
+    import graft.operators.GlobalRank
     val f = Tables.events(s, d).groupBy("user_id")
       .agg(max(floor(col("ts").cast("long") / 86400).cast("long")).as("last_day"),
         count(lit(1)).as("freq"),
         coalesce(sum(round(col("value") * 100, 0).cast("long")), lit(0L))
           .as("mon_cents"))
     val mx = f.agg(max(col("last_day")).as("maxday"))
-    val st = f.crossJoin(broadcast(mx))
+    val st0 = f.crossJoin(broadcast(mx))
       .withColumn("recency_days", col("maxday") - col("last_day"))
-      .withColumn("r", ntile(5).over(
-        Window.orderBy(col("recency_days"), col("user_id"))))
-      .withColumn("fq", ntile(5).over(
-        Window.orderBy(col("freq").desc, col("user_id"))))
-      .withColumn("m", ntile(5).over(
-        Window.orderBy(col("mon_cents").desc, col("user_id"))))
+    // three quintiles = three range-partitioned global ranks over the
+    // |users|-sized feature table (each a tie-broken total order), NOT
+    // three sequential single-task unpartitioned windows
+    def quintile(df: org.apache.spark.sql.DataFrame, out: String,
+        order: org.apache.spark.sql.Column*): org.apache.spark.sql.DataFrame =
+      GlobalRank.withRank(df, order, "__rk", "__n")
+        .withColumn(out, GlobalRank.ntileFromRank("__rk", "__n", 5))
+        .drop("__rk", "__n")
+    val st = quintile(quintile(quintile(st0,
+      "r", col("recency_days"), col("user_id")),
+      "fq", col("freq").desc, col("user_id")),
+      "m", col("mon_cents").desc, col("user_id"))
     st.select(col("user_id"), col("recency_days"), col("freq"), col("mon_cents"),
       col("r").cast("int").as("r"), col("fq").cast("int").as("f"),
       col("m").cast("int").as("m"),

@@ -476,10 +476,16 @@ object Relational {
         col("sum_qty"), col("n_rows"))
   }
 
-  /** W-family extension — ntile quartiles + percent_rank over a
-    * unique total order (tie-free ordering keeps both engines'
-    * bucketing identical; percent_rank is (rank−1)/(n−1), integers in,
-    * one identical division out). */
+  /** W-family extension — ntile quartiles + percent_rank over
+    * (orderkey, linenumber). The synthetic data DOES carry duplicate
+    * key pairs, so percent_rank must use RANK semantics (ties share a
+    * rank — both engines do); ntile splits ties positionally, where
+    * any assignment yields the same output multiset. Spark side runs
+    * on [[graft.operators
+    * .GlobalRank]] — range-partitioned two-pass rank, NOT the
+    * single-task unpartitioned WindowExec the naive form plans (the
+    * oracle keeps the window SQL: total-order SEMANTICS is the spec,
+    * one-task execution is not). */
   val q125 = QuerySpec.sql(
     "q125_window_ranks",
     """SELECT l_orderkey, l_linenumber,
@@ -489,12 +495,16 @@ object Relational {
       |WHERE l_quantity = 50 AND l_returnflag = 'R'
       |WINDOW w AS (ORDER BY l_orderkey, l_linenumber)""",
     "ntile + percent_rank over a unique order (SURVEY W-family)") { (s, d) =>
-    val w = Window.orderBy(col("l_orderkey"), col("l_linenumber"))
-    Tables.lineitem(s, d)
+    import graft.operators.GlobalRank
+    val base = Tables.lineitem(s, d)
       .where(col("l_quantity") === 50 && col("l_returnflag") === "R")
+      .select(col("l_orderkey"), col("l_linenumber"))
+    GlobalRank.withRank(base,
+        Seq(col("l_orderkey"), col("l_linenumber")), "__rk", "__n",
+        tieRankCol = "__tr")
       .select(col("l_orderkey"), col("l_linenumber"),
-        ntile(4).over(w).as("quartile"),
-        percent_rank().over(w).as("prank"))
+        GlobalRank.ntileFromRank("__rk", "__n", 4).as("quartile"),
+        GlobalRank.percentRankFromRank(col("__tr"), col("__n")).as("prank"))
   }
 
   /** A-family extension — CUBE: all 2ⁿ grouping sets in one pass

@@ -348,10 +348,11 @@ object SamplingQueries {
     * over event data: everything at-or-before the global 80th-
     * percentile instant trains, everything after evaluates. The
     * cutoff is rank-SELECTED under the total order (ts, event_id) —
-    * exact and engine-replayable. Scale note: the global rank is a
-    * full sort at gate scale; the documented 100 TB path derives the
-    * cutoff from a sampled/sketched quantile instead (q192's note) —
-    * the split semantics downstream are unchanged. Output counts per
+    * exact and engine-replayable, via the range-partitioned
+    * [[graft.operators.GlobalRank]] (a parallel sort + offset sum,
+    * never one task). An even cheaper 100 TB path derives the cutoff
+    * from a sampled/sketched quantile instead (q192's note) — the
+    * split semantics downstream are unchanged. Output counts per
     * (split, event_type) plus the user overlap that leakage analyses
     * start from. */
   val q206 = QuerySpec.sql(
@@ -372,14 +373,18 @@ object SamplingQueries {
       |       CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
       |FROM lab GROUP BY 1, 2""",
     "temporal 80/20 train-eval split at a rank-selected cutoff (ML data tier)") { (s, d) =>
-    import org.apache.spark.sql.expressions.Window
-    val rk = Tables.events(s, d)
+    import graft.operators.GlobalRank
+    val base = Tables.events(s, d)
       .select(col("user_id"), col("event_type"), col("ts"), col("event_id"))
-      .withColumn("r", row_number().over(Window.orderBy(col("ts"), col("event_id"))))
-      .withColumn("n", count(lit(1)).over(Window.partitionBy()))
-    val cut = rk.where(col("r").cast("long") === expr("(4 * n + 4) DIV 5"))
+    // the 80th-percentile cutoff row is rank-SELECTED via the range-
+    // partitioned global rank (no whole-fact-table single-task
+    // window); labeling then needs only the broadcast 1-row cutoff —
+    // the fact table itself is never ranked twice
+    val ranked = GlobalRank.withRank(base.select(col("ts"), col("event_id")),
+      Seq(col("ts"), col("event_id")), "__rk", "__n")
+    val cut = ranked.where(col("__rk") === expr("(4 * __n + 4) DIV 5"))
       .select(col("ts").as("cts"), col("event_id").as("cid"))
-    rk.crossJoin(broadcast(cut))
+    base.crossJoin(broadcast(cut))
       .select(col("user_id"), col("event_type"),
         when(col("ts") < col("cts") ||
           (col("ts") === col("cts") && col("event_id") <= col("cid")), "train")

@@ -263,4 +263,53 @@ class PlanAuditSpec extends SparkSpec {
     assert(p.contains("partial_"), "no map-side combine in centroid build:\n" + p.take(2000))
     assert(!p.contains("CartesianProduct"), "centroid pair join is cartesian")
   }
+
+  test("NO gate plans an unpartitioned Window over a data-sized input (whitelist: bounded-domain only)") {
+    import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Window => LWindow}
+    // An unpartitioned Window funnels its whole input through ONE
+    // task — fatal at 100 TB. Gates here are allowed one ONLY over a
+    // bounded-domain table: each whitelisted site windows a table
+    // whose size is fixed by construction, never by the data volume.
+    val whitelist = Map(
+      // GlobalRank offset tables: one row per shuffle partition
+      "q125_window_ranks" -> "GlobalRank stats (≤ shuffle partitions rows)",
+      "q192_quantile_normalize" -> "GlobalRank stats (≤ shuffle partitions rows)",
+      "q193_rfm" -> "GlobalRank stats ×3 (≤ shuffle partitions rows each)",
+      "q206_temporal_split" -> "GlobalRank stats (≤ shuffle partitions rows)",
+      // permutation statistics: |samples|² distance matrices / per-
+      // permutation scalars — bounded by the experiment design
+      "q133_anosim_portable" -> "per-permutation scalar stats",
+      "q134_permdisp_portable" -> "per-permutation scalar stats",
+      // cumulative sums over fixed bucket / vocab / CDF-step domains
+      "q164_vocab_coverage" -> "top-k vocabulary cumsum (k fixed)",
+      "q227_ks_drift" -> "CDF steps over the distinct-value domain",
+      "q247_hist_quantiles" -> "nBuckets cumsum (nBuckets fixed)",
+      "q256_quantile_bins" -> "nBuckets cumsum (nBuckets fixed)",
+      // a 25-row VALUES-pinned dimension
+      "q85_permutation" -> "fixed 25-row nation permutation")
+    val offenders = scala.collection.mutable.ArrayBuffer.empty[String]
+    for (name <- SparkEntry.queries.keys.toSeq.sorted) {
+      val wins = try {
+        SparkEntry.queries(name)(spark, sf).queryExecution.optimizedPlan
+          .collect { case w: LWindow if w.partitionSpec.isEmpty => w }
+      } catch { case e: Exception =>
+        fail(s"$name failed to build a plan: ${e.getMessage}")
+      }
+      if (wins.nonEmpty) {
+        if (!whitelist.contains(name))
+          offenders += s"$name (${wins.length} unpartitioned windows, not whitelisted)"
+        else if (name != "q85_permutation") {
+          // every whitelisted window (except the pinned 25-row dim)
+          // must consume an AGGREGATED table — group-domain-bounded,
+          // not the raw input
+          wins.foreach { w =>
+            if (w.child.collectFirst { case a: Aggregate => a }.isEmpty)
+              offenders += s"$name (whitelisted, but a window consumes a non-aggregated input)"
+          }
+        }
+      }
+    }
+    assert(offenders.isEmpty,
+      "data-sized single-task windows found:\n" + offenders.mkString("\n"))
+  }
 }
