@@ -11,6 +11,11 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Forked-run output passes through UNPREFIXED (no "[info] " in front
+// of stdout lines): the Bench contract is ONE machine-parseable JSON
+// line on stdout, and the sbt log prefix has broken the driver's
+// parse of it in every round to date (BENCH_r0N.json "parsed":null).
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

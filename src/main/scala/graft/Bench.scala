@@ -93,24 +93,77 @@ object Bench {
     if (contended)
       System.err.println(f"WARNING: still contended after retry (load $load0%.2f) — " +
         "timings below are inflated; the JSON record carries contended:true")
+    // single-pass calibration for in-run checkpoints (JIT is warm
+    // after calib(); ~0.25 s, taken OUTSIDE any timed region)
+    def calibOnce(): Double = {
+      val t0 = System.nanoTime()
+      var x = 1.0; var i = 0
+      while (i < 100000000) { x = x * 1.0000001 + 1e-9; i += 1 }
+      if (x == 42.0) print("")
+      100.0 / ((System.nanoTime() - t0) / 1e9)
+    }
+    def usedHeapGb: Double =
+      (Runtime.getRuntime.totalMemory - Runtime.getRuntime.freeMemory) / 1e9
+    // in-run health trace: the round-8 official record degraded
+    // DURING the battery (calib_post 54% under norm, heap 2×) and the
+    // pre-run gate could not see it — these checkpoints make the
+    // degradation curve part of the record
+    val midCalib = scala.collection.mutable.ArrayBuffer.empty[Double]
+    val midHeap = scala.collection.mutable.ArrayBuffer.empty[Double]
     val w0 = System.nanoTime()
     SparkEntry.warmCaches(spark, sfDir)
-    val warmupSec = (System.nanoTime() - w0) / 1e9
-    val results = SparkEntry.specs.zipWithIndex.map { case (q, i) =>
+    var warmupSec = (System.nanoTime() - w0) / 1e9
+    def battery(): Seq[(String, Double)] = SparkEntry.specs.zipWithIndex.map { case (q, i) =>
       // deterministic cleaner nudge between queries (not inside a
       // timed region): reaps dead checkpoint blocks so query N+150
       // runs in the same session state as query N
-      if (i % 32 == 31) System.gc()
+      if (i % 32 == 31) {
+        System.gc()
+        midCalib += calibOnce()
+        midHeap += usedHeapGb
+      }
       val t0 = System.nanoTime()
       try { q.run(spark, sfDir).count() } catch { case _: Throwable => -1L }
       q.name -> (System.nanoTime() - t0) / 1e9
     }
+    var results = battery()
     def ms(v: Double): String = f"$v%.3f"
     def json(kvs: Seq[(String, Double)]): String =
       kvs.map { case (k, v) => "\"" + k + "\":" + ms(v) }.mkString("{", ",", "}")
+    var calib1 = calib()
+    def degraded(c: Double): Boolean = calibNorm.exists(n => c < 0.95 * n)
+    // --- post-run gate (round-8 verdict item 1): a battery whose
+    // closing calibration is >5% under the rolling norm degraded
+    // IN-RUN (heap/GC pressure, late co-tenant load) and its timings
+    // misstate the engine. Remediate — evict every memoized family,
+    // force full GCs, settle — then re-run the whole battery ONCE in
+    // the recovered session (caches re-warmed so attribution holds).
+    // If the rerun's closing calibration still fails, the record
+    // carries degraded_inrun:true — an explicitly untrustworthy run.
+    var batteryRetried = false
+    var firstTotal = 0.0
+    if (degraded(calib1)) {
+      System.err.println(f"WARNING: in-run degradation (calib_post $calib1%.0f " +
+        f"Mops vs norm ${calibNorm.getOrElse(0.0)}%.0f) — evicting caches, " +
+        "GC, settling 30 s, re-running the battery once")
+      batteryRetried = true
+      firstTotal = results.map(_._2).sum
+      Memo.evictSession(
+        org.apache.spark.sql.graftbridge.SessionBridge.sessionUUID(spark))
+      spark.catalog.clearCache()
+      System.gc(); Thread.sleep(30000); System.gc()
+      val w1 = System.nanoTime()
+      SparkEntry.warmCaches(spark, sfDir)
+      warmupSec += (System.nanoTime() - w1) / 1e9
+      results = battery()
+      calib1 = calib()
+    }
+    val degradedInRun = degraded(calib1)
+    if (degradedInRun)
+      System.err.println("WARNING: battery still degraded after retry — " +
+        "the JSON record carries degraded_inrun:true")
     val total = results.map(_._2).sum
     val load1 = loadAvg
-    val calib1 = calib()
     // The driver keeps only the TAIL of stdout: rounds 3 and 4 both
     // produced "parsed":null because the one-line JSON (~2.5 KB over
     // 70 queries) was front-truncated past its opening brace. The
@@ -123,9 +176,11 @@ object Bench {
     val otherSec = total - top.map(_._2).sum
     val detailPath = java.nio.file.Paths.get("bench_detail.json").toAbsolutePath
     val validity =
-      s""""contended":$contended,"retried":$retried,"calib_norm":${ms(calibNorm.getOrElse(0.0))}"""
+      s""""contended":$contended,"retried":$retried,"degraded_inrun":$degradedInRun,"battery_retried":$batteryRetried,"calib_norm":${ms(calibNorm.getOrElse(0.0))}"""
+    val trace =
+      s""""calib_mid":[${midCalib.map(ms).mkString(",")}],"heap_used_gb_mid":[${midHeap.map(ms).mkString(",")}],"first_total":${ms(firstTotal)}"""
     val detail =
-      s"""{"metric":"total","value":${ms(total)},"unit":"sec","sf":"$sfDir","n_queries":${results.size},"queries":${json(results)},"warmup_sec":${ms(warmupSec)},"load_avg_pre":${ms(load0)},"load_avg_post":${ms(load1)},"calib_mops_pre":${ms(calib0)},"calib_mops_post":${ms(calib1)},"heap_gb":${ms(heapGb)},$validity}"""
+      s"""{"metric":"total","value":${ms(total)},"unit":"sec","sf":"$sfDir","n_queries":${results.size},"queries":${json(results)},"warmup_sec":${ms(warmupSec)},"load_avg_pre":${ms(load0)},"load_avg_post":${ms(load1)},"calib_mops_pre":${ms(calib0)},"calib_mops_post":${ms(calib1)},"heap_gb":${ms(heapGb)},$validity,$trace}"""
     java.nio.file.Files.write(detailPath, (detail + "\n").getBytes("UTF-8"))
     // bench_detail.json is overwritten by every run (round-6 verdict
     // lost the official per-query record to a local re-run), so every

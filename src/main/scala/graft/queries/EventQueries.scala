@@ -673,18 +673,23 @@ object EventQueries {
     val mx = f.agg(max(col("last_day")).as("maxday"))
     val st0 = f.crossJoin(broadcast(mx))
       .withColumn("recency_days", col("maxday") - col("last_day"))
-    // three quintiles = three range-partitioned global ranks over the
-    // |users|-sized feature table (each a tie-broken total order), NOT
-    // three sequential single-task unpartitioned windows
-    def quintile(df: org.apache.spark.sql.DataFrame, out: String,
-        order: org.apache.spark.sql.Column*): org.apache.spark.sql.DataFrame =
-      GlobalRank.withRank(df, order, "__rk", "__n")
-        .withColumn(out, GlobalRank.ntileFromRank("__rk", "__n", 5))
-        .drop("__rk", "__n")
-    val st = quintile(quintile(quintile(st0,
-      "r", col("recency_days"), col("user_id")),
-      "fq", col("freq").desc, col("user_id")),
-      "m", col("mon_cents").desc, col("user_id"))
+    // three quintiles = three INDEPENDENT range-partitioned global
+    // ranks, each over a skinny (user_id, feature) projection of the
+    // feature table, joined back on user_id — not three sequential
+    // single-task unpartitioned windows, and not NESTED rank passes
+    // (nesting re-plans the whole upstream inside each stats branch;
+    // factoring keeps every rank's input one shared aggregate)
+    def quintile(out: String, feature: String,
+        asc: Boolean): org.apache.spark.sql.DataFrame =
+      GlobalRank.withRank(st0.select(col("user_id"), col(feature)),
+          Seq(if (asc) col(feature) else col(feature).desc, col("user_id")),
+          "__rk", "__n")
+        .select(col("user_id"),
+          GlobalRank.ntileFromRank("__rk", "__n", 5).as(out))
+    val st = st0
+      .join(quintile("r", "recency_days", asc = true), "user_id")
+      .join(quintile("fq", "freq", asc = false), "user_id")
+      .join(quintile("m", "mon_cents", asc = false), "user_id")
     st.select(col("user_id"), col("recency_days"), col("freq"), col("mon_cents"),
       col("r").cast("int").as("r"), col("fq").cast("int").as("f"),
       col("m").cast("int").as("m"),
