@@ -424,6 +424,82 @@ object Sketches {
           .as("est"))
   }
 
+  /** Deterministic RANK-error quantile sketch (q-digest family) — the
+    * skew-safe sibling of [[histogramQuantiles]]. The equi-width
+    * histogram's error is (hi−lo+1)/nBuckets in VALUE space, so one
+    * heavy-tail outlier collapses the resolution of every bucket
+    * below it; this sketch's error is in RANK space — ≤ 2·levels·θ
+    * positions with θ = max(1, n/k) — independent of the value
+    * distribution.
+    *
+    * Structure: a conceptual binary tree over the declared domain
+    * [lo, lo+2^levels). Node counts at EVERY level come from ONE
+    * explode(levels+1)+groupBy pass (map-side combine collapses to
+    * the node table before the shuffle — the only data-sized
+    * exchange). Compression is the closed-form kept-frontier rule:
+    * keep nodes with subtree count ≥ θ; each kept node's sketch mass
+    * is its count minus the mass owned by kept children (< 2θ, since
+    * non-kept children are each < θ). A rank query's uncertainty is
+    * the mass of kept nodes straddling the query point — at most the
+    * root-to-leaf path, 2·levels·θ.
+    *
+    * Unlike GK/KLL, whose state depends on insertion ORDER, this
+    * sketch is a pure function of the input MULTISET — deterministic
+    * under any partitioning, shuffle order, or merge schedule (merge
+    * = add node-count tables, re-apply the same closed-form rule) —
+    * which is what lets an external engine replay it hash-exact
+    * (q259). All arithmetic is BIGINT.
+    *
+    * Output per requested percentile: (q_pct, n, target_rank, lvl,
+    * est) where est is the post-order pick's range end — the classic
+    * q-digest read: order sketch entries by (range_end, lvl),
+    * cumulate mass, answer at the first entry reaching target_rank. */
+  def qdigestQuantiles(df: DataFrame, valueCol: Column, loVal: Long,
+      levels: Int, k: Int, percents: Seq[Int]): DataFrame = {
+    require(levels >= 1 && levels <= 40 && k >= 1 && percents.nonEmpty &&
+      percents.forall(p => p >= 0 && p <= 100), "percents in 0..100")
+    val spark = df.sparkSession
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val U = 1L << levels
+    val v = df.select(valueCol.cast("long").as("v")).where(col("v").isNotNull)
+      .select(least(lit(U - 1), greatest(lit(0L), col("v") - loVal)).as("leaf"))
+    val nDf = v.agg(count(lit(1)).as("n"))
+    // node counts at all levels in one pass; lvl `levels` is the root
+    val counts = v
+      .select(explode(expr(s"transform(sequence(0, $levels), " +
+        "l -> named_struct('lvl', l, 'id', shiftright(leaf, l)))")).as("nd"))
+      .groupBy(col("nd.lvl").as("lvl"), col("nd.id").as("id"))
+      .agg(count(lit(1)).as("cnt"))
+    val kept = counts.crossJoin(broadcast(nDf))
+      .where(col("cnt") >= expr(s"greatest(CAST(1 AS BIGINT), n DIV $k)"))
+    // sketch mass = kept count minus mass owned by kept children
+    val childMass = kept.where(col("lvl") < levels)
+      .groupBy((col("lvl") + 1).as("lvl"), expr("id DIV 2").as("id"))
+      .agg(sum(col("cnt")).as("child_cnt"))
+    val entries = kept.join(childMass, Seq("lvl", "id"), "left_outer")
+      .select(col("lvl"), col("id"),
+        (col("cnt") - coalesce(col("child_cnt"), lit(0L))).as("mass"))
+      .where(col("mass") > 0)
+    // post-order cumulative pick — the window is SKETCH-sized
+    // (≤ ~2k·levels entries by the θ rule), never data-sized
+    val ordered = entries
+      .withColumn("range_end",
+        expr("(id + 1) * shiftleft(CAST(1 AS BIGINT), lvl) - 1"))
+      .withColumn("cum", sum(col("mass")).over(
+        Window.orderBy(col("range_end"), col("lvl"))))
+    val qdf = percents.map(_.toLong).toDF("q_pct")
+    broadcast(qdf).crossJoin(broadcast(nDf))
+      .withColumn("target_rank",
+        expr("greatest(CAST(1 AS BIGINT), (n * q_pct + 99) DIV 100)"))
+      .join(ordered, col("cum") >= col("target_rank"))
+      .groupBy("q_pct", "n", "target_rank")
+      .agg(min(struct(col("range_end"), col("lvl"))).as("e"))
+      .select(col("q_pct"), col("n"), col("target_rank"),
+        col("e.lvl").cast("long").as("lvl"),
+        (lit(loVal) + least(col("e.range_end"), lit(U - 1))).as("est"))
+  }
+
   def histogramQuantiles(df: DataFrame, valueCol: Column, nBuckets: Int,
       percents: Seq[Int]): DataFrame = {
     require(nBuckets >= 1 && percents.nonEmpty &&

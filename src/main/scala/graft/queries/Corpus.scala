@@ -646,6 +646,62 @@ object Corpus {
       nBuckets = 1024, percents = Seq(1, 25, 50, 75, 99))
   }
 
+  /** Sketch tier, RANK-error side ([[graft.operators.Sketches
+    * .qdigestQuantiles]]): q247's equi-width histogram has VALUE-
+    * space error, which heavy-tailed monitoring columns (doc length,
+    * latency) defeat — one outlier stretches every bucket. The
+    * q-digest sketch bounds error in RANK space (≤ 2·levels·⌈n/k⌉
+    * positions, distribution-independent), and because it is a pure
+    * function of the input multiset — counting, no insertion-order
+    * state like GK/KLL — DuckDB replays the whole build (all-level
+    * node counts → kept frontier → residual masses → post-order
+    * pick) hash-exact from the identical closed-form SQL. The skew
+    * law (outlier-robust where q247 collapses) and the rank-error
+    * bound live in SketchesSpec. */
+  val q259 = QuerySpec.sql(
+    "q259_qdigest_quantiles",
+    """WITH v AS (
+      |  SELECT least(CAST(1048575 AS BIGINT),
+      |               greatest(CAST(0 AS BIGINT), CAST(n_chars AS BIGINT))) AS leaf
+      |  FROM documents),
+      |b AS (SELECT CAST(count(*) AS BIGINT) AS n FROM v),
+      |counts AS (
+      |  SELECT l AS lvl, leaf >> l AS id, CAST(count(*) AS BIGINT) AS cnt
+      |  FROM v, unnest(generate_series(0, 20)) AS g(l) GROUP BY 1, 2),
+      |kept AS (
+      |  SELECT lvl, id, cnt FROM counts CROSS JOIN b
+      |  WHERE cnt >= greatest(1, n // 4096)),
+      |childmass AS (
+      |  SELECT lvl + 1 AS lvl, id // 2 AS id, CAST(sum(cnt) AS BIGINT) AS child_cnt
+      |  FROM kept WHERE lvl < 20 GROUP BY 1, 2),
+      |entries AS (
+      |  SELECT k.lvl, k.id, k.cnt - coalesce(c.child_cnt, 0) AS mass
+      |  FROM kept k LEFT JOIN childmass c USING (lvl, id)
+      |  WHERE k.cnt - coalesce(c.child_cnt, 0) > 0),
+      |ordered AS (
+      |  SELECT lvl, (id + 1) * (CAST(1 AS BIGINT) << lvl) - 1 AS range_end, mass,
+      |         CAST(sum(mass) OVER (
+      |           ORDER BY (id + 1) * (CAST(1 AS BIGINT) << lvl) - 1, lvl)
+      |           AS BIGINT) AS cum
+      |  FROM entries),
+      |q AS (SELECT CAST(unnest([1, 25, 50, 75, 99]) AS BIGINT) AS q_pct),
+      |t AS (SELECT q_pct, n, greatest(1, (n * q_pct + 99) // 100) AS target_rank
+      |      FROM q CROSS JOIN b),
+      |pick AS (
+      |  SELECT t.q_pct, t.n, t.target_rank, o.lvl, o.range_end,
+      |         row_number() OVER (PARTITION BY t.q_pct
+      |                            ORDER BY o.range_end, o.lvl) AS rn
+      |  FROM t JOIN ordered o ON o.cum >= t.target_rank)
+      |SELECT q_pct, n, CAST(target_rank AS BIGINT) AS target_rank,
+      |       CAST(lvl AS BIGINT) AS lvl,
+      |       CAST(least(range_end, 1048575) AS BIGINT) AS est
+      |FROM pick WHERE rn = 1""",
+    "deterministic q-digest rank-error quantile sketch (sketch tier)") { (s, d) =>
+    graft.operators.Sketches.qdigestQuantiles(
+      Tables.documents(s, d), col("n_chars"), loVal = 0L,
+      levels = 20, k = 4096, percents = Seq(1, 25, 50, 75, 99))
+  }
+
   /** k-NN majority-vote classifier, hash-oracled end to end
     * ([[Similarity.knnClassify]]): q77's exact-scaled neighbor
     * machinery + a candidate-bounded vote with deterministic
@@ -2658,5 +2714,6 @@ object Corpus {
       q139, q140, q141, q144, q147, q148, q149, q150, q153, q154, q155, q157,
       q158, q159, q161, q163, q164, q166, q173, q174, q184, q185, q187, q192,
       q194, q199, q200, q203, q205, q209, q221, q227, q236, q239, q241, q243,
-      q244, q245, q246, q247, q248, q249, q250, q254, q256, q257, q258)
+      q244, q245, q246, q247, q248, q249, q250, q254, q256, q257, q258,
+      q259)
 }

@@ -230,4 +230,55 @@ class SketchesSpec extends SparkSpec {
         s"grp=$k q=$q est=$e exact=$exact off by more than width $wk")
     }
   }
+
+  test("qdigest: rank error bounded by 2*levels*theta on heavy-tailed data, where equi-width collapses") {
+    import spark.implicits._
+    // pathological for equi-width: 9999 values in [0, 1000), one
+    // outlier at 1,000,000 -> equi-width buckets are ~977 wide and
+    // the entire real distribution lands in bucket 0
+    val vals = (1 to 9999).map(i => (i * i) % 1000L) :+ 1000000L
+    val df = vals.toDF("x")
+    val levels = 20
+    val k = 512
+    val n = vals.length
+    val theta = math.max(1L, n / k)
+    val out = Sketches.qdigestQuantiles(df, col("x"), 0L, levels, k,
+      Seq(1, 25, 50, 75, 99)).collect()
+    assert(out.length == 5)
+    val sorted = vals.sorted
+    out.foreach { r =>
+      val target = r.getAs[Long]("target_rank")
+      val est = r.getAs[Long]("est")
+      // rank of est in the true data: positions with value <= est
+      val rankOfEst = sorted.count(_ <= est).toLong
+      assert(math.abs(rankOfEst - target) <= 2L * levels * theta,
+        s"q=${r.getAs[Long]("q_pct")} est=$est rankOfEst=$rankOfEst target=$target")
+    }
+    // the median estimate must live inside the real mass, not be
+    // dragged toward the outlier (the failure mode of q247's
+    // equi-width state on this data)
+    val med = out.find(_.getAs[Long]("q_pct") == 50L).get.getAs[Long]("est")
+    assert(med < 1000L, s"median $med dragged out of the real distribution")
+  }
+
+  test("qdigest: exact when theta = 1, partition-independent always") {
+    import spark.implicits._
+    val vals = (1 to 400).map(i => (i * 7919L) % 300L)
+    val df = vals.toDF("x")
+    // n/k < 1 -> theta = 1: every nonzero node kept, leaf masses own
+    // everything, estimates are EXACT order statistics
+    val exact = Sketches.qdigestQuantiles(df, col("x"), 0L, 16, 100000,
+      Seq(1, 25, 50, 75, 99)).collect()
+      .map(r => r.getAs[Long]("q_pct") -> r.getAs[Long]("est")).toMap
+    val sorted = vals.sorted
+    for ((q, est) <- exact) {
+      val target = math.max(1L, (vals.length * q + 99) / 100)
+      assert(est == sorted((target - 1).toInt), s"q=$q")
+    }
+    // multiset determinism: any partitioning produces identical rows
+    def rows(d: org.apache.spark.sql.DataFrame) =
+      Sketches.qdigestQuantiles(d, col("x"), 0L, 16, 64, Seq(25, 50, 75))
+        .collect().map(_.toSeq).toSet
+    assert(rows(df) == rows(df.repartition(13)))
+  }
 }
