@@ -702,6 +702,55 @@ object Corpus {
       levels = 20, k = 4096, percents = Seq(1, 25, 50, 75, 99))
   }
 
+  /** The production ingest shape END TO END: a document-token stream
+    * whose micro-batches probe the PERSISTED dedup index
+    * ([[graft.operators.DedupIndex]]) for near-duplicates of
+    * everything landed before them, quarantine the matches, and
+    * append their own signatures exactly-once
+    * ([[graft.streaming.StreamOps.runDedupIngestStream]] — checkpoint
+    * WAL + per-batch idempotency marker; the restart/replay law lives
+    * in StreamDedupIngestSpec). Batches are doc_id mod 3 in ascending
+    * order (file mtimes pin the stream order), so the quarantine set
+    * has a pure relational form: every pair with exact Jaccard ≥ 0.5
+    * whose d1 landed in a LATER batch than d2 — which is what the
+    * oracle replays. */
+  val q260 = QuerySpec.sql(
+    "q260_stream_dedup_ingest",
+    """WITH tok AS (
+      |  SELECT doc_id, unnest(list_distinct(regexp_extract_all(lower(text), '(\S+)', 1))) AS tok
+      |  FROM documents),
+      |sizes AS (SELECT doc_id, count(*) AS n FROM tok GROUP BY 1),
+      |inter AS (
+      |  SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS n_inter
+      |  FROM tok a JOIN tok b ON a.tok = b.tok
+      |  WHERE (a.doc_id % 3) > (b.doc_id % 3)
+      |  GROUP BY 1, 2),
+      |j AS (
+      |  SELECT d1, CAST(n_inter AS DOUBLE) / (s1.n + s2.n - n_inter) AS jac
+      |  FROM inter JOIN sizes s1 ON s1.doc_id = d1 JOIN sizes s2 ON s2.doc_id = d2)
+      |SELECT d1 AS doc_id, count(*) AS n_quarantined, max(jac) AS best_jaccard
+      |FROM j WHERE jac >= 0.5 GROUP BY 1""",
+    "streaming near-dup ingest over the persisted dedup index, exactly-once (dedup at scale)") { (s, d) =>
+    val base = java.nio.file.Files.createTempDirectory("graft-q260").toString
+    val src = new java.io.File(base, "src"); src.mkdirs()
+    val tok = tokBlk1(s, d).select("doc_id", "tok")
+    for (b <- 0 to 2) {
+      val tmp = s"$base/tmp$b"
+      tok.where(pmod(col("doc_id"), lit(3)) === b).coalesce(1)
+        .write.parquet(tmp)
+      val part = new java.io.File(tmp).listFiles()
+        .find(f => f.getName.endsWith(".parquet")).get
+      val dst = new java.io.File(src, f"b$b%02d.parquet")
+      java.nio.file.Files.move(part.toPath, dst.toPath)
+      // ascending mtimes pin the micro-batch order to b = 0, 1, 2
+      dst.setLastModified(1700000000000L + b * 60000L)
+    }
+    graft.streaming.StreamOps.runDedupIngestStream(
+        s, src.toString, s"$base/idx", s"$base/ckpt", minJaccard = 0.5)
+      .groupBy(col("d1").as("doc_id"))
+      .agg(count(lit(1)).as("n_quarantined"), max(col("jaccard")).as("best_jaccard"))
+  }
+
   /** k-NN majority-vote classifier, hash-oracled end to end
     * ([[Similarity.knnClassify]]): q77's exact-scaled neighbor
     * machinery + a candidate-bounded vote with deterministic
@@ -2715,5 +2764,5 @@ object Corpus {
       q158, q159, q161, q163, q164, q166, q173, q174, q184, q185, q187, q192,
       q194, q199, q200, q203, q205, q209, q221, q227, q236, q239, q241, q243,
       q244, q245, q246, q247, q248, q249, q250, q254, q256, q257, q258,
-      q259)
+      q259, q260)
 }

@@ -235,6 +235,71 @@ object StreamOps {
     spark.table(name)
   }
 
+  /** Continuous NEAR-DUP ingest against the persisted signature index
+    * — [[graft.operators.DedupIndex]] composed with the streaming
+    * engine: each micro-batch of (doc_id, tok) rows probes the index
+    * for near-duplicates of everything indexed BEFORE it (quarantine
+    * pairs land in `indexDir/quarantine`), then appends its own
+    * signatures, so no batch ever re-reads an earlier batch's
+    * documents (the probe touches only the index — plan-audited in
+    * IncrementalDedupIndexSpec).
+    *
+    * Exactly-once end to end: source offsets commit to the checkpoint
+    * WAL, and each batch's effects are guarded by an idempotency
+    * marker (`indexDir/ingested`, one row per completed batch id,
+    * written AFTER the quarantine write and index append) — a
+    * replayed batch whose marker exists is skipped whole, so a
+    * crash/restart re-emits nothing and the index never absorbs a
+    * batch twice (StreamDedupIngestSpec drives the restart).
+    *
+    * The first batch BUILDS the index (regime dispatch inside
+    * DedupIndex.build); every later batch is probeAndAppend. At
+    * 100 TB/day this is the landing-zone dedup shape: index state
+    * grows by signatures only, batch cost is prefix/bitset candidate
+    * joins against the clustered index files, never all-pairs. */
+  def runDedupIngestStream(spark: SparkSession, srcDir: String,
+      indexDir: String, checkpointDir: String,
+      minJaccard: Double): DataFrame = withNanosAsLong(spark) {
+    import org.apache.spark.sql.DataFrame
+    val schema = spark.read.parquet(srcDir).schema
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1).parquet(srcDir)
+    val qdir = s"$indexDir/quarantine"
+    val mdir = s"$indexDir/ingested"
+    def indexBuilt(sp: SparkSession): Boolean =
+      try { sp.read.parquet(s"$indexDir/meta").head(); true }
+      catch { case _: Exception => false }
+    def doneBatches(sp: SparkSession): Set[Long] =
+      try sp.read.parquet(mdir).collect().map(_.getLong(0)).toSet
+      catch { case _: Exception => Set.empty[Long] }
+    val q = stream.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val sp = batch.sparkSession
+        import sp.implicits._
+        if (!doneBatches(sp).contains(batchId)) {
+          val tok = batch.select(col("doc_id"), col("tok"))
+          val pairs: DataFrame =
+            if (!indexBuilt(sp)) {
+              graft.operators.DedupIndex.build(tok, indexDir, minJaccard)
+              Seq.empty[(Long, Long, Double)].toDF("d1", "d2", "jaccard")
+            } else {
+              graft.operators.DedupIndex.probeAndAppend(tok, indexDir, minJaccard)
+            }
+          pairs.select(col("d1"), col("d2"), col("jaccard"))
+            .write.mode("append").parquet(qdir)
+          // marker LAST: its presence certifies every effect above
+          Seq(batchId).toDF("batch_id").coalesce(1)
+            .write.mode("append").parquet(mdir)
+        }
+        ()
+      }
+      .start()
+    q.awaitTermination()
+    spark.read.parquet(qdir)
+  }
+
   /** Streaming exact dedup: emit the first arrival per key, dropping
     * repeats that arrive within the watermark horizon — the streaming
     * twin of Dedup.exactDuplicates for continuous corpus ingestion.
