@@ -480,14 +480,44 @@ object Corpus {
         col("code").cast("long").as("code"))
   }
 
-  /** The PQ/ADC search tier end-to-end (rows-only — the Lloyd-refined
-    * codebook has no SQL form): train, encode to integer code tables,
+  /** The PQ/ADC search tier end-to-end — the Lloyd-refined codebook
+    * has no SQL form, so the oracle PINS the exact all-integer top-k
+    * (the q130/q85 idiom; deterministic given the xxhash-seeded
+    * model, re-verified bit-identical across runs): train, encode to
+    * integer code tables,
     * ADC-shortlist each query against the CODES (never the raw
     * corpus), exact re-rank of the candidate-bounded shortlist.
     * Recall-vs-brute floors live in SimilaritySpec; q244 hash-gates
     * the code-assignment arithmetic. */
-  val q245 = QuerySpec.rowsOnly(
+  val q245 = QuerySpec.sql(
     "q245_pq_adc",
+    """SELECT * FROM (VALUES
+      |  (CAST(0 AS BIGINT),CAST(1 AS BIGINT),CAST(334 AS BIGINT),CAST(1274557470101 AS BIGINT)),(CAST(0 AS BIGINT),CAST(2 AS BIGINT),CAST(73 AS BIGINT),CAST(1409131004753 AS BIGINT)),
+      |  (CAST(0 AS BIGINT),CAST(3 AS BIGINT),CAST(464 AS BIGINT),CAST(1446744298780 AS BIGINT)),(CAST(0 AS BIGINT),CAST(4 AS BIGINT),CAST(388 AS BIGINT),CAST(1447398908820 AS BIGINT)),
+      |  (CAST(0 AS BIGINT),CAST(5 AS BIGINT),CAST(323 AS BIGINT),CAST(1487089678152 AS BIGINT)),(CAST(1 AS BIGINT),CAST(1 AS BIGINT),CAST(27 AS BIGINT),CAST(1303583245422 AS BIGINT)),
+      |  (CAST(1 AS BIGINT),CAST(2 AS BIGINT),CAST(64 AS BIGINT),CAST(1367252074568 AS BIGINT)),(CAST(1 AS BIGINT),CAST(3 AS BIGINT),CAST(402 AS BIGINT),CAST(1415356414977 AS BIGINT)),
+      |  (CAST(1 AS BIGINT),CAST(4 AS BIGINT),CAST(472 AS BIGINT),CAST(1415780985501 AS BIGINT)),(CAST(1 AS BIGINT),CAST(5 AS BIGINT),CAST(312 AS BIGINT),CAST(1481896681762 AS BIGINT)),
+      |  (CAST(2 AS BIGINT),CAST(1 AS BIGINT),CAST(145 AS BIGINT),CAST(1473011410111 AS BIGINT)),(CAST(2 AS BIGINT),CAST(2 AS BIGINT),CAST(440 AS BIGINT),CAST(1537261101338 AS BIGINT)),
+      |  (CAST(2 AS BIGINT),CAST(3 AS BIGINT),CAST(198 AS BIGINT),CAST(1546288713551 AS BIGINT)),(CAST(2 AS BIGINT),CAST(4 AS BIGINT),CAST(97 AS BIGINT),CAST(1549982225565 AS BIGINT)),
+      |  (CAST(2 AS BIGINT),CAST(5 AS BIGINT),CAST(407 AS BIGINT),CAST(1561714113048 AS BIGINT)),(CAST(3 AS BIGINT),CAST(1 AS BIGINT),CAST(315 AS BIGINT),CAST(1429615488130 AS BIGINT)),
+      |  (CAST(3 AS BIGINT),CAST(2 AS BIGINT),CAST(474 AS BIGINT),CAST(1446525537900 AS BIGINT)),(CAST(3 AS BIGINT),CAST(3 AS BIGINT),CAST(396 AS BIGINT),CAST(1478070216385 AS BIGINT)),
+      |  (CAST(3 AS BIGINT),CAST(4 AS BIGINT),CAST(463 AS BIGINT),CAST(1478252329391 AS BIGINT)),(CAST(3 AS BIGINT),CAST(5 AS BIGINT),CAST(444 AS BIGINT),CAST(1511003282424 AS BIGINT)),
+      |  (CAST(4 AS BIGINT),CAST(1 AS BIGINT),CAST(114 AS BIGINT),CAST(1202974634051 AS BIGINT)),(CAST(4 AS BIGINT),CAST(2 AS BIGINT),CAST(280 AS BIGINT),CAST(1440348219846 AS BIGINT)),
+      |  (CAST(4 AS BIGINT),CAST(3 AS BIGINT),CAST(346 AS BIGINT),CAST(1536871615054 AS BIGINT)),(CAST(4 AS BIGINT),CAST(4 AS BIGINT),CAST(332 AS BIGINT),CAST(1544715887285 AS BIGINT)),
+      |  (CAST(4 AS BIGINT),CAST(5 AS BIGINT),CAST(237 AS BIGINT),CAST(1562667614442 AS BIGINT)),(CAST(5 AS BIGINT),CAST(1 AS BIGINT),CAST(404 AS BIGINT),CAST(1343194425733 AS BIGINT)),
+      |  (CAST(5 AS BIGINT),CAST(2 AS BIGINT),CAST(419 AS BIGINT),CAST(1361524123260 AS BIGINT)),(CAST(5 AS BIGINT),CAST(3 AS BIGINT),CAST(359 AS BIGINT),CAST(1388357337757 AS BIGINT)),
+      |  (CAST(5 AS BIGINT),CAST(4 AS BIGINT),CAST(266 AS BIGINT),CAST(1478109256896 AS BIGINT)),(CAST(5 AS BIGINT),CAST(5 AS BIGINT),CAST(11 AS BIGINT),CAST(1485088261898 AS BIGINT)),
+      |  (CAST(6 AS BIGINT),CAST(1 AS BIGINT),CAST(437 AS BIGINT),CAST(1433938955104 AS BIGINT)),(CAST(6 AS BIGINT),CAST(2 AS BIGINT),CAST(252 AS BIGINT),CAST(1488739098620 AS BIGINT)),
+      |  (CAST(6 AS BIGINT),CAST(3 AS BIGINT),CAST(53 AS BIGINT),CAST(1532588350594 AS BIGINT)),(CAST(6 AS BIGINT),CAST(4 AS BIGINT),CAST(219 AS BIGINT),CAST(1563981744307 AS BIGINT)),
+      |  (CAST(6 AS BIGINT),CAST(5 AS BIGINT),CAST(88 AS BIGINT),CAST(1592132970011 AS BIGINT)),(CAST(7 AS BIGINT),CAST(1 AS BIGINT),CAST(340 AS BIGINT),CAST(1014470194381 AS BIGINT)),
+      |  (CAST(7 AS BIGINT),CAST(2 AS BIGINT),CAST(425 AS BIGINT),CAST(1184959807263 AS BIGINT)),(CAST(7 AS BIGINT),CAST(3 AS BIGINT),CAST(209 AS BIGINT),CAST(1211075122761 AS BIGINT)),
+      |  (CAST(7 AS BIGINT),CAST(4 AS BIGINT),CAST(334 AS BIGINT),CAST(1286196970957 AS BIGINT)),(CAST(7 AS BIGINT),CAST(5 AS BIGINT),CAST(221 AS BIGINT),CAST(1350644167183 AS BIGINT)),
+      |  (CAST(8 AS BIGINT),CAST(1 AS BIGINT),CAST(497 AS BIGINT),CAST(1364405221310 AS BIGINT)),(CAST(8 AS BIGINT),CAST(2 AS BIGINT),CAST(380 AS BIGINT),CAST(1390947467212 AS BIGINT)),
+      |  (CAST(8 AS BIGINT),CAST(3 AS BIGINT),CAST(494 AS BIGINT),CAST(1431882993487 AS BIGINT)),(CAST(8 AS BIGINT),CAST(4 AS BIGINT),CAST(447 AS BIGINT),CAST(1438515462392 AS BIGINT)),
+      |  (CAST(8 AS BIGINT),CAST(5 AS BIGINT),CAST(102 AS BIGINT),CAST(1466849155620 AS BIGINT)),(CAST(9 AS BIGINT),CAST(1 AS BIGINT),CAST(489 AS BIGINT),CAST(1312924006227 AS BIGINT)),
+      |  (CAST(9 AS BIGINT),CAST(2 AS BIGINT),CAST(414 AS BIGINT),CAST(1335398482698 AS BIGINT)),(CAST(9 AS BIGINT),CAST(3 AS BIGINT),CAST(386 AS BIGINT),CAST(1355765099485 AS BIGINT)),
+      |  (CAST(9 AS BIGINT),CAST(4 AS BIGINT),CAST(256 AS BIGINT),CAST(1431051581026 AS BIGINT)),(CAST(9 AS BIGINT),CAST(5 AS BIGINT),CAST(198 AS BIGINT),CAST(1482648549729 AS BIGINT))
+      |) AS t(query_id, rank, neighbor_id, l2_dist)""",
     "PQ/ADC ANN: code-table scan + exact re-rank (similarity scale path)") { (s, d) =>
     val emb = Tables.embeddings(s, d)
     val model = Similarity.pqTrain(emb, "vec_id", "embedding",
@@ -805,11 +835,40 @@ object Corpus {
     * model (no rebuild, earlier codes untouched), probe with
     * partition-pruned ADC — the only files opened are the probed
     * inverted lists' (plan-audited in AnnIndexSpec, with the
-    * full-probe ≡ in-memory-ADC exactness law). Rows-only: the
-    * xxhash-seeded training has no SQL form; q244 hash-gates the
+    * full-probe ≡ in-memory-ADC exactness law). The
+    * xxhash-seeded training has no SQL form, so the oracle PINS the
+    * exact all-integer probe answer set (the q130/q85 idiom,
+    * re-verified bit-identical across runs); q244 hash-gates the
     * code-assignment arithmetic this index persists. */
-  val q250 = QuerySpec.rowsOnly(
+  val q250 = QuerySpec.sql(
     "q250_ann_index",
+    """SELECT * FROM (VALUES
+      |  (CAST(0 AS BIGINT),CAST(1 AS BIGINT),CAST(165 AS BIGINT),CAST(1024928806825 AS BIGINT)),(CAST(0 AS BIGINT),CAST(2 AS BIGINT),CAST(374 AS BIGINT),CAST(1047362433970 AS BIGINT)),
+      |  (CAST(0 AS BIGINT),CAST(3 AS BIGINT),CAST(364 AS BIGINT),CAST(1060282506242 AS BIGINT)),(CAST(0 AS BIGINT),CAST(4 AS BIGINT),CAST(391 AS BIGINT),CAST(1076911735850 AS BIGINT)),
+      |  (CAST(0 AS BIGINT),CAST(5 AS BIGINT),CAST(131 AS BIGINT),CAST(1079465281889 AS BIGINT)),(CAST(2 AS BIGINT),CAST(1 AS BIGINT),CAST(320 AS BIGINT),CAST(827421114147 AS BIGINT)),
+      |  (CAST(2 AS BIGINT),CAST(2 AS BIGINT),CAST(112 AS BIGINT),CAST(1011139911541 AS BIGINT)),(CAST(2 AS BIGINT),CAST(3 AS BIGINT),CAST(186 AS BIGINT),CAST(1021571085602 AS BIGINT)),
+      |  (CAST(2 AS BIGINT),CAST(4 AS BIGINT),CAST(197 AS BIGINT),CAST(1027756476842 AS BIGINT)),(CAST(2 AS BIGINT),CAST(5 AS BIGINT),CAST(117 AS BIGINT),CAST(1081414108128 AS BIGINT)),
+      |  (CAST(4 AS BIGINT),CAST(1 AS BIGINT),CAST(288 AS BIGINT),CAST(999920852644 AS BIGINT)),(CAST(4 AS BIGINT),CAST(2 AS BIGINT),CAST(92 AS BIGINT),CAST(1041549583031 AS BIGINT)),
+      |  (CAST(4 AS BIGINT),CAST(3 AS BIGINT),CAST(280 AS BIGINT),CAST(1063789941019 AS BIGINT)),(CAST(4 AS BIGINT),CAST(4 AS BIGINT),CAST(114 AS BIGINT),CAST(1066868219536 AS BIGINT)),
+      |  (CAST(4 AS BIGINT),CAST(5 AS BIGINT),CAST(422 AS BIGINT),CAST(1082619718941 AS BIGINT)),(CAST(6 AS BIGINT),CAST(1 AS BIGINT),CAST(292 AS BIGINT),CAST(953459425549 AS BIGINT)),
+      |  (CAST(6 AS BIGINT),CAST(2 AS BIGINT),CAST(271 AS BIGINT),CAST(1034616940601 AS BIGINT)),(CAST(6 AS BIGINT),CAST(3 AS BIGINT),CAST(403 AS BIGINT),CAST(1081874336371 AS BIGINT)),
+      |  (CAST(6 AS BIGINT),CAST(4 AS BIGINT),CAST(53 AS BIGINT),CAST(1088622521333 AS BIGINT)),(CAST(6 AS BIGINT),CAST(5 AS BIGINT),CAST(430 AS BIGINT),CAST(1103056490909 AS BIGINT)),
+      |  (CAST(8 AS BIGINT),CAST(1 AS BIGINT),CAST(138 AS BIGINT),CAST(927659348616 AS BIGINT)),(CAST(8 AS BIGINT),CAST(2 AS BIGINT),CAST(321 AS BIGINT),CAST(929065751087 AS BIGINT)),
+      |  (CAST(8 AS BIGINT),CAST(3 AS BIGINT),CAST(380 AS BIGINT),CAST(974944733472 AS BIGINT)),(CAST(8 AS BIGINT),CAST(4 AS BIGINT),CAST(401 AS BIGINT),CAST(1046597972696 AS BIGINT)),
+      |  (CAST(8 AS BIGINT),CAST(5 AS BIGINT),CAST(250 AS BIGINT),CAST(1055165335560 AS BIGINT)),(CAST(10 AS BIGINT),CAST(1 AS BIGINT),CAST(390 AS BIGINT),CAST(980912150617 AS BIGINT)),
+      |  (CAST(10 AS BIGINT),CAST(2 AS BIGINT),CAST(299 AS BIGINT),CAST(1012313527127 AS BIGINT)),(CAST(10 AS BIGINT),CAST(3 AS BIGINT),CAST(34 AS BIGINT),CAST(1061146489677 AS BIGINT)),
+      |  (CAST(10 AS BIGINT),CAST(4 AS BIGINT),CAST(161 AS BIGINT),CAST(1078160683254 AS BIGINT)),(CAST(10 AS BIGINT),CAST(5 AS BIGINT),CAST(362 AS BIGINT),CAST(1078581532164 AS BIGINT)),
+      |  (CAST(12 AS BIGINT),CAST(1 AS BIGINT),CAST(127 AS BIGINT),CAST(923081910624 AS BIGINT)),(CAST(12 AS BIGINT),CAST(2 AS BIGINT),CAST(113 AS BIGINT),CAST(987559661838 AS BIGINT)),
+      |  (CAST(12 AS BIGINT),CAST(3 AS BIGINT),CAST(347 AS BIGINT),CAST(1001073031858 AS BIGINT)),(CAST(12 AS BIGINT),CAST(4 AS BIGINT),CAST(360 AS BIGINT),CAST(1046139718468 AS BIGINT)),
+      |  (CAST(12 AS BIGINT),CAST(5 AS BIGINT),CAST(92 AS BIGINT),CAST(1050495523075 AS BIGINT)),(CAST(14 AS BIGINT),CAST(1 AS BIGINT),CAST(386 AS BIGINT),CAST(948687031318 AS BIGINT)),
+      |  (CAST(14 AS BIGINT),CAST(2 AS BIGINT),CAST(138 AS BIGINT),CAST(1029841078035 AS BIGINT)),(CAST(14 AS BIGINT),CAST(3 AS BIGINT),CAST(89 AS BIGINT),CAST(1078716928074 AS BIGINT)),
+      |  (CAST(14 AS BIGINT),CAST(4 AS BIGINT),CAST(56 AS BIGINT),CAST(1081960845315 AS BIGINT)),(CAST(14 AS BIGINT),CAST(5 AS BIGINT),CAST(317 AS BIGINT),CAST(1086166356108 AS BIGINT)),
+      |  (CAST(16 AS BIGINT),CAST(1 AS BIGINT),CAST(137 AS BIGINT),CAST(1035379863340 AS BIGINT)),(CAST(16 AS BIGINT),CAST(2 AS BIGINT),CAST(402 AS BIGINT),CAST(1087099333734 AS BIGINT)),
+      |  (CAST(16 AS BIGINT),CAST(3 AS BIGINT),CAST(216 AS BIGINT),CAST(1097415313662 AS BIGINT)),(CAST(16 AS BIGINT),CAST(4 AS BIGINT),CAST(35 AS BIGINT),CAST(1109526573605 AS BIGINT)),
+      |  (CAST(16 AS BIGINT),CAST(5 AS BIGINT),CAST(161 AS BIGINT),CAST(1121761188893 AS BIGINT)),(CAST(18 AS BIGINT),CAST(1 AS BIGINT),CAST(356 AS BIGINT),CAST(984044019143 AS BIGINT)),
+      |  (CAST(18 AS BIGINT),CAST(2 AS BIGINT),CAST(495 AS BIGINT),CAST(1063436914365 AS BIGINT)),(CAST(18 AS BIGINT),CAST(3 AS BIGINT),CAST(255 AS BIGINT),CAST(1084940330101 AS BIGINT)),
+      |  (CAST(18 AS BIGINT),CAST(4 AS BIGINT),CAST(152 AS BIGINT),CAST(1112403802581 AS BIGINT)),(CAST(18 AS BIGINT),CAST(5 AS BIGINT),CAST(183 AS BIGINT),CAST(1113101588818 AS BIGINT))
+      |) AS t(query_id, rank, neighbor_id, adc_dist)""",
     "persisted IVF-PQ ANN index: build + append + partition-pruned ADC probe") { (s, d) =>
     val dir = java.nio.file.Files.createTempDirectory("graft-q250").toString + "/idx"
     val emb = Tables.embeddings(s, d)

@@ -344,13 +344,25 @@ object PipelineQueries {
 
   /** Perceptual image dedup — aHash (8×8 integer luminance grid, no
     * floats) + the pigeonhole block join shared with the text SimHash
-    * family. Rows-only by nature (image decode has no ANSI-SQL
-    * form); determinism and blocked≡brute-force equality are pinned
+    * family. Image decode has no ANSI-SQL form, so the
+    * oracle PINS the exact integer output (the q130/q85 idiom —
+    * aHash is integer-deterministic, re-verified bit-identical across
+    * runs); determinism and blocked≡brute-force equality are pinned
     * in MultimodalSpec. The pipeline capability this gates: finding
     * re-encoded / near-identical images without ever shuffling image
     * bytes — only (id, 64-bit hash) travels. */
-  val q219 = QuerySpec.rowsOnly(
+  val q219 = QuerySpec.sql(
     "q219_image_ahash_neardup",
+    """SELECT * FROM (VALUES
+      |  (CAST(9 AS BIGINT),CAST(387 AS BIGINT),CAST(2 AS BIGINT)),(CAST(9 AS BIGINT),CAST(399 AS BIGINT),CAST(3 AS BIGINT)),
+      |  (CAST(33 AS BIGINT),CAST(411 AS BIGINT),CAST(3 AS BIGINT)),(CAST(54 AS BIGINT),CAST(249 AS BIGINT),CAST(3 AS BIGINT)),
+      |  (CAST(78 AS BIGINT),CAST(261 AS BIGINT),CAST(2 AS BIGINT)),(CAST(120 AS BIGINT),CAST(303 AS BIGINT),CAST(3 AS BIGINT)),
+      |  (CAST(156 AS BIGINT),CAST(339 AS BIGINT),CAST(1 AS BIGINT)),(CAST(159 AS BIGINT),CAST(354 AS BIGINT),CAST(3 AS BIGINT)),
+      |  (CAST(192 AS BIGINT),CAST(204 AS BIGINT),CAST(0 AS BIGINT)),(CAST(192 AS BIGINT),CAST(387 AS BIGINT),CAST(3 AS BIGINT)),
+      |  (CAST(192 AS BIGINT),CAST(399 AS BIGINT),CAST(2 AS BIGINT)),(CAST(204 AS BIGINT),CAST(387 AS BIGINT),CAST(3 AS BIGINT)),
+      |  (CAST(204 AS BIGINT),CAST(399 AS BIGINT),CAST(2 AS BIGINT)),(CAST(234 AS BIGINT),CAST(429 AS BIGINT),CAST(3 AS BIGINT)),
+      |  (CAST(315 AS BIGINT),CAST(498 AS BIGINT),CAST(2 AS BIGINT)),(CAST(387 AS BIGINT),CAST(399 AS BIGINT),CAST(1 AS BIGINT))
+      |) AS t(m1, m2, hamming)""",
     "perceptual near-dup image pairs via aHash + pigeonhole blocks (multimodal dedup)") { (s, d) =>
     Multimodal.imageNearDupPairs(
       Multimodal.fromDocuments(Tables.documents(s, d)), maxHamming = 3)
