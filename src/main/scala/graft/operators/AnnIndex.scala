@@ -210,4 +210,33 @@ object AnnIndex {
       .select(col("query_id"), col("rank").cast("long").as("rank"),
         col("neighbor_id"), col("adc_dist"))
   }
+
+  /** [[probe]] with an exact re-rank — the recall knob the AnnSweep
+    * table shows plain ADC needs (its top-k is only as good as the
+    * m·k quantization): pull a `k·shortlist` ADC shortlist from the
+    * pruned code lists, then re-score ONLY those candidates with the
+    * exact integer L2 against the caller's corpus (a candidate-
+    * bounded equi-join, never a corpus scan). The same composition as
+    * [[Similarity.pqAdcTopKReranked]] but over the PERSISTED index.
+    * Output: (query_id, rank, neighbor_id, l2_dist). */
+  def probeReranked(queries: DataFrame, corpus: DataFrame, idCol: String,
+      vecCol: String, dir: String, nProbe: Int, k: Int,
+      shortlist: Int = 5): DataFrame = {
+    val cand = probe(queries, idCol, vecCol, dir, nProbe, k * shortlist)
+      .select(col("query_id"), col("neighbor_id"))
+    val q = broadcast(queries.select(col(idCol).as("query_id"),
+      asDouble(col(vecCol)).as("qv")))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("l2_dist").asc, col("neighbor_id"))
+    cand
+      .join(corpus.select(col(idCol).as("neighbor_id"),
+        asDouble(col(vecCol)).as("cv")), Seq("neighbor_id"))
+      .join(q, Seq("query_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        intL2(col("qv"), col("cv")).as("l2_dist"))
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select(col("query_id"), col("rank").cast("long").as("rank"),
+        col("neighbor_id"), col("l2_dist"))
+  }
 }

@@ -88,4 +88,34 @@ class AnnIndexSpec extends SparkSpec {
     val recall = full.intersect(bf2).size.toDouble / bf2.size
     assert(recall >= 0.20, f"residual full-probe recall@10 degraded: $recall%.3f")
   }
+
+  test("probeReranked: distances are TRUE L2, recall never below plain ADC probe") {
+    val emb = graft.Tables.embeddings(spark, sf).cache()
+    val dir = java.nio.file.Files.createTempDirectory("graft-annrr").toString + "/idx"
+    val corpus = emb.filter(col("vec_id") >= 20)
+    val q = emb.filter(col("vec_id") < 10)
+    AnnIndex.build(corpus, "vec_id", "embedding", dir, nCentroids = 8, m = 8, k = 16)
+    def recallOf(df: org.apache.spark.sql.DataFrame): Double = {
+      val got = df.collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+      val truth = Similarity.bruteForceTopK(q, corpus, "vec_id", "embedding", 10,
+          scorer = (a, b) => -Similarity.intL2(a, b).cast("double"))
+        .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+      got.intersect(truth).size.toDouble / truth.size
+    }
+    val adc = AnnIndex.probe(q, "vec_id", "embedding", dir, nProbe = 8, k = 10)
+    val rr = AnnIndex.probeReranked(q, corpus, "vec_id", "embedding", dir,
+      nProbe = 8, k = 10, shortlist = 8)
+    assert(recallOf(rr) >= recallOf(adc),
+      "exact rerank must never lower recall vs the ADC shortlist head")
+    // every reranked distance is the TRUE integer L2, not an ADC estimate
+    val withTrue = rr.join(
+        corpus.select(col("vec_id").as("neighbor_id"), col("embedding").as("cv")),
+        Seq("neighbor_id"))
+      .join(q.select(col("vec_id").as("query_id"), col("embedding").as("qv")),
+        Seq("query_id"))
+      .where(col("l2_dist") =!= Similarity.intL2(
+        org.apache.spark.sql.functions.transform(col("qv"), x => x.cast("double")),
+        org.apache.spark.sql.functions.transform(col("cv"), x => x.cast("double"))))
+    assert(withTrue.count() == 0, "reranked l2_dist is not the exact integer L2")
+  }
 }
