@@ -500,6 +500,59 @@ object Sketches {
         (lit(loVal) + least(col("e.range_end"), lit(U - 1))).as("est"))
   }
 
+  /** Per-key [[qdigestQuantiles]] — the monitoring shape (latency /
+    * length percentiles per service / source) with the RANK-error
+    * guarantee per key: every step of the flat build runs grouped
+    * (per-(key, lvl, node) counts from the same one explode pass,
+    * per-key thresholds θ_g = max(1, n_g/k), per-key post-order pick
+    * over a window PARTITIONED by key — parallel, sketch-sized per
+    * group). State ≤ |keys|·2k·levels entries, mergeable by adding
+    * count tables. Output: (grp, q_pct, n, target_rank, lvl, est). */
+  def qdigestQuantilesByKey(df: DataFrame, keyCol: String, valueCol: Column,
+      loVal: Long, levels: Int, k: Int, percents: Seq[Int]): DataFrame = {
+    require(levels >= 1 && levels <= 40 && k >= 1 && percents.nonEmpty &&
+      percents.forall(p => p >= 0 && p <= 100), "percents in 0..100")
+    val spark = df.sparkSession
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val U = 1L << levels
+    val v = df.select(col(keyCol).as("grp"), valueCol.cast("long").as("v"))
+      .where(col("v").isNotNull)
+      .select(col("grp"),
+        least(lit(U - 1), greatest(lit(0L), col("v") - loVal)).as("leaf"))
+    val nDf = v.groupBy("grp").agg(count(lit(1)).as("n"))
+    val counts = v
+      .select(col("grp"), explode(expr(s"transform(sequence(0, $levels), " +
+        "l -> named_struct('lvl', l, 'id', shiftright(leaf, l)))")).as("nd"))
+      .groupBy(col("grp"), col("nd.lvl").as("lvl"), col("nd.id").as("id"))
+      .agg(count(lit(1)).as("cnt"))
+    val kept = counts.join(broadcast(nDf), "grp")
+      .where(col("cnt") >= expr(s"greatest(CAST(1 AS BIGINT), n DIV $k)"))
+    val childMass = kept.where(col("lvl") < levels)
+      .groupBy(col("grp"), (col("lvl") + 1).as("lvl"), expr("id DIV 2").as("id"))
+      .agg(sum(col("cnt")).as("child_cnt"))
+    val entries = kept.join(childMass, Seq("grp", "lvl", "id"), "left_outer")
+      .select(col("grp"), col("lvl"), col("id"),
+        (col("cnt") - coalesce(col("child_cnt"), lit(0L))).as("mass"))
+      .where(col("mass") > 0)
+    val ordered = entries
+      .withColumn("range_end",
+        expr("(id + 1) * shiftleft(CAST(1 AS BIGINT), lvl) - 1"))
+      .withColumn("cum", sum(col("mass")).over(Window.partitionBy("grp")
+        .orderBy(col("range_end"), col("lvl"))))
+    val qdf = percents.map(_.toLong).toDF("q_pct")
+    broadcast(qdf).crossJoin(broadcast(nDf))
+      .withColumn("target_rank",
+        expr("greatest(CAST(1 AS BIGINT), (n * q_pct + 99) DIV 100)"))
+      .join(ordered, Seq("grp"))
+      .where(col("cum") >= col("target_rank"))
+      .groupBy("grp", "q_pct", "n", "target_rank")
+      .agg(min(struct(col("range_end"), col("lvl"))).as("e"))
+      .select(col("grp"), col("q_pct"), col("n"), col("target_rank"),
+        col("e.lvl").cast("long").as("lvl"),
+        (lit(loVal) + least(col("e.range_end"), lit(U - 1))).as("est"))
+  }
+
   def histogramQuantiles(df: DataFrame, valueCol: Column, nBuckets: Int,
       percents: Seq[Int]): DataFrame = {
     require(nBuckets >= 1 && percents.nonEmpty &&

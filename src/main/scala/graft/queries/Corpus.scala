@@ -732,6 +732,108 @@ object Corpus {
       levels = 20, k = 4096, percents = Seq(1, 25, 50, 75, 99))
   }
 
+  /** q259's per-key form ([[graft.operators.Sketches
+    * .qdigestQuantilesByKey]]) — rank-error quantiles PER SOURCE, the
+    * per-service latency-percentile monitoring shape with the skew-
+    * safe guarantee per group (θ_g = max(1, n_g/k)); the same one-
+    * explode build grouped, post-order pick under a window
+    * PARTITIONED by key (parallel). DuckDB replays the whole grouped
+    * build hash-exact. */
+  val q261 = QuerySpec.sql(
+    "q261_qdigest_by_key",
+    """WITH v AS (
+      |  SELECT source AS grp,
+      |         least(CAST(1048575 AS BIGINT),
+      |               greatest(CAST(0 AS BIGINT), CAST(n_chars AS BIGINT))) AS leaf
+      |  FROM documents),
+      |b AS (SELECT grp, CAST(count(*) AS BIGINT) AS n FROM v GROUP BY 1),
+      |counts AS (
+      |  SELECT grp, l AS lvl, leaf >> l AS id, CAST(count(*) AS BIGINT) AS cnt
+      |  FROM v, unnest(generate_series(0, 20)) AS g(l) GROUP BY 1, 2, 3),
+      |kept AS (
+      |  SELECT c.grp, lvl, id, cnt FROM counts c JOIN b USING (grp)
+      |  WHERE cnt >= greatest(1, n // 512)),
+      |childmass AS (
+      |  SELECT grp, lvl + 1 AS lvl, id // 2 AS id, CAST(sum(cnt) AS BIGINT) AS child_cnt
+      |  FROM kept WHERE lvl < 20 GROUP BY 1, 2, 3),
+      |entries AS (
+      |  SELECT k.grp, k.lvl, k.id, k.cnt - coalesce(c.child_cnt, 0) AS mass
+      |  FROM kept k LEFT JOIN childmass c USING (grp, lvl, id)
+      |  WHERE k.cnt - coalesce(c.child_cnt, 0) > 0),
+      |ordered AS (
+      |  SELECT grp, lvl, (id + 1) * (CAST(1 AS BIGINT) << lvl) - 1 AS range_end, mass,
+      |         CAST(sum(mass) OVER (PARTITION BY grp
+      |           ORDER BY (id + 1) * (CAST(1 AS BIGINT) << lvl) - 1, lvl)
+      |           AS BIGINT) AS cum
+      |  FROM entries),
+      |q AS (SELECT CAST(unnest([25, 50, 75, 99]) AS BIGINT) AS q_pct),
+      |t AS (SELECT grp, q_pct, n, greatest(1, (n * q_pct + 99) // 100) AS target_rank
+      |      FROM q CROSS JOIN b),
+      |pick AS (
+      |  SELECT t.grp, t.q_pct, t.n, t.target_rank, o.lvl, o.range_end,
+      |         row_number() OVER (PARTITION BY t.grp, t.q_pct
+      |                            ORDER BY o.range_end, o.lvl) AS rn
+      |  FROM t JOIN ordered o ON o.grp = t.grp AND o.cum >= t.target_rank)
+      |SELECT grp, q_pct, n, CAST(target_rank AS BIGINT) AS target_rank,
+      |       CAST(lvl AS BIGINT) AS lvl,
+      |       CAST(least(range_end, 1048575) AS BIGINT) AS est
+      |FROM pick WHERE rn = 1""",
+    "per-key q-digest rank-error quantiles (monitoring tier)") { (s, d) =>
+    graft.operators.Sketches.qdigestQuantilesByKey(
+      Tables.documents(s, d), "source", col("n_chars"), loVal = 0L,
+      levels = 20, k = 512, percents = Seq(25, 50, 75, 99))
+  }
+
+  /** q250's probe composed with the exact re-rank ([[graft.operators
+    * .AnnIndex.probeReranked]]) — the production read path the
+    * round-9 AnnSweep table shows plain ADC needs (its recall caps at
+    * quantization quality): ADC shortlist from the partition-pruned
+    * code lists, candidate-bounded exact-L2 re-score against the
+    * indexed vectors. All-integer and deterministic, so the oracle
+    * PINS the exact answer set (q130/q85 idiom). */
+  val q262 = QuerySpec.sql(
+    "q262_ann_index_rerank",
+    """SELECT * FROM (VALUES
+      |  (CAST(0 AS BIGINT),CAST(1 AS BIGINT),CAST(365 AS BIGINT),CAST(1260013123829 AS BIGINT)),(CAST(0 AS BIGINT),CAST(2 AS BIGINT),CAST(334 AS BIGINT),CAST(1274557470101 AS BIGINT)),
+      |  (CAST(0 AS BIGINT),CAST(3 AS BIGINT),CAST(323 AS BIGINT),CAST(1487089678152 AS BIGINT)),(CAST(0 AS BIGINT),CAST(4 AS BIGINT),CAST(165 AS BIGINT),CAST(1510209368495 AS BIGINT)),
+      |  (CAST(0 AS BIGINT),CAST(5 AS BIGINT),CAST(131 AS BIGINT),CAST(1518717311489 AS BIGINT)),(CAST(2 AS BIGINT),CAST(1 AS BIGINT),CAST(117 AS BIGINT),CAST(1363715740662 AS BIGINT)),
+      |  (CAST(2 AS BIGINT),CAST(2 AS BIGINT),CAST(320 AS BIGINT),CAST(1489915015682 AS BIGINT)),(CAST(2 AS BIGINT),CAST(3 AS BIGINT),CAST(418 AS BIGINT),CAST(1491940830175 AS BIGINT)),
+      |  (CAST(2 AS BIGINT),CAST(4 AS BIGINT),CAST(112 AS BIGINT),CAST(1509377794104 AS BIGINT)),(CAST(2 AS BIGINT),CAST(5 AS BIGINT),CAST(350 AS BIGINT),CAST(1519863792775 AS BIGINT)),
+      |  (CAST(4 AS BIGINT),CAST(1 AS BIGINT),CAST(114 AS BIGINT),CAST(1202974634051 AS BIGINT)),(CAST(4 AS BIGINT),CAST(2 AS BIGINT),CAST(280 AS BIGINT),CAST(1440348219846 AS BIGINT)),
+      |  (CAST(4 AS BIGINT),CAST(3 AS BIGINT),CAST(249 AS BIGINT),CAST(1440741802158 AS BIGINT)),(CAST(4 AS BIGINT),CAST(4 AS BIGINT),CAST(288 AS BIGINT),CAST(1542749862140 AS BIGINT)),
+      |  (CAST(4 AS BIGINT),CAST(5 AS BIGINT),CAST(332 AS BIGINT),CAST(1544715887285 AS BIGINT)),(CAST(6 AS BIGINT),CAST(1 AS BIGINT),CAST(430 AS BIGINT),CAST(1354960104781 AS BIGINT)),
+      |  (CAST(6 AS BIGINT),CAST(2 AS BIGINT),CAST(437 AS BIGINT),CAST(1433938955104 AS BIGINT)),(CAST(6 AS BIGINT),CAST(3 AS BIGINT),CAST(53 AS BIGINT),CAST(1532588350594 AS BIGINT)),
+      |  (CAST(6 AS BIGINT),CAST(4 AS BIGINT),CAST(403 AS BIGINT),CAST(1536051521543 AS BIGINT)),(CAST(6 AS BIGINT),CAST(5 AS BIGINT),CAST(271 AS BIGINT),CAST(1537823912213 AS BIGINT)),
+      |  (CAST(8 AS BIGINT),CAST(1 AS BIGINT),CAST(138 AS BIGINT),CAST(1286658432152 AS BIGINT)),(CAST(8 AS BIGINT),CAST(2 AS BIGINT),CAST(380 AS BIGINT),CAST(1390947467212 AS BIGINT)),
+      |  (CAST(8 AS BIGINT),CAST(3 AS BIGINT),CAST(321 AS BIGINT),CAST(1461380126239 AS BIGINT)),(CAST(8 AS BIGINT),CAST(4 AS BIGINT),CAST(254 AS BIGINT),CAST(1514968201850 AS BIGINT)),
+      |  (CAST(8 AS BIGINT),CAST(5 AS BIGINT),CAST(401 AS BIGINT),CAST(1543410538127 AS BIGINT)),(CAST(10 AS BIGINT),CAST(1 AS BIGINT),CAST(233 AS BIGINT),CAST(1275635494006 AS BIGINT)),
+      |  (CAST(10 AS BIGINT),CAST(2 AS BIGINT),CAST(390 AS BIGINT),CAST(1452046953395 AS BIGINT)),(CAST(10 AS BIGINT),CAST(3 AS BIGINT),CAST(484 AS BIGINT),CAST(1461543800630 AS BIGINT)),
+      |  (CAST(10 AS BIGINT),CAST(4 AS BIGINT),CAST(243 AS BIGINT),CAST(1467095269632 AS BIGINT)),(CAST(10 AS BIGINT),CAST(5 AS BIGINT),CAST(34 AS BIGINT),CAST(1467390121279 AS BIGINT)),
+      |  (CAST(12 AS BIGINT),CAST(1 AS BIGINT),CAST(127 AS BIGINT),CAST(1298914321509 AS BIGINT)),(CAST(12 AS BIGINT),CAST(2 AS BIGINT),CAST(100 AS BIGINT),CAST(1469070114620 AS BIGINT)),
+      |  (CAST(12 AS BIGINT),CAST(3 AS BIGINT),CAST(246 AS BIGINT),CAST(1473539733897 AS BIGINT)),(CAST(12 AS BIGINT),CAST(4 AS BIGINT),CAST(157 AS BIGINT),CAST(1506264398941 AS BIGINT)),
+      |  (CAST(12 AS BIGINT),CAST(5 AS BIGINT),CAST(79 AS BIGINT),CAST(1561556684695 AS BIGINT)),(CAST(14 AS BIGINT),CAST(1 AS BIGINT),CAST(146 AS BIGINT),CAST(1291405426489 AS BIGINT)),
+      |  (CAST(14 AS BIGINT),CAST(2 AS BIGINT),CAST(147 AS BIGINT),CAST(1363726001525 AS BIGINT)),(CAST(14 AS BIGINT),CAST(3 AS BIGINT),CAST(271 AS BIGINT),CAST(1385036844887 AS BIGINT)),
+      |  (CAST(14 AS BIGINT),CAST(4 AS BIGINT),CAST(311 AS BIGINT),CAST(1468652693907 AS BIGINT)),(CAST(14 AS BIGINT),CAST(5 AS BIGINT),CAST(56 AS BIGINT),CAST(1499480391425 AS BIGINT)),
+      |  (CAST(16 AS BIGINT),CAST(1 AS BIGINT),CAST(402 AS BIGINT),CAST(1107396832498 AS BIGINT)),(CAST(16 AS BIGINT),CAST(2 AS BIGINT),CAST(216 AS BIGINT),CAST(1271333796432 AS BIGINT)),
+      |  (CAST(16 AS BIGINT),CAST(3 AS BIGINT),CAST(35 AS BIGINT),CAST(1300058198937 AS BIGINT)),(CAST(16 AS BIGINT),CAST(4 AS BIGINT),CAST(124 AS BIGINT),CAST(1347220226170 AS BIGINT)),
+      |  (CAST(16 AS BIGINT),CAST(5 AS BIGINT),CAST(88 AS BIGINT),CAST(1396745116554 AS BIGINT)),(CAST(18 AS BIGINT),CAST(1 AS BIGINT),CAST(263 AS BIGINT),CAST(1425804282861 AS BIGINT)),
+      |  (CAST(18 AS BIGINT),CAST(2 AS BIGINT),CAST(495 AS BIGINT),CAST(1436860005945 AS BIGINT)),(CAST(18 AS BIGINT),CAST(3 AS BIGINT),CAST(255 AS BIGINT),CAST(1515308453541 AS BIGINT)),
+      |  (CAST(18 AS BIGINT),CAST(4 AS BIGINT),CAST(356 AS BIGINT),CAST(1531473825521 AS BIGINT)),(CAST(18 AS BIGINT),CAST(5 AS BIGINT),CAST(163 AS BIGINT),CAST(1555834314102 AS BIGINT))
+      |) AS t(query_id, rank, neighbor_id, l2_dist)""",
+    "persisted IVF-PQ probe + exact rerank (ANN production read path)") { (s, d) =>
+    val dir = java.nio.file.Files.createTempDirectory("graft-q262").toString + "/idx"
+    val emb = Tables.embeddings(s, d)
+    val m2 = pmod(col("vec_id"), lit(2))
+    graft.operators.AnnIndex.build(emb.where(m2 === 1),
+      "vec_id", "embedding", dir, nCentroids = 16, m = 8, k = 16)
+    graft.operators.AnnIndex.append(
+      emb.where(m2 === 0 && col("vec_id") >= 20), "vec_id", "embedding", dir)
+    val indexed = emb.where(m2 === 1 || (m2 === 0 && col("vec_id") >= 20))
+    graft.operators.AnnIndex.probeReranked(
+      emb.where(m2 === 0 && col("vec_id") < 20), indexed,
+      "vec_id", "embedding", dir, nProbe = 4, k = 5, shortlist = 4)
+  }
+
   /** The production ingest shape END TO END: a document-token stream
     * whose micro-batches probe the PERSISTED dedup index
     * ([[graft.operators.DedupIndex]]) for near-duplicates of
@@ -2823,5 +2925,5 @@ object Corpus {
       q158, q159, q161, q163, q164, q166, q173, q174, q184, q185, q187, q192,
       q194, q199, q200, q203, q205, q209, q221, q227, q236, q239, q241, q243,
       q244, q245, q246, q247, q248, q249, q250, q254, q256, q257, q258,
-      q259, q260)
+      q259, q260, q261, q262)
 }

@@ -281,4 +281,37 @@ class SketchesSpec extends SparkSpec {
         .collect().map(_.toSeq).toSet
     assert(rows(df) == rows(df.repartition(13)))
   }
+
+  test("qdigestByKey: per-key rank-error bound; single-key form equals the flat sketch") {
+    import spark.implicits._
+    // two groups with very different shapes: a uniform one and a
+    // heavy-tailed one (per-key theta must isolate them)
+    val a = (1 to 600).map(i => ("u", (i * 31L) % 500L))
+    val bTail = (1 to 399).map(i => ("t", (i * 7L) % 50L)) :+ (("t", 900000L))
+    val df = (a ++ bTail).toDF("grp", "x")
+    val levels = 20
+    val k = 128
+    val out = Sketches.qdigestQuantilesByKey(df, "grp", col("x"), 0L,
+      levels, k, Seq(25, 50, 75)).collect()
+    assert(out.length == 6)
+    val byGrp = Map("u" -> a.map(_._2).sorted, "t" -> bTail.map(_._2).sorted)
+    out.foreach { r =>
+      val g = r.getAs[String]("grp")
+      val sorted = byGrp(g)
+      val theta = math.max(1L, sorted.length / k)
+      val rankOfEst = sorted.count(_ <= r.getAs[Long]("est")).toLong
+      assert(math.abs(rankOfEst - r.getAs[Long]("target_rank")) <= 2L * levels * theta,
+        s"grp=$g q=${r.getAs[Long]("q_pct")}")
+    }
+    // a single-key input reproduces the flat sketch exactly
+    val one = df.where(col("grp") === "u")
+    val flat = Sketches.qdigestQuantiles(one, col("x"), 0L, levels, k, Seq(25, 50, 75))
+      .collect().map(r => r.getAs[Long]("q_pct") ->
+        (r.getAs[Long]("target_rank"), r.getAs[Long]("est"))).toMap
+    val keyed = Sketches.qdigestQuantilesByKey(one, "grp", col("x"), 0L,
+      levels, k, Seq(25, 50, 75))
+      .collect().map(r => r.getAs[Long]("q_pct") ->
+        (r.getAs[Long]("target_rank"), r.getAs[Long]("est"))).toMap
+    assert(flat == keyed)
+  }
 }
