@@ -285,6 +285,7 @@ class PlanAuditSpec extends SparkSpec {
       "q227_ks_drift" -> "CDF steps over the distinct-value domain",
       "q247_hist_quantiles" -> "nBuckets cumsum (nBuckets fixed)",
       "q256_quantile_bins" -> "nBuckets cumsum (nBuckets fixed)",
+      "q259_qdigest_quantiles" -> "q-digest post-order pick (sketch ≤ ~2k·levels entries)",
       // a 25-row VALUES-pinned dimension
       "q85_permutation" -> "fixed 25-row nation permutation")
     val offenders = scala.collection.mutable.ArrayBuffer.empty[String]
