@@ -471,6 +471,22 @@ object Sketches {
         "l -> named_struct('lvl', l, 'id', shiftright(leaf, l)))")).as("nd"))
       .groupBy(col("nd.lvl").as("lvl"), col("nd.id").as("id"))
       .agg(count(lit(1)).as("cnt"))
+    qdigestFromCounts(counts, nDf, loVal, levels, k, percents)
+  }
+
+  /** Compression + quantile read over an all-level node-count table —
+    * the back half of [[qdigestQuantiles]], shared with the
+    * STREAM-maintained form ([[graft.streaming.StreamOps
+    * .runQdigestStream]], whose state IS this counts table): kept
+    * frontier (count ≥ θ), residual masses, post-order cumulative
+    * pick. `counts` must hold (lvl, id, cnt) for levels 0..levels
+    * with lvl `levels` the root; `nDf` one row (n). */
+  def qdigestFromCounts(counts: DataFrame, nDf: DataFrame, loVal: Long,
+      levels: Int, k: Int, percents: Seq[Int]): DataFrame = {
+    val spark = counts.sparkSession
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val U = 1L << levels
     val kept = counts.crossJoin(broadcast(nDf))
       .where(col("cnt") >= expr(s"greatest(CAST(1 AS BIGINT), n DIV $k)"))
     // sketch mass = kept count minus mass owned by kept children

@@ -249,6 +249,58 @@ object EventQueries {
     StreamOps.runHistogramStream(s, d, lo = 0L, hi = 99999L, nBuckets = 256)
   }
 
+  /** q251 at the q259 guarantee: the streaming engine maintains the
+    * q-DIGEST node-count state (Complete-mode aggregate, < 2^17 cells
+    * for levels = 16 — bounded by the declared domain, never the
+    * stream), and the on-demand quantile read compresses + picks over
+    * the maintained table ([[graft.streaming.StreamOps
+    * .runQdigestStream]]). RANK-error-bounded percentiles on a live
+    * stream — what equi-width cells (q251) cannot promise on heavy-
+    * tailed values. DuckDB replays build + compression + pick
+    * hash-exact. */
+  val q263 = QuerySpec.sql(
+    "q263_stream_qdigest",
+    """WITH v AS (
+      |  SELECT least(CAST(65535 AS BIGINT), greatest(CAST(0 AS BIGINT),
+      |           CAST(round(value * 100, 0) AS BIGINT))) AS leaf
+      |  FROM events),
+      |b AS (SELECT CAST(count(*) AS BIGINT) AS n FROM v),
+      |counts AS (
+      |  SELECT l AS lvl, leaf >> l AS id, CAST(count(*) AS BIGINT) AS cnt
+      |  FROM v, unnest(generate_series(0, 16)) AS g(l) GROUP BY 1, 2),
+      |kept AS (
+      |  SELECT lvl, id, cnt FROM counts CROSS JOIN b
+      |  WHERE cnt >= greatest(1, n // 1024)),
+      |childmass AS (
+      |  SELECT lvl + 1 AS lvl, id // 2 AS id, CAST(sum(cnt) AS BIGINT) AS child_cnt
+      |  FROM kept WHERE lvl < 16 GROUP BY 1, 2),
+      |entries AS (
+      |  SELECT k.lvl, k.id, k.cnt - coalesce(c.child_cnt, 0) AS mass
+      |  FROM kept k LEFT JOIN childmass c USING (lvl, id)
+      |  WHERE k.cnt - coalesce(c.child_cnt, 0) > 0),
+      |ordered AS (
+      |  SELECT lvl, (id + 1) * (CAST(1 AS BIGINT) << lvl) - 1 AS range_end, mass,
+      |         CAST(sum(mass) OVER (
+      |           ORDER BY (id + 1) * (CAST(1 AS BIGINT) << lvl) - 1, lvl)
+      |           AS BIGINT) AS cum
+      |  FROM entries),
+      |q AS (SELECT CAST(unnest([1, 25, 50, 75, 99]) AS BIGINT) AS q_pct),
+      |t AS (SELECT q_pct, n, greatest(1, (n * q_pct + 99) // 100) AS target_rank
+      |      FROM q CROSS JOIN b),
+      |pick AS (
+      |  SELECT t.q_pct, t.n, t.target_rank, o.lvl, o.range_end,
+      |         row_number() OVER (PARTITION BY t.q_pct
+      |                            ORDER BY o.range_end, o.lvl) AS rn
+      |  FROM t JOIN ordered o ON o.cum >= t.target_rank)
+      |SELECT q_pct, n, CAST(target_rank AS BIGINT) AS target_rank,
+      |       CAST(lvl AS BIGINT) AS lvl,
+      |       CAST(least(range_end, 65535) AS BIGINT) AS est
+      |FROM pick WHERE rn = 1""",
+    "streaming-maintained q-digest: rank-error quantiles on a live stream") { (s, d) =>
+    StreamOps.runQdigestStream(s, d, loVal = 0L, levels = 16, k = 1024,
+      percents = Seq(1, 25, 50, 75, 99))
+  }
+
   /** Ordered-funnel analysis: users who progressed view → click →
     * purchase with each stage STRICTLY after the previous one — the
     * product-analytics staple. Stage k is one filtered min-ts
@@ -1269,5 +1321,5 @@ object EventQueries {
     Seq(q60, q61, q62, q88, q105, q106, q108, q124, q127, q142, q143, q145,
       q151, q152, q165, q169, q171, q175, q180, q188, q189, q190, q193, q198,
       q201, q204, q208, q211, q222, q225, q226, q228, q229, q232, q233, q234,
-      q237, q238, q251, q252, q253)
+      q237, q238, q251, q252, q253, q263)
 }

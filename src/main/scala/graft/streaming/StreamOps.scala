@@ -212,6 +212,45 @@ object StreamOps {
     spark.table(name)
   }
 
+  /** Streaming-maintained q-DIGEST node counts ([[graft.operators
+    * .Sketches.qdigestQuantiles]]'s state as a Complete-mode
+    * aggregate): each event folds its leaf's ancestor chain into the
+    * (lvl, id) count table, so state is bounded by the DECLARED
+    * domain (< 2^(levels+1) cells), never by stream length — and the
+    * maintained table carries the RANK-error guarantee the fixed-
+    * width [[runHistogramStream]] cells cannot (one heavy-tail
+    * outlier collapses equi-width resolution; the q-digest frontier
+    * adapts). Quantile reads run [[graft.operators.Sketches
+    * .qdigestFromCounts]] over the maintained table on demand —
+    * stream == batch == oracle, the q251 parity idiom at the q259
+    * guarantee. */
+  def runQdigestStream(spark: SparkSession, dir: String, loVal: Long,
+      levels: Int, k: Int, percents: Seq[Int]): DataFrame = withNanosAsLong(spark) {
+    val U = 1L << levels
+    val schema = spark.read.parquet(s"$dir/events.parquet").schema
+    val stream = spark.readStream.schema(schema)
+      .option("pathGlobFilter", "events.parquet").parquet(dir)
+    val cells = stream
+      .select(round(col("value") * 100, 0).cast("long").as("v"))
+      .where(col("v").isNotNull)
+      .select(least(lit(U - 1), greatest(lit(0L), col("v") - loVal)).as("leaf"))
+      .select(explode(expr(s"transform(sequence(0, $levels), " +
+        "l -> named_struct('lvl', l, 'id', shiftright(leaf, l)))")).as("nd"))
+      .groupBy(col("nd.lvl").as("lvl"), col("nd.id").as("id"))
+      .agg(count(lit(1)).as("cnt"))
+    val name = sinkName("qdigest")
+    withStatePartitions(spark, 8) {
+      val q = cells.writeStream.outputMode(OutputMode.Complete())
+        .format("memory").queryName(name).start()
+      try q.processAllAvailable() finally q.stop()
+    }
+    val counts = spark.table(name)
+    val nDf = counts.where(col("lvl") === levels)
+      .agg(sum(col("cnt")).as("n"))
+    graft.operators.Sketches.qdigestFromCounts(
+      counts, nDf, loVal, levels, k, percents)
+  }
+
   /** STREAM-STATIC enrichment join: the unbounded event stream joined
     * to a bounded dimension (here: events → customer segment). The
     * canonical ingestion-enrichment shape, and the cheapest join in
