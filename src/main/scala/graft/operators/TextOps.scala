@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.Column
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Text-analysis operators for large-scale corpus pipelines: token
@@ -147,4 +147,45 @@ object TextOps {
     regexp_replace(
       regexp_replace(text, EmailPattern, "<EMAIL>"),
       LongDigitPattern, "<NUMBER>")
+
+  /** BM25 top-k ranked retrieval (Lucene's +1 idf variant, k1 = 1.2,
+    * b = 0.75) with DETERMINISTIC-INTEGER scoring: idf is quantized
+    * once per query term (round(ln·1e6) — a handful of scalar values,
+    * never float accumulation), the length normalization is exact
+    * rational arithmetic over an INTEGER average doc length
+    * (avgdlR = max(1, sumdl DIV n); multiplying through by 10·avgdlR
+    * clears k1/b's denominators, so each term-doc contribution is
+    * idf6·22·tf·avgdlR DIV (10·tf·avgdlR + 3·avgdlR + 9·dl) — bounded
+    * ~1e15 at ANY corpus size, BIGINT-safe), and per-doc scores are
+    * exact integer sums — the ranking cannot drift with aggregation
+    * order, and an external engine replays every division (q264).
+    * Plan: one tokens pass (dl + query-term tf, map-side combined),
+    * a broadcast ≤|terms| idf table, global top-k as
+    * TakeOrderedAndProject. Output: (doc_id, score6, n_terms). */
+  def bm25TopK(docs: DataFrame, idCol: String, textCol: Column,
+      terms: Seq[String], k: Int): DataFrame = {
+    require(terms.nonEmpty && k >= 1)
+    val toks = docs.select(col(idCol).as("doc_id"),
+      explode(tokens(textCol)).as("tok"))
+    val dl = toks.groupBy("doc_id").agg(count(lit(1)).as("dl"))
+    val stats = dl.agg(count(lit(1)).as("n"),
+      expr("greatest(CAST(1 AS BIGINT), sum(dl) DIV count(*))").as("avgdlr"))
+    val tfq = toks.where(col("tok").isin(terms: _*))
+      .groupBy("doc_id", "tok").agg(count(lit(1)).as("tf"))
+    val idf = tfq.groupBy("tok").agg(count(lit(1)).as("df"))
+      .crossJoin(broadcast(stats))
+      .select(col("tok"),
+        round(log(lit(1.0) + (col("n") - col("df") + lit(0.5)) /
+          (col("df") + lit(0.5))) * 1e6).cast("long").as("idf6"))
+    tfq.join(broadcast(idf), "tok")
+      .join(dl, "doc_id")
+      .crossJoin(broadcast(stats))
+      .select(col("doc_id"),
+        expr("(idf6 * 22 * tf * avgdlr) DIV " +
+          "(10 * tf * avgdlr + 3 * avgdlr + 9 * dl)").as("c"))
+      .groupBy("doc_id")
+      .agg(sum(col("c")).as("score6"), count(lit(1)).as("n_terms"))
+      .orderBy(col("score6").desc, col("doc_id"))
+      .limit(k)
+  }
 }

@@ -830,6 +830,54 @@ object Corpus {
       "vec_id", "embedding", dir, nProbe = 4, k = 5, shortlist = 4)
   }
 
+  /** BM25 ranked retrieval — the text-SEARCH face of the corpus ops
+    * (q221 is the tf-idf similarity JOIN; this is query → top-k
+    * ranked documents, Lucene's +1 idf variant, k1 = 1.2, b = 0.75).
+    * Scoring is DETERMINISTIC-integer end to end: idf quantized once
+    * per query term (round(ln·1e6) — a handful of values, never
+    * accumulated as floats), the length normalization as exact
+    * rational arithmetic over an INTEGER average doc length
+    * (avgdlR = max(1, sumdl DIV n) — ×10·avgdlR clears k1/b's
+    * denominators: contribution = idf6·22·tf·avgdlR DIV
+    * (10·tf·avgdlR + 3·avgdlR + 9·dl), bounded ~1e15 at ANY corpus
+    * size, so BIGINT never overflows), and per-doc scores are exact
+    * integer sums — rank order cannot drift with aggregation order,
+    * and DuckDB replays every division. Plan shape: one tokens pass
+    * (dl + query-term tf with map-side combine), broadcast of the
+    * ≤|terms| idf table, global top-k as TakeOrderedAndProject. */
+  val q264 = QuerySpec.sql(
+    "q264_bm25_search",
+    """WITH toks AS (
+      |  SELECT doc_id, unnest(regexp_extract_all(lower(text), '(\S+)', 1)) AS tok
+      |  FROM documents),
+      |dl AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS dl FROM toks GROUP BY 1),
+      |stats AS (SELECT CAST(count(*) AS BIGINT) AS n,
+      |                 greatest(1, CAST(sum(dl) AS BIGINT) // count(*)) AS avgdlr
+      |          FROM dl),
+      |tfq AS (
+      |  SELECT doc_id, tok, CAST(count(*) AS BIGINT) AS tf
+      |  FROM toks WHERE tok IN ('join', 'filter', 'scan') GROUP BY 1, 2),
+      |idf AS (
+      |  SELECT tok, CAST(round(ln(1 + (n - df + 0.5) / (df + 0.5)) * 1000000)
+      |                   AS BIGINT) AS idf6
+      |  FROM (SELECT tok, CAST(count(*) AS BIGINT) AS df FROM tfq GROUP BY 1)
+      |       CROSS JOIN stats),
+      |scored AS (
+      |  SELECT t.doc_id,
+      |         CAST(sum((i.idf6 * 22 * t.tf * s.avgdlr)
+      |              // (10 * t.tf * s.avgdlr + 3 * s.avgdlr + 9 * d.dl))
+      |              AS BIGINT) AS score6,
+      |         CAST(count(*) AS BIGINT) AS n_terms
+      |  FROM tfq t JOIN idf i USING (tok) JOIN dl d USING (doc_id)
+      |       CROSS JOIN stats s
+      |  GROUP BY 1)
+      |SELECT doc_id, score6, n_terms FROM scored
+      |ORDER BY score6 DESC, doc_id LIMIT 10""",
+    "BM25 top-k ranked retrieval, integer-exact deterministic scoring (text search)") { (s, d) =>
+    TextOps.bm25TopK(Tables.documents(s, d), "doc_id", col("text"),
+      terms = Seq("join", "filter", "scan"), k = 10)
+  }
+
   /** The production ingest shape END TO END: a document-token stream
     * whose micro-batches probe the PERSISTED dedup index
     * ([[graft.operators.DedupIndex]]) for near-duplicates of
@@ -2943,5 +2991,5 @@ object Corpus {
       q158, q159, q161, q163, q164, q166, q173, q174, q184, q185, q187, q192,
       q194, q199, q200, q203, q205, q209, q221, q227, q236, q239, q241, q243,
       q244, q245, q246, q247, q248, q249, q250, q254, q256, q257, q258,
-      q259, q260, q261, q262)
+      q259, q260, q261, q262, q264)
 }
