@@ -114,5 +114,9 @@ class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Un
     // whole-operator extension: levenshtein(a,b) <= k join → FastSS
     // deletion-variant equi-join (graft.plans.FuzzyLevJoinRule)
     ext.injectOptimizerRule(_ => new graft.plans.FuzzyLevJoinRule)
+    // whole-operator extension: unpartitioned rank windows over
+    // data-sized inputs → range-partitioned two-pass global rank
+    // (graft.plans.GlobalRankWindowRule)
+    ext.injectOptimizerRule(_ => new graft.plans.GlobalRankWindowRule)
   }
 }

@@ -1029,6 +1029,33 @@ object Relational {
     * (the q77 idiom). The 6 output rows explode from the single agg
     * row; at 100 TB this is a one-pass map-side-combined aggregate of
     * 15 longs, no shuffle beyond the final combine. */
+  /** The [[graft.plans.GlobalRankWindowRule]] exercised END TO END
+    * from plain SQL: the Spark side is nothing but a global
+    * rank/ntile/percent_rank window — no library call — and above the
+    * size threshold the optimizer rewrites it to the range-
+    * partitioned two-pass plan of [[graft.operators.GlobalRank]]
+    * (below it, the one-task window is deliberately kept — its
+    * scheduling floor wins at dim-table sizes). The oracle runs the
+    * IDENTICAL window SQL; GlobalRankWindowSpec pins rewrite ≡ stock
+    * bit-equality and PlanAuditSpec audits the forced rewrite. */
+  val q265 = QuerySpec.sql(
+    "q265_global_rank_sql",
+    """SELECT l_orderkey, l_linenumber,
+      |       CAST(rank() OVER w AS INT) AS rk,
+      |       CAST(ntile(5) OVER w AS INT) AS bucket,
+      |       percent_rank() OVER w AS prank
+      |FROM lineitem
+      |WINDOW w AS (ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber)""",
+    "plain-SQL global rank window, auto-distributed by GlobalRankWindowRule") { (s, d) =>
+    Tables.lineitem(s, d).createOrReplaceTempView("gr_lineitem_q265")
+    s.sql("""SELECT l_orderkey, l_linenumber,
+      |       CAST(rank() OVER w AS INT) AS rk,
+      |       CAST(ntile(5) OVER w AS INT) AS bucket,
+      |       percent_rank() OVER w AS prank
+      |FROM gr_lineitem_q265
+      |WINDOW w AS (ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber)""".stripMargin)
+  }
+
   val q255 = QuerySpec.sql(
     "q255_corr_matrix",
     """WITH f AS (
@@ -1095,5 +1122,5 @@ object Relational {
     q01, q02, q03, q04, q05, q06, q07, q08, q09, q10, q11,
     q12, q13, q14, q15, q16, q17, q18, q19, q20, q21, q22, q23, q94, q95,
     q123, q125, q126, q128, q129, q160, q178, q183, q186, q197, q217, q218,
-    q223, q224, q242, q255)
+    q223, q224, q242, q255, q265)
 }

@@ -286,10 +286,31 @@ class PlanAuditSpec extends SparkSpec {
       "q247_hist_quantiles" -> "nBuckets cumsum (nBuckets fixed)",
       "q256_quantile_bins" -> "nBuckets cumsum (nBuckets fixed)",
       "q259_qdigest_quantiles" -> "q-digest post-order pick (sketch ≤ ~2k·levels entries)",
+      "q263_stream_qdigest" -> "q-digest post-order pick over the stream-maintained cells",
       // a 25-row VALUES-pinned dimension
       "q85_permutation" -> "fixed 25-row nation permutation")
+    // q265 exists to EXERCISE the GlobalRankWindowRule: at gate-scale
+    // data the window rewrites away entirely; at this spec's tiny sf
+    // the size threshold deliberately keeps the stock plan, so the
+    // law here is "forcing the threshold down removes the window"
+    locally {
+      val key = "spark.graft.globalrank.minbytes"
+      spark.conf.set(key, "1")
+      try {
+        val forced = SparkEntry.queries("q265_global_rank_sql")(spark, sf)
+          .queryExecution.optimizedPlan
+          .collect { case w: LWindow if w.partitionSpec.isEmpty => w }
+        // the rewrite's own offset window over the per-pid Aggregate
+        // (≤ shuffle-partitions rows) is the only one allowed to stay
+        forced.foreach { w =>
+          assert(w.child.collectFirst { case a: Aggregate => a }.isDefined,
+            "GlobalRankWindowRule did not rewrite q265's data-sized window")
+        }
+      } finally spark.conf.unset(key)
+    }
     val offenders = scala.collection.mutable.ArrayBuffer.empty[String]
-    for (name <- SparkEntry.queries.keys.toSeq.sorted) {
+    for (name <- SparkEntry.queries.keys.toSeq.sorted
+         if name != "q265_global_rank_sql") {
       val wins = try {
         SparkEntry.queries(name)(spark, sf).queryExecution.optimizedPlan
           .collect { case w: LWindow if w.partitionSpec.isEmpty => w }
@@ -299,10 +320,12 @@ class PlanAuditSpec extends SparkSpec {
       if (wins.nonEmpty) {
         if (!whitelist.contains(name))
           offenders += s"$name (${wins.length} unpartitioned windows, not whitelisted)"
-        else if (name != "q85_permutation") {
-          // every whitelisted window (except the pinned 25-row dim)
-          // must consume an AGGREGATED table — group-domain-bounded,
-          // not the raw input
+        else if (name != "q85_permutation" && name != "q263_stream_qdigest") {
+          // every whitelisted window must consume an AGGREGATED table
+          // — group-domain-bounded, not the raw input. Exceptions:
+          // q85 (pinned 25-row dim) and q263 (the aggregation lives
+          // in the STREAMING engine; the batch side reads its memory
+          // sink — a leaf bounded by the declared q-digest domain)
           wins.foreach { w =>
             if (w.child.collectFirst { case a: Aggregate => a }.isEmpty)
               offenders += s"$name (whitelisted, but a window consumes a non-aggregated input)"
