@@ -56,7 +56,7 @@ object AnnIndex {
       c => struct(intL2(v, c.getField("vec")).as("d"),
         c.getField("cid").as("cid")))).getField("cid")
 
-  private def centroidsDf(spark: SparkSession,
+  private[graft] def centroidsDf(spark: SparkSession,
       cents: Array[(Int, Array[Double])]): DataFrame = {
     import spark.implicits._
     cents.toSeq.map { case (cid, vec) => (cid, vec.toSeq) }
@@ -84,7 +84,7 @@ object AnnIndex {
     * reads it twice (encode + cid re-attach); without the cache the
     * centroid argmin + subtraction replays per action (measured 2×
     * the build cost on the gate). */
-  private def encodeSource(batch: DataFrame, idCol: String, vecCol: String,
+  private[graft] def encodeSource(batch: DataFrame, idCol: String, vecCol: String,
       cents: Array[(Int, Array[Double])], residual: Boolean): DataFrame =
     if (residual) residualFrame(batch, idCol, vecCol, cents)
     else batch.select(col(idCol).as("vid"),

@@ -314,4 +314,30 @@ class SketchesSpec extends SparkSpec {
         (r.getAs[Long]("target_rank"), r.getAs[Long]("est"))).toMap
     assert(flat == keyed)
   }
+
+  test("qdigest: MERGE = add count tables, recompress — exactly the union's sketch") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // counts are pure per-node tallies, so counts(A ∪ B) ==
+    // counts(A) + counts(B) and the closed-form compression of the
+    // summed tables IS the union's sketch — the mergeability claim
+    val a = (1 to 300).map(i => (i * 13L) % 200L).toDF("x")
+    val b = ((1 to 250).map(i => (i * 7L) % 900L) :+ 500000L).toDF("x")
+    val levels = 20
+    def counts(df: org.apache.spark.sql.DataFrame) = df
+      .select(least(lit((1L << levels) - 1),
+        greatest(lit(0L), col("x"))).as("leaf"))
+      .select(explode(expr(s"transform(sequence(0, $levels), " +
+        "l -> named_struct('lvl', l, 'id', shiftright(leaf, l)))")).as("nd"))
+      .groupBy(col("nd.lvl").as("lvl"), col("nd.id").as("id"))
+      .agg(count(lit(1)).as("cnt"))
+    val merged = counts(a).unionByName(counts(b))
+      .groupBy("lvl", "id").agg(sum(col("cnt")).as("cnt"))
+    val nDf = merged.where(col("lvl") === levels).agg(sum(col("cnt")).as("n"))
+    val viaMerge = Sketches.qdigestFromCounts(merged, nDf, 0L, levels, 64,
+      Seq(25, 50, 75)).collect().map(_.toSeq).toSet
+    val direct = Sketches.qdigestQuantiles(a.unionByName(b), col("x"), 0L,
+      levels, 64, Seq(25, 50, 75)).collect().map(_.toSeq).toSet
+    assert(viaMerge == direct, "merged sketch != union's sketch")
+  }
 }
