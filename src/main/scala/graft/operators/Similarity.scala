@@ -95,11 +95,16 @@ object Similarity {
   }
 
   /** Literal array<struct<cid,vec>> column from driver-side centroids
-    * — broadcast by value into codegen, no join needed. */
+    * — broadcast by value into codegen, no join needed. ONE typed
+    * Literal node holding the whole array: the earlier per-element
+    * `array(struct(lit, array(lit...)))` form built nCentroids·dim
+    * literal expressions (1024 at the gate's 16×64) and Janino paid
+    * seconds compiling each plan that embedded them — the constant
+    * object form generates a single reference (same values, same
+    * downstream comparisons, bit-identical results). */
   private[graft] def centroidsLit(cents: Array[(Int, Array[Double])]): Column =
-    array(cents.map { case (cid, v) =>
-      struct(lit(cid).as("cid"), array(v.map(lit(_)): _*).as("vec"))
-    }: _*)
+    typedLit(cents.toSeq.map { case (cid, v) => (cid, v.toSeq) })
+      .cast("array<struct<cid:int,vec:array<double>>>")
 
   /** Nearest-centroid id by cosine: `array_max` over
     * struct(score, cid) — struct ordering picks max score, ties break
