@@ -14,6 +14,27 @@ object SparkEntry {
       AnalyticsQueries.all ++ EventQueries.all ++ SamplingQueries.all ++
       PipelineQueries.all
 
+  /** Bench battery order (round-9 verdict item 2): declared order with
+    * the CORPUS family moved LAST. The corpus gates own every
+    * heavy-I/O index build (q246 deletion neighborhoods, q250 IVF-PQ
+    * build+append, q260 streaming ingest); run second as declared,
+    * their page-cache/heap heat inflated the environment-sensitive
+    * iterative/GraphX family that followed by 1.7-2.5× with untouched
+    * code (SCALE.md round-9 notes). With corpus last, the iterative
+    * family runs in the cool half of the session and nothing follows
+    * the heat. Still fully deterministic (same Seq each run); relative
+    * order WITHIN every family — and therefore shared-memo attribution
+    * (q250 builds the index q262 reuses) — is unchanged. Verify keeps
+    * the declared [[specs]] order. */
+  def benchSpecs: Seq[QuerySpec] =
+    (Relational.all ++ SourceQueries.all ++ GraphQueries.all ++
+      AnalyticsQueries.all ++ EventQueries.all ++ SamplingQueries.all ++
+      PipelineQueries.all) ++ Corpus.all
+
+  /** Index in [[benchSpecs]] where the corpus family starts — Bench
+    * inserts its settle+GC checkpoint at this boundary. */
+  def benchCorpusBoundary: Int = benchSpecs.size - Corpus.all.size
+
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
     Relational.q21.run(spark, "/root/testdata/sf0.001")

@@ -931,7 +931,7 @@ object Relational {
     * with support and integer-exact lift numerators (the association-
     * rule screen). Brands (not parts) keep the pair space dense
     * enough to rank — and FIXED (25 values), so a basket is one LONG
-    * bitmask and the whole pair/margin census is a 351-counter
+    * bitmask and the whole pair/margin census is a 326-counter
     * accumulator: one shuffle, one pass, never a basket self-join.
     * Lift is emitted as the exact cross-multiplied pair (lift_num =
     * n_ab·n_orders, lift_den = n_a·n_b) plus the one-division
@@ -959,10 +959,10 @@ object Relational {
     // so each order's basket is one LONG bitmask: bit_or is a pure
     // codegen aggregate that dedupes for free (no collect_set object
     // hashing), and pair supports + brand margins + n_orders all come
-    // out of ONE single-row aggregate of 351 conditional bit sums —
+    // out of ONE single-row aggregate of 326 conditional bit sums —
     // one data shuffle total, map-side-combined twice, no basket
     // arrays, no checkpoint, no fan-out recompute (the earlier forms
-    // paid 2.1-2.6 s; this is sub-second steady). The 1×351 result is
+    // paid 2.1-2.6 s; this is sub-second steady). The 1×326 result is
     // sketch-sized by construction, so driver-side assembly of the
     // ≤300 output rows is bounded, never data-sized; lift arithmetic
     // stays exact-integer cross-multiplied + one IEEE division, same
@@ -977,10 +977,11 @@ object Relational {
         col("l_partkey") === col("p_partkey"))
       .groupBy(col("l_orderkey"))
       .agg(expr("bit_or(shiftleft(CAST(1 AS BIGINT), bi))").as("m"))
-    // margins + all 325 pair supports in ONE imperative pass over the
-    // 147k basket masks (treeAggregate of a 351-long accumulator):
+    // margins + all 300 pair supports in ONE imperative pass over the
+    // 147k basket masks (treeAggregate of a 326-long accumulator —
+    // 1 n_orders + 25 margins + C(25,2) = 300 pair counters):
     // ~10 bit tests per order, no shuffle, and — unlike the same sums
-    // as 351 codegen'd aggregate expressions — no multi-second janino
+    // as 326 codegen'd aggregate expressions — no multi-second janino
     // compile of a giant generated method (measured 4.4 s -> <1 s)
     val pairIdx = for (i <- 0 until 25; j <- i + 1 until 25) yield (i, j)
     def pidx(i: Int, j: Int): Int = 26 + 24 * i - i * (i - 1) / 2 + (j - i - 1)
