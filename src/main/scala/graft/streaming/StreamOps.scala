@@ -284,12 +284,28 @@ object StreamOps {
     * IncrementalDedupIndexSpec).
     *
     * Exactly-once end to end: source offsets commit to the checkpoint
-    * WAL, and each batch's effects are guarded by an idempotency
-    * marker (`indexDir/ingested`, one row per completed batch id,
-    * written AFTER the quarantine write and index append) — a
-    * replayed batch whose marker exists is skipped whole, so a
-    * crash/restart re-emits nothing and the index never absorbs a
-    * batch twice (StreamDedupIngestSpec drives the restart).
+    * WAL, and each batch's effects are bracketed by TWO records that
+    * together make the whole batch idempotent under replay:
+    *
+    *  - an UNDO LOG (`indexDir/pending/batch-<id>`): the recursive
+    *    file inventory of the index directory, written (tmp + rename)
+    *    BEFORE any effect. The batch's effects are parquet appends to
+    *    three tables (index signatures inside probeAndAppend,
+    *    quarantine pairs, then the marker) and appends only ever ADD
+    *    uniquely-named files — so a crashed attempt is rolled back
+    *    exactly by deleting every file not in the recorded inventory,
+    *    whichever subset of the three writes it reached;
+    *  - an idempotency MARKER (`indexDir/ingested`, one row per
+    *    completed batch id) written AFTER the quarantine write and
+    *    index append — a replayed batch whose marker exists is
+    *    skipped whole.
+    *
+    * A replayed batch therefore first restores the exact pre-batch
+    * index state and then re-runs from it: the index never absorbs a
+    * batch twice and quarantine never double-counts a pair, even when
+    * the crash lands BETWEEN the non-atomic writes
+    * (StreamDedupIngestSpec drives both the clean restart and the
+    * mid-batch crash).
     *
     * The first batch BUILDS the index (regime dispatch inside
     * DedupIndex.build); every later batch is probeAndAppend. At
@@ -318,6 +334,10 @@ object StreamOps {
         val sp = batch.sparkSession
         import sp.implicits._
         if (!doneBatches(sp).contains(batchId)) {
+          // undo log first: roll back any crashed attempt of THIS
+          // batch, then record the pre-effect inventory the next
+          // replay would restore to
+          beginIngestBatch(sp, indexDir, batchId)
           val tok = batch.select(col("doc_id"), col("tok"))
           val pairs: DataFrame =
             if (!indexBuilt(sp)) {
@@ -328,15 +348,77 @@ object StreamOps {
             }
           pairs.select(col("d1"), col("d2"), col("jaccard"))
             .write.mode("append").parquet(qdir)
-          // marker LAST: its presence certifies every effect above
+          // marker: its presence certifies every effect above
           Seq(batchId).toDF("batch_id").coalesce(1)
             .write.mode("append").parquet(mdir)
+          // retire the undo log only once the marker is durable
+          finishIngestBatch(sp, indexDir, batchId)
+        } else {
+          // marked done but the undo log survived a crash between
+          // marker write and retirement — the marker wins
+          finishIngestBatch(sp, indexDir, batchId)
         }
         ()
       }
       .start()
     q.awaitTermination()
     spark.read.parquet(qdir)
+  }
+
+  /** Recursive file inventory of the index dir as root-relative paths;
+    * the `pending/` undo log itself is excluded (it is recovery
+    * metadata, not index state). Hadoop FS API, so the same recovery
+    * works on HDFS/object stores, not just local disk. */
+  private def indexInventory(fs: org.apache.hadoop.fs.FileSystem,
+      root: org.apache.hadoop.fs.Path): Set[String] = {
+    if (!fs.exists(root)) return Set.empty
+    val rootPath = root.toUri.getPath.stripSuffix("/")
+    val out = scala.collection.mutable.Set.empty[String]
+    val it = fs.listFiles(root, true)
+    while (it.hasNext) {
+      val rel = it.next().getPath.toUri.getPath
+        .stripPrefix(rootPath).stripPrefix("/")
+      if (!rel.startsWith("pending/")) out += rel
+    }
+    out.toSet
+  }
+
+  /** Pre-effect half of the idempotent-replay bracket: if a valid
+    * undo log for `batchId` exists (a crashed attempt got past its
+    * inventory rename, so effects MAY have partially run), delete
+    * every index file the attempt added — appends only create
+    * uniquely-named new files, so "not in the inventory" identifies
+    * them exactly. Then write this attempt's inventory tmp-first and
+    * rename it into place: a crash before the rename leaves no valid
+    * log AND no effects (effects start only after this returns), so
+    * ignoring a missing/half-written log is safe. */
+  private[graft] def beginIngestBatch(sp: SparkSession, indexDir: String,
+      batchId: Long): Unit = {
+    val root = new org.apache.hadoop.fs.Path(indexDir)
+    val fs = root.getFileSystem(sp.sparkContext.hadoopConfiguration)
+    val pend = new org.apache.hadoop.fs.Path(root, s"pending/batch-$batchId")
+    if (fs.exists(pend)) {
+      val keep = scala.io.Source.fromInputStream(fs.open(pend), "UTF-8")
+        .getLines().toSet
+      (indexInventory(fs, root) -- keep)
+        .foreach(r => fs.delete(new org.apache.hadoop.fs.Path(root, r), false))
+    }
+    val tmp = new org.apache.hadoop.fs.Path(root, s"pending/batch-$batchId.tmp")
+    val os = fs.create(tmp, true)
+    os.write(indexInventory(fs, root).toSeq.sorted.mkString("\n").getBytes("UTF-8"))
+    os.close()
+    fs.delete(pend, false)
+    require(fs.rename(tmp, pend), s"could not publish undo log $pend")
+  }
+
+  /** Post-marker half: retire the undo log. Crash before this leaves
+    * a stale log next to a durable marker; the replay's marked-done
+    * branch just deletes it (the marker is authoritative). */
+  private[graft] def finishIngestBatch(sp: SparkSession, indexDir: String,
+      batchId: Long): Unit = {
+    val root = new org.apache.hadoop.fs.Path(indexDir)
+    val fs = root.getFileSystem(sp.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(root, s"pending/batch-$batchId"), false)
   }
 
   /** Streaming exact dedup: emit the first arrival per key, dropping

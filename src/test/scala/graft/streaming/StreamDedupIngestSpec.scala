@@ -75,4 +75,61 @@ class StreamDedupIngestSpec extends SparkSpec {
       assert(afterThree.nonEmpty, "vacuous: no near-duplicates at all")
     } finally tok.unpersist()
   }
+
+  /** The non-atomic-effects hazard (round-9 ADVICE): a crash AFTER the
+    * index append and quarantine write but BEFORE the marker used to
+    * replay the whole batch on restart, duplicating index signatures
+    * and quarantine rows. The undo log must roll the partial attempt
+    * back so the replayed run converges to the exact uninterrupted
+    * state — same quarantine pairs, same index table row counts as a
+    * never-crashed sequential pipeline. */
+  test("mid-batch crash (index + quarantine appended, no marker) rolls back and replays clean") {
+    val base = java.nio.file.Files.createTempDirectory("graft-sdi2").toString
+    val src = new java.io.File(base, "src"); src.mkdirs()
+    val tok = toks.cache()
+    try {
+      for (b <- 0 to 1)
+        writeBatch(base, src, b, tok.where(pmod(col("doc_id"), lit(3)) === b))
+      val idx = s"$base/idx"; val ckpt = s"$base/ckpt"
+      def pairSet() = StreamOps.runDedupIngestStream(spark, src.toString,
+          idx, ckpt, minJaccard = 0.5)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      pairSet() // batches 0 and 1 complete cleanly
+
+      // simulate the crashed attempt of batch 2: undo log written,
+      // BOTH effect writes land (index absorbs the batch's signatures,
+      // quarantine absorbs its pairs), marker never written
+      val tok2 = tok.where(pmod(col("doc_id"), lit(3)) === 2)
+      StreamOps.beginIngestBatch(spark, idx, 2L)
+      graft.operators.DedupIndex.probeAndAppend(tok2, idx, 0.5)
+        .write.mode("append").parquet(s"$idx/quarantine")
+      // ... crash: restart the stream with the batch-2 file landed
+      writeBatch(base, src, 2, tok2)
+      val after = pairSet()
+
+      // clean twin: the same three batches, never interrupted
+      val idx2 = s"$base/idx2"
+      graft.operators.DedupIndex.build(
+        tok.where(pmod(col("doc_id"), lit(3)) === 0), idx2, 0.5)
+      val want = (1 to 2).flatMap { b =>
+        graft.operators.DedupIndex.probeAndAppend(
+            tok.where(pmod(col("doc_id"), lit(3)) === b), idx2, 0.5)
+          .collect().map(r => (r.getLong(0), r.getLong(1)))
+      }.toSet
+      assert(after == want,
+        "replay after mid-batch crash diverged from the uninterrupted pipeline")
+      assert(spark.read.parquet(s"$idx/quarantine").count() == want.size,
+        "quarantine double-counted the crashed attempt's pairs")
+      assert(spark.read.parquet(s"$idx/ingested").count() == 3)
+      // no duplicate signatures: every index table matches the clean
+      // twin row-for-row (regime-agnostic — compare whatever exists)
+      for (t <- Seq("dict", "masks", "dfreq", "postings", "docs")
+           if new java.io.File(s"$idx2/$t").exists) {
+        assert(spark.read.parquet(s"$idx/$t").count() ==
+          spark.read.parquet(s"$idx2/$t").count(),
+          s"index table $t row count diverged — duplicated signatures")
+      }
+      assert(after.nonEmpty, "vacuous: no near-duplicates at all")
+    } finally tok.unpersist()
+  }
 }
