@@ -39,6 +39,25 @@ class GlobalRankWindowSpec extends SparkSpec {
     }
     assert(gotPlan.contains("__gr_pid"), "rule did not fire:\n" + gotPlan.take(2000))
     assert(gotPlan.contains("Exchange rangepartitioning"), gotPlan.take(2000))
+    // correctness of the rewrite REQUIRES the rank and stats branches
+    // to see the IDENTICAL range partitioning: RangePartitioner's
+    // bound sampling is seeded per RDD, so two independently
+    // materialized exchanges can pick different bounds and corrupt
+    // the offsets silently. Pin the invariant the rewrite relies on —
+    // exactly ONE materialized range exchange in the final adaptive
+    // plan, every other appearance a ReusedExchange — so a reuse
+    // regression (Spark upgrade, pruning change) fails loudly here
+    // instead of producing wrong ranks (round-9 ADVICE item 2).
+    val finalPlan = gotPlan.substring(0, gotPlan.indexOf("== Initial Plan ==") match {
+      case -1 => gotPlan.length; case i => i })
+    val finalRange = "\\+- Exchange rangepartitioning".r.findAllIn(finalPlan).length
+    val reused = "ReusedExchange".r.findAllIn(finalPlan).length
+    assert(finalRange == 1,
+      s"expected exactly 1 materialized range exchange, got $finalRange:\n" +
+        finalPlan.take(3000))
+    assert(reused >= 1,
+      "stats branch did not reuse the rank branch's range shuffle:\n" +
+        finalPlan.take(3000))
     val want = try {
       spark.conf.set("spark.graft.globalrank.enabled", "false")
       val off = spark.sql(q)
