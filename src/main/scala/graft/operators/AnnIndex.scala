@@ -49,12 +49,34 @@ object AnnIndex {
   private def codesPath(dir: String) = s"$dir/codes"
 
   /** Nearest-centroid assignment by exact scaled L2 — the metric the
-    * ADC stage ranks with (ties → smaller cid). */
-  private def nearestByL2(v: Column,
+    * ADC stage ranks with (ties → smaller cid). This composed form is
+    * the SQL-replayable twin; production encode uses the fused native
+    * [[graft.functions.AnnCodec.nearestCentroid]] (bit-identical —
+    * AnnCodecSpec pins literal ≡ native ≡ broadcast-frame). */
+  private[graft] def nearestByL2(v: Column,
       cents: Array[(Int, Array[Double])]): Column =
     array_min(transform(Similarity.centroidsLit(cents),
       c => struct(intL2(v, c.getField("vec")).as("d"),
         c.getField("cid").as("cid")))).getField("cid")
+
+  /** Broadcast-FRAME argmin twin (the round-9 verdict's named shape):
+    * cross the batch with the 16-row broadcast centroid frame, argmin
+    * per vid via `min(struct(d, cid))`. LAW-ONLY (`private[graft]`,
+    * exercised by AnnCodecSpec): the per-vid groupBy adds a shuffle
+    * the literal/native forms don't have, so it is deliberately NOT
+    * the production path — at corpus scale a narrow zero-shuffle map
+    * beats a broadcast join + reshuffle. The crossJoin is
+    * broadcast-scalar-sized (nCentroids rows), never data × data. */
+  private[graft] def nearestByL2FrameTwin(batch: DataFrame, idCol: String,
+      vecCol: String, cents: Array[(Int, Array[Double])]): DataFrame = {
+    val cdf = broadcast(centroidsDf(batch.sparkSession, cents))
+    batch.select(col(idCol).as("vid"), asDouble(col(vecCol)).as("v"))
+      .crossJoin(cdf)
+      .groupBy("vid")
+      .agg(min(struct(intL2(col("v"), col("cvec_full")).as("d"),
+        col("cid").as("cid"))).as("b"))
+      .select(col("vid"), col("b.cid").as("cid"))
+  }
 
   private[graft] def centroidsDf(spark: SparkSession,
       cents: Array[(Int, Array[Double])]): DataFrame = {
@@ -63,33 +85,25 @@ object AnnIndex {
       .toDF("cid", "cvec_full")
   }
 
-  /** (vid, cid, rv = v − centroid_cid) — cid assigned by exact L2,
-    * the subtraction a narrow zip_with against broadcast centroids. */
-  private def residualFrame(batch: DataFrame, idCol: String,
-      vecCol: String, cents: Array[(Int, Array[Double])]): DataFrame = {
-    val cdf = broadcast(centroidsDf(batch.sparkSession, cents))
-    batch.select(col(idCol).as("vid"), asDouble(col(vecCol)).as("v"))
-      .withColumn("cid", nearestByL2(col("v"), cents))
-      .join(cdf, "cid")
-      .select(col("vid"), col("cid"),
-        zip_with(col("v"), col("cvec_full"), (x, c) => x - c).as("rv"))
-  }
-
   /** Train coarse centroids + PQ codebooks on `corpus`, encode it,
     * and persist the index at `dir`: `centroids` (cid, vec),
     * `codebook` (m, code, cvec, dim, residual), `codes`
     * (vid, codes) partitioned by cid. */
-  /** (vid, cid, rv) encode source — residual or raw. Callers persist
-    * it: training takes several actions over it and the code write
-    * reads it twice (encode + cid re-attach); without the cache the
-    * centroid argmin + subtraction replays per action (measured 2×
-    * the build cost on the gate). */
+  /** (vid, cid, rv) encode source — residual or raw, ONE narrow
+    * fused-kernel projection ([[graft.functions.AnnCodec
+    * .nearestCentroid]]: scaled-L2 argmin + residual subtraction in a
+    * single codegen'd pass — the composed `array_min(transform(…))` +
+    * broadcast-centroid `zip_with` twin evaluated ~1000 interpreted
+    * lambda calls per row and was the measured floor of build AND
+    * append). Callers persist it: training takes several actions over
+    * it; without the cache the assignment replays per action. */
   private[graft] def encodeSource(batch: DataFrame, idCol: String, vecCol: String,
       cents: Array[(Int, Array[Double])], residual: Boolean): DataFrame =
-    if (residual) residualFrame(batch, idCol, vecCol, cents)
-    else batch.select(col(idCol).as("vid"),
-      nearestByL2(asDouble(col(vecCol)), cents).as("cid"),
-      asDouble(col(vecCol)).as("rv"))
+    batch
+      .select(col(idCol).as("vid"),
+        graft.functions.AnnCodec.nearestCentroid(
+          asDouble(col(vecCol)), cents, residual).as("nc"))
+      .select(col("vid"), col("nc.cid").as("cid"), col("nc.rv").as("rv"))
 
   def build(corpus: DataFrame, idCol: String, vecCol: String, dir: String,
       nCentroids: Int, m: Int, k: Int, refineIters: Int = 1,
@@ -99,7 +113,10 @@ object AnnIndex {
     val cents = ivfTrain(c, nCentroids, refineIters)
     val src = encodeSource(corpus, idCol, vecCol, cents, residual).persist()
     try {
-      val model = Similarity.pqTrain(src, "vid", "rv", m, k, refineIters)
+      // dim is known from the centroids — skipping pqTrain's probe
+      // action saves a full plan compile + stage on the gate
+      val model = Similarity.pqTrain(src, "vid", "rv", m, k, refineIters,
+        dim = cents.head._2.length)
       centroidsDf(spark, cents)
         .withColumnRenamed("cvec_full", "vec")
         .coalesce(1).write.mode("overwrite").parquet(centroidsPath(dir))
@@ -121,10 +138,17 @@ object AnnIndex {
     finally src.unpersist(blocking = false)
   }
 
+  /** One narrow projection from (vid, cid, rv) to the partitioned
+    * code table: the fused [[graft.functions.AnnCodec.pqCodes]]
+    * kernel replaces [[Similarity.pqEncode]]'s explode → broadcast
+    * join → two shuffled argmin groupBys → re-join shape with zero
+    * shuffles (codes pinned bit-identical in AnnCodecSpec; pqEncode
+    * stays the SQL-replayable form the q244 oracle replays). */
   private def writeCodes(src: DataFrame, dir: String, model: PqModel,
       overwrite: Boolean): Unit =
-    Similarity.pqEncode(src, "vid", "rv", model)
-      .join(src.select("vid", "cid"), "vid")
+    src.select(col("vid"),
+        graft.functions.AnnCodec.pqCodes(col("rv"), model.codebooks).as("codes"),
+        col("cid"))
       .write.partitionBy("cid")
       .mode(if (overwrite) "overwrite" else "append")
       .parquet(codesPath(dir))

@@ -236,12 +236,15 @@ object Similarity {
     * m·k·(dim/m) = k·dim doubles — constant in corpus size. */
   def pqTrain(corpus: DataFrame, idCol: String, vecCol: String,
       m: Int, k: Int, refineIters: Int = 1,
-      portable: Boolean = false): PqModel = {
+      portable: Boolean = false, dim: Int = -1): PqModel = {
     val spark = corpus.sparkSession
     val c = corpus.select(col(idCol).as("vid"), asDouble(col(vecCol)).as("v"))
-    val dim = c.select(size(col("v"))).head().getInt(0)
-    require(dim % m == 0, s"dim $dim not divisible into $m subspaces")
-    val sub = dim / m
+    // a caller that already knows dim (AnnIndex.build: centroid
+    // length) skips this probe action — one fewer plan compile+stage
+    val dim0 = if (dim > 0) dim
+      else c.select(size(col("v"))).head().getInt(0)
+    require(dim0 % m == 0, s"dim $dim0 not divisible into $m subspaces")
+    val sub = dim0 / m
     val ord = if (portable) md5(col("vid").cast("string")) else xxhash64(col("vid"))
     val seeds = c.orderBy(ord, col("vid")).limit(k)
       .select(col("v")).collect().map(_.getSeq[Double](0).toArray)
@@ -249,16 +252,19 @@ object Similarity {
       seeds.map(_.slice(mi * sub, mi * sub + sub))
     }
     (0 until refineIters).foreach { _ =>
-      val cb = broadcast(codebookDf(spark, PqModel(m, k, dim, codebooks)))
-      val refined = c.select(col("vid"), explodeSubs(col("v"), m, sub))
-        .join(cb, Seq("m"))
-        // min over struct(d, code, sv): argmin by (distance, code); sv
-        // rides along (constant within the (vid, m) group)
-        .groupBy("vid", "m")
-        .agg(min(struct(intL2(col("sv"), col("cvec")).as("d"),
-          col("code").as("code"), col("sv").as("sv"))).as("b"))
-        .select(col("m"), col("b.code").as("code"),
-          posexplode(col("b.sv")).as(Seq("pos", "x")))
+      // per-row fused code assignment (graft.functions.PqEncodeCodes —
+      // bit-identical to the explode → broadcast-codebook join →
+      // min(struct(d, code)) argmin it replaced, AnnCodecSpec law), so
+      // the only shuffle left in a Lloyd step is the (m, code, pos)
+      // mean aggregation of scalar rows — the join shape also carried
+      // whole sub-vector arrays through a (vid, m) argmin shuffle
+      val refined = c
+        .select(col("vid"), col("v"),
+          posexplode(graft.functions.AnnCodec.pqCodes(col("v"), codebooks))
+            .as(Seq("m", "code")))
+        .select(col("m"), col("code"),
+          posexplode(slice(col("v"), col("m") * sub + 1, lit(sub)))
+            .as(Seq("pos", "x")))
         .groupBy("m", "code", "pos")
         .agg((sum(round(col("x") * 1e6).cast("long")) / (count(lit(1)) * 1e6)).as("mean"))
         .groupBy("m", "code")
@@ -274,7 +280,7 @@ object Similarity {
         }
       }
     }
-    PqModel(m, k, dim, codebooks)
+    PqModel(m, k, dim0, codebooks)
   }
 
   /** Integer PQ code table: (vid, codes array<int>) — `m` bytes-worth
