@@ -345,28 +345,44 @@ object Corpus {
     jacPairs05(s, d)
   }
 
-  /** MinHash signatures — deterministic xxhash64 family, not ANSI-SQL
-    * expressible (rows-only). The gate projection stringifies the
-    * signature: the driver's row canonicalizer sorts all columns and
-    * cannot sort array cells (round-1 q36 err). The array form stays
-    * internal for q37/q42. */
-  val q36 = QuerySpec.rowsOnly(
+  /** MinHash signatures — deterministic xxhash64 family with no
+    * ANSI-SQL form, so the oracle PINS the exact signatures
+    * ([[PinnedOracles.q36]]; bit-stability re-verified across three
+    * independent drives before pinning, round-10). Pinned on the
+    * doc_id < 60 prefix — every doc's signature is still covered
+    * through the pinned q37/q42/q43 answer sets, which derive from
+    * ALL signatures. The gate projection stringifies the signature:
+    * the driver's row canonicalizer sorts all columns and cannot sort
+    * array cells (round-1 q36 err). The array form stays internal for
+    * q37/q42. */
+  val q36 = QuerySpec.sql(
     "q36_minhash_signatures",
+    PinnedOracles.q36,
     "MinHash signature per doc (dedup, LSH input)") { (s, d) =>
-    Dedup.minhashSignaturesNarrow(Tables.documents(s, d), "doc_id", "text", numHashes = 16)
+    Dedup.minhashSignaturesNarrow(
+        Tables.documents(s, d).where(col("doc_id") < 60),
+        "doc_id", "text", numHashes = 16)
       .select(col("doc_id"), concat_ws(",", col("signature")).as("signature"))
   }
 
-  /** MinHash-LSH candidate near-dup pairs (band blocking). */
-  val q37 = QuerySpec.rowsOnly(
+  /** MinHash-LSH candidate near-dup pairs (band blocking) — pinned
+    * oracle ([[PinnedOracles.q37]]): the banded candidate set over
+    * ALL docs' signatures, so any signature/banding bit flip anywhere
+    * in the table reshuffles this answer set. est_jaccard is k/16
+    * (exact binary fractions — safe to pin as DOUBLE literals). */
+  val q37 = QuerySpec.sql(
     "q37_minhash_lsh_pairs",
+    PinnedOracles.q37,
     "MinHash+LSH banded candidate pairs (dedup)") { (s, d) =>
     cand44(s, d)
   }
 
-  /** SimHash 64-bit signatures per doc. */
-  val q38 = QuerySpec.rowsOnly(
+  /** SimHash 64-bit signatures per doc — pinned oracle over the full
+    * table ([[PinnedOracles.q38]]); the portable md5 twin q200 stays
+    * the DERIVED oracle for the simhash construction itself. */
+  val q38 = QuerySpec.sql(
     "q38_simhash",
+    PinnedOracles.q38,
     "64-bit SimHash per doc (dedup)") { (s, d) =>
     Dedup.simhashNarrow(Tables.documents(s, d), "doc_id", "text")
   }
@@ -1222,9 +1238,12 @@ object Corpus {
   }
 
   /** Full dedup composition: MinHash → LSH candidates → connected-
-    * component clusters → cluster size histogram (SURVEY M14 shape). */
-  val q42 = QuerySpec.rowsOnly(
+    * component clusters → cluster size histogram (SURVEY M14 shape).
+    * Pinned oracle ([[PinnedOracles.q42]]); the clustering stage's
+    * DERIVED oracle is q103's recursive-CTE closure. */
+  val q42 = QuerySpec.sql(
     "q42_dedup_clusters",
+    PinnedOracles.q42,
     "minhash→LSH→connected-component dedup clustering (dedup, M14)") { (s, d) =>
     val docs = Tables.documents(s, d)
     Dedup.clusterDuplicates(cand44(s, d), docs.select("doc_id"))
@@ -1235,9 +1254,13 @@ object Corpus {
   /** The scale-safe exact-Jaccard path: LSH candidates → exact verify.
     * q35's per-block self-join is the small-scale cross-check of this;
     * at 100 TB THIS is the form that survives a skewed blocking key
-    * (join bounded by candidates, not block size). */
-  val q43 = QuerySpec.rowsOnly(
+    * (join bounded by candidates, not block size). Pinned oracle
+    * ([[PinnedOracles.q43]]) — the candidate set is xxhash-banded, but
+    * the verified Jaccards are exact rationals computed identically
+    * here and in q35's derived-oracle twin. */
+  val q43 = QuerySpec.sql(
     "q43_jaccard_verified_lsh",
+    PinnedOracles.q43,
     "exact Jaccard verification of LSH candidate pairs (dedup, scale form)") { (s, d) =>
     Dedup.jaccardVerifyCandidatesTokens(tok2(s, d), cand44(s, d))
   }
