@@ -542,6 +542,20 @@ object Sketches {
         "l -> named_struct('lvl', l, 'id', shiftright(leaf, l)))")).as("nd"))
       .groupBy(col("grp"), col("nd.lvl").as("lvl"), col("nd.id").as("id"))
       .agg(count(lit(1)).as("cnt"))
+    qdigestFromCountsByKey(counts, nDf, loVal, levels, k, percents)
+  }
+
+  /** Per-key compression + quantile read over a grouped all-level
+    * node-count table — [[qdigestQuantilesByKey]]'s back half, shared
+    * with the stream-maintained form ([[graft.streaming.StreamOps
+    * .runQdigestStreamByKey]], whose per-key state IS this counts
+    * table). `counts` holds (grp, lvl, id, cnt), `nDf` (grp, n). */
+  def qdigestFromCountsByKey(counts: DataFrame, nDf: DataFrame,
+      loVal: Long, levels: Int, k: Int, percents: Seq[Int]): DataFrame = {
+    val spark = counts.sparkSession
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val U = 1L << levels
     val kept = counts.join(broadcast(nDf), "grp")
       .where(col("cnt") >= expr(s"greatest(CAST(1 AS BIGINT), n DIV $k)"))
     val childMass = kept.where(col("lvl") < levels)

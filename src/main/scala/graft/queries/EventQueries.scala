@@ -301,6 +301,61 @@ object EventQueries {
       percents = Seq(1, 25, 50, 75, 99))
   }
 
+  /** q263 PER KEY — the round-9 verdict's named composition: q261's
+    * grouped q-digest build maintained by the live streaming engine
+    * (Complete-mode (grp, lvl, id) counts, state bounded by keys ×
+    * domain nodes, never stream length), quantile reads through the
+    * SHARED [[graft.operators.Sketches.qdigestFromCountsByKey]] —
+    * per-event-type rank-error percentiles, the per-service latency
+    * monitoring shape. DuckDB replays build + compression + pick
+    * hash-exact per key; StreamOpsSpec pins the maintained state
+    * table itself against the batch count table. Reference analog:
+    * per-group 5th-percentile cutoffs, bin/CompareSkin.R:55,59. */
+  val q266 = QuerySpec.sql(
+    "q266_stream_qdigest_by_key",
+    """WITH v AS (
+      |  SELECT event_type AS grp,
+      |         least(CAST(65535 AS BIGINT), greatest(CAST(0 AS BIGINT),
+      |           CAST(round(value * 100, 0) AS BIGINT))) AS leaf
+      |  FROM events),
+      |b AS (SELECT grp, CAST(count(*) AS BIGINT) AS n FROM v GROUP BY 1),
+      |counts AS (
+      |  SELECT grp, l AS lvl, leaf >> l AS id, CAST(count(*) AS BIGINT) AS cnt
+      |  FROM v, unnest(generate_series(0, 16)) AS g(l) GROUP BY 1, 2, 3),
+      |kept AS (
+      |  SELECT c.grp, lvl, id, cnt FROM counts c JOIN b USING (grp)
+      |  WHERE cnt >= greatest(1, n // 256)),
+      |childmass AS (
+      |  SELECT grp, lvl + 1 AS lvl, id // 2 AS id,
+      |         CAST(sum(cnt) AS BIGINT) AS child_cnt
+      |  FROM kept WHERE lvl < 16 GROUP BY 1, 2, 3),
+      |entries AS (
+      |  SELECT k.grp, k.lvl, k.id, k.cnt - coalesce(c.child_cnt, 0) AS mass
+      |  FROM kept k LEFT JOIN childmass c USING (grp, lvl, id)
+      |  WHERE k.cnt - coalesce(c.child_cnt, 0) > 0),
+      |ordered AS (
+      |  SELECT grp, lvl, (id + 1) * (CAST(1 AS BIGINT) << lvl) - 1 AS range_end, mass,
+      |         CAST(sum(mass) OVER (PARTITION BY grp
+      |           ORDER BY (id + 1) * (CAST(1 AS BIGINT) << lvl) - 1, lvl)
+      |           AS BIGINT) AS cum
+      |  FROM entries),
+      |q AS (SELECT CAST(unnest([25, 50, 75, 99]) AS BIGINT) AS q_pct),
+      |t AS (SELECT grp, q_pct, n, greatest(1, (n * q_pct + 99) // 100) AS target_rank
+      |      FROM q CROSS JOIN b),
+      |pick AS (
+      |  SELECT t.grp, t.q_pct, t.n, t.target_rank, o.lvl, o.range_end,
+      |         row_number() OVER (PARTITION BY t.grp, t.q_pct
+      |                            ORDER BY o.range_end, o.lvl) AS rn
+      |  FROM t JOIN ordered o ON o.grp = t.grp AND o.cum >= t.target_rank)
+      |SELECT grp, q_pct, n, CAST(target_rank AS BIGINT) AS target_rank,
+      |       CAST(lvl AS BIGINT) AS lvl,
+      |       CAST(least(range_end, 65535) AS BIGINT) AS est
+      |FROM pick WHERE rn = 1""",
+    "per-key streaming q-digest: rank-error percentiles per event type (monitoring)") { (s, d) =>
+    StreamOps.runQdigestStreamByKey(s, d, "event_type", loVal = 0L,
+      levels = 16, k = 256, percents = Seq(25, 50, 75, 99))
+  }
+
   /** Ordered-funnel analysis: users who progressed view → click →
     * purchase with each stage STRICTLY after the previous one — the
     * product-analytics staple. Stage k is one filtered min-ts
@@ -1321,5 +1376,5 @@ object EventQueries {
     Seq(q60, q61, q62, q88, q105, q106, q108, q124, q127, q142, q143, q145,
       q151, q152, q165, q169, q171, q175, q180, q188, q189, q190, q193, q198,
       q201, q204, q208, q211, q222, q225, q226, q228, q229, q232, q233, q234,
-      q237, q238, q251, q252, q253, q263)
+      q237, q238, q251, q252, q253, q263, q266)
 }

