@@ -57,6 +57,7 @@ object DedupIndex {
   private def dfreqPath(dir: String) = s"$dir/dfreq"
   private def postingsPath(dir: String) = s"$dir/postings"
   private def docsPath(dir: String) = s"$dir/docs"
+  private def tombstonesPath(dir: String) = s"$dir/tombstones"
 
   /** Hard ceiling on a dense index's dictionary growth across appends
     * — past it the regime premise (bounded vocabulary) is wrong and
@@ -179,6 +180,15 @@ object DedupIndex {
     require(minJaccard >= meta.tBuild - 1e-12,
       s"probe threshold $minJaccard is below the build threshold " +
         s"${meta.tBuild} — indexed prefixes only cover t >= t_build")
+    // logically-deleted docs stop matching the moment the tombstone
+    // lands: the anti-join drops their pairs after exact verification
+    // (per-pair Jaccards are unaffected by which OTHER docs exist, so
+    // this equals an index that never held them — IndexDeleteSpec)
+    val ts = tombstones(spark, dir)
+    def dropTombstoned(pairs: DataFrame): DataFrame =
+      pairs.join(broadcast(ts.select(col("doc_id").as("d2"))),
+        Seq("d2"), "left_anti")
+        .select("d1", "d2", "jaccard")
     meta.kind match {
       case "dense" =>
         val vocab = readVocab(spark, dir)
@@ -197,7 +207,8 @@ object DedupIndex {
         val batch = Dedup.tokenMasks(tok, vocab).drop("n")
           .join(nTrue, Seq("doc_id"))
           .withColumnRenamed("n_true", "n")
-        Dedup.jaccardPairsFromMasks(batch, corpus, minJaccard, maxProbeDocs)
+        dropTombstoned(
+          Dedup.jaccardPairsFromMasks(batch, corpus, minJaccard, maxProbeDocs))
       case "sparse" =>
         val dfreq = spark.read.parquet(dfreqPath(dir))
         val post = spark.read.parquet(postingsPath(dir))
@@ -211,7 +222,7 @@ object DedupIndex {
               lit(1e-9))
           .select("d1", "d2").distinct()
         val bf = features(tok)
-        cand
+        dropTombstoned(cand
           .join(docsT.select(col("doc_id").as("d2"), col("toks").as("t2"),
             col("n").as("n2")), Seq("d2"))
           .join(bf.select(col("doc_id").as("d1"), col("toks").as("t1"),
@@ -223,7 +234,7 @@ object DedupIndex {
               .otherwise(col("n_inter").cast("double") /
                 (col("n1") + col("n2") - col("n_inter")).cast("double"))
               .as("jaccard"))
-          .where(col("jaccard") >= minJaccard)
+          .where(col("jaccard") >= minJaccard))
     }
   }
 
@@ -237,5 +248,67 @@ object DedupIndex {
     val out = probe(tok, dir, minJaccard).localCheckpoint()
     append(tok, dir)
     out
+  }
+
+  /** Takedown lifecycle (round-9 verdict): LOGICAL delete — merge the
+    * doc ids into the tombstone table (the q201/q211 CDC idiom).
+    * O(|ids|), touches no signature file; [[probe]] anti-joins the
+    * tombstones on the INDEXED side, so deleted docs stop matching
+    * immediately. Exactness is regime-independent: verified Jaccards
+    * are per-pair, so filtering pairs ≡ an index that never held the
+    * doc (IndexDeleteSpec pins probe-after-delete == probe of an
+    * index built WITHOUT the deleted docs — the prefix lemma holds
+    * under any frozen order, and verification is exact either way).
+    * Physical reclamation is [[compact]]'s job. */
+  def delete(spark: SparkSession, dir: String, ids: DataFrame): Unit =
+    ids.select(col(ids.columns.head).cast("long").as("doc_id"))
+      .distinct().coalesce(1)
+      .write.mode("append").parquet(tombstonesPath(dir))
+
+  private def tombstones(spark: SparkSession, dir: String): DataFrame =
+    try spark.read.parquet(tombstonesPath(dir)).select("doc_id").distinct()
+    catch { case _: Exception =>
+      import spark.implicits._
+      Seq.empty[Long].toDF("doc_id")
+    }
+
+  /** Physical reclamation: rewrite the signature tables WITHOUT the
+    * tombstoned docs (tmp + directory swap — never an in-place
+    * overwrite of a table being read), preserving each table's
+    * layout (postings keep the tok_h clustering), then clear the
+    * tombstone table. Amortized maintenance — run when the tombstone
+    * fraction justifies a rewrite, as the single maintenance writer.
+    * Probe answers are invariant across the whole lifecycle:
+    * tombstoned == compacted == never-indexed (IndexDeleteSpec). */
+  def compact(spark: SparkSession, dir: String): Unit = {
+    val t = tombstones(spark, dir)
+    if (t.isEmpty) return
+    val meta = readMeta(spark, dir)
+    def rewrite(path: String, cluster: Option[Seq[String]] = None): Unit = {
+      // the tmp write fully consumes the read of the live table
+      // BEFORE the swap deletes it — no in-place overwrite hazard,
+      // no data-sized checkpoint
+      val keep = spark.read.parquet(path)
+        .join(broadcast(t), Seq("doc_id"), "left_anti")
+      val p = new org.apache.hadoop.fs.Path(path)
+      val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val tmp = new org.apache.hadoop.fs.Path(path + "_rewrite")
+      cluster match {
+        case Some(keys) => graft.sources.Tabular.writeClusteredParquet(
+          keep, tmp.toString, keys)
+        case None => keep.write.mode("overwrite").parquet(tmp.toString)
+      }
+      fs.delete(p, true)
+      require(fs.rename(tmp, p), s"could not swap compacted table $path")
+    }
+    meta.kind match {
+      case "dense" => rewrite(masksPath(dir))
+      case "sparse" =>
+        rewrite(postingsPath(dir), Some(Seq("tok_h")))
+        rewrite(docsPath(dir))
+    }
+    val fs = new org.apache.hadoop.fs.Path(tombstonesPath(dir))
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(tombstonesPath(dir)), true)
   }
 }

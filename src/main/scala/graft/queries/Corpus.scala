@@ -1028,6 +1028,49 @@ object Corpus {
     })
   }
 
+  /** Recursive file copy of a persisted index (tempdir-scoped): the
+    * delete gate mutates a PRIVATE copy while q250/q262 keep reading
+    * the shared one. */
+  private def copyIndex(src: String, dst: String): Unit = {
+    val s = java.nio.file.Paths.get(src)
+    import scala.jdk.CollectionConverters._
+    java.nio.file.Files.walk(s).iterator().asScala.foreach { p =>
+      val t = java.nio.file.Paths.get(dst).resolve(s.relativize(p).toString)
+      if (java.nio.file.Files.isDirectory(p))
+        java.nio.file.Files.createDirectories(t)
+      else {
+        java.nio.file.Files.createDirectories(t.getParent)
+        java.nio.file.Files.copy(p, t)
+      }
+    }
+  }
+
+  /** The q250 index's TAKEDOWN step ([[graft.operators.AnnIndex
+    * .delete]], round-9 verdict ask #5): tombstone a slice of the
+    * appended batch, rewrite ONLY the inverted lists that held it
+    * (unaffected partitions byte-identical — IndexDeleteSpec's digest
+    * law), probe under the frozen model. The xxhash-seeded training
+    * has no SQL form, so the oracle PINS the post-delete probe answer
+    * set (the q250 idiom; bit-stability re-verified across runs). The
+    * gate works on a file-level COPY of the shared index — q250/q262
+    * keep their artifact. */
+  val q267 = QuerySpec.sql(
+    "q267_ann_index_delete",
+    PinnedOracles.q267,
+    "persisted ANN index takedown: partition-scoped delete + probe (lifecycle)") { (s, d) =>
+    val dir = java.nio.file.Files.createTempDirectory("graft-annidx-del")
+      .toString + "/idx"
+    copyIndex(sharedAnnIndex(s, d), dir)
+    val emb = Tables.embeddings(s, d)
+    graft.operators.AnnIndex.delete(s, dir,
+      emb.where(pmod(col("vec_id"), lit(10)) === 0 && col("vec_id") >= 20)
+        .select("vec_id"))
+    val m2 = pmod(col("vec_id"), lit(2))
+    graft.operators.AnnIndex.probe(
+      emb.where(m2 === 0 && col("vec_id") < 20),
+      "vec_id", "embedding", dir, nProbe = 4, k = 5)
+  }
+
   val q250 = QuerySpec.sql(
     "q250_ann_index",
     """SELECT * FROM (VALUES
@@ -2928,6 +2971,47 @@ object Corpus {
         max(col("jaccard")).as("best_jaccard"))
   }
 
+  /** q243's lifecycle completed with the TAKEDOWN step (round-9
+    * verdict ask #5): after build + append, a tombstone delete lands
+    * ([[graft.operators.DedupIndex.delete]], the q201/q211 CDC idiom
+    * — O(|ids|), no signature file touched) and the probe must answer
+    * as if the deleted docs were never indexed — which is exactly how
+    * the oracle derives it (index side excludes the tombstoned ids).
+    * The physical-reclamation twin ([[graft.operators.DedupIndex
+    * .compact]]) and the never-indexed equality law live in
+    * IndexDeleteSpec for both regimes. */
+  val q268 = QuerySpec.sql(
+    "q268_dedup_index_delete",
+    """WITH tok AS (
+      |  SELECT doc_id, unnest(list_distinct(regexp_extract_all(lower(text), '(\S+)', 1))) AS tok
+      |  FROM documents),
+      |sizes AS (SELECT doc_id, count(*) AS n FROM tok GROUP BY 1),
+      |inter AS (
+      |  SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS n_inter
+      |  FROM tok a JOIN tok b ON a.tok = b.tok
+      |  WHERE a.doc_id % 7 = 0 AND b.doc_id % 7 <> 0 AND b.doc_id % 21 <> 4
+      |  GROUP BY 1, 2)
+      |SELECT d1 AS doc_id, count(*) AS n_corpus_matches,
+      |       max(CAST(n_inter AS DOUBLE) / (s1.n + s2.n - n_inter)) AS best_jaccard
+      |FROM inter JOIN sizes s1 ON s1.doc_id = d1 JOIN sizes s2 ON s2.doc_id = d2
+      |WHERE CAST(n_inter AS DOUBLE) / (s1.n + s2.n - n_inter) >= 0.5
+      |GROUP BY 1""",
+    "persisted dedup index takedown: tombstone delete, probe == never-indexed (lifecycle)") { (s, d) =>
+    val dir = java.nio.file.Files.createTempDirectory("graft-q268").toString + "/idx"
+    val tok = tokBlk1(s, d).select("doc_id", "tok")
+    val m7 = pmod(col("doc_id"), lit(7))
+    graft.operators.DedupIndex.build(
+      tok.where(m7.isin(1, 2, 3)), dir, minJaccard = 0.5)
+    graft.operators.DedupIndex.append(tok.where(m7.isin(4, 5, 6)), dir)
+    graft.operators.DedupIndex.delete(s, dir,
+      Tables.documents(s, d).where(pmod(col("doc_id"), lit(21)) === 4)
+        .select("doc_id"))
+    graft.operators.DedupIndex.probe(tok.where(m7 === 0), dir, minJaccard = 0.5)
+      .groupBy(col("d1").as("doc_id"))
+      .agg(count(lit(1)).as("n_corpus_matches"),
+        max(col("jaccard")).as("best_jaccard"))
+  }
+
   /** Quantile normalization across sources — each doc's length is
     * replaced by the GLOBAL value at its source-relative rank, the
     * distribution-matching transform that removes per-source scale
@@ -3014,5 +3098,5 @@ object Corpus {
       q158, q159, q161, q163, q164, q166, q173, q174, q184, q185, q187, q192,
       q194, q199, q200, q203, q205, q209, q221, q227, q236, q239, q241, q243,
       q244, q245, q246, q247, q248, q249, q250, q254, q256, q257, q258,
-      q259, q260, q261, q262, q264)
+      q259, q260, q261, q262, q264, q267, q268)
 }
