@@ -601,6 +601,38 @@ object Corpus {
       |  ON levenshtein(a.c_name, b.c_name) <= 1 AND a.c_custkey < b.c_custkey""".stripMargin)
   }
 
+  /** q254 with JOINS as the fuzzy join's inputs (round-9 verdict ask
+    * #8): each side is customer ⋈ nation — a shuffled child, where
+    * monotonic row tags would not survive task retries — so
+    * [[graft.plans.FuzzyLevJoinRule]] takes its deterministic
+    * content-count shape (distinct + multiplicity, variant equi-join,
+    * sequence re-expansion) instead of declining to the
+    * BroadcastNestedLoopJoin. Same answer, still never all-pairs;
+    * FuzzyJoinSpec pins the duplicate-row multiset law for this
+    * shape. */
+  val q269 = QuerySpec.sql(
+    "q269_fuzzy_join_over_join",
+    """WITH cn AS (
+      |  SELECT c_custkey, c_name, n_name
+      |  FROM customer JOIN nation ON c_nationkey = n_nationkey
+      |  WHERE n_name <> 'NATION_3')
+      |SELECT a.c_custkey AS id1, b.c_custkey AS id2, b.n_name AS nation2,
+      |       CAST(levenshtein(a.c_name, b.c_name) AS INT) AS dist
+      |FROM cn a JOIN cn b
+      |  ON levenshtein(a.c_name, b.c_name) <= 1 AND a.c_custkey < b.c_custkey""",
+    "plain-SQL levenshtein join over JOIN children: the retry-safe content-count rewrite") { (s, d) =>
+    Tables.customer(s, d).createOrReplaceTempView("fz_customer_q269")
+    Tables.nation(s, d).createOrReplaceTempView("fz_nation_q269")
+    s.sql("""WITH cn AS (
+      |  SELECT c_custkey, c_name, n_name
+      |  FROM fz_customer_q269 JOIN fz_nation_q269 ON c_nationkey = n_nationkey
+      |  WHERE n_name <> 'NATION_3')
+      |SELECT a.c_custkey AS id1, b.c_custkey AS id2, b.n_name AS nation2,
+      |       CAST(levenshtein(a.c_name, b.c_name) AS INT) AS dist
+      |FROM cn a JOIN cn b
+      |  ON levenshtein(a.c_name, b.c_name) <= 1 AND a.c_custkey < b.c_custkey""".stripMargin)
+  }
+
   /** Entity-resolution agreement-vector profile — the Fellegi-Sunter
     * m/u-probability input: for every fuzzy-blocked candidate pair
     * (q184's 1-deletion FastSS blocking via [[graft.operators.Dedup
@@ -3098,5 +3130,5 @@ object Corpus {
       q158, q159, q161, q163, q164, q166, q173, q174, q184, q185, q187, q192,
       q194, q199, q200, q203, q205, q209, q221, q227, q236, q239, q241, q243,
       q244, q245, q246, q247, q248, q249, q250, q254, q256, q257, q258,
-      q259, q260, q261, q262, q264, q267, q268)
+      q259, q260, q261, q262, q264, q267, q268, q269)
 }
