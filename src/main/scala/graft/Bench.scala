@@ -42,6 +42,11 @@ object Bench {
       .withExtensions(new graft.functions.GraftExtensions)
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // suppress the whitelisted-sketch-window warning spam — see the
+    // identical block in Verify (PlanAuditSpec owns the enforcement)
+    org.apache.logging.log4j.core.config.Configurator.setLevel(
+      "org.apache.spark.sql.execution.window.WindowExec",
+      org.apache.logging.log4j.Level.ERROR)
     def loadAvg: Double =
       java.lang.management.ManagementFactory.getOperatingSystemMXBean.getSystemLoadAverage
     // Fixed-work single-thread calibration (Mops): load_avg only sees

@@ -265,12 +265,19 @@ object DedupIndex {
       .distinct().coalesce(1)
       .write.mode("append").parquet(tombstonesPath(dir))
 
-  private def tombstones(spark: SparkSession, dir: String): DataFrame =
-    try spark.read.parquet(tombstonesPath(dir)).select("doc_id").distinct()
-    catch { case _: Exception =>
+  private def tombstones(spark: SparkSession, dir: String): DataFrame = {
+    // existence check, not read-and-catch: a missing table is the
+    // COMMON case (no deletes yet) and the failed read logs a WARN
+    // per probe
+    val p = new org.apache.hadoop.fs.Path(tombstonesPath(dir))
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(p)) spark.read.parquet(tombstonesPath(dir))
+      .select("doc_id").distinct()
+    else {
       import spark.implicits._
       Seq.empty[Long].toDF("doc_id")
     }
+  }
 
   /** Physical reclamation: rewrite the signature tables WITHOUT the
     * tombstoned docs (tmp + directory swap — never an in-place

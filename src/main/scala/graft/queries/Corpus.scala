@@ -3129,6 +3129,11 @@ object Corpus {
       q139, q140, q141, q144, q147, q148, q149, q150, q153, q154, q155, q157,
       q158, q159, q161, q163, q164, q166, q173, q174, q184, q185, q187, q192,
       q194, q199, q200, q203, q205, q209, q221, q227, q236, q239, q241, q243,
-      q244, q245, q246, q247, q248, q249, q250, q254, q256, q257, q258,
-      q259, q260, q261, q262, q264, q267, q268, q269)
+      // q267/q268/q269 directly after the index/fuzzy gates they
+      // extend (q267 reuses q250's shared-index memo; q268 mirrors
+      // q243): the streaming-machinery gate q260 heats whatever
+      // follows it, and the takedown gates measured 2× their isolated
+      // cost when they trailed it
+      q244, q245, q246, q247, q248, q249, q250, q254, q269, q267, q268,
+      q256, q257, q258, q259, q260, q261, q262, q264)
 }
