@@ -58,6 +58,106 @@ object AnnCodec {
     import org.apache.spark.sql.graftbridge.ColumnBridge
     ColumnBridge.column(PqEncodeCodes(ColumnBridge.expression(rv), codebooks))
   }
+
+  /** Column form: nearest centroid by COSINE (the IVF trainer's /
+    * ivfTopK's metric), one pass. Ties break to the LARGEST cid (the
+    * `array_max(struct(score, cid))` order). */
+  def nearestCentroidCosine(v: Column,
+      cents: Array[(Int, Array[Double])]): Column = {
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    ColumnBridge.column(NearestCentroidCosine(ColumnBridge.expression(v),
+      cents.map(_._1), cents.map(_._2)))
+  }
+}
+
+/** int cid — the nearest centroid by cosine similarity, fused.
+  * Bit-identical to `array_max(transform(centroidsLit,
+  * struct(CosineSim(v, c.vec), c.cid)))`: the per-centroid cosine is
+  * [[CosineSim]]'s exact accumulation order (dot/na/nb in one pass,
+  * `0.0` on zero denominator), and the argmax compares scores with
+  * `java.lang.Double.compare` — NOT primitive `>` — because struct
+  * ordering distinguishes -0.0 < 0.0 and a primitive compare would
+  * tie-break such pairs to the wrong cid. Ties → LARGER cid
+  * (array_max order). AnnCodecSpec pins both. */
+case class NearestCentroidCosine(child: Expression, cids: Array[Int],
+    cents: Array[Array[Double]]) extends UnaryExpression {
+
+  override def dataType: DataType = IntegerType
+  override def prettyName: String = "nearest_centroid_cosine"
+
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+    child.dataType match {
+      case ArrayType(DoubleType, _) => TypeCheckResult.TypeCheckSuccess
+      case t => TypeCheckResult.TypeCheckFailure(
+        s"nearest_centroid_cosine expects array<double>, got $t")
+    }
+  }
+
+  override def nullSafeEval(input: Any): Any = {
+    val v = input.asInstanceOf[ArrayData]
+    var bestScore = Double.NegativeInfinity
+    var bestCid = Int.MinValue
+    var first = true
+    var c = 0
+    while (c < cents.length) {
+      val cv = cents(c)
+      val n = math.min(v.numElements(), cv.length)
+      var dot = 0.0; var na = 0.0; var nb = 0.0
+      var i = 0
+      while (i < n) {
+        val x = v.getDouble(i); val y = cv(i)
+        dot += x * y; na += x * x; nb += y * y
+        i += 1
+      }
+      val denom = math.sqrt(na) * math.sqrt(nb)
+      val s = if (denom == 0.0) 0.0 else dot / denom
+      val cmp = java.lang.Double.compare(s, bestScore)
+      if (first || cmp > 0 || (cmp == 0 && cids(c) > bestCid)) {
+        bestScore = s; bestCid = cids(c); first = false
+      }
+      c += 1
+    }
+    bestCid
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, v => {
+      val rc = ctx.addReferenceObj("rawCents", cents, "double[][]")
+      val ids = ctx.addReferenceObj("cids", cids, "int[]")
+      val bs = ctx.freshName("bestScore"); val bc = ctx.freshName("bestCid")
+      val first = ctx.freshName("first"); val c = ctx.freshName("c")
+      val cv = ctx.freshName("cv"); val n = ctx.freshName("n")
+      val dot = ctx.freshName("dot"); val na = ctx.freshName("na")
+      val nb = ctx.freshName("nb"); val i = ctx.freshName("i")
+      val x = ctx.freshName("x"); val y = ctx.freshName("y")
+      val denom = ctx.freshName("denom"); val s = ctx.freshName("s")
+      val cmp = ctx.freshName("cmp")
+      s"""
+         |double $bs = Double.NEGATIVE_INFINITY; int $bc = Integer.MIN_VALUE;
+         |boolean $first = true;
+         |for (int $c = 0; $c < $rc.length; $c++) {
+         |  double[] $cv = $rc[$c];
+         |  int $n = java.lang.Math.min($v.numElements(), $cv.length);
+         |  double $dot = 0.0; double $na = 0.0; double $nb = 0.0;
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    double $x = $v.getDouble($i); double $y = $cv[$i];
+         |    $dot += $x * $y; $na += $x * $x; $nb += $y * $y;
+         |  }
+         |  double $denom = java.lang.Math.sqrt($na) * java.lang.Math.sqrt($nb);
+         |  double $s = ($denom == 0.0) ? 0.0 : $dot / $denom;
+         |  int $cmp = java.lang.Double.compare($s, $bs);
+         |  if ($first || $cmp > 0 || ($cmp == 0 && $ids[$c] > $bc)) {
+         |    $bs = $s; $bc = $ids[$c]; $first = false;
+         |  }
+         |}
+         |${ev.value} = $bc;
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
 }
 
 /** struct<cid:int, rv:array<double>> — the nearest centroid of an

@@ -106,10 +106,18 @@ object Similarity {
     typedLit(cents.toSeq.map { case (cid, v) => (cid, v.toSeq) })
       .cast("array<struct<cid:int,vec:array<double>>>")
 
-  /** Nearest-centroid id by cosine: `array_max` over
-    * struct(score, cid) — struct ordering picks max score, ties break
-    * to the larger cid. One codegen expression, no shuffle. */
+  /** Nearest-centroid id by cosine — the fused one-pass kernel
+    * ([[graft.functions.NearestCentroidCosine]]); the composed
+    * `array_max(transform(...))` twin below evaluated the CosineSim
+    * expression through per-centroid HOF lambdas and stays as the
+    * law reference (AnnCodecSpec pins bit-equality incl. the
+    * ties → larger cid break). One codegen expression, no shuffle. */
   private[graft] def nearestCentroid(v: Column, cents: Array[(Int, Array[Double])]): Column =
+    graft.functions.AnnCodec.nearestCentroidCosine(v, cents)
+
+  /** The composed form [[nearestCentroid]] replaced — law twin. */
+  private[graft] def nearestCentroidComposed(v: Column,
+      cents: Array[(Int, Array[Double])]): Column =
     array_max(transform(centroidsLit(cents),
       c => struct(cosine(v, c.getField("vec")).as("score"),
         c.getField("cid").as("cid")))).getField("cid")
