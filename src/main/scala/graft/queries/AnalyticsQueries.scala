@@ -49,6 +49,59 @@ object AnalyticsQueries {
       GraphAnalytics.perGroupVertexMetrics(groupEdges(s, d))
     }
 
+  /** All-pairs BFS distance table for the q74/q76/q100/q212 oracles,
+    * generated as a chained TWO-FRONTIER level sweep instead of the
+    * r1-r10 depth-capped `WITH RECURSIVE` walk: the recursive form's
+    * UNION dedups (grp, root, node, d) tuples, so a node on a cycle
+    * re-enters the working set at every depth of matching reach up to
+    * the cap — at sf0.1 that materialized ~(cap − dist)·|V|² ≈ 1.2 B
+    * rows and DuckDB spilled ~70 GB, flooring the r10 baseline sweep
+    * at its 900 s timeout (BASELINE_SWEEP_r10 note). The chained form
+    * visits each (root, node) pair exactly once: frontier
+    * f_d = nbrs(f_{d-1}) − f_{d-1} − f_{d-2}, which is EXACT for an
+    * undirected graph (a neighbor of a distance-(d−1) node is at
+    * distance d−2, d−1, or d — the standard BFS two-frontier
+    * invariant), so no visited-set accumulation is needed. `dist` is
+    * the disjoint union of the frontiers with their level as d —
+    * bit-identical to the recursive walk's min-d table at every scale
+    * (validated row-exact at sf0.01 AND sf0.1; 64 levels ≥ the max
+    * observed diameter 61 at sf0.1, 28 at sf0.01). Every CTE is
+    * MATERIALIZED: DuckDB otherwise inlines single-use CTEs and the
+    * chain re-expands exponentially. Measured: sf0.1 >900 s → ~25 s
+    * (q74 shape); the sweep totals are comparable round-over-round
+    * again (round-10 verdict item 6). */
+  private def bfsDistOracle(levels: Int, castBig: Boolean): String = {
+    val srcE = if (castBig) "CAST(l_suppkey AS BIGINT)" else "l_suppkey"
+    val dstE = if (castBig) "CAST(o_custkey + 1000000 AS BIGINT)"
+      else "o_custkey + 1000000"
+    val head = s"""WITH e AS MATERIALIZED (
+                  |  SELECT n_name AS grp, $srcE AS src, $dstE AS dst
+                  |  FROM lineitem
+                  |  JOIN orders ON l_orderkey = o_orderkey
+                  |  JOIN customer ON o_custkey = c_custkey
+                  |  JOIN nation ON c_nationkey = n_nationkey
+                  |  WHERE l_quantity >= 49
+                  |  GROUP BY 1, 2, 3),
+                  |sym AS MATERIALIZED (SELECT grp, src AS a, dst AS b FROM e
+                  |        UNION SELECT grp, dst AS a, src AS b FROM e),
+                  |nodes AS MATERIALIZED (SELECT DISTINCT grp, a AS node FROM sym),
+                  |f0 AS MATERIALIZED (SELECT grp, node AS root, node FROM nodes),
+                  |f1 AS MATERIALIZED (SELECT w.grp, w.root, s.b AS node
+                  |  FROM f0 w JOIN sym s ON s.grp = w.grp AND s.a = w.node
+                  |  EXCEPT SELECT * FROM f0)""".stripMargin
+    val mids = (2 to levels).map { d =>
+      s""",
+         |f$d AS MATERIALIZED (SELECT w.grp, w.root, s.b AS node
+         |  FROM f${d - 1} w JOIN sym s ON s.grp = w.grp AND s.a = w.node
+         |  EXCEPT SELECT * FROM f${d - 1}
+         |  EXCEPT SELECT * FROM f${d - 2})""".stripMargin
+    }.mkString
+    val distU = (0 to levels)
+      .map(d => s"SELECT grp, root, node, $d AS d FROM f$d")
+      .mkString("\n  UNION ALL ")
+    s"$head$mids,\ndist AS (\n  $distU)"
+  }
+
   /** Per-node triangle counts on the co-supplier projection via the
     * REAL GraphX TriangleCount — memoized: q119 (raw counts) and q122
     * (clustering coefficient) share one distributed run. */
@@ -189,33 +242,14 @@ object AnalyticsQueries {
 
   /** G4 — the BFS-distance slice of the battery, driver-oracled:
     * diameter, radius, mean distance per group. The DuckDB side runs
-    * all-pairs BFS as a depth-capped recursive CTE (min depth per
-    * (root, node) — the UNION-dedup recursion must be bounded because
-    * cycle walks otherwise generate ever-longer rows; the cap of 64 is
-    * >2× the max sf0.01 diameter of 28, and sf0.01 is the only scale
-    * the driver oracles). Integer distances make sums exact; the one
+    * all-pairs BFS off [[bfsDistOracle]]'s chained two-frontier
+    * distance table (64 levels ≥ every observed diameter at both
+    * oracled scales). Integer distances make sums exact; the one
     * IEEE division (mean) matches the kernel's sum.toDouble/cnt
     * bit-for-bit. */
   val q74 = QuerySpec.sql(
     "q74_group_bfs_metrics",
-    """WITH RECURSIVE e AS (
-      |  SELECT n_name AS grp, l_suppkey AS src, o_custkey + 1000000 AS dst
-      |  FROM lineitem
-      |  JOIN orders ON l_orderkey = o_orderkey
-      |  JOIN customer ON o_custkey = c_custkey
-      |  JOIN nation ON c_nationkey = n_nationkey
-      |  WHERE l_quantity >= 49
-      |  GROUP BY 1, 2, 3),
-      |sym AS (SELECT grp, src AS a, dst AS b FROM e
-      |        UNION SELECT grp, dst AS a, src AS b FROM e),
-      |nodes AS (SELECT DISTINCT grp, a AS node FROM sym),
-      |walk AS (
-      |  SELECT grp, node AS root, node, 0 AS d FROM nodes
-      |  UNION
-      |  SELECT w.grp, w.root, s.b AS node, w.d + 1 AS d
-      |  FROM walk w JOIN sym s ON s.grp = w.grp AND s.a = w.node
-      |  WHERE w.d < 64),
-      |dist AS (SELECT grp, root, node, min(d) AS d FROM walk GROUP BY 1, 2, 3),
+    bfsDistOracle(levels = 64, castBig = false) + """,
       |ecc AS (SELECT grp, root, max(d) AS ecc FROM dist GROUP BY 1, 2),
       |md AS (SELECT grp, CAST(sum(d) AS DOUBLE) / count(*) AS mean_distance
       |       FROM dist WHERE d > 0 GROUP BY grp)
@@ -224,7 +258,7 @@ object AnalyticsQueries {
       |       CAST(min(ec.ecc) AS BIGINT) AS radius,
       |       md.mean_distance
       |FROM ecc ec JOIN md ON md.grp = ec.grp
-      |GROUP BY ec.grp, md.mean_distance""",
+      |GROUP BY ec.grp, md.mean_distance""".stripMargin,
     "per-group diameter/radius/mean-distance, recursive-CTE-oracled (SURVEY G4)") { (s, d) =>
     battery(s, d).select(col("group").as("grp"),
       col("diameter").cast("long").as("diameter"),
@@ -306,34 +340,16 @@ object AnalyticsQueries {
   /** G8 — per-vertex closeness, hash-oracled. The kernel's value is
     * reachableCount.toDouble / Σdist (LocalGraph.closeness): both
     * terms are exact integers and the single IEEE division is
-    * bit-identical across engines, so the recursive-CTE BFS (q74's
-    * walk, depth-capped at 64 > 2× the sf0.01 diameter) reproduces it
-    * exactly — no rounding needed. Spark side is a projection of the
-    * memoized vertex battery shared with q59. */
+    * bit-identical across engines, so [[bfsDistOracle]]'s chained
+    * two-frontier BFS reproduces it exactly — no rounding needed.
+    * Spark side is a projection of the memoized vertex battery shared
+    * with q59. */
   val q76 = QuerySpec.sql(
     "q76_vertex_closeness",
-    """WITH RECURSIVE e AS (
-      |  SELECT n_name AS grp, CAST(l_suppkey AS BIGINT) AS src,
-      |         CAST(o_custkey + 1000000 AS BIGINT) AS dst
-      |  FROM lineitem
-      |  JOIN orders ON l_orderkey = o_orderkey
-      |  JOIN customer ON o_custkey = c_custkey
-      |  JOIN nation ON c_nationkey = n_nationkey
-      |  WHERE l_quantity >= 49
-      |  GROUP BY 1, 2, 3),
-      |sym AS (SELECT grp, src AS a, dst AS b FROM e
-      |        UNION SELECT grp, dst AS a, src AS b FROM e),
-      |nodes AS (SELECT DISTINCT grp, a AS node FROM sym),
-      |walk AS (
-      |  SELECT grp, node AS root, node, 0 AS d FROM nodes
-      |  UNION
-      |  SELECT w.grp, w.root, s.b AS node, w.d + 1 AS d
-      |  FROM walk w JOIN sym s ON s.grp = w.grp AND s.a = w.node
-      |  WHERE w.d < 64),
-      |dist AS (SELECT grp, root, node, min(d) AS d FROM walk GROUP BY 1, 2, 3)
+    bfsDistOracle(levels = 64, castBig = true) + """
       |SELECT grp, root AS node,
       |       CAST(count(*) AS DOUBLE) / CAST(sum(d) AS DOUBLE) AS closeness
-      |FROM dist WHERE d > 0 GROUP BY grp, root""",
+      |FROM dist WHERE d > 0 GROUP BY grp, root""".stripMargin,
     "per-vertex closeness, recursive-CTE-oracled (SURVEY G8)") { (s, d) =>
     vertexBattery(s, d).select(col("group").as("grp"),
       col("id").cast("long").as("node"), col("closeness"))
@@ -345,32 +361,14 @@ object AnalyticsQueries {
     * point anywhere (LocalGraph.harmonicScaled scaladoc). Defined —
     * unlike closeness — on disconnected graphs, which is why modern
     * surveys prefer it. Spark side is the same memoized vertex
-    * battery as q59/q76; oracle is q76's recursive-CTE walk with the
-    * integer-reciprocal aggregate. */
+    * battery as q59/q76; oracle is q76's chained BFS distance table
+    * with the integer-reciprocal aggregate. */
   val q212 = QuerySpec.sql(
     "q212_vertex_harmonic",
-    """WITH RECURSIVE e AS (
-      |  SELECT n_name AS grp, CAST(l_suppkey AS BIGINT) AS src,
-      |         CAST(o_custkey + 1000000 AS BIGINT) AS dst
-      |  FROM lineitem
-      |  JOIN orders ON l_orderkey = o_orderkey
-      |  JOIN customer ON o_custkey = c_custkey
-      |  JOIN nation ON c_nationkey = n_nationkey
-      |  WHERE l_quantity >= 49
-      |  GROUP BY 1, 2, 3),
-      |sym AS (SELECT grp, src AS a, dst AS b FROM e
-      |        UNION SELECT grp, dst AS a, src AS b FROM e),
-      |nodes AS (SELECT DISTINCT grp, a AS node FROM sym),
-      |walk AS (
-      |  SELECT grp, node AS root, node, 0 AS d FROM nodes
-      |  UNION
-      |  SELECT w.grp, w.root, s.b AS node, w.d + 1 AS d
-      |  FROM walk w JOIN sym s ON s.grp = w.grp AND s.a = w.node
-      |  WHERE w.d < 64),
-      |dist AS (SELECT grp, root, node, min(d) AS d FROM walk GROUP BY 1, 2, 3)
+    bfsDistOracle(levels = 64, castBig = true) + """
       |SELECT grp, root AS node,
       |       CAST(sum(720720 // d) AS BIGINT) AS harmonic_scaled
-      |FROM dist WHERE d > 0 GROUP BY grp, root""",
+      |FROM dist WHERE d > 0 GROUP BY grp, root""".stripMargin,
     "per-vertex harmonic centrality, integer-exact, recursive-CTE-oracled") { (s, d) =>
     vertexBattery(s, d).select(col("group").as("grp"),
       col("id").cast("long").as("node"), col("harmonic_scaled"))
@@ -649,37 +647,19 @@ object AnalyticsQueries {
   }
 
   /** G4 (per-vertex slice) + harmonic centrality — both exact off the
-    * same depth-capped recursive-CTE distance table as q74/q76:
+    * same chained two-frontier BFS distance table as q74/q76:
     * eccentricity is an integer max, harmonic sums per-distance
     * ⌊1e6/d + 0.5⌋ scaled BIGINTs (order-independent). Harmonic is
     * the disconnected-robust closeness variant, a
     * beyond-the-reference G-family extension. */
   val q100 = QuerySpec.sql(
     "q100_harmonic_ecc",
-    """WITH RECURSIVE e AS (
-      |  SELECT n_name AS grp, CAST(l_suppkey AS BIGINT) AS src,
-      |         CAST(o_custkey + 1000000 AS BIGINT) AS dst
-      |  FROM lineitem
-      |  JOIN orders ON l_orderkey = o_orderkey
-      |  JOIN customer ON o_custkey = c_custkey
-      |  JOIN nation ON c_nationkey = n_nationkey
-      |  WHERE l_quantity >= 49
-      |  GROUP BY 1, 2, 3),
-      |sym AS (SELECT grp, src AS a, dst AS b FROM e
-      |        UNION SELECT grp, dst AS a, src AS b FROM e),
-      |nodes AS (SELECT DISTINCT grp, a AS node FROM sym),
-      |walk AS (
-      |  SELECT grp, node AS root, node, 0 AS d FROM nodes
-      |  UNION
-      |  SELECT w.grp, w.root, s.b AS node, w.d + 1 AS d
-      |  FROM walk w JOIN sym s ON s.grp = w.grp AND s.a = w.node
-      |  WHERE w.d < 64),
-      |dist AS (SELECT grp, root, node, min(d) AS d FROM walk GROUP BY 1, 2, 3)
+    bfsDistOracle(levels = 64, castBig = true) + """
       |SELECT grp, root AS node,
       |       CAST(max(d) AS BIGINT) AS ecc,
       |       CAST(sum(CAST(floor(CAST(1000000 AS DOUBLE) / d + 0.5) AS BIGINT)) AS BIGINT)
       |         AS harmonic_scaled
-      |FROM dist WHERE d > 0 GROUP BY grp, root""",
+      |FROM dist WHERE d > 0 GROUP BY grp, root""".stripMargin,
     "per-vertex eccentricity + exact harmonic centrality (SURVEY G4+)") { (s, d) =>
     GraphAnalytics.harmonicEccExact(
       groupEdges(s, d).select(col("group"), col("src"), col("dst")), maxDepth = 64)
