@@ -179,14 +179,31 @@ object AnnIndex {
       .write.partitionBy("cid").mode("overwrite").parquet(tmp)
     val root = new org.apache.hadoop.fs.Path(codesPath(dir))
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // swap via a RENAME-ASIDE, never a delete-then-rename: the r10
+    // advice's failure window (crash or failed rename between deleting
+    // the live list and installing the rewrite) would silently drop a
+    // whole inverted list. Here nothing is destroyed until every swap
+    // committed — a crash mid-loop leaves the displaced originals
+    // under codes_trash/ (recovery: rename them back), and every
+    // rename's result is require()d so a failed swap aborts loudly
+    // instead of half-applying.
+    val trash = new org.apache.hadoop.fs.Path(s"$dir/codes_trash")
+    fs.delete(trash, true)
+    fs.mkdirs(trash)
     affected.foreach { cid =>
       val live = new org.apache.hadoop.fs.Path(root, s"cid=$cid")
       val fresh = new org.apache.hadoop.fs.Path(tmp, s"cid=$cid")
-      fs.delete(live, true)
+      require(fs.rename(live, new org.apache.hadoop.fs.Path(trash, s"cid=$cid")),
+        s"could not move inverted list cid=$cid aside — delete aborted " +
+          "with the index intact")
       // a fully-deleted list has no rewritten dir — dropping it whole
-      if (fs.exists(fresh)) fs.rename(fresh, live)
+      if (fs.exists(fresh))
+        require(fs.rename(fresh, live),
+          s"could not install rewritten list cid=$cid — its original is " +
+            s"preserved at $trash/cid=$cid; rename it back to recover")
     }
     fs.delete(new org.apache.hadoop.fs.Path(tmp), true)
+    fs.delete(trash, true)
   }
 
   /** The model tables — tiny by construction (centroids + codebook +

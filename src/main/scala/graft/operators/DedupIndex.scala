@@ -141,6 +141,26 @@ object DedupIndex {
   def append(tok: DataFrame, dir: String): Unit = {
     val spark = tok.sparkSession
     import spark.implicits._
+    // a tombstoned id that re-appears in a batch would be silently
+    // suppressed from every probe until compact() (probe anti-joins on
+    // doc_id alone) — appended-but-invisible. Reviving it here would
+    // mean REWRITING the tombstone table, breaking append's pure-file-
+    // ADDITION contract (the streaming undo log rolls a crashed batch
+    // back by deleting files not in its inventory; it cannot restore a
+    // rewritten table). So re-ingesting a taken-down id is a loud
+    // error: compact() first (physically removes the doc and retires
+    // its tombstone) or ingest under a fresh id (round-10 advice).
+    val tsP = new org.apache.hadoop.fs.Path(tombstonesPath(dir))
+    if (tsP.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(tsP)) {
+      val revived = tok.select(col("doc_id").cast("long").as("doc_id"))
+        .distinct()
+        .join(broadcast(tombstones(spark, dir)), Seq("doc_id"))
+        .limit(5).collect().map(_.getLong(0))
+      require(revived.isEmpty,
+        s"batch re-ingests tombstoned doc ids ${revived.mkString(", ")}" +
+          " — compact() the index first or assign fresh ids (tombstones" +
+          " suppress these ids from probes until compaction)")
+    }
     val meta = readMeta(spark, dir)
     meta.kind match {
       case "dense" =>
@@ -259,7 +279,9 @@ object DedupIndex {
     * doc (IndexDeleteSpec pins probe-after-delete == probe of an
     * index built WITHOUT the deleted docs — the prefix lemma holds
     * under any frozen order, and verification is exact either way).
-    * Physical reclamation is [[compact]]'s job. */
+    * Physical reclamation is [[compact]]'s job. A deleted doc_id must
+    * NOT be re-ingested before compaction — [[append]] rejects it
+    * loudly (the tombstone would keep suppressing the new doc). */
   def delete(spark: SparkSession, dir: String, ids: DataFrame): Unit =
     ids.select(col(ids.columns.head).cast("long").as("doc_id"))
       .distinct().coalesce(1)

@@ -348,13 +348,16 @@ object Corpus {
   /** MinHash signatures — deterministic xxhash64 family with no
     * ANSI-SQL form, so the oracle PINS the exact signatures
     * ([[PinnedOracles.q36]]; bit-stability re-verified across three
-    * independent drives before pinning, round-10). Pinned on the
-    * doc_id < 60 prefix — every doc's signature is still covered
-    * through the pinned q37/q42/q43 answer sets, which derive from
-    * ALL signatures. The gate projection stringifies the signature:
-    * the driver's row canonicalizer sorts all columns and cannot sort
-    * array cells (round-1 q36 err). The array form stays internal for
-    * q37/q42. */
+    * independent drives before pinning, round-10). DISCLOSED SUBSET
+    * (round-10 advice): this gate pins only the doc_id < 60 prefix
+    * per-doc; direct coverage of EVERY doc's signature — including
+    * docs with no LSH candidate match, which q37/q42/q43's pinned
+    * pair/cluster sets cannot see — is [[q270]]'s full-table
+    * per-position digest. Any cross-round timing delta on q36 should
+    * note its workload is the 60-doc prefix, not the table. The gate
+    * projection stringifies the signature: the driver's row
+    * canonicalizer sorts all columns and cannot sort array cells
+    * (round-1 q36 err). The array form stays internal for q37/q42. */
   val q36 = QuerySpec.sql(
     "q36_minhash_signatures",
     PinnedOracles.q36,
@@ -363,6 +366,28 @@ object Corpus {
         Tables.documents(s, d).where(col("doc_id") < 60),
         "doc_id", "text", numHashes = 16)
       .select(col("doc_id"), concat_ws(",", col("signature")).as("signature"))
+  }
+
+  /** Full-table MinHash signature digest — the direct every-doc check
+    * the q36 prefix pin lacks (round-10 advice: a doc with no LSH
+    * band collision never reaches the q37/q42/q43 answer sets, so its
+    * signature had no direct gate). Per signature POSITION: doc
+    * count, bit_xor of all 500 docs' hash values, min, max — all
+    * BIGINTs, order/partition-independent (xor and min/max are
+    * commutative), so a bit flip in ANY doc's signature at any
+    * position flips this pin. 16 rows regardless of corpus size —
+    * the digest aggregates map-side; at 100 TB it is a narrow
+    * scan + one 16-group combine. */
+  val q270 = QuerySpec.sql(
+    "q270_minhash_full_digest",
+    PinnedOracles.q270,
+    "every-doc MinHash signature digest per position (dedup)") { (s, d) =>
+    Dedup.minhashSignaturesNarrow(
+        Tables.documents(s, d), "doc_id", "text", numHashes = 16)
+      .select(posexplode(col("signature")).as(Seq("pos", "h")))
+      .groupBy(col("pos").cast("long").as("pos"))
+      .agg(count(lit(1)).as("n_docs"), expr("bit_xor(h)").as("xor_h"),
+        min(col("h")).as("min_h"), max(col("h")).as("max_h"))
   }
 
   /** MinHash-LSH candidate near-dup pairs (band blocking) — pinned
@@ -3124,7 +3149,7 @@ object Corpus {
   }
 
   val all: Seq[QuerySpec] =
-    Seq(q30, q31, q89, q32, q33, q34, q35, q36, q37, q38, q39, q40, q41, q42,
+    Seq(q30, q31, q89, q32, q33, q34, q35, q36, q270, q37, q38, q39, q40, q41, q42,
       q43, q77, q78, q83, q91, q92, q93, q97, q103, q112, q113, q114, q116,
       q139, q140, q141, q144, q147, q148, q149, q150, q153, q154, q155, q157,
       q158, q159, q161, q163, q164, q166, q173, q174, q184, q185, q187, q192,

@@ -463,8 +463,13 @@ object StreamOps {
     val fs = root.getFileSystem(sp.sparkContext.hadoopConfiguration)
     val pend = new org.apache.hadoop.fs.Path(root, s"pending/batch-$batchId")
     if (fs.exists(pend)) {
-      val keep = scala.io.Source.fromInputStream(fs.open(pend), "UTF-8")
-        .getLines().toSet
+      // close the undo-log stream explicitly: on HDFS/object-store
+      // filesystems an unclosed FSDataInputStream holds a connection
+      // per crash recovery (round-10 advice)
+      val in = fs.open(pend)
+      val keep =
+        try scala.io.Source.fromInputStream(in, "UTF-8").getLines().toSet
+        finally in.close()
       (indexInventory(fs, root) -- keep)
         .foreach(r => fs.delete(new org.apache.hadoop.fs.Path(root, r), false))
     }

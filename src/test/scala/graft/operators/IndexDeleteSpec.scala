@@ -129,6 +129,17 @@ class IndexDeleteSpec extends SparkSpec {
     assert(after == want, s"$tag: delete != never-indexed twin")
     assert(after.forall(p => !tIds.contains(p._2)))
     assert(before != after, s"$tag: vacuous — tombstones matched nothing")
+    // re-ingesting a tombstoned id before compaction is a LOUD error
+    // (the tombstone would keep suppressing the new doc from every
+    // probe — appended-but-invisible, round-10 advice), and the
+    // rejected append must leave the index unchanged
+    val revived = intercept[IllegalArgumentException] {
+      DedupIndex.append(batch(5, 300 until 305, vocabSize, 12)
+        .union(b1.filter(col("doc_id") === tIds.head)), dir)
+    }
+    assert(revived.getMessage.contains("tombstoned"), revived.getMessage)
+    assert(pairsOf(DedupIndex.probe(probeB, dir, 0.3)) == after,
+      s"$tag: rejected append mutated the index")
     // compact: physical reclamation, identical answers, state cleared
     val storedTable = if (expectKind == "dense") "masks" else "docs"
     val storedBefore = spark.read.parquet(s"$dir/$storedTable").count()
