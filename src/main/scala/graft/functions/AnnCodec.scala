@@ -68,6 +68,144 @@ object AnnCodec {
     ColumnBridge.column(NearestCentroidCosine(ColumnBridge.expression(v),
       cents.map(_._1), cents.map(_._2)))
   }
+
+  /** Column form: the n nearest centroids by COSINE, descending score
+    * with ties → SMALLER cid — the array order of
+    * `slice(array_sort(transform(centroidsLit, struct(-cosine, cid))), 1, n)
+    * .getField("cid")`, the query-side nProbe expansion this kernel
+    * fuses ([[graft.operators.Similarity.ivfTopK]]). */
+  def topNCentroidsCosine(v: Column, cents: Array[(Int, Array[Double])],
+      n: Int): Column = {
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    ColumnBridge.column(TopNCentroidsCosine(ColumnBridge.expression(v),
+      cents.map(_._1), cents.map(_._2), n))
+  }
+
+  /** Column form: the n nearest centroids by exact scaled L2,
+    * ascending distance with ties → SMALLER cid — the array order of
+    * `slice(array_sort(transform(centroidsLit, struct(intL2, cid))), 1, n)
+    * .getField("cid")` ([[graft.operators.AnnIndex.probe]]'s
+    * query-side ranking). */
+  def topNCentroidsL2(v: Column, cents: Array[(Int, Array[Double])],
+      n: Int): Column = {
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    ColumnBridge.column(TopNCentroidsL2(ColumnBridge.expression(v),
+      cents.map(_._1), cents.map(_._2), n))
+  }
+
+  /** `array_sort`'s double ordering exactly
+    * (SQLOrderingUtil.compareDoubles): +0.0 and -0.0 compare EQUAL
+    * (`x == y` first), NaN sorts greatest — `java.lang.Double.compare`
+    * alone would order -0.0 < 0.0 and break struct ties differently. */
+  private def cmpD(a: Double, b: Double): Int =
+    if (a == b) 0 else java.lang.Double.compare(a, b)
+
+  /** Bounded insertion select: the min(n, |key|) entries in
+    * (key asc, cid asc) order — the exact prefix `array_sort` of the
+    * full (key, cid) struct array would produce. One pass, O(nc·n)
+    * on model-sized arrays. */
+  private def selectTopN(key: Array[Double], cids: Array[Int],
+      n: Int): Array[Int] = {
+    val k = math.min(n, key.length)
+    val bk = new Array[Double](k); val bc = new Array[Int](k)
+    var size = 0
+    var c = 0
+    while (c < key.length) {
+      val better = size < k || {
+        val cmp = cmpD(key(c), bk(size - 1))
+        cmp < 0 || (cmp == 0 && cids(c) < bc(size - 1))
+      }
+      if (better) {
+        var pos = if (size < k) size else k - 1
+        while (pos > 0 && {
+          val cmp = cmpD(key(c), bk(pos - 1))
+          cmp < 0 || (cmp == 0 && cids(c) < bc(pos - 1))
+        }) { bk(pos) = bk(pos - 1); bc(pos) = bc(pos - 1); pos -= 1 }
+        bk(pos) = key(c); bc(pos) = cids(c)
+        if (size < k) size += 1
+      }
+      c += 1
+    }
+    if (size == k) bc else java.util.Arrays.copyOf(bc, size)
+  }
+
+  /** Per-row body of [[TopNCentroidsCosine]] — public static so both
+    * the interpreted eval and the generated code call the SAME
+    * bytes (bit-equality between paths by construction). The sort key
+    * is the NEGATED cosine (matching the composed form's `-cosine`
+    * struct field, including its -0.0 for a +0.0 score — harmless
+    * under [[cmpD]], which treats them equal). */
+  def topNCosine(v: ArrayData, cents: Array[Array[Double]],
+      cids: Array[Int], n: Int): ArrayData = {
+    val neg = new Array[Double](cents.length)
+    var c = 0
+    while (c < cents.length) {
+      val cv = cents(c)
+      val m = math.min(v.numElements(), cv.length)
+      var dot = 0.0; var na = 0.0; var nb = 0.0
+      var i = 0
+      while (i < m) {
+        val x = v.getDouble(i); val y = cv(i)
+        dot += x * y; na += x * x; nb += y * y
+        i += 1
+      }
+      val denom = math.sqrt(na) * math.sqrt(nb)
+      neg(c) = -(if (denom == 0.0) 0.0 else dot / denom)
+      c += 1
+    }
+    new GenericArrayData(selectTopN(neg, cids, n))
+  }
+
+  /** [[selectTopN]] with exact LONG keys (intL2 distances can exceed
+    * 2^53 on large-magnitude vectors, where a double key would lose
+    * the composed form's exact struct ordering). */
+  private def selectTopNL(key: Array[Long], cids: Array[Int],
+      n: Int): Array[Int] = {
+    val k = math.min(n, key.length)
+    val bk = new Array[Long](k); val bc = new Array[Int](k)
+    var size = 0
+    var c = 0
+    while (c < key.length) {
+      val better = size < k ||
+        key(c) < bk(size - 1) ||
+        (key(c) == bk(size - 1) && cids(c) < bc(size - 1))
+      if (better) {
+        var pos = if (size < k) size else k - 1
+        while (pos > 0 && (key(c) < bk(pos - 1) ||
+            (key(c) == bk(pos - 1) && cids(c) < bc(pos - 1)))) {
+          bk(pos) = bk(pos - 1); bc(pos) = bc(pos - 1); pos -= 1
+        }
+        bk(pos) = key(c); bc(pos) = cids(c)
+        if (size < k) size += 1
+      }
+      c += 1
+    }
+    if (size == k) bc else java.util.Arrays.copyOf(bc, size)
+  }
+
+  /** Per-row body of [[TopNCentroidsL2]]: exact scaled-integer L2
+    * per centroid (the [[graft.operators.Similarity.intL2]]
+    * arithmetic — both sides element-rounded via [[roundScaled]],
+    * diffs squared and summed as longs), then the bounded select
+    * over exact long keys. */
+  def topNL2(v: ArrayData, scaledCents: Array[Array[Long]],
+      cids: Array[Int], n: Int): ArrayData = {
+    val dim = v.numElements()
+    val q = new Array[Long](dim)
+    var i = 0
+    while (i < dim) { q(i) = roundScaled(v.getDouble(i)); i += 1 }
+    val key = new Array[Long](scaledCents.length)
+    var c = 0
+    while (c < scaledCents.length) {
+      val cv = scaledCents(c)
+      val m = math.min(dim, cv.length)
+      var d = 0L; var j = 0
+      while (j < m) { val t = q(j) - cv(j); d += t * t; j += 1 }
+      key(c) = d
+      c += 1
+    }
+    new GenericArrayData(selectTopNL(key, cids, n))
+  }
 }
 
 /** int cid — the nearest centroid by cosine similarity, fused.
@@ -263,6 +401,94 @@ case class NearestCentroidL2(child: Expression, cids: Array[Int],
          |  new Object[] { (Object) java.lang.Integer.valueOf($bc),
          |    (Object) new org.apache.spark.sql.catalyst.util.GenericArrayData($rv) });
        """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** array<int> — the n nearest centroids of an array<double> vector by
+  * cosine, descending score, ties → SMALLER cid. Bit-identical to the
+  * composed query-side nProbe expansion it fuses
+  * (`slice(array_sort(transform(centroidsLit, struct(-cosine(v, c.vec),
+  * c.cid))), 1, n).getField("cid")` —
+  * [[graft.operators.Similarity.topNCentroidsCosineComposed]]): the
+  * per-centroid cosine is [[CosineSim]]'s exact accumulation order,
+  * the sort key is the same NEGATED score, and the comparator is
+  * array_sort's double ordering (+0.0 == -0.0, NaN greatest). The
+  * composed form evaluated nCentroids interpreted lambda calls plus a
+  * full struct-array sort PER QUERY ROW — the last interpreted HOF in
+  * the ANN hot path (round-10 verdict ask #1); this is one codegen'd
+  * static call. Interpreted eval and generated code share the same
+  * [[AnnCodec.topNCosine]] body, so the two paths cannot diverge. */
+case class TopNCentroidsCosine(child: Expression, cids: Array[Int],
+    cents: Array[Array[Double]], n: Int) extends UnaryExpression {
+
+  override def dataType: DataType =
+    ArrayType(IntegerType, containsNull = false)
+  override def prettyName: String = "top_n_centroids_cosine"
+
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+    child.dataType match {
+      case ArrayType(DoubleType, _) => TypeCheckResult.TypeCheckSuccess
+      case t => TypeCheckResult.TypeCheckFailure(
+        s"top_n_centroids_cosine expects array<double>, got $t")
+    }
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    AnnCodec.topNCosine(input.asInstanceOf[ArrayData], cents, cids, n)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, v => {
+      val rc = ctx.addReferenceObj("rawCents", cents, "double[][]")
+      val ids = ctx.addReferenceObj("cids", cids, "int[]")
+      s"${ev.value} = graft.functions.AnnCodec.topNCosine($v, $rc, $ids, $n);"
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** array<int> — the n nearest centroids by exact scaled-integer L2,
+  * ascending distance, ties → SMALLER cid. Bit-identical to
+  * `slice(array_sort(transform(centroidsLit, struct(intL2(v, c.vec),
+  * c.cid))), 1, n).getField("cid")`
+  * ([[graft.operators.AnnIndex.topNByL2Composed]], the persisted
+  * index's query-side ranking) — same per-element [[AnnCodec
+  * .roundScaled]] scaling, exact long distances, same tie order.
+  * Shares its body ([[AnnCodec.topNL2]]) between interpreted eval and
+  * codegen. */
+case class TopNCentroidsL2(child: Expression, cids: Array[Int],
+    cents: Array[Array[Double]], n: Int) extends UnaryExpression {
+
+  @transient private lazy val scaled: Array[Array[Long]] =
+    cents.map(AnnCodec.scaledVec)
+
+  override def dataType: DataType =
+    ArrayType(IntegerType, containsNull = false)
+  override def prettyName: String = "top_n_centroids_l2"
+
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+    child.dataType match {
+      case ArrayType(DoubleType, _) => TypeCheckResult.TypeCheckSuccess
+      case t => TypeCheckResult.TypeCheckFailure(
+        s"top_n_centroids_l2 expects array<double>, got $t")
+    }
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    AnnCodec.topNL2(input.asInstanceOf[ArrayData], scaled, cids, n)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, v => {
+      val sc = ctx.addReferenceObj("scaledCents", scaled, "long[][]")
+      val ids = ctx.addReferenceObj("cids", cids, "int[]")
+      s"${ev.value} = graft.functions.AnnCodec.topNL2($v, $sc, $ids, $n);"
     })
 
   override protected def withNewChildInternal(newChild: Expression): Expression =

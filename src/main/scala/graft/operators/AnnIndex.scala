@@ -78,6 +78,16 @@ object AnnIndex {
       .select(col("vid"), col("b.cid").as("cid"))
   }
 
+  /** The composed query-side top-nProbe ranking [[probe]] fused away
+    * (round-10 verdict ask #1) — law twin, pinned bit-identical
+    * (including tie order) against
+    * [[graft.functions.TopNCentroidsL2]] in AnnCodecSpec. */
+  private[graft] def topNByL2Composed(v: Column,
+      cents: Array[(Int, Array[Double])], n: Int): Column =
+    slice(array_sort(transform(Similarity.centroidsLit(cents),
+      c => struct(intL2(v, c.getField("vec")).as("d"),
+        c.getField("cid").as("cid")))), 1, n).getField("cid")
+
   private[graft] def centroidsDf(spark: SparkSession,
       cents: Array[(Int, Array[Double])]): DataFrame = {
     import spark.implicits._
@@ -240,12 +250,13 @@ object AnnIndex {
     val q = queries.select(col(idCol).as("query_id"),
       asDouble(col(vecCol)).as("qv"))
     // per-query probed lists (queries are small by contract; the
-    // collected cid set sizes the partition filter, not the data)
+    // collected cid set sizes the partition filter, not the data).
+    // Fused arg-top-N kernel (graft.functions.TopNCentroidsL2) — the
+    // composed slice(array_sort(transform(...))) twin it replaced
+    // ([[topNByL2Composed]]) is pinned bit-identical in AnnCodecSpec
     val probes = broadcast(q.select(col("query_id"), col("qv"),
-      explode(slice(array_sort(transform(Similarity.centroidsLit(cents),
-        c => struct(intL2(col("qv"), c.getField("vec")).as("d"),
-          c.getField("cid").as("cid")))), 1, nProbe).getField("cid"))
-        .as("cid")))
+      explode(graft.functions.AnnCodec.topNCentroidsL2(
+        col("qv"), cents, nProbe)).as("cid")))
     val probedCids = probes.select("cid").distinct()
       .collect().map(_.getInt(0)).sorted
     val codes = spark.read.parquet(codesPath(dir))

@@ -97,6 +97,55 @@ class AnnCodecSpec extends SparkSpec {
     assert(native(11L) == 1, "identical-centroid tie must break to smallest cid")
   }
 
+  test("fused arg-top-N ≡ composed slice(array_sort(transform(...))) — cosine and L2, all n, tie order") {
+    val cs = cents
+    val v = Similarity.asDouble(col("embedding"))
+    def arrays(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => r.getLong(0) -> r.getSeq[Int](1).toList).toMap
+    // n below / at / above the centroid count — slice caps at length,
+    // the kernel must cap identically
+    for (n <- Seq(1, 3, cs.length, cs.length + 5)) {
+      val fusedCos = arrays(emb.select(col("vec_id"),
+        AnnCodec.topNCentroidsCosine(v, cs, n).as("a")))
+      val composedCos = arrays(emb.select(col("vec_id"),
+        Similarity.topNCentroidsCosineComposed(v, cs, n).as("a")))
+      assert(fusedCos == composedCos, s"cosine top-$n diverged")
+      val fusedL2 = arrays(emb.select(col("vec_id"),
+        AnnCodec.topNCentroidsL2(v, cs, n).as("a")))
+      val composedL2 = arrays(emb.select(col("vec_id"),
+        AnnIndex.topNByL2Composed(v, cs, n).as("a")))
+      assert(fusedL2 == composedL2, s"L2 top-$n diverged")
+      assert(fusedCos.head._2.size == math.min(n, cs.length))
+    }
+    // tie fixtures: duplicate centroids under out-of-order cids must
+    // order ties cid-ascending, exactly like the struct sort; the
+    // equidistant probe (10) ties ALL distances/scores
+    import spark.implicits._
+    val tieCents = Array(3 -> Array(1.0, 0.0), 1 -> Array(1.0, 0.0),
+      2 -> Array(-1.0, 0.0))
+    val probes = Seq((10L, Seq(0.0f, 0.0f)), (11L, Seq(2.0f, 0.0f)))
+      .toDF("vec_id", "embedding")
+    val pv = Similarity.asDouble(col("embedding"))
+    for (n <- Seq(1, 2, 3)) {
+      val f = arrays(probes.select(col("vec_id"),
+        AnnCodec.topNCentroidsCosine(pv, tieCents, n).as("a")))
+      val cT = arrays(probes.select(col("vec_id"),
+        Similarity.topNCentroidsCosineComposed(pv, tieCents, n).as("a")))
+      assert(f == cT, s"cosine tie top-$n diverged")
+      val fL = arrays(probes.select(col("vec_id"),
+        AnnCodec.topNCentroidsL2(pv, tieCents, n).as("a")))
+      val cL = arrays(probes.select(col("vec_id"),
+        AnnIndex.topNByL2Composed(pv, tieCents, n).as("a")))
+      assert(fL == cL, s"L2 tie top-$n diverged")
+    }
+    // the zero vector scores 0.0 against everything (CosineSim's
+    // zero-denominator guard) → the full ranking is the cid order
+    val zeroTop = arrays(probes.where(col("vec_id") === 10)
+      .select(col("vec_id"),
+        AnnCodec.topNCentroidsCosine(pv, tieCents, 3).as("a")))(10L)
+    assert(zeroTop == List(1, 2, 3), s"all-tied ranking must be cid asc: $zeroTop")
+  }
+
   test("native PQ codes ≡ relational pqEncode, ties to smallest code; dim hint changes nothing") {
     val c = emb.select(col("vec_id").as("vid"),
       Similarity.asDouble(col("embedding")).as("v"))
