@@ -1182,8 +1182,10 @@ object Corpus {
       nProbe = 16, k = 5, shortlist = 100)
   }
 
-  val q250 = QuerySpec.sql(
-    "q250_ann_index",
+  /** q250's pinned probe answer set, shared with q272: a STREAM-built
+    * index over the same splits (build on odds, append evens >= 20)
+    * must answer the same probe bit-identically. */
+  private val q250Pin: String =
     """SELECT * FROM (VALUES
       |  (CAST(0 AS BIGINT),CAST(1 AS BIGINT),CAST(165 AS BIGINT),CAST(1024928806825 AS BIGINT)),(CAST(0 AS BIGINT),CAST(2 AS BIGINT),CAST(374 AS BIGINT),CAST(1047362433970 AS BIGINT)),
       |  (CAST(0 AS BIGINT),CAST(3 AS BIGINT),CAST(364 AS BIGINT),CAST(1060282506242 AS BIGINT)),(CAST(0 AS BIGINT),CAST(4 AS BIGINT),CAST(391 AS BIGINT),CAST(1076911735850 AS BIGINT)),
@@ -1210,7 +1212,11 @@ object Corpus {
       |  (CAST(16 AS BIGINT),CAST(5 AS BIGINT),CAST(161 AS BIGINT),CAST(1121761188893 AS BIGINT)),(CAST(18 AS BIGINT),CAST(1 AS BIGINT),CAST(356 AS BIGINT),CAST(984044019143 AS BIGINT)),
       |  (CAST(18 AS BIGINT),CAST(2 AS BIGINT),CAST(495 AS BIGINT),CAST(1063436914365 AS BIGINT)),(CAST(18 AS BIGINT),CAST(3 AS BIGINT),CAST(255 AS BIGINT),CAST(1084940330101 AS BIGINT)),
       |  (CAST(18 AS BIGINT),CAST(4 AS BIGINT),CAST(152 AS BIGINT),CAST(1112403802581 AS BIGINT)),(CAST(18 AS BIGINT),CAST(5 AS BIGINT),CAST(183 AS BIGINT),CAST(1113101588818 AS BIGINT))
-      |) AS t(query_id, rank, neighbor_id, adc_dist)""",
+      |) AS t(query_id, rank, neighbor_id, adc_dist)""".stripMargin
+
+  val q250 = QuerySpec.sql(
+    "q250_ann_index",
+    q250Pin,
     "persisted IVF-PQ ANN index: build + append + partition-pruned ADC probe") { (s, d) =>
     val dir = sharedAnnIndex(s, d)
     val emb = Tables.embeddings(s, d)
@@ -1218,6 +1224,46 @@ object Corpus {
     graft.operators.AnnIndex.probe(
       emb.where(m2 === 0 && col("vec_id") < 20),
       "vec_id", "embedding", dir, nProbe = 4, k = 5)
+  }
+
+  /** The q250 pipeline rebuilt END TO END by the real streaming
+    * engine ([[graft.streaming.StreamOps.runAnnIngestStream]],
+    * round-10 verdict ask #2): file 1 = odd vec_ids (micro-batch 0
+    * BUILDS the index), file 2 = evens ≥ 20 (batch 1 encodes under
+    * the FROZEN model and appends) — exactly sharedAnnIndex's splits,
+    * so the stream-built index must answer q250's probe with q250's
+    * exact pinned answer set (training is deterministic in the batch
+    * content; append never retrains — bit-identical model by
+    * construction, which is the strongest statement of stream ≡
+    * batch). Exactly-once machinery (checkpoint WAL + marker + undo
+    * log) runs for real; the restart and crash-mid-batch replay laws
+    * live in StreamAnnIngestSpec. */
+  val q272 = QuerySpec.sql(
+    "q272_ann_stream_ingest",
+    q250Pin,
+    "streaming ANN ingest: stream-built index ≡ batch-built, exactly-once (ANN)") { (s, d) =>
+    val base = java.nio.file.Files.createTempDirectory("graft-q272").toString
+    val src = new java.io.File(base, "src"); src.mkdirs()
+    val emb = Tables.embeddings(s, d)
+    val m2 = pmod(col("vec_id"), lit(2))
+    Seq(emb.where(m2 === 1),
+        emb.where(m2 === 0 && col("vec_id") >= 20))
+      .zipWithIndex.foreach { case (df, b) =>
+        val tmp = s"$base/tmp$b"
+        df.coalesce(1).write.parquet(tmp)
+        val part = new java.io.File(tmp).listFiles()
+          .find(_.getName.endsWith(".parquet")).get
+        val dst = new java.io.File(src, f"b$b%02d.parquet")
+        java.nio.file.Files.move(part.toPath, dst.toPath)
+        // ascending mtimes pin the micro-batch order (the q260 idiom)
+        dst.setLastModified(1700000000000L + b * 60000L)
+      }
+    graft.streaming.StreamOps.runAnnIngestStream(s, src.toString,
+      s"$base/idx", s"$base/ckpt", "vec_id", "embedding",
+      nCentroids = 16, m = 8, k = 16)
+    graft.operators.AnnIndex.probe(
+      emb.where(m2 === 0 && col("vec_id") < 20),
+      "vec_id", "embedding", s"$base/idx", nProbe = 4, k = 5)
   }
 
   /** Equi-depth feature discretization over the q247 histogram
@@ -3214,5 +3260,5 @@ object Corpus {
       // follows it, and the takedown gates measured 2× their isolated
       // cost when they trailed it
       q244, q245, q246, q247, q248, q249, q250, q254, q269, q267, q268, q271,
-      q256, q257, q258, q259, q260, q261, q262, q264)
+      q256, q257, q258, q259, q260, q272, q261, q262, q264)
 }
