@@ -1214,6 +1214,36 @@ object Corpus {
       |  (CAST(18 AS BIGINT),CAST(4 AS BIGINT),CAST(152 AS BIGINT),CAST(1112403802581 AS BIGINT)),(CAST(18 AS BIGINT),CAST(5 AS BIGINT),CAST(183 AS BIGINT),CAST(1113101588818 AS BIGINT))
       |) AS t(query_id, rank, neighbor_id, adc_dist)""".stripMargin
 
+  /** Drift monitor for the frozen-model index ([[graft.operators
+    * .AnnIndex.driftStats]], round-10 verdict ask #4): per inverted
+    * list, the current occupancy, the batch's assignment histogram
+    * under the frozen coarse quantizer, and the batch's exact
+    * scaled-integer quantization error under the frozen codebooks.
+    * Two labeled batches through the SAME shared index: the q250
+    * probe set as drawn ("fresh") and a +0.3-shifted copy of it
+    * ("shifted") — so the pinned answer set itself exhibits the
+    * rebuild signal (the shifted rows concentrate on fewer lists and
+    * carry strictly higher qerr; AnnIndexSpec pins the monotonicity
+    * as a law). All-integer output, xxhash-seeded training → pinned
+    * oracle (the q250 idiom). */
+  val q273 = QuerySpec.sql(
+    "q273_ann_index_drift",
+    PinnedOracles.q273,
+    "frozen-model append drift: occupancy + quantization-error statistic (ANN lifecycle)") { (s, d) =>
+    val dir = sharedAnnIndex(s, d)
+    val emb = Tables.embeddings(s, d)
+    val m2 = pmod(col("vec_id"), lit(2))
+    val fresh = emb.where(m2 === 0 && col("vec_id") < 20)
+    val shifted = fresh.withColumn("embedding",
+      transform(col("embedding"), x => x + lit(0.3f)))
+    graft.operators.AnnIndex.driftStats(fresh, "vec_id", "embedding", dir)
+      .withColumn("batch", lit("fresh"))
+      .unionByName(
+        graft.operators.AnnIndex
+          .driftStats(shifted, "vec_id", "embedding", dir)
+          .withColumn("batch", lit("shifted")))
+  }
+
   val q250 = QuerySpec.sql(
     "q250_ann_index",
     q250Pin,
@@ -3259,6 +3289,6 @@ object Corpus {
       // q243): the streaming-machinery gate q260 heats whatever
       // follows it, and the takedown gates measured 2× their isolated
       // cost when they trailed it
-      q244, q245, q246, q247, q248, q249, q250, q254, q269, q267, q268, q271,
+      q244, q245, q246, q247, q248, q249, q250, q254, q269, q267, q268, q271, q273,
       q256, q257, q258, q259, q260, q272, q261, q262, q264)
 }
