@@ -87,13 +87,22 @@ object Bench {
     } catch { case _: Throwable => None }
     def contendedNow(l: Double, c: Double): Boolean =
       l > 1.0 || calibNorm.exists(n => c < 0.95 * n)
+    // Up to THREE settle retries (round-10 verdict item 7: the r10
+    // official artifact was stamped from a run that retried once and
+    // proceeded still-noisy, underselling the settled 342 s engine by
+    // 8% — a bench that cannot get clean should keep trying before it
+    // stamps, and the record must SAY whether it succeeded: the
+    // `settled` field below is the one-bit verdict a reader checks
+    // before trusting the timings).
     var retried = false
-    if (contendedNow(load0, calib0)) {
+    var settleTries = 0
+    while (contendedNow(load0, calib0) && settleTries < 3) {
       System.err.println(f"WARNING: contended environment (load $load0%.2f, " +
         f"calib $calib0%.0f Mops vs norm ${calibNorm.getOrElse(0.0)}%.0f) — " +
-        "sleeping 90 s and retrying once")
+        f"sleeping 90 s and retrying (${settleTries + 1}/3)")
       Thread.sleep(90000)
       retried = true
+      settleTries += 1
       calib0 = calib(); load0 = loadAvg
     }
     val contended = contendedNow(load0, calib0)
@@ -130,8 +139,16 @@ object Bench {
     def battery(): Seq[(String, Double)] = SparkEntry.benchSpecs.zipWithIndex.map { case (q, i) =>
       // deterministic cleaner nudge between queries (not inside a
       // timed region): reaps dead checkpoint blocks so query N+150
-      // runs in the same session state as query N
-      if (i % 32 == 31 || i == corpusBoundary) {
+      // runs in the same session state as query N. Inside the corpus
+      // family (the battery TAIL, where fb6228a measured the last
+      // gates at ~2× their fresh-subset cost under block-manager
+      // pressure) the nudge runs every 16 queries instead of 32 —
+      // SCALE.md round-10's own suggestion, round-10 verdict item 5.
+      val nudge =
+        if (i == corpusBoundary) true
+        else if (i > corpusBoundary) i % 16 == 15
+        else i % 32 == 31
+      if (nudge) {
         System.gc()
         if (i == corpusBoundary) { Thread.sleep(2000); System.gc() }
         midCalib += calibOnce()
@@ -198,8 +215,13 @@ object Bench {
     val top = results.filter { case (k, _) => slow(k) } // declared order
     val otherSec = total - top.map(_._2).sum
     val detailPath = java.nio.file.Paths.get("bench_detail.json").toAbsolutePath
+    // settled = the one-bit verdict: the environment gate passed when
+    // the battery started AND the closing calibration held the norm.
+    // A record with settled:false must not be read as the engine's
+    // number when a settled record exists (round-10 verdict item 7).
+    val settled = !contended && !degradedInRun
     val validity =
-      s""""contended":$contended,"retried":$retried,"degraded_inrun":$degradedInRun,"battery_retried":$batteryRetried,"calib_norm":${ms(calibNorm.getOrElse(0.0))}"""
+      s""""contended":$contended,"retried":$retried,"settled":$settled,"degraded_inrun":$degradedInRun,"battery_retried":$batteryRetried,"calib_norm":${ms(calibNorm.getOrElse(0.0))}"""
     val firstTrace = if (batteryRetried)
       s""","calib_mid_first":[${firstCalibTrace.map(ms).mkString(",")}],"heap_used_gb_mid_first":[${firstHeapTrace.map(ms).mkString(",")}]"""
     else ""
