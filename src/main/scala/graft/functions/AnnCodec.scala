@@ -93,6 +93,40 @@ object AnnCodec {
       cents.map(_._1), cents.map(_._2), n))
   }
 
+  /** Column form: exact-integer-replayable L2 normalization, fused
+    * (one pass: exact scaled norm, then per-element scale — the
+    * composed `transform(v, x => x·1000/sqrt(aggregate(...)))` twin
+    * re-evaluates the norm AGGREGATE per element, dim² interpreted
+    * lambda calls per row; it stays as
+    * [[graft.operators.Similarity.l2NormalizeExactComposed]], pinned
+    * bit-identical in AnnCodecSpec). */
+  def l2NormalizeExact(v: Column): Column = {
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    ColumnBridge.column(L2NormalizeExact(ColumnBridge.expression(v)))
+  }
+
+  /** Per-row body of [[L2NormalizeExact]] — shared between
+    * interpreted eval and codegen. S = Σ [[roundScaled]](x²) exactly
+    * as `round(x*x*1e6).cast("long")` sums; then one IEEE
+    * multiply/divide/sqrt per element; the all-zero vector (S == 0)
+    * maps to itself, matching the composed form's guard. */
+  def l2NormalizeExactBody(v: ArrayData): ArrayData = {
+    val n = v.numElements()
+    var s = 0L
+    var i = 0
+    while (i < n) { val x = v.getDouble(i); s += roundScaled(x * x); i += 1 }
+    val out = new Array[Double](n)
+    if (s == 0L) {
+      var j = 0
+      while (j < n) { out(j) = v.getDouble(j); j += 1 }
+    } else {
+      val inv = math.sqrt(s.toDouble)
+      var j = 0
+      while (j < n) { out(j) = v.getDouble(j) * 1000.0 / inv; j += 1 }
+    }
+    new GenericArrayData(out)
+  }
+
   /** `array_sort`'s double ordering exactly
     * (SQLOrderingUtil.compareDoubles): +0.0 and -0.0 compare EQUAL
     * (`x == y` first), NaN sorts greatest — `java.lang.Double.compare`
@@ -402,6 +436,38 @@ case class NearestCentroidL2(child: Expression, cids: Array[Int],
          |    (Object) new org.apache.spark.sql.catalyst.util.GenericArrayData($rv) });
        """.stripMargin
     })
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** array<double> — the exact-integer-replayable L2 normalization
+  * x·1000/√(Σ round(x²·10⁶)) in one codegen'd pass (the cosine
+  * serving tier's hot path: [[graft.operators.AnnIndex.buildCosine]]
+  * normalizes the whole corpus through this). Interpreted eval and
+  * generated code share [[AnnCodec.l2NormalizeExactBody]]. */
+case class L2NormalizeExact(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType =
+    ArrayType(DoubleType, containsNull = false)
+  override def prettyName: String = "l2_normalize_exact"
+
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+    child.dataType match {
+      case ArrayType(DoubleType, _) => TypeCheckResult.TypeCheckSuccess
+      case t => TypeCheckResult.TypeCheckFailure(
+        s"l2_normalize_exact expects array<double>, got $t")
+    }
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    AnnCodec.l2NormalizeExactBody(input.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, v =>
+      s"${ev.value} = graft.functions.AnnCodec.l2NormalizeExactBody($v);")
 
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)

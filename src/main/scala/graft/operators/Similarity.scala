@@ -63,8 +63,17 @@ object Similarity {
     * sqrt / divide are single IEEE ops on exactly-agreed inputs, so
     * the normalized vector — and everything computed from it — hashes
     * identically across engines (gate q271). The all-zero vector maps
-    * to itself (0/√0 guard) rather than NaN. */
-  def l2NormalizeExact(v: Column): Column = {
+    * to itself (0/√0 guard) rather than NaN. Fused one-pass kernel
+    * ([[graft.functions.L2NormalizeExact]]) — the composed HOF twin
+    * below re-evaluates the norm aggregate per element (dim²
+    * interpreted lambdas per row; it cost the first q271 bench run
+    * 40 s at sf0.1) and stays as the law reference. */
+  def l2NormalizeExact(v: Column): Column =
+    graft.functions.AnnCodec.l2NormalizeExact(v)
+
+  /** The composed form [[l2NormalizeExact]] replaced — law twin
+    * (AnnCodecSpec pins bit-equality, including the S == 0 guard). */
+  private[graft] def l2NormalizeExactComposed(v: Column): Column = {
     val s = aggregate(transform(v, x => round(x * x * 1e6).cast("long")),
       lit(0L), (acc, t) => acc + t)
     transform(v, x =>

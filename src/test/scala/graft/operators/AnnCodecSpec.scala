@@ -146,6 +146,27 @@ class AnnCodecSpec extends SparkSpec {
     assert(zeroTop == List(1, 2, 3), s"all-tied ranking must be cid asc: $zeroTop")
   }
 
+  test("fused l2NormalizeExact ≡ composed HOF form, bit-identical incl. the zero-vector guard") {
+    val v = Similarity.asDouble(col("embedding"))
+    def vecs(c: org.apache.spark.sql.Column) =
+      emb.select(col("vec_id"), c.as("n"))
+        .collect().map(r => r.getLong(0) -> r.getSeq[Double](1).toList).toMap
+    assert(vecs(Similarity.l2NormalizeExact(v)) ==
+      vecs(Similarity.l2NormalizeExactComposed(v)),
+      "fused normalization diverged from the composed HOF form")
+    // zero vector: S == 0 → identity, not NaN — in both forms
+    import spark.implicits._
+    val z = Seq((1L, Seq(0.0, 0.0, 0.0)), (2L, Seq(3.0, 0.0, 4.0))).toDF("vec_id", "v")
+    def zv(c: org.apache.spark.sql.Column) = z.select(col("vec_id"), c.as("n"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1).toList).toMap
+    val f = zv(Similarity.l2NormalizeExact(col("v")))
+    assert(f == zv(Similarity.l2NormalizeExactComposed(col("v"))))
+    assert(f(1L) == List(0.0, 0.0, 0.0), "zero vector must map to itself")
+    // a normalized vector has scaled norm ~1e6 (unit up to rounding)
+    val s = f(2L).map(x => math.round(x * x * 1e6)).sum
+    assert(math.abs(s - 1000000L) < 100, s"not unit after normalization: $s")
+  }
+
   test("native PQ codes ≡ relational pqEncode, ties to smallest code; dim hint changes nothing") {
     val c = emb.select(col("vec_id").as("vid"),
       Similarity.asDouble(col("embedding")).as("v"))
