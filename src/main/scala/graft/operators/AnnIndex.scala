@@ -216,6 +216,57 @@ object AnnIndex {
     fs.delete(trash, true)
   }
 
+  /** Drift RESPONSE — the action [[driftStats]]'s threshold gates
+    * (q273 made "rebuild now" a deterministic statistic; this makes
+    * it an operation): retrain the coarse quantizer and codebooks on
+    * the caller's CURRENT corpus (base + appends − takedowns — the
+    * index stores codes, not raw vectors, so the caller owns the rows,
+    * the same contract as [[probeReranked]]'s rerank corpus) into a
+    * next-generation directory, then swap all three tables in.
+    * Crash-safety mirrors [[delete]]: nothing live is destroyed until
+    * the new generation is fully written, the displaced tables sit
+    * under `prev_gen/` until every swap committed (recovery: rename
+    * them back), and every rename's result is require()d so a failed
+    * swap aborts loudly instead of half-applying. Probing the rebuilt
+    * index is bit-identical to probing a FRESH build over the same
+    * corpus (the training is content-seeded, not path- or
+    * history-seeded — AnnIndexSpec pins the law), and a previously
+    * drifted batch's [[driftStats]] error drops once its distribution
+    * is in the training set. Not concurrent-writer-safe — single
+    * maintenance writer, like append/delete. */
+  def rebuild(corpus: DataFrame, idCol: String, vecCol: String,
+      dir: String, nCentroids: Int, m: Int, k: Int,
+      refineIters: Int = 1, residual: Boolean = true): Unit = {
+    val spark = corpus.sparkSession
+    val next = s"$dir/gen_next"
+    build(corpus, idCol, vecCol, next, nCentroids, m, k, refineIters,
+      residual)
+    val base = new org.apache.hadoop.fs.Path(dir)
+    val fs = base.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val prev = new org.apache.hadoop.fs.Path(s"$dir/prev_gen")
+    fs.delete(prev, true)
+    fs.mkdirs(prev)
+    Seq("centroids", "codebook", "codes").foreach { t =>
+      val live = new org.apache.hadoop.fs.Path(base, t)
+      require(fs.rename(live, new org.apache.hadoop.fs.Path(prev, t)),
+        s"could not move live table $t aside — rebuild aborted with " +
+          "the index intact")
+      require(fs.rename(new org.apache.hadoop.fs.Path(s"$next/$t"), live),
+        s"could not install rebuilt table $t — its original is " +
+          s"preserved at $prev/$t; rename it back to recover")
+    }
+    fs.delete(new org.apache.hadoop.fs.Path(next), true)
+    fs.delete(prev, true)
+  }
+
+  /** [[rebuild]] for a [[buildCosine]] index: the retrain corpus goes
+    * through the same exact-integer normalization. */
+  def rebuildCosine(corpus: DataFrame, idCol: String, vecCol: String,
+      dir: String, nCentroids: Int, m: Int, k: Int,
+      refineIters: Int = 1, residual: Boolean = true): Unit =
+    rebuild(normalized(corpus, idCol, vecCol), idCol, vecCol, dir,
+      nCentroids, m, k, refineIters, residual)
+
   /** Drift statistic for FROZEN-MODEL appends (round-10 verdict ask
     * #4): both indexes deliberately never retrain on append — correct
     * and law-pinned, but nothing measured when appended data had
@@ -297,9 +348,24 @@ object AnnIndex {
     * files are never opened. In residual mode the lookup table is
     * per (query, probed list) — nq·nProbe·m·k integer distances,
     * still broadcast-sized. Output: (query_id, rank, neighbor_id,
-    * adc_dist) — [[Similarity.pqAdcTopK]]'s schema. */
+    * adc_dist) — [[Similarity.pqAdcTopK]]'s schema.
+    *
+    * `allowed` is the serving-time metadata predicate (an id frame —
+    * the caller evaluates its predicate against whatever metadata
+    * table it owns): the candidate stream is SEMI-JOINED against it
+    * BEFORE ADC scoring and ranking, so the k returned are the best
+    * among allowed — a post-filter of the unfiltered top-k would
+    * instead return however many of the global winners happen to
+    * satisfy the predicate, usually fewer than k and never the
+    * filtered answer (AnnIndexSpec pins both: filtered ≡ exact
+    * ranking over the restricted pool at full recall, and the
+    * post-filter twin genuinely loses rows on the same data). The
+    * semi-join lands on the PRUNED code lists, not the corpus, and
+    * stays whatever join AQE picks — broadcast for a takedown-sized
+    * list, shuffle for a half-the-corpus predicate. */
   def probe(queries: DataFrame, idCol: String, vecCol: String,
-      dir: String, nProbe: Int, k: Int): DataFrame = {
+      dir: String, nProbe: Int, k: Int,
+      allowed: Option[DataFrame] = None): DataFrame = {
     val spark = queries.sparkSession
     val (cents, model, residual) = readModel(spark, dir)
     val q = queries.select(col(idCol).as("query_id"),
@@ -314,8 +380,14 @@ object AnnIndex {
         col("qv"), cents, nProbe)).as("cid")))
     val probedCids = probes.select("cid").distinct()
       .collect().map(_.getInt(0)).sorted
-    val codes = spark.read.parquet(codesPath(dir))
+    val pruned = spark.read.parquet(codesPath(dir))
       .where(col("cid").isin(probedCids.map(Integer.valueOf): _*))
+    val codes = allowed match {
+      case Some(a) => pruned.join(
+        a.select(col(a.columns.head).cast("long").as("vid")),
+        Seq("vid"), "left_semi")
+      case None => pruned
+    }
     val cb = broadcast(codebookDf(spark, model))
     val lut = broadcast {
       if (residual) {
@@ -379,9 +451,10 @@ object AnnIndex {
   /** Cosine-ranked ADC top-k against a [[buildCosine]] index:
     * ascending adc_dist ≈ descending cosine. */
   def probeCosine(queries: DataFrame, idCol: String, vecCol: String,
-      dir: String, nProbe: Int, k: Int): DataFrame =
+      dir: String, nProbe: Int, k: Int,
+      allowed: Option[DataFrame] = None): DataFrame =
     probe(normalized(queries, idCol, vecCol), idCol, vecCol, dir,
-      nProbe, k)
+      nProbe, k, allowed)
 
   /** Cosine-ranked probe + exact re-rank: l2_dist is the exact
     * integer L2 between NORMALIZED vectors — monotone in (1 − cosine),
@@ -390,10 +463,10 @@ object AnnIndex {
     * embeddings (gate q271). */
   def probeCosineReranked(queries: DataFrame, corpus: DataFrame,
       idCol: String, vecCol: String, dir: String, nProbe: Int, k: Int,
-      shortlist: Int = 5): DataFrame =
+      shortlist: Int = 5, allowed: Option[DataFrame] = None): DataFrame =
     probeReranked(normalized(queries, idCol, vecCol),
       normalized(corpus, idCol, vecCol), idCol, vecCol, dir, nProbe,
-      k, shortlist)
+      k, shortlist, allowed)
 
   private def normalized(df: DataFrame, idCol: String,
       vecCol: String): DataFrame =
@@ -410,8 +483,9 @@ object AnnIndex {
     * Output: (query_id, rank, neighbor_id, l2_dist). */
   def probeReranked(queries: DataFrame, corpus: DataFrame, idCol: String,
       vecCol: String, dir: String, nProbe: Int, k: Int,
-      shortlist: Int = 5): DataFrame = {
-    val cand = probe(queries, idCol, vecCol, dir, nProbe, k * shortlist)
+      shortlist: Int = 5, allowed: Option[DataFrame] = None): DataFrame = {
+    val cand = probe(queries, idCol, vecCol, dir, nProbe, k * shortlist,
+        allowed)
       .select(col("query_id"), col("neighbor_id"))
     val q = broadcast(queries.select(col(idCol).as("query_id"),
       asDouble(col(vecCol)).as("qv")))

@@ -1172,14 +1172,134 @@ object Corpus {
       |SELECT query_id, CAST(rank AS BIGINT) AS rank, neighbor_id, l2_dist
       |FROM r WHERE rank <= 5""",
     "cosine serving on the persisted index: normalize + full-recall rerank (ANN)") { (s, d) =>
-    val dir = java.nio.file.Files.createTempDirectory("graft-anncos")
+    val emb = Tables.embeddings(s, d)
+    graft.operators.AnnIndex.probeCosineReranked(
+      emb.where(col("vec_id") < 10), emb, "vec_id", "embedding",
+      sharedCosineIndex(s, d), nProbe = 16, k = 5, shortlist = 100)
+  }
+
+  /** The q271-shaped cosine index over the FULL embeddings table,
+    * built once per (session, sf dir) — q271 and q274 probe the same
+    * read-only artifact (the [[sharedAnnIndex]] idiom), so the bench
+    * bills the build once. */
+  private val cosIdxDirs =
+    scala.collection.concurrent.TrieMap.empty[(String, String), String]
+  private def sharedCosineIndex(s: org.apache.spark.sql.SparkSession,
+      d: String): String = {
+    val key = (org.apache.spark.sql.graftbridge.SessionBridge.sessionUUID(s), d)
+    cosIdxDirs.get(key).getOrElse(cosIdxDirs.synchronized {
+      cosIdxDirs.get(key).getOrElse {
+        val dir =
+          java.nio.file.Files.createTempDirectory("graft-anncos").toString + "/idx"
+        graft.operators.AnnIndex.buildCosine(Tables.embeddings(s, d),
+          "vec_id", "embedding", dir, nCentroids = 16, m = 8, k = 16)
+        cosIdxDirs.put(key, dir)
+        dir
+      }
+    })
+  }
+
+  /** FILTERED serving on the persisted cosine index ([[graft.operators
+    * .AnnIndex.probe]]'s `allowed` pool, this round's serving ask):
+    * top-k under a metadata predicate — "nearest documents with a
+    * permitted license", the query every curation/retrieval stack runs
+    * more often than the unfiltered one. The pool (label ≤ 4, about
+    * half the corpus) is semi-joined into the candidate stream BEFORE
+    * ADC ranking, so the gate's 5 rows per query are the best of the
+    * RESTRICTED pool — a post-filter of q271's unfiltered top-5 would
+    * keep only the winners that happen to carry those labels (fewer
+    * than 5; AnnIndexSpec pins that distinction as a law). Same
+    * full-recall normalization reduction as q271, so the answer is
+    * DERIVED by the oracle from raw embeddings + labels, not pinned. */
+  val q274 = QuerySpec.sql(
+    "q274_ann_filtered_serving",
+    """WITH base AS (
+      |  SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS v,
+      |         generate_subscripts(embedding, 1) AS i
+      |  FROM embeddings),
+      |s2 AS (
+      |  SELECT vec_id,
+      |         CAST(sum(CAST(round(v*v*1000000, 0) AS BIGINT)) AS BIGINT) AS s2
+      |  FROM base GROUP BY vec_id),
+      |norm AS (
+      |  SELECT b.vec_id, b.i,
+      |         CASE WHEN s2.s2 = 0 THEN b.v
+      |              ELSE b.v * 1000.0 / sqrt(CAST(s2.s2 AS DOUBLE)) END AS nx
+      |  FROM base b JOIN s2 ON s2.vec_id = b.vec_id),
+      |d AS (
+      |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+      |         CAST(sum((CAST(round(q.nx*1000000, 0) AS BIGINT) - CAST(round(c.nx*1000000, 0) AS BIGINT))
+      |                * (CAST(round(q.nx*1000000, 0) AS BIGINT) - CAST(round(c.nx*1000000, 0) AS BIGINT))) AS BIGINT) AS l2_dist
+      |  FROM norm q JOIN norm c ON q.i = c.i
+      |  JOIN embeddings el ON el.vec_id = c.vec_id
+      |  WHERE q.vec_id < 10 AND c.vec_id <> q.vec_id AND el.label <= 4
+      |  GROUP BY 1, 2),
+      |r AS (
+      |  SELECT query_id, neighbor_id, l2_dist,
+      |         row_number() OVER (PARTITION BY query_id ORDER BY l2_dist, neighbor_id) AS rank
+      |  FROM d)
+      |SELECT query_id, CAST(rank AS BIGINT) AS rank, neighbor_id, l2_dist
+      |FROM r WHERE rank <= 5""",
+    "metadata-filtered ANN serving: predicate pool ranked pre-top-k on the persisted index (ANN)") { (s, d) =>
+    val emb = Tables.embeddings(s, d)
+    graft.operators.AnnIndex.probeCosineReranked(
+      emb.where(col("vec_id") < 10), emb, "vec_id", "embedding",
+      sharedCosineIndex(s, d), nProbe = 16, k = 5, shortlist = 100,
+      allowed = Some(emb.where(col("label") <= 4).select("vec_id")))
+  }
+
+  /** The index REBUILD lifecycle ([[graft.operators.AnnIndex
+    * .rebuild]], the action q273's drift statistic gates): build on
+    * the odd half, append the even tail under the frozen model, then
+    * retrain-and-swap over the CURRENT corpus and probe at full
+    * recall with the exact rerank — so the answer is the exact
+    * integer L2 top-k over exactly the rows the index holds after its
+    * whole build → append → rebuild life, and the oracle DERIVES it
+    * from raw embeddings (nothing pinned: the rebuilt generation's
+    * training seeds cancel out at full recall). The crash-mid-swap
+    * recovery story and the rebuilt ≡ fresh-build bit-identity live
+    * in AnnIndexSpec. */
+  val q275 = QuerySpec.sql(
+    "q275_ann_index_rebuild",
+    """WITH corpus AS (
+      |  SELECT vec_id, embedding FROM embeddings
+      |  WHERE vec_id % 2 = 1 OR vec_id >= 20),
+      |base AS (
+      |  SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS v,
+      |         generate_subscripts(embedding, 1) AS i
+      |  FROM corpus),
+      |q AS (
+      |  SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS v,
+      |         generate_subscripts(embedding, 1) AS i
+      |  FROM embeddings WHERE vec_id < 10),
+      |d AS (
+      |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+      |         CAST(sum((CAST(round(q.v*1000000, 0) AS BIGINT) - CAST(round(c.v*1000000, 0) AS BIGINT))
+      |                * (CAST(round(q.v*1000000, 0) AS BIGINT) - CAST(round(c.v*1000000, 0) AS BIGINT))) AS BIGINT) AS l2_dist
+      |  FROM q JOIN base c ON q.i = c.i
+      |  WHERE c.vec_id <> q.vec_id
+      |  GROUP BY 1, 2),
+      |r AS (
+      |  SELECT query_id, neighbor_id, l2_dist,
+      |         row_number() OVER (PARTITION BY query_id ORDER BY l2_dist, neighbor_id) AS rank
+      |  FROM d)
+      |SELECT query_id, CAST(rank AS BIGINT) AS rank, neighbor_id, l2_dist
+      |FROM r WHERE rank <= 5""",
+    "ANN index rebuild: retrain + atomic swap, full-recall probe derived end to end (ANN lifecycle)") { (s, d) =>
+    val dir = java.nio.file.Files.createTempDirectory("graft-annrb")
       .toString + "/idx"
     val emb = Tables.embeddings(s, d)
-    graft.operators.AnnIndex.buildCosine(emb, "vec_id", "embedding", dir,
+    val m2 = pmod(col("vec_id"), lit(2))
+    graft.operators.AnnIndex.build(emb.where(m2 === 1),
+      "vec_id", "embedding", dir, nCentroids = 16, m = 8, k = 16)
+    graft.operators.AnnIndex.append(
+      emb.where(m2 === 0 && col("vec_id") >= 20), "vec_id", "embedding", dir)
+    val current = emb.where(m2 === 1 || col("vec_id") >= 20)
+    graft.operators.AnnIndex.rebuild(current, "vec_id", "embedding", dir,
       nCentroids = 16, m = 8, k = 16)
-    graft.operators.AnnIndex.probeCosineReranked(
-      emb.where(col("vec_id") < 10), emb, "vec_id", "embedding", dir,
-      nProbe = 16, k = 5, shortlist = 100)
+    graft.operators.AnnIndex.probeReranked(
+      emb.where(col("vec_id") < 10), current, "vec_id", "embedding", dir,
+      nProbe = 16, k = 5, shortlist = 120)
   }
 
   /** q250's pinned probe answer set, shared with q272: a STREAM-built
@@ -3289,6 +3409,7 @@ object Corpus {
       // q243): the streaming-machinery gate q260 heats whatever
       // follows it, and the takedown gates measured 2× their isolated
       // cost when they trailed it
-      q244, q245, q246, q247, q248, q249, q250, q254, q269, q267, q268, q271, q273,
+      q244, q245, q246, q247, q248, q249, q250, q254, q269, q267, q268, q271,
+      q274, q273, q275,
       q256, q257, q258, q259, q260, q272, q261, q262, q264)
 }

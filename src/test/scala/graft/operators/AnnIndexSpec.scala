@@ -156,6 +156,95 @@ class AnnIndexSpec extends SparkSpec {
       s"appended cosine twins not found at nProbe=1: ${dup.mkString(", ")}")
   }
 
+  test("filtered probe: ranked WITHIN the allowed pool; a post-filter provably loses rows (round-11 serving)") {
+    val emb = graft.Tables.embeddings(spark, sf).cache()
+    try {
+      val dir = java.nio.file.Files.createTempDirectory("graft-annfil")
+        .toString + "/idx"
+      val corpus = emb.filter(col("vec_id") >= 20)
+      val q = emb.filter(col("vec_id") < 10)
+      AnnIndex.build(corpus, "vec_id", "embedding", dir,
+        nCentroids = 8, m = 8, k = 16)
+      val pool = corpus.filter(col("label") <= 4)
+      val poolIds = pool.select("vec_id")
+      // full recall: the filtered rerank IS the exact ranking over the
+      // restricted pool — (qid, rank) → neighbor, bit-for-bit
+      val got = AnnIndex.probeReranked(q, corpus, "vec_id", "embedding",
+          dir, nProbe = 8, k = 5, shortlist = 200,
+          allowed = Some(poolIds))
+        .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+      val want = Similarity.bruteForceTopK(q, pool, "vec_id", "embedding", 5,
+          scorer = (a, b) => -Similarity.intL2(a, b).cast("double"))
+        .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+      assert(got == want && got.nonEmpty,
+        "filtered full-recall probe != exact ranking over the allowed pool")
+      // the pool predicate holds at ANY nProbe, not just full recall
+      val ids = pool.collect().map(_.getLong(0)).toSet
+      val partial = AnnIndex.probe(q, "vec_id", "embedding", dir,
+          nProbe = 2, k = 5, allowed = Some(poolIds))
+        .collect().map(_.getLong(2))
+      assert(partial.nonEmpty && partial.forall(ids.contains),
+        "partial filtered probe surfaced a neighbor outside the pool")
+      // and the post-filter strawman: filtering the UNFILTERED top-5
+      // afterwards keeps only the global winners that happen to be in
+      // the pool — strictly fewer rows than the filtered probe's k per
+      // query (this is exactly why the semi-join sits before the rank)
+      val post = AnnIndex.probeReranked(q, corpus, "vec_id", "embedding",
+          dir, nProbe = 8, k = 5, shortlist = 200)
+        .where(col("neighbor_id").isin(ids.toSeq.map(java.lang.Long.valueOf): _*))
+      assert(post.count() < got.size,
+        "fixture degenerate: post-filtering lost no rows — law unprovable here")
+    } finally emb.unpersist()
+  }
+
+  test("rebuild: retrain+swap == a fresh build bit-for-bit; drift drops; no generation debris (round-11 lifecycle)") {
+    val emb = graft.Tables.embeddings(spark, sf).cache()
+    try {
+      val dir = java.nio.file.Files.createTempDirectory("graft-annrb")
+        .toString + "/idx"
+      val base = emb.filter(col("vec_id") % 2 === 1)
+      // the drifted tail: same vectors shifted off the trained
+      // distribution, fresh ids (append requires unique vids)
+      val batch = emb.filter(col("vec_id") % 2 === 0 && col("vec_id") >= 20)
+        .withColumn("vec_id", col("vec_id") + 100000L)
+        .withColumn("embedding",
+          transform(col("embedding"), x => x + lit(0.5f)))
+      AnnIndex.build(base, "vec_id", "embedding", dir,
+        nCentroids = 8, m = 8, k = 16)
+      AnnIndex.append(batch, "vec_id", "embedding", dir)
+      def qerr(d: String): Long =
+        AnnIndex.driftStats(batch, "vec_id", "embedding", d)
+          .agg(sum(col("qerr_batch"))).collect().head.getLong(0)
+      val before = qerr(dir)
+      val current = base.select("vec_id", "embedding")
+        .unionByName(batch.select("vec_id", "embedding"))
+      AnnIndex.rebuild(current, "vec_id", "embedding", dir,
+        nCentroids = 8, m = 8, k = 16)
+      // the drifted batch is now part of the training set: its
+      // quantization error under the rebuilt model drops — the drift
+      // statistic and the rebuild action close the loop
+      assert(qerr(dir) < before,
+        s"rebuild did not reduce the drifted batch's qerr: ${qerr(dir)} >= $before")
+      // training is content-seeded: the swapped-in generation probes
+      // bit-identically to a FRESH build over the same corpus
+      val dir2 = java.nio.file.Files.createTempDirectory("graft-annrb2")
+        .toString + "/idx"
+      AnnIndex.build(current, "vec_id", "embedding", dir2,
+        nCentroids = 8, m = 8, k = 16)
+      val q = emb.filter(col("vec_id") < 10)
+      def ans(d: String) = AnnIndex.probe(q, "vec_id", "embedding", d,
+          nProbe = 8, k = 5)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+          r.getLong(3))).toSet
+      assert(ans(dir) == ans(dir2),
+        "rebuilt index probes differently from a fresh build over the same corpus")
+      // the swap leaves no next-generation or displaced-generation debris
+      for (sub <- Seq("gen_next", "prev_gen"))
+        assert(!java.nio.file.Files.exists(java.nio.file.Paths.get(dir, sub)),
+          s"rebuild left $sub behind")
+    } finally emb.unpersist()
+  }
+
   test("driftStats: exact occupancy; a shifted batch scores strictly higher error (round-10 ask #4)") {
     val emb = graft.Tables.embeddings(spark, sf).cache()
     try {
