@@ -107,6 +107,22 @@ class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Un
       new FunctionIdentifier("simhash64"),
       new ExpressionInfo(classOf[SimHash64].getName, "simhash64"),
       (children: Seq[Expression]) => SimHash64(children(0))))
+    // the exact-integer-replayable unit normalization the cosine
+    // serving tier is built on (graft.operators.AnnIndex.buildCosine)
+    // — SQL users normalize with the same single-pass kernel
+    ext.injectFunction((
+      new FunctionIdentifier("l2_normalize_exact"),
+      new ExpressionInfo(classOf[L2NormalizeExact].getName,
+        "l2_normalize_exact"),
+      (children: Seq[Expression]) => L2NormalizeExact(children(0))))
+    // zorder_key(d1, …, dk, bits): the data-layout key behind
+    // multi-dimensional row-group skipping — last argument is the
+    // per-dimension bit width (a foldable int, like minhash_sig's n)
+    ext.injectFunction((
+      new FunctionIdentifier("zorder_key"),
+      new ExpressionInfo(classOf[ZOrderKey].getName, "zorder_key"),
+      (children: Seq[Expression]) => ZOrderKey(children.init,
+        children.last.eval().asInstanceOf[Number].intValue())))
     // whole-operator extension: BETWEEN-join → binned equi-join
     // (graft.plans.BinnedRangeJoinRule) — keeps interval lookups off
     // the BroadcastNestedLoopJoin path

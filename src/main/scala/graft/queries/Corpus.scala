@@ -1778,6 +1778,55 @@ object Corpus {
         max(col("zkey")).as("zmax"))
   }
 
+  /** The SQL surface of the native kernel family: `l2_normalize_exact`
+    * and `zorder_key` registered through [[graft.functions
+    * .GraftExtensions]] (the same injectFunction path as cosine_sim /
+    * minhash_sig / simhash64), driven here as PURE SQL text — the gate
+    * proves a SQL-only user reaches the fused codegen kernels, not
+    * just the Column API. Outputs are engine-portable by construction:
+    * the scaled unit norm Σ round(nx²·10⁶) lands within rounding of
+    * 10⁶ for every vector (the oracle replays the normalization
+    * arithmetic exactly, q271's idiom), and the z-key is replayed
+    * bit-for-bit by [[graft.functions.ZOrderKey.sqlTwin]] (q139's
+    * idiom). */
+  val q276 = QuerySpec.sql(
+    "q276_sql_native_kernels",
+    s"""WITH base AS (
+      |  SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS v,
+      |         generate_subscripts(embedding, 1) AS i
+      |  FROM embeddings),
+      |s2 AS (
+      |  SELECT vec_id,
+      |         CAST(sum(CAST(round(v*v*1000000, 0) AS BIGINT)) AS BIGINT) AS s2
+      |  FROM base GROUP BY vec_id),
+      |norm AS (
+      |  SELECT b.vec_id,
+      |         CASE WHEN s2.s2 = 0 THEN b.v
+      |              ELSE b.v * 1000.0 / sqrt(CAST(s2.s2 AS DOUBLE)) END AS nx
+      |  FROM base b JOIN s2 ON s2.vec_id = b.vec_id),
+      |un AS (
+      |  SELECT vec_id,
+      |         CAST(sum(CAST(round(nx*nx*1000000, 0) AS BIGINT)) AS BIGINT) AS unit_norm_scaled
+      |  FROM norm GROUP BY vec_id),
+      |zk AS (SELECT vec_id, CAST(label AS BIGINT) AS y FROM embeddings),
+      |z AS (SELECT vec_id,
+      |             ${graft.functions.ZOrderKey.sqlTwin(12, Seq("vec_id", "y"))} AS zkey
+      |      FROM zk)
+      |SELECT un.vec_id, unit_norm_scaled, zkey
+      |FROM un JOIN z ON z.vec_id = un.vec_id""".stripMargin,
+    "native kernels through the pure-SQL surface: l2_normalize_exact + zorder_key (API completeness)") { (s, d) =>
+    Tables.embeddings(s, d).createOrReplaceTempView("emb_q276")
+    s.sql(
+      """SELECT vec_id,
+        |       CAST(aggregate(
+        |         transform(
+        |           l2_normalize_exact(transform(embedding, x -> CAST(x AS DOUBLE))),
+        |           x -> CAST(round(x * x * 1000000, 0) AS BIGINT)),
+        |         0L, (a, t) -> a + t) AS BIGINT) AS unit_norm_scaled,
+        |       zorder_key(vec_id, CAST(label AS BIGINT), 12) AS zkey
+        |FROM emb_q276""".stripMargin)
+  }
+
   /** Sketch tier: HyperLogLog++ distinct-token counts per source next
     * to the exact count. At 100 TB the sketch is the only shape whose
     * shuffle volume is O(sources × 2^p) instead of O(distinct tokens);
@@ -3401,7 +3450,7 @@ object Corpus {
   val all: Seq[QuerySpec] =
     Seq(q30, q31, q89, q32, q33, q34, q35, q36, q270, q37, q38, q39, q40, q41, q42,
       q43, q77, q78, q83, q91, q92, q93, q97, q103, q112, q113, q114, q116,
-      q139, q140, q141, q144, q147, q148, q149, q150, q153, q154, q155, q157,
+      q139, q276, q140, q141, q144, q147, q148, q149, q150, q153, q154, q155, q157,
       q158, q159, q161, q163, q164, q166, q173, q174, q184, q185, q187, q192,
       q194, q199, q200, q203, q205, q209, q221, q227, q236, q239, q241, q243,
       // q267/q268/q269 directly after the index/fuzzy gates they

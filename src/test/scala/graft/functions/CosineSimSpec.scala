@@ -68,6 +68,29 @@ class CosineSimSpec extends SparkSpec {
     assert(r == expect)
   }
 
+  test("l2_normalize_exact and zorder_key resolve from SQL via GraftExtensions, == the Column API (round-11)") {
+    // SparkSpec's session carries GraftExtensions, so these resolve
+    // with no manual registry poke — exactly what a SQL-only user gets
+    val viaSql = Tables.embeddings(spark, sf).limit(50)
+      .createOrReplaceTempView("emb_ext_spec")
+    val sqlRows = spark.sql(
+      """SELECT vec_id,
+        |       l2_normalize_exact(transform(embedding, x -> CAST(x AS DOUBLE))) AS n,
+        |       zorder_key(vec_id, CAST(label AS BIGINT), 12) AS z
+        |FROM emb_ext_spec""".stripMargin)
+      .collect().map(r => r.getLong(0) ->
+        (r.getSeq[Double](1).toList, r.getLong(2))).toMap
+    val colRows = spark.table("emb_ext_spec")
+      .select(col("vec_id"),
+        Similarity.l2NormalizeExact(
+          transform(col("embedding"), _.cast("double"))).as("n"),
+        ZOrderKey(12, col("vec_id"), col("label").cast("long")).as("z"))
+      .collect().map(r => r.getLong(0) ->
+        (r.getSeq[Double](1).toList, r.getLong(2))).toMap
+    assert(sqlRows == colRows && sqlRows.nonEmpty,
+      "SQL-registered kernels diverged from the Column API")
+  }
+
   test("type check rejects non-array inputs") {
     import spark.implicits._
     val bad = Seq((1, 2)).toDF("a", "b")
