@@ -112,18 +112,26 @@ object DedupIndex {
           .write.mode("overwrite").parquet(masksPath(dir))
         "dense"
       case None =>
-        val dfreq = tok.groupBy("tok").agg(count(lit(1)).as("df"))
-        dfreq.write.mode("overwrite").parquet(dfreqPath(dir))
-        graft.sources.Tabular.writeClusteredParquet(
-          prefixRows(tok, dfreq, minJaccard)
-            .withColumn("tok_h", xxhash64(col("tok"))),
-          postingsPath(dir), Seq("tok_h"))
-        features(tok).write.mode("overwrite").parquet(docsPath(dir))
+        buildSparse(tok, dir, minJaccard)
         "sparse"
     }
     Seq((kind, minJaccard)).toDF("kind", "t_build").coalesce(1)
       .write.mode("overwrite").parquet(metaPath(dir))
     kind
+  }
+
+  /** The sparse generation's tables, written fresh — [[build]]'s
+    * open-vocabulary branch and [[rebuild]]'s target (a rebuild is
+    * always sparse: it is either the dense cap's documented escape or
+    * a df-order refresh). */
+  private def buildSparse(tok: DataFrame, dir: String, t: Double): Unit = {
+    val dfreq = tok.groupBy("tok").agg(count(lit(1)).as("df"))
+    dfreq.write.mode("overwrite").parquet(dfreqPath(dir))
+    graft.sources.Tabular.writeClusteredParquet(
+      prefixRows(tok, dfreq, t)
+        .withColumn("tok_h", xxhash64(col("tok"))),
+      postingsPath(dir), Seq("tok_h"))
+    features(tok).write.mode("overwrite").parquet(docsPath(dir))
   }
 
   /** The dictionary in id order (dense regime) — bounded by
@@ -339,5 +347,129 @@ object DedupIndex {
     val fs = new org.apache.hadoop.fs.Path(tombstonesPath(dir))
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     fs.delete(new org.apache.hadoop.fs.Path(tombstonesPath(dir)), true)
+  }
+
+  /** Drift statistic for the sparse regime's FROZEN df order (the
+    * [[AnnIndex.driftStats]] counterpart, closing the round-10 ask for
+    * BOTH indexes): the prefix-filter lemma holds under any fixed
+    * total order, so correctness never drifts — what drifts is
+    * SELECTIVITY. A token the build-time df called rare sits early in
+    * every prefix; if the corpus has since made it common, each probe
+    * prefix containing it joins against its grown posting list. This
+    * measures that inflation for a batch, in exact integers a
+    * maintenance job can gate on (all SQL-replayable — gate q277
+    * derives them, nothing pinned):
+    *
+    *  - `n_batch_docs` / `n_batch_toks` — batch size;
+    *  - `n_unseen` — distinct batch tokens the frozen order has never
+    *    ranked (they sort at df 0, flooding prefix slots);
+    *  - `prefix_df_frozen` — Σ over the batch's FROZEN-order prefix
+    *    tokens of their CURRENT df (current truth from the index's own
+    *    docs table, tombstones excluded): the posting-join volume this
+    *    batch's probe actually pays;
+    *  - `prefix_df_optimal` — the same mass under prefixes ranked by
+    *    the CURRENT df: the minimum achievable (ascending-df ranking
+    *    puts the rarest tokens in the prefix), what a freshly rebuilt
+    *    index would pay. frozen ≥ optimal by construction, equality on
+    *    an undrifted index — rebuild when the ratio clears ~2×
+    *    (IndexRebuildSpec pins equality-after-[[rebuild]] as a law).
+    *
+    * Cost: one docs-table scan for current df + two prefix rankings of
+    * the batch — maintenance-statistic shaped, like the ANN twin. */
+  def driftStats(tok: DataFrame, dir: String): DataFrame = {
+    val spark = tok.sparkSession
+    val meta = readMeta(spark, dir)
+    require(meta.kind == "sparse",
+      "drift is a sparse-regime statistic (the frozen df order); the " +
+        "dense regime's only drift is dictionary growth, which append " +
+        "already gates loudly against DenseDictCap")
+    val frozen = spark.read.parquet(dfreqPath(dir)).select("tok", "df")
+    val cur = spark.read.parquet(docsPath(dir))
+      .join(broadcast(tombstones(spark, dir)), Seq("doc_id"), "left_anti")
+      .select(explode(col("toks")).as("tok"))
+      .groupBy("tok").agg(count(lit(1)).as("df_cur"))
+    def mass(order: DataFrame, as: String): DataFrame =
+      prefixRows(tok, order, meta.tBuild)
+        .join(cur, Seq("tok"), "left_outer")
+        .na.fill(0L, Seq("df_cur"))
+        .agg(coalesce(sum(col("df_cur")), lit(0L)).cast("long").as(as))
+    tok.agg(countDistinct(col("doc_id")).as("n_batch_docs"),
+        countDistinct(col("tok")).as("n_batch_toks"))
+      .crossJoin(tok.select("tok").distinct()
+        .join(frozen, Seq("tok"), "left_anti")
+        .agg(count(lit(1)).as("n_unseen")))
+      .crossJoin(mass(frozen, "prefix_df_frozen"))
+      .crossJoin(mass(cur.withColumnRenamed("df_cur", "df"),
+        "prefix_df_optimal"))
+  }
+
+  /** Rebuild — the drift response ([[driftStats]] says when, this is
+    * the action) and the dense cap's documented escape hatch, SELF-
+    * CONTAINED: unlike [[AnnIndex.rebuild]] (PQ codes are lossy, the
+    * caller must supply the corpus), this index stores exact
+    * signatures, so the current corpus is re-derived from the index's
+    * own tables — the sparse docs table's token arrays, or the dense
+    * masks decoded through the dictionary (bit id·64+b set ⇔ token id
+    * present). Tombstoned docs are excluded (a rebuild is also a
+    * compaction; their tombstones retire with the swap, so their ids
+    * become appendable again). The result is always SPARSE — the
+    * open-vocabulary regime a rebuilt 100 TB corpus needs — with the
+    * df order refreshed to current truth ([[driftStats]] reads
+    * frozen == optimal afterwards, the IndexRebuildSpec law). Swap is
+    * the rename-aside idiom: every live table moves to prev_gen/
+    * before anything installs, every rename is require()d, nothing is
+    * destroyed until all commits (crash recovery: rename the tables
+    * under prev_gen back). Single maintenance writer, like
+    * append/delete/compact. */
+  def rebuild(spark: SparkSession, dir: String): String = {
+    val meta = readMeta(spark, dir)
+    val ts = broadcast(tombstones(spark, dir))
+    val tok = meta.kind match {
+      case "sparse" =>
+        spark.read.parquet(docsPath(dir))
+          .join(ts, Seq("doc_id"), "left_anti")
+          .select(col("doc_id"), explode(col("toks")).as("tok"))
+      case "dense" =>
+        // decode: word w at array position p carries token ids
+        // p·64+b for every set bit b — the dictionary (bounded by
+        // DenseDictCap) maps ids back to tokens
+        spark.read.parquet(masksPath(dir))
+          .join(ts, Seq("doc_id"), "left_anti")
+          .select(col("doc_id"), posexplode(col("mask")).as(Seq("p", "word")))
+          .select(col("doc_id"), col("p"), col("word"),
+            explode(sequence(lit(0), lit(63))).as("b"))
+          .where(expr("(shiftright(word, b) & 1) = 1"))
+          .select(col("doc_id"),
+            (col("p") * 64 + col("b")).cast("long").as("id"))
+          .join(broadcast(spark.read.parquet(dictPath(dir))), Seq("id"))
+          .select("doc_id", "tok")
+    }
+    val next = s"$dir/gen_next"
+    buildSparse(tok, next, meta.tBuild)
+    import spark.implicits._
+    Seq(("sparse", meta.tBuild)).toDF("kind", "t_build").coalesce(1)
+      .write.mode("overwrite").parquet(metaPath(next))
+    val base = new org.apache.hadoop.fs.Path(dir)
+    val fs = base.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val prev = new org.apache.hadoop.fs.Path(s"$dir/prev_gen")
+    fs.delete(prev, true)
+    fs.mkdirs(prev)
+    Seq("meta", "dict", "masks", "dfreq", "postings", "docs",
+        "tombstones").foreach { t =>
+      val p = new org.apache.hadoop.fs.Path(base, t)
+      if (fs.exists(p))
+        require(fs.rename(p, new org.apache.hadoop.fs.Path(prev, t)),
+          s"could not move live table $t aside — rebuild aborted with " +
+            "the index intact")
+    }
+    Seq("meta", "dfreq", "postings", "docs").foreach { t =>
+      require(fs.rename(new org.apache.hadoop.fs.Path(s"$next/$t"),
+          new org.apache.hadoop.fs.Path(base, t)),
+        s"could not install rebuilt table $t — the displaced index is " +
+          s"preserved under $prev; rename its tables back to recover")
+    }
+    fs.delete(new org.apache.hadoop.fs.Path(next), true)
+    fs.delete(prev, true)
+    "sparse"
   }
 }

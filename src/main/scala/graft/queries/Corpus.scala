@@ -3368,6 +3368,106 @@ object Corpus {
         max(col("jaccard")).as("best_jaccard"))
   }
 
+  /** The sparse dedup index's DRIFT statistic ([[graft.operators
+    * .DedupIndex.driftStats]] — the [[graft.operators.AnnIndex
+    * .driftStats]] counterpart, same round-10 ask): the frozen df
+    * order never breaks correctness (the prefix lemma holds under any
+    * fixed order) but its SELECTIVITY drifts — a build-time-rare,
+    * now-common token keeps its early prefix slot and drags its grown
+    * posting list into every probe. The gate builds sparse (the
+    * bitmapMaxVocab knob forces the open-vocabulary regime this
+    * statistic is about), appends a second installment, and reads the
+    * batch's prefix-mass inflation: frozen-order mass vs the
+    * current-df optimum, plus the unseen-token count. All exact
+    * integers over content-derivable tables — the oracle DERIVES
+    * every column (frozen df = installment-1 counts, current df =
+    * both installments, both prefix rankings replayed). */
+  val q277 = QuerySpec.sql(
+    "q277_dedup_index_drift",
+    """WITH tok AS (
+      |  SELECT doc_id, unnest(list_distinct(regexp_extract_all(lower(text), '(\S+)', 1))) AS tok
+      |  FROM documents),
+      |b AS (SELECT doc_id, tok FROM tok WHERE doc_id % 7 = 0),
+      |fz AS (SELECT tok, count(*) AS df FROM tok WHERE doc_id % 7 IN (1, 2, 3) GROUP BY 1),
+      |cur AS (SELECT tok, count(*) AS df FROM tok WHERE doc_id % 7 IN (1, 2, 3, 4, 5, 6) GROUP BY 1),
+      |pf AS (
+      |  SELECT tok FROM (
+      |    SELECT b.tok,
+      |           row_number() OVER (PARTITION BY b.doc_id ORDER BY coalesce(fz.df, 0), b.tok) AS pos,
+      |           count(*) OVER (PARTITION BY b.doc_id) AS n
+      |    FROM b LEFT JOIN fz ON fz.tok = b.tok) p
+      |  WHERE pos <= n - ceil(0.5 * n - 0.000000001) + 1),
+      |po AS (
+      |  SELECT tok FROM (
+      |    SELECT b.tok,
+      |           row_number() OVER (PARTITION BY b.doc_id ORDER BY coalesce(cur.df, 0), b.tok) AS pos,
+      |           count(*) OVER (PARTITION BY b.doc_id) AS n
+      |    FROM b LEFT JOIN cur ON cur.tok = b.tok) p
+      |  WHERE pos <= n - ceil(0.5 * n - 0.000000001) + 1)
+      |SELECT
+      |  (SELECT count(DISTINCT doc_id) FROM b) AS n_batch_docs,
+      |  (SELECT count(DISTINCT tok) FROM b) AS n_batch_toks,
+      |  (SELECT count(*) FROM (SELECT DISTINCT tok FROM b) t
+      |   WHERE t.tok NOT IN (SELECT tok FROM fz)) AS n_unseen,
+      |  (SELECT CAST(coalesce(sum(coalesce(cur.df, 0)), 0) AS BIGINT)
+      |   FROM pf LEFT JOIN cur ON cur.tok = pf.tok) AS prefix_df_frozen,
+      |  (SELECT CAST(coalesce(sum(coalesce(cur.df, 0)), 0) AS BIGINT)
+      |   FROM po LEFT JOIN cur ON cur.tok = po.tok) AS prefix_df_optimal""",
+    "sparse dedup index drift: frozen-order prefix mass vs current-df optimum (dedup lifecycle)") { (s, d) =>
+    val dir = java.nio.file.Files.createTempDirectory("graft-q277").toString + "/idx"
+    val tok = tokBlk1(s, d).select("doc_id", "tok")
+    val m7 = pmod(col("doc_id"), lit(7))
+    graft.operators.DedupIndex.build(
+      tok.where(m7.isin(1, 2, 3)), dir, minJaccard = 0.5, bitmapMaxVocab = 1)
+    graft.operators.DedupIndex.append(tok.where(m7.isin(4, 5, 6)), dir)
+    graft.operators.DedupIndex.driftStats(tok.where(m7 === 0), dir)
+  }
+
+  /** The dedup index REBUILD ([[graft.operators.DedupIndex.rebuild]]):
+    * the drift response AND the dense dictionary cap's documented
+    * escape, self-contained — the current corpus is re-derived from
+    * the index's OWN tables (here: dense masks decoded through the
+    * dictionary), tombstoned docs drop out (rebuild ⊇ compact, their
+    * ids become appendable again), and the swapped-in generation is
+    * sparse with the df order refreshed. Same probe question as q268
+    * and the SAME derived oracle — but answered through the migrated
+    * machinery (masks → decoded corpus → posting index → prefix
+    * probe), so the gate proves the regime flip preserves every
+    * verified Jaccard. The frozen≡optimal drift law after rebuild and
+    * the crash-recovery story live in IndexDeleteSpec. */
+  val q278 = QuerySpec.sql(
+    "q278_dedup_index_rebuild",
+    """WITH tok AS (
+      |  SELECT doc_id, unnest(list_distinct(regexp_extract_all(lower(text), '(\S+)', 1))) AS tok
+      |  FROM documents),
+      |sizes AS (SELECT doc_id, count(*) AS n FROM tok GROUP BY 1),
+      |inter AS (
+      |  SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS n_inter
+      |  FROM tok a JOIN tok b ON a.tok = b.tok
+      |  WHERE a.doc_id % 7 = 0 AND b.doc_id % 7 <> 0 AND b.doc_id % 21 <> 4
+      |  GROUP BY 1, 2)
+      |SELECT d1 AS doc_id, count(*) AS n_corpus_matches,
+      |       max(CAST(n_inter AS DOUBLE) / (s1.n + s2.n - n_inter)) AS best_jaccard
+      |FROM inter JOIN sizes s1 ON s1.doc_id = d1 JOIN sizes s2 ON s2.doc_id = d2
+      |WHERE CAST(n_inter AS DOUBLE) / (s1.n + s2.n - n_inter) >= 0.5
+      |GROUP BY 1""",
+    "dedup index rebuild: dense-to-sparse migration + tombstone retirement, probe == never-indexed (lifecycle)") { (s, d) =>
+    val dir = java.nio.file.Files.createTempDirectory("graft-q278").toString + "/idx"
+    val tok = tokBlk1(s, d).select("doc_id", "tok")
+    val m7 = pmod(col("doc_id"), lit(7))
+    graft.operators.DedupIndex.build(
+      tok.where(m7.isin(1, 2, 3)), dir, minJaccard = 0.5)
+    graft.operators.DedupIndex.append(tok.where(m7.isin(4, 5, 6)), dir)
+    graft.operators.DedupIndex.delete(s, dir,
+      Tables.documents(s, d).where(pmod(col("doc_id"), lit(21)) === 4)
+        .select("doc_id"))
+    graft.operators.DedupIndex.rebuild(s, dir)
+    graft.operators.DedupIndex.probe(tok.where(m7 === 0), dir, minJaccard = 0.5)
+      .groupBy(col("d1").as("doc_id"))
+      .agg(count(lit(1)).as("n_corpus_matches"),
+        max(col("jaccard")).as("best_jaccard"))
+  }
+
   /** Quantile normalization across sources — each doc's length is
     * replaced by the GLOBAL value at its source-relative rank, the
     * distribution-matching transform that removes per-source scale
@@ -3458,7 +3558,7 @@ object Corpus {
       // q243): the streaming-machinery gate q260 heats whatever
       // follows it, and the takedown gates measured 2× their isolated
       // cost when they trailed it
-      q244, q245, q246, q247, q248, q249, q250, q254, q269, q267, q268, q271,
-      q274, q273, q275,
+      q244, q245, q246, q247, q248, q249, q250, q254, q269, q267, q268,
+      q277, q278, q271, q274, q273, q275,
       q256, q257, q258, q259, q260, q272, q261, q262, q264)
 }
