@@ -345,6 +345,66 @@ object Corpus {
     jacPairs05(s, d)
   }
 
+  /** SEMANTIC near-dup verification — the joint-signal curation join:
+    * surface-level near-duplicates (exact token Jaccard over the
+    * blocked candidate table, the q35 memo — prefix/block-bounded,
+    * never all-pairs) CROSS-CHECKED against the embedding space
+    * (exact-scaled cosine, the q248 idiom), keeping pairs both signals
+    * agree on. This is the precision tier a dedup pipeline runs before
+    * destructive collapse: token overlap alone conflates boilerplate
+    * twins with true rewrites; requiring embedding agreement keeps the
+    * collapse to semantically-confirmed pairs. Both signals are
+    * engine-portable by construction (Jaccard from exact integer
+    * intersections; cosine from Σ round(aᵢbᵢ·10⁶) BIGINTs), so the
+    * oracle DERIVES the full answer — candidates, verification, and
+    * both thresholds. Bench cost is the embedding join only: the pair
+    * table is the q35/q103 shared memo. */
+  val q279 = QuerySpec.sql(
+    "q279_semantic_neardup",
+    """WITH tok AS (
+      |  SELECT doc_id, source AS blk,
+      |         unnest(list_distinct(regexp_extract_all(lower(text), '(\S+)', 1))) AS tok
+      |  FROM documents),
+      |sizes AS (SELECT doc_id, count(*) AS n FROM tok GROUP BY doc_id),
+      |inter AS (
+      |  SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS n_inter
+      |  FROM tok a JOIN tok b ON a.tok = b.tok AND a.blk = b.blk AND a.doc_id < b.doc_id
+      |  GROUP BY 1, 2),
+      |j AS (
+      |  SELECT d1, d2, n_inter * 1.0 / (s1.n + s2.n - n_inter) AS jaccard
+      |  FROM inter JOIN sizes s1 ON s1.doc_id = d1 JOIN sizes s2 ON s2.doc_id = d2
+      |  WHERE n_inter * 1.0 / (s1.n + s2.n - n_inter) >= 0.5),
+      |base AS (
+      |  SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS v,
+      |         generate_subscripts(embedding, 1) AS i
+      |  FROM embeddings),
+      |sq AS (
+      |  SELECT vec_id,
+      |         CAST(sum(CAST(round(v*v*1000000, 0) AS BIGINT)) AS BIGINT) AS n2
+      |  FROM base GROUP BY vec_id),
+      |dp AS (
+      |  SELECT j.d1, j.d2,
+      |         CAST(sum(CAST(round(a.v*b.v*1000000, 0) AS BIGINT)) AS BIGINT) AS dp
+      |  FROM j JOIN base a ON a.vec_id = j.d1
+      |         JOIN base b ON b.vec_id = j.d2 AND b.i = a.i
+      |  GROUP BY 1, 2)
+      |SELECT j.d1, j.d2, j.jaccard,
+      |       CAST(dp AS DOUBLE) / (sqrt(CAST(x.n2 AS DOUBLE)) * sqrt(CAST(y.n2 AS DOUBLE))) AS cos_sim
+      |FROM j JOIN dp ON dp.d1 = j.d1 AND dp.d2 = j.d2
+      |JOIN sq x ON x.vec_id = j.d1 JOIN sq y ON y.vec_id = j.d2
+      |WHERE CAST(dp AS DOUBLE) / (sqrt(CAST(x.n2 AS DOUBLE)) * sqrt(CAST(y.n2 AS DOUBLE))) >= 0.35""",
+    "semantic near-dup: token-Jaccard candidates cross-checked by embedding cosine (joint-signal dedup)") { (s, d) =>
+    val emb = Tables.embeddings(s, d)
+    def side(n: Int) = emb.select(col("vec_id").as(s"d$n"),
+      Similarity.asDouble(col("embedding")).as(s"e$n"))
+    jacPairs05(s, d)
+      .join(side(1), Seq("d1")).join(side(2), Seq("d2"))
+      .withColumn("cos_sim",
+        Similarity.cosineExactScaled(col("e1"), col("e2")))
+      .where(col("cos_sim") >= 0.35)
+      .select("d1", "d2", "jaccard", "cos_sim")
+  }
+
   /** MinHash signatures — deterministic xxhash64 family with no
     * ANSI-SQL form, so the oracle PINS the exact signatures
     * ([[PinnedOracles.q36]]; bit-stability re-verified across three
@@ -3548,7 +3608,7 @@ object Corpus {
   }
 
   val all: Seq[QuerySpec] =
-    Seq(q30, q31, q89, q32, q33, q34, q35, q36, q270, q37, q38, q39, q40, q41, q42,
+    Seq(q30, q31, q89, q32, q33, q34, q35, q279, q36, q270, q37, q38, q39, q40, q41, q42,
       q43, q77, q78, q83, q91, q92, q93, q97, q103, q112, q113, q114, q116,
       q139, q276, q140, q141, q144, q147, q148, q149, q150, q153, q154, q155, q157,
       q158, q159, q161, q163, q164, q166, q173, q174, q184, q185, q187, q192,
