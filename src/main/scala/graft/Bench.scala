@@ -144,8 +144,16 @@ object Bench {
       // gates at ~2× their fresh-subset cost under block-manager
       // pressure) the nudge runs every 16 queries instead of 32 —
       // SCALE.md round-10's own suggestion, round-10 verdict item 5.
+      // ...and immediately before the known-heavy gates whose giant
+      // shuffles/builds are the most sensitive to accumulated block-
+      // manager state (r11: q246 measured 25 s fresh but 39 s
+      // mid-battery in a SETTLED run — the inflation lands exactly on
+      // the biggest-footprint gates, invisible to the calib trace)
+      val heavyNext = Set("q246_fuzzy_join2", "q235_als_recommendations",
+        "q260_stream_dedup_ingest", "q278_dedup_index_rebuild")
       val nudge =
         if (i == corpusBoundary) true
+        else if (heavyNext(q.name)) true
         else if (i > corpusBoundary) i % 16 == 15
         else i % 32 == 31
       if (nudge) {
