@@ -1203,8 +1203,10 @@ object Corpus {
     * drives build → partition-pruned probe → candidate-bounded rerank
     * through the PERSISTED index; only the final ranking is
     * quantization-free, which is what makes it hash-oracle-able. */
-  val q271 = QuerySpec.sql(
-    "q271_ann_cosine_serving",
+  /** q271's derived full-recall oracle, shared verbatim by the
+    * streaming serving gate q281 (same query set, same index, same
+    * rerank — the stream must produce the identical answer). */
+  private val cosineFullRecallOracle =
     """WITH base AS (
       |  SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS v,
       |         generate_subscripts(embedding, 1) AS i
@@ -1230,7 +1232,11 @@ object Corpus {
       |         row_number() OVER (PARTITION BY query_id ORDER BY l2_dist, neighbor_id) AS rank
       |  FROM d)
       |SELECT query_id, CAST(rank AS BIGINT) AS rank, neighbor_id, l2_dist
-      |FROM r WHERE rank <= 5""",
+      |FROM r WHERE rank <= 5"""
+
+  val q271 = QuerySpec.sql(
+    "q271_ann_cosine_serving",
+    cosineFullRecallOracle,
     "cosine serving on the persisted index: normalize + full-recall rerank (ANN)") { (s, d) =>
     val emb = Tables.embeddings(s, d)
     graft.operators.AnnIndex.probeCosineReranked(
@@ -1474,6 +1480,40 @@ object Corpus {
     graft.operators.AnnIndex.probe(
       emb.where(m2 === 0 && col("vec_id") < 20),
       "vec_id", "embedding", s"$base/idx", nProbe = 4, k = 5)
+  }
+
+  /** Streaming SERVING against the persisted cosine index
+    * ([[graft.streaming.StreamOps.runAnnProbeStream]]) — the query
+    * side of q272's corpus side, closing the serving loop: q271's ten
+    * queries arrive as TWO micro-batches through the real streaming
+    * engine, each batch probes the same shared read-only index with
+    * the same full-recall rerank, answers land under per-batch
+    * directories whose deterministic overwrite IS the exactly-once
+    * story (probing never writes the index — no undo log needed; the
+    * restart law lives in StreamAnnProbeSpec). The oracle is q271's
+    * derived SQL verbatim: stream ≡ batch, engine-derived, not
+    * pinned. */
+  val q281 = QuerySpec.sql(
+    "q281_ann_stream_serving",
+    cosineFullRecallOracle,
+    "streaming serving on the persisted cosine index: stream probe ≡ batch probe (ANN)") { (s, d) =>
+    val base = java.nio.file.Files.createTempDirectory("graft-q281").toString
+    val src = new java.io.File(base, "src"); src.mkdirs()
+    val emb = Tables.embeddings(s, d)
+    Seq(emb.where(col("vec_id") < 5),
+        emb.where(col("vec_id") >= 5 && col("vec_id") < 10))
+      .zipWithIndex.foreach { case (df, b) =>
+        val tmp = s"$base/tmp$b"
+        df.coalesce(1).write.parquet(tmp)
+        val part = new java.io.File(tmp).listFiles()
+          .find(_.getName.endsWith(".parquet")).get
+        val dst = new java.io.File(src, f"b$b%02d.parquet")
+        java.nio.file.Files.move(part.toPath, dst.toPath)
+        dst.setLastModified(1700000000000L + b * 60000L)
+      }
+    graft.streaming.StreamOps.runAnnProbeStream(s, src.toString, emb,
+      sharedCosineIndex(s, d), s"$base/ckpt", s"$base/out",
+      "vec_id", "embedding", nProbe = 16, k = 5, shortlist = 100)
   }
 
   /** Equi-depth feature discretization over the q247 histogram
@@ -3626,5 +3666,5 @@ object Corpus {
       // cost when they trailed it
       q244, q245, q246, q247, q248, q249, q250, q254, q269, q267, q268,
       q277, q278, q271, q274, q273, q275,
-      q256, q257, q258, q259, q260, q272, q261, q262, q264)
+      q256, q257, q258, q259, q260, q272, q281, q261, q262, q264)
 }

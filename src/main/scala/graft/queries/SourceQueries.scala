@@ -569,7 +569,47 @@ object SourceQueries {
       .agg(count(lit(1)).as("n_records"), sum(col("length")).as("total_len"))
   }
 
+  /** Keyed copy-on-write MERGE — the CDC/upsert primitive over a
+    * bucket-clustered parquet table ([[graft.operators.MergeTable]]).
+    * One batch carries replacements (keys % 97), inserts (shifted
+    * keys % 103) and deletes (keys % 101, minus the upsert overlap);
+    * the gate reads the merged table back in full and the oracle
+    * recomputes the identical final state relationally (anti-join +
+    * union). Only buckets containing touched keys are rewritten —
+    * pruning + unchanged-bucket byte-identity are pinned in
+    * MergeTableSpec; this gate pins the END STATE exactly. */
+  val q280 = QuerySpec.sql(
+    "q280_merge_table",
+    """WITH base AS (
+      |  SELECT CAST(o_orderkey AS BIGINT) AS k, CAST(o_custkey AS BIGINT) AS ck,
+      |         CAST(round(o_totalprice * 100, 0) AS BIGINT) AS cents
+      |  FROM orders),
+      |ups AS (
+      |  SELECT k, ck, cents + 1000000 AS cents FROM base WHERE k % 97 = 0
+      |  UNION ALL
+      |  SELECT k + 10000000000 AS k, ck, cents FROM base WHERE k % 103 = 0),
+      |del AS (SELECT k FROM base WHERE k % 101 = 0 AND k % 97 <> 0)
+      |SELECT k, ck, cents FROM base
+      |WHERE k NOT IN (SELECT k FROM ups) AND k NOT IN (SELECT k FROM del)
+      |UNION ALL
+      |SELECT k, ck, cents FROM ups""",
+    "keyed copy-on-write MERGE: upsert+insert+delete, bucket-pruned rewrite (CDC primitive)") { (s, d) =>
+    val base = Tables.orders(s, d).select(
+      col("o_orderkey").cast("long").as("k"),
+      col("o_custkey").cast("long").as("ck"),
+      graft.functions.ExactNum.scaled(col("o_totalprice"), 100).as("cents"))
+    val dir = java.nio.file.Files.createTempDirectory("graft-q280").toString + "/t"
+    graft.operators.MergeTable.create(base, dir, "k", nBuckets = 16)
+    val ups = base.where(col("k") % 97 === 0)
+      .withColumn("cents", col("cents") + 1000000L)
+      .unionByName(base.where(col("k") % 103 === 0)
+        .withColumn("k", col("k") + 10000000000L))
+    val del = base.where(col("k") % 101 === 0 && col("k") % 97 =!= 0).select("k")
+    graft.operators.MergeTable.merge(s, dir, ups, del)
+    graft.operators.MergeTable.read(s, dir)
+  }
+
   val all: Seq[QuerySpec] =
     Seq(q44, q45, q46, q47, q48, q49, q79, q80, q121, q131, q146, q195, q196,
-      q202, q210, q216, q220, q230, q231)
+      q202, q210, q216, q220, q230, q231, q280)
 }

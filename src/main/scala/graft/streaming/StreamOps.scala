@@ -502,6 +502,45 @@ object StreamOps {
       spark.read.parquet(mdir)
     }
 
+  /** Streaming SERVING on the persisted cosine ANN index — the query
+    * side of [[runAnnIngestStream]]'s corpus side, completing the
+    * serving loop: query batches arrive as a stream, each micro-batch
+    * is probed against the (read-only, already-built) index with the
+    * partition-pruned candidate-bounded rerank of
+    * [[graft.operators.AnnIndex.probeCosineReranked]], and the
+    * answers land under `outDir/batch=<id>`.
+    *
+    * Exactly-once WITHOUT an undo log: probing is stateless (the
+    * index is never written), so per-batch OVERWRITE of the
+    * deterministic `batch=<id>` directory is the whole idempotency
+    * story — a replayed batch simply rewrites its own directory
+    * byte-for-byte; no marker, no recovery bracket
+    * (StreamAnnProbeSpec drives the restart). At serving scale the
+    * per-batch cost is probed-inverted-lists + shortlist rerank,
+    * independent of stream history. */
+  def runAnnProbeStream(spark: SparkSession, querySrcDir: String,
+      corpus: DataFrame, indexDir: String, checkpointDir: String,
+      outDir: String, idCol: String, vecCol: String, nProbe: Int, k: Int,
+      shortlist: Int): DataFrame = withNanosAsLong(spark) {
+    import org.apache.spark.sql.DataFrame
+    val schema = spark.read.parquet(querySrcDir).schema
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1).parquet(querySrcDir)
+    val q = stream.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        graft.operators.AnnIndex.probeCosineReranked(
+          batch, corpus, idCol, vecCol, indexDir, nProbe, k, shortlist)
+          .write.mode("overwrite").parquet(s"$outDir/batch=$batchId")
+        ()
+      }
+      .start()
+    q.awaitTermination()
+    spark.read.option("basePath", outDir).parquet(s"$outDir/batch=*")
+      .drop("batch")
+  }
+
   /** Recursive file inventory of the index dir as root-relative paths;
     * the `pending/` undo log itself is excluded (it is recovery
     * metadata, not index state). Hadoop FS API, so the same recovery
