@@ -808,24 +808,71 @@ object Dedup {
 
   /** Fuzzy self-join at levenshtein ≤ `maxDist` (1 or 2) by FastSS
     * deletion-neighborhood blocking: candidates share a deletion
-    * variant (equi-join on the variant's 64-bit hash — two longs per
+    * variant (equi-join on the variant's 64-bit hash — longs per
     * blocking row, never the strings), `levenshtein` verifies exactly.
     * The length band |len(a) − len(b)| ≤ maxDist is implicit: equal
     * variants have equal length, and each side deleted ≤ maxDist
-    * chars. Candidate volume is bounded by strings genuinely sharing
-    * a length-(L−k) subsequence — near-match-bounded, never all-pairs.
-    * Output: (id1, id2, name1, name2, dist), id1 < id2. */
+    * chars. At maxDist = 2 the join splits into channels by deletion
+    * count, and the dominant (2-deletions × 2-deletions) channel
+    * additionally keys on the deletion POSITIONS — complete because
+    * the only ed ≤ 2 pairs not covered by a smaller channel are
+    * 2-substitution pairs, whose witnesses delete the same two
+    * positions from both sides (case analysis in the body; law:
+    * blocked ≡ brute, DedupSpec). Candidate volume for the
+    * unrestricted channels is bounded by strings genuinely sharing a
+    * length-(L−k) subsequence; for the aligned channel by strings
+    * equal outside two fixed positions — near-match-bounded, never
+    * all-pairs. Output: (id1, id2, name1, name2, dist), id1 < id2. */
   def fuzzyJoinPairs(df: DataFrame, idCol: String, strCol: String,
       maxDist: Int): DataFrame = {
     val names = df.select(col(idCol).as("id"), col(strCol).as("name"))
-    val variants = names.select(col("id"),
-        explode(deletionVariants(col("name"), maxDist)).as("v"))
-      .select(col("id"), xxhash64(col("v")).as("h"))
-    val cand = variants.as("a")
-      .join(variants.as("b"),
-        col("a.h") === col("b.h") && col("a.id") < col("b.id"))
-      .select(col("a.id").as("id1"), col("b.id").as("id2"))
-      .distinct()
+    // position-tagged, pre-hashed neighborhood (one fused kernel pass;
+    // variant strings never enter the rows)
+    val tagged = names.select(col("id"),
+        explode(graft.functions.DeletionVariantsTagged(col("name"), maxDist))
+          .as("t"))
+      .select(col("id"), col("t.h").as("h"), col("t.nd").as("nd"),
+        col("t.pos").as("pos"))
+    val cand =
+      if (maxDist == 1) {
+        val v = tagged.select(col("id"), col("h"))
+        v.as("a").join(v.as("b"),
+            col("a.h") === col("b.h") && col("a.id") < col("b.id"))
+          .select(col("a.id").as("id1"), col("b.id").as("id2"))
+          .distinct()
+      } else {
+        // ed ≤ 2 candidate channels by deletion-count pair, complete
+        // by case analysis on the edit script (law: blocked ≡ brute,
+        // DedupSpec):
+        //   (0,0)/(0,1)/(1,1) — equal, 1-edit, and 1-ins+1-del pairs;
+        //     positions unrestricted (an ins/del witness deletes
+        //     DIFFERENT positions from each side);
+        //   (0,2)/(1,2)     — pairs with length skew 1..2 (2-del,
+        //     1-sub+1-indel); unrestricted;
+        //   (2,2)           — ONLY 2-substitution pairs remain, and
+        //     their witnesses delete the SAME two positions from both
+        //     sides — so pos joins as part of the key, splitting the
+        //     dominant buckets (every id sharing a length-(L−2)
+        //     subsequence) into exact position-aligned cells. On
+        //     sf0.1's sequential 18-char ids this is the difference
+        //     between a subsequence bucket (~hundreds of ids) and a
+        //     two-free-digit cell.
+        val small = tagged.where(col("nd") <= 1).select(col("id"), col("h"))
+        val two = tagged.where(col("nd") === 2)
+          .select(col("id"), col("h"), col("pos"))
+        val j1 = small.as("a").join(small.as("b"),
+            col("a.h") === col("b.h") && col("a.id") < col("b.id"))
+          .select(col("a.id").as("id1"), col("b.id").as("id2"))
+        val j2 = small.as("a").join(two.as("b"),
+            col("a.h") === col("b.h") && col("a.id") =!= col("b.id"))
+          .select(least(col("a.id"), col("b.id")).as("id1"),
+            greatest(col("a.id"), col("b.id")).as("id2"))
+        val j3 = two.as("a").join(two.as("b"),
+            col("a.h") === col("b.h") && col("a.pos") === col("b.pos") &&
+              col("a.id") < col("b.id"))
+          .select(col("a.id").as("id1"), col("b.id").as("id2"))
+        j1.union(j2).union(j3).distinct()
+      }
     // names re-attach to the candidate set only (candidate-sized join;
     // AQE broadcasts the small side at gate scale)
     cand

@@ -383,6 +383,42 @@ class DedupSpec extends SparkSpec {
     assert(ex.getMessage.contains("pigeonhole"))
   }
 
+  test("deletion_variants_tagged: hashes == xxhash64(variant), tags correct, nd<=1 deduped") {
+    import spark.implicits._
+    // repeated chars ("aab": two 1-deletions collapse to "ab"),
+    // a non-BMP code point, empty and 1-char edges
+    val df = Seq("kitten", "aab", "a😀b", "", "x").toDF("s")
+    val tagged = df.select(col("s"),
+        explode(graft.functions.DeletionVariantsTagged(col("s"), 2)).as("t"))
+      .select(col("s"), col("t.h").as("h"), col("t.nd").as("nd"),
+        col("t.pos").as("pos"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getInt(2), r.getInt(3)))
+    // reference: per-string untagged neighborhood, hashed by Spark's own
+    // xxhash64 — every tagged hash must appear there and vice versa
+    val untaggedH = df.select(col("s"),
+        explode(graft.operators.Dedup.deletionVariants(col("s"), 2)).as("v"))
+      .select(col("s"), xxhash64(col("v")).as("h"))
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val taggedByS = tagged.groupBy(_._1)
+    taggedByS.foreach { case (s, rows) =>
+      assert(rows.map(_._2).toSet == untaggedH(s),
+        s"hash set mismatch vs xxhash64(deletion_variants) for '$s'")
+      // nd<=1 rows are string-deduped: their hash multiset has no dups
+      val nd01 = rows.filter(_._3 <= 1).map(_._2)
+      assert(nd01.distinct.size == nd01.size, s"nd<=1 dup rows for '$s'")
+      // tag sanity: self row present exactly once with pos -1
+      assert(rows.count(r => r._3 == 0) == 1 && rows.find(_._3 == 0).get._4 == -1)
+      // nd=2 rows carry i*65536+j with i<j in code points
+      rows.filter(_._3 == 2).foreach { r =>
+        val i = r._4 / 65536; val j = r._4 % 65536
+        assert(i < j && j < s.codePointCount(0, s.length), s"bad pos tag in '$s'")
+      }
+    }
+    // "aab": 1-deletion strings {"ab"(x2 collapsed),"aa"} → 2 nd=1 rows
+    assert(taggedByS("aab").count(_._3 == 1) == 2)
+  }
+
   test("fuzzyJoinPairs: deletion blocking complete vs brute force at k=1 and k=2") {
     import spark.implicits._
     // handcrafted radii: exact dup, 1-sub, 1-del, 2-sub, 1-sub+1-del,
