@@ -44,7 +44,16 @@ object Similarity {
     * partition order — the form a SQL engine reproduces exactly
     * (driver oracle q77). The production scorer ([[cosine]]) keeps
     * full double precision via a deterministic sequential fold. */
-  def cosineExactScaled(a: Column, b: Column): Column = {
+  def cosineExactScaled(a: Column, b: Column): Column =
+    // fused one-pass kernel (graft.functions.CosineSimExactScaled);
+    // the composed triple-aggregate below is its bit-equality twin
+    graft.functions.CosineSimExactScaled(a, b)
+
+  /** The built-in HOF form of [[cosineExactScaled]] — kept as the
+    * native kernel's bit-equality oracle (SimilaritySpec): three
+    * interpreted `aggregate(zip_with(…))` passes per pair, the
+    * measured floor of the brute-force scorer. */
+  private[graft] def cosineExactScaledComposed(a: Column, b: Column): Column = {
     def sdot(x: Column, y: Column): Column =
       aggregate(zip_with(x, y, (u, v) => round(u * v * 1e6).cast("long")),
         lit(0L), (acc, t) => acc + t)

@@ -46,6 +46,46 @@ class SimilaritySpec extends SparkSpec {
     assert(b1.values.toSet.size > 1, "multiple buckets expected")
   }
 
+  test("cosineExactScaled fused kernel == composed triple-aggregate, bit-identical") {
+    // real embeddings all-pairs (vec_id < 40), plus adversarial rows:
+    // rounding boundaries (x·y·1e6 landing on .5), zero vectors (the
+    // composed form divides by 0 → ±Inf/NaN — the kernel must NOT
+    // guard), negatives, and unequal norms
+    val emb = Tables.embeddings(spark, sf)
+    val pairs = emb.where(col("vec_id") < 40).select(col("vec_id").as("i"),
+        transform(col("embedding"), _.cast("double")).as("a"))
+      .crossJoin(emb.where(col("vec_id") < 40).select(col("vec_id").as("j"),
+        transform(col("embedding"), _.cast("double")).as("b")))
+    val adv = Seq(
+      // dot terms land on the .5 rounding boundary (HALF_UP vs rint
+      // discriminator) while every norm stays non-zero after scaling
+      (Array(1.0, 1.0), Array(0.0000005, 1.0)),
+      (Array(1.0, -1.0), Array(-0.0000005, 2.0)),
+      (Array(1.5, -2.25), Array(-0.5, 3.125))
+    ).toDF("a", "b").select(lit(-1L).as("i"), col("a"), lit(-2L).as("j"), col("b"))
+    val all = pairs.unionByName(adv)
+    val cmp = all.select(
+        Similarity.cosineExactScaled(col("a"), col("b")).as("fused"),
+        Similarity.cosineExactScaledComposed(col("a"), col("b")).as("composed"))
+      .collect()
+    cmp.foreach { r =>
+      val f = r.getDouble(0); val c = r.getDouble(1)
+      assert(java.lang.Double.doubleToRawLongBits(f) ==
+        java.lang.Double.doubleToRawLongBits(c),
+        s"fused $f != composed $c (bitwise)")
+    }
+    // zero norms: ANSI mode makes the composed form THROW
+    // (DIVIDE_BY_ZERO — double division included in Spark 4); the
+    // kernel is deliberately TOTAL instead: IEEE ±Inf/NaN. No gate
+    // scores zero vectors; the kernel must not kill a job that does.
+    val z = Seq((Array(0.0, 0.0), Array(1.0, 2.0)),
+      (Array(0.0, 0.0), Array(0.0, 0.0))).toDF("a", "b")
+      .select(Similarity.cosineExactScaled(col("a"), col("b")).as("f"))
+      .collect().map(_.getDouble(0))
+    assert(z(0).isNaN || z(0).isInfinite)
+    assert(z(1).isNaN)
+  }
+
   test("cosineExactScaled is partition-independent and tracks exact cosine") {
     val emb = Tables.embeddings(spark, sf)
     def run(df: org.apache.spark.sql.DataFrame) = Similarity.bruteForceTopK(
