@@ -5,39 +5,93 @@ import org.apache.spark.sql.functions._
 
 /** Keyed copy-on-write MERGE over a bucket-clustered parquet table —
   * the lakehouse upsert/delete primitive (Delta/Hudi's copy-on-write
-  * shape) built from plain parquet + the same rename-aside swap
-  * discipline as [[AnnIndex]]/[[DedupIndex]]'s lifecycles. The
-  * reference's only mutation story is whole-file rewrite of flat
-  * tables (e.g. the per-run overwrite in its Makefile-driven outputs);
-  * at 100 TB a CDC batch must touch only the data it changes:
+  * shape) as a minimal GENERATION + MANIFEST log over plain parquet:
   *
-  *  - **layout**: rows land partitioned by `bucket = pmod(xxhash64(key),
-  *    nBuckets)` — a deterministic hash clustering, so every key lives
-  *    in exactly one directory;
+  *  - **layout**: rows land under `data/gen=G/bucket=B` where
+  *    `bucket = pmod(xxhash64(key), nBuckets)`; a MANIFEST (parquet,
+  *    one row per bucket → generation) names the live generation of
+  *    every bucket. Manifests are versioned files
+  *    (`manifest/v%06d`), committed by a tmp-write + rename to a
+  *    path that NEVER existed — the one atomic step; readers take
+  *    the highest version.
   *  - **merge**: the changed keys' buckets are computed first (a
-  *    distinct over the — batch-sized — change set); ONLY those
-  *    bucket directories are scanned (partition pruning, asserted in
-  *    MergeTableSpec), survivors are anti-joined against the changed
-  *    keys (AQE broadcasts the batch when small), upserts unioned in,
-  *    and the rewrite lands bucket-by-bucket via rename-aside: nothing
-  *    live is destroyed until its replacement committed, a crash
-  *    leaves the displaced originals under `data_trash/` (recovery:
-  *    rename back), and every rename is `require`d;
+  *    distinct over the batch-sized change set); ONLY those buckets'
+  *    live files are read (path-selected from the manifest — the
+  *    planning-time analog of partition pruning), survivors are
+  *    anti-joined against the changed keys (AQE broadcasts the batch
+  *    when small), upserts unioned in, and the result lands under
+  *    the NEXT generation. Nothing is ever deleted or moved: a crash
+  *    anywhere leaves either the old manifest (orphan data files,
+  *    invisible to every reader, reclaimed by [[vacuum]]) or the new
+  *    one (merge complete). No undo log, no recovery procedure —
+  *    "crash-safe" is a property of the layout, not a protocol.
+  *  - **idempotent replay**: re-merging the same batch against the
+  *    post-merge table reproduces the same content (upserts
+  *    overwrite themselves, deletes of absent keys are no-ops), so a
+  *    streaming CDC apply gets exactly-once CONTENT from the
+  *    checkpoint WAL alone ([[graft.streaming.StreamOps
+  *    .runMergeStream]]; law in MergeTableSpec).
   *  - **semantics**: upsert = replace-by-key or insert; delete =
-  *    remove-by-key (absent keys are no-ops). A batch must not upsert
-  *    the same key twice nor both upsert and delete one key — rejected
-  *    loudly rather than resolved by an arbitrary winner.
+  *    remove-by-key (absent keys are no-ops). A batch must not
+  *    upsert the same key twice nor both upsert and delete one key —
+  *    rejected loudly rather than resolved by an arbitrary winner.
   *
-  * Cost ∝ (affected buckets' data + change batch), never table size;
-  * the unchanged buckets are byte-identical (law in MergeTableSpec).
+  * Merge cost ∝ (affected buckets' data + change batch), never table
+  * size; untouched buckets' files are not even opened, and their
+  * generations carry over byte-identical (laws in MergeTableSpec).
+  * Single-writer by design (the reference's pipelines are
+  * single-writer Makefile stages; multi-writer commit arbitration is
+  * a lock service concern, out of scope).
   */
 object MergeTable {
 
   private def dataPath(dir: String) = s"$dir/data"
   private def metaPath(dir: String) = s"$dir/meta"
+  private def manifestDir(dir: String) = s"$dir/manifest"
 
   private def bucketOf(key: Column, nBuckets: Int): Column =
     pmod(xxhash64(key), lit(nBuckets)).cast("int")
+
+  private def fs(spark: SparkSession, dir: String) =
+    new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  /** Highest committed manifest version (0 = none). */
+  private def currentVersion(spark: SparkSession, dir: String): Int = {
+    val md = new org.apache.hadoop.fs.Path(manifestDir(dir))
+    val f = fs(spark, dir)
+    if (!f.exists(md)) return 0
+    f.listStatus(md).map(_.getPath.getName)
+      .filter(_.startsWith("v")).map(_.drop(1).toInt)
+      .foldLeft(0)(math.max)
+  }
+
+  /** The live (bucket → gen) map of the highest manifest version. */
+  private def manifest(spark: SparkSession, dir: String): Map[Int, Int] = {
+    val v = currentVersion(spark, dir)
+    require(v > 0, s"no committed manifest under $dir")
+    spark.read.parquet(f"${manifestDir(dir)}/v$v%06d")
+      .collect().map(r => r.getInt(0) -> r.getInt(1)).toMap
+  }
+
+  /** Write (bucket, gen) rows as version `v` — tmp then rename to a
+    * never-before-existing path: the commit point. */
+  private def commitManifest(spark: SparkSession, dir: String,
+      entries: Map[Int, Int], v: Int): Unit = {
+    import spark.implicits._
+    val tmp = f"${manifestDir(dir)}/tmp-v$v%06d"
+    entries.toSeq.sortBy(_._1).toDF("bucket", "gen")
+      .coalesce(1).write.mode("overwrite").parquet(tmp)
+    val f0 = fs(spark, dir)
+    val dst = new org.apache.hadoop.fs.Path(f"${manifestDir(dir)}/v$v%06d")
+    require(!f0.exists(dst), s"manifest $dst already exists — concurrent writer?")
+    require(f0.rename(new org.apache.hadoop.fs.Path(tmp), dst),
+      s"could not commit manifest $dst")
+  }
+
+  private def bucketPaths(dir: String, m: Map[Int, Int],
+      buckets: Seq[Int]): Seq[String] =
+    buckets.flatMap(b => m.get(b).map(g => s"${dataPath(dir)}/gen=$g/bucket=$b"))
 
   /** Land `df` as a bucket-clustered merge table at `dir`. `keyCol`
     * must be unique (checked — one action over the batch). */
@@ -46,16 +100,28 @@ object MergeTable {
     val spark = df.sparkSession
     requireUniqueKeys(df, keyCol, "create")
     df.withColumn("bucket", bucketOf(col(keyCol), nBuckets))
-      .write.partitionBy("bucket").mode("overwrite").parquet(dataPath(dir))
+      .write.partitionBy("bucket").mode("overwrite")
+      .parquet(s"${dataPath(dir)}/gen=0")
     import spark.implicits._
     Seq((keyCol, nBuckets)).toDF("key_col", "n_buckets")
       .coalesce(1).write.mode("overwrite").parquet(metaPath(dir))
+    // only buckets that actually received rows enter the manifest
+    val present = fs(spark, dir)
+      .listStatus(new org.apache.hadoop.fs.Path(s"${dataPath(dir)}/gen=0"))
+      .map(_.getPath.getName).filter(_.startsWith("bucket="))
+      .map(_.stripPrefix("bucket=").toInt)
+    commitManifest(spark, dir, present.map(_ -> 0).toMap, 1)
   }
 
-  /** The table's current content (data columns only — the bucket is
-    * an internal layout column). */
-  def read(spark: SparkSession, dir: String): DataFrame =
-    spark.read.parquet(dataPath(dir)).drop("bucket")
+  /** The table's current content (data columns only). */
+  def read(spark: SparkSession, dir: String): DataFrame = {
+    val m = manifest(spark, dir)
+    val paths = bucketPaths(dir, m, m.keys.toSeq.sorted)
+    if (paths.isEmpty) {
+      // all buckets deleted: an empty frame with the table's schema
+      spark.read.parquet(s"${dataPath(dir)}/gen=0").limit(0).drop("bucket")
+    } else spark.read.parquet(paths: _*).drop("bucket")
+  }
 
   private def meta(spark: SparkSession, dir: String): (String, Int) = {
     val r = spark.read.parquet(metaPath(dir)).head()
@@ -74,7 +140,7 @@ object MergeTable {
 
   /** Apply one CDC batch: `upserts` (full rows, replace-or-insert by
     * key) and `deleteKeys` (single-column frame of keys to remove).
-    * Only the buckets containing touched keys are rewritten. */
+    * Only the buckets containing touched keys are read or written. */
   def merge(spark: SparkSession, dir: String, upserts: DataFrame,
       deleteKeys: DataFrame): Unit = {
     val (keyCol, nBuckets) = meta(spark, dir)
@@ -91,39 +157,60 @@ object MergeTable {
     val affected = changed.select("bucket").distinct()
       .collect().map(_.getInt(0)).sorted
     if (affected.isEmpty) return
-    val live = spark.read.parquet(dataPath(dir))
-    // partition-pruned scan of the affected buckets only; the
-    // anti-join drops every touched key (its replacement — if any —
-    // arrives from the upsert batch)
-    val survivors = live
-      .where(col("bucket").isin(affected.map(Integer.valueOf): _*))
-      .join(changed.select(keyCol), Seq(keyCol), "left_anti")
-    val rewrite = survivors.unionByName(
-      upserts.withColumn("bucket", bucketOf(col(keyCol), nBuckets)))
-    val tmp = s"$dir/data_rewrite"
-    rewrite.write.partitionBy("bucket").mode("overwrite").parquet(tmp)
-    // rename-aside swap (the AnnIndex.delete idiom): move each live
-    // bucket to trash, then install its rewrite; a bucket whose rows
-    // were all deleted has no rewritten dir and is dropped whole; a
-    // bucket new to this batch has no live dir to displace
-    val root = new org.apache.hadoop.fs.Path(dataPath(dir))
-    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val trash = new org.apache.hadoop.fs.Path(s"$dir/data_trash")
-    fs.delete(trash, true)
-    fs.mkdirs(trash)
-    affected.foreach { b =>
-      val liveB = new org.apache.hadoop.fs.Path(root, s"bucket=$b")
-      val freshB = new org.apache.hadoop.fs.Path(tmp, s"bucket=$b")
-      if (fs.exists(liveB))
-        require(fs.rename(liveB, new org.apache.hadoop.fs.Path(trash, s"bucket=$b")),
-          s"could not move bucket=$b aside — merge aborted with the table intact")
-      if (fs.exists(freshB))
-        require(fs.rename(freshB, liveB),
-          s"could not install rewritten bucket=$b — its prior content is" +
-            s" under $trash")
+    val m = manifest(spark, dir)
+    val livePaths = bucketPaths(dir, m, affected.toSeq)
+    val nextGen = currentVersion(spark, dir) // gen numbers track versions
+    // leaf-dir reads carry data columns only (bucket lives in the dir
+    // name) — recompute it once over the whole rewrite frame
+    val survivors =
+      if (livePaths.isEmpty) upserts.limit(0)
+      else spark.read.parquet(livePaths: _*)
+        .join(changed.select(keyCol), Seq(keyCol), "left_anti")
+    survivors.unionByName(upserts)
+      .withColumn("bucket", bucketOf(col(keyCol), nBuckets))
+      .write.partitionBy("bucket").mode("overwrite")
+      .parquet(s"${dataPath(dir)}/gen=$nextGen")
+    // manifest: affected buckets move to nextGen (or leave — a bucket
+    // whose rows were all deleted writes no dir and drops out);
+    // untouched buckets carry their generation over verbatim
+    val written = fs(spark, dir)
+      .listStatus(new org.apache.hadoop.fs.Path(s"${dataPath(dir)}/gen=$nextGen"))
+      .map(_.getPath.getName).filter(_.startsWith("bucket="))
+      .map(_.stripPrefix("bucket=").toInt).toSet
+    val next = (m -- affected.toSet) ++
+      affected.filter(written).map(_ -> nextGen)
+    commitManifest(spark, dir, next, nextGen + 1)
+  }
+
+  /** Reclaim every data file no committed-current manifest references
+    * and every superseded manifest version — the cleanup for crashed
+    * merges' orphans and old generations. Readers of the CURRENT
+    * manifest are unaffected; readers pinned to an older version
+    * lose time travel (the documented trade). */
+  def vacuum(spark: SparkSession, dir: String): Unit = {
+    val f0 = fs(spark, dir)
+    val v = currentVersion(spark, dir)
+    val m = manifest(spark, dir)
+    val live = m.map { case (b, g) => s"gen=$g/bucket=$b" }.toSet
+    val dataRoot = new org.apache.hadoop.fs.Path(dataPath(dir))
+    if (f0.exists(dataRoot)) f0.listStatus(dataRoot).foreach { genDir =>
+      val gen = genDir.getPath.getName
+      f0.listStatus(genDir.getPath).foreach { bDir =>
+        val name = bDir.getPath.getName
+        if (name.startsWith("bucket=") && !live.contains(s"$gen/$name"))
+          require(f0.delete(bDir.getPath, true), s"could not vacuum $bDir")
+      }
+      if (f0.listStatus(genDir.getPath)
+          .forall(s => s.getPath.getName.startsWith("_")))
+        f0.delete(genDir.getPath, true)
     }
-    fs.delete(new org.apache.hadoop.fs.Path(tmp), true)
-    fs.delete(trash, true)
+    val md = new org.apache.hadoop.fs.Path(manifestDir(dir))
+    f0.listStatus(md).map(_.getPath).foreach { p =>
+      val n = p.getName
+      if (n.startsWith("tmp-") ||
+          (n.startsWith("v") && n.drop(1).forall(_.isDigit) && n.drop(1).toInt < v))
+        f0.delete(p, true)
+    }
   }
 
   /** Recompute-from-scratch reference form of [[merge]] — law twin

@@ -570,14 +570,17 @@ object SourceQueries {
   }
 
   /** Keyed copy-on-write MERGE — the CDC/upsert primitive over a
-    * bucket-clustered parquet table ([[graft.operators.MergeTable]]).
-    * One batch carries replacements (keys % 97), inserts (shifted
+    * bucket-clustered parquet table ([[graft.operators.MergeTable]]:
+    * generation dirs + an atomically-committed versioned manifest, so
+    * merges only ever ADD files and a crash needs no recovery). One
+    * batch carries replacements (keys % 97), inserts (shifted
     * keys % 103) and deletes (keys % 101, minus the upsert overlap);
     * the gate reads the merged table back in full and the oracle
     * recomputes the identical final state relationally (anti-join +
-    * union). Only buckets containing touched keys are rewritten —
-    * pruning + unchanged-bucket byte-identity are pinned in
-    * MergeTableSpec; this gate pins the END STATE exactly. */
+    * union). Only buckets containing touched keys are read or
+    * written — untouched-bucket generation carry-over, orphan
+    * invisibility and vacuum are pinned in MergeTableSpec; this gate
+    * pins the END STATE exactly. */
   val q280 = QuerySpec.sql(
     "q280_merge_table",
     """WITH base AS (
@@ -609,7 +612,58 @@ object SourceQueries {
     graft.operators.MergeTable.read(s, dir)
   }
 
+  /** Streaming CDC apply onto the merge table ([[graft.streaming
+    * .StreamOps.runMergeStream]]): two change batches — batch 1
+    * updates + deletes, batch 2 RE-updates the same keys and inserts
+    * new ones — arrive through the real streaming engine and fold
+    * into [[graft.operators.MergeTable]] one merge per micro-batch.
+    * Exactly-once content needs no marker or undo log: a crashed
+    * generation is invisible until its manifest commits, and replay
+    * is content-idempotent (MergeTableSpec). The oracle derives the
+    * FOLDED end state relationally — batch 2's updates supersede
+    * batch 1's, so the composition collapses to one expression. */
+  val q282 = QuerySpec.sql(
+    "q282_merge_stream",
+    """WITH base AS (
+      |  SELECT CAST(o_orderkey AS BIGINT) AS k, CAST(o_custkey AS BIGINT) AS ck,
+      |         CAST(round(o_totalprice * 100, 0) AS BIGINT) AS cents
+      |  FROM orders)
+      |SELECT k, ck, cents FROM base WHERE k % 97 <> 0 AND k % 101 <> 0
+      |UNION ALL
+      |SELECT k, ck, cents + 2000000 AS cents FROM base WHERE k % 97 = 0
+      |UNION ALL
+      |SELECT k + 10000000000 AS k, ck, cents FROM base WHERE k % 103 = 0""",
+    "streaming CDC apply onto the merge table: two folded change batches (lakehouse)") { (s, d) =>
+    val base = Tables.orders(s, d).select(
+      col("o_orderkey").cast("long").as("k"),
+      col("o_custkey").cast("long").as("ck"),
+      graft.functions.ExactNum.scaled(col("o_totalprice"), 100).as("cents"))
+    val root = java.nio.file.Files.createTempDirectory("graft-q282").toString
+    val dir = s"$root/t"
+    graft.operators.MergeTable.create(base, dir, "k", nBuckets = 16)
+    val src = new java.io.File(root, "src"); src.mkdirs()
+    val b0 = base.where(col("k") % 97 === 0)
+      .withColumn("cents", col("cents") + 1000000L).withColumn("op", lit("u"))
+      .unionByName(base.where(col("k") % 101 === 0 && col("k") % 97 =!= 0)
+        .withColumn("op", lit("d")))
+    val b1 = base.where(col("k") % 97 === 0)
+      .withColumn("cents", col("cents") + 2000000L).withColumn("op", lit("u"))
+      .unionByName(base.where(col("k") % 103 === 0)
+        .withColumn("k", col("k") + 10000000000L).withColumn("op", lit("u")))
+    Seq(b0, b1).zipWithIndex.foreach { case (df, b) =>
+      val tmp = s"$root/tmp$b"
+      df.coalesce(1).write.parquet(tmp)
+      val part = new java.io.File(tmp).listFiles()
+        .find(_.getName.endsWith(".parquet")).get
+      val dst = new java.io.File(src, f"b$b%02d.parquet")
+      java.nio.file.Files.move(part.toPath, dst.toPath)
+      dst.setLastModified(1700000000000L + b * 60000L)
+    }
+    graft.streaming.StreamOps.runMergeStream(s, src.toString, dir,
+      s"$root/ckpt", "k")
+  }
+
   val all: Seq[QuerySpec] =
     Seq(q44, q45, q46, q47, q48, q49, q79, q80, q121, q131, q146, q195, q196,
-      q202, q210, q216, q220, q230, q231, q280)
+      q202, q210, q216, q220, q230, q231, q280, q282)
 }

@@ -541,6 +541,44 @@ object StreamOps {
       .drop("batch")
   }
 
+  /** Streaming CDC apply onto a [[graft.operators.MergeTable]]: each
+    * micro-batch carries full rows plus an `op` column (`"u"` =
+    * upsert, `"d"` = delete) and is folded into the table with one
+    * [[graft.operators.MergeTable.merge]] call — the landing-zone
+    * MERGE shape (Delta's `foreachBatch` + `MERGE INTO` idiom) on
+    * plain parquet.
+    *
+    * Exactly-once CONTENT from the checkpoint WAL alone — no
+    * idempotency marker, no undo log: merge only ever ADDS files (a
+    * crashed attempt's generation is invisible until its manifest
+    * commits, and the retry overwrites it), and re-merging a batch
+    * against the post-batch table reproduces the same content
+    * (upserts replace themselves; deletes of absent keys are no-ops).
+    * Structured streaming replays at most the last uncommitted batch,
+    * in order, so every crash lands on one of those two cases
+    * (MergeTableSpec pins the replay law; the gate oracles the folded
+    * end state). */
+  def runMergeStream(spark: SparkSession, srcDir: String, tableDir: String,
+      checkpointDir: String, keyCol: String,
+      opCol: String = "op"): DataFrame = withNanosAsLong(spark) {
+    import org.apache.spark.sql.DataFrame
+    val schema = spark.read.parquet(srcDir).schema
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1).parquet(srcDir)
+    val q = stream.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        graft.operators.MergeTable.merge(batch.sparkSession, tableDir,
+          upserts = batch.where(col(opCol) === "u").drop(opCol),
+          deleteKeys = batch.where(col(opCol) === "d").select(col(keyCol)))
+        ()
+      }
+      .start()
+    q.awaitTermination()
+    graft.operators.MergeTable.read(spark, tableDir)
+  }
+
   /** Recursive file inventory of the index dir as root-relative paths;
     * the `pending/` undo log itself is excluded (it is recovery
     * metadata, not index state). Hadoop FS API, so the same recovery

@@ -4,11 +4,12 @@ import graft.{SparkSpec, Tables}
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
-/** Laws for the keyed copy-on-write MERGE ([[MergeTable]], gate
-  * q280): end-state equivalence vs the full-shuffle recompute,
-  * bucket pruning in the survivors scan, byte-identity of untouched
-  * buckets, whole-bucket deletion, batch-conflict rejection, and
-  * idempotent re-merge. */
+/** Laws for the generation+manifest MERGE table ([[MergeTable]],
+  * gates q280/q282): end-state equivalence vs the full-shuffle
+  * recompute, untouched buckets carry their generation over
+  * unrewritten, whole-bucket deletion, batch-conflict rejection,
+  * idempotent re-merge (the streaming replay law), crash-orphan
+  * invisibility, and vacuum. */
 class MergeTableSpec extends SparkSpec {
 
   private def tmpDir(): String =
@@ -23,6 +24,25 @@ class MergeTableSpec extends SparkSpec {
     df.select("k", "ck", "cents").collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
 
+  private def bucketOf(k: Long, n: Int): Int = {
+    import spark.implicits._
+    Seq(k).toDF("k")
+      .select(pmod(xxhash64(col("k")), lit(n)).cast("int")).head().getInt(0)
+  }
+
+  /** (gen dir, file name, length) signature of every live data file,
+    * keyed by bucket, straight from the filesystem. */
+  private def fileSig(dir: String): Map[String, Seq[(String, Long)]] = {
+    val root = new java.io.File(s"$dir/data")
+    root.listFiles().filter(_.getName.startsWith("gen=")).flatMap { g =>
+      g.listFiles().filter(_.getName.startsWith("bucket=")).map { b =>
+        (g.getName + "/" + b.getName) ->
+          b.listFiles().filter(_.getName.endsWith(".parquet")).sorted
+            .map(f => (f.getName, f.length())).toSeq
+      }
+    }.toMap
+  }
+
   test("merge end state == full recompute (anti-join + union)") {
     val dir = tmpDir()
     MergeTable.create(base, dir, "k", nBuckets = 8)
@@ -34,50 +54,39 @@ class MergeTableSpec extends SparkSpec {
     MergeTable.merge(spark, dir, ups, del)
     val expected = MergeTable.mergeBrute(base, "k", ups, del)
     assert(content(MergeTable.read(spark, dir)) == content(expected))
+    // a second merge stacks correctly (generations compose)
+    val ups2 = base.where(col("k") % 19 === 0)
+      .withColumn("cents", col("cents") + 7L)
+    MergeTable.merge(spark, dir, ups2, spark.range(0).select(col("id").as("k")))
+    val expected2 = MergeTable.mergeBrute(
+      expected, "k", ups2, spark.range(0).select(col("id").as("k")))
+    assert(content(MergeTable.read(spark, dir)) == content(expected2))
   }
 
-  test("untouched buckets are byte-identical; touched buckets only are rewritten") {
+  test("untouched buckets carry their generation over, files unrewritten") {
     val dir = tmpDir()
     MergeTable.create(base, dir, "k", nBuckets = 8)
-    // one single-key batch → exactly one affected bucket
     val oneKey = base.orderBy("k").limit(1)
-    val touched = oneKey
-      .select(pmod(xxhash64(col("k")), lit(8)).cast("int")).head().getInt(0)
-    def fileSig(b: Int): Seq[(String, Long)] = {
-      val d = new java.io.File(s"$dir/data/bucket=$b")
-      if (!d.exists()) Seq.empty
-      else d.listFiles().filter(_.getName.endsWith(".parquet")).sorted
-        .map(f => (f.getName, f.length())).toSeq
-    }
-    val before = (0 until 8).map(fileSig)
+    val touched = bucketOf(oneKey.head().getLong(0), 8)
+    val before = fileSig(dir)
     MergeTable.merge(spark, dir,
       oneKey.withColumn("cents", col("cents") + 1L),
       spark.range(0).select(col("id").as("k")))
-    val after = (0 until 8).map(fileSig)
-    (0 until 8).foreach { b =>
-      if (b == touched) assert(before(b) != after(b), s"bucket $b should be rewritten")
-      else assert(before(b) == after(b), s"bucket $b should be untouched")
+    val after = fileSig(dir)
+    // every gen=0 bucket except the touched one is still live AND
+    // byte-identical; the touched bucket's new home is gen=1
+    (0 until 8).filter(_ != touched).foreach { b =>
+      assert(after(s"gen=0/bucket=$b") == before(s"gen=0/bucket=$b"))
     }
+    assert(after.contains(s"gen=1/bucket=$touched"),
+      "touched bucket must move to the next generation")
+    assert(content(MergeTable.read(spark, dir)) ==
+      content(MergeTable.mergeBrute(base, "k",
+        oneKey.withColumn("cents", col("cents") + 1L),
+        spark.range(0).select(col("id").as("k")))))
   }
 
-  test("survivors scan is partition-pruned to the affected buckets") {
-    val dir = tmpDir()
-    MergeTable.create(base, dir, "k", nBuckets = 8)
-    val oneKey = base.orderBy("k").limit(1)
-    val touched = oneKey
-      .select(pmod(xxhash64(col("k")), lit(8)).cast("int")).head().getInt(0)
-    // the pruning MergeTable.merge plans internally, reproduced here
-    // so the PartitionFilters entry is assertable on a held plan
-    val pruned = spark.read.parquet(s"$dir/data")
-      .where(col("bucket").isin(Integer.valueOf(touched)))
-    val scan = pruned.queryExecution.executedPlan.toString
-    assert(scan.contains("PartitionFilters") && scan.contains("bucket"),
-      s"expected partition pruning on bucket:\n${scan.take(600)}")
-    assert(pruned.count() ==
-      base.where(pmod(xxhash64(col("k")), lit(8)).cast("int") === touched).count())
-  }
-
-  test("deleting every key of a bucket drops the bucket directory whole") {
+  test("deleting every key of a bucket drops it from the manifest") {
     val dir = tmpDir()
     MergeTable.create(base, dir, "k", nBuckets = 4)
     val victim = 2
@@ -86,37 +95,100 @@ class MergeTableSpec extends SparkSpec {
     val nDel = delKeys.count()
     assert(nDel > 0)
     MergeTable.merge(spark, dir, base.limit(0), delKeys)
-    assert(!new java.io.File(s"$dir/data/bucket=$victim").exists(),
-      "fully-deleted bucket directory should be gone")
-    assert(MergeTable.read(spark, dir).count() == base.count() - nDel)
+    val got = MergeTable.read(spark, dir)
+    assert(got.count() == base.count() - nDel)
+    assert(got.where(pmod(xxhash64(col("k")), lit(4)).cast("int") === victim)
+      .count() == 0)
   }
 
   test("conflicting batches are rejected loudly") {
     val dir = tmpDir()
     MergeTable.create(base, dir, "k", nBuckets = 4)
     val k0 = base.orderBy("k").limit(1)
-    // duplicate upsert key
     intercept[IllegalArgumentException] {
       MergeTable.merge(spark, dir, k0.unionByName(k0), base.limit(0).select("k"))
     }
-    // key both upserted and deleted
     intercept[IllegalArgumentException] {
       MergeTable.merge(spark, dir, k0, k0.select("k"))
     }
-    // duplicate keys at create
     intercept[IllegalArgumentException] {
       MergeTable.create(base.unionByName(k0), tmpDir(), "k", nBuckets = 4)
     }
   }
 
-  test("re-merging the same upserts is idempotent") {
+  test("re-merging the same batch is content-idempotent (the streaming replay law)") {
     val dir = tmpDir()
     MergeTable.create(base, dir, "k", nBuckets = 4)
     val ups = base.where(col("k") % 7 === 0).withColumn("cents", col("cents") + 9L)
-    val noDel = base.limit(0).select("k")
-    MergeTable.merge(spark, dir, ups, noDel)
+    val del = base.where(col("k") % 23 === 0 && col("k") % 7 =!= 0).select("k")
+    MergeTable.merge(spark, dir, ups, del)
     val first = content(MergeTable.read(spark, dir))
-    MergeTable.merge(spark, dir, ups, noDel)
+    // a replayed CDC batch re-merges against the post-batch table:
+    // upserts replace themselves, deletes of absent keys are no-ops
+    MergeTable.merge(spark, dir, ups, del)
     assert(content(MergeTable.read(spark, dir)) == first)
+  }
+
+  test("a crashed merge's orphan generation is invisible; vacuum reclaims it") {
+    val dir = tmpDir()
+    MergeTable.create(base, dir, "k", nBuckets = 4)
+    val before = content(MergeTable.read(spark, dir))
+    // simulate a crash AFTER data write, BEFORE manifest commit: a
+    // full generation directory with no manifest pointing at it
+    base.limit(50).withColumn("cents", lit(-1L))
+      .withColumn("bucket", pmod(xxhash64(col("k")), lit(4)).cast("int"))
+      .write.partitionBy("bucket").mode("overwrite")
+      .parquet(s"$dir/data/gen=1")
+    assert(content(MergeTable.read(spark, dir)) == before,
+      "uncommitted generation must be invisible to readers")
+    // the retried merge overwrites the orphan generation and commits
+    val ups = base.where(col("k") % 7 === 0).withColumn("cents", col("cents") + 9L)
+    MergeTable.merge(spark, dir, ups, spark.range(0).select(col("id").as("k")))
+    val merged = content(MergeTable.read(spark, dir))
+    assert(merged == content(MergeTable.mergeBrute(base, "k", ups,
+      spark.range(0).select(col("id").as("k")))))
+    // vacuum drops superseded gen-0 homes of rewritten buckets and
+    // old manifests; content unchanged
+    MergeTable.vacuum(spark, dir)
+    assert(content(MergeTable.read(spark, dir)) == merged)
+    val live = fileSig(dir).keySet
+    val manifests = new java.io.File(s"$dir/manifest").listFiles().map(_.getName)
+    assert(manifests.count(_.startsWith("v")) == 1, "one live manifest after vacuum")
+    // nothing on disk outside the live manifest's entries
+    val m = spark.read.parquet(s"$dir/manifest/${manifests.filter(_.startsWith("v")).max}")
+      .collect().map(r => s"gen=${r.getInt(1)}/bucket=${r.getInt(0)}").toSet
+    assert(live == m, s"disk $live != manifest $m")
+  }
+
+  test("streaming CDC apply: folded end state + restart replays nothing") {
+    val dir = tmpDir()
+    MergeTable.create(base, dir, "k", nBuckets = 4)
+    val src = java.nio.file.Files.createTempDirectory("graft-merge-src").toString
+    def writeBatch(b: Int, df: DataFrame): Unit = {
+      val tmp = s"$src/../tmp$b"
+      df.coalesce(1).write.mode("overwrite").parquet(tmp)
+      val part = new java.io.File(tmp).listFiles()
+        .find(_.getName.endsWith(".parquet")).get
+      val dst = new java.io.File(src, f"b$b%02d.parquet")
+      java.nio.file.Files.move(part.toPath, dst.toPath)
+      dst.setLastModified(1700000000000L + b * 60000L)
+    }
+    val ups1 = base.where(col("k") % 7 === 0).withColumn("cents", col("cents") + 9L)
+    val del1 = base.where(col("k") % 23 === 0 && col("k") % 7 =!= 0)
+    val ups2 = base.where(col("k") % 11 === 0).withColumn("cents", col("cents") + 3L)
+    writeBatch(0, ups1.withColumn("op", lit("u"))
+      .unionByName(del1.withColumn("op", lit("d"))))
+    writeBatch(1, ups2.withColumn("op", lit("u")))
+    val ckpt = s"$src/../ckpt"
+    val got = content(graft.streaming.StreamOps.runMergeStream(
+      spark, src, dir, ckpt, "k"))
+    val s1 = MergeTable.mergeBrute(base, "k", ups1, del1.select("k"))
+    val s2 = MergeTable.mergeBrute(s1, "k", ups2,
+      spark.range(0).select(col("id").as("k")))
+    assert(got == content(s2))
+    // restart with the same checkpoint: no new batches, state unchanged
+    val again = content(graft.streaming.StreamOps.runMergeStream(
+      spark, src, dir, ckpt, "k"))
+    assert(again == got)
   }
 }
