@@ -70,8 +70,27 @@ object MergeTable {
   private def manifest(spark: SparkSession, dir: String): Map[Int, Int] = {
     val v = currentVersion(spark, dir)
     require(v > 0, s"no committed manifest under $dir")
-    spark.read.parquet(f"${manifestDir(dir)}/v$v%06d")
+    manifestAt(spark, dir, v)
+  }
+
+  /** The (bucket → gen) map of a specific committed version. */
+  private def manifestAt(spark: SparkSession, dir: String, v: Int): Map[Int, Int] = {
+    val p = new org.apache.hadoop.fs.Path(f"${manifestDir(dir)}/v$v%06d")
+    require(fs(spark, dir).exists(p),
+      s"manifest version $v does not exist under $dir — never committed, or reclaimed by vacuum")
+    spark.read.parquet(p.toString)
       .collect().map(r => r.getInt(0) -> r.getInt(1)).toMap
+  }
+
+  /** All committed manifest versions, ascending (time-travel points).
+    * Version 1 is the create; each merge commits the next. */
+  def versions(spark: SparkSession, dir: String): Seq[Int] = {
+    val md = new org.apache.hadoop.fs.Path(manifestDir(dir))
+    val f = fs(spark, dir)
+    if (!f.exists(md)) return Seq.empty
+    f.listStatus(md).map(_.getPath.getName).toSeq
+      .filter(n => n.startsWith("v") && n.drop(1).forall(_.isDigit))
+      .map(_.drop(1).toInt).sorted
   }
 
   /** Write (bucket, gen) rows as version `v` — tmp then rename to a
@@ -114,13 +133,49 @@ object MergeTable {
   }
 
   /** The table's current content (data columns only). */
-  def read(spark: SparkSession, dir: String): DataFrame = {
-    val m = manifest(spark, dir)
+  def read(spark: SparkSession, dir: String): DataFrame =
+    readManifest(spark, dir, manifest(spark, dir))
+
+  /** TIME TRAVEL — the table's content as of committed manifest
+    * version `v` (1 = as created; each merge commits the next).
+    * Free by construction: merges only ever ADD files, so every
+    * bucket generation an old manifest names is still on disk until
+    * [[vacuum]] reclaims superseded versions (after which readAt of
+    * a reclaimed version fails loudly, the documented trade). */
+  def readAt(spark: SparkSession, dir: String, v: Int): DataFrame =
+    readManifest(spark, dir, manifestAt(spark, dir, v))
+
+  private def readManifest(spark: SparkSession, dir: String,
+      m: Map[Int, Int]): DataFrame = {
     val paths = bucketPaths(dir, m, m.keys.toSeq.sorted)
     if (paths.isEmpty) {
       // all buckets deleted: an empty frame with the table's schema
       spark.read.parquet(s"${dataPath(dir)}/gen=0").limit(0).drop("bucket")
     } else spark.read.parquet(paths: _*).drop("bucket")
+  }
+
+  /** Keyed point read — the serving-path counterpart of [[merge]]'s
+    * write-side pruning: hash the probe keys to their buckets, read
+    * ONLY those buckets' live files (path-selected from the
+    * manifest), and semi-join. Cost ∝ (probed buckets' data + key
+    * set), never table size; the bucket-id collect is bounded by
+    * nBuckets, and AQE broadcasts the key set when small. */
+  def lookup(spark: SparkSession, dir: String, keys: DataFrame): DataFrame = {
+    val (keyCol, k, paths) = lookupPaths(spark, dir, keys)
+    if (paths.isEmpty) readManifest(spark, dir, manifest(spark, dir)).limit(0)
+    else spark.read.parquet(paths: _*).drop("bucket")
+      .join(k, Seq(keyCol), "left_semi")
+  }
+
+  /** The bucket paths a [[lookup]] of `keys` opens — exposed so the
+    * path-pruning law is assertable (MergeTableSpec). */
+  private[graft] def lookupPaths(spark: SparkSession, dir: String,
+      keys: DataFrame): (String, DataFrame, Seq[String]) = {
+    val (keyCol, nBuckets) = meta(spark, dir)
+    val k = keys.select(col(keys.columns.head).as(keyCol)).distinct()
+    val probed = k.withColumn("bucket", bucketOf(col(keyCol), nBuckets))
+      .select("bucket").distinct().collect().map(_.getInt(0)).sorted
+    (keyCol, k, bucketPaths(dir, manifest(spark, dir), probed.toSeq))
   }
 
   private def meta(spark: SparkSession, dir: String): (String, Int) = {

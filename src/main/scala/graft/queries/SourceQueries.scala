@@ -663,7 +663,117 @@ object SourceQueries {
       s"$root/ckpt", "k")
   }
 
+  /** TIME TRAVEL on the merge table ([[graft.operators.MergeTable
+    * .readAt]]): create (v1) → merge updates+deletes (v2) → merge
+    * inserts (v3), then read ALL THREE versions back tagged. Works by
+    * construction of the generation+manifest layout — old manifests
+    * keep naming on-disk generations because merges only ever add
+    * files (vacuum is the one deleter, pinned in MergeTableSpec).
+    * The oracle derives each version's state relationally. */
+  val q283 = QuerySpec.sql(
+    "q283_merge_time_travel",
+    """WITH base AS (
+      |  SELECT CAST(o_orderkey AS BIGINT) AS k, CAST(o_custkey AS BIGINT) AS ck,
+      |         CAST(round(o_totalprice * 100, 0) AS BIGINT) AS cents
+      |  FROM orders),
+      |v2 AS (
+      |  SELECT k, ck, CASE WHEN k % 97 = 0 THEN cents + 1000000 ELSE cents END AS cents
+      |  FROM base WHERE NOT (k % 101 = 0 AND k % 97 <> 0))
+      |SELECT 1 AS v, k, ck, cents FROM base
+      |UNION ALL
+      |SELECT 2 AS v, k, ck, cents FROM v2
+      |UNION ALL
+      |SELECT 3 AS v, k, ck, cents FROM v2
+      |UNION ALL
+      |SELECT 3 AS v, k + 10000000000 AS k, ck, cents FROM base WHERE k % 103 = 0""",
+    "merge-table time travel: three manifest versions read back tagged (lakehouse)") { (s, d) =>
+    import graft.operators.MergeTable
+    val base = Tables.orders(s, d).select(
+      col("o_orderkey").cast("long").as("k"),
+      col("o_custkey").cast("long").as("ck"),
+      graft.functions.ExactNum.scaled(col("o_totalprice"), 100).as("cents"))
+    val dir = java.nio.file.Files.createTempDirectory("graft-q283").toString + "/t"
+    MergeTable.create(base, dir, "k", nBuckets = 16)
+    MergeTable.merge(s, dir,
+      base.where(col("k") % 97 === 0).withColumn("cents", col("cents") + 1000000L),
+      base.where(col("k") % 101 === 0 && col("k") % 97 =!= 0).select("k"))
+    MergeTable.merge(s, dir,
+      base.where(col("k") % 103 === 0).withColumn("k", col("k") + 10000000000L),
+      base.limit(0).select("k"))
+    MergeTable.versions(s, dir).map(v =>
+        MergeTable.readAt(s, dir, v).withColumn("v", lit(v)))
+      .reduce(_ unionByName _).select("v", "k", "ck", "cents")
+  }
+
+  /** Keyed POINT READ on the merge table ([[graft.operators
+    * .MergeTable.lookup]]): probe keys hash to their buckets and only
+    * those buckets' live files are opened — the serving-path read
+    * whose cost is ∝ probed data, never table size (path-pruning law
+    * in MergeTableSpec). Probes a mix of surviving, updated, deleted
+    * (absent) and never-present keys against the post-merge state;
+    * the oracle folds the merge and semi-joins the key set. */
+  val q284 = QuerySpec.sql(
+    "q284_merge_lookup",
+    """WITH base AS (
+      |  SELECT CAST(o_orderkey AS BIGINT) AS k, CAST(o_custkey AS BIGINT) AS ck,
+      |         CAST(round(o_totalprice * 100, 0) AS BIGINT) AS cents
+      |  FROM orders),
+      |state AS (
+      |  SELECT k, ck, CASE WHEN k % 97 = 0 THEN cents + 1000000 ELSE cents END AS cents
+      |  FROM base WHERE NOT (k % 101 = 0 AND k % 97 <> 0)),
+      |probe AS (
+      |  SELECT k FROM base WHERE k % 53 = 0
+      |  UNION ALL SELECT k + 77777 FROM base WHERE k % 997 = 0)
+      |SELECT s.k, s.ck, s.cents FROM state s
+      |WHERE s.k IN (SELECT k FROM probe)""",
+    "merge-table keyed point read: bucket-pruned lookup over the live manifest") { (s, d) =>
+    import graft.operators.MergeTable
+    val base = Tables.orders(s, d).select(
+      col("o_orderkey").cast("long").as("k"),
+      col("o_custkey").cast("long").as("ck"),
+      graft.functions.ExactNum.scaled(col("o_totalprice"), 100).as("cents"))
+    val dir = java.nio.file.Files.createTempDirectory("graft-q284").toString + "/t"
+    MergeTable.create(base, dir, "k", nBuckets = 16)
+    MergeTable.merge(s, dir,
+      base.where(col("k") % 97 === 0).withColumn("cents", col("cents") + 1000000L),
+      base.where(col("k") % 101 === 0 && col("k") % 97 =!= 0).select("k"))
+    val probe = base.where(col("k") % 53 === 0).select("k")
+      .unionByName(base.where(col("k") % 997 === 0)
+        .select((col("k") + 77777L).as("k")))
+    MergeTable.lookup(s, dir, probe)
+  }
+
+  /** File-level ZONE-MAP data skipping ([[graft.sources.ZoneMap]]):
+    * land lineitem z-clustered, harvest per-file min/max from parquet
+    * FOOTERS ONLY into a `_zonemap` sidecar, then answer a range
+    * predicate by opening only files whose zone intersects it —
+    * planning-time path pruning on top of (not instead of) parquet's
+    * row-group skipping. Pruning itself is law-pinned in ZoneMapSpec;
+    * this gate pins that the skipping scan returns EXACTLY the
+    * full-scan answer (zone maps prove absence, never presence). */
+  val q285 = QuerySpec.sql(
+    "q285_zonemap_scan",
+    """SELECT l_returnflag, count(*) AS n,
+      |       CAST(sum(CAST(l_partkey AS BIGINT)) AS BIGINT) AS pksum,
+      |       CAST(sum(CAST(round(l_extendedprice * 100, 0) AS BIGINT)) AS BIGINT) AS price_cents
+      |FROM lineitem
+      |WHERE l_partkey BETWEEN 1000 AND 1500
+      |GROUP BY 1""",
+    "zone-map data skipping: footer-harvested sidecar -> path-pruned range scan") { (s, d) =>
+    val li = Tables.lineitem(s, d)
+      .select("l_partkey", "l_suppkey", "l_returnflag", "l_extendedprice")
+    val out = java.nio.file.Files.createTempDirectory("graft-q285").toString + "/li"
+    graft.sources.Tabular.writeClusteredParquet(li, out,
+      Seq("l_partkey", "l_suppkey"), nFiles = 8)
+    graft.sources.ZoneMap.write(s, out, Seq("l_partkey", "l_suppkey"))
+    graft.sources.ZoneMap.scanRange(s, out, "l_partkey", 1000L, 1500L)
+      .groupBy("l_returnflag")
+      .agg(count(lit(1)).as("n"),
+        sum(col("l_partkey").cast("long")).as("pksum"),
+        sum(graft.functions.ExactNum.scaled(col("l_extendedprice"), 100)).as("price_cents"))
+  }
+
   val all: Seq[QuerySpec] =
     Seq(q44, q45, q46, q47, q48, q49, q79, q80, q121, q131, q146, q195, q196,
-      q202, q210, q216, q220, q230, q231, q280, q282)
+      q202, q210, q216, q220, q230, q231, q280, q282, q283, q284, q285)
 }

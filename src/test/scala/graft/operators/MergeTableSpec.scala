@@ -160,6 +160,54 @@ class MergeTableSpec extends SparkSpec {
     assert(live == m, s"disk $live != manifest $m")
   }
 
+  test("time travel: every committed version reads back; vacuum forecloses it") {
+    val dir = tmpDir()
+    MergeTable.create(base, dir, "k", nBuckets = 4)
+    val ups1 = base.where(col("k") % 7 === 0).withColumn("cents", col("cents") + 9L)
+    val del1 = base.where(col("k") % 23 === 0 && col("k") % 7 =!= 0).select("k")
+    MergeTable.merge(spark, dir, ups1, del1)
+    val ups2 = base.where(col("k") % 11 === 0).withColumn("cents", col("cents") + 3L)
+    MergeTable.merge(spark, dir, ups2, spark.range(0).select(col("id").as("k")))
+    assert(MergeTable.versions(spark, dir) == Seq(1, 2, 3))
+    val s1 = MergeTable.mergeBrute(base, "k", ups1, del1)
+    val s2 = MergeTable.mergeBrute(s1, "k", ups2,
+      spark.range(0).select(col("id").as("k")))
+    assert(content(MergeTable.readAt(spark, dir, 1)) == content(base))
+    assert(content(MergeTable.readAt(spark, dir, 2)) == content(s1))
+    assert(content(MergeTable.readAt(spark, dir, 3)) == content(s2))
+    // readAt(current) == read
+    assert(content(MergeTable.readAt(spark, dir, 3)) ==
+      content(MergeTable.read(spark, dir)))
+    intercept[IllegalArgumentException] { MergeTable.readAt(spark, dir, 4) }
+    // vacuum keeps only the current version; older reads fail loudly
+    MergeTable.vacuum(spark, dir)
+    assert(MergeTable.versions(spark, dir) == Seq(3))
+    assert(content(MergeTable.readAt(spark, dir, 3)) == content(s2))
+    intercept[IllegalArgumentException] { MergeTable.readAt(spark, dir, 1) }
+  }
+
+  test("lookup == semi-join twin and opens only the probed keys' buckets") {
+    val dir = tmpDir()
+    MergeTable.create(base, dir, "k", nBuckets = 8)
+    val ups = base.where(col("k") % 7 === 0).withColumn("cents", col("cents") + 9L)
+    val del = base.where(col("k") % 23 === 0 && col("k") % 7 =!= 0).select("k")
+    MergeTable.merge(spark, dir, ups, del)
+    val state = MergeTable.mergeBrute(base, "k", ups, del)
+    // one present key, one deleted key, one never-present key
+    val k0 = base.orderBy("k").limit(1).head().getLong(0)
+    val kDel = del.orderBy("k").limit(1).head().getLong(0)
+    import spark.implicits._
+    val probe = Seq(k0, kDel, -999L).toDF("k")
+    assert(content(MergeTable.lookup(spark, dir, probe)) ==
+      content(state.where(col("k").isin(k0, kDel, -999L))))
+    // path-pruning law: ≤ 3 probed keys → ≤ 3 bucket dirs opened (of 8)
+    val (_, _, paths) = MergeTable.lookupPaths(spark, dir, probe)
+    assert(paths.nonEmpty && paths.size <= 3, s"expected ≤3 bucket paths, got $paths")
+    // a probe of every key touches every live bucket but still equals the twin
+    assert(content(MergeTable.lookup(spark, dir, state.select("k"))) ==
+      content(state))
+  }
+
   test("streaming CDC apply: folded end state + restart replays nothing") {
     val dir = tmpDir()
     MergeTable.create(base, dir, "k", nBuckets = 4)

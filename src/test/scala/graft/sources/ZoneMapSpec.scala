@@ -1,0 +1,74 @@
+package graft.sources
+
+import graft.{SparkSpec, Tables}
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** File-level zone maps ([[ZoneMap]], gate q285): footer-harvested
+  * min/max sidecar → path-pruned range scans. Laws: scanRange ==
+  * full-scan twin at every range shape (interior, full, empty,
+  * disjoint-below/above), a narrow range over z-clustered data
+  * actually DROPS files, and unusable stats degrade to keep-all,
+  * never to a wrong answer. */
+class ZoneMapSpec extends SparkSpec {
+
+  private def content(df: DataFrame): Set[Seq[Any]] =
+    df.collect().map(_.toSeq).toSet
+
+  test("scanRange == brute twin at every range shape; narrow ranges prune files") {
+    val li = Tables.lineitem(spark, sf)
+      .select("l_orderkey", "l_partkey", "l_suppkey", "l_quantity")
+    val out = java.nio.file.Files.createTempDirectory("graft-zm").toString + "/li"
+    Tabular.writeClusteredParquet(li, out, Seq("l_partkey", "l_suppkey"),
+      nFiles = 4, maxRecordsPerFile = 125)
+    ZoneMap.write(spark, out, Seq("l_partkey", "l_suppkey"))
+
+    val pkMax = li.agg(max(col("l_partkey").cast("long"))).head().getLong(0)
+    val ranges = Seq(
+      (100L, 150L),          // interior, selective
+      (0L, pkMax + 10),      // full table
+      (150L, 100L),          // empty interval
+      (-50L, -1L),           // disjoint below
+      (pkMax + 1, pkMax + 9) // disjoint above
+    )
+    ranges.foreach { case (lo, hi) =>
+      val got = ZoneMap.scanRange(spark, out, "l_partkey", lo, hi)
+      val want = ZoneMap.scanRangeBrute(spark, out, "l_partkey", lo, hi)
+      assert(content(got) == content(want), s"range [$lo,$hi] mismatch")
+    }
+    // the point of the layout: a narrow range opens FEWER files
+    val (keptNarrow, total) = ZoneMap.keptFiles(spark, out, "l_partkey", 100L, 150L)
+    assert(total > 4, s"expected a multi-file layout, got $total")
+    assert(keptNarrow.nonEmpty && keptNarrow.size < total,
+      s"narrow range kept ${keptNarrow.size} of $total files — no pruning")
+    // disjoint ranges prove emptiness from footers alone
+    assert(ZoneMap.keptFiles(spark, out, "l_partkey", -50L, -1L)._1.isEmpty)
+    // the second clustered dim prunes too (what z-order buys)
+    val (keptSupp, _) = ZoneMap.keptFiles(spark, out, "l_suppkey", 1L, 5L)
+    assert(keptSupp.size < total,
+      s"suppkey range kept ${keptSupp.size} of $total — z-order should prune both dims")
+  }
+
+  test("all-null files prune; unusable stats keep conservatively") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-zm2").toString + "/t"
+    // file 1: v present, s string; file 2: v ALL NULL
+    Seq((1L, Some(10L), "a"), (2L, Some(20L), "b")).toDF("id", "v", "s")
+      .coalesce(1).write.parquet(dir)
+    Seq((3L, None: Option[Long], "c"), (4L, None: Option[Long], "d"))
+      .toDF("id", "v", "s").coalesce(1).write.mode("append").parquet(dir)
+    ZoneMap.write(spark, dir, Seq("v", "s"))
+    // the all-null-v file is provably empty under any range on v
+    val (kept, total) = ZoneMap.keptFiles(spark, dir, "v", 0L, 100L)
+    assert(total == 2 && kept.size == 1, s"kept=$kept total=$total")
+    assert(content(ZoneMap.scanRange(spark, dir, "v", 0L, 100L)) ==
+      content(ZoneMap.scanRangeBrute(spark, dir, "v", 0L, 100L)))
+    // string column: stats not integral → ok=false → never pruned
+    val (keptS, totalS) = ZoneMap.keptFiles(spark, dir, "s", 0L, 0L)
+    assert(keptS.size == totalS, "unusable stats must keep every file")
+    // un-harvested column: loud error, not silent keep-all
+    intercept[IllegalArgumentException] {
+      ZoneMap.keptFiles(spark, dir, "id", 0L, 1L)
+    }
+  }
+}
