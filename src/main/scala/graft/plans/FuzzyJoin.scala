@@ -3,7 +3,7 @@ package graft.plans
 import org.apache.spark.sql.catalyst.expressions._
 import org.apache.spark.sql.catalyst.expressions.aggregate.Count
 import org.apache.spark.sql.catalyst.plans.Inner
-import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Filter, Generate, Join, LeafNode, LogicalPlan, Project, SubqueryAlias}
+import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Filter, Generate, Join, JoinHint, LeafNode, LogicalPlan, Project, SubqueryAlias, Union}
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.types.{DataType, DoubleType, FloatType, LongType, MapType, StringType}
 
@@ -117,23 +117,14 @@ class FuzzyLevJoinRule extends Rule[LogicalPlan] {
             (shuffledOk || (midSafe(left) && midSafe(right))) &&
             findLev(j, cond, maxDist).isDefined =>
         val (a, b, k) = findLev(j, cond, maxDist).get
-        val varL =
-          AttributeReference("__graft_var_l", StringType, nullable = false)()
-        val varR =
-          AttributeReference("__graft_var_r", StringType, nullable = false)()
-        def gen(e: Expression, out: Attribute, child: LogicalPlan) =
-          Generate(Explode(graft.functions.DeletionVariants(e, k)),
-            unrequiredChildIndex = Nil, outer = false, qualifier = None,
-            generatorOutput = Seq(out), child = child)
         if (midSafe(left) && midSafe(right)) {
           // retry-stable tags: no extra shuffle, distinct restores the
           // nested-loop multiset exactly
           val lid = Alias(MonotonicallyIncreasingID(), "__graft_lid")()
           val rid = Alias(MonotonicallyIncreasingID(), "__graft_rid")()
-          val newJoin = Join(
-            gen(a, varL, Project(left.output :+ lid, left)),
-            gen(b, varR, Project(right.output :+ rid, right)),
-            Inner, Some(And(EqualTo(varL, varR), cond)), hint)
+          val newJoin = neighborhoodJoin(a, b, k,
+            Project(left.output :+ lid, left),
+            Project(right.output :+ rid, right), cond, hint)
           val groupCols: Seq[Attribute] =
             lid.toAttribute +: rid.toAttribute +: j.output
           Project(j.output, Aggregate(groupCols, groupCols, newJoin))
@@ -144,10 +135,9 @@ class FuzzyLevJoinRule extends Rule[LogicalPlan] {
             "__graft_lcnt")()
           val rcnt = Alias(Count(Literal(1)).toAggregateExpression(),
             "__graft_rcnt")()
-          val newJoin = Join(
-            gen(a, varL, Aggregate(left.output, left.output :+ lcnt, left)),
-            gen(b, varR, Aggregate(right.output, right.output :+ rcnt, right)),
-            Inner, Some(And(EqualTo(varL, varR), cond)), hint)
+          val newJoin = neighborhoodJoin(a, b, k,
+            Aggregate(left.output, left.output :+ lcnt, left),
+            Aggregate(right.output, right.output :+ rcnt, right), cond, hint)
           val groupCols: Seq[Attribute] =
             (j.output :+ lcnt.toAttribute) :+ rcnt.toAttribute
           val collapsed = Aggregate(groupCols, groupCols, newJoin)
@@ -163,6 +153,78 @@ class FuzzyLevJoinRule extends Rule[LogicalPlan] {
             generatorOutput = Seq(copy), child = collapsed)
           Project(j.output, expand)
         }
+    }
+  }
+
+  /** The variant-blocking join both multiset-restoring shapes share.
+    * `lChild`/`rChild` already carry their tag/count column; the
+    * returned plan's output is `lChild.output ++ rChild.output`
+    * (variant plumbing projected away), with `cond` — the original
+    * levenshtein predicate — kept as residual in every branch.
+    *
+    * k ≤ 1: one equi-join on the deletion-variant string.
+    *
+    * k = 2: the deletion-count CHANNEL split of [[graft.operators
+    * .Dedup.fuzzyJoinPairs]] (its completeness case analysis on the
+    * edit script is law-pinned blocked ≡ brute in DedupSpec), planted
+    * as a union of four joins over position-tagged pre-hashed
+    * variants ([[graft.functions.DeletionVariantsTagged]]): the
+    * (≤1,≤1), (≤1,2) and (2,≤1) channels join on the variant hash
+    * alone, while the dominant (2,2) channel — needed ONLY for
+    * 2-substitution pairs, whose witnesses delete the SAME two
+    * positions from both sides — carries `pos` in its key, splitting
+    * the "every row sharing a length-(L−2) subsequence" buckets into
+    * position-aligned cells. Channel overlap (one pair found by
+    * several channels) collapses in the caller's distinct, exactly
+    * like variant multiplicity. The four branches re-reference the
+    * same tagged-child subtrees — legal duplicate subplans, like a
+    * self-union; the two hash-keyed probes of each side share one
+    * exchange at execution (ReuseExchange). */
+  private def neighborhoodJoin(a: Expression, b: Expression, k: Int,
+      lChild: LogicalPlan, rChild: LogicalPlan, cond: Expression,
+      hint: JoinHint): LogicalPlan = {
+    if (k <= 1) {
+      val varL =
+        AttributeReference("__graft_var_l", StringType, nullable = false)()
+      val varR =
+        AttributeReference("__graft_var_r", StringType, nullable = false)()
+      def gen(e: Expression, out: Attribute, child: LogicalPlan) =
+        Generate(Explode(graft.functions.DeletionVariants(e, k)),
+          unrequiredChildIndex = Nil, outer = false, qualifier = None,
+          generatorOutput = Seq(out), child = child)
+      Join(gen(a, varL, lChild), gen(b, varR, rChild),
+        Inner, Some(And(EqualTo(varL, varR), cond)), hint)
+    } else {
+      val tType = graft.functions.DeletionVariantsTagged.outType
+        .asInstanceOf[org.apache.spark.sql.types.ArrayType].elementType
+      def taggedGen(e: Expression, child: LogicalPlan, side: String)
+          : (LogicalPlan, Attribute, Attribute, Attribute) = {
+        val t = AttributeReference(s"__graft_t_$side", tType, nullable = false)()
+        val g = Generate(
+          Explode(graft.functions.DeletionVariantsTagged(e, 2)),
+          unrequiredChildIndex = Nil, outer = false, qualifier = None,
+          generatorOutput = Seq(t), child = child)
+        val h = Alias(GetStructField(t, 0, Some("h")), s"__graft_h_$side")()
+        val nd = Alias(GetStructField(t, 1, Some("nd")), s"__graft_nd_$side")()
+        val pos = Alias(GetStructField(t, 2, Some("pos")), s"__graft_pos_$side")()
+        (Project(child.output ++ Seq(h, nd, pos), g),
+          h.toAttribute, nd.toAttribute, pos.toAttribute)
+      }
+      val (tl, hl, ndl, posl) = taggedGen(a, lChild, "l")
+      val (tr, hr, ndr, posr) = taggedGen(b, rChild, "r")
+      def small(p: LogicalPlan, nd: Attribute) =
+        Filter(LessThanOrEqual(nd, Literal(1)), p)
+      def two(p: LogicalPlan, nd: Attribute) =
+        Filter(EqualTo(nd, Literal(2)), p)
+      val hEq = EqualTo(hl, hr)
+      val want: Seq[Attribute] = lChild.output ++ rChild.output
+      val branches = Seq(
+        Join(small(tl, ndl), small(tr, ndr), Inner, Some(And(hEq, cond)), hint),
+        Join(small(tl, ndl), two(tr, ndr), Inner, Some(And(hEq, cond)), hint),
+        Join(two(tl, ndl), small(tr, ndr), Inner, Some(And(hEq, cond)), hint),
+        Join(two(tl, ndl), two(tr, ndr), Inner,
+          Some(And(And(hEq, EqualTo(posl, posr)), cond)), hint))
+      Union(branches.map(br => Project(want, br)))
     }
   }
 

@@ -718,6 +718,32 @@ object Corpus {
       |  ON levenshtein(a.c_name, b.c_name) <= 1 AND a.c_custkey < b.c_custkey""".stripMargin)
   }
 
+  /** q254 at EDIT DISTANCE 2: plain SQL `levenshtein(a,b) <= 2` with
+    * no library call, auto-rewritten by [[graft.plans
+    * .FuzzyLevJoinRule]] into the deletion-count CHANNEL join —
+    * position-tagged pre-hashed variants, the dominant (2,2) channel
+    * keyed on aligned positions — i.e. the same blocking [[graft
+    * .operators.Dedup.fuzzyJoinPairs]] uses, now reachable from pure
+    * SQL (the asymmetry SCALE.md's round-11 note recorded, closed).
+    * Supplier is the corpus: 1k sequential structured ids at sf0.1,
+    * the worst case for unrestricted 2-deletion blocking and the
+    * exact shape the aligned channel splits. The oracle runs the
+    * identical naive θ-join text in DuckDB — O(n²) there, blocked
+    * here; FuzzyJoinSpec pins the channel shape + multiset laws. */
+  val q286 = QuerySpec.sql(
+    "q286_fuzzy_join_sql_k2",
+    """SELECT a.s_suppkey AS id1, b.s_suppkey AS id2,
+      |       CAST(levenshtein(a.s_name, b.s_name) AS INT) AS dist
+      |FROM supplier a JOIN supplier b
+      |  ON levenshtein(a.s_name, b.s_name) <= 2 AND a.s_suppkey < b.s_suppkey""",
+    "plain-SQL levenshtein<=2 join: the channel-split FuzzyLevJoinRule rewrite") { (s, d) =>
+    Tables.supplier(s, d).createOrReplaceTempView("fz_supplier_q286")
+    s.sql("""SELECT a.s_suppkey AS id1, b.s_suppkey AS id2,
+      |       CAST(levenshtein(a.s_name, b.s_name) AS INT) AS dist
+      |FROM fz_supplier_q286 a JOIN fz_supplier_q286 b
+      |  ON levenshtein(a.s_name, b.s_name) <= 2 AND a.s_suppkey < b.s_suppkey""".stripMargin)
+  }
+
   /** Entity-resolution agreement-vector profile — the Fellegi-Sunter
     * m/u-probability input: for every fuzzy-blocked candidate pair
     * (q184's 1-deletion FastSS blocking via [[graft.operators.Dedup
@@ -3664,7 +3690,7 @@ object Corpus {
       // q243): the streaming-machinery gate q260 heats whatever
       // follows it, and the takedown gates measured 2× their isolated
       // cost when they trailed it
-      q244, q245, q246, q247, q248, q249, q250, q254, q269, q267, q268,
+      q244, q245, q246, q247, q248, q249, q250, q254, q269, q286, q267, q268,
       q277, q278, q271, q274, q273, q275,
       q256, q257, q258, q259, q260, q272, q281, q261, q262, q264)
 }

@@ -154,6 +154,60 @@ class FuzzyJoinSpec extends SparkSpec {
     assert(got(("kitten", "mitten")) == 6)
   }
 
+  /** k=2 takes the deletion-count CHANNEL shape (position-tagged
+    * pre-hashed variants, aligned-pos key on the (2,2) channel) —
+    * pin that the tagged kernel fired and that both multiset shapes
+    * survive channel overlap (one pair reachable through several
+    * channels must still appear exactly once per input-row pair). */
+  test("k=2 channel rewrite: tagged kernel fires, exact multiset on both shapes") {
+    import spark.implicits._
+    // kitten ×2 and a 2-substitution pair (kitten/bitten ed=1,
+    // kitten/bitter ed=2 via 2 subs — the (2,2)-channel-only shape)
+    Seq((1L, "kitten"), (2L, "kitten"), (3L, "bitter"), (4L, "axc"))
+      .toDF("aid", "aname").createOrReplaceTempView("fzk_a")
+    Seq((10L, "bitten"), (11L, "kitten"), (12L, "abcde"))
+      .toDF("bid", "bname").createOrReplaceTempView("fzk_b")
+    val q = "SELECT aid, bid FROM fzk_a JOIN fzk_b ON levenshtein(aname, bname) <= 2"
+    val on = spark.sql(q)
+    val oPlan = on.queryExecution.optimizedPlan.toString
+    assert(oPlan.contains("deletion_variants_tagged"),
+      s"k=2 did not take the channel shape:\n$oPlan")
+    assert(!on.queryExecution.executedPlan.toString
+      .contains("BroadcastNestedLoopJoin"))
+    def multiset(rows: Array[org.apache.spark.sql.Row]) =
+      rows.map(r => (r.getLong(0), r.getLong(1)))
+        .groupBy(identity).view.mapValues(_.length).toMap
+    val got = multiset(on.collect())
+    val want = try {
+      spark.conf.set("spark.graft.fuzzyjoin.enabled", "false")
+      multiset(spark.sql(q).collect())
+    } finally spark.conf.set("spark.graft.fuzzyjoin.enabled", "true")
+    assert(got == want, s"k=2 multiset diverged: $got vs $want")
+    // kitten→bitter is 2 substitutions: found ONLY via the aligned
+    // (2,2) channel, exactly once per duplicate left row
+    assert(got((1L, 10L)) == 1 && got((3L, 11L)) == 1)
+    // shuffled-children (content-count) shape at k=2, duplicates ×2×3
+    Seq("kitten", "kitten", "bitter").toDF("ls")
+      .repartition(3, $"ls").createOrReplaceTempView("fzk_l")
+    Seq("bitten", "bitten", "bitten", "kitten").toDF("rs")
+      .repartition(2, $"rs").createOrReplaceTempView("fzk_r")
+    val q2 = "SELECT ls, rs FROM fzk_l JOIN fzk_r ON levenshtein(ls, rs) <= 2"
+    val on2 = spark.sql(q2)
+    val oPlan2 = on2.queryExecution.optimizedPlan.toString
+    assert(oPlan2.contains("deletion_variants_tagged") &&
+      oPlan2.contains("__graft_copy"), s"count+channel shape did not fire:\n$oPlan2")
+    def multisetS(rows: Array[org.apache.spark.sql.Row]) =
+      rows.map(r => (r.getString(0), r.getString(1)))
+        .groupBy(identity).view.mapValues(_.length).toMap
+    val got2 = multisetS(on2.collect())
+    val want2 = try {
+      spark.conf.set("spark.graft.fuzzyjoin.enabled", "false")
+      multisetS(spark.sql(q2).collect())
+    } finally spark.conf.set("spark.graft.fuzzyjoin.enabled", "true")
+    assert(got2 == want2, s"k=2 shuffled multiset diverged: $got2 vs $want2")
+    assert(got2(("kitten", "bitten")) == 6)
+  }
+
   test("deletion_variants native expression == HOF chain, order and values") {
     import org.apache.spark.sql.functions._
     import spark.implicits._
