@@ -773,7 +773,39 @@ object SourceQueries {
         sum(graft.functions.ExactNum.scaled(col("l_extendedprice"), 100)).as("price_cents"))
   }
 
+  /** The DECLARATIVE zone-map table ([[graft.sources.ZoneMap.table]]):
+    * a custom FileIndex hands the sidecar zones every predicate
+    * Catalyst pushes down, so a plain SQL WHERE over the registered
+    * view prunes files at planning time — no scanRange call, the
+    * idiom Delta-style formats use. The gate queries BOTH clustered
+    * dims through pure SQL (equality on one, range on the other, plus
+    * an IS NOT NULL the planner plants itself); ZoneMapSpec pins the
+    * numFiles pruning laws, this gate pins answer fidelity. */
+  val q287 = QuerySpec.sql(
+    "q287_zonemap_table_sql",
+    """SELECT l_linestatus, count(*) AS n,
+      |       CAST(sum(CAST(l_orderkey AS BIGINT)) AS BIGINT) AS oksum,
+      |       CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS qty
+      |FROM lineitem
+      |WHERE l_suppkey = 7 AND l_partkey >= 500 AND l_partkey < 1500
+      |GROUP BY 1""",
+    "declarative zone-map table: SQL WHERE -> planning-time file pruning") { (s, d) =>
+    val li = Tables.lineitem(s, d)
+      .select("l_orderkey", "l_partkey", "l_suppkey", "l_quantity", "l_linestatus")
+    val out = java.nio.file.Files.createTempDirectory("graft-q287").toString + "/li"
+    graft.sources.Tabular.writeClusteredParquet(li, out,
+      Seq("l_partkey", "l_suppkey"), nFiles = 8)
+    graft.sources.ZoneMap.write(s, out, Seq("l_partkey", "l_suppkey"))
+    graft.sources.ZoneMap.table(s, out).createOrReplaceTempView("zm_lineitem_q287")
+    s.sql("""SELECT l_linestatus, count(*) AS n,
+      |       CAST(sum(CAST(l_orderkey AS BIGINT)) AS BIGINT) AS oksum,
+      |       CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS qty
+      |FROM zm_lineitem_q287
+      |WHERE l_suppkey = 7 AND l_partkey >= 500 AND l_partkey < 1500
+      |GROUP BY 1""".stripMargin)
+  }
+
   val all: Seq[QuerySpec] =
     Seq(q44, q45, q46, q47, q48, q49, q79, q80, q121, q131, q146, q195, q196,
-      q202, q210, q216, q220, q230, q231, q280, q282, q283, q284, q285)
+      q202, q210, q216, q220, q230, q231, q280, q282, q283, q284, q285, q287)
 }

@@ -152,4 +152,125 @@ object ZoneMap {
   private[graft] def scanRangeBrute(spark: SparkSession, path: String,
       c: String, lo: Long, hi: Long): DataFrame =
     spark.read.parquet(path).where(col(c).between(lo, hi))
+
+  /** DECLARATIVE zone-map table: a DataFrame whose scan consults the
+    * sidecar for EVERY predicate Catalyst pushes down — `table(...)
+    * .where(...)` prunes files at planning time with no special API,
+    * SQL views included. This is the extension point file-skipping
+    * table formats use: a custom [[org.apache.spark.sql.execution
+    * .datasources.FileIndex]] receives the pushed data filters in
+    * `listFiles` and returns only surviving files; the normal parquet
+    * scan (row-group skipping, column pruning, whole-stage codegen)
+    * runs unchanged on top. Pruning is sound by construction — the
+    * scan re-applies the exact filters, so dropping a file only ever
+    * removes rows the predicate provably excludes. */
+  def table(spark: SparkSession, path: String): DataFrame = {
+    import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
+    import org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat
+    val idx = new ZoneMapFileIndex(spark, path)
+    val dataSchema = spark.read.parquet(path).schema
+    val rel = HadoopFsRelation(idx, new StructType(), dataSchema, None,
+      new ParquetFileFormat, Map("path" -> path))(spark)
+    org.apache.spark.sql.graftbridge.PlanBridge.ofRows(
+      spark, LogicalRelation(rel, isStreaming = false))
+  }
+}
+
+/** [[graft.sources.ZoneMap.table]]'s scan-time pruner: one zone row
+  * per file, checked against the data filters Spark's planner hands
+  * to `listFiles`. Only provably-sound prunings fire — conjuncts it
+  * can't interpret are ignored and the file kept. Supported shapes
+  * per stats column (bare attribute vs int/long literal, both
+  * orientations): `=  <  <=  >  >=  BETWEEN  IS NOT NULL` — the
+  * not-null case prunes all-null files, and the planner plants
+  * `IsNotNull` beside every comparison, so it fires on every
+  * filtered scan. */
+class ZoneMapFileIndex(spark: SparkSession, path: String)
+    extends org.apache.spark.sql.execution.datasources.FileIndex {
+  import org.apache.spark.sql.catalyst.InternalRow
+  import org.apache.spark.sql.catalyst.expressions._
+  import org.apache.spark.sql.execution.datasources.PartitionDirectory
+
+  /** (ok, min, max) per harvested column, per file name. */
+  private val zones: Map[String, Map[String, (Boolean, Option[Long], Option[Long])]] = {
+    val zm = spark.read.parquet(s"$path/_zonemap")
+    val cols = zm.columns.filter(_.endsWith("_ok")).map(_.dropRight(3)).toSeq
+    zm.collect().map { r =>
+      r.getString(r.fieldIndex("file")) -> cols.map { c =>
+        def optLong(f: String): Option[Long] = {
+          val i = r.fieldIndex(f)
+          if (r.isNullAt(i)) None else Some(r.getLong(i))
+        }
+        c -> ((r.getBoolean(r.fieldIndex(s"${c}_ok")),
+          optLong(s"${c}_min"), optLong(s"${c}_max")))
+      }.toMap
+    }.toMap
+  }
+
+  private val statuses: Seq[org.apache.hadoop.fs.FileStatus] = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      .listStatus(p).filter(_.getPath.getName.endsWith(".parquet")).toSeq
+      .sortBy(_.getPath.getName)
+  }
+
+  override def rootPaths: Seq[org.apache.hadoop.fs.Path] =
+    Seq(new org.apache.hadoop.fs.Path(path))
+  override def partitionSchema: StructType = new StructType()
+  override def sizeInBytes: Long = statuses.map(_.getLen).sum
+  override def inputFiles: Array[String] =
+    statuses.map(_.getPath.toString).toArray
+  override def refresh(): Unit = () // layout immutable once harvested
+
+  override def listFiles(partitionFilters: Seq[Expression],
+      dataFilters: Seq[Expression]): Seq[PartitionDirectory] = {
+    // per-column conjunctive interval + not-null demand from the
+    // pushed filters; unrecognized conjuncts are simply not used
+    var lo = Map.empty[String, Long]
+    var hi = Map.empty[String, Long]
+    var notNull = Set.empty[String]
+    def tightenLo(c: String, v: Long): Unit =
+      lo += c -> math.max(v, lo.getOrElse(c, Long.MinValue))
+    def tightenHi(c: String, v: Long): Unit =
+      hi += c -> math.min(v, hi.getOrElse(c, Long.MaxValue))
+    object Lit {
+      def unapply(e: Expression): Option[Long] = e match {
+        case Literal(v: Int, _)  => Some(v.toLong)
+        case Literal(v: Long, _) => Some(v)
+        case _ => None
+      }
+    }
+    dataFilters.foreach {
+      case EqualTo(a: AttributeReference, Lit(v)) =>
+        tightenLo(a.name, v); tightenHi(a.name, v)
+      case EqualTo(Lit(v), a: AttributeReference) =>
+        tightenLo(a.name, v); tightenHi(a.name, v)
+      case GreaterThanOrEqual(a: AttributeReference, Lit(v)) => tightenLo(a.name, v)
+      case GreaterThan(a: AttributeReference, Lit(v))        => tightenLo(a.name, v + 1)
+      case LessThanOrEqual(a: AttributeReference, Lit(v))    => tightenHi(a.name, v)
+      case LessThan(a: AttributeReference, Lit(v))           => tightenHi(a.name, v - 1)
+      case GreaterThanOrEqual(Lit(v), a: AttributeReference) => tightenHi(a.name, v)
+      case GreaterThan(Lit(v), a: AttributeReference)        => tightenHi(a.name, v - 1)
+      case LessThanOrEqual(Lit(v), a: AttributeReference)    => tightenLo(a.name, v)
+      case LessThan(Lit(v), a: AttributeReference)           => tightenLo(a.name, v + 1)
+      case IsNotNull(a: AttributeReference) => notNull += a.name
+      case _ => ()
+    }
+    val kept = statuses.filter { st =>
+      zones.get(st.getPath.getName).forall { z =>
+        z.forall { case (c, (ok, mn, mx)) =>
+          if (!ok) true // unusable stats: keep conservatively
+          else {
+            val nullOk = !notNull.contains(c) || mn.nonEmpty
+            val rangeDemanded = lo.contains(c) || hi.contains(c)
+            val rangeOk = !rangeDemanded || (mn.nonEmpty &&
+              mn.get <= hi.getOrElse(c, Long.MaxValue) &&
+              mx.get >= lo.getOrElse(c, Long.MinValue))
+            nullOk && rangeOk
+          }
+        }
+      }
+    }
+    Seq(PartitionDirectory(InternalRow.empty, kept.toArray))
+  }
 }

@@ -13,6 +13,19 @@ object ColumnBridge {
   def expression(c: Column): Expression = ExpressionUtils.expression(c)
 }
 
+/** Bridge to the `private[sql]` plan→DataFrame constructor — needed
+  * by relations assembled directly from execution-layer parts (e.g.
+  * [[graft.sources.ZoneMap.table]]'s HadoopFsRelation over a custom
+  * FileIndex, the extension point Spark itself uses for file-skipping
+  * table formats). */
+object PlanBridge {
+  def ofRows(spark: org.apache.spark.sql.SparkSession,
+      plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan)
+      : org.apache.spark.sql.DataFrame =
+    org.apache.spark.sql.classic.Dataset.ofRows(
+      spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession], plan)
+}
+
 /** Bridge to `private[sql]` session internals: the per-session UUID is
   * the correct identity key for session-scoped caches (stable, never
   * reused — unlike System.identityHashCode, which can collide after

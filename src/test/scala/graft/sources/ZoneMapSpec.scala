@@ -49,6 +49,52 @@ class ZoneMapSpec extends SparkSpec {
       s"suppkey range kept ${keptSupp.size} of $total — z-order should prune both dims")
   }
 
+  test("declarative table: pushed predicates prune files with no special API") {
+    import spark.implicits._
+    val li = Tables.lineitem(spark, sf)
+      .select("l_orderkey", "l_partkey", "l_suppkey", "l_quantity")
+    val out = java.nio.file.Files.createTempDirectory("graft-zmt").toString + "/li"
+    Tabular.writeClusteredParquet(li, out, Seq("l_partkey", "l_suppkey"),
+      nFiles = 4, maxRecordsPerFile = 125)
+    ZoneMap.write(spark, out, Seq("l_partkey", "l_suppkey"))
+    val total = new java.io.File(out).listFiles()
+      .count(_.getName.endsWith(".parquet"))
+
+    // numFiles is posted when the scan first computes its selected
+    // partitions (a lazy val) — measure each query exactly once
+    def numFiles(df: org.apache.spark.sql.DataFrame): Long = {
+      df.collect()
+      df.queryExecution.executedPlan.collectFirst {
+        case s: org.apache.spark.sql.execution.FileSourceScanExec => s
+      }.get.metrics("numFiles").value
+    }
+    val t = ZoneMap.table(spark, out)
+    // plain WHERE through Catalyst: fewer files opened, same answer
+    val q = t.where($"l_partkey".between(100, 150))
+    val nRange = numFiles(q)
+    assert(nRange < total, s"no pruning: $total files opened")
+    assert(content(q) ==
+      content(ZoneMap.scanRangeBrute(spark, out, "l_partkey", 100L, 150L)))
+    // equality predicate, written through SQL
+    t.createOrReplaceTempView("zoned_li")
+    val qe = spark.sql("SELECT * FROM zoned_li WHERE l_partkey = 42")
+    assert(numFiles(qe) < total)
+    assert(content(qe) ==
+      content(spark.read.parquet(out).where($"l_partkey" === 42)))
+    // provably-empty predicate opens zero files
+    assert(numFiles(t.where($"l_partkey" < -5)) == 0L)
+    // un-harvested / unsupported predicates: full scan, right answer
+    val qu = t.where($"l_quantity" > 25)
+    assert(numFiles(qu) == total)
+    assert(content(qu) ==
+      content(spark.read.parquet(out).where($"l_quantity" > 25)))
+    // both dims at once (the z-order payoff) — at least as tight
+    val q2 = t.where($"l_partkey".between(100, 150) && $"l_suppkey" <= 3)
+    assert(numFiles(q2) <= nRange)
+    assert(content(q2) == content(spark.read.parquet(out)
+      .where($"l_partkey".between(100, 150) && $"l_suppkey" <= 3)))
+  }
+
   test("all-null files prune; unusable stats keep conservatively") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft-zm2").toString + "/t"
