@@ -788,20 +788,24 @@ object SourceQueries {
       |       CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS qty
       |FROM lineitem
       |WHERE l_suppkey = 7 AND l_partkey >= 500 AND l_partkey < 1500
+      |  AND l_returnflag >= 'N'
       |GROUP BY 1""",
     "declarative zone-map table: SQL WHERE -> planning-time file pruning") { (s, d) =>
     val li = Tables.lineitem(s, d)
-      .select("l_orderkey", "l_partkey", "l_suppkey", "l_quantity", "l_linestatus")
+      .select("l_orderkey", "l_partkey", "l_suppkey", "l_quantity",
+        "l_returnflag", "l_linestatus")
     val out = java.nio.file.Files.createTempDirectory("graft-q287").toString + "/li"
     graft.sources.Tabular.writeClusteredParquet(li, out,
       Seq("l_partkey", "l_suppkey"), nFiles = 8)
-    graft.sources.ZoneMap.write(s, out, Seq("l_partkey", "l_suppkey"))
+    graft.sources.ZoneMap.write(s, out,
+      Seq("l_partkey", "l_suppkey", "l_returnflag"))
     graft.sources.ZoneMap.table(s, out).createOrReplaceTempView("zm_lineitem_q287")
     s.sql("""SELECT l_linestatus, count(*) AS n,
       |       CAST(sum(CAST(l_orderkey AS BIGINT)) AS BIGINT) AS oksum,
       |       CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS qty
       |FROM zm_lineitem_q287
       |WHERE l_suppkey = 7 AND l_partkey >= 500 AND l_partkey < 1500
+      |  AND l_returnflag >= 'N'
       |GROUP BY 1""".stripMargin)
   }
 

@@ -23,11 +23,17 @@ import scala.jdk.CollectionConverters._
   * z-order layout is what makes per-file ranges disjoint and the
   * zone map selective on every clustered dimension at once.
   *
-  * v1 scope: INT32/INT64 physical columns (ids, counts, scaled
-  * numerics, epoch times — cast at write time like the z-key does).
-  * A column with unusable stats in ANY row group marks the file
-  * un-prunable for that column (kept conservatively); all-null
-  * blocks are safe to skip because a range predicate excludes NULL.
+  * Scope: INT32/INT64 physical columns (ids, counts, scaled
+  * numerics, epoch times — cast at write time like the z-key does)
+  * and UTF8-annotated BINARY (source/language/category dims a text
+  * corpus filters on constantly). String zones compare in unsigned
+  * UTF-8 byte order — the order parquet stores BINARY statistics in
+  * AND the order of Spark's default UTF8_BINARY collation, so string
+  * pruning is sound; Java's UTF-16 String order is deliberately NOT
+  * used (it diverges on supplementary characters). A column with
+  * unusable stats in ANY row group marks the file un-prunable for
+  * that column (kept conservatively); all-null blocks are safe to
+  * skip because a range predicate excludes NULL.
   */
 object ZoneMap {
 
@@ -42,39 +48,88 @@ object ZoneMap {
       .map(_.getPath).filter(p => p.getName.endsWith(".parquet"))
       .map(_.toString).toSeq.sorted
 
-  /** Per-file (ok, min, max) for one column, merged across row
-    * groups from the footer. ok=false → stats unusable, never prune.
-    * ok=true with null min/max → every value is NULL → a range
-    * predicate may prune the file. */
+  /** Spark's default UTF8_BINARY collation compares strings by
+    * unsigned UTF-8 bytes (code-point order) — the SAME order parquet
+    * uses for BINARY statistics — so string zones are sound iff zone
+    * checks use this comparator, NOT Java's UTF-16 String order
+    * (which diverges for supplementary characters). */
+  private[sources] def utf8Cmp(a: String, b: String): Int = {
+    val x = a.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    val y = b.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    var i = 0
+    val n = math.min(x.length, y.length)
+    while (i < n) {
+      val d = (x(i) & 0xff) - (y(i) & 0xff)
+      if (d != 0) return d
+      i += 1
+    }
+    x.length - y.length
+  }
+
+  private[sources] def utf8Min(a: String, b: String): String =
+    if (utf8Cmp(a, b) <= 0) a else b
+  private[sources] def utf8Max(a: String, b: String): String =
+    if (utf8Cmp(a, b) >= 0) a else b
+
+  /** Per-file zone for one column, merged across row groups from the
+    * footer: (ty, ok, minL, maxL, minS, maxS). `ty` is "long" for
+    * INT32/INT64, "string" for UTF8-annotated BINARY, "other"
+    * otherwise; exactly one min/max pair is populated. ok=false →
+    * stats unusable, never prune. ok=true with null min/max → every
+    * value is NULL → a range predicate may prune the file. */
   private def colStats(
       blocks: Seq[org.apache.parquet.hadoop.metadata.BlockMetaData],
-      c: String): (Boolean, Option[Long], Option[Long]) = {
+      c: String): (String, Boolean, Option[Long], Option[Long],
+        Option[String], Option[String]) = {
+    import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName._
     def asLong(v: Any): Option[Long] = v match {
       case n: java.lang.Integer => Some(n.longValue)
       case n: java.lang.Long    => Some(n.longValue)
       case _                    => None
     }
+    def asStr(v: Any): Option[String] = v match {
+      case b: org.apache.parquet.io.api.Binary => Some(b.toStringUsingUTF8)
+      case _                                   => None
+    }
+    var ty: String = null
     var ok = true
-    var mn: Option[Long] = None
-    var mx: Option[Long] = None
+    var mnL: Option[Long] = None
+    var mxL: Option[Long] = None
+    var mnS: Option[String] = None
+    var mxS: Option[String] = None
     blocks.foreach { b =>
       b.getColumns.asScala.find(_.getPath.toDotString == c) match {
         case None => ok = false // column absent from this file
         case Some(cc) =>
+          val pt = cc.getPrimitiveType
+          val t = pt.getPrimitiveTypeName match {
+            case INT32 | INT64 => "long"
+            case BINARY if pt.getLogicalTypeAnnotation ==
+              org.apache.parquet.schema.LogicalTypeAnnotation.stringType() => "string"
+            case _ => "other"
+          }
+          if (ty == null) ty = t else if (ty != t) ok = false
           val s = cc.getStatistics
-          if (s == null || s.isEmpty) ok = false
+          if (t == "other" || s == null || s.isEmpty) ok = false
           else if (s.hasNonNullValue) {
-            (asLong(s.genericGetMin), asLong(s.genericGetMax)) match {
+            if (t == "long") (asLong(s.genericGetMin), asLong(s.genericGetMax)) match {
               case (Some(lo), Some(hi)) =>
-                mn = Some(mn.fold(lo)(math.min(_, lo)))
-                mx = Some(mx.fold(hi)(math.max(_, hi)))
-              case _ => ok = false // non-integral physical type
+                mnL = Some(mnL.fold(lo)(math.min(_, lo)))
+                mxL = Some(mxL.fold(hi)(math.max(_, hi)))
+              case _ => ok = false
+            } else (asStr(s.genericGetMin), asStr(s.genericGetMax)) match {
+              case (Some(lo), Some(hi)) =>
+                mnS = Some(mnS.fold(lo)(utf8Min(_, lo)))
+                mxS = Some(mxS.fold(hi)(utf8Max(_, hi)))
+              case _ => ok = false
             }
           } else if (s.getNumNulls != b.getRowCount) ok = false
         // else: an all-null block contributes nothing and is safe
       }
     }
-    if (ok) (true, mn, mx) else (false, None, None)
+    if (ty == null) ty = "other"
+    if (ok) (ty, true, mnL, mxL, mnS, mxS)
+    else (ty, false, None, None, None, None)
   }
 
   /** Harvest per-file zone maps for `cols` from parquet FOOTERS only
@@ -90,9 +145,12 @@ object ZoneMap {
       StructField("file", StringType, nullable = false) ::
         StructField("n_rows", LongType, nullable = false) ::
         cols.toList.flatMap(c => Seq(
+          StructField(s"${c}_ty", StringType, nullable = false),
           StructField(s"${c}_ok", BooleanType, nullable = false),
           StructField(s"${c}_min", LongType, nullable = true),
-          StructField(s"${c}_max", LongType, nullable = true))))
+          StructField(s"${c}_max", LongType, nullable = true),
+          StructField(s"${c}_smin", StringType, nullable = true),
+          StructField(s"${c}_smax", StringType, nullable = true))))
     val colsB = cols.toIndexedSeq
     val n = math.max(1, math.min(files.size,
       spark.sparkContext.defaultParallelism))
@@ -104,8 +162,9 @@ object ZoneMap {
       try {
         val blocks = r.getFooter.getBlocks.asScala.toSeq
         val per = colsB.flatMap { c =>
-          val (ok, mn, mx) = colStats(blocks, c)
-          Seq[Any](ok, mn.map(Long.box).orNull, mx.map(Long.box).orNull)
+          val (ty, ok, mnL, mxL, mnS, mxS) = colStats(blocks, c)
+          Seq[Any](ty, ok, mnL.map(Long.box).orNull, mxL.map(Long.box).orNull,
+            mnS.orNull, mxS.orNull)
         }
         Row.fromSeq(hp.getName +: blocks.map(_.getRowCount).sum +: per)
       } finally r.close()
@@ -130,7 +189,7 @@ object ZoneMap {
     require(zm.columns.contains(s"${c}_ok"),
       s"no zone map for column $c under ${sidecar(path)} — " +
         s"harvested: ${zm.columns.filter(_.endsWith("_ok")).map(_.dropRight(3)).mkString(", ")}")
-    val kept = zm.where(!col(s"${c}_ok") ||
+    val kept = zm.where(!col(s"${c}_ok") || col(s"${c}_ty") =!= "long" ||
         (col(s"${c}_min").isNotNull &&
           col(s"${c}_min") <= hi && col(s"${c}_max") >= lo))
       .select("file").collect().map(r => s"$path/${r.getString(0)}").toSeq
@@ -191,8 +250,15 @@ class ZoneMapFileIndex(spark: SparkSession, path: String)
   import org.apache.spark.sql.catalyst.expressions._
   import org.apache.spark.sql.execution.datasources.PartitionDirectory
 
-  /** (ok, min, max) per harvested column, per file name. */
-  private val zones: Map[String, Map[String, (Boolean, Option[Long], Option[Long])]] = {
+  private case class Zone(ty: String, ok: Boolean,
+      minL: Option[Long], maxL: Option[Long],
+      minS: Option[String], maxS: Option[String]) {
+    def allNull: Boolean =
+      ok && (if (ty == "long") minL.isEmpty else minS.isEmpty)
+  }
+
+  /** One zone per harvested column, per file name. */
+  private val zones: Map[String, Map[String, Zone]] = {
     val zm = spark.read.parquet(s"$path/_zonemap")
     val cols = zm.columns.filter(_.endsWith("_ok")).map(_.dropRight(3)).toSeq
     zm.collect().map { r =>
@@ -201,8 +267,14 @@ class ZoneMapFileIndex(spark: SparkSession, path: String)
           val i = r.fieldIndex(f)
           if (r.isNullAt(i)) None else Some(r.getLong(i))
         }
-        c -> ((r.getBoolean(r.fieldIndex(s"${c}_ok")),
-          optLong(s"${c}_min"), optLong(s"${c}_max")))
+        def optStr(f: String): Option[String] = {
+          val i = r.fieldIndex(f)
+          if (r.isNullAt(i)) None else Some(r.getString(i))
+        }
+        c -> Zone(r.getString(r.fieldIndex(s"${c}_ty")),
+          r.getBoolean(r.fieldIndex(s"${c}_ok")),
+          optLong(s"${c}_min"), optLong(s"${c}_max"),
+          optStr(s"${c}_smin"), optStr(s"${c}_smax"))
       }.toMap
     }.toMap
   }
@@ -225,18 +297,34 @@ class ZoneMapFileIndex(spark: SparkSession, path: String)
   override def listFiles(partitionFilters: Seq[Expression],
       dataFilters: Seq[Expression]): Seq[PartitionDirectory] = {
     // per-column conjunctive interval + not-null demand from the
-    // pushed filters; unrecognized conjuncts are simply not used
+    // pushed filters; unrecognized conjuncts are simply not used.
+    // String bounds compare in UTF-8 byte order (= parquet BINARY
+    // stats order = Spark's UTF8_BINARY collation); strict string
+    // bounds are widened to inclusive (sound — no string successor)
     var lo = Map.empty[String, Long]
     var hi = Map.empty[String, Long]
+    var loS = Map.empty[String, String]
+    var hiS = Map.empty[String, String]
     var notNull = Set.empty[String]
     def tightenLo(c: String, v: Long): Unit =
       lo += c -> math.max(v, lo.getOrElse(c, Long.MinValue))
     def tightenHi(c: String, v: Long): Unit =
       hi += c -> math.min(v, hi.getOrElse(c, Long.MaxValue))
+    def tightenLoS(c: String, v: String): Unit =
+      loS += c -> loS.get(c).fold(v)(ZoneMap.utf8Max(_, v))
+    def tightenHiS(c: String, v: String): Unit =
+      hiS += c -> hiS.get(c).fold(v)(ZoneMap.utf8Min(_, v))
     object Lit {
       def unapply(e: Expression): Option[Long] = e match {
         case Literal(v: Int, _)  => Some(v.toLong)
         case Literal(v: Long, _) => Some(v)
+        case _ => None
+      }
+    }
+    object LitS {
+      def unapply(e: Expression): Option[String] = e match {
+        case Literal(v: org.apache.spark.unsafe.types.UTF8String,
+          _: org.apache.spark.sql.types.StringType) if v != null => Some(v.toString)
         case _ => None
       }
     }
@@ -253,20 +341,38 @@ class ZoneMapFileIndex(spark: SparkSession, path: String)
       case GreaterThan(Lit(v), a: AttributeReference)        => tightenHi(a.name, v - 1)
       case LessThanOrEqual(Lit(v), a: AttributeReference)    => tightenLo(a.name, v)
       case LessThan(Lit(v), a: AttributeReference)           => tightenLo(a.name, v + 1)
+      case EqualTo(a: AttributeReference, LitS(v)) =>
+        tightenLoS(a.name, v); tightenHiS(a.name, v)
+      case EqualTo(LitS(v), a: AttributeReference) =>
+        tightenLoS(a.name, v); tightenHiS(a.name, v)
+      case GreaterThanOrEqual(a: AttributeReference, LitS(v)) => tightenLoS(a.name, v)
+      case GreaterThan(a: AttributeReference, LitS(v))        => tightenLoS(a.name, v)
+      case LessThanOrEqual(a: AttributeReference, LitS(v))    => tightenHiS(a.name, v)
+      case LessThan(a: AttributeReference, LitS(v))           => tightenHiS(a.name, v)
+      case GreaterThanOrEqual(LitS(v), a: AttributeReference) => tightenHiS(a.name, v)
+      case GreaterThan(LitS(v), a: AttributeReference)        => tightenHiS(a.name, v)
+      case LessThanOrEqual(LitS(v), a: AttributeReference)    => tightenLoS(a.name, v)
+      case LessThan(LitS(v), a: AttributeReference)           => tightenLoS(a.name, v)
       case IsNotNull(a: AttributeReference) => notNull += a.name
       case _ => ()
     }
     val kept = statuses.filter { st =>
       zones.get(st.getPath.getName).forall { z =>
-        z.forall { case (c, (ok, mn, mx)) =>
-          if (!ok) true // unusable stats: keep conservatively
+        z.forall { case (c, zn) =>
+          if (!zn.ok) true // unusable stats: keep conservatively
           else {
-            val nullOk = !notNull.contains(c) || mn.nonEmpty
-            val rangeDemanded = lo.contains(c) || hi.contains(c)
-            val rangeOk = !rangeDemanded || (mn.nonEmpty &&
-              mn.get <= hi.getOrElse(c, Long.MaxValue) &&
-              mx.get >= lo.getOrElse(c, Long.MinValue))
-            nullOk && rangeOk
+            val nullOk = !notNull.contains(c) || !zn.allNull
+            val longDemanded = lo.contains(c) || hi.contains(c)
+            val longOk = !longDemanded || zn.ty != "long" ||
+              (zn.minL.nonEmpty &&
+                zn.minL.get <= hi.getOrElse(c, Long.MaxValue) &&
+                zn.maxL.get >= lo.getOrElse(c, Long.MinValue))
+            val strDemanded = loS.contains(c) || hiS.contains(c)
+            val strOk = !strDemanded || zn.ty != "string" ||
+              (zn.minS.nonEmpty &&
+                hiS.get(c).forall(h => ZoneMap.utf8Cmp(zn.minS.get, h) <= 0) &&
+                loS.get(c).forall(l => ZoneMap.utf8Cmp(zn.maxS.get, l) >= 0))
+            nullOk && longOk && strOk
           }
         }
       }

@@ -109,12 +109,32 @@ class ZoneMapSpec extends SparkSpec {
     assert(total == 2 && kept.size == 1, s"kept=$kept total=$total")
     assert(content(ZoneMap.scanRange(spark, dir, "v", 0L, 100L)) ==
       content(ZoneMap.scanRangeBrute(spark, dir, "v", 0L, 100L)))
-    // string column: stats not integral → ok=false → never pruned
+    // string-typed column through the LONG range API: kept
+    // conservatively, never wrongly pruned
     val (keptS, totalS) = ZoneMap.keptFiles(spark, dir, "s", 0L, 0L)
-    assert(keptS.size == totalS, "unusable stats must keep every file")
+    assert(keptS.size == totalS, "string zones must not serve the long API")
     // un-harvested column: loud error, not silent keep-all
     intercept[IllegalArgumentException] {
       ZoneMap.keptFiles(spark, dir, "id", 0L, 1L)
     }
+    // STRING zones through the declarative table: file 1 holds
+    // {a,b}, file 2 {c,d} — equality and ranges prune by UTF-8 order
+    def numFiles(df: org.apache.spark.sql.DataFrame): Long = {
+      df.collect()
+      df.queryExecution.executedPlan.collectFirst {
+        case sc: org.apache.spark.sql.execution.FileSourceScanExec => sc
+      }.get.metrics("numFiles").value
+    }
+    import org.apache.spark.sql.functions.{col => c}
+    val t = ZoneMap.table(spark, dir)
+    val qe = t.where(c("s") === "a")
+    assert(numFiles(qe) == 1, "string equality should open one file")
+    assert(content(qe) == content(spark.read.parquet(dir).where(c("s") === "a")))
+    val qr = t.where(c("s") >= "c")
+    assert(numFiles(qr) == 1, "string range should open one file")
+    assert(content(qr) == content(spark.read.parquet(dir).where(c("s") >= "c")))
+    assert(numFiles(t.where(c("s") > "zzz")) == 0, "past-the-end range opens none")
+    // the all-null-v file also prunes under IS NOT NULL alone
+    assert(numFiles(t.where(c("v").isNotNull)) == 1)
   }
 }
