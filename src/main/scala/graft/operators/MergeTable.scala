@@ -113,23 +113,64 @@ object MergeTable {
     buckets.flatMap(b => m.get(b).map(g => s"${dataPath(dir)}/gen=$g/bucket=$b"))
 
   /** Land `df` as a bucket-clustered merge table at `dir`. `keyCol`
-    * must be unique (checked — one action over the batch). */
+    * must be unique (checked — one action over the batch).
+    *
+    * `clusterBy` + `statsCols` turn the table into a CLUSTERED merge
+    * table: every generation is locally sorted by `clusterBy` inside
+    * each bucket (split into runs by `maxRecordsPerFile`), and a
+    * per-generation `_zonemap` sidecar (footer-harvested, [[graft
+    * .sources.ZoneMap]]) carries `statsCols` min/max per file — so
+    * [[readRange]] opens only files whose zone intersects. The
+    * add-only layout makes sidecars maintenance-free: files are
+    * never rewritten, so a generation's sidecar is valid forever;
+    * carried-over generations keep their (already tight) zones. */
   def create(df: DataFrame, dir: String, keyCol: String,
-      nBuckets: Int): Unit = {
+      nBuckets: Int, clusterBy: Option[String] = None,
+      statsCols: Seq[String] = Nil, maxRecordsPerFile: Long = 0L): Unit = {
     val spark = df.sparkSession
     requireUniqueKeys(df, keyCol, "create")
-    df.withColumn("bucket", bucketOf(col(keyCol), nBuckets))
-      .write.partitionBy("bucket").mode("overwrite")
-      .parquet(s"${dataPath(dir)}/gen=0")
+    writeGen(spark, dir, df.withColumn("bucket", bucketOf(col(keyCol), nBuckets)),
+      0, clusterBy, statsCols, maxRecordsPerFile)
     import spark.implicits._
-    Seq((keyCol, nBuckets)).toDF("key_col", "n_buckets")
+    Seq((keyCol, nBuckets, clusterBy.getOrElse(""), statsCols.mkString(","),
+        maxRecordsPerFile))
+      .toDF("key_col", "n_buckets", "cluster_by", "stats_cols", "max_records")
       .coalesce(1).write.mode("overwrite").parquet(metaPath(dir))
     // only buckets that actually received rows enter the manifest
-    val present = fs(spark, dir)
-      .listStatus(new org.apache.hadoop.fs.Path(s"${dataPath(dir)}/gen=0"))
+    commitManifest(spark, dir, writtenBuckets(spark, dir, 0).map(_ -> 0).toMap, 1)
+  }
+
+  private def writtenBuckets(spark: SparkSession, dir: String,
+      gen: Int): Seq[Int] =
+    fs(spark, dir)
+      .listStatus(new org.apache.hadoop.fs.Path(s"${dataPath(dir)}/gen=$gen"))
       .map(_.getPath.getName).filter(_.startsWith("bucket="))
-      .map(_.stripPrefix("bucket=").toInt)
-    commitManifest(spark, dir, present.map(_ -> 0).toMap, 1)
+      .map(_.stripPrefix("bucket=").toInt).toSeq
+
+  /** One generation's write: optional within-bucket cluster sort
+    * (repartition on the bucket id so each bucket's rows sort as one
+    * run; `maxRecordsPerFile` then splits the run into consecutive —
+    * therefore zone-disjoint — files) + optional footer-harvested
+    * sidecar at `gen=G/_zonemap`. */
+  private def writeGen(spark: SparkSession, dir: String, df: DataFrame,
+      gen: Int, clusterBy: Option[String], statsCols: Seq[String],
+      maxRecordsPerFile: Long): Unit = {
+    val genPath = s"${dataPath(dir)}/gen=$gen"
+    val sorted = clusterBy.fold(df)(c =>
+      df.repartition(col("bucket")).sortWithinPartitions(col("bucket"), col(c)))
+    val w = sorted.write.partitionBy("bucket").mode("overwrite")
+    (if (maxRecordsPerFile > 0L) w.option("maxRecordsPerFile", maxRecordsPerFile)
+     else w).parquet(genPath)
+    if (statsCols.nonEmpty) {
+      val f0 = fs(spark, dir)
+      val files = f0.listStatus(new org.apache.hadoop.fs.Path(genPath))
+        .filter(_.getPath.getName.startsWith("bucket=")).flatMap(b =>
+          f0.listStatus(b.getPath).filter(_.getPath.getName.endsWith(".parquet"))
+            .map(s => s"${b.getPath.getName}/${s.getPath.getName}" ->
+              s.getPath.toString)).toSeq.sortBy(_._1)
+      graft.sources.ZoneMap.writeFilesAt(spark, s"$genPath/_zonemap",
+        files, statsCols)
+    }
   }
 
   /** The table's current content (data columns only). */
@@ -171,16 +212,23 @@ object MergeTable {
     * path-pruning law is assertable (MergeTableSpec). */
   private[graft] def lookupPaths(spark: SparkSession, dir: String,
       keys: DataFrame): (String, DataFrame, Seq[String]) = {
-    val (keyCol, nBuckets) = meta(spark, dir)
-    val k = keys.select(col(keys.columns.head).as(keyCol)).distinct()
-    val probed = k.withColumn("bucket", bucketOf(col(keyCol), nBuckets))
+    val m0 = meta(spark, dir)
+    val k = keys.select(col(keys.columns.head).as(m0.keyCol)).distinct()
+    val probed = k.withColumn("bucket", bucketOf(col(m0.keyCol), m0.nBuckets))
       .select("bucket").distinct().collect().map(_.getInt(0)).sorted
-    (keyCol, k, bucketPaths(dir, manifest(spark, dir), probed.toSeq))
+    (m0.keyCol, k, bucketPaths(dir, manifest(spark, dir), probed.toSeq))
   }
 
-  private def meta(spark: SparkSession, dir: String): (String, Int) = {
+  private case class Meta(keyCol: String, nBuckets: Int,
+      clusterBy: Option[String], statsCols: Seq[String], maxRecords: Long)
+
+  private def meta(spark: SparkSession, dir: String): Meta = {
     val r = spark.read.parquet(metaPath(dir)).head()
-    (r.getString(0), r.getInt(1))
+    Meta(r.getString(0), r.getInt(1),
+      Option(r.getString(2)).filter(_.nonEmpty),
+      Option(r.getString(3)).filter(_.nonEmpty)
+        .map(_.split(",").toSeq).getOrElse(Nil),
+      r.getLong(4))
   }
 
   private def requireUniqueKeys(df: DataFrame, keyCol: String,
@@ -198,7 +246,8 @@ object MergeTable {
     * Only the buckets containing touched keys are read or written. */
   def merge(spark: SparkSession, dir: String, upserts: DataFrame,
       deleteKeys: DataFrame): Unit = {
-    val (keyCol, nBuckets) = meta(spark, dir)
+    val m0 = meta(spark, dir)
+    val (keyCol, nBuckets) = (m0.keyCol, m0.nBuckets)
     requireUniqueKeys(upserts, keyCol, "merge")
     val delK = deleteKeys.select(col(deleteKeys.columns.head).as(keyCol))
     val upK = upserts.select(col(keyCol))
@@ -221,20 +270,49 @@ object MergeTable {
       if (livePaths.isEmpty) upserts.limit(0)
       else spark.read.parquet(livePaths: _*)
         .join(changed.select(keyCol), Seq(keyCol), "left_anti")
-    survivors.unionByName(upserts)
-      .withColumn("bucket", bucketOf(col(keyCol), nBuckets))
-      .write.partitionBy("bucket").mode("overwrite")
-      .parquet(s"${dataPath(dir)}/gen=$nextGen")
+    writeGen(spark, dir,
+      survivors.unionByName(upserts)
+        .withColumn("bucket", bucketOf(col(keyCol), nBuckets)),
+      nextGen, m0.clusterBy, m0.statsCols, m0.maxRecords)
     // manifest: affected buckets move to nextGen (or leave — a bucket
     // whose rows were all deleted writes no dir and drops out);
     // untouched buckets carry their generation over verbatim
-    val written = fs(spark, dir)
-      .listStatus(new org.apache.hadoop.fs.Path(s"${dataPath(dir)}/gen=$nextGen"))
-      .map(_.getPath.getName).filter(_.startsWith("bucket="))
-      .map(_.stripPrefix("bucket=").toInt).toSet
+    val written = writtenBuckets(spark, dir, nextGen).toSet
     val next = (m -- affected.toSet) ++
       affected.filter(written).map(_ -> nextGen)
     commitManifest(spark, dir, next, nextGen + 1)
+  }
+
+  /** Range read over the cluster column (or any stats column): for
+    * every live (bucket, generation) the manifest names, consult that
+    * generation's `_zonemap` sidecar and open ONLY files whose zone
+    * intersects `[lo, hi]` — manifest path selection and file-level
+    * data skipping composed. Generations written before a bucket was
+    * last touched keep serving their original (still valid — files
+    * are never rewritten) zones. The exact predicate is re-applied. */
+  def readRange(spark: SparkSession, dir: String, c: String,
+      lo: Long, hi: Long): DataFrame = {
+    val paths = rangePaths(spark, dir, c, lo, hi)
+    if (paths.isEmpty) read(spark, dir).where(lit(false))
+    else spark.read.parquet(paths: _*).drop("bucket")
+      .where(col(c).between(lo, hi))
+  }
+
+  /** The file paths a [[readRange]] opens — exposed for the pruning
+    * law (MergeTableSpec). */
+  private[graft] def rangePaths(spark: SparkSession, dir: String,
+      c: String, lo: Long, hi: Long): Seq[String] = {
+    require(meta(spark, dir).statsCols.contains(c),
+      s"$c is not a stats column of the merge table at $dir")
+    val m = manifest(spark, dir)
+    m.groupBy(_._2).toSeq.sortBy(_._1).flatMap { case (g, entries) =>
+      val genPath = s"${dataPath(dir)}/gen=$g"
+      val zm = spark.read.parquet(s"$genPath/_zonemap")
+      val live = entries.keys.map(b => s"bucket=$b/").toSet
+      graft.sources.ZoneMap.keptOf(zm, c, lo, hi)
+        .filter(f => live.exists(f.startsWith))
+        .map(f => s"$genPath/$f")
+    }
   }
 
   /** Reclaim every data file no committed-current manifest references

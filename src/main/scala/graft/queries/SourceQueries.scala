@@ -809,7 +809,61 @@ object SourceQueries {
       |GROUP BY 1""".stripMargin)
   }
 
+  /** CLUSTERED merge table ([[graft.operators.MergeTable]] with
+    * `clusterBy`/`statsCols`): every generation is locally sorted by
+    * event time inside each bucket and carries a footer-harvested
+    * `_zonemap` sidecar — so [[graft.operators.MergeTable.readRange]]
+    * answers a time-window query by opening only files whose zone
+    * intersects, composed with the manifest's bucket-path selection.
+    * The add-only layout makes sidecars maintenance-free (files are
+    * never rewritten; carried generations keep serving their zones —
+    * pruning laws in MergeTableSpec). The CDC-table-with-time-windows
+    * shape IS the 100 TB case: upsert stream + "last week" scans.
+    * Oracle folds the merge and replays the window in micros. */
+  val q288 = QuerySpec.sql(
+    "q288_merge_clustered_range",
+    """WITH base AS (
+      |  SELECT CAST(event_id AS BIGINT) AS k, epoch_us(ts) AS ts_us,
+      |         CAST(user_id AS BIGINT) AS uid,
+      |         CAST(round(value * 100, 0) AS BIGINT) AS value_cents
+      |  FROM events),
+      |state AS (
+      |  SELECT k, ts_us, uid,
+      |         CASE WHEN k % 89 = 0 THEN value_cents + 5000 ELSE value_cents END AS value_cents
+      |  FROM base WHERE NOT (k % 83 = 0 AND k % 89 <> 0)
+      |  UNION ALL
+      |  SELECT k + 10000000000 AS k, ts_us, uid, value_cents
+      |  FROM base WHERE k % 97 = 0),
+      |b AS (SELECT min(ts_us) AS lo0, max(ts_us) AS hi0 FROM base)
+      |SELECT s.k, s.ts_us, s.uid, s.value_cents
+      |FROM state s, b
+      |WHERE s.ts_us BETWEEN b.lo0 + (b.hi0 - b.lo0) // 4
+      |                  AND b.lo0 + 3 * ((b.hi0 - b.lo0) // 4)""",
+    "clustered merge table: CDC upserts + zone-pruned time-window read (lakehouse)") { (s, d) =>
+    import graft.operators.MergeTable
+    val ev = Tables.events(s, d).select(
+      col("event_id").cast("long").as("k"),
+      unix_micros(col("ts")).as("ts_us"),
+      col("user_id").cast("long").as("uid"),
+      graft.functions.ExactNum.scaled(col("value"), 100).as("value_cents"))
+    val dir = java.nio.file.Files.createTempDirectory("graft-q288").toString + "/t"
+    MergeTable.create(ev, dir, "k", nBuckets = 16,
+      clusterBy = Some("ts_us"), statsCols = Seq("ts_us"),
+      maxRecordsPerFile = 2000L)
+    MergeTable.merge(s, dir,
+      ev.where(col("k") % 89 === 0)
+        .withColumn("value_cents", col("value_cents") + 5000L)
+        .unionByName(ev.where(col("k") % 97 === 0)
+          .withColumn("k", col("k") + 10000000000L)),
+      ev.where(col("k") % 83 === 0 && col("k") % 89 =!= 0).select("k"))
+    val r = ev.agg(min("ts_us"), max("ts_us")).head()
+    val (lo0, hi0) = (r.getLong(0), r.getLong(1))
+    val d4 = (hi0 - lo0) / 4
+    MergeTable.readRange(s, dir, "ts_us", lo0 + d4, lo0 + 3 * d4)
+  }
+
   val all: Seq[QuerySpec] =
     Seq(q44, q45, q46, q47, q48, q49, q79, q80, q121, q131, q146, q195, q196,
-      q202, q210, q216, q220, q230, q231, q280, q282, q283, q284, q285, q287)
+      q202, q210, q216, q220, q230, q231, q280, q282, q283, q284, q285, q287,
+      q288)
 }

@@ -141,6 +141,16 @@ object ZoneMap {
       cols: Seq[String]): DataFrame = {
     val files = dataFiles(spark, path)
     require(files.nonEmpty, s"no parquet files under $path")
+    harvestFiles(spark,
+      files.map(p => new org.apache.hadoop.fs.Path(p).getName -> p), cols)
+  }
+
+  /** [[harvest]] over an explicit (relative name → absolute path)
+    * file list — the entry point for layouts whose files live in
+    * subdirectories (e.g. [[graft.operators.MergeTable]]'s
+    * `bucket=B/part-….parquet` under each generation). */
+  private[graft] def harvestFiles(spark: SparkSession,
+      files: Seq[(String, String)], cols: Seq[String]): DataFrame = {
     val schema = StructType(
       StructField("file", StringType, nullable = false) ::
         StructField("n_rows", LongType, nullable = false) ::
@@ -154,7 +164,7 @@ object ZoneMap {
     val colsB = cols.toIndexedSeq
     val n = math.max(1, math.min(files.size,
       spark.sparkContext.defaultParallelism))
-    val rows = spark.sparkContext.parallelize(files, n).map { p =>
+    val rows = spark.sparkContext.parallelize(files, n).map { case (rel, p) =>
       val hp = new org.apache.hadoop.fs.Path(p)
       val conf = new org.apache.hadoop.conf.Configuration()
       val r = org.apache.parquet.hadoop.ParquetFileReader.open(
@@ -166,10 +176,32 @@ object ZoneMap {
           Seq[Any](ty, ok, mnL.map(Long.box).orNull, mxL.map(Long.box).orNull,
             mnS.orNull, mxS.orNull)
         }
-        Row.fromSeq(hp.getName +: blocks.map(_.getRowCount).sum +: per)
+        Row.fromSeq(rel +: blocks.map(_.getRowCount).sum +: per)
       } finally r.close()
     }
     spark.createDataFrame(rows, schema)
+  }
+
+  /** Write a sidecar for an explicit file list at an explicit
+    * location (for subdirectory layouts). */
+  private[graft] def writeFilesAt(spark: SparkSession, sidecarPath: String,
+      files: Seq[(String, String)], cols: Seq[String]): Unit =
+    harvestFiles(spark, files, cols).coalesce(1)
+      .write.mode("overwrite").parquet(sidecarPath)
+
+  /** The relative file names of `zm` whose zone intersects
+    * `lo <= c <= hi` — the shared long-range pruning predicate
+    * (unusable or non-long zones keep conservatively; all-null
+    * files prove empty). */
+  private[graft] def keptOf(zm: DataFrame, c: String,
+      lo: Long, hi: Long): Seq[String] = {
+    require(zm.columns.contains(s"${c}_ok"),
+      s"no zone map for column $c — harvested: " +
+        zm.columns.filter(_.endsWith("_ok")).map(_.dropRight(3)).mkString(", "))
+    zm.where(!col(s"${c}_ok") || col(s"${c}_ty") =!= "long" ||
+        (col(s"${c}_min").isNotNull &&
+          col(s"${c}_min") <= hi && col(s"${c}_max") >= lo))
+      .select("file").collect().map(_.getString(0)).toSeq.sorted
   }
 
   /** Harvest and persist the sidecar at `path/_zonemap` (the `_`
@@ -186,14 +218,8 @@ object ZoneMap {
   private[graft] def keptFiles(spark: SparkSession, path: String,
       c: String, lo: Long, hi: Long): (Seq[String], Int) = {
     val zm = spark.read.parquet(sidecar(path))
-    require(zm.columns.contains(s"${c}_ok"),
-      s"no zone map for column $c under ${sidecar(path)} — " +
-        s"harvested: ${zm.columns.filter(_.endsWith("_ok")).map(_.dropRight(3)).mkString(", ")}")
-    val kept = zm.where(!col(s"${c}_ok") || col(s"${c}_ty") =!= "long" ||
-        (col(s"${c}_min").isNotNull &&
-          col(s"${c}_min") <= hi && col(s"${c}_max") >= lo))
-      .select("file").collect().map(r => s"$path/${r.getString(0)}").toSeq
-    (kept.sorted, zm.count().toInt)
+    val kept = keptOf(zm, c, lo, hi).map(f => s"$path/$f")
+    (kept, zm.count().toInt)
   }
 
   /** Range scan through the zone map: open ONLY files whose zone

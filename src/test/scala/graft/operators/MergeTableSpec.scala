@@ -208,12 +208,61 @@ class MergeTableSpec extends SparkSpec {
       content(state))
   }
 
+  test("clustered table: readRange == filtered read, prunes files across generations") {
+    val dir = tmpDir()
+    // cluster by cents: sorted runs inside every bucket, zone sidecar
+    // per generation, ≤400-row files so zones are selective
+    MergeTable.create(base, dir, "k", nBuckets = 4,
+      clusterBy = Some("cents"), statsCols = Seq("cents"),
+      maxRecordsPerFile = 100L)
+    // a single-key merge: one bucket moves to gen 1, the rest keep
+    // serving gen 0 — so the pruning law exercises BOTH generations
+    val ups = base.orderBy("k").limit(1).withColumn("cents", col("cents") + 9L)
+    val del = base.limit(0).select("k")
+    MergeTable.merge(spark, dir, ups, del)
+    val state = MergeTable.mergeBrute(base, "k", ups, del)
+    // equality with the filtered full read, several window shapes
+    val cMax = state.agg(max("cents")).head().getLong(0)
+    for ((lo, hi) <- Seq((0L, cMax + 1), (100000L, 500000L), (5L, 4L),
+        (cMax + 10, cMax + 20))) {
+      assert(content(MergeTable.readRange(spark, dir, "cents", lo, hi)) ==
+        content(state.where(col("cents").between(lo, hi))), s"[$lo,$hi]")
+    }
+    // pruning law: a narrow window opens strictly fewer files than
+    // the table holds — across BOTH the rewritten gen and carried gens
+    val all = MergeTable.rangePaths(spark, dir, "cents", 0L, cMax + 1)
+    val narrow = MergeTable.rangePaths(spark, dir, "cents", 100000L, 500000L)
+    assert(all.size > 4, s"expected multi-file layout, got ${all.size}")
+    assert(narrow.nonEmpty && narrow.size < all.size,
+      s"no pruning: ${narrow.size} of ${all.size}")
+    assert(all.exists(_.contains("gen=0")) && all.exists(_.contains("gen=1")),
+      "both generations must serve")
+    // disjoint window proves empty from footers alone
+    assert(MergeTable.rangePaths(spark, dir, "cents", -100L, -1L).isEmpty)
+    // a non-stats column is refused loudly
+    intercept[IllegalArgumentException] {
+      MergeTable.rangePaths(spark, dir, "ck", 0L, 1L)
+    }
+    // the clustered layout still satisfies every core law: lookup +
+    // idempotent re-merge
+    val k0 = base.orderBy("k").limit(1).head().getLong(0)
+    import spark.implicits._
+    assert(content(MergeTable.lookup(spark, dir, Seq(k0).toDF("k"))) ==
+      content(state.where(col("k") === k0)))
+    MergeTable.merge(spark, dir, ups, del)
+    assert(content(MergeTable.read(spark, dir)) == content(state))
+  }
+
   test("streaming CDC apply: folded end state + restart replays nothing") {
     val dir = tmpDir()
     MergeTable.create(base, dir, "k", nBuckets = 4)
-    val src = java.nio.file.Files.createTempDirectory("graft-merge-src").toString
+    // tmp + ckpt live INSIDE the unique temp root: "$src/../x" would
+    // resolve to the shared /tmp/x and collide across concurrent runs
+    val root = java.nio.file.Files.createTempDirectory("graft-merge-s").toString
+    val src = new java.io.File(root, "src").toString
+    new java.io.File(src).mkdirs()
     def writeBatch(b: Int, df: DataFrame): Unit = {
-      val tmp = s"$src/../tmp$b"
+      val tmp = s"$root/tmp$b"
       df.coalesce(1).write.mode("overwrite").parquet(tmp)
       val part = new java.io.File(tmp).listFiles()
         .find(_.getName.endsWith(".parquet")).get
@@ -227,7 +276,7 @@ class MergeTableSpec extends SparkSpec {
     writeBatch(0, ups1.withColumn("op", lit("u"))
       .unionByName(del1.withColumn("op", lit("d"))))
     writeBatch(1, ups2.withColumn("op", lit("u")))
-    val ckpt = s"$src/../ckpt"
+    val ckpt = s"$root/ckpt"
     val got = content(graft.streaming.StreamOps.runMergeStream(
       spark, src, dir, ckpt, "k"))
     val s1 = MergeTable.mergeBrute(base, "k", ups1, del1.select("k"))
