@@ -757,7 +757,7 @@ object SourceQueries {
       |       CAST(sum(CAST(l_partkey AS BIGINT)) AS BIGINT) AS pksum,
       |       CAST(sum(CAST(round(l_extendedprice * 100, 0) AS BIGINT)) AS BIGINT) AS price_cents
       |FROM lineitem
-      |WHERE l_partkey BETWEEN 1000 AND 1500
+      |WHERE l_partkey BETWEEN 100 AND 150
       |GROUP BY 1""",
     "zone-map data skipping: footer-harvested sidecar -> path-pruned range scan") { (s, d) =>
     val li = Tables.lineitem(s, d)
@@ -766,7 +766,7 @@ object SourceQueries {
     graft.sources.Tabular.writeClusteredParquet(li, out,
       Seq("l_partkey", "l_suppkey"), nFiles = 8)
     graft.sources.ZoneMap.write(s, out, Seq("l_partkey", "l_suppkey"))
-    graft.sources.ZoneMap.scanRange(s, out, "l_partkey", 1000L, 1500L)
+    graft.sources.ZoneMap.scanRange(s, out, "l_partkey", 100L, 150L)
       .groupBy("l_returnflag")
       .agg(count(lit(1)).as("n"),
         sum(col("l_partkey").cast("long")).as("pksum"),
@@ -787,7 +787,7 @@ object SourceQueries {
       |       CAST(sum(CAST(l_orderkey AS BIGINT)) AS BIGINT) AS oksum,
       |       CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS qty
       |FROM lineitem
-      |WHERE l_suppkey = 7 AND l_partkey >= 500 AND l_partkey < 1500
+      |WHERE l_suppkey = 7 AND l_partkey >= 50 AND l_partkey < 150
       |  AND l_returnflag >= 'N'
       |GROUP BY 1""",
     "declarative zone-map table: SQL WHERE -> planning-time file pruning") { (s, d) =>
@@ -804,7 +804,7 @@ object SourceQueries {
       |       CAST(sum(CAST(l_orderkey AS BIGINT)) AS BIGINT) AS oksum,
       |       CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS qty
       |FROM zm_lineitem_q287
-      |WHERE l_suppkey = 7 AND l_partkey >= 500 AND l_partkey < 1500
+      |WHERE l_suppkey = 7 AND l_partkey >= 50 AND l_partkey < 150
       |  AND l_returnflag >= 'N'
       |GROUP BY 1""".stripMargin)
   }
