@@ -346,6 +346,123 @@ object MergeTable {
     }
   }
 
+  /** DECLARATIVE merge table: a DataFrame over the live manifest
+    * whose scan prunes at planning time from WHATEVER predicate
+    * Catalyst pushes down — no special read API, SQL views included:
+    *
+    *  - key equality / IN prunes BUCKETS (the probe values hash
+    *    driver-side with the same `pmod(xxhash64(k), n)` the layout
+    *    uses, so `WHERE k = 42` opens one bucket);
+    *  - stats-column predicates prune FILES via the per-generation
+    *    `_zonemap` zones (clustered tables);
+    *  - everything else scans the live files and filters exactly.
+    *
+    * The file set is pinned at construction — a SNAPSHOT of the
+    * manifest current at that moment (MVCC semantics for free from
+    * the add-only layout): merges committed later are not seen, and
+    * the snapshot stays readable until [[vacuum]]. */
+  def table(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
+    import org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat
+    val idx = new TableFileIndex(spark, dir)
+    val dataSchema = read(spark, dir).schema
+    val rel = HadoopFsRelation(idx, new org.apache.spark.sql.types.StructType(),
+      dataSchema, None, new ParquetFileFormat, Map.empty)(spark)
+    org.apache.spark.sql.graftbridge.PlanBridge.ofRows(
+      spark, LogicalRelation(rel, isStreaming = false))
+  }
+
+  /** [[table]]'s scan-time pruner. */
+  private class TableFileIndex(spark: SparkSession, dir: String)
+      extends org.apache.spark.sql.execution.datasources.FileIndex {
+    import org.apache.spark.sql.catalyst.InternalRow
+    import org.apache.spark.sql.catalyst.expressions.Expression
+    import org.apache.spark.sql.execution.datasources.PartitionDirectory
+    import graft.sources.ZonePrune
+
+    private val m0 = meta(spark, dir)
+    private val man = manifest(spark, dir)
+    private val f0 = fs(spark, dir)
+
+    private val keyType: org.apache.spark.sql.types.DataType =
+      read(spark, dir).schema(m0.keyCol).dataType
+
+    /** (bucket, FileStatus, zone-by-column) for every live file. */
+    private val files: Seq[(Int, org.apache.hadoop.fs.FileStatus,
+        Map[String, ZonePrune.Zone])] = {
+      val zonesByGen: Map[Int, Map[String, Map[String, ZonePrune.Zone]]] =
+        if (m0.statsCols.isEmpty) Map.empty
+        else man.values.toSet.toSeq.map { (g: Int) =>
+          g -> ZonePrune.zonesOf(
+            spark.read.parquet(s"${dataPath(dir)}/gen=$g/_zonemap"))
+        }.toMap
+      man.toSeq.sortBy(_._1).flatMap { case (b, g) =>
+        val bp = new org.apache.hadoop.fs.Path(
+          s"${dataPath(dir)}/gen=$g/bucket=$b")
+        f0.listStatus(bp).filter(_.getPath.getName.endsWith(".parquet"))
+          .toSeq.sortBy(_.getPath.getName).map { st =>
+            val zone = zonesByGen.get(g)
+              .flatMap(_.get(s"bucket=$b/${st.getPath.getName}"))
+              .getOrElse(Map.empty[String, ZonePrune.Zone])
+            (b, st, zone)
+          }
+      }
+    }
+
+    private def bucketOfValue(v: Any): Option[Int] = {
+      import org.apache.spark.sql.catalyst.expressions.XxHash64Function
+      import org.apache.spark.sql.types._
+      val h = keyType match {
+        case LongType    => v match {
+          case l: Long => Some(XxHash64Function.hash(l, LongType, 42L))
+          case _ => None
+        }
+        case IntegerType => v match {
+          // demands() widens int literals to Long; the layout hashed
+          // the column's own (int) type, so hash the int value back
+          case l: Long if l.isValidInt =>
+            Some(XxHash64Function.hash(l.toInt, IntegerType, 42L))
+          case _ => None
+        }
+        case StringType  => v match {
+          case s: String => Some(XxHash64Function.hash(
+            org.apache.spark.unsafe.types.UTF8String.fromString(s),
+            StringType, 42L))
+          case _ => None
+        }
+        case _ => None
+      }
+      h.map(x => (((x % m0.nBuckets) + m0.nBuckets) % m0.nBuckets).toInt)
+    }
+
+    override def rootPaths: Seq[org.apache.hadoop.fs.Path] =
+      Seq(new org.apache.hadoop.fs.Path(dataPath(dir)))
+    override def partitionSchema = new org.apache.spark.sql.types.StructType()
+    override def sizeInBytes: Long = files.map(_._2.getLen).sum
+    override def inputFiles: Array[String] =
+      files.map(_._2.getPath.toString).toArray
+    override def refresh(): Unit = () // a snapshot, by design
+
+    override def listFiles(partitionFilters: Seq[Expression],
+        dataFilters: Seq[Expression]): Seq[PartitionDirectory] = {
+      val d = ZonePrune.demands(dataFilters)
+      // key equality/IN → the only buckets those values can live in;
+      // a value the layout's hash can't reproduce disables the prune
+      val keyVals: Option[Set[Any]] =
+        d.eqLong.get(m0.keyCol).map(_.map(v => v: Any))
+          .orElse(d.eqStr.get(m0.keyCol).map(_.map(v => v: Any)))
+      val buckets: Option[Set[Int]] = keyVals.flatMap { vs =>
+        val hashed = vs.map(bucketOfValue)
+        if (hashed.exists(_.isEmpty)) None else Some(hashed.flatten)
+      }
+      val kept = files.collect {
+        case (b, st, zone)
+            if buckets.forall(_.contains(b)) && ZonePrune.keep(zone, d) => st
+      }
+      Seq(PartitionDirectory(InternalRow.empty, kept.toArray))
+    }
+  }
+
   /** Recompute-from-scratch reference form of [[merge]] — law twin
     * (MergeTableSpec): full-table anti-join + union, no bucket
     * pruning. */

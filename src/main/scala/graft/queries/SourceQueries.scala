@@ -862,8 +862,67 @@ object SourceQueries {
     MergeTable.readRange(s, dir, "ts_us", lo0 + d4, lo0 + 3 * d4)
   }
 
+  /** The DECLARATIVE merge table ([[graft.operators.MergeTable
+    * .table]]): one registered view, plain SQL, two pruning modes in
+    * one statement — `k IN (…)` hashes the probe keys driver-side
+    * with the layout's own `pmod(xxhash64(k), n)` and opens ONLY
+    * those buckets, while the time-window branch file-prunes through
+    * the per-generation zones. Bucket/zone/snapshot laws live in
+    * MergeTableSpec; this gate pins SQL-surface fidelity against the
+    * folded CDC state. */
+  val q289 = QuerySpec.sql(
+    "q289_merge_table_sql",
+    """WITH base AS (
+      |  SELECT CAST(event_id AS BIGINT) AS k, epoch_us(ts) AS ts_us,
+      |         CAST(user_id AS BIGINT) AS uid,
+      |         CAST(round(value * 100, 0) AS BIGINT) AS value_cents
+      |  FROM events),
+      |state AS (
+      |  SELECT k, ts_us, uid,
+      |         CASE WHEN k % 89 = 0 THEN value_cents + 5000 ELSE value_cents END AS value_cents
+      |  FROM base WHERE NOT (k % 83 = 0 AND k % 89 <> 0)
+      |  UNION ALL
+      |  SELECT k + 10000000000 AS k, ts_us, uid, value_cents
+      |  FROM base WHERE k % 97 = 0),
+      |b AS (SELECT min(ts_us) AS lo0, max(ts_us) AS hi0 FROM base)
+      |SELECT 'pt' AS mode, k, ts_us, value_cents FROM state
+      |WHERE k IN (SELECT k FROM base WHERE k % 9973 = 0)
+      |UNION ALL
+      |SELECT 'w' AS mode, k, ts_us, value_cents FROM state, b
+      |WHERE ts_us >= b.lo0 + 3 * ((b.hi0 - b.lo0) // 8)
+      |  AND ts_us <  b.lo0 + 5 * ((b.hi0 - b.lo0) // 8)""",
+    "declarative merge table from SQL: bucket-pruned key IN + zone-pruned window") { (s, d) =>
+    import graft.operators.MergeTable
+    val ev = Tables.events(s, d).select(
+      col("event_id").cast("long").as("k"),
+      unix_micros(col("ts")).as("ts_us"),
+      col("user_id").cast("long").as("uid"),
+      graft.functions.ExactNum.scaled(col("value"), 100).as("value_cents"))
+    val dir = java.nio.file.Files.createTempDirectory("graft-q289").toString + "/t"
+    MergeTable.create(ev, dir, "k", nBuckets = 16,
+      clusterBy = Some("ts_us"), statsCols = Seq("ts_us"),
+      maxRecordsPerFile = 2000L)
+    MergeTable.merge(s, dir,
+      ev.where(col("k") % 89 === 0)
+        .withColumn("value_cents", col("value_cents") + 5000L)
+        .unionByName(ev.where(col("k") % 97 === 0)
+          .withColumn("k", col("k") + 10000000000L)),
+      ev.where(col("k") % 83 === 0 && col("k") % 89 =!= 0).select("k"))
+    MergeTable.table(s, dir).createOrReplaceTempView("mt_events_q289")
+    val probe = ev.where(col("k") % 9973 === 0).select("k")
+      .collect().map(_.getLong(0)).sorted
+    val r = ev.agg(min("ts_us"), max("ts_us")).head()
+    val (lo0, hi0) = (r.getLong(0), r.getLong(1))
+    val d8 = (hi0 - lo0) / 8
+    s.sql(s"""SELECT 'pt' AS mode, k, ts_us, value_cents FROM mt_events_q289
+      |WHERE k IN (${probe.mkString(", ")})
+      |UNION ALL
+      |SELECT 'w' AS mode, k, ts_us, value_cents FROM mt_events_q289
+      |WHERE ts_us >= ${lo0 + 3 * d8} AND ts_us < ${lo0 + 5 * d8}""".stripMargin)
+  }
+
   val all: Seq[QuerySpec] =
     Seq(q44, q45, q46, q47, q48, q49, q79, q80, q121, q131, q146, q195, q196,
       q202, q210, q216, q220, q230, q231, q280, q282, q283, q284, q285, q287,
-      q288)
+      q288, q289)
 }

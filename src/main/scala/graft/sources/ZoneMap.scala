@@ -273,19 +273,63 @@ object ZoneMap {
 class ZoneMapFileIndex(spark: SparkSession, path: String)
     extends org.apache.spark.sql.execution.datasources.FileIndex {
   import org.apache.spark.sql.catalyst.InternalRow
-  import org.apache.spark.sql.catalyst.expressions._
+  import org.apache.spark.sql.catalyst.expressions.Expression
   import org.apache.spark.sql.execution.datasources.PartitionDirectory
 
-  private case class Zone(ty: String, ok: Boolean,
+  /** One zone per harvested column, per file name. */
+  private val zones: Map[String, Map[String, ZonePrune.Zone]] =
+    ZonePrune.zonesOf(spark.read.parquet(s"$path/_zonemap"))
+
+  private val statuses: Seq[org.apache.hadoop.fs.FileStatus] = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      .listStatus(p).filter(_.getPath.getName.endsWith(".parquet")).toSeq
+      .sortBy(_.getPath.getName)
+  }
+
+  override def rootPaths: Seq[org.apache.hadoop.fs.Path] =
+    Seq(new org.apache.hadoop.fs.Path(path))
+  override def partitionSchema: StructType = new StructType()
+  override def sizeInBytes: Long = statuses.map(_.getLen).sum
+  override def inputFiles: Array[String] =
+    statuses.map(_.getPath.toString).toArray
+  override def refresh(): Unit = () // layout immutable once harvested
+
+  override def listFiles(partitionFilters: Seq[Expression],
+      dataFilters: Seq[Expression]): Seq[PartitionDirectory] = {
+    val d = ZonePrune.demands(dataFilters)
+    val kept = statuses.filter(st =>
+      zones.get(st.getPath.getName).forall(ZonePrune.keep(_, d)))
+    Seq(PartitionDirectory(InternalRow.empty, kept.toArray))
+  }
+}
+
+/** The zone-pruning core shared by [[ZoneMapFileIndex]] and [[graft
+  * .operators.MergeTable]]'s declarative table: pushed data filters →
+  * per-column conjunctive demands → a sound keep/drop decision per
+  * file. Only provably-sound prunings fire — conjuncts it can't
+  * interpret are ignored and the file kept. Supported shapes per
+  * stats column (bare attribute vs int/long/string literal, both
+  * orientations): `=  <  <=  >  >=  BETWEEN  IS NOT NULL` — the
+  * not-null case prunes all-null files, and the planner plants
+  * `IsNotNull` beside every comparison, so it fires on every
+  * filtered scan. String bounds compare in UTF-8 byte order (=
+  * parquet BINARY stats order = Spark's UTF8_BINARY collation);
+  * strict string bounds are widened to inclusive (sound — no string
+  * successor). */
+private[graft] object ZonePrune {
+  import org.apache.spark.sql.catalyst.expressions._
+
+  case class Zone(ty: String, ok: Boolean,
       minL: Option[Long], maxL: Option[Long],
       minS: Option[String], maxS: Option[String]) {
     def allNull: Boolean =
       ok && (if (ty == "long") minL.isEmpty else minS.isEmpty)
   }
 
-  /** One zone per harvested column, per file name. */
-  private val zones: Map[String, Map[String, Zone]] = {
-    val zm = spark.read.parquet(s"$path/_zonemap")
+  /** Decode a `_zonemap` sidecar into per-file, per-column zones. */
+  def zonesOf(zm: org.apache.spark.sql.DataFrame)
+      : Map[String, Map[String, Zone]] = {
     val cols = zm.columns.filter(_.endsWith("_ok")).map(_.dropRight(3)).toSeq
     zm.collect().map { r =>
       r.getString(r.fieldIndex("file")) -> cols.map { c =>
@@ -305,33 +349,35 @@ class ZoneMapFileIndex(spark: SparkSession, path: String)
     }.toMap
   }
 
-  private val statuses: Seq[org.apache.hadoop.fs.FileStatus] = {
-    val p = new org.apache.hadoop.fs.Path(path)
-    p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-      .listStatus(p).filter(_.getPath.getName.endsWith(".parquet")).toSeq
-      .sortBy(_.getPath.getName)
+  case class Demands(lo: Map[String, Long], hi: Map[String, Long],
+      loS: Map[String, String], hiS: Map[String, String],
+      notNull: Set[String],
+      /** per-column equality/IN value sets, for hash-bucket pruning */
+      eqLong: Map[String, Set[Long]], eqStr: Map[String, Set[String]])
+
+  object Lit {
+    def unapply(e: Expression): Option[Long] = e match {
+      case Literal(v: Int, _)  => Some(v.toLong)
+      case Literal(v: Long, _) => Some(v)
+      case _ => None
+    }
+  }
+  object LitS {
+    def unapply(e: Expression): Option[String] = e match {
+      case Literal(v: org.apache.spark.unsafe.types.UTF8String,
+        _: org.apache.spark.sql.types.StringType) if v != null => Some(v.toString)
+      case _ => None
+    }
   }
 
-  override def rootPaths: Seq[org.apache.hadoop.fs.Path] =
-    Seq(new org.apache.hadoop.fs.Path(path))
-  override def partitionSchema: StructType = new StructType()
-  override def sizeInBytes: Long = statuses.map(_.getLen).sum
-  override def inputFiles: Array[String] =
-    statuses.map(_.getPath.toString).toArray
-  override def refresh(): Unit = () // layout immutable once harvested
-
-  override def listFiles(partitionFilters: Seq[Expression],
-      dataFilters: Seq[Expression]): Seq[PartitionDirectory] = {
-    // per-column conjunctive interval + not-null demand from the
-    // pushed filters; unrecognized conjuncts are simply not used.
-    // String bounds compare in UTF-8 byte order (= parquet BINARY
-    // stats order = Spark's UTF8_BINARY collation); strict string
-    // bounds are widened to inclusive (sound — no string successor)
+  def demands(dataFilters: Seq[Expression]): Demands = {
     var lo = Map.empty[String, Long]
     var hi = Map.empty[String, Long]
     var loS = Map.empty[String, String]
     var hiS = Map.empty[String, String]
     var notNull = Set.empty[String]
+    var eqLong = Map.empty[String, Set[Long]]
+    var eqStr = Map.empty[String, Set[String]]
     def tightenLo(c: String, v: Long): Unit =
       lo += c -> math.max(v, lo.getOrElse(c, Long.MinValue))
     def tightenHi(c: String, v: Long): Unit =
@@ -340,25 +386,15 @@ class ZoneMapFileIndex(spark: SparkSession, path: String)
       loS += c -> loS.get(c).fold(v)(ZoneMap.utf8Max(_, v))
     def tightenHiS(c: String, v: String): Unit =
       hiS += c -> hiS.get(c).fold(v)(ZoneMap.utf8Min(_, v))
-    object Lit {
-      def unapply(e: Expression): Option[Long] = e match {
-        case Literal(v: Int, _)  => Some(v.toLong)
-        case Literal(v: Long, _) => Some(v)
-        case _ => None
-      }
-    }
-    object LitS {
-      def unapply(e: Expression): Option[String] = e match {
-        case Literal(v: org.apache.spark.unsafe.types.UTF8String,
-          _: org.apache.spark.sql.types.StringType) if v != null => Some(v.toString)
-        case _ => None
-      }
-    }
+    def eqL(c: String, vs: Set[Long]): Unit =
+      eqLong += c -> eqLong.get(c).fold(vs)(_ intersect vs)
+    def eqS(c: String, vs: Set[String]): Unit =
+      eqStr += c -> eqStr.get(c).fold(vs)(_ intersect vs)
     dataFilters.foreach {
       case EqualTo(a: AttributeReference, Lit(v)) =>
-        tightenLo(a.name, v); tightenHi(a.name, v)
+        tightenLo(a.name, v); tightenHi(a.name, v); eqL(a.name, Set(v))
       case EqualTo(Lit(v), a: AttributeReference) =>
-        tightenLo(a.name, v); tightenHi(a.name, v)
+        tightenLo(a.name, v); tightenHi(a.name, v); eqL(a.name, Set(v))
       case GreaterThanOrEqual(a: AttributeReference, Lit(v)) => tightenLo(a.name, v)
       case GreaterThan(a: AttributeReference, Lit(v))        => tightenLo(a.name, v + 1)
       case LessThanOrEqual(a: AttributeReference, Lit(v))    => tightenHi(a.name, v)
@@ -368,9 +404,9 @@ class ZoneMapFileIndex(spark: SparkSession, path: String)
       case LessThanOrEqual(Lit(v), a: AttributeReference)    => tightenLo(a.name, v)
       case LessThan(Lit(v), a: AttributeReference)           => tightenLo(a.name, v + 1)
       case EqualTo(a: AttributeReference, LitS(v)) =>
-        tightenLoS(a.name, v); tightenHiS(a.name, v)
+        tightenLoS(a.name, v); tightenHiS(a.name, v); eqS(a.name, Set(v))
       case EqualTo(LitS(v), a: AttributeReference) =>
-        tightenLoS(a.name, v); tightenHiS(a.name, v)
+        tightenLoS(a.name, v); tightenHiS(a.name, v); eqS(a.name, Set(v))
       case GreaterThanOrEqual(a: AttributeReference, LitS(v)) => tightenLoS(a.name, v)
       case GreaterThan(a: AttributeReference, LitS(v))        => tightenLoS(a.name, v)
       case LessThanOrEqual(a: AttributeReference, LitS(v))    => tightenHiS(a.name, v)
@@ -379,30 +415,39 @@ class ZoneMapFileIndex(spark: SparkSession, path: String)
       case GreaterThan(LitS(v), a: AttributeReference)        => tightenHiS(a.name, v)
       case LessThanOrEqual(LitS(v), a: AttributeReference)    => tightenLoS(a.name, v)
       case LessThan(LitS(v), a: AttributeReference)           => tightenLoS(a.name, v)
+      case In(a: AttributeReference, vs)
+          if vs.nonEmpty && vs.forall(Lit.unapply(_).isDefined) =>
+        val set = vs.flatMap(Lit.unapply).toSet
+        eqL(a.name, set); tightenLo(a.name, set.min); tightenHi(a.name, set.max)
+      case In(a: AttributeReference, vs)
+          if vs.nonEmpty && vs.forall(LitS.unapply(_).isDefined) =>
+        val set = vs.flatMap(LitS.unapply).toSet
+        eqS(a.name, set)
+        tightenLoS(a.name, set.reduce(ZoneMap.utf8Min))
+        tightenHiS(a.name, set.reduce(ZoneMap.utf8Max))
       case IsNotNull(a: AttributeReference) => notNull += a.name
       case _ => ()
     }
-    val kept = statuses.filter { st =>
-      zones.get(st.getPath.getName).forall { z =>
-        z.forall { case (c, zn) =>
-          if (!zn.ok) true // unusable stats: keep conservatively
-          else {
-            val nullOk = !notNull.contains(c) || !zn.allNull
-            val longDemanded = lo.contains(c) || hi.contains(c)
-            val longOk = !longDemanded || zn.ty != "long" ||
-              (zn.minL.nonEmpty &&
-                zn.minL.get <= hi.getOrElse(c, Long.MaxValue) &&
-                zn.maxL.get >= lo.getOrElse(c, Long.MinValue))
-            val strDemanded = loS.contains(c) || hiS.contains(c)
-            val strOk = !strDemanded || zn.ty != "string" ||
-              (zn.minS.nonEmpty &&
-                hiS.get(c).forall(h => ZoneMap.utf8Cmp(zn.minS.get, h) <= 0) &&
-                loS.get(c).forall(l => ZoneMap.utf8Cmp(zn.maxS.get, l) >= 0))
-            nullOk && longOk && strOk
-          }
-        }
+    Demands(lo, hi, loS, hiS, notNull, eqLong, eqStr)
+  }
+
+  /** Sound keep decision for one file's zones under the demands. */
+  def keep(z: Map[String, Zone], d: Demands): Boolean =
+    z.forall { case (c, zn) =>
+      if (!zn.ok) true // unusable stats: keep conservatively
+      else {
+        val nullOk = !d.notNull.contains(c) || !zn.allNull
+        val longDemanded = d.lo.contains(c) || d.hi.contains(c)
+        val longOk = !longDemanded || zn.ty != "long" ||
+          (zn.minL.nonEmpty &&
+            zn.minL.get <= d.hi.getOrElse(c, Long.MaxValue) &&
+            zn.maxL.get >= d.lo.getOrElse(c, Long.MinValue))
+        val strDemanded = d.loS.contains(c) || d.hiS.contains(c)
+        val strOk = !strDemanded || zn.ty != "string" ||
+          (zn.minS.nonEmpty &&
+            d.hiS.get(c).forall(h => ZoneMap.utf8Cmp(zn.minS.get, h) <= 0) &&
+            d.loS.get(c).forall(l => ZoneMap.utf8Cmp(zn.maxS.get, l) >= 0))
+        nullOk && longOk && strOk
       }
     }
-    Seq(PartitionDirectory(InternalRow.empty, kept.toArray))
-  }
 }

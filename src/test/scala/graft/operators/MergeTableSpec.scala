@@ -253,6 +253,57 @@ class MergeTableSpec extends SparkSpec {
     assert(content(MergeTable.read(spark, dir)) == content(state))
   }
 
+  test("declarative table: key equality prunes buckets, stats predicates prune files") {
+    val dir = tmpDir()
+    MergeTable.create(base, dir, "k", nBuckets = 8,
+      clusterBy = Some("cents"), statsCols = Seq("cents"),
+      maxRecordsPerFile = 100L)
+    val ups = base.where(col("k") % 7 === 0).withColumn("cents", col("cents") + 9L)
+    val del = base.where(col("k") % 23 === 0 && col("k") % 7 =!= 0).select("k")
+    MergeTable.merge(spark, dir, ups, del)
+    val state = MergeTable.mergeBrute(base, "k", ups, del)
+    def numFiles(df: org.apache.spark.sql.DataFrame): Long = {
+      df.collect()
+      df.queryExecution.executedPlan.collectFirst {
+        case s: org.apache.spark.sql.execution.FileSourceScanExec => s
+      }.get.metrics("numFiles").value
+    }
+    val t = MergeTable.table(spark, dir)
+    val total = numFiles(t)
+    assert(content(t) == content(state), "full scan == folded state")
+    // key equality through pure SQL: ≤ one bucket's files open
+    t.createOrReplaceTempView("mt_decl")
+    val k0 = state.orderBy("k").limit(1).head().getLong(0)
+    val q1 = spark.sql(s"SELECT * FROM mt_decl WHERE k = $k0")
+    val n1 = numFiles(q1)
+    assert(n1 < total && n1 > 0, s"key equality kept $n1 of $total")
+    assert(content(q1) == content(state.where(col("k") === k0)))
+    // key IN (...) unions the probed buckets, still < total
+    val k1 = state.orderBy(col("k").desc).limit(1).head().getLong(0)
+    val qin = spark.sql(s"SELECT * FROM mt_decl WHERE k IN ($k0, $k1)")
+    assert(numFiles(qin) < total)
+    assert(content(qin) == content(state.where(col("k").isin(k0, k1))))
+    // stats-column window: zone pruning fires on the same table
+    val cMax = state.agg(max("cents")).head().getLong(0)
+    val qw = t.where(col("cents").between(100000L, 500000L))
+    assert(numFiles(qw) < total, "zone window did not prune")
+    assert(content(qw) ==
+      content(state.where(col("cents").between(100000L, 500000L))))
+    // key equality AND window compose: at most the tighter of the two
+    val qboth = t.where(col("k") === k0 && col("cents") <= cMax)
+    assert(numFiles(qboth) <= n1)
+    assert(content(qboth) ==
+      content(state.where(col("k") === k0 && col("cents") <= cMax)))
+    // snapshot semantics: a merge AFTER construction is invisible to
+    // the pinned table, visible to a fresh one
+    val ups2 = base.orderBy("k").limit(1).withColumn("cents", lit(-777L))
+    MergeTable.merge(spark, dir, ups2, base.limit(0).select("k"))
+    assert(content(t.where(col("cents") === -777L)).isEmpty,
+      "snapshot must not see a later merge")
+    assert(content(MergeTable.table(spark, dir).where(col("cents") === -777L))
+      .nonEmpty)
+  }
+
   test("streaming CDC apply: folded end state + restart replays nothing") {
     val dir = tmpDir()
     MergeTable.create(base, dir, "k", nBuckets = 4)
