@@ -346,6 +346,40 @@ object MergeTable {
     }
   }
 
+  /** CHANGE DATA FEED — the row-level difference between two
+    * committed versions, for incremental consumers ("give me
+    * everything that changed since I last read"): one `'u'` row per
+    * inserted-or-updated key (new image) and one `'d'` row per
+    * deleted key (old image). Reads ONLY buckets whose generation
+    * moved between the two manifests — cost ∝ changed data, never
+    * table size — which the add-only layout makes exact: an untouched
+    * bucket's generation is carried verbatim, so generation equality
+    * IS content equality (byte-identity law in MergeTableSpec).
+    * Readable until [[vacuum]] reclaims `fromV`. */
+  def changes(spark: SparkSession, dir: String, fromV: Int,
+      toV: Int): DataFrame = {
+    require(fromV < toV, s"changes: need fromV < toV, got $fromV >= $toV")
+    val keyCol = meta(spark, dir).keyCol
+    val mFrom = manifestAt(spark, dir, fromV)
+    val mTo = manifestAt(spark, dir, toV)
+    val moved = (mFrom.keySet ++ mTo.keySet)
+      .filter(b => mFrom.get(b) != mTo.get(b)).toSeq.sorted
+    def slice(m: Map[Int, Int]): DataFrame = {
+      val paths = bucketPaths(dir, m.view.filterKeys(moved.contains).toMap,
+        moved)
+      if (paths.isEmpty) readManifest(spark, dir, mTo).limit(0)
+      else spark.read.parquet(paths: _*).drop("bucket")
+    }
+    val oldRows = slice(mFrom)
+    val newRows = slice(mTo)
+    // keys are unique per version, so: full-row EXCEPT → inserts +
+    // updates (new image); key anti-join → deletes (old image)
+    newRows.exceptAll(oldRows).withColumn("change", lit("u"))
+      .unionByName(
+        oldRows.join(newRows.select(keyCol), Seq(keyCol), "left_anti")
+          .withColumn("change", lit("d")))
+  }
+
   /** DECLARATIVE merge table: a DataFrame over the live manifest
     * whose scan prunes at planning time from WHATEVER predicate
     * Catalyst pushes down — no special read API, SQL views included:

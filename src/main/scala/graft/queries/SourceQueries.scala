@@ -921,8 +921,52 @@ object SourceQueries {
       |WHERE ts_us >= ${lo0 + 3 * d8} AND ts_us < ${lo0 + 5 * d8}""".stripMargin)
   }
 
+  /** CHANGE DATA FEED on the merge table ([[graft.operators
+    * .MergeTable.changes]]): the row-level content delta between two
+    * committed versions — `'u'` new images for inserted-or-updated
+    * keys, `'d'` old images for deleted keys — reading ONLY buckets
+    * whose generation moved (generation equality IS content equality
+    * on the add-only layout). The incremental-consumer primitive:
+    * downstream jobs replay the feed instead of re-scanning the
+    * table. Oracle derives the batch's exact content effects;
+    * replay-composition and identical-row-upsert-is-no-change laws
+    * live in MergeTableSpec. */
+  val q290 = QuerySpec.sql(
+    "q290_merge_changes",
+    """WITH base AS (
+      |  SELECT CAST(event_id AS BIGINT) AS k, epoch_us(ts) AS ts_us,
+      |         CAST(user_id AS BIGINT) AS uid,
+      |         CAST(round(value * 100, 0) AS BIGINT) AS value_cents
+      |  FROM events)
+      |SELECT 'u' AS change, k, ts_us, uid, value_cents + 5000 AS value_cents
+      |FROM base WHERE k % 89 = 0
+      |UNION ALL
+      |SELECT 'u' AS change, k + 10000000000 AS k, ts_us, uid, value_cents
+      |FROM base WHERE k % 97 = 0
+      |UNION ALL
+      |SELECT 'd' AS change, k, ts_us, uid, value_cents
+      |FROM base WHERE k % 83 = 0 AND k % 89 <> 0""",
+    "merge-table change data feed: content delta between versions (lakehouse)") { (s, d) =>
+    import graft.operators.MergeTable
+    val ev = Tables.events(s, d).select(
+      col("event_id").cast("long").as("k"),
+      unix_micros(col("ts")).as("ts_us"),
+      col("user_id").cast("long").as("uid"),
+      graft.functions.ExactNum.scaled(col("value"), 100).as("value_cents"))
+    val dir = java.nio.file.Files.createTempDirectory("graft-q290").toString + "/t"
+    MergeTable.create(ev, dir, "k", nBuckets = 16)
+    MergeTable.merge(s, dir,
+      ev.where(col("k") % 89 === 0)
+        .withColumn("value_cents", col("value_cents") + 5000L)
+        .unionByName(ev.where(col("k") % 97 === 0)
+          .withColumn("k", col("k") + 10000000000L)),
+      ev.where(col("k") % 83 === 0 && col("k") % 89 =!= 0).select("k"))
+    MergeTable.changes(s, dir, 1, 2)
+      .select("change", "k", "ts_us", "uid", "value_cents")
+  }
+
   val all: Seq[QuerySpec] =
     Seq(q44, q45, q46, q47, q48, q49, q79, q80, q121, q131, q146, q195, q196,
       q202, q210, q216, q220, q230, q231, q280, q282, q283, q284, q285, q287,
-      q288, q289)
+      q288, q289, q290)
 }

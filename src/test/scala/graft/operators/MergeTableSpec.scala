@@ -304,6 +304,42 @@ class MergeTableSpec extends SparkSpec {
       .nonEmpty)
   }
 
+  test("change data feed: content deltas between versions, composable") {
+    val dir = tmpDir()
+    MergeTable.create(base, dir, "k", nBuckets = 4)
+    val ups1 = base.where(col("k") % 7 === 0).withColumn("cents", col("cents") + 9L)
+    val del1 = base.where(col("k") % 23 === 0 && col("k") % 7 =!= 0).select("k")
+    MergeTable.merge(spark, dir, ups1, del1)
+    val s1 = MergeTable.mergeBrute(base, "k", ups1, del1)
+    val ups2 = base.orderBy("k").limit(1).withColumn("cents", lit(-5L))
+    MergeTable.merge(spark, dir, ups2, spark.range(0).select(col("id").as("k")))
+    val s2 = MergeTable.mergeBrute(s1, "k", ups2,
+      spark.range(0).select(col("id").as("k")))
+    def changesOf(a: Int, b: Int) = {
+      val c = MergeTable.changes(spark, dir, a, b)
+      content(c.where(col("change") === "u").drop("change")).map(("u", _)) ++
+        content(c.where(col("change") === "d").drop("change")).map(("d", _))
+    }
+    // v1→v2: exactly the first batch's content effects
+    val want12 =
+      content(ups1).map(("u", _)) ++
+        content(base.join(del1, Seq("k"), "left_semi")).map(("d", _))
+    assert(changesOf(1, 2) == want12)
+    // v2→v3: the single-key update, one 'u' row, no 'd'
+    assert(changesOf(2, 3) == content(ups2).map(("u", _)))
+    // v1→v3 composes: applying changes to the v1 state yields v3
+    val c13 = MergeTable.changes(spark, dir, 1, 3)
+    val applied = MergeTable.mergeBrute(base, "k",
+      c13.where(col("change") === "u").drop("change"),
+      c13.where(col("change") === "d").select("k"))
+    assert(content(applied) == content(s2), "changes(1,3) must replay to v3")
+    // an upsert writing an identical row is NOT a content change
+    MergeTable.merge(spark, dir,
+      s2.orderBy("k").limit(1), spark.range(0).select(col("id").as("k")))
+    assert(MergeTable.changes(spark, dir, 3, 4).count() == 0)
+    intercept[IllegalArgumentException] { MergeTable.changes(spark, dir, 3, 3) }
+  }
+
   test("streaming CDC apply: folded end state + restart replays nothing") {
     val dir = tmpDir()
     MergeTable.create(base, dir, "k", nBuckets = 4)
