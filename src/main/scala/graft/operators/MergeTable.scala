@@ -348,11 +348,15 @@ object MergeTable {
 
   /** CHANGE DATA FEED — the row-level difference between two
     * committed versions, for incremental consumers ("give me
-    * everything that changed since I last read"): one `'u'` row per
-    * inserted-or-updated key (new image) and one `'d'` row per
-    * deleted key (old image). Reads ONLY buckets whose generation
-    * moved between the two manifests — cost ∝ changed data, never
-    * table size — which the add-only layout makes exact: an untouched
+    * everything that changed since I last read"), with Delta-CDF
+    * mode semantics: `insert` (new key, new image),
+    * `update_preimage`/`update_postimage` (existing key whose row
+    * changed — BOTH images, so a downstream aggregate maintains
+    * itself by `+post −pre +insert −delete` without rescanning), and
+    * `delete` (old image). An upsert that rewrites an identical row
+    * is not a change. Reads ONLY buckets whose generation moved
+    * between the two manifests — cost ∝ changed data, never table
+    * size — which the add-only layout makes exact: an untouched
     * bucket's generation is carried verbatim, so generation equality
     * IS content equality (byte-identity law in MergeTableSpec).
     * Readable until [[vacuum]] reclaims `fromV`. */
@@ -372,12 +376,20 @@ object MergeTable {
     }
     val oldRows = slice(mFrom)
     val newRows = slice(mTo)
-    // keys are unique per version, so: full-row EXCEPT → inserts +
-    // updates (new image); key anti-join → deletes (old image)
-    newRows.exceptAll(oldRows).withColumn("change", lit("u"))
-      .unionByName(
-        oldRows.join(newRows.select(keyCol), Seq(keyCol), "left_anti")
-          .withColumn("change", lit("d")))
+    // keys unique per version: full-row EXCEPT isolates changed rows
+    // on each side; the key split then separates insert/update/delete
+    val changedNew = newRows.exceptAll(oldRows)
+    val changedOld = oldRows.exceptAll(newRows)
+    val oldKeys = oldRows.select(keyCol)
+    val newKeys = newRows.select(keyCol)
+    changedNew.join(oldKeys, Seq(keyCol), "left_anti")
+      .withColumn("change", lit("insert"))
+      .unionByName(changedNew.join(oldKeys, Seq(keyCol), "left_semi")
+        .withColumn("change", lit("update_postimage")))
+      .unionByName(changedOld.join(newKeys, Seq(keyCol), "left_semi")
+        .withColumn("change", lit("update_preimage")))
+      .unionByName(changedOld.join(newKeys, Seq(keyCol), "left_anti")
+        .withColumn("change", lit("delete")))
   }
 
   /** DECLARATIVE merge table: a DataFrame over the live manifest

@@ -938,13 +938,17 @@ object SourceQueries {
       |         CAST(user_id AS BIGINT) AS uid,
       |         CAST(round(value * 100, 0) AS BIGINT) AS value_cents
       |  FROM events)
-      |SELECT 'u' AS change, k, ts_us, uid, value_cents + 5000 AS value_cents
+      |SELECT 'update_postimage' AS change, k, ts_us, uid,
+      |       value_cents + 5000 AS value_cents
       |FROM base WHERE k % 89 = 0
       |UNION ALL
-      |SELECT 'u' AS change, k + 10000000000 AS k, ts_us, uid, value_cents
+      |SELECT 'update_preimage' AS change, k, ts_us, uid, value_cents
+      |FROM base WHERE k % 89 = 0
+      |UNION ALL
+      |SELECT 'insert' AS change, k + 10000000000 AS k, ts_us, uid, value_cents
       |FROM base WHERE k % 97 = 0
       |UNION ALL
-      |SELECT 'd' AS change, k, ts_us, uid, value_cents
+      |SELECT 'delete' AS change, k, ts_us, uid, value_cents
       |FROM base WHERE k % 83 = 0 AND k % 89 <> 0""",
     "merge-table change data feed: content delta between versions (lakehouse)") { (s, d) =>
     import graft.operators.MergeTable

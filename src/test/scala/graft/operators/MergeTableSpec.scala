@@ -24,6 +24,9 @@ class MergeTableSpec extends SparkSpec {
     df.select("k", "ck", "cents").collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
 
+  private def content2(df: DataFrame): Set[(Long, Long)] =
+    df.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+
   private def bucketOf(k: Long, n: Int): Int = {
     import spark.implicits._
     Seq(k).toDF("k")
@@ -317,22 +320,45 @@ class MergeTableSpec extends SparkSpec {
       spark.range(0).select(col("id").as("k")))
     def changesOf(a: Int, b: Int) = {
       val c = MergeTable.changes(spark, dir, a, b)
-      content(c.where(col("change") === "u").drop("change")).map(("u", _)) ++
-        content(c.where(col("change") === "d").drop("change")).map(("d", _))
+      Seq("insert", "update_preimage", "update_postimage", "delete").flatMap(m =>
+        content(c.where(col("change") === m).drop("change")).map((m, _))).toSet
     }
-    // v1→v2: exactly the first batch's content effects
-    val want12 =
-      content(ups1).map(("u", _)) ++
-        content(base.join(del1, Seq("k"), "left_semi")).map(("d", _))
+    // v1→v2: exactly the first batch's content effects, per mode —
+    // the %7 upserts are updates (pre = base image, post = +9),
+    // the deletes carry their old image, nothing is an insert
+    val upd1keys = ups1.select("k")
+    val want12: Set[(String, (Long, Long, Long))] =
+      content(ups1).map(("update_postimage", _)) ++
+        content(base.join(upd1keys, Seq("k"), "left_semi"))
+          .map(("update_preimage", _)) ++
+        content(base.join(del1, Seq("k"), "left_semi")).map(("delete", _))
     assert(changesOf(1, 2) == want12)
-    // v2→v3: the single-key update, one 'u' row, no 'd'
-    assert(changesOf(2, 3) == content(ups2).map(("u", _)))
+    // v2→v3: the single-key update — both images, nothing else
+    assert(changesOf(2, 3) ==
+      (content(ups2).map(("update_postimage", _)): Set[(String, (Long, Long, Long))]) ++
+        content(s1.join(ups2.select("k"), Seq("k"), "left_semi"))
+          .map(("update_preimage", _)))
     // v1→v3 composes: applying changes to the v1 state yields v3
     val c13 = MergeTable.changes(spark, dir, 1, 3)
     val applied = MergeTable.mergeBrute(base, "k",
-      c13.where(col("change") === "u").drop("change"),
-      c13.where(col("change") === "d").select("k"))
+      c13.where(col("change").isin("insert", "update_postimage")).drop("change"),
+      c13.where(col("change") === "delete").select("k"))
     assert(content(applied) == content(s2), "changes(1,3) must replay to v3")
+    // incremental aggregation: maintain sum(cents) per ck from the
+    // feed alone — +post −pre +insert −delete == full recompute
+    val delta = MergeTable.changes(spark, dir, 1, 3)
+      .withColumn("sgn", when(col("change").isin("insert", "update_postimage"),
+        1L).otherwise(-1L))
+      .groupBy("ck").agg(sum(col("cents") * col("sgn")).as("d"))
+    val maintained = base.groupBy("ck").agg(sum("cents").as("s"))
+      .join(delta, Seq("ck"), "full_outer")
+      .select(col("ck"),
+        (coalesce(col("s"), lit(0L)) + coalesce(col("d"), lit(0L))).as("s"))
+      .where(col("s") =!= 0L)
+    val recomputed = s2.groupBy("ck").agg(sum("cents").as("s"))
+      .where(col("s") =!= 0L)
+    assert(content2(maintained) == content2(recomputed),
+      "feed must maintain the aggregate exactly")
     // an upsert writing an identical row is NOT a content change
     MergeTable.merge(spark, dir,
       s2.orderBy("k").limit(1), spark.range(0).select(col("id").as("k")))
