@@ -969,8 +969,59 @@ object SourceQueries {
       .select("change", "k", "ts_us", "uid", "value_cents")
   }
 
+  /** MATERIALIZED-VIEW MAINTENANCE over CDC — the full composition:
+    * merge a change batch into the table ([[graft.operators
+    * .MergeTable.merge]]), pull the four-mode change feed
+    * ([[graft.operators.MergeTable.changes]]), fold it into signed
+    * partial aggregates (+post −pre +insert −delete), and apply them
+    * to the pre-merge view with [[graft.operators.MaterializedAgg
+    * .applyDelta]]. The maintained view must equal a full recompute
+    * over the post-merge state — the oracle does exactly that
+    * recompute. Cost of the maintenance path ∝ |view| + |changed
+    * data|, never table history; each piece is individually gated
+    * (q280/q290/q252), this gate pins the composition. */
+  val q291 = QuerySpec.sql(
+    "q291_merge_view_maintenance",
+    """WITH base AS (
+      |  SELECT CAST(event_id AS BIGINT) AS k, CAST(user_id AS BIGINT) AS uid,
+      |         CAST(round(value * 100, 0) AS BIGINT) AS value_cents
+      |  FROM events),
+      |state AS (
+      |  SELECT k, uid,
+      |         CASE WHEN k % 89 = 0 THEN value_cents + 5000 ELSE value_cents END AS value_cents
+      |  FROM base WHERE NOT (k % 83 = 0 AND k % 89 <> 0)
+      |  UNION ALL
+      |  SELECT k + 10000000000 AS k, uid, value_cents FROM base WHERE k % 97 = 0)
+      |SELECT uid, CAST(sum(value_cents) AS BIGINT) AS cents,
+      |       count(*) AS n
+      |FROM state GROUP BY 1""",
+    "materialized-view maintenance: CDC merge -> change feed -> applyDelta == recompute") { (s, d) =>
+    import graft.operators.{MaterializedAgg, MergeTable}
+    val ev = Tables.events(s, d).select(
+      col("event_id").cast("long").as("k"),
+      col("user_id").cast("long").as("uid"),
+      graft.functions.ExactNum.scaled(col("value"), 100).as("value_cents"))
+    val dir = java.nio.file.Files.createTempDirectory("graft-q291").toString + "/t"
+    MergeTable.create(ev, dir, "k", nBuckets = 16)
+    val view1 = ev.groupBy("uid")
+      .agg(sum("value_cents").as("cents"), count(lit(1)).as("n"))
+    MergeTable.merge(s, dir,
+      ev.where(col("k") % 89 === 0)
+        .withColumn("value_cents", col("value_cents") + 5000L)
+        .unionByName(ev.where(col("k") % 97 === 0)
+          .withColumn("k", col("k") + 10000000000L)),
+      ev.where(col("k") % 83 === 0 && col("k") % 89 =!= 0).select("k"))
+    val sgn = when(col("change").isin("insert", "update_postimage"), 1L)
+      .otherwise(-1L)
+    val delta = MergeTable.changes(s, dir, 1, 2)
+      .groupBy("uid")
+      .agg(sum(col("value_cents") * sgn).as("cents"), sum(sgn).as("n"))
+    MaterializedAgg.applyDelta(view1, delta, Seq("uid"), Seq("cents", "n"))
+      .where(col("n") =!= 0L)
+  }
+
   val all: Seq[QuerySpec] =
     Seq(q44, q45, q46, q47, q48, q49, q79, q80, q121, q131, q146, q195, q196,
       q202, q210, q216, q220, q230, q231, q280, q282, q283, q284, q285, q287,
-      q288, q289, q290)
+      q288, q289, q290, q291)
 }
