@@ -134,5 +134,30 @@ class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Un
     // data-sized inputs → range-partitioned two-pass global rank
     // (graft.plans.GlobalRankWindowRule)
     ext.injectOptimizerRule(_ => new graft.plans.GlobalRankWindowRule)
+    // TABLE functions: the pruning tables reachable from pure SQL —
+    // `FROM graft_merge_table('<dir>')` (bucket + zone pruning,
+    // snapshot semantics) and `FROM graft_zonemap_table('<path>')`
+    // (file-level data skipping). The path argument must be a string
+    // literal; the plan is built at analysis time against the
+    // manifest/sidecar current at that moment.
+    def litPath(args: Seq[Expression], fn: String): String = args match {
+      case Seq(org.apache.spark.sql.catalyst.expressions.Literal(
+        s: org.apache.spark.unsafe.types.UTF8String,
+        _: org.apache.spark.sql.types.StringType)) if s != null => s.toString
+      case _ => throw new IllegalArgumentException(
+        s"$fn expects exactly one string-literal path argument")
+    }
+    ext.injectTableFunction((
+      new FunctionIdentifier("graft_merge_table"),
+      new ExpressionInfo("graft.operators.MergeTable", "graft_merge_table"),
+      (args: Seq[Expression]) => graft.operators.MergeTable.tablePlan(
+        org.apache.spark.sql.SparkSession.active,
+        litPath(args, "graft_merge_table"))))
+    ext.injectTableFunction((
+      new FunctionIdentifier("graft_zonemap_table"),
+      new ExpressionInfo("graft.sources.ZoneMap", "graft_zonemap_table"),
+      (args: Seq[Expression]) => graft.sources.ZoneMap.tablePlan(
+        org.apache.spark.sql.SparkSession.active,
+        litPath(args, "graft_zonemap_table"))))
   }
 }

@@ -407,15 +407,22 @@ object MergeTable {
     * manifest current at that moment (MVCC semantics for free from
     * the add-only layout): merges committed later are not seen, and
     * the snapshot stays readable until [[vacuum]]. */
-  def table(spark: SparkSession, dir: String): DataFrame = {
+  def table(spark: SparkSession, dir: String): DataFrame =
+    org.apache.spark.sql.graftbridge.PlanBridge.ofRows(
+      spark, tablePlan(spark, dir))
+
+  /** The bare LogicalRelation behind [[table]] — also the body of the
+    * `graft_merge_table('<dir>')` SQL table function
+    * ([[graft.functions.GraftExtensions]]). */
+  private[graft] def tablePlan(spark: SparkSession, dir: String)
+      : org.apache.spark.sql.catalyst.plans.logical.LogicalPlan = {
     import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
     import org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat
     val idx = new TableFileIndex(spark, dir)
     val dataSchema = read(spark, dir).schema
     val rel = HadoopFsRelation(idx, new org.apache.spark.sql.types.StructType(),
       dataSchema, None, new ParquetFileFormat, Map.empty)(spark)
-    org.apache.spark.sql.graftbridge.PlanBridge.ofRows(
-      spark, LogicalRelation(rel, isStreaming = false))
+    LogicalRelation(rel, isStreaming = false)
   }
 
   /** [[table]]'s scan-time pruner. */

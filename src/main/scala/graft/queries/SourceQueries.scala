@@ -908,16 +908,19 @@ object SourceQueries {
         .unionByName(ev.where(col("k") % 97 === 0)
           .withColumn("k", col("k") + 10000000000L)),
       ev.where(col("k") % 83 === 0 && col("k") % 89 =!= 0).select("k"))
-    MergeTable.table(s, dir).createOrReplaceTempView("mt_events_q289")
     val probe = ev.where(col("k") % 9973 === 0).select("k")
       .collect().map(_.getLong(0)).sorted
     val r = ev.agg(min("ts_us"), max("ts_us")).head()
     val (lo0, hi0) = (r.getLong(0), r.getLong(1))
     val d8 = (hi0 - lo0) / 8
-    s.sql(s"""SELECT 'pt' AS mode, k, ts_us, value_cents FROM mt_events_q289
+    // through the graft_merge_table TABLE FUNCTION — pure SQL, no
+    // registration; bucket/zone pruning identical to MergeTable.table
+    s.sql(s"""SELECT 'pt' AS mode, k, ts_us, value_cents
+      |FROM graft_merge_table('$dir')
       |WHERE k IN (${probe.mkString(", ")})
       |UNION ALL
-      |SELECT 'w' AS mode, k, ts_us, value_cents FROM mt_events_q289
+      |SELECT 'w' AS mode, k, ts_us, value_cents
+      |FROM graft_merge_table('$dir')
       |WHERE ts_us >= ${lo0 + 3 * d8} AND ts_us < ${lo0 + 5 * d8}""".stripMargin)
   }
 

@@ -249,15 +249,22 @@ object ZoneMap {
     * runs unchanged on top. Pruning is sound by construction — the
     * scan re-applies the exact filters, so dropping a file only ever
     * removes rows the predicate provably excludes. */
-  def table(spark: SparkSession, path: String): DataFrame = {
+  def table(spark: SparkSession, path: String): DataFrame =
+    org.apache.spark.sql.graftbridge.PlanBridge.ofRows(
+      spark, tablePlan(spark, path))
+
+  /** The bare LogicalRelation behind [[table]] — also the body of the
+    * `graft_zonemap_table('<path>')` SQL table function
+    * ([[graft.functions.GraftExtensions]]). */
+  private[graft] def tablePlan(spark: SparkSession, path: String)
+      : org.apache.spark.sql.catalyst.plans.logical.LogicalPlan = {
     import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
     import org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat
     val idx = new ZoneMapFileIndex(spark, path)
     val dataSchema = spark.read.parquet(path).schema
     val rel = HadoopFsRelation(idx, new StructType(), dataSchema, None,
       new ParquetFileFormat, Map("path" -> path))(spark)
-    org.apache.spark.sql.graftbridge.PlanBridge.ofRows(
-      spark, LogicalRelation(rel, isStreaming = false))
+    LogicalRelation(rel, isStreaming = false)
   }
 }
 

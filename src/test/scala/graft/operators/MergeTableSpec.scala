@@ -297,6 +297,12 @@ class MergeTableSpec extends SparkSpec {
     assert(numFiles(qboth) <= n1)
     assert(content(qboth) ==
       content(state.where(col("k") === k0 && col("cents") <= cMax)))
+    // the SQL TABLE FUNCTION surface: same pruning, zero registration
+    val qtvf = spark.sql(
+      s"SELECT * FROM graft_merge_table('$dir') WHERE k = $k0")
+    val nTvf = numFiles(qtvf)
+    assert(nTvf < total && nTvf > 0)
+    assert(content(qtvf) == content(state.where(col("k") === k0)))
     // snapshot semantics: a merge AFTER construction is invisible to
     // the pinned table, visible to a fresh one
     val ups2 = base.orderBy("k").limit(1).withColumn("cents", lit(-777L))

@@ -93,6 +93,12 @@ class ZoneMapSpec extends SparkSpec {
     assert(numFiles(q2) <= nRange)
     assert(content(q2) == content(spark.read.parquet(out)
       .where($"l_partkey".between(100, 150) && $"l_suppkey" <= 3)))
+    // the SQL TABLE FUNCTION surface: same table, zero registration
+    val qtvf = spark.sql(
+      s"SELECT * FROM graft_zonemap_table('$out') WHERE l_partkey BETWEEN 100 AND 150")
+    assert(numFiles(qtvf) < total, "TVF path must prune like the API path")
+    assert(content(qtvf) ==
+      content(ZoneMap.scanRangeBrute(spark, out, "l_partkey", 100L, 150L)))
   }
 
   test("all-null files prune; unusable stats keep conservatively") {
