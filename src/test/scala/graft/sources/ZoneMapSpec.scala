@@ -43,10 +43,25 @@ class ZoneMapSpec extends SparkSpec {
       s"narrow range kept ${keptNarrow.size} of $total files — no pruning")
     // disjoint ranges prove emptiness from footers alone
     assert(ZoneMap.keptFiles(spark, out, "l_partkey", -50L, -1L)._1.isEmpty)
-    // the second clustered dim prunes too (what z-order buys)
-    val (keptSupp, _) = ZoneMap.keptFiles(spark, out, "l_suppkey", 1L, 5L)
-    assert(keptSupp.size < total,
-      s"suppkey range kept ${keptSupp.size} of $total — z-order should prune both dims")
+    // BOTH clustered dims prune (what z-order buys) — on a synthetic
+    // table whose dims have comparable domains, so the z-splits
+    // reach both dims' bits regardless of where the range sampler
+    // lands file boundaries (lineitem's suppkey spans only 0-9 at
+    // the smallest SF, which makes second-dim pruning boundary-luck)
+    import spark.implicits._
+    val syn = spark.range(8000).select(
+      (col("id") % 256).as("a"), ((col("id") * 37) % 256).as("b"))
+    val out2 = java.nio.file.Files.createTempDirectory("graft-zm-syn").toString + "/t"
+    Tabular.writeClusteredParquet(syn, out2, Seq("a", "b"),
+      nFiles = 4, maxRecordsPerFile = 250)
+    ZoneMap.write(spark, out2, Seq("a", "b"))
+    val (keptA, totalSyn) = ZoneMap.keptFiles(spark, out2, "a", 0L, 31L)
+    val (keptB, _) = ZoneMap.keptFiles(spark, out2, "b", 0L, 31L)
+    assert(totalSyn > 8, s"expected a multi-file synthetic layout, got $totalSyn")
+    assert(keptA.nonEmpty && keptA.size < totalSyn,
+      s"dim a kept ${keptA.size} of $totalSyn")
+    assert(keptB.nonEmpty && keptB.size < totalSyn,
+      s"dim b kept ${keptB.size} of $totalSyn — z-order should prune both dims")
   }
 
   test("declarative table: pushed predicates prune files with no special API") {
