@@ -64,9 +64,28 @@ object Bench {
       }
       best
     }
+    // Hypervisor STEAL — the contention channel neither load_avg nor
+    // the single-thread calib can see: a co-tenant VM steals cycles
+    // from ALL cores while the calib thread, measured between its own
+    // steals, still hits the norm (round 11: two settled batteries on
+    // an idle guest came in 31%/47% over the same-code record; /proc
+    // /stat showed 4,600+ stolen CPU-seconds over the session). Read
+    // the cumulative (total, steal) jiffies; fractions are computed
+    // over sampling windows.
+    def cpuStat(): (Long, Long) = try {
+      val l = scala.io.Source.fromFile("/proc/stat").getLines()
+        .find(_.startsWith("cpu ")).get.trim.split("\\s+").drop(1).map(_.toLong)
+      (l.sum, if (l.length > 7) l(7) else 0L)
+    } catch { case _: Throwable => (0L, 0L) }
+    def stealPct(a: (Long, Long), b: (Long, Long)): Double =
+      if (b._1 <= a._1) 0.0 else 100.0 * (b._2 - a._2) / (b._1 - a._1)
+    def stealNow(): Double = {
+      val a = cpuStat(); Thread.sleep(3000); stealPct(a, cpuStat())
+    }
     var calib0 = calib()
     val heapGb = Runtime.getRuntime.maxMemory / 1e9
     var load0 = loadAvg
+    var steal0 = stealNow()
     // --- self-validation (round-7 verdict item 2): every official
     // bench to date was contention-inflated ~1.5× by driver co-work.
     // Gate on the two environment signals BEFORE starting: runnable
@@ -85,8 +104,8 @@ object Bench {
         if (xs.nonEmpty) Some(xs(xs.size / 2)) else None
       } else None
     } catch { case _: Throwable => None }
-    def contendedNow(l: Double, c: Double): Boolean =
-      l > 1.0 || calibNorm.exists(n => c < 0.95 * n)
+    def contendedNow(l: Double, c: Double, s: Double): Boolean =
+      l > 1.0 || calibNorm.exists(n => c < 0.95 * n) || s > 2.0
     // Up to THREE settle retries (round-10 verdict item 7: the r10
     // official artifact was stamped from a run that retried once and
     // proceeded still-noisy, underselling the settled 342 s engine by
@@ -96,16 +115,17 @@ object Bench {
     // before trusting the timings).
     var retried = false
     var settleTries = 0
-    while (contendedNow(load0, calib0) && settleTries < 3) {
+    while (contendedNow(load0, calib0, steal0) && settleTries < 3) {
       System.err.println(f"WARNING: contended environment (load $load0%.2f, " +
-        f"calib $calib0%.0f Mops vs norm ${calibNorm.getOrElse(0.0)}%.0f) — " +
+        f"calib $calib0%.0f Mops vs norm ${calibNorm.getOrElse(0.0)}%.0f, " +
+        f"steal $steal0%.1f%%) — " +
         f"sleeping 90 s and retrying (${settleTries + 1}/3)")
       Thread.sleep(90000)
       retried = true
       settleTries += 1
-      calib0 = calib(); load0 = loadAvg
+      calib0 = calib(); load0 = loadAvg; steal0 = stealNow()
     }
-    val contended = contendedNow(load0, calib0)
+    val contended = contendedNow(load0, calib0, steal0)
     if (contended)
       System.err.println(f"WARNING: still contended after retry (load $load0%.2f) — " +
         "timings below are inflated; the JSON record carries contended:true")
@@ -183,6 +203,10 @@ object Bench {
       gcSec(q.name) = (gcMillis - g0) / 1e3
       q.name -> (System.nanoTime() - t0) / 1e9
     }
+    // steal measured over the whole window that produces the reported
+    // timings (battery + best-of-2 reruns); reset if the battery is
+    // re-run so the window covers only the run whose numbers ship
+    var stealWinStart = cpuStat()
     var results = battery()
     def ms(v: Double): String = f"$v%.3f"
     def json(kvs: Seq[(String, Double)]): String =
@@ -220,6 +244,7 @@ object Bench {
       val w1 = System.nanoTime()
       SparkEntry.warmCaches(spark, sfDir)
       warmupSec += (System.nanoTime() - w1) / 1e9
+      stealWinStart = cpuStat()
       results = battery()
       calib1 = calib()
     }
@@ -263,6 +288,11 @@ object Bench {
       k -> math.min(v, rerunSec.getOrElse(k, v)) }
     val total = results.map(_._2).sum
     val load1 = loadAvg
+    val stealBattery = stealPct(stealWinStart, cpuStat())
+    if (stealBattery > 2.0)
+      System.err.println(f"WARNING: hypervisor steal $stealBattery%.1f%% over " +
+        "the battery window — a co-tenant inflated these timings; the " +
+        "record carries settled:false")
     // The driver keeps only the TAIL of stdout: rounds 3 and 4 both
     // produced "parsed":null because the one-line JSON (~2.5 KB over
     // 70 queries) was front-truncated past its opening brace. The
@@ -278,9 +308,9 @@ object Bench {
     // the battery started AND the closing calibration held the norm.
     // A record with settled:false must not be read as the engine's
     // number when a settled record exists (round-10 verdict item 7).
-    val settled = !contended && !degradedInRun
+    val settled = !contended && !degradedInRun && stealBattery <= 2.0
     val validity =
-      s""""contended":$contended,"retried":$retried,"settled":$settled,"degraded_inrun":$degradedInRun,"battery_retried":$batteryRetried,"calib_norm":${ms(calibNorm.getOrElse(0.0))}"""
+      s""""contended":$contended,"retried":$retried,"settled":$settled,"degraded_inrun":$degradedInRun,"battery_retried":$batteryRetried,"calib_norm":${ms(calibNorm.getOrElse(0.0))},"steal_pct_pre":${ms(steal0)},"steal_pct_battery":${ms(stealBattery)}"""
     val firstTrace = if (batteryRetried)
       s""","calib_mid_first":[${firstCalibTrace.map(ms).mkString(",")}],"heap_used_gb_mid_first":[${firstHeapTrace.map(ms).mkString(",")}]"""
     else ""
