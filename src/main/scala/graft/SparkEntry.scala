@@ -27,13 +27,18 @@ object SparkEntry {
     * (q250 builds the index q262 reuses) — is unchanged. Verify keeps
     * the declared [[specs]] order. */
   def benchSpecs: Seq[QuerySpec] =
-    (Relational.all ++ SourceQueries.all ++ GraphQueries.all ++
+    (Relational.all ++
+      SourceQueries.all.filterNot(SourceQueries.lakehouse.contains) ++
+      GraphQueries.all ++
       AnalyticsQueries.all ++ EventQueries.all ++ SamplingQueries.all ++
-      PipelineQueries.all) ++ Corpus.all
+      PipelineQueries.all) ++ Corpus.all ++ SourceQueries.lakehouse
 
   /** Index in [[benchSpecs]] where the corpus family starts — Bench
-    * inserts its settle+GC checkpoint at this boundary. */
-  def benchCorpusBoundary: Int = benchSpecs.size - Corpus.all.size
+    * inserts its settle+GC checkpoint at this boundary. The lakehouse
+    * family follows the corpus block (heaviest I/O last, so its
+    * table-build churn cannot heat anything downstream). */
+  def benchCorpusBoundary: Int =
+    benchSpecs.size - Corpus.all.size - SourceQueries.lakehouse.size
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -3690,7 +3690,11 @@ object Corpus {
       // q243): the streaming-machinery gate q260 heats whatever
       // follows it, and the takedown gates measured 2× their isolated
       // cost when they trailed it
-      q244, q245, q246, q247, q248, q249, q250, q254, q269, q286, q267, q268,
+      // q286 runs AFTER the takedown gates: its deletion-variant
+      // blocking joins are exactly the heat q267/q268 measured 2-3×
+      // under when trailing big builds (fb6228a; re-confirmed when
+      // q286 first landed between q269 and q267)
+      q244, q245, q246, q247, q248, q249, q250, q254, q269, q267, q268, q286,
       q277, q278, q271, q274, q273, q275,
       q256, q257, q258, q259, q260, q272, q281, q261, q262, q264)
 }

@@ -1023,8 +1023,17 @@ object SourceQueries {
       .where(col("n") =!= 0L)
   }
 
+  /** The lakehouse family: merge-table lifecycle + zone-map gates.
+    * Declared apart so [[graft.SparkEntry.benchSpecs]] can run them
+    * at the battery TAIL — each builds real tables/sidecars and
+    * streams micro-batches (heavy I/O + temp churn), and when they
+    * ran mid-battery their heat inflated the iterative families
+    * downstream by 10-30% with untouched code (round-11 closing
+    * batteries; same mechanism as the corpus family move in r9). */
+  val lakehouse: Seq[QuerySpec] =
+    Seq(q280, q282, q283, q284, q285, q287, q288, q289, q290, q291)
+
   val all: Seq[QuerySpec] =
     Seq(q44, q45, q46, q47, q48, q49, q79, q80, q121, q131, q146, q195, q196,
-      q202, q210, q216, q220, q230, q231, q280, q282, q283, q284, q285, q287,
-      q288, q289, q290, q291)
+      q202, q210, q216, q220, q230, q231) ++ lakehouse
 }
