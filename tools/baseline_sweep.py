@@ -30,9 +30,16 @@ def run_one(sf_dir: str, sql: str, q):
         q.put(f"ERROR: {type(e).__name__}")
 
 
+def cpu_stat():
+    l = [x for x in open("/proc/stat") if x.startswith("cpu ")][0].split()[1:]
+    v = [int(x) for x in l]
+    return sum(v), (v[7] if len(v) > 7 else 0)
+
+
 def main(sf_dir, out_dir, out_json, rnd):
     oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
     res, floored = {}, []
+    st0 = cpu_stat()
     for name in sorted(oracle):
         q = mp.Queue()
         p = mp.Process(target=run_one, args=(sf_dir, oracle[name], q))
@@ -59,6 +66,12 @@ def main(sf_dir, out_dir, out_json, rnd):
             if not floored else
             f"FLOORED (total is a lower bound): {', '.join(floored)}")
     res["_note"] = note
+    # hypervisor steal over the sweep window: same honesty contract as
+    # Bench's steal_pct_battery — a steal-inflated sweep overstates the
+    # DuckDB lower bound and flatters the Spark/DuckDB ratio
+    st1 = cpu_stat()
+    res["_steal_pct"] = round(
+        100.0 * (st1[1] - st0[1]) / max(1, st1[0] - st0[0]), 2)
     json.dump(res, open(out_json, "w"), indent=0)
     print(f"TOTAL {total}s over {len(oracle)} oracles; {note}")
 
