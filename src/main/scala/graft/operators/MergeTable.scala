@@ -66,20 +66,35 @@ object MergeTable {
       .foldLeft(0)(math.max)
   }
 
-  /** The live (bucket → gen) map of the highest manifest version. */
-  private def manifest(spark: SparkSession, dir: String): Map[Int, Int] = {
+  /** One committed version: its live (bucket → gen) map and its DATA
+    * schema. The schema travels IN the manifest file, so a schema
+    * evolution commits atomically with the data it describes, time
+    * travel reads each version under its OWN schema, and readers
+    * never pay a mergeSchema footer sweep — the declared schema fills
+    * columns absent from pre-evolution files with NULL. */
+  private[graft] case class Snapshot(buckets: Map[Int, Int],
+      schema: org.apache.spark.sql.types.StructType)
+
+  /** The snapshot of the highest manifest version. */
+  private def manifest(spark: SparkSession, dir: String): Snapshot = {
     val v = currentVersion(spark, dir)
     require(v > 0, s"no committed manifest under $dir")
     manifestAt(spark, dir, v)
   }
 
-  /** The (bucket → gen) map of a specific committed version. */
-  private def manifestAt(spark: SparkSession, dir: String, v: Int): Map[Int, Int] = {
+  /** The snapshot of a specific committed version. */
+  private def manifestAt(spark: SparkSession, dir: String, v: Int): Snapshot = {
     val p = new org.apache.hadoop.fs.Path(f"${manifestDir(dir)}/v$v%06d")
     require(fs(spark, dir).exists(p),
       s"manifest version $v does not exist under $dir — never committed, or reclaimed by vacuum")
-    spark.read.parquet(p.toString)
-      .collect().map(r => r.getInt(0) -> r.getInt(1)).toMap
+    val rows = spark.read.parquet(p.toString).collect()
+    // the bucket = -1 sentinel row carries the schema (present even
+    // when every bucket was deleted)
+    Snapshot(rows.filter(_.getInt(0) >= 0)
+        .map(r => r.getInt(0) -> r.getInt(1)).toMap,
+      org.apache.spark.sql.types.DataType.fromJson(
+          rows.find(_.getInt(0) == -1).get.getString(2))
+        .asInstanceOf[org.apache.spark.sql.types.StructType])
   }
 
   /** All committed manifest versions, ascending (time-travel points).
@@ -93,13 +108,19 @@ object MergeTable {
       .map(_.drop(1).toInt).sorted
   }
 
-  /** Write (bucket, gen) rows as version `v` — tmp then rename to a
-    * never-before-existing path: the commit point. */
+  /** Write (bucket, gen, schema_json) rows as version `v` — tmp then
+    * rename to a never-before-existing path: the commit point. The
+    * schema rides in a bucket = -1 sentinel row, so it versions
+    * atomically with the bucket map it describes. */
   private def commitManifest(spark: SparkSession, dir: String,
-      entries: Map[Int, Int], v: Int): Unit = {
+      entries: Map[Int, Int], v: Int,
+      schema: org.apache.spark.sql.types.StructType): Unit = {
     import spark.implicits._
     val tmp = f"${manifestDir(dir)}/tmp-v$v%06d"
-    entries.toSeq.sortBy(_._1).toDF("bucket", "gen")
+    val sj = schema.json
+    ((-1, -1) +: entries.toSeq.sortBy(_._1))
+      .map { case (b, g) => (b, g, sj) }
+      .toDF("bucket", "gen", "schema_json")
       .coalesce(1).write.mode("overwrite").parquet(tmp)
     val f0 = fs(spark, dir)
     val dst = new org.apache.hadoop.fs.Path(f"${manifestDir(dir)}/v$v%06d")
@@ -137,7 +158,8 @@ object MergeTable {
       .toDF("key_col", "n_buckets", "cluster_by", "stats_cols", "max_records")
       .coalesce(1).write.mode("overwrite").parquet(metaPath(dir))
     // only buckets that actually received rows enter the manifest
-    commitManifest(spark, dir, writtenBuckets(spark, dir, 0).map(_ -> 0).toMap, 1)
+    commitManifest(spark, dir, writtenBuckets(spark, dir, 0).map(_ -> 0).toMap,
+      1, asNullable(df.schema))
   }
 
   private def writtenBuckets(spark: SparkSession, dir: String,
@@ -187,13 +209,21 @@ object MergeTable {
     readManifest(spark, dir, manifestAt(spark, dir, v))
 
   private def readManifest(spark: SparkSession, dir: String,
-      m: Map[Int, Int]): DataFrame = {
-    val paths = bucketPaths(dir, m, m.keys.toSeq.sorted)
-    if (paths.isEmpty) {
-      // all buckets deleted: an empty frame with the table's schema
-      spark.read.parquet(s"${dataPath(dir)}/gen=0").limit(0).drop("bucket")
-    } else spark.read.parquet(paths: _*).drop("bucket")
+      snap: Snapshot): DataFrame = {
+    val paths = bucketPaths(dir, snap.buckets, snap.buckets.keys.toSeq.sorted)
+    if (paths.isEmpty)
+      // all buckets deleted: an empty frame with the version's schema
+      spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], snap.schema)
+    // the version's DECLARED schema: columns added by a later schema
+    // evolution read as NULL from pre-evolution files, and old
+    // versions read under their own (narrower) historical schema
+    else spark.read.schema(snap.schema).parquet(paths: _*)
   }
+
+  private def asNullable(st: org.apache.spark.sql.types.StructType)
+      : org.apache.spark.sql.types.StructType =
+    org.apache.spark.sql.types.StructType(st.fields.map(_.copy(nullable = true)))
 
   /** Keyed point read — the serving-path counterpart of [[merge]]'s
     * write-side pruning: hash the probe keys to their buckets, read
@@ -204,7 +234,7 @@ object MergeTable {
   def lookup(spark: SparkSession, dir: String, keys: DataFrame): DataFrame = {
     val (keyCol, k, paths) = lookupPaths(spark, dir, keys)
     if (paths.isEmpty) readManifest(spark, dir, manifest(spark, dir)).limit(0)
-    else spark.read.parquet(paths: _*).drop("bucket")
+    else spark.read.schema(manifest(spark, dir).schema).parquet(paths: _*)
       .join(k, Seq(keyCol), "left_semi")
   }
 
@@ -216,7 +246,7 @@ object MergeTable {
     val k = keys.select(col(keys.columns.head).as(m0.keyCol)).distinct()
     val probed = k.withColumn("bucket", bucketOf(col(m0.keyCol), m0.nBuckets))
       .select("bucket").distinct().collect().map(_.getInt(0)).sorted
-    (m0.keyCol, k, bucketPaths(dir, manifest(spark, dir), probed.toSeq))
+    (m0.keyCol, k, bucketPaths(dir, manifest(spark, dir).buckets, probed.toSeq))
   }
 
   private case class Meta(keyCol: String, nBuckets: Int,
@@ -243,9 +273,20 @@ object MergeTable {
 
   /** Apply one CDC batch: `upserts` (full rows, replace-or-insert by
     * key) and `deleteKeys` (single-column frame of keys to remove).
-    * Only the buckets containing touched keys are read or written. */
+    * Only the buckets containing touched keys are read or written.
+    *
+    * SCHEMA EVOLUTION: with `evolveSchema = true` the batch may ADD
+    * columns (appended to the schema, NULL in every pre-evolution
+    * row) and OMIT existing non-key columns (NULL in the upserted
+    * rows). The widened schema commits atomically with the manifest
+    * version it describes (the sentinel row in [[commitManifest]]),
+    * so a crash can never publish a schema without its data or vice
+    * versa, and time travel reads each version under its own schema.
+    * Shared columns must keep their type; dropping or retyping a
+    * column is not supported (a rewrite, not a merge). Without the
+    * flag, any column-set mismatch fails loudly. */
   def merge(spark: SparkSession, dir: String, upserts: DataFrame,
-      deleteKeys: DataFrame): Unit = {
+      deleteKeys: DataFrame, evolveSchema: Boolean = false): Unit = {
     val m0 = meta(spark, dir)
     val (keyCol, nBuckets) = (m0.keyCol, m0.nBuckets)
     requireUniqueKeys(upserts, keyCol, "merge")
@@ -261,26 +302,47 @@ object MergeTable {
     val affected = changed.select("bucket").distinct()
       .collect().map(_.getInt(0)).sorted
     if (affected.isEmpty) return
-    val m = manifest(spark, dir)
-    val livePaths = bucketPaths(dir, m, affected.toSeq)
+    val snap = manifest(spark, dir)
+    val cur = snap.schema
+    val upSchema = asNullable(upserts.schema)
+    cur.fields.filter(f => upSchema.fieldNames.contains(f.name)).foreach { f =>
+      require(upSchema(f.name).dataType == f.dataType,
+        s"merge: column ${f.name} is ${f.dataType} in the table but " +
+          s"${upSchema(f.name).dataType} in the batch — retyping needs a rewrite")
+    }
+    val added = upSchema.fields.filterNot(f => cur.fieldNames.contains(f.name))
+    val missing = cur.fieldNames.filterNot(upSchema.fieldNames.contains)
+    if (!evolveSchema)
+      require(added.isEmpty && missing.isEmpty,
+        s"merge: batch schema differs from the table's (adds " +
+          s"[${added.map(_.name).mkString(",")}], omits " +
+          s"[${missing.mkString(",")}]) — pass evolveSchema = true to widen")
+    require(!missing.contains(keyCol), s"merge: batch must carry key $keyCol")
+    val nextSchema = org.apache.spark.sql.types.StructType(cur.fields ++ added)
+    val livePaths = bucketPaths(dir, snap.buckets, affected.toSeq)
     val nextGen = currentVersion(spark, dir) // gen numbers track versions
     // leaf-dir reads carry data columns only (bucket lives in the dir
-    // name) — recompute it once over the whole rewrite frame
+    // name) — recompute it once over the whole rewrite frame. Reads
+    // DECLARE the current schema: pre-evolution files fill added
+    // columns with NULL
     val survivors =
-      if (livePaths.isEmpty) upserts.limit(0)
-      else spark.read.parquet(livePaths: _*)
+      if (livePaths.isEmpty)
+        spark.createDataFrame(
+          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], cur)
+      else spark.read.schema(cur).parquet(livePaths: _*)
         .join(changed.select(keyCol), Seq(keyCol), "left_anti")
     writeGen(spark, dir,
-      survivors.unionByName(upserts)
+      survivors.unionByName(upserts, allowMissingColumns = true)
+        .select(nextSchema.fieldNames.map(col): _*)
         .withColumn("bucket", bucketOf(col(keyCol), nBuckets)),
       nextGen, m0.clusterBy, m0.statsCols, m0.maxRecords)
     // manifest: affected buckets move to nextGen (or leave — a bucket
     // whose rows were all deleted writes no dir and drops out);
     // untouched buckets carry their generation over verbatim
     val written = writtenBuckets(spark, dir, nextGen).toSet
-    val next = (m -- affected.toSet) ++
+    val next = (snap.buckets -- affected.toSet) ++
       affected.filter(written).map(_ -> nextGen)
-    commitManifest(spark, dir, next, nextGen + 1)
+    commitManifest(spark, dir, next, nextGen + 1, nextSchema)
   }
 
   /** Range read over the cluster column (or any stats column): for
@@ -294,7 +356,7 @@ object MergeTable {
       lo: Long, hi: Long): DataFrame = {
     val paths = rangePaths(spark, dir, c, lo, hi)
     if (paths.isEmpty) read(spark, dir).where(lit(false))
-    else spark.read.parquet(paths: _*).drop("bucket")
+    else spark.read.schema(manifest(spark, dir).schema).parquet(paths: _*)
       .where(col(c).between(lo, hi))
   }
 
@@ -304,7 +366,7 @@ object MergeTable {
       c: String, lo: Long, hi: Long): Seq[String] = {
     require(meta(spark, dir).statsCols.contains(c),
       s"$c is not a stats column of the merge table at $dir")
-    val m = manifest(spark, dir)
+    val m = manifest(spark, dir).buckets
     m.groupBy(_._2).toSeq.sortBy(_._1).flatMap { case (g, entries) =>
       val genPath = s"${dataPath(dir)}/gen=$g"
       val zm = spark.read.parquet(s"$genPath/_zonemap")
@@ -323,7 +385,7 @@ object MergeTable {
   def vacuum(spark: SparkSession, dir: String): Unit = {
     val f0 = fs(spark, dir)
     val v = currentVersion(spark, dir)
-    val m = manifest(spark, dir)
+    val m = manifest(spark, dir).buckets
     val live = m.map { case (b, g) => s"gen=$g/bucket=$b" }.toSet
     val dataRoot = new org.apache.hadoop.fs.Path(dataPath(dir))
     if (f0.exists(dataRoot)) f0.listStatus(dataRoot).foreach { genDir =>
@@ -364,18 +426,21 @@ object MergeTable {
       toV: Int): DataFrame = {
     require(fromV < toV, s"changes: need fromV < toV, got $fromV >= $toV")
     val keyCol = meta(spark, dir).keyCol
-    val mFrom = manifestAt(spark, dir, fromV)
-    val mTo = manifestAt(spark, dir, toV)
-    val moved = (mFrom.keySet ++ mTo.keySet)
-      .filter(b => mFrom.get(b) != mTo.get(b)).toSeq.sorted
+    val sFrom = manifestAt(spark, dir, fromV)
+    val sTo = manifestAt(spark, dir, toV)
+    val moved = (sFrom.buckets.keySet ++ sTo.buckets.keySet)
+      .filter(b => sFrom.buckets.get(b) != sTo.buckets.get(b)).toSeq.sorted
+    // both slices read under the TO version's (widest) schema, so a
+    // feed across a schema evolution compares like with like — a
+    // pre-evolution row carries NULL in the added columns
     def slice(m: Map[Int, Int]): DataFrame = {
       val paths = bucketPaths(dir, m.view.filterKeys(moved.contains).toMap,
         moved)
-      if (paths.isEmpty) readManifest(spark, dir, mTo).limit(0)
-      else spark.read.parquet(paths: _*).drop("bucket")
+      if (paths.isEmpty) readManifest(spark, dir, sTo).limit(0)
+      else spark.read.schema(sTo.schema).parquet(paths: _*)
     }
-    val oldRows = slice(mFrom)
-    val newRows = slice(mTo)
+    val oldRows = slice(sFrom.buckets)
+    val newRows = slice(sTo.buckets)
     // keys unique per version: full-row EXCEPT isolates changed rows
     // on each side; the key split then separates insert/update/delete
     val changedNew = newRows.exceptAll(oldRows)
@@ -419,9 +484,8 @@ object MergeTable {
     import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
     import org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat
     val idx = new TableFileIndex(spark, dir)
-    val dataSchema = read(spark, dir).schema
     val rel = HadoopFsRelation(idx, new org.apache.spark.sql.types.StructType(),
-      dataSchema, None, new ParquetFileFormat, Map.empty)(spark)
+      idx.dataSchema, None, new ParquetFileFormat, Map.empty)(spark)
     LogicalRelation(rel, isStreaming = false)
   }
 
@@ -434,11 +498,15 @@ object MergeTable {
     import graft.sources.ZonePrune
 
     private val m0 = meta(spark, dir)
-    private val man = manifest(spark, dir)
+    private val snap = manifest(spark, dir)
+    private val man = snap.buckets
     private val f0 = fs(spark, dir)
 
+    /** the pinned snapshot's schema — [[tablePlan]] declares it */
+    private[MergeTable] def dataSchema = snap.schema
+
     private val keyType: org.apache.spark.sql.types.DataType =
-      read(spark, dir).schema(m0.keyCol).dataType
+      snap.schema(m0.keyCol).dataType
 
     /** (bucket, FileStatus, zone-by-column) for every live file. */
     private val files: Seq[(Int, org.apache.hadoop.fs.FileStatus,

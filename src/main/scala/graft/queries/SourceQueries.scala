@@ -1023,6 +1023,48 @@ object SourceQueries {
       .where(col("n") =!= 0L)
   }
 
+  /** SCHEMA EVOLUTION on the merge table: a CDC batch ADDS a column
+    * (`evolveSchema = true` on [[graft.operators.MergeTable.merge]]).
+    * The widened schema commits atomically with its manifest version
+    * (a sentinel row carries the schema JSON), pre-evolution files
+    * read the new column as NULL under the declared schema — no
+    * mergeSchema footer sweep — and time travel still reads v1 under
+    * its own narrower schema (laws in MergeTableSpec). The gate reads
+    * the evolved end state; the oracle derives it with typed NULLs. */
+  val q292 = QuerySpec.sql(
+    "q292_merge_schema_evolution",
+    """WITH base AS (
+      |  SELECT CAST(event_id AS BIGINT) AS k, CAST(user_id AS BIGINT) AS uid,
+      |         CAST(round(value * 100, 0) AS BIGINT) AS value_cents
+      |  FROM events)
+      |SELECT k, uid, value_cents, CAST(NULL AS VARCHAR) AS tag
+      |FROM base WHERE NOT (k % 83 = 0 AND k % 89 <> 0) AND k % 89 <> 0
+      |UNION ALL
+      |SELECT k, uid, value_cents + 5000 AS value_cents, 'patched' AS tag
+      |FROM base WHERE k % 89 = 0
+      |UNION ALL
+      |SELECT k + 10000000000 AS k, uid, value_cents, 'new' AS tag
+      |FROM base WHERE k % 97 = 0""",
+    "merge-table schema evolution: widened batch, NULL-filled history (lakehouse)") { (s, d) =>
+    import graft.operators.MergeTable
+    val ev = Tables.events(s, d).select(
+      col("event_id").cast("long").as("k"),
+      col("user_id").cast("long").as("uid"),
+      graft.functions.ExactNum.scaled(col("value"), 100).as("value_cents"))
+    val dir = java.nio.file.Files.createTempDirectory("graft-q292").toString + "/t"
+    MergeTable.create(ev, dir, "k", nBuckets = 16)
+    MergeTable.merge(s, dir,
+      ev.where(col("k") % 89 === 0)
+        .withColumn("value_cents", col("value_cents") + 5000L)
+        .withColumn("tag", lit("patched"))
+        .unionByName(ev.where(col("k") % 97 === 0)
+          .withColumn("k", col("k") + 10000000000L)
+          .withColumn("tag", lit("new"))),
+      ev.where(col("k") % 83 === 0 && col("k") % 89 =!= 0).select("k"),
+      evolveSchema = true)
+    MergeTable.read(s, dir)
+  }
+
   /** The lakehouse family: merge-table lifecycle + zone-map gates.
     * Declared apart so [[graft.SparkEntry.benchSpecs]] can run them
     * at the battery TAIL — each builds real tables/sidecars and
@@ -1031,7 +1073,7 @@ object SourceQueries {
     * downstream by 10-30% with untouched code (round-11 closing
     * batteries; same mechanism as the corpus family move in r9). */
   val lakehouse: Seq[QuerySpec] =
-    Seq(q280, q282, q283, q284, q285, q287, q288, q289, q290, q291)
+    Seq(q280, q282, q283, q284, q285, q287, q288, q289, q290, q291, q292)
 
   val all: Seq[QuerySpec] =
     Seq(q44, q45, q46, q47, q48, q49, q79, q80, q121, q131, q146, q195, q196,

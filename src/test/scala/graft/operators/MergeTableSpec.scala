@@ -159,7 +159,8 @@ class MergeTableSpec extends SparkSpec {
     assert(manifests.count(_.startsWith("v")) == 1, "one live manifest after vacuum")
     // nothing on disk outside the live manifest's entries
     val m = spark.read.parquet(s"$dir/manifest/${manifests.filter(_.startsWith("v")).max}")
-      .collect().map(r => s"gen=${r.getInt(1)}/bucket=${r.getInt(0)}").toSet
+      .collect().filter(_.getInt(0) >= 0) // bucket = -1 carries the schema
+      .map(r => s"gen=${r.getInt(1)}/bucket=${r.getInt(0)}").toSet
     assert(live == m, s"disk $live != manifest $m")
   }
 
@@ -370,6 +371,70 @@ class MergeTableSpec extends SparkSpec {
       s2.orderBy("k").limit(1), spark.range(0).select(col("id").as("k")))
     assert(MergeTable.changes(spark, dir, 3, 4).count() == 0)
     intercept[IllegalArgumentException] { MergeTable.changes(spark, dir, 3, 3) }
+  }
+
+  test("schema evolution: widened columns version with the manifest; old versions keep their schema") {
+    val dir = tmpDir()
+    MergeTable.create(base, dir, "k", nBuckets = 4)
+    val evolved = base.where(col("k") % 7 === 0)
+      .withColumn("cents", col("cents") + 9L)
+      .withColumn("tag", lit("x")).drop("ck")
+    // a widened batch without the flag fails loudly
+    intercept[IllegalArgumentException] {
+      MergeTable.merge(spark, dir, evolved, base.limit(0).select("k"))
+    }
+    MergeTable.merge(spark, dir, evolved, base.limit(0).select("k"),
+      evolveSchema = true)
+    val t = MergeTable.read(spark, dir)
+    assert(t.columns.toSeq == Seq("k", "ck", "cents", "tag"))
+    // upserted rows: tag = x, ck NULL (omitted from the batch);
+    // untouched rows: original ck, tag NULL
+    val k7 = t.where(col("k") % 7 === 0)
+    assert(k7.where(col("tag") === "x" && col("ck").isNull).count() == k7.count())
+    val rest = t.where(col("k") % 7 =!= 0)
+    assert(rest.where(col("tag").isNull && col("ck").isNotNull).count() == rest.count())
+    assert(content(t.drop("tag").na.fill(Map("ck" -> -1L))) ==
+      content(MergeTable.mergeBrute(base, "k",
+        evolved.drop("tag").withColumn("ck", lit(-1L)).select("k", "ck", "cents"),
+        spark.range(0).select(col("id").as("k")))))
+    // TIME TRAVEL reads version 1 under its OWN (narrower) schema
+    assert(MergeTable.readAt(spark, dir, 1).columns.toSeq ==
+      Seq("k", "ck", "cents"))
+    assert(content(MergeTable.readAt(spark, dir, 1)) == content(base))
+    // the change feed across the evolution boundary compares under
+    // the TO schema: preimages carry NULL in the added column
+    val c = MergeTable.changes(spark, dir, 1, 2)
+    assert(c.columns.contains("tag"))
+    assert(c.where(col("change") === "update_postimage" && col("tag") === "x")
+      .count() == evolved.count())
+    assert(c.where(col("change") === "update_preimage" && col("tag").isNotNull)
+      .count() == 0)
+    // lookup and the declarative table serve the widened schema
+    val k0 = evolved.orderBy("k").limit(1).head().getLong(0)
+    import spark.implicits._
+    val got = MergeTable.lookup(spark, dir, Seq(k0).toDF("k"))
+    assert(got.columns.contains("tag") &&
+      got.head().getAs[String]("tag") == "x")
+    assert(MergeTable.table(spark, dir).columns.toSeq ==
+      Seq("k", "ck", "cents", "tag"))
+    // a later pre-evolution-shaped batch needs the flag too (it
+    // OMITS tag), then lands with tag NULL
+    val ups2 = base.where(col("k") % 11 === 0)
+      .withColumn("cents", col("cents") + 1L)
+    intercept[IllegalArgumentException] {
+      MergeTable.merge(spark, dir, ups2, base.limit(0).select("k"))
+    }
+    MergeTable.merge(spark, dir, ups2, base.limit(0).select("k"),
+      evolveSchema = true)
+    assert(MergeTable.read(spark, dir)
+      .where(col("k") % 11 === 0 && col("k") % 7 =!= 0 && col("tag").isNotNull)
+      .count() == 0)
+    // retyping a shared column is refused
+    intercept[IllegalArgumentException] {
+      MergeTable.merge(spark, dir,
+        ups2.withColumn("cents", col("cents").cast("int")),
+        base.limit(0).select("k"), evolveSchema = true)
+    }
   }
 
   test("streaming CDC apply: folded end state + restart replays nothing") {
