@@ -164,9 +164,14 @@ object ZoneMap {
     val colsB = cols.toIndexedSeq
     val n = math.max(1, math.min(files.size,
       spark.sparkContext.defaultParallelism))
+    // the SESSION's Hadoop configuration rides to the executors — a
+    // bare `new Configuration()` would drop configured credentials /
+    // endpoints (S3A, custom HDFS) that every other FS access honors
+    val confB = org.apache.spark.graftbridge.ConfBridge.broadcast(
+      spark.sparkContext, spark.sparkContext.hadoopConfiguration)
     val rows = spark.sparkContext.parallelize(files, n).map { case (rel, p) =>
       val hp = new org.apache.hadoop.fs.Path(p)
-      val conf = new org.apache.hadoop.conf.Configuration()
+      val conf = org.apache.spark.graftbridge.ConfBridge.value(confB)
       val r = org.apache.parquet.hadoop.ParquetFileReader.open(
         org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(hp, conf))
       try {
