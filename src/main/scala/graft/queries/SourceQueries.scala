@@ -1065,6 +1065,138 @@ object SourceQueries {
     MergeTable.read(s, dir)
   }
 
+  /** MERGE-ON-READ + COMPACTION ([[graft.operators.MergeTable
+    * .mergeOnRead]]): two CDC batches land as per-bucket DELTA files
+    * (deletes as key-only tombstones) with write cost ∝ THE BATCH —
+    * the trickle-upsert path where copy-on-write would rewrite whole
+    * buckets (the O(delta)-not-O(bucket) byte law is pinned in
+    * MergeTableSpec). Reads fold base + chain per key (latest
+    * generation wins); [[graft.operators.MergeTable.compact]] then
+    * folds the chains back into a fresh base generation. The gate
+    * reads the SAME folded state twice — through the fold ('m') and
+    * after compaction ('c') — so fold and compact must agree exactly;
+    * the oracle derives that state relationally (batch 2's updates
+    * supersede batch 1's). */
+  val q293 = QuerySpec.sql(
+    "q293_merge_mor_compact",
+    """WITH base AS (
+      |  SELECT CAST(o_orderkey AS BIGINT) AS k, CAST(o_custkey AS BIGINT) AS ck,
+      |         CAST(round(o_totalprice * 100, 0) AS BIGINT) AS cents
+      |  FROM orders),
+      |state AS (
+      |  SELECT k, ck, cents FROM base WHERE k % 97 <> 0 AND k % 101 <> 0
+      |  UNION ALL
+      |  SELECT k, ck, cents + 2000000 AS cents FROM base WHERE k % 97 = 0
+      |  UNION ALL
+      |  SELECT k + 10000000000 AS k, ck, cents FROM base WHERE k % 103 = 0)
+      |SELECT 'm' AS tag, k, ck, cents FROM state
+      |UNION ALL
+      |SELECT 'c' AS tag, k, ck, cents FROM state""",
+    "merge-on-read CDC deltas: O(batch) writes, folded reads, compaction (lakehouse)") { (s, d) =>
+    import graft.operators.MergeTable
+    val base = Tables.orders(s, d).select(
+      col("o_orderkey").cast("long").as("k"),
+      col("o_custkey").cast("long").as("ck"),
+      graft.functions.ExactNum.scaled(col("o_totalprice"), 100).as("cents"))
+    val dir = java.nio.file.Files.createTempDirectory("graft-q293").toString + "/t"
+    MergeTable.create(base, dir, "k", nBuckets = 16)
+    MergeTable.mergeOnRead(s, dir,
+      base.where(col("k") % 97 === 0).withColumn("cents", col("cents") + 1000000L),
+      base.where(col("k") % 101 === 0 && col("k") % 97 =!= 0).select("k"))
+    MergeTable.mergeOnRead(s, dir,
+      base.where(col("k") % 97 === 0).withColumn("cents", col("cents") + 2000000L)
+        .unionByName(base.where(col("k") % 103 === 0)
+          .withColumn("k", col("k") + 10000000000L)),
+      base.limit(0).select("k"))
+    val folded = MergeTable.read(s, dir).withColumn("tag", lit("m"))
+    MergeTable.compact(s, dir)
+    folded.unionByName(MergeTable.read(s, dir).withColumn("tag", lit("c")))
+      .select("tag", "k", "ck", "cents")
+  }
+
+  /** OPTIMISTIC MULTI-WRITER COMMIT: two merges PLAN from the same
+    * manifest snapshot; the first commits normally, the second loses
+    * the manifest rename-CAS and re-arbitrates — re-pointing at the
+    * new head when its buckets are disjoint (the merges commute) or
+    * re-planning against it when they overlap (sequential
+    * semantics; the commute/serialize/orphan laws live in
+    * MergeTableSpec). Here the batches overlap on keys divisible by
+    * both moduli, so the loser's values win exactly where the oracle
+    * says they must. The reference serializes every stage through
+    * its Makefile (bin/BenchmarkDatabaseCreation.pl runs alone);
+    * the engine lets concurrent writers land and arbitrates. */
+  val q294 = QuerySpec.sql(
+    "q294_merge_multiwriter",
+    """WITH base AS (
+      |  SELECT CAST(o_orderkey AS BIGINT) AS k, CAST(o_custkey AS BIGINT) AS ck,
+      |         CAST(round(o_totalprice * 100, 0) AS BIGINT) AS cents
+      |  FROM orders)
+      |SELECT k, ck,
+      |       CASE WHEN k % 89 = 0 THEN cents + 777
+      |            WHEN k % 97 = 0 THEN cents + 1000000
+      |            ELSE cents END AS cents
+      |FROM base""",
+    "optimistic multi-writer merge: stale-planned loser re-arbitrates via the manifest CAS") { (s, d) =>
+    import graft.operators.MergeTable
+    val base = Tables.orders(s, d).select(
+      col("o_orderkey").cast("long").as("k"),
+      col("o_custkey").cast("long").as("ck"),
+      graft.functions.ExactNum.scaled(col("o_totalprice"), 100).as("cents"))
+    val dir = java.nio.file.Files.createTempDirectory("graft-q294").toString + "/t"
+    MergeTable.create(base, dir, "k", nBuckets = 16)
+    val noDel = base.limit(0).select("k")
+    // writer A commits first; writer B planned against the SAME v1
+    // snapshot and must win arbitration (apply after A)
+    MergeTable.mergeFrom(s, dir,
+      base.where(col("k") % 97 === 0).withColumn("cents", col("cents") + 1000000L),
+      noDel, evolveSchema = false, baseV = 1, mor = false)
+    MergeTable.mergeFrom(s, dir,
+      base.where(col("k") % 89 === 0).withColumn("cents", col("cents") + 777L),
+      noDel, evolveSchema = false, baseV = 1, mor = false)
+    MergeTable.read(s, dir)
+  }
+
+  /** VACUUM RETENTION HORIZON ([[graft.operators.MergeTable.vacuum]]
+    * with `retainLast`): after three commits, retain the last two —
+    * both stay fully readable (time travel and the change feed keep
+    * their contract inside the horizon) while v1's files and
+    * manifest are reclaimed; reads past the horizon fail loudly
+    * (foreclosure laws in MergeTableSpec). The gate reads both
+    * retained versions back tagged; the oracle derives each state. */
+  val q295 = QuerySpec.sql(
+    "q295_merge_vacuum_retention",
+    """WITH base AS (
+      |  SELECT CAST(o_orderkey AS BIGINT) AS k, CAST(o_custkey AS BIGINT) AS ck,
+      |         CAST(round(o_totalprice * 100, 0) AS BIGINT) AS cents
+      |  FROM orders),
+      |s1 AS (
+      |  SELECT k, ck, CASE WHEN k % 97 = 0 THEN cents + 1000000 ELSE cents END AS cents
+      |  FROM base WHERE NOT (k % 101 = 0 AND k % 97 <> 0))
+      |SELECT 2 AS v, k, ck, cents FROM s1
+      |UNION ALL
+      |SELECT 3 AS v, k, ck, cents FROM s1
+      |UNION ALL
+      |SELECT 3 AS v, k + 10000000000 AS k, ck, cents FROM base WHERE k % 103 = 0""",
+    "vacuum retention horizon: last-n versions stay readable, older reclaimed (lakehouse)") { (s, d) =>
+    import graft.operators.MergeTable
+    val base = Tables.orders(s, d).select(
+      col("o_orderkey").cast("long").as("k"),
+      col("o_custkey").cast("long").as("ck"),
+      graft.functions.ExactNum.scaled(col("o_totalprice"), 100).as("cents"))
+    val dir = java.nio.file.Files.createTempDirectory("graft-q295").toString + "/t"
+    MergeTable.create(base, dir, "k", nBuckets = 16)
+    MergeTable.merge(s, dir,
+      base.where(col("k") % 97 === 0).withColumn("cents", col("cents") + 1000000L),
+      base.where(col("k") % 101 === 0 && col("k") % 97 =!= 0).select("k"))
+    MergeTable.merge(s, dir,
+      base.where(col("k") % 103 === 0).withColumn("k", col("k") + 10000000000L),
+      base.limit(0).select("k"))
+    MergeTable.vacuum(s, dir, retainLast = 2)
+    MergeTable.versions(s, dir).map(v =>
+        MergeTable.readAt(s, dir, v).withColumn("v", lit(v)))
+      .reduce(_ unionByName _).select("v", "k", "ck", "cents")
+  }
+
   /** The lakehouse family: merge-table lifecycle + zone-map gates.
     * Declared apart so [[graft.SparkEntry.benchSpecs]] can run them
     * at the battery TAIL — each builds real tables/sidecars and
@@ -1073,7 +1205,8 @@ object SourceQueries {
     * downstream by 10-30% with untouched code (round-11 closing
     * batteries; same mechanism as the corpus family move in r9). */
   val lakehouse: Seq[QuerySpec] =
-    Seq(q280, q282, q283, q284, q285, q287, q288, q289, q290, q291, q292)
+    Seq(q280, q282, q283, q284, q285, q287, q288, q289, q290, q291, q292,
+      q293, q294, q295)
 
   val all: Seq[QuerySpec] =
     Seq(q44, q45, q46, q47, q48, q49, q79, q80, q121, q131, q146, q195, q196,

@@ -437,6 +437,212 @@ class MergeTableSpec extends SparkSpec {
     }
   }
 
+  test("merge-on-read: a 1-row upsert writes O(delta) bytes, never O(bucket)") {
+    val dir = tmpDir()
+    // small files so every bucket holds MANY files — the write-
+    // amplification law needs a multi-file bucket to bite
+    MergeTable.create(base, dir, "k", nBuckets = 4,
+      clusterBy = Some("cents"), statsCols = Seq("cents"),
+      maxRecordsPerFile = 100L)
+    val before = fileSig(dir)
+    val baseBytes = before.values.flatten.map(_._2).sum
+    val oneKey = base.orderBy("k").limit(1)
+    val ups = oneKey.withColumn("cents", col("cents") + 1L)
+    val noDel = spark.range(0).select(col("id").as("k"))
+    MergeTable.mergeOnRead(spark, dir, ups, noDel)
+    // content == the brute twin (same semantics as copy-on-write)
+    val s1 = MergeTable.mergeBrute(base, "k", ups, noDel)
+    assert(content(MergeTable.read(spark, dir)) == content(s1))
+    // THE law: the delta generation holds ONE bucket dir with one tiny
+    // file, and every pre-existing file is byte-identical — nothing
+    // bucket-sized was rewritten
+    val after = fileSig(dir)
+    before.keys.foreach(k => assert(after(k) == before(k), s"$k rewritten"))
+    val deltaDirs = after.keySet -- before.keySet
+    assert(deltaDirs.size == 1, s"expected one delta bucket dir, got $deltaDirs")
+    val deltaBytes = deltaDirs.toSeq.flatMap(after).map(_._2).sum
+    assert(deltaBytes * 20 < baseBytes,
+      s"delta bytes $deltaBytes not ≪ base bytes $baseBytes")
+    // chains stack: a second MOR batch re-updates the same key and
+    // deletes another — latest generation wins, tombstone drops
+    val ups2 = oneKey.withColumn("cents", col("cents") + 2L)
+    val del2 = base.orderBy(col("k").desc).limit(1).select("k")
+    MergeTable.mergeOnRead(spark, dir, ups2, del2)
+    val s2 = MergeTable.mergeBrute(s1, "k", ups2, del2)
+    assert(content(MergeTable.read(spark, dir)) == content(s2))
+    // zone-pruned range reads fold correctly over chained buckets
+    val cMax = s2.agg(max("cents")).head().getLong(0)
+    assert(content(MergeTable.readRange(spark, dir, "cents", 0L, cMax + 1)) ==
+      content(s2))
+    // lookup folds: the updated key serves its LATEST image
+    import spark.implicits._
+    val k0 = oneKey.head().getLong(0)
+    assert(content(MergeTable.lookup(spark, dir, Seq(k0).toDF("k"))) ==
+      content(s2.where(col("k") === k0)))
+    // the declarative table refuses a chained snapshot, loudly
+    val e = intercept[IllegalArgumentException] { MergeTable.table(spark, dir) }
+    assert(e.getMessage.contains("compact"))
+    // compact folds the chains into a fresh base; content unchanged,
+    // chains gone, declarative table serves again
+    MergeTable.compact(spark, dir)
+    assert(content(MergeTable.read(spark, dir)) == content(s2))
+    assert(content(MergeTable.table(spark, dir)) == content(s2))
+    // time travel across the MOR versions still replays each state
+    assert(content(MergeTable.readAt(spark, dir, 2)) == content(s1))
+    // CDF across a MOR commit reads only the chained bucket's data
+    val c = MergeTable.changes(spark, dir, 1, 2)
+    assert(content(c.where(col("change") === "update_postimage")
+      .drop("change")) == content(ups))
+  }
+
+  test("multi-writer: disjoint merges commute; overlapping merges serialize") {
+    // --- commute: two writers plan from the SAME snapshot, touch
+    // DISJOINT buckets — both commit, both effects land, the loser
+    // re-points without re-merging (no third generation appears)
+    val dir = tmpDir()
+    MergeTable.create(base, dir, "k", nBuckets = 8)
+    val rows = base.orderBy("k").limit(40).collect()
+    def bOf(k: Long) = bucketOf(k, 8)
+    val kA = rows.head.getLong(0)
+    val kB = rows.map(_.getLong(0)).find(k => bOf(k) != bOf(kA)).get
+    val noDel = spark.range(0).select(col("id").as("k"))
+    val upsA = base.where(col("k") === kA).withColumn("cents", lit(11L))
+    val upsB = base.where(col("k") === kB).withColumn("cents", lit(22L))
+    MergeTable.mergeFrom(spark, dir, upsA, noDel, evolveSchema = false,
+      baseV = 1, mor = false)
+    // B plans against the STALE v1 snapshot — its CAS loses, commute fires
+    MergeTable.mergeFrom(spark, dir, upsB, noDel, evolveSchema = false,
+      baseV = 1, mor = false)
+    assert(MergeTable.versions(spark, dir) == Seq(1, 2, 3))
+    val s2 = MergeTable.mergeBrute(
+      MergeTable.mergeBrute(base, "k", upsA, noDel), "k", upsB, noDel)
+    assert(content(MergeTable.read(spark, dir)) == content(s2))
+    assert(!new java.io.File(s"$dir/data/gen=3").exists(),
+      "commute path must not re-merge into a third generation")
+    // --- serialize: same key from both writers — the loser re-plans
+    // against the winner's head; sequential semantics (loser wins)
+    val dir2 = tmpDir()
+    MergeTable.create(base, dir2, "k", nBuckets = 8)
+    val upsX1 = base.where(col("k") === kA).withColumn("cents", lit(100L))
+    val upsX2 = base.where(col("k") === kA).withColumn("cents", lit(200L))
+    MergeTable.mergeFrom(spark, dir2, upsX1, noDel, evolveSchema = false,
+      baseV = 1, mor = false)
+    MergeTable.mergeFrom(spark, dir2, upsX2, noDel, evolveSchema = false,
+      baseV = 1, mor = false)
+    val got = MergeTable.read(spark, dir2).where(col("k") === kA)
+      .select("cents").head().getLong(0)
+    assert(got == 200L, s"loser must apply AFTER the winner, got cents=$got")
+    // the loser's abandoned first generation is an invisible orphan;
+    // vacuum reclaims it and disk == manifest afterwards
+    MergeTable.vacuum(spark, dir2)
+    val live = fileSig(dir2).keySet
+    val manifests = new java.io.File(s"$dir2/manifest").listFiles()
+      .map(_.getName).filter(_.startsWith("v"))
+    val m = spark.read.parquet(s"$dir2/manifest/${manifests.max}")
+      .collect().filter(r => r.getInt(0) >= 0 && r.isNullAt(r.fieldIndex("file")))
+      .map(r => s"gen=${r.getInt(1)}/bucket=${r.getInt(0)}").toSet
+    assert(live == m, s"disk $live != manifest $m")
+    // MOR deltas ride the same arbitration: stale-planned delta append
+    // on a disjoint bucket commutes too
+    val dir3 = tmpDir()
+    MergeTable.create(base, dir3, "k", nBuckets = 8)
+    MergeTable.mergeFrom(spark, dir3, upsA, noDel, evolveSchema = false,
+      baseV = 1, mor = false)
+    MergeTable.mergeFrom(spark, dir3, upsB, noDel, evolveSchema = false,
+      baseV = 1, mor = true)
+    assert(content(MergeTable.read(spark, dir3)) == content(s2))
+  }
+
+  test("vacuum retention horizon: retained versions read, older foreclose") {
+    val dir = tmpDir()
+    MergeTable.create(base, dir, "k", nBuckets = 4)
+    val noDel = spark.range(0).select(col("id").as("k"))
+    val ups1 = base.where(col("k") % 7 === 0).withColumn("cents", col("cents") + 9L)
+    MergeTable.merge(spark, dir, ups1, noDel)
+    val ups2 = base.where(col("k") % 11 === 0).withColumn("cents", col("cents") + 3L)
+    MergeTable.merge(spark, dir, ups2, noDel)
+    val s1 = MergeTable.mergeBrute(base, "k", ups1, noDel)
+    val s2 = MergeTable.mergeBrute(s1, "k", ups2, noDel)
+    intercept[IllegalArgumentException] { MergeTable.vacuum(spark, dir, 0) }
+    MergeTable.vacuum(spark, dir, retainLast = 2)
+    // inside the horizon: both versions fully readable, CDF included
+    assert(MergeTable.versions(spark, dir) == Seq(2, 3))
+    assert(content(MergeTable.readAt(spark, dir, 2)) == content(s1))
+    assert(content(MergeTable.readAt(spark, dir, 3)) == content(s2))
+    assert(MergeTable.changes(spark, dir, 2, 3).count() > 0)
+    // outside: foreclosed loudly, with the horizon in the message
+    val e = intercept[IllegalArgumentException] { MergeTable.readAt(spark, dir, 1) }
+    assert(e.getMessage.contains("retention"))
+    intercept[IllegalArgumentException] { MergeTable.changes(spark, dir, 1, 3) }
+  }
+
+  test("manifest-carried zone stats: pruned reads open zero sidecar files") {
+    val dir = tmpDir()
+    MergeTable.create(base, dir, "k", nBuckets = 4,
+      clusterBy = Some("cents"), statsCols = Seq("cents"),
+      maxRecordsPerFile = 100L)
+    val noDel = spark.range(0).select(col("id").as("k"))
+    val ups = base.orderBy("k").limit(1).withColumn("cents", col("cents") + 9L)
+    MergeTable.merge(spark, dir, ups, noDel)
+    // no sidecar exists ANYWHERE under the table — the stats ride the
+    // manifest, so there is nothing else a read could even open
+    val side = new java.io.File(s"$dir/data").listFiles()
+      .filter(_.getName.startsWith("gen="))
+      .flatMap(_.listFiles()).map(_.getName).filter(_ == "_zonemap")
+    assert(side.isEmpty, "zone stats must live in the manifest, not sidecars")
+    // ...and pruning still fires across BOTH generations
+    val state = MergeTable.mergeBrute(base, "k", ups, noDel)
+    val cMax = state.agg(max("cents")).head().getLong(0)
+    val all = MergeTable.rangePaths(spark, dir, "cents", 0L, cMax + 1)
+    val narrow = MergeTable.rangePaths(spark, dir, "cents", 100000L, 500000L)
+    assert(all.size > 4 && narrow.nonEmpty && narrow.size < all.size,
+      s"no pruning: ${narrow.size} of ${all.size}")
+    assert(content(MergeTable.readRange(spark, dir, "cents", 100000L, 500000L))
+      == content(state.where(col("cents").between(100000L, 500000L))))
+  }
+
+  test("manifest format: previous 3-column manifests read; older layouts refuse loudly") {
+    val dir = tmpDir()
+    MergeTable.create(base, dir, "k", nBuckets = 4)
+    // rewrite v1 in the r11 three-column form (bucket, gen,
+    // schema_json; sentinel row carries the schema) — a table
+    // committed by the previous format must keep reading
+    val v1 = spark.read.parquet(s"$dir/manifest/v000001")
+    val legacy = v1.where(col("file").isNull)
+      .select(col("bucket"), coalesce(col("gen"), lit(-1)).as("gen"),
+        lit(base.schema.json).as("schema_json"))
+    val tmp = s"$dir/manifest-legacy-tmp"
+    legacy.coalesce(1).write.parquet(tmp)
+    val mdir = new java.io.File(s"$dir/manifest")
+    mdir.listFiles().filter(_.getName == "v000001")
+      .foreach(f => assert(f.delete() || { deleteRec(f); true }))
+    deleteRec(new java.io.File(s"$dir/manifest/v000001"))
+    new java.io.File(tmp).renameTo(new java.io.File(s"$dir/manifest/v000001"))
+    assert(content(MergeTable.read(spark, dir)) == content(base))
+    // a merge over the legacy snapshot upgrades the format in place
+    val noDel = spark.range(0).select(col("id").as("k"))
+    val ups = base.orderBy("k").limit(1).withColumn("cents", col("cents") + 1L)
+    MergeTable.merge(spark, dir, ups, noDel)
+    assert(content(MergeTable.read(spark, dir)) ==
+      content(MergeTable.mergeBrute(base, "k", ups, noDel)))
+    // a 2-column pre-sentinel manifest is refused with a clear error
+    val dir2 = tmpDir()
+    MergeTable.create(base, dir2, "k", nBuckets = 4)
+    import spark.implicits._
+    Seq((0, 0), (1, 0)).toDF("bucket", "gen")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir2/manifest-2col")
+    deleteRec(new java.io.File(s"$dir2/manifest/v000001"))
+    new java.io.File(s"$dir2/manifest-2col")
+      .renameTo(new java.io.File(s"$dir2/manifest/v000001"))
+    val e = intercept[IllegalArgumentException] { MergeTable.read(spark, dir2) }
+    assert(e.getMessage.contains("older MergeTable layout"))
+  }
+
+  private def deleteRec(f: java.io.File): Unit = {
+    if (f.isDirectory) f.listFiles().foreach(deleteRec)
+    f.delete()
+  }
+
   test("streaming CDC apply: folded end state + restart replays nothing") {
     val dir = tmpDir()
     MergeTable.create(base, dir, "k", nBuckets = 4)
