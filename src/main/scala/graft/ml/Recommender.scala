@@ -96,6 +96,60 @@ object Recommender {
     } finally first.unpersist()
   }
 
+  /** Rank-1 ALS in EXACT scaled-integer arithmetic — the driver-
+    * oracle-able twin of [[fit]] (the q90/q96/q199 ExactNum idiom
+    * applied to matrix factorization). Alternating least squares at
+    * rank 1 has a closed per-row solve — `u = Σ r·v / Σ v²` over the
+    * user's OBSERVED items, then the symmetric item step — i.e. the
+    * observed-entry power iteration; every sum is an order-
+    * independent BIGINT, every division is one rounded scaled
+    * integer op (`⌊a/b + ½⌋ = (2a+b) div 2b`), and each half-step
+    * max-normalizes to the 1e3 factor scale, so ANY engine replays
+    * the trajectory bit-for-bit — the oracle unrolls the iterations
+    * as chained CTEs. Two-and-a-half alternations (v₀=1000 const →
+    * u₁ → v₁ → u₂) then top-k unseen scoring `u₂·v₁` per selected
+    * user, ties on item id. Same shuffle shape per step as [[fit]]
+    * (join ratings with the fixed side, aggregate by the solved
+    * side); the candidate cross join is bounded by the user-modulus
+    * selection, never all users × all items. */
+  def alsRank1ExactScaled(interactions: DataFrame, userMod: Long,
+      k: Int): DataFrame = {
+    val r = interactions.select(col("user").cast("long").as("u"),
+      col("item").cast("long").as("i"), col("rating").cast("long").as("r"))
+      .localCheckpoint(true) // read 5× below; plan once
+    def solveNorm(grouped: DataFrame): DataFrame = {
+      // grouped: (id, num, den) → rounded scaled solve, then
+      // max-normalize to the 1e3 factor scale (both integer-exact)
+      val s = grouped.selectExpr("id",
+        "CASE WHEN den = 0 THEN 0L ELSE (2*num*1000000 + den) DIV (2*den) END AS s")
+      s.crossJoin(s.agg(max(col("s")).as("m")))
+        .selectExpr("id", "CASE WHEN m = 0 THEN 0L ELSE (2*s*1000 + m) DIV (2*m) END AS f")
+    }
+    val u1 = solveNorm(r.groupBy(col("u").as("id"))
+      .agg((sum(col("r")) * 1000L).as("num"),
+        (count(lit(1)) * 1000000L).as("den")))
+    val v1 = solveNorm(r.join(u1.withColumnRenamed("id", "u"), "u")
+      .groupBy(col("i").as("id"))
+      .agg(sum(col("r") * col("f")).as("num"),
+        sum(col("f") * col("f")).as("den")))
+    val u2 = solveNorm(r.join(v1.withColumnRenamed("id", "i"), "i")
+      .groupBy(col("u").as("id"))
+      .agg(sum(col("r") * col("f")).as("num"),
+        sum(col("f") * col("f")).as("den")))
+    val users = u2.where(col("id") % userMod === 0)
+      .select(col("id").as("u"), col("f").as("uf"))
+    val cand = users.crossJoin(
+        v1.select(col("id").as("i"), col("f").as("vf")))
+      .join(r.select("u", "i"), Seq("u", "i"), "left_anti")
+      .select(col("u"), col("i"), (col("uf") * col("vf")).as("score"))
+    import org.apache.spark.sql.expressions.Window
+    cand.withColumn("rk", row_number().over(
+        Window.partitionBy("u").orderBy(col("score").desc, col("i"))))
+      .where(col("rk") <= k)
+      .select(col("u").as("user"), col("rk").cast("long").as("rk"),
+        col("i").as("item"), col("score"))
+  }
+
   /** Training-set reconstruction RMSE of the model vs the global-mean
     * baseline — the fit-quality pair the spec asserts on. */
   def rmseVsBaseline(model: org.apache.spark.ml.recommendation.ALSModel,

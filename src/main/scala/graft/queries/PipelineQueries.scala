@@ -382,6 +382,65 @@ object PipelineQueries {
     graft.ml.Recommender.topK(graft.ml.Recommender.fit(ratings), ratings, k = 5)
   }
 
+  /** Rank-1 ALS, EXACT-SCALED — the replayable oracle twin of q235
+    * ([[graft.ml.Recommender.alsRank1ExactScaled]]): alternating
+    * least squares at rank 1 is a closed per-row solve, so the whole
+    * trajectory (v₀=1000 → u₁ → v₁ → u₂, each half-step one rounded
+    * scaled division + a max-normalization, all BIGINT) unrolls into
+    * chained CTEs that DuckDB replays bit-for-bit — the last float-
+    * iterative family (spark.ml ALS, rows-only) gets its exact
+    * counterpart, like q90/q96/q199 did for the graph kernels.
+    * Top-5 unseen recommendations per sampled user, ties on item. */
+  val q296 = QuerySpec.sql(
+    "q296_als_rank1_exact",
+    """WITH r AS (
+      |  SELECT CAST(o_custkey AS BIGINT) AS u, CAST(l_partkey AS BIGINT) AS i,
+      |         CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS r
+      |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      |  GROUP BY 1, 2),
+      |u1s AS (
+      |  SELECT u AS id, (2*(1000*SUM(r))*1000000 + 1000000*COUNT(*))
+      |           // (2*1000000*COUNT(*)) AS s
+      |  FROM r GROUP BY u),
+      |u1 AS (SELECT id, CASE WHEN m = 0 THEN 0 ELSE (2*s*1000 + m) // (2*m) END AS f
+      |       FROM u1s, (SELECT MAX(s) AS m FROM u1s)),
+      |v1s AS (
+      |  SELECT r.i AS id,
+      |         CASE WHEN SUM(u1.f*u1.f) = 0 THEN 0
+      |              ELSE (2*SUM(r.r*u1.f)*1000000 + SUM(u1.f*u1.f))
+      |                // (2*SUM(u1.f*u1.f)) END AS s
+      |  FROM r JOIN u1 ON r.u = u1.id GROUP BY r.i),
+      |v1 AS (SELECT id, CASE WHEN m = 0 THEN 0 ELSE (2*s*1000 + m) // (2*m) END AS f
+      |       FROM v1s, (SELECT MAX(s) AS m FROM v1s)),
+      |u2s AS (
+      |  SELECT r.u AS id,
+      |         CASE WHEN SUM(v1.f*v1.f) = 0 THEN 0
+      |              ELSE (2*SUM(r.r*v1.f)*1000000 + SUM(v1.f*v1.f))
+      |                // (2*SUM(v1.f*v1.f)) END AS s
+      |  FROM r JOIN v1 ON r.i = v1.id GROUP BY r.u),
+      |u2 AS (SELECT id, CASE WHEN m = 0 THEN 0 ELSE (2*s*1000 + m) // (2*m) END AS f
+      |       FROM u2s, (SELECT MAX(s) AS m FROM u2s)),
+      |cand AS (
+      |  SELECT un.id AS u, vn.id AS i, un.f * vn.f AS score
+      |  FROM u2 un CROSS JOIN v1 vn
+      |  WHERE un.id % 50 = 0
+      |    AND NOT EXISTS (SELECT 1 FROM r WHERE r.u = un.id AND r.i = vn.id)),
+      |ranked AS (
+      |  SELECT u, i, score,
+      |         ROW_NUMBER() OVER (PARTITION BY u ORDER BY score DESC, i) AS rk
+      |  FROM cand)
+      |SELECT u AS user, CAST(rk AS BIGINT) AS rk, i AS item,
+      |       CAST(score AS BIGINT) AS score
+      |FROM ranked WHERE rk <= 5""",
+    "rank-1 exact-scaled ALS: unrolled alternating solves, oracle-replayable (ML tier)") { (s, d) =>
+    val ratings = Tables.lineitem(s, d)
+      .join(Tables.orders(s, d), col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("o_custkey").cast("long").as("user"),
+        col("l_partkey").cast("long").as("item"))
+      .agg(sum(col("l_quantity").cast("long")).as("rating"))
+    graft.ml.Recommender.alsRank1ExactScaled(ratings, userMod = 50L, k = 5)
+  }
+
   val all: Seq[QuerySpec] =
-    Seq(q70, q71, q87, q72, q73, q84, q138, q168, q219, q235)
+    Seq(q70, q71, q87, q72, q73, q84, q138, q168, q219, q235, q296)
 }
