@@ -72,13 +72,21 @@ object Bench {
     // /stat showed 4,600+ stolen CPU-seconds over the session). Read
     // the cumulative (total, steal) jiffies; fractions are computed
     // over sampling windows.
-    def cpuStat(): (Long, Long) = try {
+    // Option, not a (0,0) sentinel: if only the window-START read
+    // failed, a (0,0) anchor would compute the since-boot cumulative
+    // steal fraction and spuriously trip the 2% gate — a missing
+    // endpoint must SKIP the gate (steal 0), not poison it.
+    def cpuStat(): Option[(Long, Long)] = try {
       val l = scala.io.Source.fromFile("/proc/stat").getLines()
         .find(_.startsWith("cpu ")).get.trim.split("\\s+").drop(1).map(_.toLong)
-      (l.sum, if (l.length > 7) l(7) else 0L)
-    } catch { case _: Throwable => (0L, 0L) }
-    def stealPct(a: (Long, Long), b: (Long, Long)): Double =
-      if (b._1 <= a._1) 0.0 else 100.0 * (b._2 - a._2) / (b._1 - a._1)
+      Some((l.sum, if (l.length > 7) l(7) else 0L))
+    } catch { case _: Throwable => None }
+    def stealPct(a: Option[(Long, Long)], b: Option[(Long, Long)]): Double =
+      (a, b) match {
+        case (Some(x), Some(y)) if y._1 > x._1 =>
+          100.0 * (y._2 - x._2) / (y._1 - x._1)
+        case _ => 0.0
+      }
     def stealNow(): Double = {
       val a = cpuStat(); Thread.sleep(3000); stealPct(a, cpuStat())
     }
@@ -207,96 +215,117 @@ object Bench {
       gcSec(q.name) = (gcMillis - g0) / 1e3
       q.name -> (System.nanoTime() - t0) / 1e9
     }
-    // steal measured over the whole window that produces the reported
-    // timings (battery + best-of-2 reruns); reset if the battery is
-    // re-run so the window covers only the run whose numbers ship
-    var stealWinStart = cpuStat()
-    var results = battery()
     def ms(v: Double): String = f"$v%.3f"
     def json(kvs: Seq[(String, Double)]): String =
       kvs.map { case (k, v) => "\"" + k + "\":" + ms(v) }.mkString("{", ",", "}")
-    var calib1 = calib()
     def degraded(c: Double): Boolean = calibNorm.exists(n => c < 0.95 * n)
-    // --- post-run gate (round-8 verdict item 1): a battery whose
-    // closing calibration is >5% under the rolling norm degraded
-    // IN-RUN (heap/GC pressure, late co-tenant load) and its timings
-    // misstate the engine. Remediate — evict every memoized family,
-    // force full GCs, settle — then re-run the whole battery ONCE in
-    // the recovered session (caches re-warmed so attribution holds).
-    // If the rerun's closing calibration still fails, the record
-    // carries degraded_inrun:true — an explicitly untrustworthy run.
+    // --- heavy-gate noise floor (round 11): the in-battery inflation
+    // on the biggest gates is NOT GC (gc_sec attribution: 5.6 s total
+    // across a 387 s battery, live heap < 1 GB) and NOT code — it is
+    // transient host/co-tenant CPU noise that lands on whichever gate
+    // is running. A single sample of a deterministic workload is
+    // truth + non-negative noise, so for the gates that dominate the
+    // total, re-run ONCE at battery end (same session, memo caches
+    // long since warm on both passes) and report the per-gate MIN —
+    // the standard best-of-N estimator, applied unconditionally to
+    // the fixed top-8 so there is no cherry-picking threshold. Both
+    // samples go in the record. EXCLUDED: gates whose FIRST touch
+    // lazily builds a session-shared memoized artifact (q250 →
+    // sharedAnnIndex, q271 → sharedCosineIndex) — their re-run would
+    // measure a warmer, different workload.
+    val memoBuilders = Set("q250_ann_index", "q271_ann_cosine_serving")
+    val rerunK = 8
+    // --- post-run gates, unified retry loop (≤3 battery runs total):
+    //  * in-run DEGRADATION (round-8 item 1): closing calibration >5%
+    //    under the rolling norm → remediate once (evict memo families,
+    //    full GCs, settle, re-warm) and re-run in the recovered
+    //    session; still failing → degraded_inrun:true.
+    //  * battery-window STEAL > 2% (round-11 instrumentation, round-12
+    //    verdict item 2): the run is co-tenant-inflated and must not
+    //    become the round artifact if a clean run is attainable —
+    //    settle until the live steal reading drops (bounded), then
+    //    re-run. Still stealing after the retry budget → the record
+    //    ships with settled:false and says so.
+    // The steal window covers battery + best-of-2 re-runs — exactly
+    // the samples that produce the reported timings — and resets per
+    // attempt so it covers only the run whose numbers ship.
     var batteryRetried = false
+    var stealRetries = 0
     var firstTotal = 0.0
     // the discarded first battery's trace is kept under separate keys
     // (calib_mid_first / heap_used_gb_mid_first) so the reported
-    // timings' own degradation curve is isolable — appending to the
-    // same buffers interleaved the two runs with no separator
+    // timings' own degradation curve is isolable
     var firstCalibTrace = Seq.empty[Double]
     var firstHeapTrace = Seq.empty[Double]
-    if (degraded(calib1)) {
-      System.err.println(f"WARNING: in-run degradation (calib_post $calib1%.0f " +
-        f"Mops vs norm ${calibNorm.getOrElse(0.0)}%.0f) — evicting caches, " +
-        "GC, settling 30 s, re-running the battery once")
-      batteryRetried = true
-      firstTotal = results.map(_._2).sum
-      firstCalibTrace = midCalib.toSeq; firstHeapTrace = midHeap.toSeq
-      midCalib.clear(); midHeap.clear()
-      Memo.evictSession(
-        org.apache.spark.sql.graftbridge.SessionBridge.sessionUUID(spark))
-      spark.catalog.clearCache()
-      System.gc(); Thread.sleep(30000); System.gc()
-      val w1 = System.nanoTime()
-      SparkEntry.warmCaches(spark, sfDir)
-      warmupSec += (System.nanoTime() - w1) / 1e9
-      stealWinStart = cpuStat()
+    var results = Seq.empty[(String, Double)]
+    var calib1 = 0.0
+    var stealBattery = 0.0
+    var rerunSec = scala.collection.mutable.LinkedHashMap.empty[String, Double]
+    var firstPass = Map.empty[String, Double]
+    var runs = 0
+    var accepted = false
+    while (!accepted) {
+      runs += 1
+      val stealWinStart = cpuStat()
       results = battery()
       calib1 = calib()
+      rerunSec = scala.collection.mutable.LinkedHashMap.empty[String, Double]
+      val rerunNames = results.sortBy(-_._2).map(_._1)
+        .filterNot(memoBuilders).take(rerunK).toSet
+      SparkEntry.benchSpecs.filter(q => rerunNames(q.name)).foreach { q =>
+        System.gc() // untimed, same policy as the pre-heavy-gate nudges
+        val t0 = System.nanoTime()
+        try { q.run(spark, sfDir).count() } catch { case _: Throwable => -1L }
+        rerunSec(q.name) = (System.nanoTime() - t0) / 1e9
+      }
+      firstPass = results.toMap
+      results = results.map { case (k, v) =>
+        k -> math.min(v, rerunSec.getOrElse(k, v)) }
+      stealBattery = stealPct(stealWinStart, cpuStat())
+      val retryDegraded = degraded(calib1) && !batteryRetried && runs < 3
+      val retrySteal = !retryDegraded && stealBattery > 2.0 && runs < 3
+      if (retryDegraded || retrySteal) {
+        if (runs == 1) {
+          firstTotal = results.map(_._2).sum
+          firstCalibTrace = midCalib.toSeq; firstHeapTrace = midHeap.toSeq
+        }
+        midCalib.clear(); midHeap.clear()
+        if (retryDegraded) {
+          System.err.println(f"WARNING: in-run degradation (calib_post " +
+            f"$calib1%.0f Mops vs norm ${calibNorm.getOrElse(0.0)}%.0f) — " +
+            "evicting caches, GC, settling 30 s, re-running the battery")
+          batteryRetried = true
+          Memo.evictSession(
+            org.apache.spark.sql.graftbridge.SessionBridge.sessionUUID(spark))
+          spark.catalog.clearCache()
+          System.gc(); Thread.sleep(30000); System.gc()
+          val w1 = System.nanoTime()
+          SparkEntry.warmCaches(spark, sfDir)
+          warmupSec += (System.nanoTime() - w1) / 1e9
+        } else {
+          stealRetries += 1
+          System.err.println(f"WARNING: hypervisor steal $stealBattery%.1f%% " +
+            "over the battery window — settling until the co-tenant quiets, " +
+            s"then re-running (steal retry $stealRetries)")
+          Thread.sleep(60000)
+          var settleTries = 0
+          while (stealNow() > 2.0 && settleTries < 3) {
+            settleTries += 1
+            Thread.sleep(90000)
+          }
+        }
+      } else accepted = true
     }
     val degradedInRun = degraded(calib1)
     if (degradedInRun)
       System.err.println("WARNING: battery still degraded after retry — " +
         "the JSON record carries degraded_inrun:true")
-    // --- heavy-gate noise floor (round 11): the in-battery inflation
-    // on the biggest gates is NOT GC (gc_sec attribution: 5.6 s total
-    // across a 387 s battery, live heap < 1 GB) and NOT code — it is
-    // transient host/co-tenant CPU noise that lands on whichever gate
-    // is running (one settled run had q246 at 37-43 s, the next had
-    // q246 at 22.8 s but q248 at 24 s vs its usual ~6 s; a mid-run
-    // calib checkpoint dipped 45% and recovered). A single sample of
-    // a deterministic workload is truth + non-negative noise, so for
-    // the gates that dominate the total, re-run ONCE at battery end
-    // (same settled session, memo caches long since warm on both
-    // passes) and report the per-gate MIN — the standard best-of-N
-    // estimator, applied unconditionally to the fixed top-8 so there
-    // is no cherry-picking threshold. Both samples go in the record.
-    // EXCLUDED from the re-run: gates whose FIRST touch lazily builds
-    // a session-shared memoized artifact that warmCaches does not
-    // pre-build (q250 → sharedAnnIndex, q271 → sharedCosineIndex).
-    // Their re-run would measure a warmer, different workload (the
-    // first GC-attribution run showed q250 9.59 s → 1.47 s, the build
-    // amortized away) — min() over non-equivalent samples is
-    // cherry-picking, so they keep their single in-battery sample.
-    val memoBuilders = Set("q250_ann_index", "q271_ann_cosine_serving")
-    val rerunK = 8
-    val rerunNames = results.sortBy(-_._2).map(_._1)
-      .filterNot(memoBuilders).take(rerunK).toSet
-    val rerunSec = scala.collection.mutable.LinkedHashMap.empty[String, Double]
-    SparkEntry.benchSpecs.filter(q => rerunNames(q.name)).foreach { q =>
-      System.gc() // untimed, same policy as the pre-heavy-gate nudges
-      val t0 = System.nanoTime()
-      try { q.run(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      rerunSec(q.name) = (System.nanoTime() - t0) / 1e9
-    }
-    val firstPass = results.toMap
-    results = results.map { case (k, v) =>
-      k -> math.min(v, rerunSec.getOrElse(k, v)) }
-    val total = results.map(_._2).sum
-    val load1 = loadAvg
-    val stealBattery = stealPct(stealWinStart, cpuStat())
     if (stealBattery > 2.0)
       System.err.println(f"WARNING: hypervisor steal $stealBattery%.1f%% over " +
-        "the battery window — a co-tenant inflated these timings; the " +
-        "record carries settled:false")
+        "the battery window after retries — a co-tenant inflated these " +
+        "timings; the record carries settled:false")
+    val total = results.map(_._2).sum
+    val load1 = loadAvg
     // The driver keeps only the TAIL of stdout: rounds 3 and 4 both
     // produced "parsed":null because the one-line JSON (~2.5 KB over
     // 70 queries) was front-truncated past its opening brace. The
@@ -314,7 +343,7 @@ object Bench {
     // number when a settled record exists (round-10 verdict item 7).
     val settled = !contended && !degradedInRun && stealBattery <= 2.0
     val validity =
-      s""""contended":$contended,"retried":$retried,"settled":$settled,"degraded_inrun":$degradedInRun,"battery_retried":$batteryRetried,"calib_norm":${ms(calibNorm.getOrElse(0.0))},"steal_pct_pre":${ms(steal0)},"steal_pct_battery":${ms(stealBattery)}"""
+      s""""contended":$contended,"retried":$retried,"settled":$settled,"degraded_inrun":$degradedInRun,"battery_retried":$batteryRetried,"battery_runs":$runs,"steal_retries":$stealRetries,"calib_norm":${ms(calibNorm.getOrElse(0.0))},"steal_pct_pre":${ms(steal0)},"steal_pct_battery":${ms(stealBattery)}"""
     val firstTrace = if (batteryRetried)
       s""","calib_mid_first":[${firstCalibTrace.map(ms).mkString(",")}],"heap_used_gb_mid_first":[${firstHeapTrace.map(ms).mkString(",")}]"""
     else ""
