@@ -1197,6 +1197,57 @@ object SourceQueries {
       .reduce(_ unionByName _).select("v", "k", "ck", "cents")
   }
 
+  /** Streaming CDC apply through MERGE-ON-READ — q282's workload on
+    * the delta path ([[graft.streaming.StreamOps.runMergeStream]]
+    * with `mergeOnRead = true`): each micro-batch lands as per-bucket
+    * delta files (write cost ∝ the batch — the fit for trickle CDC,
+    * where a copy-on-write apply would rewrite touched buckets whole
+    * per micro-batch), and the read folds base + chains. Exactly-once
+    * content by the same replay argument (a replayed delta appends
+    * identical content; latest-wins folds it away). The oracle is
+    * q282's folded end state verbatim — the two apply modes must be
+    * content-indistinguishable. */
+  val q297 = QuerySpec.sql(
+    "q297_merge_stream_mor",
+    """WITH base AS (
+      |  SELECT CAST(o_orderkey AS BIGINT) AS k, CAST(o_custkey AS BIGINT) AS ck,
+      |         CAST(round(o_totalprice * 100, 0) AS BIGINT) AS cents
+      |  FROM orders)
+      |SELECT k, ck, cents FROM base WHERE k % 97 <> 0 AND k % 101 <> 0
+      |UNION ALL
+      |SELECT k, ck, cents + 2000000 AS cents FROM base WHERE k % 97 = 0
+      |UNION ALL
+      |SELECT k + 10000000000 AS k, ck, cents FROM base WHERE k % 103 = 0""",
+    "streaming CDC apply via merge-on-read deltas: O(batch) micro-batch writes (lakehouse)") { (s, d) =>
+    val base = Tables.orders(s, d).select(
+      col("o_orderkey").cast("long").as("k"),
+      col("o_custkey").cast("long").as("ck"),
+      graft.functions.ExactNum.scaled(col("o_totalprice"), 100).as("cents"))
+    val root = java.nio.file.Files.createTempDirectory("graft-q297").toString
+    val dir = s"$root/t"
+    graft.operators.MergeTable.create(base, dir, "k", nBuckets = 16)
+    val src = new java.io.File(root, "src"); src.mkdirs()
+    val b0 = base.where(col("k") % 97 === 0)
+      .withColumn("cents", col("cents") + 1000000L).withColumn("op", lit("u"))
+      .unionByName(base.where(col("k") % 101 === 0 && col("k") % 97 =!= 0)
+        .withColumn("op", lit("d")))
+    val b1 = base.where(col("k") % 97 === 0)
+      .withColumn("cents", col("cents") + 2000000L).withColumn("op", lit("u"))
+      .unionByName(base.where(col("k") % 103 === 0)
+        .withColumn("k", col("k") + 10000000000L).withColumn("op", lit("u")))
+    Seq(b0, b1).zipWithIndex.foreach { case (df, b) =>
+      val tmp = s"$root/tmp$b"
+      df.coalesce(1).write.parquet(tmp)
+      val part = new java.io.File(tmp).listFiles()
+        .find(_.getName.endsWith(".parquet")).get
+      val dst = new java.io.File(src, f"b$b%02d.parquet")
+      java.nio.file.Files.move(part.toPath, dst.toPath)
+      dst.setLastModified(1700000000000L + b * 60000L)
+    }
+    graft.streaming.StreamOps.runMergeStream(s, src.toString, dir,
+      s"$root/ckpt", "k", mergeOnRead = true)
+  }
+
   /** The lakehouse family: merge-table lifecycle + zone-map gates.
     * Declared apart so [[graft.SparkEntry.benchSpecs]] can run them
     * at the battery TAIL — each builds real tables/sidecars and
@@ -1206,7 +1257,7 @@ object SourceQueries {
     * batteries; same mechanism as the corpus family move in r9). */
   val lakehouse: Seq[QuerySpec] =
     Seq(q280, q282, q283, q284, q285, q287, q288, q289, q290, q291, q292,
-      q293, q294, q295)
+      q293, q294, q295, q297)
 
   val all: Seq[QuerySpec] =
     Seq(q44, q45, q46, q47, q48, q49, q79, q80, q121, q131, q146, q195, q196,

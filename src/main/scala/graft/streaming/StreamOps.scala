@@ -557,10 +557,24 @@ object StreamOps {
     * Structured streaming replays at most the last uncommitted batch,
     * in order, so every crash lands on one of those two cases
     * (MergeTableSpec pins the replay law; the gate oracles the folded
-    * end state). */
+    * end state).
+    *
+    * `mergeOnRead = true` routes each micro-batch through
+    * [[graft.operators.MergeTable.mergeOnRead]] instead — per-bucket
+    * DELTA files, write cost ∝ the batch — which is THE fit for
+    * trickle CDC: a copy-on-write apply rewrites every touched
+    * bucket whole per micro-batch, so at 100 TB a steady drip of
+    * single-row upserts would rewrite ~the table each cycle, while
+    * the delta path defers that cost to an explicit
+    * [[graft.operators.MergeTable.compact]] on the maintenance
+    * cadence. Replay stays exactly-once by the same argument: a
+    * replayed delta batch appends a chain entry with identical
+    * content, and the latest-generation-wins fold makes it a content
+    * no-op. */
   def runMergeStream(spark: SparkSession, srcDir: String, tableDir: String,
       checkpointDir: String, keyCol: String,
-      opCol: String = "op"): DataFrame = withNanosAsLong(spark) {
+      opCol: String = "op", mergeOnRead: Boolean = false): DataFrame =
+    withNanosAsLong(spark) {
     import org.apache.spark.sql.DataFrame
     val schema = spark.read.parquet(srcDir).schema
     val stream = spark.readStream.schema(schema)
@@ -569,9 +583,14 @@ object StreamOps {
       .option("checkpointLocation", checkpointDir)
       .trigger(Trigger.AvailableNow())
       .foreachBatch { (batch: DataFrame, _: Long) =>
-        graft.operators.MergeTable.merge(batch.sparkSession, tableDir,
-          upserts = batch.where(col(opCol) === "u").drop(opCol),
-          deleteKeys = batch.where(col(opCol) === "d").select(col(keyCol)))
+        val ups = batch.where(col(opCol) === "u").drop(opCol)
+        val del = batch.where(col(opCol) === "d").select(col(keyCol))
+        if (mergeOnRead)
+          graft.operators.MergeTable.mergeOnRead(batch.sparkSession,
+            tableDir, ups, del)
+        else
+          graft.operators.MergeTable.merge(batch.sparkSession, tableDir,
+            ups, del)
         ()
       }
       .start()

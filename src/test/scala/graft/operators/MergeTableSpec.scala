@@ -677,5 +677,20 @@ class MergeTableSpec extends SparkSpec {
     val again = content(graft.streaming.StreamOps.runMergeStream(
       spark, src, dir, ckpt, "k"))
     assert(again == got)
+    // the MERGE-ON-READ apply mode folds to the identical end state
+    // (delta chains instead of bucket rewrites), and a restart
+    // replays nothing there either
+    val dirM = s"$root/tmor"
+    MergeTable.create(base, dirM, "k", nBuckets = 4)
+    val ckptM = s"$root/ckpt-mor"
+    val gotM = content(graft.streaming.StreamOps.runMergeStream(
+      spark, src, dirM, ckptM, "k", mergeOnRead = true))
+    assert(gotM == got, "MOR stream apply must be content-identical to COW")
+    assert(content(graft.streaming.StreamOps.runMergeStream(
+      spark, src, dirM, ckptM, "k", mergeOnRead = true)) == got)
+    // both batches live as chains (no bucket was rewritten) until
+    // compact folds them
+    MergeTable.compact(spark, dirM)
+    assert(content(MergeTable.read(spark, dirM)) == got)
   }
 }
