@@ -605,7 +605,12 @@ object MergeTable {
     require(!missing.exists(resolver(_, keyCol)),
       s"merge: batch must carry key $keyCol")
     val nextSchema = StructType(cur.fields ++ added)
-    val gen = claimGen(spark, dir, math.max(baseV, currentVersion(spark, dir)))
+    // claim ABOVE every generation the snapshot references, not just
+    // the version counter: a vacuumed crashed-claim marker could
+    // otherwise free a number below a live chain entry, and the
+    // ascending-chain invariant would refuse the append
+    val gen = claimGen(spark, dir, Seq(baseV, currentVersion(spark, dir),
+      snap.buckets.values.map(_.maxGen + 1).foldLeft(0)(math.max)).max)
     if (mor) {
       // delta write: upserts aligned to the widened schema + key-only
       // tombstones, one file set under the claimed generation —
@@ -711,7 +716,8 @@ object MergeTable {
       val snap = manifestAt(spark, dir, baseV)
       val chained = snap.buckets.filterNot(_._2.foldFree)
       if (chained.isEmpty) return
-      val gen = claimGen(spark, dir, baseV)
+      val gen = claimGen(spark, dir, math.max(baseV,
+        snap.buckets.values.map(_.maxGen + 1).foldLeft(0)(math.max)))
       val folded = contentOf(spark, dir, chained, snap.schema, m0.keyCol)
       writeGen(spark, dir,
         folded.withColumn("bucket", bucketOf(col(m0.keyCol), m0.nBuckets)),
