@@ -251,7 +251,15 @@ object MergeTable {
     * marker create (`data/.gen-N.claim`) is the atomic step, so two
     * concurrent writers can never land data under the same
     * generation directory (the data write uses mode=overwrite).
-    * Crashed claims are harmless orphans reclaimed by [[vacuum]]. */
+    * Crashed claims are harmless orphans reclaimed by [[vacuum]].
+    *
+    * Atomicity is scheme-aware: HDFS `create(overwrite = false)` is
+    * atomic at the NameNode, but RawLocalFileSystem implements it as
+    * check-then-create — a genuine race (four concurrent writers all
+    * "claimed" the same generation in the live-race law before this
+    * dispatch) — so `file:` paths claim through NIO's O_EXCL
+    * `createFile`. Object stores without atomic create need a lock
+    * service for multi-writer use, the same caveat Delta documents. */
   private def claimGen(spark: SparkSession, dir: String, from: Int): Int = {
     val f0 = fs(spark, dir)
     var g = math.max(from, 0)
@@ -260,9 +268,17 @@ object MergeTable {
       val mark = new org.apache.hadoop.fs.Path(s"${dataPath(dir)}/.gen-$g.claim")
       if (!f0.exists(genDir) && !f0.exists(mark)) {
         try {
-          f0.create(mark, false).close() // create-exclusive = the claim
+          val uri = f0.makeQualified(mark).toUri
+          if (uri.getScheme == null || uri.getScheme == "file") {
+            val p = java.nio.file.Paths.get(uri.getPath)
+            java.nio.file.Files.createDirectories(p.getParent)
+            java.nio.file.Files.createFile(p) // O_EXCL — the claim
+          } else f0.create(mark, false).close() // atomic on HDFS
           if (!f0.exists(genDir)) return g
-        } catch { case _: java.io.IOException => () } // lost this claim
+        } catch {
+          // FileAlreadyExistsException (NIO) is an IOException too
+          case _: java.io.IOException => () // lost this claim
+        }
       }
       g += 1
     }

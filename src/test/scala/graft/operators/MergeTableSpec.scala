@@ -553,6 +553,81 @@ class MergeTableSpec extends SparkSpec {
     assert(content(MergeTable.read(spark, dir3)) == content(s2))
   }
 
+  test("multi-writer: four genuinely concurrent writers all land (threads, live race)") {
+    // the staleness test above drives the arbitration paths
+    // deterministically; this one exercises the REAL race — claim
+    // markers + manifest CAS under true concurrency. Four threads
+    // merge disjoint key sets from whatever snapshot they observe;
+    // every batch must land exactly once, in some serial order.
+    val dir = tmpDir()
+    MergeTable.create(base, dir, "k", nBuckets = 8)
+    val noDel = spark.range(0).select(col("id").as("k"))
+    val mods = Seq(7L, 11L, 13L, 17L)
+    // delta values coprime in construction: key k in batch m gets
+    // cents = m*1000 + its residue class — overlapping keys (k
+    // divisible by several moduli) end with the LAST writer's value,
+    // whichever that turns out to be; the law checks each key's
+    // final cents is one of its batches' values and every
+    // non-overlapping key has exactly its batch's value
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration._
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val fs = mods.map { m =>
+      Future {
+        MergeTable.merge(spark, dir,
+          base.where(col("k") % m === 0)
+            .withColumn("cents", lit(m * 1000L)), noDel)
+      }
+    }
+    Await.result(Future.sequence(fs), 10.minutes)
+    // every writer committed: version count is 1 (create) + 4 merges
+    assert(MergeTable.versions(spark, dir).size == 5)
+    val got = MergeTable.read(spark, dir)
+    // row count unchanged (pure updates)
+    assert(got.count() == base.count())
+    // each single-modulus key carries exactly its writer's value;
+    // multi-modulus keys carry one of theirs
+    mods.foreach { m =>
+      val only = got.where(col("k") % m === 0 &&
+        mods.filterNot(_ == m).map(col("k") % _ =!= 0).reduce(_ && _))
+      assert(only.where(col("cents") =!= m * 1000L).count() == 0,
+        s"keys of modulus $m lost their update")
+    }
+    val multi = got.where(mods.map(col("k") % _ === 0).reduce(_ || _))
+    assert(multi.where(!col("cents").isin(mods.map(m => m * 1000L): _*))
+      .count() == 0, "an overlapping key holds a value no writer wrote")
+    // untouched keys untouched
+    val none = got.where(mods.map(col("k") % _ =!= 0).reduce(_ && _))
+    val baseNone = base.where(mods.map(col("k") % _ =!= 0).reduce(_ && _))
+    assert(content(none) == content(baseNone))
+  }
+
+  test("a crashed merge-on-read delta (written, uncommitted) is invisible; vacuum reclaims it") {
+    val dir = tmpDir()
+    MergeTable.create(base, dir, "k", nBuckets = 4)
+    val before = content(MergeTable.read(spark, dir))
+    // simulate a crash AFTER the delta write, BEFORE the manifest
+    // commit: a delta-shaped generation directory nothing references
+    base.limit(30).withColumn("cents", lit(-1L))
+      .withColumn("_graft_op", lit("u"))
+      .withColumn("bucket", pmod(xxhash64(col("k")), lit(4)).cast("int"))
+      .write.partitionBy("bucket").mode("overwrite")
+      .parquet(s"$dir/data/gen=9")
+    assert(content(MergeTable.read(spark, dir)) == before,
+      "uncommitted delta generation must be invisible")
+    // a later MOR merge claims a FRESH generation (above the orphan)
+    val ups = base.orderBy("k").limit(1).withColumn("cents", col("cents") + 5L)
+    MergeTable.mergeOnRead(spark, dir, ups,
+      spark.range(0).select(col("id").as("k")))
+    val want = content(MergeTable.mergeBrute(base, "k", ups,
+      spark.range(0).select(col("id").as("k"))))
+    assert(content(MergeTable.read(spark, dir)) == want)
+    MergeTable.vacuum(spark, dir)
+    assert(!new java.io.File(s"$dir/data/gen=9").exists(),
+      "vacuum must reclaim the orphan delta generation")
+    assert(content(MergeTable.read(spark, dir)) == want)
+  }
+
   test("vacuum retention horizon: retained versions read, older foreclose") {
     val dir = tmpDir()
     MergeTable.create(base, dir, "k", nBuckets = 4)
