@@ -718,6 +718,48 @@ class MergeTableSpec extends SparkSpec {
     f.delete()
   }
 
+  test("merge-on-read + schema evolution: widened deltas fold, history NULL-fills, compact keeps the schema") {
+    val dir = tmpDir()
+    MergeTable.create(base, dir, "k", nBuckets = 4)
+    val noDel = spark.range(0).select(col("id").as("k"))
+    val evolved = base.where(col("k") % 7 === 0)
+      .withColumn("cents", col("cents") + 9L)
+      .withColumn("tag", lit("x")).drop("ck")
+    // widened MOR batch without the flag fails loudly, like COW
+    intercept[IllegalArgumentException] {
+      MergeTable.mergeOnRead(spark, dir, evolved, noDel)
+    }
+    MergeTable.mergeOnRead(spark, dir, evolved, noDel, evolveSchema = true)
+    val t = MergeTable.read(spark, dir)
+    assert(t.columns.toSeq == Seq("k", "ck", "cents", "tag"))
+    // upserted rows fold in with tag=x, ck NULL (omitted); untouched
+    // base rows read tag NULL under the widened schema
+    val k7 = t.where(col("k") % 7 === 0)
+    assert(k7.where(col("tag") === "x" && col("ck").isNull).count() == k7.count())
+    val rest = t.where(col("k") % 7 =!= 0)
+    assert(rest.where(col("tag").isNull && col("ck").isNotNull).count() == rest.count())
+    // time travel reads v1 under its own narrower schema
+    assert(MergeTable.readAt(spark, dir, 1).columns.toSeq == Seq("k", "ck", "cents"))
+    // compact folds the chain and keeps the widened schema + content
+    val want = t.collect().map(_.toSeq).toSet
+    MergeTable.compact(spark, dir)
+    val c = MergeTable.read(spark, dir)
+    assert(c.columns.toSeq == Seq("k", "ck", "cents", "tag"))
+    assert(c.collect().map(_.toSeq).toSet == want)
+    // case-insensitive matching: a batch carrying 'Tag' lands in the
+    // existing 'tag' column, never beside it (session default)
+    val ups2 = base.where(col("k") % 13 === 0)
+      .withColumn("cents", col("cents") + 1L)
+      .withColumn("Tag", lit("y")).drop("ck")
+    MergeTable.mergeOnRead(spark, dir, ups2, noDel, evolveSchema = true)
+    val t2 = MergeTable.read(spark, dir)
+    assert(t2.columns.toSeq == Seq("k", "ck", "cents", "tag"),
+      s"case-duplicate column committed: ${t2.columns.mkString(",")}")
+    assert(t2.where(col("k") % 13 === 0 && col("k") % 7 =!= 0)
+      .where(col("tag") === "y").count() ==
+      t2.where(col("k") % 13 === 0 && col("k") % 7 =!= 0).count())
+  }
+
   test("streaming CDC apply: folded end state + restart replays nothing") {
     val dir = tmpDir()
     MergeTable.create(base, dir, "k", nBuckets = 4)
