@@ -482,6 +482,12 @@ class MergeTableSpec extends SparkSpec {
     // the declarative table refuses a chained snapshot, loudly
     val e = intercept[IllegalArgumentException] { MergeTable.table(spark, dir) }
     assert(e.getMessage.contains("compact"))
+    // lookup stays bucket-pruned under chains: one probed key opens
+    // only its bucket's base+delta dirs, never another bucket's
+    val (_, _, probePaths) = MergeTable.lookupPaths(spark, dir,
+      Seq(k0).toDF("k"))
+    assert(probePaths.nonEmpty && probePaths.size <= 3,
+      s"chained lookup opened ${probePaths.size} bucket dirs: $probePaths")
     // compact folds the chains into a fresh base; content unchanged,
     // chains gone, declarative table serves again
     MergeTable.compact(spark, dir)
