@@ -344,7 +344,10 @@ object Bench {
     val settled = !contended && !degradedInRun && stealBattery <= 2.0
     val validity =
       s""""contended":$contended,"retried":$retried,"settled":$settled,"degraded_inrun":$degradedInRun,"battery_retried":$batteryRetried,"battery_runs":$runs,"steal_retries":$stealRetries,"calib_norm":${ms(calibNorm.getOrElse(0.0))},"steal_pct_pre":${ms(steal0)},"steal_pct_battery":${ms(stealBattery)}"""
-    val firstTrace = if (batteryRetried)
+    // any retry (degradation OR steal) discards run 1 — ship its trace
+    // whenever a first run was displaced, so first_total always has
+    // its isolable degradation curve next to it
+    val firstTrace = if (runs > 1)
       s""","calib_mid_first":[${firstCalibTrace.map(ms).mkString(",")}],"heap_used_gb_mid_first":[${firstHeapTrace.map(ms).mkString(",")}]"""
     else ""
     // both samples of every re-run gate are in the record — the

@@ -132,15 +132,45 @@ object MergeTable {
     manifestAt(spark, dir, v)
   }
 
+  /** Committed manifests are IMMUTABLE (a version either exists with
+    * its committed content or was vacuumed), so parsed snapshots are
+    * cached driver-side keyed by (path, mtime, length) — the freshness
+    * probe is one FS stat instead of a Spark read+collect job per
+    * manifest consultation. Bounded LRU (≤256 snapshots; each is a
+    * bucket map + schema + zone stats, metadata-sized by
+    * construction) — a listed cap in SCALE.md's driver-bound table.
+    * Existence is still checked FIRST, so a vacuumed version fails
+    * as loudly as before. */
+  private val snapCache =
+    new java.util.LinkedHashMap[(String, Long, Long), Snapshot](64, 0.75f, true) {
+      override def removeEldestEntry(
+          e: java.util.Map.Entry[(String, Long, Long), Snapshot]): Boolean =
+        size() > 256
+    }
+
   /** The snapshot of a specific committed version. Reads the current
     * 13-column format and the previous 3-column (no-delta) format;
     * anything older (2 columns, no schema sentinel) is refused with
     * an explicit incompatibility error, not an index crash. */
   private def manifestAt(spark: SparkSession, dir: String, v: Int): Snapshot = {
     val p = new org.apache.hadoop.fs.Path(f"${manifestDir(dir)}/v$v%06d")
-    require(fs(spark, dir).exists(p),
+    val f0 = fs(spark, dir)
+    require(f0.exists(p),
       s"manifest version $v does not exist under $dir — never committed, " +
         "or outside the vacuum retention horizon")
+    val st = f0.getFileStatus(p)
+    val key = (f0.makeQualified(p).toString, st.getModificationTime, st.getLen)
+    snapCache.synchronized {
+      val hit = snapCache.get(key)
+      if (hit != null) return hit
+    }
+    val snap = parseManifest(spark, dir, p)
+    snapCache.synchronized { snapCache.put(key, snap) }
+    snap
+  }
+
+  private def parseManifest(spark: SparkSession, dir: String,
+      p: org.apache.hadoop.fs.Path): Snapshot = {
     val df = spark.read.parquet(p.toString)
     val cols = df.columns.toSet
     require(cols.contains("bucket") && cols.contains("schema_json"),
@@ -213,11 +243,25 @@ object MergeTable {
     StructField("n_rows", LongType, nullable = true)))
 
   /** Write bucket rows + schema sentinel + stat rows as version `v` —
-    * unique-tmp write then rename to a never-before-existing path:
-    * the commit point, which doubles as the multi-writer CAS.
-    * Returns false when the target version already exists (lost the
-    * race — the caller re-reads the head and retries); throws only
-    * on genuine IO failure. */
+    * unique-tmp write, then publish the SINGLE manifest FILE at the
+    * version path via a scheme-aware atomic-exclusive step: the
+    * commit point, which doubles as the multi-writer CAS. Returns
+    * false when the target version already exists (lost the race —
+    * the caller re-reads the head and retries); throws only on
+    * genuine IO failure.
+    *
+    * Why a file, not a directory: directory rename is NOT a CAS —
+    * on HDFS, rename onto an existing directory moves the source
+    * INTO it (nesting a tmp manifest inside the committed one), and
+    * RawLocalFileSystem falls back to a copy that also "succeeds" —
+    * so two writers racing the same version could both report
+    * success (the exists-probe + rename is check-then-act). A single
+    * file closes both holes: `file:` publishes via `link(2)`
+    * (createLink — EEXIST is atomic in the kernel), and HDFS
+    * `rename(file, existingFile)` fails atomically at the NameNode
+    * with no nesting semantics. Same object-store caveat as
+    * [[claimGen]]: stores without atomic rename/link need a lock
+    * service for multi-writer use. */
   private def commitManifest(spark: SparkSession, dir: String,
       entries: Map[Int, BucketState], v: Int, schema: StructType,
       stats: Seq[FileStat]): Boolean = {
@@ -241,10 +285,25 @@ object MergeTable {
         manifestSchema)
       .coalesce(1).write.mode("overwrite").parquet(tmp)
     val tmpPath = new org.apache.hadoop.fs.Path(tmp)
-    if (f0.exists(dst)) { f0.delete(tmpPath, true); return false }
-    if (f0.rename(tmpPath, dst)) true
-    else if (f0.exists(dst)) { f0.delete(tmpPath, true); false }
-    else throw new IllegalStateException(s"could not commit manifest $dst")
+    val part = f0.listStatus(tmpPath).map(_.getPath)
+      .find(_.getName.endsWith(".parquet"))
+      .getOrElse(throw new IllegalStateException(
+        s"manifest tmp write produced no parquet file under $tmp"))
+    val committed = try {
+      val uri = f0.makeQualified(dst).toUri
+      if (uri.getScheme == null || uri.getScheme == "file") {
+        java.nio.file.Files.createLink( // link(2): EEXIST is atomic
+          java.nio.file.Paths.get(uri.getPath),
+          java.nio.file.Paths.get(f0.makeQualified(part).toUri.getPath))
+        true
+      } else f0.rename(part, dst) // file→file rename: atomic CAS on HDFS
+    } catch {
+      case _: java.nio.file.FileAlreadyExistsException => false
+    }
+    f0.delete(tmpPath, true)
+    if (!committed && !f0.exists(dst))
+      throw new IllegalStateException(s"could not commit manifest $dst")
+    committed
   }
 
   /** Claim a never-used generation number ≥ `from`: an exclusive
@@ -328,16 +387,23 @@ object MergeTable {
       .map(_.getPath.getName).filter(_.startsWith("bucket="))
       .map(_.stripPrefix("bucket=").toInt).toSeq
 
-  /** One generation's write: optional within-bucket cluster sort
-    * (repartition on the bucket id so each bucket's rows sort as one
-    * run; `maxRecordsPerFile` then splits the run into consecutive —
-    * therefore zone-disjoint — files). */
+  /** One generation's write, ALWAYS bucket-aligned first: repartition
+    * on the bucket id so each bucket's rows land from one task —
+    * `partitionBy` straight off the upstream partitioning would
+    * otherwise write (input partitions × buckets) files per
+    * generation (measured 512 instead of 16 for a 32-partition
+    * create), and every later read/list/footer-harvest pays for the
+    * shard count. One bounded shuffle per write buys O(buckets)
+    * files. Clustered tables additionally sort within the bucket so
+    * `maxRecordsPerFile` splits the run into consecutive — therefore
+    * zone-disjoint — files. */
   private def writeGen(spark: SparkSession, dir: String, df: DataFrame,
       gen: Int, clusterBy: Option[String], statsCols: Seq[String],
       maxRecordsPerFile: Long): Unit = {
     val genPath = s"${dataPath(dir)}/gen=$gen"
-    val sorted = clusterBy.fold(df)(c =>
-      df.repartition(col("bucket")).sortWithinPartitions(col("bucket"), col(c)))
+    val aligned = df.repartition(col("bucket"))
+    val sorted = clusterBy.fold(aligned)(c =>
+      aligned.sortWithinPartitions(col("bucket"), col(c)))
     val w = sorted.write.partitionBy("bucket").mode("overwrite")
     (if (maxRecordsPerFile > 0L) w.option("maxRecordsPerFile", maxRecordsPerFile)
      else w).parquet(genPath)
@@ -461,9 +527,15 @@ object MergeTable {
     if (paths.isEmpty) return None
     val withOp = StructType(schema.fields :+
       StructField(OP, StringType, nullable = true))
+    // the generation comes from the LAST layout-anchored match in the
+    // file path ("/gen=G/bucket=" is the table layout itself), so a
+    // table ROOTED under a directory that happens to contain
+    // "gen=<digits>" (even ".../gen=3/bucket=old/mytable") still
+    // extracts the file's own generation, not the root's constant
     val raw = spark.read.schema(withOp).parquet(paths: _*)
       .withColumn("_graft_gen",
-        regexp_extract(input_file_name(), "gen=(\\d+)", 1).cast("long"))
+        element_at(regexp_extract_all(input_file_name(),
+          lit("/gen=(\\d+)/bucket="), lit(1)), -1).cast("long"))
     val fields = schema.fieldNames
     val folded = raw
       .groupBy(col(keyCol).as("_graft_k"))
@@ -516,13 +588,34 @@ object MergeTable {
   private case class Meta(keyCol: String, nBuckets: Int,
       clusterBy: Option[String], statsCols: Seq[String], maxRecords: Long)
 
+  /** Table meta is written once at [[create]] and never mutated —
+    * cached like [[snapCache]] (same (path, mtime, len) freshness
+    * probe) so every read/merge/lookup pays one FS stat, not a
+    * Spark read job, for the 1-row meta table. */
+  private val metaCache =
+    new java.util.LinkedHashMap[(String, Long, Long), Meta](64, 0.75f, true) {
+      override def removeEldestEntry(
+          e: java.util.Map.Entry[(String, Long, Long), Meta]): Boolean =
+        size() > 256
+    }
+
   private def meta(spark: SparkSession, dir: String): Meta = {
+    val p = new org.apache.hadoop.fs.Path(metaPath(dir))
+    val f0 = fs(spark, dir)
+    val st = f0.getFileStatus(p)
+    val key = (f0.makeQualified(p).toString, st.getModificationTime, st.getLen)
+    metaCache.synchronized {
+      val hit = metaCache.get(key)
+      if (hit != null) return hit
+    }
     val r = spark.read.parquet(metaPath(dir)).head()
-    Meta(r.getString(0), r.getInt(1),
+    val m = Meta(r.getString(0), r.getInt(1),
       Option(r.getString(2)).filter(_.nonEmpty),
       Option(r.getString(3)).filter(_.nonEmpty)
         .map(_.split(",").toSeq).getOrElse(Nil),
       r.getLong(4))
+    metaCache.synchronized { metaCache.put(key, m) }
+    m
   }
 
   private def requireUniqueKeys(df: DataFrame, keyCol: String,
@@ -769,8 +862,13 @@ object MergeTable {
           s.maxL, s.minS, s.maxS)).toMap).toMap).toMap
     else if (statsCols.isEmpty) Map.empty
     else snap.buckets.values.flatMap(_.gens).toSet.iterator.map { g: Int =>
-      g -> ZonePrune.zonesOf(
-        spark.read.parquet(s"${dataPath(dir)}/gen=$g/_zonemap"))
+      // a legacy generation missing its sidecar keeps ALL its files
+      // (empty zone map = conservative keep-all), mirroring
+      // legacyStats — not an AnalysisException on the read path
+      val side = s"${dataPath(dir)}/gen=$g/_zonemap"
+      if (!fs(spark, dir).exists(new org.apache.hadoop.fs.Path(side)))
+        g -> Map.empty[String, Map[String, ZonePrune.Zone]]
+      else g -> ZonePrune.zonesOf(spark.read.parquet(side))
     }.toMap
   }
 
@@ -814,14 +912,24 @@ object MergeTable {
       st.base.map { g =>
         val genPath = s"${dataPath(dir)}/gen=$g"
         val genZones = zones.getOrElse(g, Map.empty)
-        val keptFiles = genZones.keys.toSeq.sorted
+        val bucketZones = genZones.keys.toSeq.sorted
           .filter(_.startsWith(s"bucket=$b/"))
-          .filter { f =>
-            genZones(f).get(c).forall(z =>
-              !z.ok || z.ty != "long" ||
-                (z.minL.nonEmpty && z.minL.get <= hi && z.maxL.get >= lo))
-          }
-          .map(f => s"$genPath/$f")
+        val keptFiles =
+          if (bucketZones.isEmpty)
+            // no zones for this generation (legacy table with a
+            // missing _zonemap sidecar): conservative keep-all from
+            // the filesystem, never a silent empty read
+            fs(spark, dir).listStatus(
+                new org.apache.hadoop.fs.Path(bucketDir(dir, g, b)))
+              .map(_.getPath.getName).filter(_.endsWith(".parquet")).sorted
+              .map(f => s"$genPath/bucket=$b/$f").toSeq
+          else bucketZones
+            .filter { f =>
+              genZones(f).get(c).forall(z =>
+                !z.ok || z.ty != "long" ||
+                  (z.minL.nonEmpty && z.minL.get <= hi && z.maxL.get >= lo))
+            }
+            .map(f => s"$genPath/$f")
         (b, g) -> keptFiles
       }
     }.toMap
@@ -843,10 +951,21 @@ object MergeTable {
     * orphans, folded delta chains), stale claim markers, and tmp
     * manifests are deleted. Readers of retained versions are
     * unaffected; a reader pinned to an older version loses it (the
-    * documented trade — the horizon IS the contract). Run from the
-    * single maintenance writer: vacuum concurrent with an in-flight
-    * merge could reclaim its freshly claimed generation. */
-  def vacuum(spark: SparkSession, dir: String, retainLast: Int = 1): Unit = {
+    * documented trade — the horizon IS the contract).
+    *
+    * Safe under a CONCURRENT merge: an in-flight writer's freshly
+    * claimed generation is referenced by no manifest yet, so a naive
+    * sweep would reclaim its claim marker + half-written data and a
+    * later writer could re-claim the number — silent corruption. The
+    * guard is the GRACE WINDOW: a generation that appears in NO
+    * manifest on disk (committed history distinguishes "superseded"
+    * from "never referenced") whose claim marker is younger than
+    * `claimGraceMs` is treated as in-flight and skipped — marker and
+    * data both. Crashed claims age out of the window and reclaim as
+    * before. Pass `claimGraceMs = 0` only when no writer can be live
+    * (a maintenance window). */
+  def vacuum(spark: SparkSession, dir: String, retainLast: Int = 1,
+      claimGraceMs: Long = 15 * 60 * 1000L): Unit = {
     require(retainLast >= 1, s"vacuum: retainLast must be ≥ 1, got $retainLast")
     val f0 = fs(spark, dir)
     val vs = versions(spark, dir)
@@ -860,22 +979,39 @@ object MergeTable {
     val liveGens: Set[Int] = keep.flatMap { v =>
       manifestAt(spark, dir, v).buckets.values.flatMap(_.gens)
     }.toSet
+    // every generation ANY on-disk manifest references — a gen outside
+    // this set was never committed: either a crashed orphan or an
+    // IN-FLIGHT merge's fresh claim; the marker's age tells them apart
+    val referencedEver: Set[Int] = vs.flatMap { v =>
+      manifestAt(spark, dir, v).buckets.values.flatMap(_.gens)
+    }.toSet
+    val now = System.currentTimeMillis()
+    def inFlight(gen: Int): Boolean = {
+      if (referencedEver.contains(gen)) return false
+      val mark = new org.apache.hadoop.fs.Path(
+        s"${dataPath(dir)}/.gen-$gen.claim")
+      f0.exists(mark) &&
+        now - f0.getFileStatus(mark).getModificationTime <= claimGraceMs
+    }
     val dataRoot = new org.apache.hadoop.fs.Path(dataPath(dir))
     if (f0.exists(dataRoot)) f0.listStatus(dataRoot).foreach { st =>
       val name = st.getPath.getName
       if (name.startsWith("gen=")) {
         val gen = name.stripPrefix("gen=").toInt
-        f0.listStatus(st.getPath).foreach { bDir =>
-          val bn = bDir.getPath.getName
-          if (bn.startsWith("bucket=") && !live.contains(s"$name/$bn"))
-            require(f0.delete(bDir.getPath, true), s"could not vacuum $bDir")
+        if (!inFlight(gen)) {
+          f0.listStatus(st.getPath).foreach { bDir =>
+            val bn = bDir.getPath.getName
+            if (bn.startsWith("bucket=") && !live.contains(s"$name/$bn"))
+              require(f0.delete(bDir.getPath, true), s"could not vacuum $bDir")
+          }
+          if (f0.listStatus(st.getPath)
+              .forall(s => s.getPath.getName.startsWith("_")))
+            f0.delete(st.getPath, true)
         }
-        if (f0.listStatus(st.getPath)
-            .forall(s => s.getPath.getName.startsWith("_")))
-          f0.delete(st.getPath, true)
       } else if (name.startsWith(".gen-") && name.endsWith(".claim")) {
         val gen = name.stripPrefix(".gen-").stripSuffix(".claim").toInt
-        if (!liveGens.contains(gen)) f0.delete(st.getPath, false)
+        if (!liveGens.contains(gen) && !inFlight(gen))
+          f0.delete(st.getPath, false)
       }
     }
     val md = new org.apache.hadoop.fs.Path(manifestDir(dir))

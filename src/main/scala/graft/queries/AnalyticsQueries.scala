@@ -232,12 +232,30 @@ object AnalyticsQueries {
 
   /** G1-G9/G14 — the full per-group network-stat battery (diameter,
     * radius, mean distance, all four centralizations, communities +
-    * modularity) via mapGroups kernels; the non-SQL-expressible
-    * remainder of q55, rows-only (igraph-golden specs pin values). */
-  val q56 = QuerySpec.rowsOnly(
+    * modularity) via mapGroups kernels — output-pinned (the q130/q138
+    * idiom): every column is either integer-deterministic (counts,
+    * BFS diameters, community census) or a float kernel rounded to
+    * 6 dp in the gate, and the kernels run on canonically sorted
+    * local graphs, so the 25-row battery is a constant of the data;
+    * the oracle pins the sf0.01 values. igraph-golden specs pin the
+    * kernels' unrounded values. */
+  val q56 = QuerySpec.sql(
     "q56_group_graph_battery",
-    "per-group diameter/centralization/community battery (SURVEY G3-G9,G14)") { (s, d) =>
-    battery(s, d)
+    PinnedOracles.q56,
+    "per-group diameter/centralization/community battery, output-pinned (SURVEY G3-G9,G14)") { (s, d) =>
+    battery(s, d).select(col("group"),
+      col("nNodes").cast("long").as("n_nodes"),
+      col("nEdges").cast("long").as("n_edges"),
+      col("diameter").cast("long").as("diameter"),
+      col("radius").cast("long").as("radius"),
+      round(col("meanDistance"), 6).as("mean_distance_6dp"),
+      col("connected"),
+      round(col("degreeCentralization"), 6).as("degree_cent_6dp"),
+      round(col("betweennessCentralization"), 6).as("betweenness_cent_6dp"),
+      round(col("closenessCentralization"), 6).as("closeness_cent_6dp"),
+      round(col("eigenCentralization"), 6).as("eigen_cent_6dp"),
+      col("nCommunities").cast("long").as("n_communities"),
+      round(col("modularity"), 6).as("modularity_6dp"))
   }
 
   /** G4 — the BFS-distance slice of the battery, driver-oracled:
@@ -281,11 +299,27 @@ object AnalyticsQueries {
       .select(col("name"), col("kind"), col("pagerank"), col("component"))
   }
 
-  /** G6-G13 — full per-vertex centrality battery per group. */
-  val q59 = QuerySpec.rowsOnly(
+  /** G6-G13 — full per-vertex centrality battery per group,
+    * output-pinned via a per-group DIGEST: each float column is
+    * rounded to 6 dp per vertex and summed as an exact BIGINT (NaNs
+    * — e.g. diversity of a degree-1 vertex — counted separately, the
+    * way igraph reports them), so the 25-row digest covers all ~2.6k
+    * vertex rows order-independently and pins as a VALUES oracle.
+    * q76 (closeness) / q96 / q99 / q104 remain the exact derived-
+    * oracle twins for individual kernels; igraph-golden specs pin
+    * unrounded per-vertex values. */
+  val q59 = QuerySpec.sql(
     "q59_vertex_centralities",
-    "per-group eigen/pagerank/betweenness/closeness/diversity/alpha (SURVEY G6-G13)") { (s, d) =>
-    vertexBattery(s, d)
+    PinnedOracles.q59,
+    "per-group vertex centrality battery, digest-pinned (SURVEY G6-G13)") { (s, d) =>
+    def s6(c: String) = sum(when(isnan(col(c)), 0L)
+      .otherwise(round(col(c) * 1000000, 0).cast("long"))).as(s"${c}_sum6")
+    def nNan(c: String) = sum(isnan(col(c)).cast("long")).as(s"${c}_nan")
+    vertexBattery(s, d).groupBy("group").agg(
+      count(lit(1)).as("n_vertices"),
+      s6("eigen"), s6("pagerank"), s6("betweenness"), s6("closeness"),
+      s6("diversity"), nNan("diversity"), s6("alpha"),
+      sum("harmonic_scaled").as("harmonic_sum"))
   }
 
   /** G5 — the REAL GraphX connectedComponents job, hash-oracled.
@@ -671,12 +705,17 @@ object AnalyticsQueries {
   }
 
   /** G19 — per-group robustness curve (deterministic victim order:
-    * max degree, ties to smaller id — but an iterated whole-graph
-    * recomputation has no SQL form, so rows-only; RobustnessSpec pins
-    * closed-form values). */
-  val q82 = QuerySpec.rowsOnly(
+    * max degree, ties to smaller id). The iterated whole-graph
+    * recomputation has no SQL form, but every output value is
+    * integer-deterministic (largest-component fraction = one IEEE
+    * division of two integers fixed by the graph), so the full
+    * 150-row curve pins as a VALUES oracle (q85/q130 idiom);
+    * RobustnessSpec pins closed-form values, q136 is the exact-replay
+    * twin. */
+  val q82 = QuerySpec.sql(
     "q82_robustness_curve",
-    "per-group targeted-removal robustness curve (SURVEY G19)") { (s, d) =>
+    PinnedOracles.q82,
+    "per-group targeted-removal robustness curve, output-pinned (SURVEY G19)") { (s, d) =>
     GraphAnalytics.perGroupRobustness(groupEdges(s, d), steps = 5)
   }
 

@@ -472,10 +472,16 @@ object Corpus {
     Dedup.simhashNarrow(Tables.documents(s, d), "doc_id", "text")
   }
 
-  /** Brute-force cosine top-k — the exact ANN baseline. */
-  val q39 = QuerySpec.rowsOnly(
+  /** Brute-force cosine top-k — the exact ANN baseline, output-pinned
+    * (q130/q250 idiom): the production scorer folds each embedding
+    * pair in a fixed array order, so every cosine is a bit-
+    * deterministic IEEE value, pinned via CAST('<repr>' AS DOUBLE);
+    * q77 keeps the exact-scaled derived oracle for the same
+    * join/rank machinery. */
+  val q39 = QuerySpec.sql(
     "q39_ann_bruteforce",
-    "brute-force cosine top-k over embeddings (similarity search)") { (s, d) =>
+    PinnedOracles.q39,
+    "brute-force cosine top-k over embeddings, output-pinned (similarity search)") { (s, d) =>
     val emb = Tables.embeddings(s, d)
     Similarity.bruteForceTopK(
       emb.filter(col("vec_id") < 10), emb, "vec_id", "embedding", k = 5)

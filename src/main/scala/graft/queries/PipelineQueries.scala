@@ -49,16 +49,30 @@ object PipelineQueries {
       GraphBuild.fromEvidence(crispr, prophage, blastx, pfam, truth).edges
     }
 
-  val q70 = QuerySpec.rowsOnly(
+  val q70 = QuerySpec.sql(
     "q70_reference_pipeline",
-    "evidence→graph→RF→write-back→query lifecycle (SURVEY §3.1-§3.3)") { (s, d) =>
+    PinnedOracles.q70,
+    "evidence→graph→RF→write-back→query lifecycle, output-pinned (SURVEY §3.1-§3.3)") { (s, d) =>
+    // the per-class census is output-pinned (q130 idiom): the seeded
+    // RF is deterministic on the deterministic evidence table (fixed
+    // featurization, seeded trees, xxhash-stratified train set —
+    // re-verified bit-identical across independent Verify JVMs), so
+    // the nestats-shaped summary row per prediction class is a
+    // constant of the data, like rtables/nestats.tsv is of the study's
     val edges = evidenceEdges(s, d) // memoized: shared with q84
     // train on a deterministic 20% sample (the reference trains on its
     // small validation set, then scores the full graph), score everything
+    // CANONICALIZED training input: spark.ml RF bootstraps with a
+    // per-partition RNG, so the fitted trees depend on the input's
+    // partitioning — one sorted partition makes the model a pure
+    // function of (data, seed), pinnable like every other gate (the
+    // train set is gate-sized by construction; scoring below stays
+    // fully distributed)
     val trainSet = graft.operators.Sampling.stratifiedSample(
       InteractionModel.features(edges.withColumn("phage", col("src"))
         .withColumn("bacteria", col("dst"))),
       Seq("phage", "bacteria"), fraction = 0.2, seed = 42)
+      .repartition(1).sortWithinPartitions("phage", "bacteria")
     val model = InteractionModel.train(trainSet, numTrees = 20, seed = 42)
     val scored = InteractionModel.scoreAndWriteBack(model, edges)
     scored.groupBy("predictedInteraction")
@@ -69,22 +83,33 @@ object PipelineQueries {
   /** M4/M5 — model diagnostics through the driver gate: a small
     * seeded RF on a 5% evidence sample, emitting feature importances
     * and AUC/sensitivity/specificity as (metric, value) rows. RF
-    * internals have no SQL form → rows-only; ReferenceDataSpec pins
-    * the same metrics against the study's published numbers. */
-  val q84 = QuerySpec.rowsOnly(
+    * internals have no SQL form, but the seeded trainer is
+    * deterministic on this fixed sample (re-verified bit-identical
+    * across independent Verify JVMs), so the metric rows — rounded to
+    * 6 dp in the gate, the q138 idiom — pin as a VALUES oracle.
+    * ReferenceDataSpec asserts the same metrics against the study's
+    * published numbers (rtables/genmodelper.tsv). */
+  val q84 = QuerySpec.sql(
     "q84_rf_model_metrics",
-    "RF feature importances + AUC/sens/spec (SURVEY M4,M5)") { (s, d) =>
+    PinnedOracles.q84,
+    "RF feature importances + AUC/sens/spec, output-pinned (SURVEY M4,M5)") { (s, d) =>
     val feats = InteractionModel.features(
       evidenceEdges(s, d).withColumn("phage", col("src"))
         .withColumn("bacteria", col("dst")))
+    // same canonicalization as q70: one sorted partition → the RF is
+    // partition-independent, so its metrics pin (sample is 5% of the
+    // gate evidence table — driver-bounded by construction)
     val sample = graft.operators.Sampling.stratifiedSample(
       feats, Seq("phage", "bacteria"), fraction = 0.05, seed = 7)
+      .repartition(1).sortWithinPartitions("phage", "bacteria")
     val model = InteractionModel.train(sample, numTrees = 10, seed = 7)
     val metrics = InteractionModel.evaluate(model, sample).toSeq.sortBy(_._1) ++
       InteractionModel.importances(model).map { case (f, v) => s"importance_$f" -> v }
     val spark = s
     import spark.implicits._
-    metrics.toDF("metric", "value")
+    def r6(x: Double): Double =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    metrics.map { case (m, v) => (m, r6(v)) }.toDF("metric", "value_6dp")
   }
 
   /** Multimodal: binary payload + metadata → batched decode →
@@ -92,9 +117,15 @@ object PipelineQueries {
     * (PNG via javax.imageio, WAV via javax.sound.sampled, animated GIF
     * via the imageio sequence reader); n_decoded counts rows whose
     * payload the codec actually opened. */
-  val q71 = QuerySpec.rowsOnly(
+  val q71 = QuerySpec.sql(
     "q71_multimodal_features",
-    "binary media columns → batched feature extraction (real decode, all kinds)") { (s, d) =>
+    PinnedOracles.q71,
+    "binary media columns → batched feature extraction (real decode, all kinds), output-pinned") { (s, d) =>
+    // integer-deterministic throughout (counts, byte totals, entropy
+    // pre-rounded to scaled ints before the one division), payloads
+    // generated deterministically from the documents table → the
+    // 3-row per-kind census pins as a VALUES oracle (q87 pins the
+    // same codec path on literal fixtures)
     val media = Multimodal.fromDocuments(Tables.documents(s, d))
     val feats = Multimodal.extractFeatures(media)
     feats.toDF().groupBy("kind")
@@ -151,9 +182,13 @@ object PipelineQueries {
   /** Per-group eigencentrality → Bray-Curtis → Wilcoxon: the §3.3
     * stage-4/5 analytic tail, producing the interstats-shaped answer
     * (which groups differ). */
-  val q72 = QuerySpec.rowsOnly(
+  val q72 = QuerySpec.sql(
     "q72_centrality_diversity",
-    "eigencentrality → Bray-Curtis → rank-sum significance (§3.3 tail)") { (s, d) =>
+    PinnedOracles.q72,
+    "eigencentrality → Bray-Curtis → rank-sum significance (§3.3 tail), output-pinned") { (s, d) =>
+    // U and p are rank statistics of the pooled distance multiset —
+    // independent of collect order — off deterministic kernels, so
+    // the one-row answer (rounded to 6 dp, q138 idiom) pins
     import graft.graph.GraphAnalytics
     import graft.stats.EcoStats
     val edges = Tables.lineitem(s, d).filter(col("l_quantity") >= 49)
@@ -184,8 +219,10 @@ object PipelineQueries {
     val spark = s
     import spark.implicits._
     bc.unpersist()
-    Seq((a.length.toLong, b.length.toLong, u, p))
-      .toDF("n_same", "n_diff", "u_stat", "p_value")
+    def r6(x: Double): Double =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    Seq((a.length.toLong, b.length.toLong, r6(u), r6(p)))
+      .toDF("n_same", "n_diff", "u_stat_6dp", "p_value_6dp")
   }
 
   /** A9, hash-oracled: grouped MEAN of pairwise Bray-Curtis distances
@@ -297,9 +334,14 @@ object PipelineQueries {
     (dist, grouping, classIdx.size)
   }
 
-  val q73 = QuerySpec.rowsOnly(
+  val q73 = QuerySpec.sql(
     "q73_interstats_tail",
-    "Bray-Curtis → NMDS + ANOSIM + PERMDISP class separation (SURVEY M7-M9)") { (s, d) =>
+    PinnedOracles.q73,
+    "Bray-Curtis → NMDS + ANOSIM + PERMDISP class separation, output-pinned (SURVEY M7-M9)") { (s, d) =>
+    // the interstats answer row, output-pinned at 6 dp (q138 idiom):
+    // seeded permutations + seeded PCoA init on the sorted driver-side
+    // matrix make every statistic deterministic; q133/q134 keep the
+    // exactly-derived ANOSIM/PERMDISP oracles, q138 pins NMDS/KDE
     import graft.stats.EcoStats
     val (dist, grouping, nClasses) = interDistMatrix(s, d)
     val n = dist.length
@@ -308,9 +350,12 @@ object PipelineQueries {
     val (permdispF, permdispP) = EcoStats.permdisp(dist, grouping)
     val spark = s
     import spark.implicits._
-    Seq((n.toLong, nClasses.toLong, stress, anosimR, anosimP, permdispF, permdispP))
-      .toDF("n_groups", "n_classes", "nmds_stress", "anosim_r", "anosim_p",
-        "permdisp_f", "permdisp_p")
+    def r6(x: Double): Double =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    Seq((n.toLong, nClasses.toLong, r6(stress), r6(anosimR), r6(anosimP),
+        r6(permdispF), r6(permdispP)))
+      .toDF("n_groups", "n_classes", "nmds_stress_6dp", "anosim_r_6dp",
+        "anosim_p_6dp", "permdisp_f_6dp", "permdisp_p_6dp")
   }
 
   /** M7/M11 output-pinned (q85/q130 idiom): NMDS stress and the KDE

@@ -12,31 +12,55 @@ import org.apache.spark.sql.functions._
   */
 object SamplingQueries {
 
-  /** R1 — rarefaction to equal depth per group. */
-  val q63 = QuerySpec.rowsOnly(
+  /** R1 — rarefaction to equal depth per group, output-pinned (the
+    * q85/q130 idiom): [[Sampling.rarefy]] is deterministic under any
+    * partitioning (per-group RNG seeded by (seed, group), items
+    * sorted before the sequential hypergeometric draws), so the gate
+    * emits a per-group DIGEST of the full rarefied table — item
+    * count, drawn depth, and an order-independent xxhash64 content
+    * checksum over every (item, count) row — and the oracle pins the
+    * sf0.01 values. The md5-portable twin q111 stays the derived
+    * (recomputable) oracle for the rarefaction arithmetic itself. */
+  val q63 = QuerySpec.sql(
     "q63_rarefaction",
-    "seeded multivariate-hypergeometric rarefaction (SURVEY R1)") { (s, d) =>
+    PinnedOracles.q63,
+    "seeded multivariate-hypergeometric rarefaction, digest-pinned (SURVEY R1)") { (s, d) =>
     val ab = Tables.lineitem(s, d)
       .groupBy(col("l_returnflag").as("group"), col("l_partkey").as("item"))
       .agg(sum(col("l_quantity").cast("long")).as("count"))
     Sampling.rarefy(ab, depth = 1000, seed = 42)
+      .groupBy("group")
+      .agg(count(lit(1)).as("n_items"), sum("count").as("depth_drawn"),
+        bit_xor(xxhash64(col("item"), col("count"))).as("content_hash"))
   }
 
-  /** R2/R5 — hash-deterministic stratified sampling. */
-  val q64 = QuerySpec.rowsOnly(
+  /** R2/R5 — hash-deterministic stratified sampling, output-pinned:
+    * xxhash64 keep-decisions are partition-independent constants of
+    * the data, so the 3-row per-flag census pins directly (q85
+    * idiom); q101 is the md5-portable derived-oracle twin. */
+  val q64 = QuerySpec.sql(
     "q64_stratified_sample",
-    "deterministic stratified fraction sample (SURVEY R2,R5)") { (s, d) =>
+    PinnedOracles.q64,
+    "deterministic stratified fraction sample, output-pinned (SURVEY R2,R5)") { (s, d) =>
     Sampling.stratifiedSample(Tables.lineitem(s, d),
         Seq("l_orderkey", "l_linenumber"), fraction = 0.1, seed = 42)
       .groupBy("l_returnflag").agg(count(lit(1)).as("n_sampled"))
   }
 
-  /** R6 — seeded random fragment of a "sequence" column. */
-  val q65 = QuerySpec.rowsOnly(
+  /** R6 — seeded random fragments, output-pinned via a one-row digest
+    * (doc count, total fragment length, order-independent xxhash64
+    * content checksum over every (doc_id, fragment) pair — any
+    * changed byte in any fragment moves it); q102 is the md5-portable
+    * twin whose oracle RECOMPUTES each substring. */
+  val q65 = QuerySpec.sql(
     "q65_random_fragment",
-    "seeded random substring fragments (SURVEY R6)") { (s, d) =>
+    PinnedOracles.q65,
+    "seeded random substring fragments, digest-pinned (SURVEY R6)") { (s, d) =>
     Tables.documents(s, d).select(col("doc_id"),
-      Sampling.randomFragment(col("text"), col("doc_id"), 0.5, 42).as("fragment"))
+        Sampling.randomFragment(col("text"), col("doc_id"), 0.5, 42).as("fragment"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(length(col("fragment")).cast("long")).as("total_len"),
+        bit_xor(xxhash64(col("doc_id"), col("fragment"))).as("content_hash"))
   }
 
   /** R4 — seeded permutation, hash-oracled: the permuted order of the

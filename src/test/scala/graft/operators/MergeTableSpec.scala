@@ -539,8 +539,10 @@ class MergeTableSpec extends SparkSpec {
       .select("cents").head().getLong(0)
     assert(got == 200L, s"loser must apply AFTER the winner, got cents=$got")
     // the loser's abandoned first generation is an invisible orphan;
-    // vacuum reclaims it and disk == manifest afterwards
-    MergeTable.vacuum(spark, dir2)
+    // vacuum reclaims it and disk == manifest afterwards (grace 0:
+    // its claim marker is seconds old, and this test IS the
+    // no-writers-live maintenance window)
+    MergeTable.vacuum(spark, dir2, claimGraceMs = 0L)
     val live = fileSig(dir2).keySet
     val manifests = new java.io.File(s"$dir2/manifest").listFiles()
       .map(_.getName).filter(_.startsWith("v"))
@@ -632,6 +634,32 @@ class MergeTableSpec extends SparkSpec {
     assert(!new java.io.File(s"$dir/data/gen=9").exists(),
       "vacuum must reclaim the orphan delta generation")
     assert(content(MergeTable.read(spark, dir)) == want)
+  }
+
+  test("vacuum grace window: an in-flight claim (fresh marker, never referenced) survives") {
+    val dir = tmpDir()
+    MergeTable.create(base, dir, "k", nBuckets = 4)
+    // simulate an IN-FLIGHT merge: a fresh claim marker + half-written
+    // data that no manifest references yet (the writer is mid-commit)
+    new java.io.File(s"$dir/data/.gen-7.claim").createNewFile()
+    base.limit(10).withColumn("bucket", lit(0))
+      .write.partitionBy("bucket").mode("overwrite").parquet(s"$dir/data/gen=7")
+    MergeTable.vacuum(spark, dir) // default grace: marker is seconds old
+    assert(new java.io.File(s"$dir/data/.gen-7.claim").exists(),
+      "vacuum must not reclaim a claim inside the grace window")
+    assert(new java.io.File(s"$dir/data/gen=7").exists(),
+      "vacuum must not reclaim an in-flight claim's data")
+    // outside the window (grace 0) the crashed claim reclaims
+    MergeTable.vacuum(spark, dir, claimGraceMs = 0L)
+    assert(!new java.io.File(s"$dir/data/.gen-7.claim").exists())
+    assert(!new java.io.File(s"$dir/data/gen=7").exists())
+    // a SUPERSEDED generation (referenced by an old manifest) is never
+    // "in-flight": its buckets reclaim even with a fresh claim marker
+    val ups = base.withColumn("cents", col("cents") + 1L)
+    MergeTable.merge(spark, dir, ups, spark.range(0).select(col("id").as("k")))
+    MergeTable.vacuum(spark, dir) // default grace; gen-0 marker is fresh
+    assert(!new java.io.File(s"$dir/data/gen=0").exists(),
+      "a superseded committed generation reclaims regardless of marker age")
   }
 
   test("vacuum retention horizon: retained versions read, older foreclose") {
