@@ -27,6 +27,62 @@ class RecommenderSpec extends SparkSpec {
     assert(badRk == 0, "rank sequence has holes")
   }
 
+  /** Parity law wiring spark.ml ALS (the q235 production tier) to the
+    * exact rank-1 alternating-solve family q296 gates (the q57↔q90
+    * pattern): at rank 1 with negligible regularization, ALS IS the
+    * observed-entry power iteration — u = Σrv/Σv², v = Σru/Σu² —
+    * whose fixed point is init-independent (positive ratings, one
+    * dominant direction). The driver-side float reference runs the
+    * same alternation to convergence; the fitted spark.ml item
+    * factors must align with it in direction (cosine after sign
+    * orientation), which pins the production solver's NUMERICS, not
+    * just its API shape — the evidence that lets q235 stay rows-only
+    * honestly. */
+  test("rank-1 ALS parity: spark.ml factors align with the exact alternating-solve twin") {
+    val rows = ratings.collect().map(r =>
+      (r.getInt(0), r.getInt(1), r.getDouble(2)))
+    val users = rows.map(_._1).distinct.sorted
+    val items = rows.map(_._2).distinct.sorted
+    val uIdx = users.zipWithIndex.toMap
+    val iIdx = items.zipWithIndex.toMap
+    var u = Array.fill(users.length)(0.0)
+    var v = Array.fill(items.length)(1.0)
+    (1 to 200).foreach { _ =>
+      val num = Array.fill(users.length)(0.0); val den = Array.fill(users.length)(0.0)
+      rows.foreach { case (uu, ii, r) =>
+        num(uIdx(uu)) += r * v(iIdx(ii)); den(uIdx(uu)) += v(iIdx(ii)) * v(iIdx(ii))
+      }
+      u = num.zip(den).map { case (n, d) => if (d == 0) 0.0 else n / d }
+      val ni = Array.fill(items.length)(0.0); val di = Array.fill(items.length)(0.0)
+      rows.foreach { case (uu, ii, r) =>
+        ni(iIdx(ii)) += r * u(uIdx(uu)); di(iIdx(ii)) += u(uIdx(uu)) * u(uIdx(uu))
+      }
+      v = ni.zip(di).map { case (n, d) => if (d == 0) 0.0 else n / d }
+      val m = v.map(math.abs).max
+      v = v.map(_ / m) // normalize like the exact-scaled form
+    }
+    // ALS's per-iteration lineage needs a checkpoint dir past ~15
+    // iterations (task serialization overflows the stack otherwise —
+    // the documented spark.ml ALS deployment requirement)
+    spark.sparkContext.setCheckpointDir(
+      java.nio.file.Files.createTempDirectory("graft-als-ckpt").toString)
+    val model = Recommender.fit(ratings, rank = 1, iters = 15, reg = 1e-6)
+    val mlV = model.itemFactors.collect()
+      .map(r => r.getInt(0) -> r.getSeq[Float](1).head.toDouble).toMap
+    val both = items.filter(mlV.contains)
+    assert(both.length == items.length, "spark.ml dropped item factors")
+    val a = both.map(i => v(iIdx(i)))
+    val b0 = both.map(mlV)
+    // orient: flip the ml vector if the dominant component disagrees
+    val dom = a.zip(b0).maxBy { case (x, _) => math.abs(x) }
+    val b = if (dom._1 * dom._2 < 0) b0.map(-_) else b0
+    val dot = a.zip(b).map { case (x, y) => x * y }.sum
+    val cos = dot / (math.sqrt(a.map(x => x * x).sum) * math.sqrt(b.map(y => y * y).sum))
+    info(f"rank-1 item-factor cosine vs exact alternation: $cos%.6f over ${both.length} items")
+    assert(cos > 0.99,
+      f"spark.ml rank-1 item factors diverge from the exact alternating solve (cos=$cos%.6f)")
+  }
+
   test("heavy user owning far more than 3k items still receives a full k") {
     import spark.implicits._
     // 40 items; user 1 owns 35 of them (>> 3k for k=3), users 2..9 own a few
