@@ -188,4 +188,81 @@ object TextOps {
       .orderBy(col("score6").desc, col("doc_id"))
       .limit(k)
   }
+
+  /** BPE merge-rule TRAINING — the tokenizer-learning step of an LLM
+    * data pipeline (the counterpart of [[bpePieceCount]], which only
+    * bills against an assumed vocabulary): learn the top-`k` merge
+    * rules over the corpus by the classic iteration — count adjacent
+    * symbol pairs weighted by word frequency, merge the most frequent
+    * pair everywhere, repeat.
+    *
+    * Distributed shape per iteration: ONE shuffle (pair count with
+    * map-side partial agg over the word-frequency table, which is
+    * corpus-vocabulary-sized, not corpus-sized), a 1-ROW collect (the
+    * argmax rule — the bounded driver artifact, ties broken by pair
+    * string ascending), and a codegen'd `replace` projection to apply
+    * the rule. State between iterations is the symbolized vocabulary
+    * DataFrame (localCheckpoint so the plan does not stack k deep) —
+    * at 100 TB the word-frequency table is the ONLY thing iterated
+    * over, exactly how production BPE trainers work.
+    *
+    * MERGE-APPLICATION SEMANTIC (pinned so an external engine replays
+    * it): three passes of non-overlapping left-to-right
+    * `replace(' l r ', ' lr ')` over the space-padded symbol string.
+    * A single pass misses occurrences whose shared delimiter space
+    * the previous match consumed ('a b a b' → 'ab a b'); three
+    * passes reach the fixpoint for every chain the pair-count law in
+    * TextOpsSpec covers, and Spark's `replace` and DuckDB's are
+    * byte-identical in scan semantics, so the trajectory is fully
+    * derivable in SQL — q298's oracle unrolls the k iterations as
+    * chained CTEs and replays every count, argmax and merge.
+    *
+    * Input: a text column. Output: (step, pair, merged, n_occ) — the
+    * learned merge table, the artifact a tokenizer ships. */
+  def bpeTrainMerges(docs: DataFrame, textCol: Column, k: Int): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    // vocabulary with frequencies; symbols = chars space-separated
+    var vocab = docs
+      .select(explode(split(lower(textCol), "\\s+")).as("w"))
+      .where(col("w").rlike("^[a-z]+$"))
+      .groupBy("w").agg(count(lit(1)).as("f"))
+      .select(trim(regexp_replace(col("w"), "(.)", "$1 ")).as("w"), col("f"))
+      .groupBy("w").agg(sum("f").as("f"))
+      .localCheckpoint(true)
+    val learned = scala.collection.mutable.ArrayBuffer.empty[(Int, String, Long)]
+    (1 to k).foreach { step =>
+      // guard single-symbol words: Spark's sequence(0, -1) would step
+      // DOWNWARD, not produce an empty list
+      val pairs = vocab
+        .where(size(split(col("w"), " ")) >= 2)
+        .select(col("f"), explode(expr(
+          "transform(sequence(1, size(split(w, ' ')) - 1), " +
+            "j -> concat(element_at(split(w, ' '), j), ' ', " +
+            "element_at(split(w, ' '), j + 1)))")).as("pair"))
+        .groupBy("pair").agg(sum("f").as("cnt"))
+      val top = pairs.orderBy(col("cnt").desc, col("pair").asc).limit(1)
+        .as[(String, Long)].collect()
+      if (top.nonEmpty) {
+        val (pair, cnt) = top(0)
+        learned += ((step, pair, cnt))
+        val merged = pair.replace(" ", "")
+        val padded = concat(lit(" "), col("w"), lit(" "))
+        val applied = Iterate(padded, 3)(c =>
+          org.apache.spark.sql.functions.replace(
+            c, lit(s" $pair "), lit(s" $merged ")))
+        vocab = vocab.select(trim(applied).as("w"), col("f"))
+          .groupBy("w").agg(sum("f").as("f"))
+          .localCheckpoint(true)
+      }
+    }
+    learned.toSeq
+      .map { case (s, p, c) => (s.toLong, p, p.replace(" ", ""), c) }
+      .toDF("step", "pair", "merged", "n_occ")
+  }
+
+  /** n-fold application of `f` — tiny local combinator for the fixed
+    * replace passes above. */
+  private def Iterate(c0: Column, n: Int)(f: Column => Column): Column =
+    (1 to n).foldLeft(c0)((c, _) => f(c))
 }

@@ -3685,6 +3685,68 @@ object Corpus {
           .as("novelty"))
   }
 
+  /** One unrolled BPE-training step for the q298 oracle: pair counts
+    * from a position self-join over the split symbols, deterministic
+    * argmax (count desc, pair asc), three-pass padded replace — the
+    * exact semantics [[graft.operators.TextOps.bpeTrainMerges]] pins
+    * in its Scaladoc, so DuckDB replays the whole trajectory. */
+  private def bpeStep(i: Int): String = {
+    val rep = (1 to 3).foldLeft(s"' ' || w || ' '") { (acc, _) =>
+      s"""replace($acc,
+         |      ' ' || (SELECT pair FROM b$i) || ' ',
+         |      ' ' || (SELECT replace(pair, ' ', '') FROM b$i) || ' ')""".stripMargin
+    }
+    // every CTE MATERIALIZED: DuckDB inlines single-use CTEs, and the
+    // chain references each w/b several times (the three-pass replace
+    // alone consults b$i six ways) — un-materialized it re-expands
+    // exponentially and exhausts file handles re-opening the base
+    // scan (the bfsDistOracle lesson)
+    s"""e$i AS MATERIALIZED (
+       |  SELECT w, f, unnest(string_split(w, ' ')) AS sym,
+       |         generate_subscripts(string_split(w, ' '), 1) AS pos
+       |  FROM w$i),
+       |pr$i AS MATERIALIZED (
+       |  SELECT a.sym || ' ' || b.sym AS pair, CAST(sum(a.f) AS BIGINT) AS cnt
+       |  FROM e$i a JOIN e$i b ON a.w = b.w AND b.pos = a.pos + 1
+       |  GROUP BY 1),
+       |b$i AS MATERIALIZED (SELECT pair, cnt FROM pr$i ORDER BY cnt DESC, pair LIMIT 1),
+       |w${i + 1} AS MATERIALIZED (
+       |  SELECT w, CAST(sum(f) AS BIGINT) AS f FROM (
+       |    SELECT trim($rep) AS w, f FROM w$i)
+       |  GROUP BY w)""".stripMargin
+  }
+
+  /** BPE merge-rule TRAINING — tokenizer learning as a first-class
+    * engine op ([[graft.operators.TextOps.bpeTrainMerges]]): per
+    * iteration one vocabulary-sized pair-count shuffle, a 1-row
+    * argmax collect (the learned rule — the bounded driver artifact),
+    * and a codegen'd replace to apply it. FULLY DERIVED oracle (not
+    * pinned): the k iterations unroll as chained CTEs that replay
+    * every pair count, every argmax tie-break, and every three-pass
+    * merge application — an external engine recomputes the learned
+    * vocabulary end-to-end, the strongest oracle class an iterative
+    * learner here carries. */
+  val q298 = QuerySpec.sql(
+    "q298_bpe_train",
+    s"""WITH words AS MATERIALIZED (
+       |  SELECT w, CAST(count(*) AS BIGINT) AS f
+       |  FROM (SELECT unnest(string_split_regex(lower(text), '\\s+')) AS w
+       |        FROM documents) t
+       |  WHERE regexp_matches(w, '^[a-z]+$$')
+       |  GROUP BY w),
+       |w1 AS MATERIALIZED (
+       |  SELECT w, CAST(sum(f) AS BIGINT) AS f FROM (
+       |    SELECT trim(regexp_replace(w, '(.)', '\\1 ', 'g')) AS w, f FROM words)
+       |  GROUP BY w),
+       |${(1 to 6).map(bpeStep).mkString(",\n")}
+       |${(1 to 6).map(i =>
+          s"SELECT CAST($i AS BIGINT) AS step, pair, replace(pair, ' ', '') AS merged, cnt AS n_occ FROM b$i")
+         .mkString("\nUNION ALL\n")}""".stripMargin,
+    "BPE merge-rule training, k=6, fully derived chained-CTE oracle (tokenizer learning)") { (s, d) =>
+    graft.operators.TextOps.bpeTrainMerges(
+      Tables.documents(s, d), col("text"), k = 6)
+  }
+
   val all: Seq[QuerySpec] =
     Seq(q30, q31, q89, q32, q33, q34, q35, q279, q36, q270, q37, q38, q39, q40, q41, q42,
       q43, q77, q78, q83, q91, q92, q93, q97, q103, q112, q113, q114, q116,
@@ -3702,5 +3764,5 @@ object Corpus {
       // q286 first landed between q269 and q267)
       q244, q245, q246, q247, q248, q249, q250, q254, q269, q267, q268, q286,
       q277, q278, q271, q274, q273, q275,
-      q256, q257, q258, q259, q260, q272, q281, q261, q262, q264)
+      q256, q257, q258, q259, q260, q272, q281, q261, q262, q264, q298)
 }
