@@ -64,15 +64,17 @@ object PipelineQueries {
     // small validation set, then scores the full graph), score everything
     // CANONICALIZED training input: spark.ml RF bootstraps with a
     // per-partition RNG, so the fitted trees depend on the input's
-    // partitioning — one sorted partition makes the model a pure
-    // function of (data, seed), pinnable like every other gate (the
-    // train set is gate-sized by construction; scoring below stays
-    // fully distributed)
+    // partitioning — a FIXED 8-way hash partitioning sorted by key is
+    // a pure function of (data, seed) regardless of cluster size or
+    // upstream splits (the ReferenceNetworkSpec idiom), so the model
+    // pins while the fit stays parallel; scoring below is fully
+    // distributed either way
     val trainSet = graft.operators.Sampling.stratifiedSample(
       InteractionModel.features(edges.withColumn("phage", col("src"))
         .withColumn("bacteria", col("dst"))),
       Seq("phage", "bacteria"), fraction = 0.2, seed = 42)
-      .repartition(1).sortWithinPartitions("phage", "bacteria")
+      .repartition(8, col("phage"), col("bacteria"))
+      .sortWithinPartitions("phage", "bacteria")
     val model = InteractionModel.train(trainSet, numTrees = 20, seed = 42)
     val scored = InteractionModel.scoreAndWriteBack(model, edges)
     scored.groupBy("predictedInteraction")
@@ -96,12 +98,13 @@ object PipelineQueries {
     val feats = InteractionModel.features(
       evidenceEdges(s, d).withColumn("phage", col("src"))
         .withColumn("bacteria", col("dst")))
-    // same canonicalization as q70: one sorted partition → the RF is
-    // partition-independent, so its metrics pin (sample is 5% of the
-    // gate evidence table — driver-bounded by construction)
+    // same canonicalization as q70: fixed 8-way hash partitioning,
+    // key-sorted → the RF is environment-independent, so its metrics
+    // pin, and the fit keeps its parallelism
     val sample = graft.operators.Sampling.stratifiedSample(
       feats, Seq("phage", "bacteria"), fraction = 0.05, seed = 7)
-      .repartition(1).sortWithinPartitions("phage", "bacteria")
+      .repartition(8, col("phage"), col("bacteria"))
+      .sortWithinPartitions("phage", "bacteria")
     val model = InteractionModel.train(sample, numTrees = 10, seed = 7)
     val metrics = InteractionModel.evaluate(model, sample).toSeq.sortBy(_._1) ++
       InteractionModel.importances(model).map { case (f, v) => s"importance_$f" -> v }
