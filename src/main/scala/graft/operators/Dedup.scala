@@ -826,9 +826,19 @@ object Dedup {
   def fuzzyJoinPairs(df: DataFrame, idCol: String, strCol: String,
       maxDist: Int): DataFrame = {
     val names = df.select(col(idCol).as("id"), col(strCol).as("name"))
+    // Redistribute the PRE-explode rows over the session's shuffle
+    // parallelism (guide §2.5): a single-file input scans as one
+    // partition and the O(L^k) variant explode amplifies inside that
+    // one task — the round-13 event log showed q246-family variant
+    // generation + probe serialized into 1-task stages. The shuffle
+    // moves only the small un-exploded (id, name) rows; an explicit
+    // partition count is exempt from AQE coalescing, so the
+    // parallelism survives the tiny byte size.
+    val spread = names.repartition(
+      df.sparkSession.sessionState.conf.numShufflePartitions)
     // position-tagged, pre-hashed neighborhood (one fused kernel pass;
     // variant strings never enter the rows)
-    val tagged = names.select(col("id"),
+    val tagged = spread.select(col("id"),
         explode(graft.functions.DeletionVariantsTagged(col("name"), maxDist))
           .as("t"))
       .select(col("id"), col("t.h").as("h"), col("t.nd").as("nd"),

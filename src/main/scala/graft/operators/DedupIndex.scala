@@ -249,6 +249,18 @@ object DedupIndex {
             lit(minJaccard) * greatest(col("n1"), col("n2")).cast("double") -
               lit(1e-9))
           .select("d1", "d2").distinct()
+          // Spread the EXACT-VERIFY stage over the session's shuffle
+          // parallelism (guide §2.5): the candidate rows are two longs
+          // — byte-tiny — so AQE coalesces the distinct down to one
+          // partition, and the expensive part (array_intersect over
+          // the full token arrays attached below) then runs in that
+          // single task (round-13 event log: q278's probe spent 8.9 s
+          // in a 1-task stage on a 32-core host). An explicit-count
+          // repartition of the pair keys is exempt from AQE
+          // coalescing and costs one exchange of bare (d1, d2) longs.
+          .repartition(
+            tok.sparkSession.sessionState.conf.numShufflePartitions,
+            col("d1"), col("d2"))
         val bf = features(tok)
         dropTombstoned(cand
           .join(docsT.select(col("doc_id").as("d2"), col("toks").as("t2"),

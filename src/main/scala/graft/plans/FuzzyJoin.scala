@@ -3,7 +3,7 @@ package graft.plans
 import org.apache.spark.sql.catalyst.expressions._
 import org.apache.spark.sql.catalyst.expressions.aggregate.Count
 import org.apache.spark.sql.catalyst.plans.Inner
-import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Filter, Generate, Join, JoinHint, LeafNode, LogicalPlan, Project, SubqueryAlias, Union}
+import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Filter, Generate, Join, JoinHint, LeafNode, LogicalPlan, Project, Repartition, SubqueryAlias, Union}
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.types.{DataType, DoubleType, FloatType, LongType, MapType, StringType}
 
@@ -181,8 +181,27 @@ class FuzzyLevJoinRule extends Rule[LogicalPlan] {
     * self-union; the two hash-keyed probes of each side share one
     * exchange at execution (ReuseExchange). */
   private def neighborhoodJoin(a: Expression, b: Expression, k: Int,
-      lChild: LogicalPlan, rChild: LogicalPlan, cond: Expression,
+      lChild0: LogicalPlan, rChild0: LogicalPlan, cond: Expression,
       hint: JoinHint): LogicalPlan = {
+    // PARALLELIZE THE NEIGHBORHOOD (optimization guide §2.5 "input
+    // skew", measured round 13): the fuzzy gates' inputs are one small
+    // parquet file → a 1-partition scan, and the explode amplifies
+    // each row ~O(L^k) INSIDE that single task — the event log showed
+    // the entire variant generation + hash probe + levenshtein verify
+    // of q254 serialized into two 1-task stages (7.0 s and 8.9 s on a
+    // 32-core host). Statistics cannot see the amplification (Spark
+    // estimates Generate output at child size), so redistribute
+    // explicitly: a round-robin Repartition of the PRE-explode rows —
+    // tag/count columns already attached below it, so monotonic ids
+    // stay retry-stable (assigned under the exchange on the
+    // deterministic narrow subtree) — spreads the variant work over
+    // the session's shuffle parallelism. The shuffled rows are the
+    // small un-exploded side (bytes ∝ input, not neighborhood);
+    // REPARTITION_BY_NUM is exempt from AQE coalescing, so the
+    // parallelism survives tiny byte sizes.
+    val np = conf.numShufflePartitions
+    val lChild = Repartition(np, shuffle = true, lChild0)
+    val rChild = Repartition(np, shuffle = true, rChild0)
     if (k <= 1) {
       val varL =
         AttributeReference("__graft_var_l", StringType, nullable = false)()
