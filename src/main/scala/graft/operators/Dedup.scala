@@ -428,8 +428,17 @@ object Dedup {
         "prefix path (jaccardPairsAcrossTokens) for corpus-vs-corpus joins.")
     val p = masksProbe.select(col("doc_id").as("d1"), col("mask").as("ma"),
       col("n").as("n1"))
+    // Spread the STREAM side of the broadcast-nested-loop kernel over
+    // the session's shuffle parallelism (guide §2.5): a compacted
+    // masks table reads as 1-2 files, and the O(|probe|·|corpus|)
+    // bitset intersection then runs in 1-2 tasks (round-13 event log:
+    // 3.0-3.6 s single-task stages inside q260's micro-batches). The
+    // shuffled rows are doc-sized masks — bytes ∝ corpus docs, not
+    // pairs — and the explicit count is exempt from AQE coalescing.
     val c = masksCorpus.select(col("doc_id").as("d2"), col("mask").as("mb"),
       col("n").as("n2"))
+      .repartition(
+        masksCorpus.sparkSession.sessionState.conf.numShufflePartitions)
     broadcast(p).crossJoin(c)
       .withColumn("n_inter", aggregate(
         zip_with(col("ma"), col("mb"), (x, y) => bit_count(x.bitwiseAND(y)).cast("long")),

@@ -74,7 +74,12 @@ object DedupIndex {
   /** Per-doc exact-verify features: sorted distinct token array + its
     * size (the sparse index's docs table; also the probe side's). */
   private def features(tok: DataFrame): DataFrame =
-    tok.groupBy("doc_id").agg(sort_array(collect_set(col("tok"))).as("toks"))
+    // same explicit-count spread as [[prefixRows]]: a one-file batch
+    // otherwise runs the whole collect_set partial aggregate in its
+    // single scan task, and the exchange above it coalesces to one
+    tok.repartition(tok.sparkSession.sessionState.conf.numShufflePartitions,
+        col("doc_id"))
+      .groupBy("doc_id").agg(sort_array(collect_set(col("tok"))).as("toks"))
       .withColumn("n", size(col("toks")).cast("long"))
 
   /** Prefix rows under the frozen canonical order `(df, tok)` with
@@ -85,7 +90,18 @@ object DedupIndex {
   private def prefixRows(tok: DataFrame, dfreqFrozen: DataFrame,
       t: Double): DataFrame = {
     val byDoc = Window.partitionBy("doc_id")
-    tok.join(dfreqFrozen.select("tok", "df"), Seq("tok"), "left_outer")
+    // Establish the window's doc_id partitioning with an EXPLICIT
+    // partition count (guide §2.4/§2.5): the window's own exchange is
+    // byte-tiny for a batch-sized probe, AQE coalesces it to one
+    // partition, and everything fused downstream of it — the window,
+    // the posting/candidate join and the pre-distinct pair stream —
+    // then runs in that single task (round-13 event log: 4.4 s 1-task
+    // stages inside q260's micro-batches on a 32-core host). A
+    // user-count repartition is exempt from coalescing and the window
+    // reuses its partitioning, so this adds no extra exchange.
+    tok.repartition(tok.sparkSession.sessionState.conf.numShufflePartitions,
+        col("doc_id"))
+      .join(dfreqFrozen.select("tok", "df"), Seq("tok"), "left_outer")
       .na.fill(0L, Seq("df"))
       .select(col("tok"), col("doc_id"),
         row_number().over(byDoc.orderBy(col("df"), col("tok"))).as("pos"),
