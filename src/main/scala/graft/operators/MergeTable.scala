@@ -169,49 +169,54 @@ object MergeTable {
     snap
   }
 
+  /** Manifests are metadata-sized by construction, so they parse
+    * through [[MetaIO]] on the driver — one footer+page read, NO
+    * Spark job per consultation (the round-13 event log billed every
+    * un-cached manifest read a full job). Accepts the current
+    * single-file form AND the older Spark-written directory form. */
   private def parseManifest(spark: SparkSession, dir: String,
       p: org.apache.hadoop.fs.Path): Snapshot = {
-    val df = spark.read.parquet(p.toString)
-    val cols = df.columns.toSet
+    val (cols0, rows) = MetaIO.readWithSchema(
+      spark.sparkContext.hadoopConfiguration, p)
+    val cols = cols0.toSet
     require(cols.contains("bucket") && cols.contains("schema_json"),
       s"manifest $p was written by an older MergeTable layout " +
-        s"(columns: ${df.columns.mkString(", ")}; no schema sentinel) — " +
+        s"(columns: ${cols0.mkString(", ")}; no schema sentinel) — " +
         "rebuild the table with the current format")
-    val rows = df.collect()
-    val sentinel = rows.find(_.getInt(0) == -1).getOrElse(throw
+    def bucketOf(r: Map[String, Any]): Int = r("bucket").asInstanceOf[Int]
+    val sentinel = rows.find(r => bucketOf(r) == -1).getOrElse(throw
       new IllegalArgumentException(
         s"manifest $p has no schema sentinel row (bucket = -1) — " +
           "written by an older MergeTable layout; rebuild the table"))
-    val schema = DataType.fromJson(
-      sentinel.getString(sentinel.fieldIndex("schema_json")))
+    val schema = DataType.fromJson(sentinel("schema_json").asInstanceOf[String])
       .asInstanceOf[StructType]
     if (!cols.contains("deltas")) // previous (r11) format: COW only
       return Snapshot(
-        rows.filter(_.getInt(0) >= 0)
-          .map(r => r.getInt(0) -> BucketState(Some(r.getInt(1)), Nil)).toMap,
+        rows.filter(bucketOf(_) >= 0)
+          .map(r => bucketOf(r) ->
+            BucketState(Some(r("gen").asInstanceOf[Int]), Nil)).toMap,
         schema, Nil, legacy = true)
-    def optL(r: Row, f: String): Option[Long] = {
-      val i = r.fieldIndex(f); if (r.isNullAt(i)) None else Some(r.getLong(i))
-    }
-    def optS(r: Row, f: String): Option[String] = {
-      val i = r.fieldIndex(f); if (r.isNullAt(i)) None else Some(r.getString(i))
-    }
-    val (statRows, bucketRows) = rows.filter(_.getInt(0) >= 0)
-      .partition(r => !r.isNullAt(r.fieldIndex("file")))
+    def optL(r: Map[String, Any], f: String): Option[Long] =
+      r.get(f).map(_.asInstanceOf[Long])
+    def optS(r: Map[String, Any], f: String): Option[String] =
+      r.get(f).map(_.asInstanceOf[String])
+    val (statRows, bucketRows) = rows.filter(bucketOf(_) >= 0)
+      .partition(r => r.contains("file"))
     val buckets = bucketRows.map { r =>
-      val base = if (r.isNullAt(1)) None else Some(r.getInt(1))
-      val chain = Option(r.getString(r.fieldIndex("deltas")))
+      val base = r.get("gen").map(_.asInstanceOf[Int])
+      val chain = optS(r, "deltas")
         .filter(_.nonEmpty).map(_.split(",").map(_.toInt).toList)
         .getOrElse(Nil)
-      r.getInt(0) -> BucketState(base, chain)
+      bucketOf(r) -> BucketState(base, chain)
     }.toMap
     val stats = statRows.map { r =>
-      FileStat(r.getInt(0), r.getInt(1), r.getString(r.fieldIndex("file")),
-        r.getString(r.fieldIndex("scol")), r.getString(r.fieldIndex("sty")),
-        r.getBoolean(r.fieldIndex("sok")),
+      FileStat(bucketOf(r), r("gen").asInstanceOf[Int],
+        r("file").asInstanceOf[String],
+        r("scol").asInstanceOf[String], r("sty").asInstanceOf[String],
+        r("sok").asInstanceOf[Boolean],
         optL(r, "smin_l"), optL(r, "smax_l"),
         optS(r, "smin_s"), optS(r, "smax_s"),
-        r.getLong(r.fieldIndex("n_rows")))
+        r("n_rows").asInstanceOf[Long])
     }.toSeq
     Snapshot(buckets, schema, stats, legacy = false)
   }
@@ -227,20 +232,20 @@ object MergeTable {
       .map(_.drop(1).toInt).sorted
   }
 
-  private val manifestSchema = StructType(Seq(
-    StructField("bucket", IntegerType, nullable = false),
-    StructField("gen", IntegerType, nullable = true),
-    StructField("deltas", StringType, nullable = true),
-    StructField("schema_json", StringType, nullable = true),
-    StructField("file", StringType, nullable = true),
-    StructField("scol", StringType, nullable = true),
-    StructField("sty", StringType, nullable = true),
-    StructField("sok", BooleanType, nullable = true),
-    StructField("smin_l", LongType, nullable = true),
-    StructField("smax_l", LongType, nullable = true),
-    StructField("smin_s", StringType, nullable = true),
-    StructField("smax_s", StringType, nullable = true),
-    StructField("n_rows", LongType, nullable = true)))
+  private val manifestSchema = MetaIO.schemaOf("manifest", Seq(
+    ("bucket", "int", true),
+    ("gen", "int", false),
+    ("deltas", "string", false),
+    ("schema_json", "string", false),
+    ("file", "string", false),
+    ("scol", "string", false),
+    ("sty", "string", false),
+    ("sok", "boolean", false),
+    ("smin_l", "long", false),
+    ("smax_l", "long", false),
+    ("smin_s", "string", false),
+    ("smax_s", "string", false),
+    ("n_rows", "long", false)))
 
   /** Write bucket rows + schema sentinel + stat rows as version `v` —
     * unique-tmp write, then publish the SINGLE manifest FILE at the
@@ -269,38 +274,37 @@ object MergeTable {
     val dst = new org.apache.hadoop.fs.Path(f"${manifestDir(dir)}/v$v%06d")
     if (f0.exists(dst)) return false
     val nulls9 = Seq.fill(9)(null)
-    val sentinel = Row.fromSeq(Seq(-1, null, null, schema.json) ++ nulls9)
+    val sentinel = Seq(-1, null, null, schema.json) ++ nulls9
     val bucketRows = entries.toSeq.sortBy(_._1).map { case (b, st) =>
-      Row.fromSeq(Seq(b, st.base.map(Int.box).orNull, st.deltas.mkString(","),
-        null) ++ nulls9)
+      Seq(b, st.base.map(Int.box).orNull, st.deltas.mkString(","),
+        null) ++ nulls9
     }
     val statRows = stats.sortBy(s => (s.bucket, s.gen, s.file, s.col)).map { s =>
-      Row(s.bucket, s.gen, null, null, s.file, s.col, s.ty, s.ok,
+      Seq[Any](s.bucket, s.gen, null, null, s.file, s.col, s.ty, s.ok,
         s.minL.map(Long.box).orNull, s.maxL.map(Long.box).orNull,
         s.minS.orNull, s.maxS.orNull, s.nRows)
     }
-    val tmp = s"${manifestDir(dir)}/tmp-${java.util.UUID.randomUUID}"
-    spark.createDataFrame(
-        spark.sparkContext.parallelize(sentinel +: (bucketRows ++ statRows), 1),
-        manifestSchema)
-      .coalesce(1).write.mode("overwrite").parquet(tmp)
-    val tmpPath = new org.apache.hadoop.fs.Path(tmp)
-    val part = f0.listStatus(tmpPath).map(_.getPath)
-      .find(_.getName.endsWith(".parquet"))
-      .getOrElse(throw new IllegalStateException(
-        s"manifest tmp write produced no parquet file under $tmp"))
+    // the tmp write is a single driver-side parquet file ([[MetaIO]] —
+    // the manifest is metadata-sized by construction, and the former
+    // parallelize→coalesce(1)→write job billed every commit ~0.25 s of
+    // cluster scheduling for ~20 rows); the publish step below is the
+    // unchanged scheme-aware atomic CAS
+    val tmpPath = new org.apache.hadoop.fs.Path(
+      s"${manifestDir(dir)}/tmp-${java.util.UUID.randomUUID}.parquet")
+    MetaIO.write(spark.sparkContext.hadoopConfiguration, tmpPath,
+      manifestSchema, sentinel +: (bucketRows ++ statRows))
     val committed = try {
       val uri = f0.makeQualified(dst).toUri
       if (uri.getScheme == null || uri.getScheme == "file") {
         java.nio.file.Files.createLink( // link(2): EEXIST is atomic
           java.nio.file.Paths.get(uri.getPath),
-          java.nio.file.Paths.get(f0.makeQualified(part).toUri.getPath))
+          java.nio.file.Paths.get(f0.makeQualified(tmpPath).toUri.getPath))
         true
-      } else f0.rename(part, dst) // file→file rename: atomic CAS on HDFS
+      } else f0.rename(tmpPath, dst) // file→file rename: atomic CAS on HDFS
     } catch {
       case _: java.nio.file.FileAlreadyExistsException => false
     }
-    f0.delete(tmpPath, true)
+    f0.delete(tmpPath, false)
     if (!committed && !f0.exists(dst))
       throw new IllegalStateException(s"could not commit manifest $dst")
     committed
@@ -367,11 +371,11 @@ object MergeTable {
     val gen = claimGen(spark, dir, 0)
     writeGen(spark, dir, df.withColumn("bucket", bucketOf(col(keyCol), nBuckets)),
       gen, clusterBy, statsCols, maxRecordsPerFile)
-    import spark.implicits._
-    Seq((keyCol, nBuckets, clusterBy.getOrElse(""), statsCols.mkString(","),
-        maxRecordsPerFile))
-      .toDF("key_col", "n_buckets", "cluster_by", "stats_cols", "max_records")
-      .coalesce(1).write.mode("overwrite").parquet(metaPath(dir))
+    // one-row meta table: driver-side [[MetaIO]] write, no Spark job
+    MetaIO.write(spark.sparkContext.hadoopConfiguration,
+      new org.apache.hadoop.fs.Path(metaPath(dir)), metaSchema,
+      Seq(Seq(keyCol, nBuckets, clusterBy.getOrElse(""),
+        statsCols.mkString(","), maxRecordsPerFile)))
     // only buckets that actually received rows enter the manifest
     val entries = writtenBuckets(spark, dir, gen)
       .map(_ -> BucketState(Some(gen), Nil)).toMap
@@ -588,6 +592,13 @@ object MergeTable {
   private case class Meta(keyCol: String, nBuckets: Int,
       clusterBy: Option[String], statsCols: Seq[String], maxRecords: Long)
 
+  private val metaSchema = MetaIO.schemaOf("meta", Seq(
+    ("key_col", "string", true),
+    ("n_buckets", "int", true),
+    ("cluster_by", "string", true),
+    ("stats_cols", "string", true),
+    ("max_records", "long", true)))
+
   /** Table meta is written once at [[create]] and never mutated —
     * cached like [[snapCache]] (same (path, mtime, len) freshness
     * probe) so every read/merge/lookup pays one FS stat, not a
@@ -608,12 +619,15 @@ object MergeTable {
       val hit = metaCache.get(key)
       if (hit != null) return hit
     }
-    val r = spark.read.parquet(metaPath(dir)).head()
-    val m = Meta(r.getString(0), r.getInt(1),
-      Option(r.getString(2)).filter(_.nonEmpty),
-      Option(r.getString(3)).filter(_.nonEmpty)
+    // MetaIO read (driver-side, no job) — accepts both the current
+    // single-file form and older Spark-written meta directories
+    val r = MetaIO.read(spark.sparkContext.hadoopConfiguration, p).head
+    val m = Meta(r("key_col").asInstanceOf[String],
+      r("n_buckets").asInstanceOf[Int],
+      Option(r("cluster_by").asInstanceOf[String]).filter(_.nonEmpty),
+      Option(r("stats_cols").asInstanceOf[String]).filter(_.nonEmpty)
         .map(_.split(",").toSeq).getOrElse(Nil),
-      r.getLong(4))
+      r("max_records").asInstanceOf[Long])
     metaCache.synchronized { metaCache.put(key, m) }
     m
   }
@@ -676,12 +690,25 @@ object MergeTable {
       s"merge: gave up after $attempts optimistic-commit replans under $dir")
     val m0 = meta(spark, dir)
     val (keyCol, nBuckets) = (m0.keyCol, m0.nBuckets)
-    requireUniqueKeys(upserts, keyCol, "merge")
     val delK = deleteKeys.select(col(deleteKeys.columns.head).as(keyCol))
     val upK = upserts.select(col(keyCol))
-    val both = upK.join(delK, keyCol).limit(5).collect()
-    require(both.isEmpty,
-      s"merge: keys both upserted and deleted — ${both.map(_.get(0)).mkString(", ")}")
+    // both batch-contract probes in ONE action (they were two jobs
+    // per merge; each collects ≤ a handful of offending keys): the
+    // duplicate-key aggregate and the upsert∩delete overlap union into
+    // a tagged violation stream, limit-collected together
+    val bad = upserts.groupBy(col(keyCol)).count().where(col("count") > 1)
+      .select(col(keyCol).cast("string").as("k"), lit("dup").as("why"))
+      .unionByName(upK.join(delK, keyCol)
+        .select(col(keyCol).cast("string").as("k"), lit("both").as("why")))
+      .limit(10).collect()
+    require(!bad.exists(_.getString(1) == "dup"),
+      s"merge: duplicate keys in batch — ${bad.filter(_.getString(1) == "dup")
+        .map(_.getString(0)).mkString(", ")}" +
+        " (a merge batch must resolve its own conflicts; an arbitrary" +
+        " last-writer would be nondeterministic under shuffles)")
+    require(!bad.exists(_.getString(1) == "both"),
+      s"merge: keys both upserted and deleted — ${bad
+        .filter(_.getString(1) == "both").map(_.getString(0)).mkString(", ")}")
     // changed keys with their buckets; affected bucket ids are a
     // bounded collect (≤ nBuckets ints, never data-sized)
     val changed = upK.union(delK)
