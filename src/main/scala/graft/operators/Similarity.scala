@@ -97,12 +97,27 @@ object Similarity {
     *                per partition after partial window is negligible).
     * @param scorer  similarity scorer (default: fused codegen cosine).
     */
+  /** Spread a COMPUTE-AMPLIFIED input over the session's shuffle
+    * parallelism when its scan arrives under-partitioned (guide §2.5
+    * "input skew"): the similarity kernels score O(corpus·queries) or
+    * O(corpus·m·k) pairs per input row, and a single-file parquet
+    * corpus scans as ONE partition — the round-13 event log showed
+    * the PQ encode and brute-force scorers serialized into 3.5 s
+    * single-task stages on a 32-core host. No-op when the input
+    * already carries enough partitions (a real 100 TB corpus does —
+    * this never adds a shuffle at scale). */
+  private[graft] def spread(df: DataFrame): DataFrame = {
+    val np = df.sparkSession.sessionState.conf.numShufflePartitions
+    if (df.rdd.getNumPartitions >= np) df else df.repartition(np)
+  }
+
   def bruteForceTopK(queries: DataFrame, corpus: DataFrame,
       idCol: String, vecCol: String, k: Int,
       scorer: (Column, Column) => Column = cosine): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val q = broadcast(queries.select(col(idCol).as("query_id"), asDouble(col(vecCol)).as("qv")))
-    val c = corpus.select(col(idCol).as("neighbor_id"), asDouble(col(vecCol)).as("cv"))
+    val c = spread(
+      corpus.select(col(idCol).as("neighbor_id"), asDouble(col(vecCol)).as("cv")))
     val scored = c.join(q, col("query_id") =!= col("neighbor_id"))
       .select(col("query_id"), col("neighbor_id"),
         scorer(col("qv"), col("cv")).as("cos_sim"))
@@ -353,7 +368,7 @@ object Similarity {
   def pqEncode(corpus: DataFrame, idCol: String, vecCol: String,
       model: PqModel): DataFrame = {
     val cb = broadcast(codebookDf(corpus.sparkSession, model))
-    corpus
+    spread(corpus)
       .select(col(idCol).as("vid"),
         explodeSubs(asDouble(col(vecCol)), model.m, model.sub))
       .join(cb, Seq("m"))
@@ -385,7 +400,7 @@ object Similarity {
           intL2(col("sv"), col("cvec")).as("d")))
     val w = Window.partitionBy("query_id")
       .orderBy(col("adc_dist").asc, col("neighbor_id"))
-    codes.select(col("vid").as("neighbor_id"),
+    spread(codes).select(col("vid").as("neighbor_id"),
         posexplode(col("codes")).as(Seq("m", "code")))
       .join(lut, Seq("m", "code"))
       .where(col("query_id") =!= col("neighbor_id"))
