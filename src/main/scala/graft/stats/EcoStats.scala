@@ -235,13 +235,24 @@ object EcoStats {
       .select(col("sa"), col("sb"),
         (lit(1.0) - lit(2.0) * coalesce(col("m"), lit(0L)).cast("double") /
           (col("ta") + col("tb")).cast("double")).as("d"))
+    // materialize the SAMPLE-LEVEL rank table (≤ #samples² rows by
+    // contract): it is the root of everything downstream, and an
+    // un-checkpointed frame would splice the whole data-scale
+    // abundance-agg + item-self-join subtree into the permutation
+    // plan — round 13 measured q133/q134 spending most of their gate
+    // time in Catalyst planning + duplicated subtree re-execution
+    // (5.8 s SQL execution with <1 s of stage time)
     val ranked = pairs
       .withColumn("rn", row_number().over(Window.orderBy("d", "sa", "sb")))
       .withColumn("r", avg(col("rn")).over(Window.partitionBy("d")))
       .select("sa", "sb", "r")
-    // portable permutations: p=0 identity, p>=1 the md5 shuffle
+      .localCheckpoint(true)
+    // portable permutations: p=0 identity, p>=1 the md5 shuffle.
+    // base is referenced twice below (the shuffle and the position
+    // lookup) — checkpointed so the samples aggregate runs once.
     val base = samples.select(col("s"), col("g"))
       .withColumn("k", row_number().over(Window.orderBy("s")))
+      .localCheckpoint(true)
     val ps = spark.range(0, permutations + 1).select(col("id").cast("int").as("p"))
     val wh = base.crossJoin(broadcast(ps)).withColumn("h",
       graft.functions.HexSlice32(md5(concat(lit(seed.toString), lit("|"),
@@ -383,6 +394,10 @@ object EcoStats {
         round((lit(1.0) - lit(2.0) * coalesce(col("m"), lit(0L)).cast("double") /
           (col("ta") + col("tb")).cast("double")) * 1000000, 0)
           .cast("long").as("di"))
+      // sample-pair-level (≤ #samples² rows): checkpointed because the
+      // symmetric view below references it TWICE and the medoid /
+      // dispersion joins fan further — see the q133 note above
+      .localCheckpoint(true)
     // symmetric view: distance FROM x TO y, both directions
     val sym = half.select(col("sa").as("x"), col("sb").as("y"), col("di"))
       .unionByName(half.select(col("sb").as("x"), col("sa").as("y"), col("di")))
@@ -404,8 +419,10 @@ object EcoStats {
       .join(sym.select(col("x").as("s"), col("y").as("medoid"), col("di")),
         Seq("s", "medoid"), "left_outer")
       .select(col("s"), col("g"), coalesce(col("di"), lit(0L)).as("dsp"))
-    // portable permutations of the GROUP LABELS over dispersions
+    // portable permutations of the GROUP LABELS over dispersions;
+    // base (#samples rows) is referenced twice — checkpoint it
     val base = disp.withColumn("k", row_number().over(Window.orderBy("s")))
+      .localCheckpoint(true)
     val ps = spark.range(0, permutations + 1).select(col("id").cast("int").as("p"))
     val assign = base.select(col("s"), col("k"), col("dsp")).crossJoin(broadcast(ps))
       .withColumn("h",
