@@ -77,6 +77,27 @@ object GraphAnalytics {
     try body finally spark.conf.set("spark.sql.shuffle.partitions", old)
   }
 
+  /** [[withShufflePartitions]] with ADAPTIVE EXECUTION scoped OFF —
+    * the superstep-kernel execution scope. Rationale (guide §1.2/§2):
+    * these kernels size every exchange explicitly from measured data
+    * volume ([[superstepPartitions]]), so AQE's partition coalescing
+    * has nothing to decide — but its stage-by-stage re-optimization
+    * turns each materialization into one JOB PER EXCHANGE (the
+    * round-14 listener trace: 14-28 jobs per gate for ~60 byte-tiny
+    * tasks), and a ~30-superstep kernel multiplies that scheduling
+    * fixed cost. With AQE off the whole chained recurrence runs as ONE
+    * job whose stages the DAG scheduler pipelines. Scale note: this is
+    * scoped to the kernels, not the session — their join sides are
+    * explicitly co-partitioned and message skew is absorbed by partial
+    * (map-side) aggregation, the two things AQE would otherwise
+    * handle. */
+  private[graft] def withSuperstepScope[A](spark: SparkSession, n: Int)(body: => A): A = {
+    val oldA = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try withShufflePartitions(spark, n)(body)
+    finally spark.conf.set("spark.sql.adaptive.enabled", oldA)
+  }
+
   /** Eagerly materialize a superstep operand (localCheckpoint: cuts
     * lineage AND executes now, so the kernel's conf scope applies) and
     * return it with its row count — the count is a cheap second pass
@@ -87,6 +108,28 @@ object GraphAnalytics {
   private def materialized(df: DataFrame): (DataFrame, Long) = {
     val c = df.localCheckpoint(true)
     (c, c.count())
+  }
+
+  /** Chain `iters` LAZY superstep transforms and materialize the whole
+    * chain with ONE eager localCheckpoint — the round-14 action-count
+    * fix (guide §5: the driver should do almost no work; the round-13
+    * event log showed every exact-scaled kernel paying one full
+    * QueryExecution (analyze/optimize/plan) + job-launch round-trip
+    * PER superstep over byte-tiny states, ~0.25 s of driver-side fixed
+    * cost per iteration on a 32-core host). Contract: `step` must
+    * consume its iterate exactly ONCE and otherwise reference only
+    * materialized (checkpointed) leaves, so the lazy plan grows
+    * LINEARLY in `iters` (a kernel whose recurrence reads the iterate
+    * twice — kcore's two-endpoint membership, HITS normalization —
+    * keeps its per-round materialization instead). The final
+    * checkpoint runs inside the caller's conf scope, so the
+    * superstep partition sizing still applies to every exchange. */
+  private def chainSupersteps(init: DataFrame, iters: Int)(
+      step: DataFrame => DataFrame): DataFrame = {
+    var cur = init
+    var i = 0
+    while (i < iters) { cur = step(cur); i += 1 }
+    cur.localCheckpoint(true)
   }
 
   /** Weighted PageRank on the symmetrized graph (reference
@@ -171,7 +214,7 @@ object GraphAnalytics {
     // measured 13.0 s / 8.8 s / 10.7 s at 8 / 16 / 32 partitions —
     // the coarser grain wins locally while a real cluster still caps
     // at full parallelism
-    withShufflePartitions(spark, math.max(4,
+    withSuperstepScope(spark, math.max(4,
         math.min(spark.sparkContext.defaultParallelism, (nE / 131072L).toInt))) {
       val sym = dir
         .unionByName(dir.select(col("dst").as("src"), col("src").as("dst")))
@@ -215,36 +258,47 @@ object GraphAnalytics {
             least(col("comp"), coalesce(col("nmin"), col("comp"))).as("comp"),
             col("comp").as("old"))
           .localCheckpoint(true)
+        // the convergence statistic is collected DURING the pointer-
+        // jump checkpoint action (Observation) instead of a third
+        // per-round job scanning s2 again — round-14 action-count fix
+        val obs = org.apache.spark.sql.Observation()
         val s2 = s1.join(s1.select(col("id").as("c2"), col("comp").as("comp2")),
             col("comp") === col("c2"), "left_outer")
           .select(col("id"), col("pr"),
             coalesce(col("comp2"), col("comp")).as("comp"), col("old"))
+          .observe(obs, sum(when(col("comp") =!= col("old"), 1L)
+            .otherwise(0L)).as("changed"))
           .localCheckpoint(true)
-        ccDone = s2.where(col("comp") =!= col("old")).isEmpty
+        ccDone = obs.get.getOrElse("changed", null) match {
+          case n: java.lang.Long => n.longValue() == 0L
+          case _ => true // empty state: nothing left to change
+        }
         state = s2.select("id", "pr", "comp")
       }
       var step = 0
       while (step < iters) {
         if (!ccDone) { ccRound(withRank = true); step += 1 }
         else {
-          // labels settled: pure rank supersteps, batched two-deep
-          // per materialization (the plan stays narrow — join, agg,
-          // join — so lineage depth 2 halves the action count
-          // without bloating optimization)
-          val depth = math.min(2, iters - step)
-          var cur = state
-          (0 until depth).foreach { _ =>
-            val msgs = w.join(cur.select(col("id").as("src"), col("pr")),
+          // labels settled: ALL remaining rank supersteps as one lazy
+          // linear chain materialized by a single action — the iterate
+          // carries only (id, pr) and is consumed once per step (the
+          // old two-deep batching re-joined the iterate with itself,
+          // doubling the plan per step); the converged component label
+          // re-attaches once at the end from the checkpointed state
+          val compT = state.select(col("id"), col("comp"))
+          var pr = state.select(col("id"), col("pr"))
+          (step until iters).foreach { _ =>
+            val msgs = w.join(pr.select(col("id").as("src"), col("pr")),
                 Seq("src"))
               .groupBy(col("dst").as("id"))
               .agg(sum(col("pr") * col("w")).as("m"))
-            cur = cur.drop("pr").join(msgs, Seq("id"), "left_outer")
+            pr = v.join(msgs, Seq("id"), "left_outer")
               .select(col("id"),
-                (lit(0.15) + lit(0.85) * coalesce(col("m"), lit(0.0))).as("pr"),
-                col("comp"))
+                (lit(0.15) + lit(0.85) * coalesce(col("m"), lit(0.0))).as("pr"))
           }
-          state = cur.localCheckpoint(true)
-          step += depth
+          state = pr.join(compT, Seq("id")).select("id", "pr", "comp")
+            .localCheckpoint(true)
+          step = iters
         }
       }
       // a deeper-than-iters graph finishes labeling rank-frozen
@@ -272,25 +326,27 @@ object GraphAnalytics {
     val spark = edges.sparkSession
     val (e0, nE) = materialized(edges.select(col("src").cast("long").as("src"),
       col("dst").cast("long").as("dst")).distinct())
-    withShufflePartitions(spark, superstepPartitions(spark, nE)) {
-      // co-partition the per-step join operands ONCE by their keys so
-      // each superstep re-shuffles only the rank iterate, not the edges
-      val e = e0.repartition(col("src")).localCheckpoint(true)
+    withSuperstepScope(spark, superstepPartitions(spark, nE)) {
+      // co-partition the per-step join operand ONCE by its key so each
+      // superstep re-shuffles only the rank iterate, not the edges —
+      // and attach the LOOP-INVARIANT out-degree to the edge row here
+      // (was one extra join per superstep)
+      val e = e0.join(
+          e0.groupBy(col("src")).agg(count(lit(1)).as("outdeg")), Seq("src"))
+        .repartition(col("src")).localCheckpoint(true)
       val v = e.select(col("src").as("id"))
         .unionByName(e.select(col("dst").as("id"))).distinct()
         .repartition(col("id")).localCheckpoint(true)
-      val outdeg = e.groupBy(col("src").as("id")).agg(count(lit(1)).as("outdeg"))
-        .localCheckpoint(true)
-      var r = v.select(col("id"), lit(1000000L).as("pr")).localCheckpoint(true)
-      (0 until iters).foreach { _ =>
+      // the iterate is consumed once per step over checkpointed leaves,
+      // so the whole 10-step recurrence runs as ONE action
+      val r = chainSupersteps(
+          v.select(col("id"), lit(1000000L).as("pr")), iters) { r =>
         val msgs = e
           .join(r.select(col("id").as("src"), col("pr")), Seq("src"))
-          .join(outdeg.select(col("id").as("src"), col("outdeg")), Seq("src"))
           .groupBy(col("dst").as("id"))
           .agg(sum(floor(lit(0.85) * col("pr") / col("outdeg") + lit(0.5))).as("m"))
-        r = v.join(msgs, Seq("id"), "left_outer")
+        v.join(msgs, Seq("id"), "left_outer")
           .select(col("id"), (lit(150000L) + coalesce(col("m"), lit(0L))).as("pr"))
-          .localCheckpoint(true)
       }
       r.select(col("id"), col("pr").as("pr_scaled"))
     }
@@ -311,22 +367,23 @@ object GraphAnalytics {
     val (symRaw, nE) = materialized(e0.unionByName(
         e0.select(col("dst").as("src"), col("src").as("dst"), col("w")))
       .groupBy("src", "dst").agg(sum(col("w")).as("w")))
-    withShufflePartitions(spark, superstepPartitions(spark, nE)) {
-      val sym = symRaw.repartition(col("src")).localCheckpoint(true)
+    withSuperstepScope(spark, superstepPartitions(spark, nE)) {
+      // loop-invariant out-strength rides the edge row (was one extra
+      // join per superstep); iterate consumed once per step → the full
+      // recurrence materializes as ONE action (see chainSupersteps)
+      val sym = symRaw.join(
+          symRaw.groupBy(col("src")).agg(sum(col("w")).as("s")), Seq("src"))
+        .repartition(col("src")).localCheckpoint(true)
       val v = sym.select(col("src").as("id")).distinct()
         .repartition(col("id")).localCheckpoint(true)
-      val strength = sym.groupBy(col("src").as("id")).agg(sum(col("w")).as("s"))
-        .localCheckpoint(true)
-      var r = v.select(col("id"), lit(1000000L).as("pr")).localCheckpoint(true)
-      (0 until iters).foreach { _ =>
+      val r = chainSupersteps(
+          v.select(col("id"), lit(1000000L).as("pr")), iters) { r =>
         val msgs = sym
           .join(r.select(col("id").as("src"), col("pr")), Seq("src"))
-          .join(strength.select(col("id").as("src"), col("s")), Seq("src"))
           .groupBy(col("dst").as("id"))
           .agg(sum(floor(lit(0.85) * col("pr") * col("w") / col("s") + lit(0.5))).as("m"))
-        r = v.join(msgs, Seq("id"), "left_outer")
+        v.join(msgs, Seq("id"), "left_outer")
           .select(col("id"), (lit(150000L) + coalesce(col("m"), lit(0L))).as("pr"))
-          .localCheckpoint(true)
       }
       r.select(col("id"), col("pr").as("pr_scaled"))
     }
@@ -349,23 +406,23 @@ object GraphAnalytics {
     val (symRaw, nRows) = materialized(
       e.unionByName(e.select(col("grp"), col("b").as("a"), col("a").as("b")))
         .distinct())
-    withShufflePartitions(spark, superstepPartitions(spark, nRows)) {
+    withSuperstepScope(spark, superstepPartitions(spark, nRows)) {
       // co-partition the edge table by the per-step join key once
       val sym = symRaw.repartition(col("grp"), col("b")).localCheckpoint(true)
-      var v = sym.select(col("grp"), col("a").as("node")).distinct()
-        .select(col("grp"), col("node"), lit(1000000L).as("v"))
-        .localCheckpoint(true)
       // the group max comes from a WINDOW over the neighbor-sum table,
-      // not a self-join: one pass instead of consuming the sum twice
+      // not a self-join: one pass instead of consuming the sum twice —
+      // which also keeps the iterate single-consumption, so the whole
+      // recurrence materializes as ONE action (see chainSupersteps)
       val byGroup = org.apache.spark.sql.expressions.Window.partitionBy("grp")
-      (0 until iters).foreach { _ =>
-        v = sym.join(v.select(col("grp"), col("node").as("b"), col("v")), Seq("grp", "b"))
+      val v = chainSupersteps(
+          sym.select(col("grp"), col("a").as("node")).distinct()
+            .select(col("grp"), col("node"), lit(1000000L).as("v")), iters) { v =>
+        sym.join(v.select(col("grp"), col("node").as("b"), col("v")), Seq("grp", "b"))
           .groupBy(col("grp"), col("a").as("node"))
           .agg(sum(col("v")).as("s"))
           .withColumn("mx", max(col("s")).over(byGroup))
           .select(col("grp"), col("node"),
             floor(col("s") * lit(1000000.0) / col("mx") + lit(0.5)).as("v"))
-          .localCheckpoint(true)
       }
       v.select(col("grp"), col("node"), col("v").as("eigen_scaled"))
     }
@@ -386,20 +443,19 @@ object GraphAnalytics {
     val (symRaw, nRows) = materialized(e0.unionByName(
         e0.select(col("grp"), col("b").as("a"), col("a").as("b"), col("w")))
       .groupBy("grp", "a", "b").agg(sum(col("w")).as("w")))
-    withShufflePartitions(spark, superstepPartitions(spark, nRows)) {
+    withSuperstepScope(spark, superstepPartitions(spark, nRows)) {
       val sym = symRaw.repartition(col("grp"), col("b")).localCheckpoint(true)
-      var v = sym.select(col("grp"), col("a").as("node")).distinct()
-        .select(col("grp"), col("node"), lit(1000000L).as("v"))
-        .localCheckpoint(true)
       val byGroup = org.apache.spark.sql.expressions.Window.partitionBy("grp")
-      (0 until iters).foreach { _ =>
-        v = sym.join(v.select(col("grp"), col("node").as("b"), col("v")), Seq("grp", "b"))
+      // single-consumption iterate → ONE action for the whole chain
+      val v = chainSupersteps(
+          sym.select(col("grp"), col("a").as("node")).distinct()
+            .select(col("grp"), col("node"), lit(1000000L).as("v")), iters) { v =>
+        sym.join(v.select(col("grp"), col("node").as("b"), col("v")), Seq("grp", "b"))
           .groupBy(col("grp"), col("a").as("node"))
           .agg(sum(col("w") * col("v")).as("s"))
           .withColumn("mx", max(col("s")).over(byGroup))
           .select(col("grp"), col("node"),
             floor(col("s") * lit(1000000.0) / col("mx") + lit(0.5)).as("v"))
-          .localCheckpoint(true)
       }
       v.select(col("grp"), col("node"), col("v").as("eigen_scaled"))
     }
@@ -431,18 +487,17 @@ object GraphAnalytics {
     val (hopRaw, nRows) = materialized(sym.unionByName(
       sym.select(col("grp"), col("a")).distinct()
         .select(col("grp"), col("a"), col("a").as("b"), lit(0L).as("w"))))
-    withShufflePartitions(spark, superstepPartitions(spark, nRows)) {
+    withSuperstepScope(spark, superstepPartitions(spark, nRows)) {
       val hop = hopRaw.repartition(col("grp"), col("a")).localCheckpoint(true)
-      var dist = hop.where(col("w") === 0L).groupBy(col("grp"))
-        .agg(min(col("a")).as("node"))
-        .select(col("grp"), col("node"), lit(0L).as("dist"))
-        .localCheckpoint(true)
-      (0 until iters).foreach { _ =>
-        dist = hop
+      // single-consumption iterate → ONE action for the whole chain
+      val dist = chainSupersteps(
+          hop.where(col("w") === 0L).groupBy(col("grp"))
+            .agg(min(col("a")).as("node"))
+            .select(col("grp"), col("node"), lit(0L).as("dist")), iters) { dist =>
+        hop
           .join(dist.select(col("grp"), col("node").as("a"), col("dist")), Seq("grp", "a"))
           .groupBy(col("grp"), col("b").as("node"))
           .agg(min(col("dist") + col("w")).as("dist"))
-          .localCheckpoint(true)
       }
       dist.select(col("grp"), col("node"), col("dist"))
     }
@@ -466,7 +521,7 @@ object GraphAnalytics {
     val (symRaw, nRows) = materialized(
       e.unionByName(e.select(col("grp"), col("b").as("a"), col("a").as("b")))
         .distinct())
-    withShufflePartitions(spark, superstepPartitions(spark, nRows)) {
+    withSuperstepScope(spark, superstepPartitions(spark, nRows)) {
       val sym = symRaw.repartition(col("grp"), col("a")).localCheckpoint(true)
       var keep = sym.select(col("grp"), col("a").as("node")).distinct()
       var deg: DataFrame = null
@@ -508,13 +563,13 @@ object GraphAnalytics {
       col("src").cast("long").as("a"), col("dst").cast("long").as("b"))
     val (symRaw, nRows) = materialized(e0.unionByName(
       e0.select(col("grp"), col("b").as("a"), col("a").as("b"))).distinct())
-    withShufflePartitions(spark, superstepPartitions(spark, nRows)) {
+    withSuperstepScope(spark, superstepPartitions(spark, nRows)) {
       val sym = symRaw.repartition(col("grp"), col("b")).localCheckpoint(true)
-      var lab = sym.select(col("grp"), col("a").as("node")).distinct()
-        .select(col("grp"), col("node"), col("node").as("lab"))
-        .localCheckpoint(true)
-      (0 until iters).foreach { _ =>
-        lab = sym
+      // single-consumption iterate → ONE action for the whole chain
+      val lab = chainSupersteps(
+          sym.select(col("grp"), col("a").as("node")).distinct()
+            .select(col("grp"), col("node"), col("node").as("lab")), iters) { lab =>
+        sym
           .join(lab.select(col("grp"), col("node").as("b"), col("lab")), Seq("grp", "b"))
           .groupBy(col("grp"), col("a"), col("lab"))
           .agg(count(lit(1)).as("c"))
@@ -523,7 +578,6 @@ object GraphAnalytics {
           // max over (count, -label) structs, then negate back
           .agg(max(struct(col("c"), (-col("lab")).as("nl"))).as("m"))
           .select(col("grp"), col("node"), (-col("m.nl")).as("lab"))
-          .localCheckpoint(true)
       }
       lab.select(col("grp"), col("node"), col("lab").as("community"))
     }
@@ -602,20 +656,19 @@ object GraphAnalytics {
     val (symRaw, nRows) = materialized(
       e.unionByName(e.select(col("grp"), col("b").as("a"), col("a").as("b")))
         .distinct())
-    withShufflePartitions(spark, superstepPartitions(spark, nRows)) {
+    withSuperstepScope(spark, superstepPartitions(spark, nRows)) {
       val sym = symRaw.repartition(col("grp"), col("b")).localCheckpoint(true)
-      var v = sym.select(col("grp"), col("a").as("node")).distinct()
-        .select(col("grp"), col("node"), lit(1000000L).as("v"))
-        .localCheckpoint(true)
-      (0 until iters).foreach { _ =>
+      // single-consumption iterate → ONE action for the whole chain
+      val v = chainSupersteps(
+          sym.select(col("grp"), col("a").as("node")).distinct()
+            .select(col("grp"), col("node"), lit(1000000L).as("v")), iters) { v =>
         // every node of the symmetrized graph appears as `a`, so the
         // inner join drops no vertex (no left-join/coalesce needed)
-        v = sym.join(v.select(col("grp"), col("node").as("b"), col("v")), Seq("grp", "b"))
+        sym.join(v.select(col("grp"), col("node").as("b"), col("v")), Seq("grp", "b"))
           .groupBy(col("grp"), col("a").as("node"))
           .agg(sum(col("v")).as("s"))
           .select(col("grp"), col("node"),
             (floor(lit(alpha) * col("s") + lit(0.5)) + lit(1000000L)).as("v"))
-          .localCheckpoint(true)
       }
       v.select(col("grp"), col("node"), col("v").as("alpha_scaled"))
     }
@@ -638,33 +691,36 @@ object GraphAnalytics {
       e.unionByName(e.select(col("grp"), col("b").as("a"), col("a").as("b")))
         .distinct())
     val teleport = math.round((1.0 - damping) * 1000000L)
-    withShufflePartitions(spark, superstepPartitions(spark, nRows)) {
+    withSuperstepScope(spark, superstepPartitions(spark, nRows)) {
       val sym = symRaw.repartition(col("grp"), col("b")).localCheckpoint(true)
       val deg = sym.groupBy(col("grp"), col("a").as("node"))
         .agg(count(lit(1)).as("deg")).localCheckpoint(true)
       val seed = deg.groupBy("grp").agg(min(col("node")).as("seed"))
         .localCheckpoint(true)
-      var v = deg.join(seed, "grp")
-        .select(col("grp"), col("node"), col("deg"),
-          when(col("node") === col("seed"), lit(1000000L))
-            .otherwise(lit(0L)).as("v"),
-          (col("node") === col("seed")).as("is_seed"))
-        .localCheckpoint(true)
-      (0 until iters).foreach { _ =>
-        val contrib = v.select(col("grp"), col("node").as("b"),
-          expr("v DIV deg").as("c"))
-        v = sym.join(contrib, Seq("grp", "b"))
+      // the iterate carries ONLY (grp, node, v): deg and the seed flag
+      // re-join per step from the LOOP-INVARIANT checkpointed leaves
+      // above (the old form re-joined the iterate with itself for
+      // them, which doubles the lazy plan per step and forced one
+      // materialization per superstep). Values are unchanged — deg and
+      // node===seed never vary across steps — so the whole recurrence
+      // now runs as ONE action (see chainSupersteps).
+      val vN = chainSupersteps(
+          deg.join(seed, "grp")
+            .select(col("grp"), col("node"),
+              when(col("node") === col("seed"), lit(1000000L))
+                .otherwise(lit(0L)).as("v")), iters) { v =>
+        val contrib = v.join(deg, Seq("grp", "node"))
+          .select(col("grp"), col("node").as("b"), expr("v DIV deg").as("c"))
+        sym.join(contrib, Seq("grp", "b"))
           .groupBy(col("grp"), col("a").as("node"))
           .agg(sum(col("c")).as("s"))
-          .join(v.select(col("grp"), col("node"), col("deg"), col("is_seed")),
-            Seq("grp", "node"))
-          .select(col("grp"), col("node"), col("deg"),
+          .join(seed, "grp")
+          .select(col("grp"), col("node"),
             (floor(lit(damping) * col("s") + lit(0.5)) +
-              when(col("is_seed"), lit(teleport)).otherwise(lit(0L))).as("v"),
-            col("is_seed"))
-          .localCheckpoint(true)
+              when(col("node") === col("seed"), lit(teleport))
+                .otherwise(lit(0L))).as("v"))
       }
-      v.select(col("grp"), col("node"), col("v").as("ppr_scaled"))
+      vN.select(col("grp"), col("node"), col("v").as("ppr_scaled"))
     }
   }
 
@@ -714,22 +770,21 @@ object GraphAnalytics {
     val (symRaw, nRows) = materialized(
       e.unionByName(e.select(col("grp"), col("b").as("a"), col("a").as("b")))
         .distinct())
-    withShufflePartitions(spark, superstepPartitions(spark, nRows)) {
+    withSuperstepScope(spark, superstepPartitions(spark, nRows)) {
       val sym = symRaw.repartition(col("grp"), col("b")).localCheckpoint(true)
-      var v = sym.groupBy(col("grp"), col("a").as("node"))
-        .agg((count(lit(1)) * lit(1000000L)).as("v"))
-        .localCheckpoint(true)
-      (0 until iters).foreach { _ =>
+      // single-consumption iterate → ONE action for the whole chain
+      val v = chainSupersteps(
+          sym.groupBy(col("grp"), col("a").as("node"))
+            .agg((count(lit(1)) * lit(1000000L)).as("v")), iters) { v =>
         // every node carries a score each step, so the join fans exactly
         // deg(i) rows per node — deg falls out of the same aggregation
         // as the neighbor sum
-        v = sym.join(v.select(col("grp"), col("node").as("b"), col("v")), Seq("grp", "b"))
+        sym.join(v.select(col("grp"), col("node").as("b"), col("v")), Seq("grp", "b"))
           .groupBy(col("grp"), col("a").as("node"))
           .agg(sum(col("v")).as("s"), count(lit(1)).as("deg"))
           .select(col("grp"), col("node"),
             (col("deg") * lit(1000000L) +
               floor(lit(beta) * col("s") + lit(0.5))).as("v"))
-          .localCheckpoint(true)
       }
       v.select(col("grp"), col("node"), col("v").as("power_scaled"))
     }
@@ -749,7 +804,7 @@ object GraphAnalytics {
     val spark = edges.sparkSession
     val (e0, nE) = materialized(edges.select(col("src").cast("long").as("src"),
       col("dst").cast("long").as("dst")).distinct())
-    withShufflePartitions(spark, superstepPartitions(spark, nE)) {
+    withSuperstepScope(spark, superstepPartitions(spark, nE)) {
       val e = e0.repartition(col("dst")).localCheckpoint(true)
       val v = e.select(col("src").as("id"))
         .unionByName(e.select(col("dst").as("id"))).distinct()
@@ -757,16 +812,25 @@ object GraphAnalytics {
       // zero-score nodes contribute nothing to any later neighbor sum,
       // so iterations normalize only the nodes WITH mass (drops the
       // all-node left join — 2 stages/iteration in a kernel whose cost
-      // is pure stage count); the zeros re-enter once at the end
+      // is pure stage count); the zeros re-enter once at the end.
+      // The global max is collected DURING the half-step's checkpoint
+      // action (Observation) and re-injected as a LITERAL: the old
+      // broadcast-agg form embedded the sums subtree twice (once for
+      // the 1-row max, once for the divide), executing the join+agg
+      // twice per half-step and paying a broadcast exchange — the
+      // arithmetic ⌊s·1e6/mx + 0.5⌋ is unchanged, mx is the same
+      // exact BIGINT either way.
       def normalized(sums: DataFrame, out: String): DataFrame = {
-        val mx = sums.agg(max(col("s")).as("mx"))
-        sums
-          .crossJoin(broadcast(mx))
-          .select(col("id"),
-            when(col("mx").isNull || col("mx") === 0L, lit(0L))
-              .otherwise(floor(col("s") * lit(1000000.0) / col("mx") + lit(0.5))
-                .cast("long")).as(out))
-          .localCheckpoint(true)
+        val obs = org.apache.spark.sql.Observation()
+        val s = sums.observe(obs, max(col("s")).as("mx")).localCheckpoint(true)
+        val mx = obs.get.getOrElse("mx", null) match {
+          case n: java.lang.Long => n.longValue()
+          case _ => 0L // empty frame: max is null — everything scores 0
+        }
+        s.select(col("id"),
+          (if (mx == 0L) lit(0L)
+           else floor(col("s") * lit(1000000.0) / lit(mx) + lit(0.5))
+             .cast("long")).as(out))
       }
       var a = v.select(col("id"), lit(1000000L).as("a")).localCheckpoint(true)
       var h = v.select(col("id"), lit(1000000L).as("h"))
@@ -1208,7 +1272,7 @@ object GraphAnalytics {
     // step's degree agg is ~2|E| rows, the contention-amplifier shape
     val nEdges = canon.count()
     val parts = superstepPartitions(spark, nEdges * 2)
-    val ccMaxByLayer = withShufflePartitions(spark, parts) {
+    val ccMaxByLayer = withSuperstepScope(spark, parts) {
       // Phase 1 — the removal sequence, BATCHED (round-12 verdict
       // item 5): the old loop ran one argmax collect + one
       // localCheckpoint Spark job PER removal step — inherently

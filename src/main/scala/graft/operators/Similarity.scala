@@ -105,11 +105,11 @@ object Similarity {
     * the PQ encode and brute-force scorers serialized into 3.5 s
     * single-task stages on a 32-core host. No-op when the input
     * already carries enough partitions (a real 100 TB corpus does —
-    * this never adds a shuffle at scale). */
-  private[graft] def spread(df: DataFrame): DataFrame = {
-    val np = df.sparkSession.sessionState.conf.numShufflePartitions
-    if (df.rdd.getNumPartitions >= np) df else df.repartition(np)
-  }
+    * this never adds a shuffle at scale). Round 14: the decision now
+    * reads plan statistics instead of `df.rdd.getNumPartitions`, which
+    * under AQE eagerly materialized every upstream shuffle stage at
+    * DataFrame-construction time and discarded the work (r13 advisor). */
+  private[graft] def spread(df: DataFrame): DataFrame = Spread(df)
 
   def bruteForceTopK(queries: DataFrame, corpus: DataFrame,
       idCol: String, vecCol: String, k: Int,

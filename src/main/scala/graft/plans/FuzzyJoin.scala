@@ -198,10 +198,19 @@ class FuzzyLevJoinRule extends Rule[LogicalPlan] {
     // the session's shuffle parallelism. The shuffled rows are the
     // small un-exploded side (bytes ∝ input, not neighborhood);
     // REPARTITION_BY_NUM is exempt from AQE coalescing, so the
-    // parallelism survives tiny byte sizes.
+    // parallelism survives tiny byte sizes. Round 14 (r13 verdict
+    // item 2): SCALE-CONDITIONAL — a child whose size statistics show
+    // it already scans at ≥ the session parallelism keeps its own
+    // distribution (an unconditional fixed-count Repartition would
+    // COALESCE a 10k-partition 100 TB scan down to the session count,
+    // serializing the amplification this exchange exists to spread).
     val np = conf.numShufflePartitions
-    val lChild = Repartition(np, shuffle = true, lChild0)
-    val rChild = Repartition(np, shuffle = true, rChild0)
+    def spread(child: LogicalPlan): LogicalPlan =
+      if (graft.operators.Spread.underPartitioned(child, conf))
+        Repartition(np, shuffle = true, child)
+      else child
+    val lChild = spread(lChild0)
+    val rChild = spread(rChild0)
     if (k <= 1) {
       val varL =
         AttributeReference("__graft_var_l", StringType, nullable = false)()
