@@ -324,8 +324,39 @@ object AnnIndex {
 
   /** The model tables — tiny by construction (centroids + codebook +
     * residual flag), the ONLY thing probe/append read besides the
-    * probed code lists. */
+    * probed code lists.
+    *
+    * Round 14: memoized per (session, dir, FILE FINGERPRINT). The
+    * model is FROZEN by the index contract (appends never retrain),
+    * yet every probe/append paid two collect jobs re-reading it —
+    * 2 jobs × every micro-batch of the q272/q281 streams (guide §5).
+    * The fingerprint is the driver-side file listing (name, length,
+    * mtime) of both model tables, so a [[rebuild]] — the one operation
+    * that REPLACES the model — changes the key and the next reader
+    * re-reads from parquet; nothing is ever served from a stale
+    * model, and nothing persists across sessions. */
+  private val modelMemo = scala.collection.concurrent.TrieMap
+    .empty[(String, String, String),
+      (Array[(Int, Array[Double])], PqModel, Boolean)]
+
+  private def modelFingerprint(spark: SparkSession, dir: String): String = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    Seq(centroidsPath(dir), codebookPath(dir)).flatMap { d =>
+      val p = new org.apache.hadoop.fs.Path(d)
+      val fs = p.getFileSystem(conf)
+      fs.listStatus(p).map(s =>
+        s"${s.getPath.getName}:${s.getLen}:${s.getModificationTime}")
+    }.sorted.mkString(",")
+  }
+
   private[graft] def readModel(spark: SparkSession, dir: String)
+      : (Array[(Int, Array[Double])], PqModel, Boolean) = {
+    val key = (org.apache.spark.sql.graftbridge.SessionBridge.sessionUUID(spark),
+      dir, modelFingerprint(spark, dir))
+    modelMemo.getOrElseUpdate(key, readModelUncached(spark, dir))
+  }
+
+  private def readModelUncached(spark: SparkSession, dir: String)
       : (Array[(Int, Array[Double])], PqModel, Boolean) = {
     val cents = spark.read.parquet(centroidsPath(dir))
       .collect().map(r => r.getInt(0) -> r.getSeq[Double](1).toArray)

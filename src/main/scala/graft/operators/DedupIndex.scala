@@ -66,9 +66,40 @@ object DedupIndex {
 
   private case class Meta(kind: String, tBuild: Double)
 
+  // meta/dict are METADATA-SIZED by contract (1 row; ≤ DenseDictCap
+  // dictionary rows that were collect()ed to the driver anyway) —
+  // round 14 moves their I/O to driver-side parquet-mr ([[MetaIO]], the
+  // lakehouse-manifest idiom): the round-13 event log showed every
+  // probe/append paying a full Spark job per consultation (~0.2-0.3 s
+  // of scheduling for ~1-20 rows, guide §5). Files stay plain parquet;
+  // reads accept both the old Spark-written directories and the new
+  // single files.
+  private def hconf(spark: SparkSession) =
+    spark.sparkContext.hadoopConfiguration
+
+  private val metaSchema = MetaIO.schemaOf("meta",
+    Seq(("kind", "string", true), ("t_build", "double", true)))
+  private val dictSchema = MetaIO.schemaOf("dict",
+    Seq(("tok", "string", true), ("id", "long", true)))
+
   private def readMeta(spark: SparkSession, dir: String): Meta = {
-    val r = spark.read.parquet(metaPath(dir)).head()
-    Meta(r.getAs[String]("kind"), r.getAs[Double]("t_build"))
+    val r = MetaIO.read(hconf(spark),
+      new org.apache.hadoop.fs.Path(metaPath(dir))).head
+    Meta(r("kind").asInstanceOf[String], r("t_build").asInstanceOf[Double])
+  }
+
+  private def writeMeta(spark: SparkSession, dir: String, kind: String,
+      t: Double): Unit =
+    MetaIO.write(hconf(spark),
+      new org.apache.hadoop.fs.Path(s"${metaPath(dir)}/part-00000.parquet"),
+      metaSchema, Seq(Seq(kind, t)))
+
+  /** Driver-side existence probe for the index (no Spark job). */
+  private[graft] def exists(spark: SparkSession, dir: String): Boolean = {
+    val p = new org.apache.hadoop.fs.Path(metaPath(dir))
+    val fs = p.getFileSystem(hconf(spark))
+    try fs.exists(p) && MetaIO.read(hconf(spark), p).nonEmpty
+    catch { case _: Exception => false }
   }
 
   /** Per-doc exact-verify features: sorted distinct token array + its
@@ -121,9 +152,10 @@ object DedupIndex {
     import spark.implicits._
     val kind = Dedup.tokenVocab(tok.select("tok"), bitmapMaxVocab) match {
       case Some(vocab) =>
-        vocab.zipWithIndex.map { case (t, i) => (t, i.toLong) }.toSeq
-          .toDF("tok", "id").coalesce(1)
-          .write.mode("overwrite").parquet(dictPath(dir))
+        MetaIO.write(hconf(spark),
+          new org.apache.hadoop.fs.Path(s"${dictPath(dir)}/part-00000.parquet"),
+          dictSchema,
+          vocab.zipWithIndex.map { case (t, i) => Seq[Any](t, i.toLong) })
         Dedup.tokenMasks(tok, vocab)
           .write.mode("overwrite").parquet(masksPath(dir))
         "dense"
@@ -131,8 +163,7 @@ object DedupIndex {
         buildSparse(tok, dir, minJaccard)
         "sparse"
     }
-    Seq((kind, minJaccard)).toDF("kind", "t_build").coalesce(1)
-      .write.mode("overwrite").parquet(metaPath(dir))
+    writeMeta(spark, dir, kind, minJaccard)
     kind
   }
 
@@ -151,10 +182,12 @@ object DedupIndex {
   }
 
   /** The dictionary in id order (dense regime) — bounded by
-    * [[DenseDictCap]] by construction, so the collect is small. */
+    * [[DenseDictCap]] by construction, so it was always collected to
+    * the driver; reading it THROUGH the driver skips the Spark job. */
   private def readVocab(spark: SparkSession, dir: String): Array[String] =
-    spark.read.parquet(dictPath(dir)).orderBy("id")
-      .collect().map(_.getAs[String]("tok"))
+    MetaIO.read(hconf(spark), new org.apache.hadoop.fs.Path(dictPath(dir)))
+      .map(r => (r("id").asInstanceOf[Long], r("tok").asInstanceOf[String]))
+      .sortBy(_._1).map(_._2).toArray
 
   /** Append a batch's signatures to the index. Dense: extends the
     * dictionary with the batch's unseen tokens (deterministic — new
@@ -196,9 +229,14 @@ object DedupIndex {
           s"dense dictionary would grow past $DenseDictCap — the bounded-" +
             "vocabulary premise no longer holds; rebuild the index sparse")
         if (fresh.nonEmpty)
-          fresh.zipWithIndex.map { case (t, i) => (t, (vocab.length + i).toLong) }
-            .toSeq.toDF("tok", "id").coalesce(1)
-            .write.mode("append").parquet(dictPath(dir))
+          // unique per dictionary generation (name carries the base id);
+          // a crashed attempt's file is outside the undo-log inventory
+          // and rolls back like any other append-created file
+          MetaIO.write(hconf(spark), new org.apache.hadoop.fs.Path(
+              s"${dictPath(dir)}/part-ext-${vocab.length}.parquet"),
+            dictSchema,
+            fresh.zipWithIndex.map { case (t, i) =>
+              Seq[Any](t, (vocab.length + i).toLong) })
         Dedup.tokenMasks(tok, vocab ++ fresh)
           .write.mode("append").parquet(masksPath(dir))
       case "sparse" =>
@@ -474,9 +512,7 @@ object DedupIndex {
     }
     val next = s"$dir/gen_next"
     buildSparse(tok, next, meta.tBuild)
-    import spark.implicits._
-    Seq(("sparse", meta.tBuild)).toDF("kind", "t_build").coalesce(1)
-      .write.mode("overwrite").parquet(metaPath(next))
+    writeMeta(spark, next, "sparse", meta.tBuild)
     val base = new org.apache.hadoop.fs.Path(dir)
     val fs = base.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val prev = new org.apache.hadoop.fs.Path(s"$dir/prev_gen")

@@ -386,12 +386,13 @@ object StreamOps {
       .option("maxFilesPerTrigger", 1).parquet(srcDir)
     val qdir = s"$indexDir/quarantine"
     val mdir = s"$indexDir/ingested"
+    // index existence + done-batch markers are metadata-sized by
+    // construction — consulted driver-side (MetaIO / FS probe, no
+    // Spark job per micro-batch; round-14, guide §5 — same idiom as
+    // the lakehouse manifests)
     def indexBuilt(sp: SparkSession): Boolean =
-      try { sp.read.parquet(s"$indexDir/meta").head(); true }
-      catch { case _: Exception => false }
-    def doneBatches(sp: SparkSession): Set[Long] =
-      try sp.read.parquet(mdir).collect().map(_.getLong(0)).toSet
-      catch { case _: Exception => Set.empty[Long] }
+      graft.operators.DedupIndex.exists(sp, indexDir)
+    def doneBatches(sp: SparkSession): Set[Long] = readMarkers(sp, mdir)
     val q = stream.writeStream
       .option("checkpointLocation", checkpointDir)
       .trigger(Trigger.AvailableNow())
@@ -414,8 +415,7 @@ object StreamOps {
           pairs.select(col("d1"), col("d2"), col("jaccard"))
             .write.mode("append").parquet(qdir)
           // marker: its presence certifies every effect above
-          Seq(batchId).toDF("batch_id").coalesce(1)
-            .write.mode("append").parquet(mdir)
+          writeMarker(sp, mdir, batchId)
           // retire the undo log only once the marker is durable
           finishIngestBatch(sp, indexDir, batchId)
         } else {
@@ -473,15 +473,12 @@ object StreamOps {
         val p = new org.apache.hadoop.fs.Path(s"$indexDir/centroids/_SUCCESS")
         p.getFileSystem(sp.sparkContext.hadoopConfiguration).exists(p)
       }
-      def doneBatches(sp: SparkSession): Set[Long] =
-        try sp.read.parquet(mdir).collect().map(_.getLong(0)).toSet
-        catch { case _: Exception => Set.empty[Long] }
+      def doneBatches(sp: SparkSession): Set[Long] = readMarkers(sp, mdir)
       val q = stream.writeStream
         .option("checkpointLocation", checkpointDir)
         .trigger(Trigger.AvailableNow())
         .foreachBatch { (batch: DataFrame, batchId: Long) =>
           val sp = batch.sparkSession
-          import sp.implicits._
           if (!doneBatches(sp).contains(batchId)) {
             beginIngestBatch(sp, indexDir, batchId)
             if (!indexBuilt(sp))
@@ -489,8 +486,7 @@ object StreamOps {
                 indexDir, nCentroids, m, k)
             else
               graft.operators.AnnIndex.append(batch, idCol, vecCol, indexDir)
-            Seq(batchId).toDF("batch_id").coalesce(1)
-              .write.mode("append").parquet(mdir)
+            writeMarker(sp, mdir, batchId)
             finishIngestBatch(sp, indexDir, batchId)
           } else {
             finishIngestBatch(sp, indexDir, batchId)
@@ -602,6 +598,31 @@ object StreamOps {
     * the `pending/` undo log itself is excluded (it is recovery
     * metadata, not index state). Hadoop FS API, so the same recovery
     * works on HDFS/object stores, not just local disk. */
+  /** Per-batch done markers, read/written DRIVER-SIDE (MetaIO —
+    * guide §5): the old Spark-job form paid a full job to read a
+    * handful of marker rows and another (`coalesce(1)` + commit
+    * protocol) to write one, PER MICRO-BATCH. Files are ordinary
+    * parquet: the marker table stays readable by Spark (gate q272
+    * returns it) and old Spark-written part files keep reading. The
+    * filename carries the batch id, so writes stay unique per batch —
+    * the undo-log contract ("appends only create uniquely-named new
+    * files") is unchanged. */
+  private val markerSchema = graft.operators.MetaIO.schemaOf("marker",
+    Seq(("batch_id", "long", true)))
+
+  private[graft] def readMarkers(sp: SparkSession, mdir: String): Set[Long] =
+    try graft.operators.MetaIO.read(
+        sp.sparkContext.hadoopConfiguration,
+        new org.apache.hadoop.fs.Path(mdir))
+      .map(_("batch_id").asInstanceOf[Long]).toSet
+    catch { case _: Exception => Set.empty[Long] }
+
+  private[graft] def writeMarker(sp: SparkSession, mdir: String,
+      batchId: Long): Unit =
+    graft.operators.MetaIO.write(sp.sparkContext.hadoopConfiguration,
+      new org.apache.hadoop.fs.Path(s"$mdir/part-batch-$batchId.parquet"),
+      markerSchema, Seq(Seq(batchId)))
+
   private def indexInventory(fs: org.apache.hadoop.fs.FileSystem,
       root: org.apache.hadoop.fs.Path): Set[String] = {
     if (!fs.exists(root)) return Set.empty
