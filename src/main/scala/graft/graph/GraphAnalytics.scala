@@ -873,9 +873,7 @@ object GraphAnalytics {
     val spark = edges.sparkSession
     import spark.implicits._
     val Scale = 1000000L
-    edges.select(col("group"), col("src").cast("long"), col("dst").cast("long"))
-      .as[(String, Long, Long)]
-      .groupByKey(_._1)
+    keyedGroupsUnweighted(edges)
       .flatMapGroups { (grp, it) =>
         // symmetrized distinct adjacency, index-compressed to 0..n-1
         // (per-root state lives in flat arrays: the kernel runs
@@ -946,9 +944,7 @@ object GraphAnalytics {
   def harmonicEccExact(edges: DataFrame, maxDepth: Int = 64): DataFrame = {
     val spark = edges.sparkSession
     import spark.implicits._
-    edges.select(col("group"), col("src").cast("long"), col("dst").cast("long"))
-      .as[(String, Long, Long)]
-      .groupByKey(_._1)
+    keyedGroupsUnweighted(edges)
       .flatMapGroups { (grp, it) =>
         val pairs = it.flatMap { case (_, a, b) => Seq((a, b), (b, a)) }.toSet
         val nodes = pairs.map(_._1).toArray.sorted
@@ -1027,6 +1023,45 @@ object GraphAnalytics {
     buf.toSeq
   }
 
+  /** The per-group kernel dispatch, EXPLICITLY distributed (round-14,
+    * r13 verdict item 5 / guide §2.4-2.5): `groupByKey(_._1)` computes
+    * its key into a fresh column, so no pre-repartition can satisfy
+    * the required distribution and the planner inserts its own
+    * exchange — byte-tiny for gate-scale groups, which AQE coalesces
+    * to ONE task, serializing every group's task-local kernel (q72's
+    * eigen battery ran all groups in a single ~4 s task on a 32-core
+    * host). Grouping BY THE COLUMN (`groupBy(col).as[K, V]`) lets an
+    * explicit-count keyed repartition satisfy the distribution
+    * exactly: no second exchange, and the explicit count is exempt
+    * from coalescing, so each group's kernel lands in its own task. At
+    * scale the exchange exists either way — this only pins its
+    * partition count to the session parallelism. The iterator-based
+    * kernels (and [[boundedEdges]]'s fail-fast cap) are unchanged. */
+  private def keyedGroups(edges: DataFrame)
+      : org.apache.spark.sql.KeyValueGroupedDataset[
+        String, (String, Long, Long, Double)] = {
+    val spark = edges.sparkSession
+    import spark.implicits._
+    edges.select(col("group").cast("string"), col("src").cast("long"),
+        col("dst").cast("long"), col("weight").cast("double"))
+      .repartition(spark.sessionState.conf.numShufflePartitions, col("group"))
+      .groupBy(col("group"))
+      .as[String, (String, Long, Long, Double)]
+  }
+
+  /** [[keyedGroups]] for the unweighted (group, src, dst) kernels. */
+  private def keyedGroupsUnweighted(edges: DataFrame)
+      : org.apache.spark.sql.KeyValueGroupedDataset[
+        String, (String, Long, Long)] = {
+    val spark = edges.sparkSession
+    import spark.implicits._
+    edges.select(col("group").cast("string"), col("src").cast("long"),
+        col("dst").cast("long"))
+      .repartition(spark.sessionState.conf.numShufflePartitions, col("group"))
+      .groupBy(col("group"))
+      .as[String, (String, Long, Long)]
+  }
+
   /** Per-group whole-graph metrics: one row per group with the
     * reference's network-stat battery (nestats shape —
     * reference bin/GeneralNetworkProperties.R, bin/CompareSkin.R:175-181).
@@ -1051,9 +1086,7 @@ object GraphAnalytics {
       quadraticMaxNodes: Int = 20000): DataFrame = {
     val spark = edges.sparkSession
     import spark.implicits._
-    edges.select(col("group"), col("src"), col("dst"), col("weight").cast("double"))
-      .as[(String, Long, Long, Double)]
-      .groupByKey(_._1)
+    keyedGroups(edges)
       .mapGroups { (grp, it) =>
         val g = LocalGraph.fromEdges(boundedEdges(grp, it, maxGroupEdges), directed)
         val quad = g.n <= quadraticMaxNodes
@@ -1095,9 +1128,7 @@ object GraphAnalytics {
       maxGroupEdges: Int = 2000000): DataFrame = {
     val spark = edges.sparkSession
     import spark.implicits._
-    edges.select(col("group"), col("src"), col("dst"), col("weight").cast("double"))
-      .as[(String, Long, Long, Double)]
-      .groupByKey(_._1)
+    keyedGroups(edges)
       .flatMapGroups { (grp, it) =>
         val g = LocalGraph.fromEdges(boundedEdges(grp, it, maxGroupEdges), directed)
         if (g.n > communityMaxNodes) {
@@ -1121,9 +1152,7 @@ object GraphAnalytics {
       maxGroupEdges: Int = 2000000): DataFrame = {
     val spark = edges.sparkSession
     import spark.implicits._
-    edges.select(col("group"), col("src"), col("dst"), col("weight").cast("double"))
-      .as[(String, Long, Long, Double)]
-      .groupByKey(_._1)
+    keyedGroups(edges)
       .flatMapGroups { (grp, it) =>
         val g = LocalGraph.fromEdges(boundedEdges(grp, it, maxGroupEdges), directed)
         val e = g.eigenCentrality()
@@ -1145,9 +1174,7 @@ object GraphAnalytics {
       quadraticMaxNodes: Int = 20000, denseMaxNodes: Int = 2000): DataFrame = {
     val spark = edges.sparkSession
     import spark.implicits._
-    edges.select(col("group"), col("src"), col("dst"), col("weight").cast("double"))
-      .as[(String, Long, Long, Double)]
-      .groupByKey(_._1)
+    keyedGroups(edges)
       .flatMapGroups { (grp, it) =>
         val g = LocalGraph.fromEdges(boundedEdges(grp, it, maxGroupEdges), directed)
         val nan = Array.fill(g.n)(Double.NaN)
@@ -1178,9 +1205,7 @@ object GraphAnalytics {
       maxGroupEdges: Int = 2000000): DataFrame = {
     val spark = edges.sparkSession
     import spark.implicits._
-    edges.select(col("group"), col("src"), col("dst"), col("weight").cast("double"))
-      .as[(String, Long, Long, Double)]
-      .groupByKey(_._1)
+    keyedGroups(edges)
       .flatMapGroups { (grp, it) =>
         val g = LocalGraph.fromEdges(boundedEdges(grp, it, maxGroupEdges), directed = false)
         g.robustnessCurve(steps).zipWithIndex.map { case (frac, i) => (grp, i, frac) }
@@ -1382,8 +1407,11 @@ object GraphAnalytics {
             canon.where(!col("a").isin(r: _*) && !col("b").isin(r: _*))
               .select(lit(t).as("layer"), col("a"), col("b"))
           }.reduce(_ unionByName _)
-          layered.as[(Int, Long, Long)]
-            .groupByKey(_._1)
+          // explicit keyed distribution, same rationale as [[keyedGroups]]
+          layered
+            .repartition(spark.sessionState.conf.numShufflePartitions,
+              col("layer"))
+            .groupBy(col("layer")).as[Int, (Int, Long, Long)]
             .mapGroups { (layer, it) =>
               (layer.toLong, largestComponentOf(it.map(e => (e._2, e._3))))
             }.collect().toMap
