@@ -427,6 +427,20 @@ object MergeTable {
           .map(s => s"${b.getPath.getName}/${s.getPath.getName}" ->
             s.getPath.toString)).toSeq.sortBy(_._1)
     if (files.isEmpty) return Nil
+    // metadata-sized file lists read their footers ON THE DRIVER (no
+    // Spark job per commit — round 14, guide §5, the MetaIO idiom);
+    // the distributed path remains for generations with more files
+    // than cores, where fan-out pays for itself
+    if (files.size <= spark.sparkContext.defaultParallelism) {
+      val conf = spark.sparkContext.hadoopConfiguration
+      return files.flatMap { case (rel, p) =>
+        val (nRows, st) = graft.sources.ZoneMap.footerStats(conf, p, statsCols)
+        val bucket = rel.split("/")(0).stripPrefix("bucket=").toInt
+        statsCols.zip(st).map { case (c, (ty, ok, mnL, mxL, mnS, mxS)) =>
+          FileStat(bucket, gen, rel, c, ty, ok, mnL, mxL, mnS, mxS, nRows)
+        }
+      }
+    }
     val zm = graft.sources.ZoneMap.harvestFiles(spark, files, statsCols)
     zm.collect().toSeq.flatMap { r =>
       val file = r.getString(r.fieldIndex("file"))
@@ -696,11 +710,16 @@ object MergeTable {
     // per merge; each collects ≤ a handful of offending keys): the
     // duplicate-key aggregate and the upsert∩delete overlap union into
     // a tagged violation stream, limit-collected together
+    // per-branch limits (round-13 advisor): a single limit over the
+    // union could fill all its slots with one violation kind and hide
+    // the other from the error sample (the batch still always throws)
     val bad = upserts.groupBy(col(keyCol)).count().where(col("count") > 1)
       .select(col(keyCol).cast("string").as("k"), lit("dup").as("why"))
+      .limit(5)
       .unionByName(upK.join(delK, keyCol)
-        .select(col(keyCol).cast("string").as("k"), lit("both").as("why")))
-      .limit(10).collect()
+        .select(col(keyCol).cast("string").as("k"), lit("both").as("why"))
+        .limit(5))
+      .collect()
     require(!bad.exists(_.getString(1) == "dup"),
       s"merge: duplicate keys in batch — ${bad.filter(_.getString(1) == "dup")
         .map(_.getString(0)).mkString(", ")}" +

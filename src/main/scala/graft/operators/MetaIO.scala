@@ -63,7 +63,10 @@ private[graft] object MetaIO {
     val gf = new SimpleGroupFactory(schema)
     try rows.foreach { r =>
       val g = gf.newGroup()
-      schema.getFields.size().ensuring(_ == r.size,
+      // require, not ensuring: assert-backed checks are elided under
+      // -Xdisable-assertions and a short row would write misaligned
+      // nulls instead of failing fast (round-13 advisor)
+      require(r.size == schema.getFieldCount,
         s"row arity ${r.size} != schema arity ${schema.getFieldCount}")
       var i = 0
       while (i < r.size) {

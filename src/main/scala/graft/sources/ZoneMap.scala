@@ -132,6 +132,26 @@ object ZoneMap {
     else (ty, false, None, None, None, None)
   }
 
+  /** Driver-side footer stats for ONE file — the metadata-sized twin
+    * of the distributed [[harvestFiles]] path (round 14, guide §5): a
+    * just-committed generation holds a handful of files, and
+    * scheduling a cluster job to read their footers costs more than
+    * the reads. Same [[colStats]] merge, so the harvested zones are
+    * identical to the distributed path's. Returns
+    * (n_rows, per-col (ty, ok, minL, maxL, minS, maxS)). */
+  private[graft] def footerStats(conf: org.apache.hadoop.conf.Configuration,
+      path: String, cols: Seq[String])
+      : (Long, Seq[(String, Boolean, Option[Long], Option[Long],
+        Option[String], Option[String])]) = {
+    val r = org.apache.parquet.hadoop.ParquetFileReader.open(
+      org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+        new org.apache.hadoop.fs.Path(path), conf))
+    try {
+      val blocks = r.getFooter.getBlocks.asScala.toSeq
+      (blocks.map(_.getRowCount).sum, cols.map(c => colStats(blocks, c)))
+    } finally r.close()
+  }
+
   /** Harvest per-file zone maps for `cols` from parquet FOOTERS only
     * — one footer read per file, parallelized over the executors
     * (each task reconstructs the filesystem from the executor's own
